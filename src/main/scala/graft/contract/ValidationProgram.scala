@@ -1,0 +1,105 @@
+package graft.contract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Compiled validation program: `ContractPolicy × observed schema →
+  * vectorized Column pipeline` (cdf: crates/cdf-contract/src/compiler.rs,
+  * vector.rs — but Spark-first: each rule lowers to a codegen'd
+  * `Column` predicate evaluated by Tungsten, not a hand-rolled kernel).
+  *
+  * Execution shape: one `select` appends a boolean per rule plus a
+  * joined verdict + disposition; downstream splits accepted vs
+  * quarantined rows with two cheap filters on the same cached plan.
+  * At 100 TB this is a single map-stage with no shuffle.
+  */
+final class ValidationProgram private (
+    val policy: ContractPolicy,
+    val ruleCols: Seq[(RowRule, Column)]) {
+
+  import ValidationProgram._
+
+  /** verdict per rule as int rank (null input to a rule predicate is a
+    * violation unless the rule is Nullability-pass — Kleene null maps
+    * to NOT-pass, keeping the lattice total; SURVEY §7.4.2). */
+  private def ruleVerdict(rule: RowRule, pass: Column): Column = {
+    val failRank =
+      if (policy.fatalRules.contains(rule.id)) Verdict.Fatal.rank
+      else Verdict.Violation.rank
+    when(coalesce(pass, lit(false)), lit(Verdict.Pass.rank)).otherwise(lit(failRank))
+  }
+
+  /** Append `_graft_verdict` (string) + `_graft_disposition` columns. */
+  def annotate(df: DataFrame): DataFrame = {
+    val verdictRank = ruleCols
+      .map { case (r, c) => ruleVerdict(r, c) }
+      .reduceOption((a, b) => greatest(a, b))
+      .getOrElse(lit(Verdict.Pass.rank))
+    df.withColumn(VerdictCol, rankToName(verdictRank))
+      .withColumn(DispositionCol, rankToDisposition(verdictRank))
+  }
+
+  /** Accepted rows, original schema (cdf: program.rs:378-420 Accept). */
+  def accepted(df: DataFrame): DataFrame = {
+    val a = annotate(df)
+    a.filter(col(DispositionCol) === "accept").select(df.columns.map(col): _*)
+  }
+
+  /** Quarantined rows with evidence columns; PII-classified columns are
+    * redacted with sha2 before they ever leave the pipeline
+    * (cdf: VISION.md:723, program.rs:53-63 `RedactionDecision`). */
+  def quarantined(df: DataFrame, redactColumns: Set[String] = Set.empty): DataFrame = {
+    val a = annotate(df).filter(col(DispositionCol) =!= "accept")
+    redactColumns.foldLeft(a) { (acc, c) =>
+      acc.withColumn(c, sha2(col(c).cast("string"), 256))
+    }
+  }
+
+  /** Per-rule pass/violation counts — the quality.parquet shape
+    * (cdf: VISION.md:780 rule-outcome counts). One aggregate pass. */
+  def ruleOutcomeCounts(df: DataFrame): DataFrame = {
+    val aggs = ruleCols.flatMap { case (r, c) =>
+      Seq(
+        sum(when(coalesce(c, lit(false)), 1L).otherwise(0L)).as(s"${r.id}__pass"),
+        sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)).as(s"${r.id}__violation"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+}
+
+object ValidationProgram {
+  val VerdictCol = "_graft_verdict"
+  val DispositionCol = "_graft_disposition"
+
+  private def rankToName(rank: Column): Column =
+    Verdict.all.foldRight(lit(Verdict.Fatal.name): Column) { (v, acc) =>
+      when(rank === v.rank, lit(v.name)).otherwise(acc)
+    }
+
+  private def rankToDisposition(rank: Column): Column =
+    Verdict.all.foldRight(lit("reject_batch"): Column) { (v, acc) =>
+      val d = Disposition.ofVerdict(v) match {
+        case Disposition.Accept => "accept"
+        case Disposition.Quarantine => "quarantine"
+        case Disposition.RejectBatch => "reject_batch"
+        case Disposition.RejectRun => "reject_run"
+      }
+      when(rank === v.rank, lit(d)).otherwise(acc)
+    }
+
+  /** Compile a rule to its boolean pass-predicate `Column`
+    * (cdf: crates/cdf-contract/src/vector.rs:500-760 bind/eval — here
+    * each arm is a stock Catalyst expression, codegen'd for free). */
+  def compileRule(rule: RowRule): Column = rule match {
+    case RowRule.Nullability(_, c) => col(c).isNotNull
+    case RowRule.Domain(_, c, allowed) => col(c).isin(allowed: _*)
+    case RowRule.Range(_, c, lo, hi) => col(c).between(lo, hi)
+    case RowRule.Regex(_, c, p) => regexp_like(col(c), lit(p))
+    case RowRule.Freshness(_, c, maxAge, asOf) =>
+      col(c).cast("timestamp") >= timestamp_seconds(lit((asOf - maxAge) / 1000.0))
+    case RowRule.Custom(_, _, pred) => expr(pred)
+  }
+
+  def compile(policy: ContractPolicy): ValidationProgram =
+    new ValidationProgram(policy, policy.rules.map(r => r -> compileRule(r)))
+}
