@@ -1,0 +1,188 @@
+package graft.catalog
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.contract.Transform
+import graft.core.{QueryDef, Tables}
+
+/** Wider `cdf sql`-surface coverage (SURVEY §2.4/§2.8/§2.9/§3.2) plus
+  * the normalize-stage transforms and JSON record extraction
+  * (§2.1 NDJSON `records => '$.path'`, §2.6 transforms/variant).
+  */
+object ExtendedQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def fac2(c: Column): Column = c.cast(DecimalType(4, 2))
+  private def decSum(c: Column): Column =
+    sum(c).cast(org.apache.spark.sql.types.DoubleType)
+
+  val windowRank: QueryDef = QueryDef.sqlBacked(
+    "q_window_rank",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    doc = "Window functions — not in the reference load path (SURVEY §2.7) but free on the Spark-SQL " +
+      "ops surface that supersedes cdf sql (system_sql.rs).") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, d, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+      .orderBy("o_custkey", "rnk")
+  }
+
+  val topK: QueryDef = QueryDef.sqlBacked(
+    "q_topk",
+    """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    doc = "Order-by + limit: Spark compiles to TakeOrderedAndProject (per-partition top-k + merge, " +
+      "no global sort) — the scale-safe form of cdf's pushdown-only OrderBy (resource.rs:611-622).") {
+    (s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+  }
+
+  val partitionCompleteness: QueryDef = QueryDef.sqlBacked(
+    "q_partition_completeness",
+    """SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS full_count,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+      |     SELECT * FROM lineitem WHERE l_orderkey % 4 = 0 UNION ALL
+      |     SELECT * FROM lineitem WHERE l_orderkey % 4 = 1 UNION ALL
+      |     SELECT * FROM lineitem WHERE l_orderkey % 4 = 2 UNION ALL
+      |     SELECT * FROM lineitem WHERE l_orderkey % 4 = 3) u) AS union_count,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+      |     SELECT * FROM lineitem EXCEPT
+      |     SELECT * FROM (
+      |       SELECT * FROM lineitem WHERE l_orderkey % 4 = 0 UNION ALL
+      |       SELECT * FROM lineitem WHERE l_orderkey % 4 = 1 UNION ALL
+      |       SELECT * FROM lineitem WHERE l_orderkey % 4 = 2 UNION ALL
+      |       SELECT * FROM lineitem WHERE l_orderkey % 4 = 3) u) e) AS missing_count""".stripMargin,
+    doc = "Partition-union completeness law: union of partitions == unpartitioned scan, no overlap — " +
+      "cdf VISION.md:504, conformance resource suite (SURVEY §2.9).") { (s, d) =>
+    val li = t(s, d, "lineitem")
+    val parts = (0 until 4).map(i => li.filter(col("l_orderkey") % 4 === i))
+    val u = parts.reduce(_ unionAll _)
+    val fullCount = li.count()
+    val unionCount = u.count()
+    val missing = li.except(u).count()
+    import s.implicits._
+    Seq((fullCount, unionCount, missing))
+      .toDF("full_count", "union_count", "missing_count")
+  }
+
+  /** Declarative transform pipeline over `part` (cdf transforms.rs). */
+  private val partTransforms = Seq(
+    Transform.Filter("p_size >= 10"),
+    Transform.Rename("p_partkey", "part_key"),
+    Transform.Derive("part_name", "lower(p_name)"),
+    Transform.Cast("p_size", "bigint"),
+    Transform.Derive("retail_bucket", "cast(floor(p_retailprice / 100) as bigint)"))
+
+  val schemaNormalize: QueryDef = QueryDef.sqlBacked(
+    "q_schema_normalize",
+    """SELECT p_partkey AS part_key, lower(p_name) AS part_name,
+      |  CAST(p_size AS BIGINT) AS p_size,
+      |  CAST(floor(p_retailprice / 100) AS BIGINT) AS retail_bucket
+      |FROM part WHERE p_size >= 10 ORDER BY part_key""".stripMargin,
+    doc = "Normalize stage: Rename/Cast/Derive/Filter transform pipeline — cdf transforms.rs:1-18, " +
+      "orchestration.rs:189-236.") { (s, d) =>
+    Transform(t(s, d, "part"), partTransforms)
+      .select("part_key", "part_name", "p_size", "retail_bucket")
+      .orderBy("part_key")
+  }
+
+  val jsonExtract: QueryDef = QueryDef.sqlBacked(
+    "q_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+      |ORDER BY event_id""".stripMargin,
+    doc = "JSON document record extraction via `$.path` pointers — cdf format-json `records => '$.items'` " +
+      "(SURVEY §2.1); Spark `get_json_object`.") { (s, d) =>
+    t(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") >= 50)
+      .orderBy("event_id")
+  }
+
+  val brandJoinAgg: QueryDef = QueryDef.sqlBacked(
+    "q_brand_join_agg",
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    doc = "Dimension join: part is broadcast (no shuffle of the 100 TB fact side), then one hash " +
+      "aggregation on a low-cardinality key.") { (s, d) =>
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        decSum(dec2(col("l_extendedprice")) * fac2(lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
+  val countDistinctQ: QueryDef = QueryDef.sqlBacked(
+    "q_count_distinct",
+    """SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+      |FROM lineitem""".stripMargin,
+    doc = "Exact distinct counts (cdf names a distinct-estimate in VISION.md:676; exact here, " +
+      "approx_count_distinct HLL offered as the scale path in StatsOps).") { (s, d) =>
+    t(s, d, "lineitem").agg(
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"))
+  }
+
+  val freshness: QueryDef = QueryDef.sqlBacked(
+    "q_freshness",
+    """SELECT epoch_us(max(ts)) AS max_ts_us,
+      |  (epoch_us(max(ts)) < 1706572800000000 - 86400000000) AS is_stale
+      |FROM events""".stripMargin,
+    doc = "FreshnessSpec{max_age} SLO eval against an explicit asOf (2024-01-30Z, 1d budget) — " +
+      "cdf resource.rs:404-408, status_freshness.rs; never wall-clock (replay determinism).") { (s, d) =>
+    val asOfUs = 1706572800000000L
+    val maxAgeUs = 86400000000L
+    t(s, d, "events").agg(
+      max(expr("ts div 1000")).as("max_ts_us"),
+      (max(expr("ts div 1000")) < asOfUs - maxAgeUs).as("is_stale"))
+  }
+
+  val regionRollup: QueryDef = QueryDef.sqlBacked(
+    "q_region_rollup",
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin,
+    doc = "Snowflake-dim chain join (both dims broadcast) + rollup aggregate — the ops/metadata " +
+      "SQL surface (SURVEY §3.2) strictly supersedes cdf sql's SQLite.") { (s, d) =>
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(decSum(dec2(col("c_acctbal"))).as("total_acctbal"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
+    brandJoinAgg, countDistinctQ, freshness, regionRollup)
+}
