@@ -1,0 +1,253 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{QueryDef, Tables}
+import graft.llm._
+
+/** LLM training-data pipeline operators over `documents` /
+  * `embeddings`: dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine), similarity search, text analysis, multimodal
+  * plumbing. Engine-specific hash ops (xxhash64) are rows-only checks;
+  * everything expressible in portable SQL carries a DuckDB oracle.
+  */
+object LlmQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** documents ∪ exact copies of every 50th doc (ids +100000) — the
+    * deterministic duplicate corpus for dedup demos (the base corpus
+    * is fully distinct). */
+  private def corpusWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+  }
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0""".stripMargin
+
+  /** ∪ perturbed copies (suffix padding) — near- but not exact dups. */
+  private def corpusWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" graft dup tail pad"))))
+  }
+  private val nearCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' graft dup tail pad' AS text
+      |FROM documents WHERE doc_id % 50 = 0""".stripMargin
+
+  private val wsSplitSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  // ------------------------------------------------------- text analysis
+
+  val textFingerprint: QueryDef = QueryDef.sqlBacked(
+    "q_text_fingerprint",
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin,
+    doc = "Content fingerprint: md5 of whitespace-normalized lowercase text — a per-document " +
+      "content address (package-identity idea of cdf VISION.md:762-790).") { (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val dedupContentHash: QueryDef = QueryDef.sqlBacked(
+    "q_dedup_content_hash",
+    s"""WITH corpus AS ($corpusSql)
+       |SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_key,
+       |  CAST(COUNT(*) AS BIGINT) AS n_copies, min(doc_id) AS canonical_id
+       |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_key""".stripMargin,
+    doc = "Exact dedup via content-hash groupBy: shuffles 16-byte keys, not documents.") { (s, d) =>
+    TextDedup.exactGroups(corpusWithDups(s, d), "doc_id", "text")
+      .withColumnRenamed("canonical_id", "canonical_id")
+      .filter(col("n_copies") > 1)
+      .orderBy("content_key")
+  }
+
+  val tokenStats: QueryDef = QueryDef.sqlBacked(
+    "q_token_stats",
+    s"""SELECT doc_id,
+       |  CAST(len($wsSplitSql) AS INTEGER) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin,
+    doc = "Token counting: whitespace tokens + BPE-ish regex pre-tokens, pure codegen'd expressions.") {
+    (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(TextAnalysis.wsTokens(col("text"))).as("n_ws_tokens"),
+        size(TextAnalysis.bpeTokens(col("text"))).as("n_bpe_tokens")
+      ).orderBy("doc_id")
+  }
+
+  val textQuality: QueryDef = QueryDef.sqlBacked(
+    "q_text_quality",
+    s"""SELECT doc_id, n_words, n_uniq_words,
+       |  CAST(n_uniq_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS uniq_ratio,
+       |  sum_word_len, punct_n,
+       |  round(0.4 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+       |      + 0.4 * (CAST(n_uniq_words AS DOUBLE) / CAST(n_words AS DOUBLE))
+       |      + 0.2 * (1.0 - least(CAST(punct_n AS DOUBLE) / 20.0, 1.0)), 6) AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len($wsSplitSql) AS INTEGER) AS n_words,
+       |    CAST(len(list_distinct($wsSplitSql)) AS INTEGER) AS n_uniq_words,
+       |    CAST(list_sum(list_transform($wsSplitSql, x -> len(x))) AS INTEGER) AS sum_word_len,
+       |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS punct_n
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin,
+    doc = "Quality scoring: length / lexical-diversity / punctuation-density metrics + bounded score.") {
+    (s, d) =>
+      val cols = TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+      t(s, d, "documents").select(col("doc_id") +: cols: _*).orderBy("doc_id")
+  }
+
+  private val langFilterSql: Map[String, String] = TextAnalysis.langProfiles.toMap.map {
+    case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      lang -> s"CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> list_contains($list, x))) AS INTEGER)"
+  }
+
+  val langIdQ: QueryDef = QueryDef.sqlBacked(
+    "q_lang_id",
+    s"""SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+       |  CASE WHEN s_en = best AND s_en > 0 THEN 'en'
+       |       WHEN s_de = best AND s_de > 0 THEN 'de'
+       |       WHEN s_es = best AND s_es > 0 THEN 'es'
+       |       WHEN s_fr = best AND s_fr > 0 THEN 'fr'
+       |       WHEN s_zh = best AND s_zh > 0 THEN 'zh'
+       |       ELSE 'und' END AS lang_pred
+       |FROM (
+       |  SELECT doc_id,
+       |    ${langFilterSql("en")} AS s_en, ${langFilterSql("de")} AS s_de,
+       |    ${langFilterSql("es")} AS s_es, ${langFilterSql("fr")} AS s_fr,
+       |    ${langFilterSql("zh")} AS s_zh,
+       |    greatest(${langFilterSql("en")}, ${langFilterSql("de")}, ${langFilterSql("es")},
+       |             ${langFilterSql("fr")}, ${langFilterSql("zh")}) AS best
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin,
+    doc = "Language-ID heuristic: stopword-profile voting with deterministic tie-break.") { (s, d) =>
+    val scores = TextAnalysis.langScores(col("text"))
+    t(s, d, "documents").select(
+      col("doc_id") +:
+        scores.map { case (l, c) => c.as(s"s_$l") } :+
+        TextAnalysis.langId(col("text")).as("lang_pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- dedup
+
+  val ngramJaccard: QueryDef = QueryDef.sqlBacked(
+    "q_ngram_jaccard",
+    s"""WITH corpus AS ($nearCorpusSql),
+       |toks AS (SELECT doc_id, $wsSplitSql AS w FROM corpus),
+       |ngr AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' ')))) AS ng
+       |  FROM toks WHERE len(w) >= 5),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS sz FROM ngr GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM ngr a JOIN ngr b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin,
+    doc = "Exact word-5-gram Jaccard near-dup pairs; candidates = pairs sharing ≥1 gram " +
+      "(selective join, never O(n²)).") { (s, d) =>
+    TextDedup.ngramJaccardPairs(corpusWithNearDups(s, d), "doc_id", "text", 5, 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashLsh: QueryDef = QueryDef.rowsOnly(
+    "q_minhash_lsh",
+    doc = "MinHash(16 hashes)+LSH(4 bands) near-dup pairs verified by exact Jaccard; " +
+      "xxhash64-based so rows-only (engine-specific hash).") { (s, d) =>
+    TextDedup.minhashLshPairs(corpusWithDups(s, d), "doc_id", "text",
+      n = 5, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhash: QueryDef = QueryDef.rowsOnly(
+    "q_simhash",
+    doc = "64-bit SimHash with 16-bit band candidate generation + exact Hamming verify.") { (s, d) =>
+    TextDedup.simhashPairs(corpusWithDups(s, d), "doc_id", "text", maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------- similarity
+
+  val cosineTopK: QueryDef = QueryDef.sqlBacked(
+    "q_cosine_topk",
+    """WITH q AS (
+      |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      |  FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), (SELECT qe FROM q))
+      |    / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                             list_transform(embedding, x -> CAST(x AS DOUBLE))))
+      |       * (SELECT sqrt(list_dot_product(qe, qe)) FROM q)), 4) AS cosine
+      |FROM embeddings WHERE vec_id <> 0
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    doc = "Brute-force cosine top-k against vec_id=0: narrow map (array fold in codegen) + " +
+      "TakeOrderedAndProject — no shuffle at any scale.") { (s, d) =>
+    Similarity.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)
+  }
+
+  val annLsh: QueryDef = QueryDef.rowsOnly(
+    "q_ann_lsh",
+    doc = "LSH-bucketed ANN (random-hyperplane signs, hash-derived planes): exact re-rank " +
+      "restricted to the query's bucket — the IVF-style scale path.") { (s, d) =>
+    Similarity.annLshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, numPlanes = 4, k = 10)
+  }
+
+  val embedNearDup: QueryDef = QueryDef.rowsOnly(
+    "q_embed_neardup",
+    doc = "Embedding-cosine near-dup edges (threshold 0.99) over corpus ∪ exact copies, " +
+      "LSH-bucketed candidate generation.") { (s, d) =>
+    val e = t(s, d, "embeddings").select("vec_id", "embedding")
+    val withDups = e.unionByName(
+      e.filter(col("vec_id") % 50 === 0).withColumn("vec_id", col("vec_id") + 100000))
+    Similarity.cosineNearDupPairs(withDups, "vec_id", "embedding", numPlanes = 4, threshold = 0.99)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ----------------------------------------------------------- multimodal
+
+  val multimodalMeta: QueryDef = QueryDef.sqlBacked(
+    "q_multimodal_meta",
+    """SELECT doc_id AS media_id, 'text' AS media_type,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+      |  sha256(text) AS payload_sha256
+      |FROM documents ORDER BY media_id""".stripMargin,
+    doc = "Multimodal metadata projection over opaque binary payloads (schema contract + " +
+      "byte-length + content hash).") { (s, d) =>
+    Multimodal.metadata(Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text"))
+      .orderBy("media_id")
+  }
+
+  val multimodalFeatures: QueryDef = QueryDef.rowsOnly(
+    "q_multimodal_features",
+    doc = "Partition-parallel feature extraction over binary payloads (decode step STUBBED — " +
+      "deterministic byte-fold; plumbing/batch shape real).") { (s, d) =>
+    Multimodal.extractFeatures(
+        Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    textFingerprint, dedupContentHash, tokenStats, textQuality, langIdQ,
+    ngramJaccard, minhashLsh, simhash,
+    cosineTopK, annLsh, embedNearDup,
+    multimodalMeta, multimodalFeatures)
+}

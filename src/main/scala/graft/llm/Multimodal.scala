@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata; decode / feature-extraction
+  * runs per-partition in fixed-size batches.
+  *
+  * The decode step itself is a STUB (no image/audio codecs in this
+  * container): `stubDecodeFeatures` derives a deterministic fake
+  * feature vector from the payload bytes. Everything around it — the
+  * schema contract, the binary column, batch shape, partition-parallel
+  * execution via `mapPartitions` (the Scala analogue of
+  * `mapInPandas`), and the metadata projection — is real and tested.
+  *
+  * Scale: payloads never pass through a shuffle; metadata extraction
+  * and feature extraction are narrow map stages, and downstream joins
+  * use only (id, features).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("media_type", StringType, nullable = false)))
+
+  /** Wrap any text column as an opaque binary payload — the testdata
+    * carrier for the multimodal path. */
+  def asMedia(df: DataFrame, idCol: String, textCol: String, mediaType: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(textCol).cast("binary").as("payload"),
+      lit(mediaType).as("media_type"))
+
+  /** Typed metadata projection — pure Column expressions. */
+  def metadata(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("media_type"),
+      length(col("payload")).as("byte_len"),
+      sha2(col("payload"), 256).as("payload_sha256"))
+
+  val FeatureDim = 8
+
+  /** STUB decode: a real implementation would decode the image/audio
+    * payload here (per-partition, batched). The fake is a deterministic
+    * byte-fold so tests exercise the full distributed path. */
+  private def stubDecodeFeatures(payload: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](FeatureDim)
+    if (payload != null) {
+      var i = 0
+      while (i < payload.length) {
+        out(i % FeatureDim) += (payload(i) & 0xff) / 255.0
+        i += 1
+      }
+    }
+    out
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Partition-parallel feature extraction over the binary column —
+    * the `mapInPandas`-shaped seam where a codec plugs in. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0), stubDecodeFeatures(r.getAs[Array[Byte]](1)).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — one narrow map stage (the dot
+  * product is an array fold inside codegen'd HOFs) + TakeOrderedAndProject,
+  * so even the brute-force path is shuffle-free and streams at scan
+  * speed. Scale path: LSH bucketing by random-hyperplane signs (planes
+  * derived deterministically from xxhash64, no stored model) restricts
+  * the exact re-rank to one bucket — the IVF idea with a hash-derived
+  * codebook.
+  *
+  * Floats are widened to double before arithmetic: f32×f32 products are
+  * exact in f64, so the fold's value is engine-reproducible to ~1 ulp
+  * and results are rounded to 4 decimals with id tie-breaks.
+  */
+object Similarity {
+
+  private def toDouble(arr: Column): Column = transform(arr, x => x.cast("double"))
+
+  /** Σ aᵢ·bᵢ as an in-order fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k of `df.embCol` against the embedding of
+    * `queryId` (excluded from results). */
+  def cosineTopK(df: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = df.filter(col(idCol) === queryId).select(col(embCol)).head()
+      .getSeq[Float](0)
+    val qLit = array(q.map(f => lit(f.toDouble)): _*)
+    df.filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(dot(col(embCol), qLit) / (norm(col(embCol)) * sqrt(lit(q.map(f => f.toDouble * f.toDouble).sum))), 4)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucket id: bit j = sign of ⟨v, Hⱼ⟩ where
+    * plane component Hⱼ[i] is a deterministic pseudo-random value in
+    * (−0.5, 0.5) derived from xxhash64(j, i). No stored codebook. */
+  def lshBucket(emb: Column, numPlanes: Int): Column = {
+    val dims = size(emb)
+    val bits = transform(sequence(lit(0), lit(numPlanes - 1)), j => {
+      val proj = aggregate(
+        zip_with(toDouble(emb), sequence(lit(0), dims - 1),
+          (x, i) => x * ((xxhash64(j, i).bitwiseAND(1048575L)).cast("double") / 1048576.0 - 0.5)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, 1L).otherwise(0L)
+    })
+    aggregate(zip_with(bits, sequence(lit(0), lit(numPlanes - 1)),
+        (bit, j) => call_function("shiftleft", bit, j)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Bucketed ANN: exact cosine re-rank restricted to the query's LSH
+    * bucket. Recall < 1 by construction; bucket width (numPlanes)
+    * trades recall vs candidate count. */
+  def annLshTopK(df: DataFrame, idCol: String, embCol: String,
+      queryId: Long, numPlanes: Int, k: Int): DataFrame = {
+    val bucketed = df.withColumn("_bucket", lshBucket(col(embCol), numPlanes))
+    val qBucket = bucketed.filter(col(idCol) === queryId).select(col("_bucket")).head().getLong(0)
+    val qEmb = df.filter(col(idCol) === queryId).select(col(embCol)).head().getSeq[Float](0)
+    val qLit = array(qEmb.map(f => lit(f.toDouble)): _*)
+    val qNorm = math.sqrt(qEmb.map(f => f.toDouble * f.toDouble).sum)
+    bucketed
+      .filter(col("_bucket") === qBucket && col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(dot(col(embCol), qLit) / (norm(col(embCol)) * qNorm), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs near-neighbor edges above a cosine threshold, candidate
+    * generation by shared LSH bucket (the embedding-cosine near-dup
+    * path for corpus dedup). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+      numPlanes: Int, threshold: Double): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("bucket", lshBucket(col("emb"), numPlanes))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.emb"), col("b.emb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

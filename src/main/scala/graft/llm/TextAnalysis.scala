@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * normalization, fingerprinting, token counting, quality scoring and
+  * a deterministic language-ID heuristic.
+  *
+  * All operators are pure `Column` expressions (no UDFs): they run
+  * inside whole-stage codegen / vectorized evaluation and are a single
+  * narrow map stage at any scale — no shuffle, no driver involvement.
+  * Determinism: no wall-clock, no randomness; every function of the
+  * text alone, so replays and engine-oracle comparisons are exact.
+  */
+object TextAnalysis {
+
+  /** Canonical text form: trim, collapse whitespace, lowercase. */
+  def normalizeText(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Document fingerprint = md5 of the canonical form (content
+    * address; the package-identity idea of cdf VISION.md:762-790
+    * applied per-document). */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** Whitespace tokens. */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpeTokenPattern), lit(0))
+
+  /** Word n-grams (space-joined), distinct. Guarded so documents with
+    * fewer than n words yield an empty set (Spark's `sequence`
+    * descends when start > stop — must not emit phantom grams). */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val w = wsTokens(c)
+    array_distinct(
+      when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n))))))
+  }
+
+  /** Language-ID by stopword-profile voting: deterministic argmax with
+    * fixed priority tie-break, 'und' when no profile matches. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "que"),
+    "fr" -> Seq("le", "les", "une", "et", "dans"),
+    "zh" -> Seq("的", "是", "在"))
+
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val w = wsTokens(lower(c))
+    langProfiles.map { case (lang, words) =>
+      lang -> size(filter(w, x => array_contains(array(words.map(lit): _*), x)))
+    }
+  }
+
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    // argmax with declaration-order priority on ties; all-zero → und
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics + a bounded [0,1] score (length, lexical
+    * diversity, punctuation density) — the usual pre-training corpus
+    * filters, exactly reproducible in any engine. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val w = wsTokens(text)
+    val nWords = size(w)
+    val nUniq = size(array_distinct(w))
+    val sumLen = aggregate(transform(w, x => length(x)), lit(0), (acc, x) => acc + x)
+    val punct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+    val uniqRatio = nUniq.cast("double") / nWords.cast("double")
+    val score = round(
+      lit(0.4) * least(nWords.cast("double") / 100.0, lit(1.0)) +
+        lit(0.4) * uniqRatio +
+        lit(0.2) * (lit(1.0) - least(punct.cast("double") / 20.0, lit(1.0))), 6)
+    Seq(
+      "n_words" -> nWords,
+      "n_uniq_words" -> nUniq,
+      "uniq_ratio" -> uniqRatio,
+      "sum_word_len" -> sumLen,
+      "punct_n" -> punct,
+      "quality_score" -> score)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication at corpus scale: exact (content-hash),
+  * exact-Jaccard n-gram near-dup, MinHash+LSH, and SimHash.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup: one hash-partition shuffle on the 16-byte content
+  *    key, not the document text.
+  *  - n-gram Jaccard: candidate generation joins on a shared-gram (or
+  *    LSH band) key so the pair space is the join fan-out, never the
+  *    O(n²) cross product.
+  *  - MinHash/LSH: signature computation is a narrow map stage using
+  *    only array HOFs over each row's shingle set (no explode of the
+  *    corpus); only (band_key, doc_id) pairs — a few dozen bytes/doc —
+  *    are shuffled. Exact-Jaccard verification touches candidates only.
+  *  - SimHash: 64-bit signature per doc, banded into 16-bit chunks for
+  *    candidate joins; Hamming check via xor+bit_count.
+  */
+object TextDedup {
+
+  /** Exact dedup groups: canonical (min) doc id per content key. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("content_key", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy("content_key")
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
+
+  /** Exact whole-corpus dedup: keep the canonical row per content key. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("content_key", TextAnalysis.fingerprint(col(textCol)))
+    graft.operators.Dedup.keyed(keyed, Seq("content_key"), Seq(idCol),
+      graft.operators.Dedup.Keep.First)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs. Candidates = pairs sharing
+    * ≥1 distinct n-gram (selective for n≥5); verification = exact
+    * |A∩B| / |A∪B| from the shared-gram counts alone (no second pass
+    * over the arrays). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.wordNgrams(col(textCol), n).as("ngrams"))
+    val sizes = grams.select(col("doc_id"), size(col("ngrams")).as("sz"))
+    val exploded = grams.select(col("doc_id"), explode(col("ngrams")).as("ng"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    val inter = a.join(b, col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sz_a") + col("sz_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature: element i = min over shingles of
+    * xxhash64(shingle, i). Pure array HOF — no explode, no shuffle. */
+  def minhashSignature(ngrams: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(ngrams, g => xxhash64(g, i))))
+
+  /** LSH band keys: signature split into bands of `rowsPerBand`,
+    * each band hashed to one bucket key. */
+  def lshBandKeys(sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
+    val numBands = numHashes / rowsPerBand
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => xxhash64(concat_ws(",",
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string"))), b))
+  }
+
+  /** MinHash+LSH near-dup pairs, verified with exact Jaccard on the
+    * distinct n-gram sets of candidate pairs only. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.wordNgrams(col(textCol), n).as("ngrams"))
+      .filter(size(col("ngrams")) > 0)
+    val banded = grams
+      .withColumn("sig", minhashSignature(col("ngrams"), numHashes))
+      .withColumn("band", explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)))
+      .select("doc_id", "band")
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("ngrams").as("ng_a")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("ngrams").as("ng_b")), "doc_b")
+    withSets
+      .withColumn("jaccard",
+        size(array_intersect(col("ng_a"), col("ng_b"))).cast("double") /
+          size(array_union(col("ng_a"), col("ng_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit b is the sign of the
+    * sum over tokens of ±1 according to bit b of xxhash64(token). */
+  private def shr(c: Column, bits: Column): Column = call_function("shiftright", c, bits)
+  private def shl(c: Column, bits: Column): Column = call_function("shiftleft", c, bits)
+
+  def simhash64(textCol: Column): Column = {
+    val w = TextAnalysis.wsTokens(textCol)
+    val bits = transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(w, lit(0L),
+        (acc, t) => acc + when(shr(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+      ) > 0, 1L).otherwise(0L))
+    aggregate(zip_with(bits, sequence(lit(0), lit(63)), (bit, b) => shl(bit, b)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of four
+    * 16-bit bands (any pair within Hamming distance 3 must collide on
+    * ≥1 band); verified by exact Hamming distance. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sig"))
+    val banded = sigs.withColumn("band_idx", explode(sequence(lit(0), lit(3))))
+      .withColumn("band",
+        concat_ws(":", col("band_idx").cast("string"),
+          shr(col("sig"), col("band_idx") * 16).bitwiseAND(65535L).cast("string")))
+      .select("doc_id", "sig", "band")
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}
