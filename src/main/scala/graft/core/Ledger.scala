@@ -1,0 +1,134 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import graft.core.CanonicalJson._
+
+/** Append-only checkpoint ledger with one committed head per scope
+  * (cdf: VISION.md:830-852; crates/cdf-kernel/src/checkpoint.rs;
+  * SQLite store crates/cdf-state-sqlite/ — here a single-writer JSONL
+  * file with atomic append + fsync, which preserves the semantics the
+  * reference gets from SQLite's partial unique index: typed,
+  * queryable, append-only transitions).
+  *
+  * Transition lattice per (resource, scope):
+  *   proposed → committed (only via a verified receipt)
+  *   proposed → abandoned
+  * `commit` without a matching proposal, or double-commit of the same
+  * proposal, is an error. Replay of an already-committed package hash
+  * is acknowledged as duplicate (idempotent), not re-committed
+  * (cdf conformance "replay identity, duplicate: true").
+  */
+final class Ledger(path: Path) {
+
+  sealed trait State
+  case object Proposed extends State
+  case object Committed extends State
+  case object Abandoned extends State
+
+  final case class Entry(
+      seq: Long,
+      resource: String,
+      scope: String,
+      state: String,
+      packageHash: String,
+      position: Option[String],
+      receipt: Option[String])
+
+  private def renderEntry(e: Entry): String =
+    render(JObj.of(
+      "seq" -> JInt(e.seq),
+      "resource" -> JStr(e.resource),
+      "scope" -> JStr(e.scope),
+      "state" -> JStr(e.state),
+      "package_hash" -> JStr(e.packageHash),
+      "position" -> e.position.map(JStr(_): J).getOrElse(JNull),
+      "receipt" -> e.receipt.map(JStr(_): J).getOrElse(JNull)))
+
+  private def field(line: String, k: String): Option[String] = {
+    val m = ("\"" + k + "\":(\"(?:[^\"\\\\]|\\\\.)*\"|-?\\d+|null)").r.findFirstMatchIn(line)
+    m.map(_.group(1)).filter(_ != "null")
+      .map(v => if (v.startsWith("\""))
+        v.substring(1, v.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+      else v)
+  }
+
+  def entries(): Seq[Entry] =
+    if (!Files.exists(path)) Vector.empty
+    else {
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        Files.lines(path, StandardCharsets.UTF_8).iterator()).asScala
+        .filter(_.nonEmpty)
+        .map { l =>
+          Entry(
+            field(l, "seq").get.toLong,
+            field(l, "resource").get,
+            field(l, "scope").get,
+            field(l, "state").get,
+            field(l, "package_hash").get,
+            field(l, "position"),
+            field(l, "receipt"))
+        }.toVector
+    }
+
+  private def append(e: Entry): Entry = synchronized {
+    Files.createDirectories(path.getParent)
+    Files.write(path, (renderEntry(e) + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND, StandardOpenOption.SYNC)
+    e
+  }
+
+  private def nextSeq(): Long = entries().lastOption.map(_.seq + 1).getOrElse(0L)
+
+  def propose(resource: String, scope: String, packageHash: String,
+      position: Option[Position]): Entry = synchronized {
+    append(Entry(nextSeq(), resource, scope, "proposed", packageHash,
+      position.map(p => render(p.toJson)), None))
+  }
+
+  /** The ONLY path to `committed` — requires a verified receipt
+    * (cdf VISION.md:854-856). Idempotent on package hash. */
+  def commit(resource: String, scope: String, packageHash: String,
+      receiptJson: String): Entry = synchronized {
+    val es = entries().filter(e => e.resource == resource && e.scope == scope)
+    if (es.exists(e => e.state == "committed" && e.packageHash == packageHash)) {
+      // replay identity: duplicate commit acknowledged, not re-recorded
+      es.reverse.find(e => e.state == "committed" && e.packageHash == packageHash).get
+    } else {
+      require(es.exists(e => e.state == "proposed" && e.packageHash == packageHash),
+        s"commit without proposal: $resource/$scope/$packageHash")
+      append(Entry(nextSeq(), resource, scope, "committed", packageHash,
+        es.reverse.collectFirst {
+          case e if e.packageHash == packageHash && e.position.isDefined => e.position.get
+        }, Some(receiptJson)))
+    }
+  }
+
+  def abandon(resource: String, scope: String, packageHash: String): Entry = synchronized {
+    append(Entry(nextSeq(), resource, scope, "abandoned", packageHash, None, None))
+  }
+
+  /** One committed head per scope: the latest committed entry. */
+  def committedHead(resource: String, scope: String): Option[Entry] =
+    entries().filter(e =>
+      e.resource == resource && e.scope == scope && e.state == "committed").lastOption
+
+  /** Resume position = head's recorded position (typed). */
+  def resumePosition(resource: String, scope: String): Option[Position] =
+    committedHead(resource, scope).flatMap(_.position).map(Position.fromJson)
+
+  /** Dangling proposals (crash between propose and commit/abandon) —
+    * the crash-matrix recovery input (cdf VISION.md:798-812). */
+  def danglingProposals(): Seq[Entry] = {
+    val es = entries()
+    val settled = es.filter(e => e.state == "committed" || e.state == "abandoned")
+      .map(e => (e.resource, e.scope, e.packageHash)).toSet
+    es.filter(e => e.state == "proposed" &&
+      !settled((e.resource, e.scope, e.packageHash)))
+  }
+}
+
+object Ledger {
+  def at(dir: String): Ledger = new Ledger(Paths.get(dir, "ledger.jsonl"))
+}

@@ -1,0 +1,99 @@
+package graft.pkg
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.CanonicalJson._
+import graft.operators.StatsOps
+
+/** Hash-addressed run package: the evidence directory that makes a
+  * load replayable and verifiable (cdf: VISION.md:762-790; builder
+  * crates/cdf-package/).
+  *
+  * Layout (decision recorded in SURVEY §7.1 — Parquet, not Arrow IPC):
+  *   <dir>/data/        accepted rows (Parquet)
+  *   <dir>/quarantine/  quarantined rows + verdicts (Parquet)
+  *   <dir>/stats/       per-column stats (Parquet, 1 row)
+  *   <dir>/manifest.json  canonical manifest; its sha256 IS the
+  *                        package identity
+  *
+  * Identity discipline: Parquet bytes are NOT stable across writers,
+  * so the manifest hashes canonical LOGICAL content — a partition-
+  * order-independent content hash (sum of per-row xxhash64 mod 2^63)
+  * plus row/column counts — making package identity invariant to
+  * partitioning ("jobs invariance", cdf docs/performance-envelope.md:103).
+  */
+object PackageWriter {
+
+  final case class PackageResult(dir: String, packageHash: String, rows: Long,
+      quarantined: Long, manifest: String)
+
+  /** Partition-order-independent logical content hash: exact decimal
+    * sum of per-row xxhash64 over all columns — commutative,
+    * overflow-free (ANSI-safe), invariant to partitioning. */
+  def contentHash(df: DataFrame): String = {
+    if (df.columns.isEmpty) "0"
+    else {
+      val s = df.select(xxhash64(df.columns.map(col): _*)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
+        .agg(sum(col("h")).as("s"))
+        .head()
+      if (s.isNullAt(0)) "0" else s.getDecimal(0).toBigInteger.toString
+    }
+  }
+
+  def write(df: DataFrame, quarantine: Option[DataFrame], dir: String,
+      resource: String, planHash: String): PackageResult = {
+    val dataDir = s"$dir/data"
+    val qDir = s"$dir/quarantine"
+    val statsDir = s"$dir/stats"
+
+    df.write.mode("overwrite").parquet(dataDir)
+    val written = df.sparkSession.read.parquet(dataDir)
+    val rows = written.count()
+    val hash = contentHash(written)
+
+    val qRows = quarantine.map { q =>
+      q.write.mode("overwrite").parquet(qDir); q.count()
+    }.getOrElse(0L)
+
+    val numericCols = written.schema.fields.filter(f =>
+      f.dataType.typeName match {
+        case "integer" | "long" | "double" | "float" | "string" | "timestamp" => true
+        case _ => false
+      }).map(_.name).toSeq
+    StatsOps.batchStats(written, numericCols)
+      .coalesce(1).write.mode("overwrite").parquet(statsDir)
+
+    val manifest = JObj.of(
+      "manifest_version" -> JInt(1),
+      "resource" -> JStr(resource),
+      "plan_hash" -> JStr(planHash),
+      "row_count" -> JInt(rows),
+      "quarantine_count" -> JInt(qRows),
+      "columns" -> JArr(written.columns.sorted.map(JStr(_)).toSeq),
+      "content_hash" -> JStr(hash),
+      "layout" -> JArr(Seq("data/", "quarantine/", "stats/", "manifest.json").map(JStr)))
+    val rendered = render(manifest)
+    val pkgHash = sha256Hex(rendered)
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "manifest.json"), rendered.getBytes(StandardCharsets.UTF_8))
+    PackageResult(dir, pkgHash, rows, qRows, rendered)
+  }
+
+  /** Destination receipt: durable, independently verifiable ack
+    * (cdf VISION.md:935-954). `verify` re-probes the destination. */
+  final case class Receipt(destination: String, rows: Long, contentHash: String) {
+    def toJsonString: String = render(JObj.of(
+      "destination" -> JStr(destination), "rows" -> JInt(rows),
+      "content_hash" -> JStr(contentHash)))
+  }
+
+  /** Post-commit verification probe: recount + rehash the destination
+    * table and compare to the receipt. Tampered loads must fail. */
+  def verifyReceipt(dest: DataFrame, r: Receipt): Boolean =
+    dest.count() == r.rows && contentHash(dest) == r.contentHash
+}

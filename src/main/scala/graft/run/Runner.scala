@@ -1,0 +1,132 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.contract.{ContractPolicy, Transform, ValidationProgram}
+import graft.core.{Descriptor, Ledger, Position}
+import graft.operators.{Dedup, MergeOps}
+import graft.pkg.PackageWriter
+
+/** The run spine — `cdf run <resource>` re-expressed Spark-first
+  * (cdf: SURVEY §3.1; graph node chain VISION.md:713-721
+  * SchemaFingerprint → Contract → Normalize → Profile → PackageSink;
+  * settle path VISION.md:854-856).
+  *
+  * One Spark job per run: scan → validate (split accept/quarantine) →
+  * normalize → dedup (disposition precondition) → package write
+  * (data + quarantine + stats + manifest) → destination write →
+  * receipt verify → ledger commit. Steps 1–3 are narrow map stages;
+  * the only shuffle is the dedup/merge key when the disposition needs
+  * one. Planning does no data I/O (cdf VISION.md:439).
+  */
+object Runner {
+
+  final case class RunConfig(
+      descriptor: Descriptor.ResourceDescriptor,
+      policy: ContractPolicy,
+      transforms: Seq[Transform] = Nil,
+      redactColumns: Set[String] = Set.empty,
+      orderColumns: Seq[String] = Nil)
+
+  final case class RunResult(
+      packageHash: String,
+      accepted: Long,
+      quarantined: Long,
+      receipt: PackageWriter.Receipt,
+      committed: Boolean,
+      duplicate: Boolean,
+      position: Option[Position])
+
+  /** Execute one bounded run: `source` → package at `pkgDir` →
+    * destination parquet at `destDir` → ledger commit. Idempotent on
+    * package hash (replay → duplicate=true, nothing rewritten). */
+  def run(spark: SparkSession, cfg: RunConfig, source: DataFrame,
+      pkgDir: String, destDir: String, ledger: Ledger): RunResult = {
+
+    // 1. validate: one classifying projection, then two filters
+    val program = ValidationProgram.compile(cfg.policy)
+    val accepted0 = program.accepted(source)
+    val quarantined = program.quarantined(source, cfg.redactColumns)
+
+    // 2. normalize (rename/cast/derive/filter/redact pipeline)
+    val normalized = Transform(accepted0, cfg.transforms)
+
+    // 3. disposition precondition: keyed dedup (pure function of the
+    //    batch — cdf VISION.md:929 "dedup first")
+    val deduped = cfg.descriptor.disposition match {
+      case Descriptor.Disposition.Merge(keys) if keys.nonEmpty =>
+        Dedup.keyed(normalized, keys,
+          if (cfg.orderColumns.nonEmpty) cfg.orderColumns else keys, Dedup.Keep.Last)
+      case _ => normalized
+    }
+
+    // 4. package evidence (hash-addressed, partition-invariant)
+    val pkg = PackageWriter.write(deduped, Some(quarantined), pkgDir,
+      cfg.descriptor.id, planHash = cfg.descriptor.id)
+
+    val scope = Descriptor.ScopeKey.Root.render
+
+    // replay identity: same package hash already committed → duplicate
+    val alreadyCommitted = ledger.committedHead(cfg.descriptor.id, scope)
+      .exists(_.packageHash == pkg.packageHash)
+    if (alreadyCommitted) {
+      val head = ledger.committedHead(cfg.descriptor.id, scope).get
+      return RunResult(pkg.packageHash, pkg.rows, pkg.quarantined,
+        PackageWriter.Receipt("parquet:" + destDir, pkg.rows, PackageWriter.contentHash(
+          spark.read.parquet(s"$pkgDir/data"))),
+        committed = true, duplicate = true,
+        head.position.map(Position.fromJson))
+    }
+
+    // 5. cursor position: window-close = max(observed) − lag
+    val packaged = spark.read.parquet(s"$pkgDir/data")
+    val position = cfg.descriptor.cursor.flatMap { c =>
+      val row = packaged.agg(max(col(c.field)).cast("long")).head()
+      if (row.isNullAt(0)) None
+      else Some(Position.Cursor(c.field, row.getLong(0) - c.lagMs): Position)
+    }
+
+    ledger.propose(cfg.descriptor.id, scope, pkg.packageHash, position)
+
+    // 6. destination write per disposition
+    cfg.descriptor.disposition match {
+      case Descriptor.Disposition.Append =>
+        packaged.write.mode("append").parquet(destDir)
+      case Descriptor.Disposition.Replace =>
+        packaged.write.mode("overwrite").parquet(destDir)
+      case Descriptor.Disposition.Merge(keys) =>
+        val target = s"$destDir"
+        val base =
+          try spark.read.parquet(target)
+          catch { case _: Exception => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], packaged.schema) }
+        val merged = MergeOps.upsert(base, packaged, keys)
+        // replace-by-swap: write temp, then atomic move (never delete-then-insert)
+        val tmp = s"$destDir.__swap"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val destPath = new org.apache.hadoop.fs.Path(destDir)
+        fs.delete(destPath, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), destPath)
+      case Descriptor.Disposition.CdcApply(keys, opCol) =>
+        val applied = MergeOps.cdcApply(packaged, keys, opCol,
+          if (cfg.orderColumns.nonEmpty) cfg.orderColumns else keys)
+        applied.write.mode("overwrite").parquet(destDir)
+    }
+
+    // 7. receipt: durable, independently verifiable ack → probe it
+    val destDf = spark.read.parquet(destDir)
+    val receipt = PackageWriter.Receipt("parquet:" + destDir, destDf.count(),
+      PackageWriter.contentHash(destDf))
+    val verified = PackageWriter.verifyReceipt(spark.read.parquet(destDir), receipt)
+    require(verified, "receipt verification failed — refusing to commit")
+
+    // 8. the ONLY path to committed: verified receipt (cdf VISION.md:854-856)
+    ledger.commit(cfg.descriptor.id, scope, pkg.packageHash, receipt.toJsonString)
+
+    RunResult(pkg.packageHash, pkg.rows, pkg.quarantined, receipt,
+      committed = true, duplicate = false, position)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.contract._
+
+/** Verdict-lattice totality + validation split semantics
+  * (cdf: lattice.rs `assert_verdict_lattice_total` — every cell gets
+  * exactly one disposition, for every policy; here the lattice is
+  * checked exhaustively, which subsumes the reference's sampled
+  * property test). */
+class ContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("verdict lattice: every verdict has exactly one disposition; join is monotone") {
+    Verdict.all.foreach { v =>
+      val d = Disposition.ofVerdict(v) // total: must not throw
+      assert(d != null)
+    }
+    for (a <- Verdict.all; b <- Verdict.all) { // exhaustive over the lattice
+      val j = Verdict.join(a, b)
+      assert(j.rank == math.max(a.rank, b.rank))
+      assert(Verdict.join(a, b) == Verdict.join(b, a))
+    }
+  }
+
+  test("every row gets exactly one disposition under arbitrary rules (incl. nulls)") {
+    val df = Seq(
+      (Some(1L), Some(10.0), Some("A")),
+      (Some(2L), Some(99.0), Some("X")),
+      (None, Some(5.0), Some("N")),
+      (Some(4L), None, None)
+    ).toDF("id", "qty", "flag")
+    val policy = ContractPolicy(Seq(
+      RowRule.Nullability("nn_id", "id"),
+      RowRule.Range("range_qty", "qty", 1, 50),
+      RowRule.Domain("dom_flag", "flag", Seq("A", "N"))),
+      fatalRules = Set("nn_id"))
+    val program = ValidationProgram.compile(policy)
+    val annotated = program.annotate(df)
+    // totality: disposition column never null, exactly one per row
+    assert(annotated.filter(org.apache.spark.sql.functions.col(
+      ValidationProgram.DispositionCol).isNull).count() == 0)
+    val byDisp = annotated.groupBy(ValidationProgram.DispositionCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // row1 accept; row2 quarantine (range+domain viol); row3 fatal (null id
+    // escalated) → reject_batch; row4 quarantine (null qty/flag = not-pass)
+    assert(byDisp == Map("accept" -> 1L, "quarantine" -> 2L, "reject_batch" -> 1L))
+    assert(program.accepted(df).count() == 1)
+    assert(program.accepted(df).columns.toSeq == df.columns.toSeq) // schema preserved
+  }
+
+  test("quarantine redacts PII columns with sha2, never plaintext") {
+    val df = Seq((1L, "alice@example.com"), (2L, "bob@example.com"))
+      .toDF("id", "email")
+    val policy = ContractPolicy(Seq(RowRule.Regex("re_email", "email", "^x")))
+    val q = ValidationProgram.compile(policy).quarantined(df, redactColumns = Set("email"))
+    val vals = q.select("email").as[String].collect()
+    assert(vals.length == 2)
+    assert(vals.forall(v => v.length == 64 && !v.contains("@")))
+  }
+
+  test("namecase-v1: deterministic normalization + collision is a plan error") {
+    assert(Namecase.normalize("CamelCaseCol") == "camel_case_col")
+    assert(Namecase.normalize("weird col-name!") == "weird_col_name")
+    assert(Namecase.normalize("9lives") == "c_9lives")
+    assert(Namecase.normalize("a" * 100).length <= Namecase.MaxLen)
+    // same long prefix, different tail → distinct hashed names
+    assert(Namecase.normalize("a" * 90 + "x") != Namecase.normalize("a" * 90 + "y"))
+    val df = Seq((1, 2)).toDF("My Col", "my_col")
+    intercept[IllegalArgumentException](Namecase.normalizeColumns(df))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.contract.{ContractPolicy, RowRule}
+import graft.core.{Descriptor, Ledger, Position}
+import graft.pkg.PackageWriter
+import graft.run.Runner
+
+class LedgerRunnerSpec extends SparkSpec {
+
+  test("ledger: commit requires proposal; head tracks; duplicate commit is idempotent") {
+    val dir = tmpDir()
+    val l = Ledger.at(dir)
+    intercept[IllegalArgumentException](l.commit("r", "root", "h1", "{}"))
+    l.propose("r", "root", "h1", Some(Position.Cursor("ts", 100)))
+    assert(l.danglingProposals().map(_.packageHash) == Seq("h1"))
+    l.commit("r", "root", "h1", """{"rows":1}""")
+    assert(l.danglingProposals().isEmpty)
+    assert(l.committedHead("r", "root").map(_.packageHash) == Some("h1"))
+    assert(l.resumePosition("r", "root") == Some(Position.Cursor("ts", 100)))
+    // replay: same hash committed again → acknowledged, not duplicated
+    val before = l.entries().size
+    l.commit("r", "root", "h1", """{"rows":1}""")
+    assert(l.entries().size == before)
+    // a new package advances the head
+    l.propose("r", "root", "h2", Some(Position.Cursor("ts", 200)))
+    l.commit("r", "root", "h2", """{"rows":2}""")
+    assert(l.committedHead("r", "root").map(_.packageHash) == Some("h2"))
+    assert(l.resumePosition("r", "root") == Some(Position.Cursor("ts", 200)))
+  }
+
+  test("package content hash is invariant to partitioning (jobs invariance)") {
+    val df = graft.core.Tables(spark, sf(), "orders")
+    val h1 = PackageWriter.contentHash(df.repartition(1))
+    val h7 = PackageWriter.contentHash(df.repartition(7))
+    val h32 = PackageWriter.contentHash(df.repartition(32))
+    assert(h1 == h7 && h7 == h32)
+  }
+
+  test("receipt verification fails on tampered destination") {
+    val df = graft.core.Tables(spark, sf(), "region")
+    val r = PackageWriter.Receipt("t", df.count(), PackageWriter.contentHash(df))
+    assert(PackageWriter.verifyReceipt(df, r))
+    assert(!PackageWriter.verifyReceipt(df.limit(3), r)) // shorter
+    val tampered = df.withColumn("r_name",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.col("r_name"),
+        org.apache.spark.sql.functions.lit("x")))
+    assert(!PackageWriter.verifyReceipt(tampered, r)) // same count, altered content
+  }
+
+  test("runner end-to-end: validate → package → merge dest → receipt → ledger; replay is duplicate") {
+    val base = tmpDir()
+    val ledger = Ledger.at(base)
+    val source = graft.core.Tables(spark, sf(), "orders")
+    val cfg = Runner.RunConfig(
+      descriptor = Descriptor.ResourceDescriptor(
+        id = "orders_r", schemaSource = Descriptor.SchemaSource.Discover,
+        primaryKey = Seq("o_orderkey"),
+        cursor = None,
+        disposition = Descriptor.Disposition.Merge(Seq("o_orderkey"))),
+      policy = ContractPolicy(Seq(
+        RowRule.Nullability("nn_key", "o_orderkey"),
+        RowRule.Range("range_price", "o_totalprice", 0, 300000))),
+      orderColumns = Seq("o_orderkey"))
+
+    val r1 = Runner.run(spark, cfg, source, s"$base/pkg1", s"$base/dest", ledger)
+    assert(r1.committed && !r1.duplicate)
+    assert(r1.accepted + r1.quarantined == source.count())
+    assert(ledger.committedHead("orders_r", "root").map(_.packageHash) == Some(r1.packageHash))
+    val destRows = spark.read.parquet(s"$base/dest").count()
+    assert(destRows == r1.accepted)
+
+    // replay the same package: duplicate=true, ledger unchanged
+    val entriesBefore = ledger.entries().size
+    val r2 = Runner.run(spark, cfg, source, s"$base/pkg1", s"$base/dest", ledger)
+    assert(r2.duplicate && r2.packageHash == r1.packageHash)
+    assert(ledger.entries().size == entriesBefore)
+  }
+
+  test("runner cursor disposition records window-close position (max - lag)") {
+    val base = tmpDir()
+    val ledger = Ledger.at(base)
+    val source = graft.core.Tables(spark, sf(), "events")
+      .withColumnRenamed("ts", "ts_ns")
+    val cfg = Runner.RunConfig(
+      descriptor = Descriptor.ResourceDescriptor(
+        id = "events_r", schemaSource = Descriptor.SchemaSource.Discover,
+        primaryKey = Seq("event_id"),
+        cursor = Some(Descriptor.CursorSpec("ts_ns", lagMs = 1000, Descriptor.OrderingClaim.Inexact)),
+        disposition = Descriptor.Disposition.Append),
+      policy = ContractPolicy(Seq(RowRule.Nullability("nn", "event_id"))))
+    val r = Runner.run(spark, cfg, source, s"$base/pkg", s"$base/dest", ledger)
+    val maxTs = source.agg(org.apache.spark.sql.functions.max("ts_ns")).head().getLong(0)
+    assert(r.position == Some(Position.Cursor("ts_ns", maxTs - 1000)))
+    assert(ledger.resumePosition("events_r", "root") == r.position)
+  }
+}

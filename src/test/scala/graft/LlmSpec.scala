@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday evening"), // near dup
+    (4L, "completely different words about spark catalyst optimizer plans and shuffles here"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by content hash; canonical id is min") {
+    val g = TextDedup.exactGroups(corpus, "doc_id", "text")
+      .filter(col("n_copies") > 1).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_copies") == 2)
+    assert(g(0).getAs[Long]("canonical_id") == 1)
+    assert(TextDedup.exactDedup(corpus, "doc_id", "text").count() == 4)
+  }
+
+  test("ngram jaccard finds exact and near dup pairs, nothing else") {
+    val pairs = TextDedup.ngramJaccardPairs(corpus, "doc_id", "text", 5, 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH recovers exact duplicates with jaccard 1.0") {
+    val pairs = TextDedup.minhashLshPairs(corpus, "doc_id", "text", 5, 16, 4, 0.5)
+      .as[(Long, Long, Double)].collect()
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.isDefined && exact.get._3 == 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0; near dups close; distinct docs far") {
+    val sigs = corpus.select(col("doc_id"),
+      TextDedup.simhash64(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 16)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 16)
+    val pairs = TextDedup.simhashPairs(corpus, "doc_id", "text", 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("cosine top-k: identical vector ranks first with cosine 1") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val withDup = emb.select("vec_id", "embedding").unionByName(
+      emb.filter(col("vec_id") === 0).select(
+        (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val top = Similarity.cosineTopK(withDup, "vec_id", "embedding", 0L, 5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 100000L && top.head._2 == 1.0)
+    assert(top.map(_._2).sliding(2).forall(w => w(0) >= w(1))) // sorted desc
+  }
+
+  test("lsh bucket assigns identical vectors to identical buckets") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val b = emb.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 4).as("bucket"))
+    val n = b.select("bucket").distinct().count()
+    assert(n > 1 && n <= 16) // 4 planes → ≤16 buckets, actually split
+  }
+
+  test("multimodal: metadata + stubbed feature extraction preserve ids and shape") {
+    val media = Multimodal.asMedia(corpus, "doc_id", "text", "text")
+    val meta = Multimodal.metadata(media).collect()
+    assert(meta.length == 5)
+    assert(meta.forall(_.getAs[String]("payload_sha256").length == 64))
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == 5)
+    val row = feats.filter(col("media_id") === 1L).head()
+    val f = row.getSeq[Double](1)
+    assert(f.length == Multimodal.FeatureDim && f.exists(_ != 0.0))
+  }
+
+  test("language id votes deterministically with priority tie-break") {
+    val df = Seq(
+      (1L, "the cat and the dog of a to house"),
+      (2L, "der hund und die katze ist hier"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+}
