@@ -15,6 +15,12 @@ import graft.llm._
 object LlmQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** documents ships as one tiny parquet split; CPU-bound text ops must
+    * fan out across cores (at 100 TB the reader supplies real splits —
+    * this mirrors that). */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   /** documents ∪ exact copies of every 50th doc (ids +100000) — the
     * deterministic duplicate corpus for dedup demos (the base corpus
     * is fully distinct). */
@@ -78,7 +84,7 @@ object LlmQueries {
        |FROM documents ORDER BY doc_id""".stripMargin,
     doc = "Token counting: whitespace tokens + BPE-ish regex pre-tokens, pure codegen'd expressions.") {
     (s, d) =>
-      t(s, d, "documents").select(
+      docs(s, d).select(
         col("doc_id"),
         size(TextAnalysis.wsTokens(col("text"))).as("n_ws_tokens"),
         size(TextAnalysis.bpeTokens(col("text"))).as("n_bpe_tokens")
@@ -103,8 +109,11 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin,
     doc = "Quality scoring: length / lexical-diversity / punctuation-density metrics + bounded score.") {
     (s, d) =>
-      val cols = TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
-      t(s, d, "documents").select(col("doc_id") +: cols: _*).orderBy("doc_id")
+      val staged = docs(s, d).select(col("doc_id"), col("text"),
+        TextAnalysis.wsTokens(col("text")).as("_w"))
+      val cols = TextAnalysis.qualityFromTokens(col("_w"), col("text"))
+        .map { case (n, c) => c.as(n) }
+      staged.select(col("doc_id") +: cols: _*).orderBy("doc_id")
   }
 
   private val langFilterSql: Map[String, String] = TextAnalysis.langProfiles.toMap.map {
@@ -132,11 +141,14 @@ object LlmQueries {
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin,
     doc = "Language-ID heuristic: stopword-profile voting with deterministic tie-break.") { (s, d) =>
-    val scores = TextAnalysis.langScores(col("text"))
-    t(s, d, "documents").select(
-      col("doc_id") +:
-        scores.map { case (l, c) => c.as(s"s_$l") } :+
-        TextAnalysis.langId(col("text")).as("lang_pred"): _*)
+    val staged = docs(s, d).select(col("doc_id"),
+      TextAnalysis.wsTokens(lower(col("text"))).as("_w"))
+    val scores = TextAnalysis.langScoresFromTokens(col("_w"))
+    val scored = staged.select(
+      col("doc_id") +: scores.map { case (l, c) => c.as(s"s_$l") }: _*)
+    scored.withColumn("lang_pred",
+        TextAnalysis.langPickFromScores(
+          TextAnalysis.langProfiles.map { case (l, _) => l -> col(s"s_$l") }))
       .orderBy("doc_id")
   }
 

@@ -85,12 +85,20 @@ object Similarity {
     * path for corpus dedup). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
       numPlanes: Int, threshold: Double): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+    // precompute norm + bucket once per row behind a persist barrier so
+    // the self-join reads cached (id, emb, norm, bucket) tuples; the
+    // candidate join then only evaluates one dot product per pair.
+    val b = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("bucket", lshBucket(col("emb"), numPlanes))
+      .withColumn("nrm", norm(col("emb")))
+      .persist()
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.emb"), col("b.emb")), 4).as("cosine"))
+        round(dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 4)
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -52,27 +52,34 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "une", "et", "dans"),
     "zh" -> Seq("的", "是", "在"))
 
-  def langScores(c: Column): Seq[(String, Column)] = {
-    val w = wsTokens(lower(c))
+  /** Scores from a pre-computed lowercase token array (stage the token
+    * split once; the per-language filters then share it). */
+  def langScoresFromTokens(w: Column): Seq[(String, Column)] =
     langProfiles.map { case (lang, words) =>
       lang -> size(filter(w, x => array_contains(array(words.map(lit): _*), x)))
     }
-  }
 
-  def langId(c: Column): Column = {
-    val scores = langScores(c)
-    // argmax with declaration-order priority on ties; all-zero → und
+  def langScores(c: Column): Seq[(String, Column)] =
+    langScoresFromTokens(wsTokens(lower(c)))
+
+  /** argmax with declaration-order priority on ties; all-zero → und. */
+  def langPickFromScores(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
       when(s === best && s > 0, lit(lang)).otherwise(acc)
     }
   }
 
+  def langId(c: Column): Column = langPickFromScores(langScores(c))
+
   /** Quality metrics + a bounded [0,1] score (length, lexical
     * diversity, punctuation density) — the usual pre-training corpus
     * filters, exactly reproducible in any engine. */
-  def qualityColumns(text: Column): Seq[(String, Column)] = {
-    val w = wsTokens(text)
+  def qualityColumns(text: Column): Seq[(String, Column)] =
+    qualityFromTokens(wsTokens(text), text)
+
+  /** Metrics from a pre-computed token array (stage the split once). */
+  def qualityFromTokens(w: Column, text: Column): Seq[(String, Column)] = {
     val nWords = size(w)
     val nUniq = size(array_distinct(w))
     val sumLen = aggregate(transform(w, x => length(x)), lit(0), (acc, x) => acc + x)

@@ -40,8 +40,15 @@ object TextDedup {
     * over the arrays). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val grams = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.wordNgrams(col(textCol), n).as("ngrams"))
+    // repartition: corpus files are often few/large parquet splits; the
+    // gram pipeline is CPU-bound and must fan out across all cores.
+    // persist: the gram table feeds sizes + both join sides — without a
+    // barrier the split/shingle pipeline is recomputed per consumer.
+    val grams = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.wordNgrams(col(textCol), n).as("ngrams"))
+      .persist()
     val sizes = grams.select(col("doc_id"), size(col("ngrams")).as("sz"))
     val exploded = grams.select(col("doc_id"), explode(col("ngrams")).as("ng"))
     val a = exploded.as("a")
@@ -77,13 +84,19 @@ object TextDedup {
     * distinct n-gram sets of candidate pairs only. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val grams = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.wordNgrams(col(textCol), n).as("ngrams"))
+    // repartition + persist: see ngramJaccardPairs — the signature
+    // pipeline is the expensive narrow stage and feeds three consumers.
+    val grams = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.wordNgrams(col(textCol), n).as("ngrams"))
       .filter(size(col("ngrams")) > 0)
+      .persist()
     val banded = grams
       .withColumn("sig", minhashSignature(col("ngrams"), numHashes))
       .withColumn("band", explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)))
       .select("doc_id", "band")
+      .persist()
     val cand = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -104,22 +117,35 @@ object TextDedup {
   private def shr(c: Column, bits: Column): Column = call_function("shiftright", c, bits)
   private def shl(c: Column, bits: Column): Column = call_function("shiftleft", c, bits)
 
-  def simhash64(textCol: Column): Column = {
-    val w = TextAnalysis.wsTokens(textCol)
+  /** simhash over a PRE-HASHED token array (one xxhash64 per token;
+    * the 64 bit-sums then only do shifts/adds over cached longs). */
+  def simhashOfHashes(hashes: Column): Column = {
     val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(w, lit(0L),
-        (acc, t) => acc + when(shr(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shr(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
       ) > 0, 1L).otherwise(0L))
     aggregate(zip_with(bits, sequence(lit(0), lit(63)), (bit, b) => shl(bit, b)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
+
+  def tokenHashes(textCol: Column): Column =
+    transform(TextAnalysis.wsTokens(textCol), t => xxhash64(t))
+
+  def simhash64(textCol: Column): Column = simhashOfHashes(tokenHashes(textCol))
 
   /** SimHash near-dup pairs: candidates share at least one of four
     * 16-bit bands (any pair within Hamming distance 3 must collide on
     * ≥1 band); verified by exact Hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sig"))
+    // two projections: token hashing once per row, then 64 bit-sums over
+    // the cached longs (CollapseProject keeps non-cheap aliases separate);
+    // repartition+persist as in the other pair generators.
+    val sigs = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol).as("doc_id"), tokenHashes(col(textCol)).as("_hs"))
+      .select(col("doc_id"), simhashOfHashes(col("_hs")).as("sig"))
+      .persist()
     val banded = sigs.withColumn("band_idx", explode(sequence(lit(0), lit(3))))
       .withColumn("band",
         concat_ws(":", col("band_idx").cast("string"),
