@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.dsv2.PagedRegistry
+
+/** Conformance for the negotiated-pushdown DSv2 source — the resource
+  * suite shape (cdf: conformance "capability truth-telling": every
+  * claimed pushdown exercised vs engine-side ground truth; Inexact
+  * sources must return supersets that the engine re-check trims). */
+class Dsv2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("qty", DoubleType),
+    StructField("tag", StringType)))
+
+  private def rows(n: Int): Seq[Row] =
+    (1 to n).map(i => Row(i.toLong, (i % 50).toDouble, s"t${i % 5}"))
+
+  private def register(name: String, exact: Set[String], inexact: Set[String]): Unit =
+    PagedRegistry.register(name, PagedRegistry.Entry(
+      schema, rows(300).grouped(75).toSeq, PagedRegistry.Fid(exact, inexact)))
+
+  private def read(name: String) =
+    spark.read.format("graft.sources.dsv2.PagedSource").option("table", name).load()
+
+  test("exact pushdown: source filters faithfully, results match ground truth") {
+    register("t_exact", exact = Set("qty", "id"), inexact = Set.empty)
+    val got = read("t_exact").filter(col("qty") > 40).select("id").as[Long].collect().sorted
+    val truth = rows(300).filter(r => r.getDouble(1) > 40).map(_.getLong(0)).sorted
+    assert(got.toSeq == truth)
+  }
+
+  test("inexact pushdown: source returns superset; engine residual re-check trims it") {
+    register("t_inexact", exact = Set.empty, inexact = Set("qty"))
+    val df = read("t_inexact").filter(col("qty") > 40)
+    val got = df.select("id").as[Long].collect().sorted
+    val truth = rows(300).filter(r => r.getDouble(1) > 40).map(_.getLong(0)).sorted
+    assert(got.toSeq == truth) // identical despite the leaky source
+    // the plan records the pushed (inexact) filter at the scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PagedScan"))
+  }
+
+  test("unsupported columns stay engine-side and still filter correctly") {
+    register("t_unsup", exact = Set("id"), inexact = Set.empty) // tag unclassified
+    val got = read("t_unsup").filter(col("tag") === "t3" && col("id") <= 100)
+      .select("id").as[Long].collect().sorted
+    val truth = rows(300).filter(r => r.getString(2) == "t3" && r.getLong(0) <= 100)
+      .map(_.getLong(0)).sorted
+    assert(got.toSeq == truth)
+  }
+
+  test("partition-union completeness: 4 input partitions, no loss, no overlap") {
+    register("t_parts", exact = Set.empty, inexact = Set.empty)
+    val df = read("t_parts")
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 300)
+    assert(df.select("id").distinct().count() == 300)
+  }
+
+  test("projection pruning reaches the reader") {
+    register("t_proj", exact = Set.empty, inexact = Set.empty)
+    val df = read("t_proj").select("tag")
+    assert(df.schema.fieldNames.toSeq == Seq("tag"))
+    assert(df.distinct().count() == 5)
+  }
+
+  test("limit pushes only under all-Exact predicates") {
+    register("t_lim", exact = Set("qty"), inexact = Set.empty)
+    assert(read("t_lim").filter(col("qty") > 10).limit(7).count() == 7)
+    register("t_lim2", exact = Set.empty, inexact = Set("qty"))
+    // limit with an inexact predicate: source must NOT truncate its
+    // superset — correctness preserved engine-side
+    val got = read("t_lim2").filter(col("qty") > 48).limit(5).count()
+    assert(got == 5)
+  }
+}
