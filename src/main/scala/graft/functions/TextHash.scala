@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-hash kernels, exposed to codegen via the static
+  * forwarders of this object (custom Catalyst Expressions below).
+  *
+  * The HOF formulations (TextDedup.simhashOfHashes / minhashSignature)
+  * express the same math but are interpreted and make k passes over the
+  * token/shingle array; these kernels make ONE pass and live inside
+  * whole-stage codegen — the "(b) custom Expression beats UDF" rung of
+  * the extension ladder (SURVEY §7.3; cf. cdf's vectorized kernels in
+  * crates/cdf-expression/).
+  */
+object TextHashImpl {
+  final val Seed = 42L
+
+  /** xxhash64 of a token's UTF-8 bytes. */
+  def hashToken(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+
+  /** 64-bit SimHash over whitespace tokens of `text`, one pass. */
+  def simhash64(text: UTF8String): Long = {
+    val counts = new Array[Int](64)
+    val s = text.toString
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val h = hashToken(UTF8String.fromString(s.substring(start, i)))
+        var b = 0
+        while (b < 64) {
+          counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** k-element MinHash signature over a string array, one pass:
+    * element i = min over values of mix(xxhash64(value), i). */
+  def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill[Long](k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val base = hashToken(arr.getUTF8String(j))
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashLong(i.toLong, base) // per-function remix
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `simhash64_native(text)` — codegen'd one-pass SimHash. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashImpl.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
+}
+
+/** `graft_minhash(array<string>, k)` — one-pass k-min signature.
+  * Array-building output keeps it on the interpreted path
+  * (CodegenFallback), but the single pass still replaces k HOF scans. */
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression
+    with CodegenFallback {
+  require(k > 0 && k <= 512, s"minhash k out of range: $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else TextHashImpl.minhashSignature(v.asInstanceOf[ArrayData], k)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
+}
+
+/** Registration + Column access for the native expressions. */
+object TextHashFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash16", exprs => MinHashSigExpr(exprs.head, 16), "scala_udf")
+  }
+}

@@ -92,8 +92,15 @@ object TextDedup {
         TextAnalysis.wordNgrams(col(textCol), n).as("ngrams"))
       .filter(size(col("ngrams")) > 0)
       .persist()
+    // native one-pass signature kernel when available for k, else the
+    // HOF reference implementation (k passes, interpreted)
+    val sigCol =
+      if (numHashes == 16) {
+        graft.functions.TextHashFunctions.register(df.sparkSession)
+        call_function("graft_minhash16", col("ngrams"))
+      } else minhashSignature(col("ngrams"), numHashes)
     val banded = grams
-      .withColumn("sig", minhashSignature(col("ngrams"), numHashes))
+      .withColumn("sig", sigCol)
       .withColumn("band", explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)))
       .select("doc_id", "band")
       .persist()
@@ -138,13 +145,14 @@ object TextDedup {
     * ≥1 band); verified by exact Hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    // two projections: token hashing once per row, then 64 bit-sums over
-    // the cached longs (CollapseProject keeps non-cheap aliases separate);
+    // native codegen'd one-pass simhash (bit-identical to the HOF
+    // reference implementation — LlmSpec asserts it);
     // repartition+persist as in the other pair generators.
+    graft.functions.TextHashFunctions.register(df.sparkSession)
     val sigs = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
         col(idCol))
-      .select(col(idCol).as("doc_id"), tokenHashes(col(textCol)).as("_hs"))
-      .select(col("doc_id"), simhashOfHashes(col("_hs")).as("sig"))
+      .select(col(idCol).as("doc_id"),
+        call_function("graft_simhash64", col(textCol)).as("sig"))
       .persist()
     val banded = sigs.withColumn("band_idx", explode(sequence(lit(0), lit(3))))
       .withColumn("band",

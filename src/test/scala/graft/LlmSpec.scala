@@ -39,6 +39,29 @@ class LlmSpec extends SparkSpec {
     assert(exact.isDefined && exact.get._3 == 1.0)
   }
 
+  test("native simhash expression is bit-identical to the HOF reference implementation") {
+    graft.functions.TextHashFunctions.register(spark)
+    val docs = graft.core.Tables(spark, sf(), "documents")
+    val diff = docs.select(
+        TextDedup.simhash64(col("text")).as("hof"),
+        call_function("graft_simhash64", col("text")).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diff == 0)
+  }
+
+  test("native minhash signature: one pass, k mins, stable under array order") {
+    graft.functions.TextHashFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq("a b c", "d e f", "g h i")),
+      (2L, Seq("g h i", "a b c", "d e f")), // same set, different order
+      (3L, Seq("x y z"))).toDF("id", "grams")
+    val sigs = df.select(col("id"), call_function("graft_minhash16", col("grams")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L).length == 16)
+    assert(sigs(1L) == sigs(2L)) // set semantics: order-invariant
+    assert(sigs(1L) != sigs(3L))
+  }
+
   test("simhash: identical docs at hamming 0; near dups close; distinct docs far") {
     val sigs = corpus.select(col("doc_id"),
       TextDedup.simhash64(col("text")).as("sig"))
