@@ -1,0 +1,172 @@
+package graft.catalog
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.core.{QueryDef, Tables}
+import graft.operators.Dedup
+
+/** Additional verified analytics surface: join forms (semi/anti), set
+  * operations, temporal bucketing, string scalar functions, window
+  * navigation, rollup, and SQL 3-valued logic — all free on the Spark
+  * SQL surface that supersedes `cdf sql` (SURVEY §2.4/§2.9/§3.2), each
+  * hash-checked against DuckDB.
+  */
+object AnalyticsQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  val semiAntiJoin: QueryDef = QueryDef.sqlBacked(
+    "q_semi_anti_join",
+    """SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+      |     WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_semi,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_anti""".stripMargin,
+    doc = "EXISTS / NOT EXISTS as left_semi / left_anti joins — the merge-key membership primitives.") {
+    (s, d) =>
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem").select(col("l_orderkey"))
+      val semi = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+      val anti = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti").count()
+      import s.implicits._
+      Seq((semi, anti)).toDF("n_semi", "n_anti")
+  }
+
+  val setOps: QueryDef = QueryDef.sqlBacked(
+    "q_setops",
+    """SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+      |     SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+      |     UNION SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0) t) AS union_n,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+      |     SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+      |     INTERSECT SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0) t) AS intersect_n,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+      |     SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+      |     EXCEPT SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0) t) AS except_n""".stripMargin,
+    doc = "Set operations union/intersect/except (distinct semantics) — §2.9.") { (s, d) =>
+    val keys = t(s, d, "orders").select("o_orderkey")
+    val a = keys.filter(col("o_orderkey") % 3 === 0)
+    val b = keys.filter(col("o_orderkey") % 2 === 0)
+    import s.implicits._
+    Seq((a.union(b).distinct().count(), a.intersect(b).count(), a.except(b).count()))
+      .toDF("union_n", "intersect_n", "except_n")
+  }
+
+  val dateTruncAgg: QueryDef = QueryDef.sqlBacked(
+    "q_date_trunc_agg",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  min(event_id) AS min_event, max(event_id) AS max_event
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    doc = "Temporal bucketing: per-day event counts (datetime scalar family, §2.3).") { (s, d) =>
+    t(s, d, "events")
+      .withColumn("day", date_trunc("day", expr("timestamp_micros(ts div 1000)")).cast("date"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        min("event_id").as("min_event"), max("event_id").as("max_event"))
+      .orderBy("day")
+  }
+
+  val stringFuncs: QueryDef = QueryDef.sqlBacked(
+    "q_string_funcs",
+    """SELECT p_partkey,
+      |  substring(p_name, 1, 5) AS name5,
+      |  replace(p_name, ' ', '_') AS name_u,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+      |  CAST(strpos(p_name, 'a') AS INTEGER) AS a_pos,
+      |  reverse(p_brand) AS brand_rev,
+      |  CAST(length(p_name) AS INTEGER) AS name_len
+      |FROM part ORDER BY p_partkey""".stripMargin,
+    doc = "String scalar-function family (substring/replace/pad/position/reverse/length) — §2.3 registry.") {
+    (s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        regexp_replace(col("p_name"), " ", "_").as("name_u"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        instr(col("p_name"), "a").as("a_pos"),
+        reverse(col("p_brand")).as("brand_rev"),
+        length(col("p_name")).as("name_len")
+      ).orderBy("p_partkey")
+  }
+
+  val windowLag: QueryDef = QueryDef.sqlBacked(
+    "q_window_lag",
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_orderkey) OVER w AS prev_order,
+      |  lead(o_orderkey) OVER w AS next_order,
+      |  CAST(rank() OVER w AS INTEGER) AS rnk,
+      |  CAST(dense_rank() OVER w AS INTEGER) AS drnk
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    doc = "Window navigation lag/lead/rank/dense_rank with a total per-partition order.") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, d, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+      lead(col("o_orderkey"), 1).over(w).as("next_order"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk")
+    ).orderBy("o_custkey", "o_orderkey")
+  }
+
+  val rollupAgg: QueryDef = QueryDef.sqlBacked(
+    "q_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin,
+    doc = "Hierarchical rollup totals — beyond the reference's load path, free via Spark SQL (§2.5).") {
+    (s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")
+  }
+
+  val dedupKeyedFirst: QueryDef = QueryDef.sqlBacked(
+    "q_dedup_keyed_first",
+    """SELECT user_id, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    doc = "Keyed dedup keep=First (first event per user) — the other DedupKeep arm (§2.6).") { (s, d) =>
+    val ev = t(s, d, "events").withColumn("ts_us", expr("ts div 1000")).drop("ts")
+    Dedup.keyed(ev, Seq("user_id"), Seq("ts_us", "event_id"), Dedup.Keep.First)
+      .select("user_id", "event_id", "event_type")
+      .orderBy("user_id")
+  }
+
+  val nullLogic: QueryDef = QueryDef.sqlBacked(
+    "q_null_logic",
+    """SELECT
+      |  CAST(SUM(CASE WHEN x > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+      |  CAST(SUM(CASE WHEN NOT (x > 20) THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+      |  CAST(SUM(CASE WHEN (x > 20) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown
+      |FROM (SELECT NULLIF(l_quantity, 25) AS x FROM lineitem) t""".stripMargin,
+    doc = "Kleene 3-valued logic partition true/false/unknown — the null-semantics substrate of the " +
+      "verdict lattice (SURVEY §7.4.2).") { (s, d) =>
+    val withNull = t(s, d, "lineitem").select(nullif(col("l_quantity"), lit(25.0)).as("x"))
+    withNull.agg(
+      sum(when(col("x") > 20, 1L).otherwise(0L)).as("n_true"),
+      sum(when(!(col("x") > 20), 1L).otherwise(0L)).as("n_false"),
+      sum(when((col("x") > 20).isNull, 1L).otherwise(0L)).as("n_unknown"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
+    rollupAgg, dedupKeyedFirst, nullLogic)
+}

@@ -6,7 +6,8 @@ import graft.core.QueryDef
   * derives its `queries` / `oracleSql` maps from here so the names can
   * never drift apart. */
 object Catalog {
-  def all: Seq[QueryDef] = CoreQueries.all ++ ExtendedQueries.all ++ LlmQueries.all
+  def all: Seq[QueryDef] =
+    CoreQueries.all ++ ExtendedQueries.all ++ AnalyticsQueries.all ++ LlmQueries.all
 
   def byName: Map[String, QueryDef] = {
     val defs = all
