@@ -166,7 +166,23 @@ object AnalyticsQueries {
       sum(when((col("x") > 20).isNull, 1L).otherwise(0L)).as("n_unknown"))
   }
 
+  val variantCapture: QueryDef = QueryDef.sqlBacked(
+    "q_variant_capture",
+    """SELECT event_id,
+      |  to_json(struct_pack(event_type := event_type,
+      |    k := CAST(json_extract_string(props, '$.k') AS INTEGER))) AS _cdf_variant
+      |FROM events ORDER BY event_id""".stripMargin,
+    doc = "Variant capture: untypeable/drifting substructure serialized as JSON into `_cdf_variant` — " +
+      "cdf policy.rs:9 VARIANT_COLUMN_NAME, variant_capture.rs (§2.6).") { (s, d) =>
+    Tables(s, d, "events").select(
+      col("event_id"),
+      to_json(struct(
+        col("event_type").as("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))).as("_cdf_variant"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
-    rollupAgg, dedupKeyedFirst, nullLogic)
+    rollupAgg, dedupKeyedFirst, nullLogic, variantCapture)
 }
