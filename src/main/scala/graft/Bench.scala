@@ -34,7 +34,45 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // BASELINE-comparable sustained-rate cells (rows/s shapes from
+    // BASELINE.md: validation throughput, columnar-sink load rate,
+    // end-to-end pipeline rate). Median of 3 after one warmup.
+    def timed(iters: Int)(work: () => Long): Double = {
+      work() // warmup
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime(); val rows = work()
+        rows / ((System.nanoTime() - t0) / 1e9)
+      }.sorted
+      times(times.length / 2)
+    }
+    // replicate the scan 8x so sustained rate isn't job-overhead bound
+    val li1 = graft.core.Tables(spark, sfDir, "lineitem")
+    val li = (1 to 8).map(_ => li1).reduce(_ unionAll _)
+    val liRows = li1.count() * 8
+    val program = graft.contract.ValidationProgram.compile(graft.catalog.CoreQueries.lineitemPolicy)
+    val validateRps = timed(3) { () =>
+      val d = program.annotate(li)
+      d.write.format("noop").mode("overwrite").save(); liRows
+    }
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val sinkRps = timed(3) { () =>
+      li.write.mode("overwrite").parquet(s"$sinkDir/li"); liRows
+    }
+    val e2eRps = timed(3) { () =>
+      val accepted = program.accepted(li)
+      graft.contract.Transform(accepted,
+          Seq(graft.contract.Transform.Derive("charge",
+            "l_extendedprice * (1 - l_discount) * (1 + l_tax)")))
+        .write.mode("overwrite").parquet(s"$sinkDir/e2e")
+      liRows
+    }
+    val derived = Seq(
+      "validate_rows_per_sec" -> validateRps,
+      "parquet_sink_rows_per_sec" -> sinkRps,
+      "e2e_pipeline_rows_per_sec" -> e2eRps)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"derived":$derived,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
