@@ -35,6 +35,10 @@ object Destinations {
       def write(df: DataFrame, path: String): Unit = df.write.mode("overwrite").json(path)
       def read(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
     }
+    case object Orc extends Format {
+      def write(df: DataFrame, path: String): Unit = df.write.mode("overwrite").orc(path)
+      def read(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+    }
   }
 
   /** Atomic replace-by-swap: write to `<path>.__swap`, then rename over

@@ -27,6 +27,11 @@ object FileSource {
     final case class Csv(header: Boolean = true, inferRows: Int = 1000) extends Format
     /** NDJSON streaming decode. */
     case object Ndjson extends Format
+    /** columnar ORC (vectorized, predicate-pushdown like parquet).
+      * Avro/protobuf (cdf-format-{avro,protobuf}) need the spark-avro /
+      * spark-protobuf connector jars, absent from this container — the
+      * Format seam is where they plug in. */
+    case object Orc extends Format
   }
 
   final case class Discovery(files: Seq[Position.FileEntry])
@@ -84,6 +89,7 @@ object FileSource {
           case Some(s) => spark.read.schema(s).json(files: _*)
           case None => spark.read.json(files: _*)
         }
+      case Format.Orc => spark.read.orc(files: _*)
     }
   }
 

@@ -26,6 +26,9 @@ class DestinationsSpec extends SparkSpec {
     assert(rCsv.rows == df.count())
     val rJson = Destinations.commitWithReceipt(df, s"$dir/n_json", Format.Ndjson)
     assert(rJson.rows == df.count())
+    val rOrc = Destinations.commitWithReceipt(df, s"$dir/n_orc", Format.Orc)
+    assert(rOrc.rows == df.count())
+    assert(spark.read.orc(s"$dir/n_orc").except(df).count() == 0)
     // the probe re-read hashes the destination's own content
     assert(rJson.contentHash ==
       graft.pkg.PackageWriter.contentHash(spark.read.json(s"$dir/n_json")))
