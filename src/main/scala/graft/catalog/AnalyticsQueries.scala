@@ -182,7 +182,66 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").withColumn("ts_us", expr("ts div 1000")).drop("ts")
+
+  val asofJoin: QueryDef = QueryDef.sqlBacked(
+    "q_asof_join",
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS purchase_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, c.ts_us, p.purchase_id AS asof_purchase_id
+      |FROM clicks c ASOF LEFT JOIN purch p
+      |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+      |ORDER BY c.event_id""".stripMargin,
+    doc = "As-of join (point-in-time correctness, no future leakage): composed from union + one " +
+      "window pass per key — one shuffle, no range explosion (operators/AsofJoin).") { (s, d) =>
+    val ev = eventsUs(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_us").agg(max("event_id").as("purchase_id"))
+    graft.operators.AsofJoin.leftAsof(clicks, purch, Seq("user_id"), "ts_us", Seq("purchase_id"))
+      .withColumnRenamed("asof_purchase_id", "asof_purchase_id")
+      .orderBy("event_id")
+  }
+
+  val sessionize: QueryDef = QueryDef.sqlBacked(
+    "q_sessionize",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+      |l AS (SELECT user_id, ts_us, event_id,
+      |        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+      |m AS (SELECT user_id, ts_us, event_id,
+      |        CASE WHEN prev IS NULL OR ts_us - prev > 3600000000 THEN 1 ELSE 0 END AS ns FROM l),
+      |s AS (SELECT user_id, ts_us,
+      |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                      ROWS UNBOUNDED PRECEDING) - 1 AS session_seq FROM m)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  min(ts_us) AS session_start, max(ts_us) AS session_end,
+      |  max(ts_us) - min(ts_us) AS duration_us
+      |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    doc = "Gap-based sessionization (1h gap): lag + running-sum windows, one shuffle on the key — " +
+      "batch equivalent of streaming session windows (operators/Sessionize).") { (s, d) =>
+    graft.operators.Sessionize.summarize(
+        eventsUs(s, d).select("user_id", "ts_us", "event_id"),
+        Seq("user_id"), "ts_us", "event_id", gapUs = 3600000000L)
+      .orderBy("user_id", "session_seq")
+  }
+
+  val approxDistinct: QueryDef = QueryDef.rowsOnly(
+    "q_approx_distinct",
+    doc = "HLL sketches: approx_count_distinct (engine-specific estimates → rows-only; " +
+      "the exact counterparts are oracle-checked in q_count_distinct).") { (s, d) =>
+    t(s, d, "lineitem").agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
-    rollupAgg, dedupKeyedFirst, nullLogic, variantCapture)
+    rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
+    asofJoin, sessionize, approxDistinct)
 }
