@@ -231,6 +231,31 @@ object AnalyticsQueries {
       .orderBy("user_id", "session_seq")
   }
 
+  val rangeJoin: QueryDef = QueryDef.sqlBacked(
+    "q_range_join",
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT user_id, epoch_us(ts) AS p_ts, event_id AS purchase_id
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, p.purchase_id, p.p_ts - c.ts_us AS delta_us
+      |FROM clicks c JOIN purch p
+      |  ON c.user_id = p.user_id AND p.p_ts >= c.ts_us AND p.p_ts <= c.ts_us + 3600000000
+      |ORDER BY c.event_id, p.purchase_id""".stripMargin,
+    doc = "Range join (purchases within 1h after a click): bucketed by floor(time/window) so it is a " +
+      "pure equi-join on (key, bucket) — never a per-key cross product (operators/RangeJoin).") { (s, d) =>
+    val ev = eventsUs(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts"), col("event_id").as("purchase_id"))
+    graft.operators.RangeJoin.joinWithin(clicks, purch, Seq("user_id"),
+        "ts_us", "p_ts", windowUs = 3600000000L)
+      .select(col("event_id"), col("user_id"), col("purchase_id"),
+        (col("p_ts") - col("ts_us")).as("delta_us"))
+      .orderBy("event_id", "purchase_id")
+  }
+
   val approxDistinct: QueryDef = QueryDef.rowsOnly(
     "q_approx_distinct",
     doc = "HLL sketches: approx_count_distinct (engine-specific estimates → rows-only; " +
@@ -243,5 +268,5 @@ object AnalyticsQueries {
   val all: Seq[QueryDef] = Seq(
     semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
-    asofJoin, sessionize, approxDistinct)
+    asofJoin, sessionize, rangeJoin, approxDistinct)
 }

@@ -69,3 +69,41 @@ final case class ContractPolicy(
     rules: Seq[RowRule],
     fatalRules: Set[String] = Set.empty,
     depth: ValidationDepth = ValidationDepth.Full)
+
+/** Trust presets (cdf: VISION.md:739-746; authoring surface
+  * `TRUST GOVERNED`, examples/postgres/.../orders.cdf.sql): a trust
+  * level is a bundle of contract defaults, not a new mechanism. */
+sealed trait TrustPreset {
+  /** validation starts at this depth ring. */
+  def initialDepth: ValidationDepth
+  /** violations escalate to Fatal (RejectBatch) instead of Quarantine. */
+  def violationsAreFatal: Boolean
+  /** schema drift default (SchemaOps.DriftPolicy.newColumns). */
+  def driftNewColumns: String
+}
+object TrustPreset {
+  /** exploratory: observe everything, quarantine nothing fatal. */
+  case object Raw extends TrustPreset {
+    val initialDepth = ValidationDepth.Discovery
+    val violationsAreFatal = false
+    val driftNewColumns = "admit"
+  }
+  /** production default: full validation, drift captured as variant. */
+  case object Governed extends TrustPreset {
+    val initialDepth = ValidationDepth.Full
+    val violationsAreFatal = false
+    val driftNewColumns = "admit_as_variant"
+  }
+  /** contract-critical: any violation rejects the batch, drift rejects. */
+  case object Certified extends TrustPreset {
+    val initialDepth = ValidationDepth.Full
+    val violationsAreFatal = true
+    val driftNewColumns = "reject_batch"
+  }
+
+  /** Apply a preset's defaults to a rule set. */
+  def policy(preset: TrustPreset, rules: Seq[RowRule]): ContractPolicy =
+    ContractPolicy(rules,
+      fatalRules = if (preset.violationsAreFatal) rules.map(_.id).toSet else Set.empty,
+      depth = preset.initialDepth)
+}

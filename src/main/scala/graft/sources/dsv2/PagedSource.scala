@@ -134,10 +134,20 @@ final class PagedReaderFactory(table: String, projection: StructType,
 
     def eval(f: Filter, r: Row): Boolean = {
       def v(c: String): Any = r.get(nameIdx(c))
+      // Spark numeric semantics exactly (capability truth-telling under
+      // adversarial values, cdf VISION §20.1): NaN is greatest and
+      // self-equal; -0.0 equals 0.0.
+      def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+      def num(a: Any): Option[Double] = a match {
+        case n: Number => Some(n.doubleValue()); case _ => None
+      }
       def cmp(c: String, x: Any): Int =
-        Ordering[Double].compare(v(c).toString.toDouble, x.toString.toDouble)
+        java.lang.Double.compare(norm(v(c).toString.toDouble), norm(x.toString.toDouble))
       f match {
-        case EqualTo(c, x) => v(c) == x
+        case EqualTo(c, x) => (num(v(c)), num(x)) match {
+          case (Some(_), Some(_)) => v(c) != null && cmp(c, x) == 0
+          case _ => v(c) == x
+        }
         case GreaterThan(c, x) => v(c) != null && cmp(c, x) > 0
         case GreaterThanOrEqual(c, x) => v(c) != null && cmp(c, x) >= 0
         case LessThan(c, x) => v(c) != null && cmp(c, x) < 0

@@ -69,6 +69,30 @@ class Dsv2Spec extends SparkSpec {
     assert(df.distinct().count() == 5)
   }
 
+  test("capability truth-telling under adversarial values: NaN, -0.0, infinities") {
+    // cdf conformance: an Exact claim is falsified with adversarial
+    // float edges by comparing source-filtered results against
+    // engine-side ground truth (VISION §20.1 / FIXTURES §6)
+    val adv = Seq(
+      Row(1L, Double.NaN, "t0"), Row(2L, -0.0, "t0"), Row(3L, 0.0, "t0"),
+      Row(4L, Double.PositiveInfinity, "t0"), Row(5L, Double.NegativeInfinity, "t0"),
+      Row(6L, 1.5, "t0"), Row(7L, null, "t0"))
+    PagedRegistry.register("t_adv", PagedRegistry.Entry(
+      schema, Seq(adv), PagedRegistry.Fid(exact = Set("qty"), inexact = Set.empty)))
+    val pushed = read("t_adv")
+    // unclassified twin: same rows, nothing pushed → Spark is ground truth
+    PagedRegistry.register("t_adv_truth", PagedRegistry.Entry(
+      schema, Seq(adv), PagedRegistry.Fid(exact = Set.empty, inexact = Set.empty)))
+    val truth = read("t_adv_truth")
+    for (pred <- Seq(
+        col("qty") > 0.0, col("qty") >= 0.0, col("qty") < 0.0,
+        col("qty") === 0.0, col("qty") === Double.NaN, col("qty") <= 1.5)) {
+      val a = pushed.filter(pred).select("id").as[Long].collect().sorted.toSeq
+      val b = truth.filter(pred).select("id").as[Long].collect().sorted.toSeq
+      assert(a == b, s"Exact claim falsified for $pred: pushed=$a truth=$b")
+    }
+  }
+
   test("limit pushes only under all-Exact predicates") {
     register("t_lim", exact = Set("qty"), inexact = Set.empty)
     assert(read("t_lim").filter(col("qty") > 10).limit(7).count() == 7)
