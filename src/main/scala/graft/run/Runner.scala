@@ -27,7 +27,15 @@ object Runner {
       policy: ContractPolicy,
       transforms: Seq[Transform] = Nil,
       redactColumns: Set[String] = Set.empty,
-      orderColumns: Seq[String] = Nil)
+      orderColumns: Seq[String] = Nil,
+      /** schema authority; when set, the observed schema is admitted
+        * against it per batch (cdf schema_authority.rs). */
+      authority: Option[org.apache.spark.sql.types.StructType] = None,
+      /** validation depth ring for this run (DepthController drives
+        * transitions across runs). */
+      depthRing: graft.contract.DepthController.Ring = graft.contract.DepthController.Full,
+      /** estimated bytes/row for segmentation planning. */
+      approxRowBytes: Long = 64)
 
   final case class RunResult(
       packageHash: String,
@@ -36,7 +44,9 @@ object Runner {
       receipt: PackageWriter.Receipt,
       committed: Boolean,
       duplicate: Boolean,
-      position: Option[Position])
+      position: Option[Position],
+      schemaFingerprint: String = "",
+      segments: Int = 1)
 
   /** Execute one bounded run: `source` → package at `pkgDir` →
     * destination parquet at `destDir` → ledger commit. Idempotent on
@@ -44,10 +54,26 @@ object Runner {
   def run(spark: SparkSession, cfg: RunConfig, source: DataFrame,
       pkgDir: String, destDir: String, ledger: Ledger): RunResult = {
 
-    // 1. validate: one classifying projection, then two filters
+    // 0. schema fingerprint + admission against the authority — drift
+    //    is caught at the batch where it occurs (cdf VISION.md:681)
+    val fingerprint = graft.contract.SchemaOps.fingerprint(source.schema)
+    cfg.authority.foreach { auth =>
+      graft.contract.SchemaOps.admit(auth, source.schema) match {
+        case graft.contract.SchemaOps.AdmissionVerdict.RejectBatch(reason) =>
+          throw graft.core.GraftError.Data(s"schema admission rejected batch: $reason")
+        case _ => // Admit / AdmitAsVariant / Quarantine proceed; variant
+                  // capture is a transform decision recorded by policy
+      }
+    }
+
+    // 1. validate: one classifying projection, then two filters; the
+    //    depth ring decides full-frame vs seeded-sample validation
     val program = ValidationProgram.compile(cfg.policy)
-    val accepted0 = program.accepted(source)
-    val quarantined = program.quarantined(source, cfg.redactColumns)
+    val validationInput = graft.contract.DepthController.validationInput(source, cfg.depthRing)
+    val accepted0 =
+      if (validationInput eq source) program.accepted(source)
+      else source // sampled ring: checks ran on the sample; full frame flows
+    val quarantined = program.quarantined(validationInput, cfg.redactColumns)
 
     // 2. normalize (rename/cast/derive/filter/redact pipeline)
     val normalized = Transform(accepted0, cfg.transforms)
@@ -61,9 +87,15 @@ object Runner {
       case _ => normalized
     }
 
+    // 3b. segmentation: plan from targets, record beside the package
+    //     (outside identity — jobs invariance)
+    val (segmentedDf, segRecording) = graft.core.Segmentation.segmented(
+      deduped, source.count(), cfg.approxRowBytes)
+    graft.core.Segmentation.writeRecording(pkgDir, segRecording)
+
     // 4. package evidence (hash-addressed, partition-invariant)
-    val pkg = PackageWriter.write(deduped, Some(quarantined), pkgDir,
-      cfg.descriptor.id, planHash = cfg.descriptor.id)
+    val pkg = PackageWriter.write(segmentedDf, Some(quarantined), pkgDir,
+      cfg.descriptor.id, planHash = fingerprint)
 
     val scope = Descriptor.ScopeKey.Root.render
 
@@ -76,7 +108,8 @@ object Runner {
         PackageWriter.Receipt("parquet:" + destDir, pkg.rows, PackageWriter.contentHash(
           spark.read.parquet(s"$pkgDir/data"))),
         committed = true, duplicate = true,
-        head.position.map(Position.fromJson))
+        head.position.map(Position.fromJson),
+        schemaFingerprint = fingerprint, segments = segRecording.segments)
     }
 
     // 5. cursor position: window-close = max(observed) − lag
@@ -121,12 +154,15 @@ object Runner {
     val receipt = PackageWriter.Receipt("parquet:" + destDir, destDf.count(),
       PackageWriter.contentHash(destDf))
     val verified = PackageWriter.verifyReceipt(spark.read.parquet(destDir), receipt)
-    require(verified, "receipt verification failed — refusing to commit")
+    if (!verified)
+      throw graft.core.GraftError.Destination(
+        "receipt verification failed — refusing to commit", transient = false)
 
     // 8. the ONLY path to committed: verified receipt (cdf VISION.md:854-856)
     ledger.commit(cfg.descriptor.id, scope, pkg.packageHash, receipt.toJsonString)
 
     RunResult(pkg.packageHash, pkg.rows, pkg.quarantined, receipt,
-      committed = true, duplicate = false, position)
+      committed = true, duplicate = false, position,
+      schemaFingerprint = fingerprint, segments = segRecording.segments)
   }
 }

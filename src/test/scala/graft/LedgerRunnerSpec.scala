@@ -66,6 +66,9 @@ class LedgerRunnerSpec extends SparkSpec {
     val r1 = Runner.run(spark, cfg, source, s"$base/pkg1", s"$base/dest", ledger)
     assert(r1.committed && !r1.duplicate)
     assert(r1.accepted + r1.quarantined == source.count())
+    assert(r1.schemaFingerprint == graft.contract.SchemaOps.fingerprint(source.schema))
+    assert(r1.segments >= 1)
+    assert(graft.core.Segmentation.readRecording(s"$base/pkg1").contains(r1.segments))
     assert(ledger.committedHead("orders_r", "root").map(_.packageHash) == Some(r1.packageHash))
     val destRows = spark.read.parquet(s"$base/dest").count()
     assert(destRows == r1.accepted)
