@@ -256,6 +256,26 @@ object AnalyticsQueries {
       .orderBy("event_id", "purchase_id")
   }
 
+  val topKAgg: QueryDef = QueryDef.sqlBacked(
+    "q_topk_agg",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    doc = "Per-key top-k via a typed Aggregator (bounded k-buffer, map-side partial agg — shuffles " +
+      "k rows/key instead of sorting every row; functions/TopKAgg, §2.11 UDAF rung).") { (s, d) =>
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("tops"))
+      .select(col("o_custkey"), posexplode(col("tops")))
+      .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+        col("col.value").as("o_totalprice"), (col("pos") + 1).as("rnk"))
+      .orderBy("o_custkey", "rnk")
+  }
+
   val approxDistinct: QueryDef = QueryDef.rowsOnly(
     "q_approx_distinct",
     doc = "HLL sketches: approx_count_distinct (engine-specific estimates → rows-only; " +
@@ -268,5 +288,5 @@ object AnalyticsQueries {
   val all: Seq[QueryDef] = Seq(
     semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
-    asofJoin, sessionize, rangeJoin, approxDistinct)
+    asofJoin, sessionize, rangeJoin, topKAgg, approxDistinct)
 }

@@ -152,6 +152,50 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  val wordFreq: QueryDef = QueryDef.sqlBacked(
+    "q_word_freq",
+    """SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |      FROM documents) t
+      |GROUP BY w ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    doc = "Corpus vocabulary frequency (the tokenizer-training precursor): explode + count.") { (s, d) =>
+    docs(s, d)
+      .select(explode(TextAnalysis.wsTokens(lower(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+
+  val tfidf: QueryDef = QueryDef.sqlBacked(
+    "q_tfidf",
+    """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |            FROM documents),
+      |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+      |len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY 1),
+      |df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+      |SELECT tf.doc_id, tf.w AS term, tf.cnt, df.df,
+      |  round((CAST(tf.cnt AS DOUBLE) / len.len) * ln((SELECT n FROM n) / df.df), 6) AS tfidf
+      |FROM tf JOIN len USING (doc_id) JOIN df ON tf.w = df.w
+      |WHERE tf.doc_id < 20
+      |ORDER BY doc_id, term""".stripMargin,
+    doc = "TF-IDF per (doc, term): per-row double arithmetic (no cross-row FP sums), " +
+      "document-frequency join broadcastable (vocab ≪ corpus).") { (s, d) =>
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.wsTokens(trim(lower(col("text"))))).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val dfreq = tok.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs(s, d).count().toDouble
+    tf.join(len, "doc_id")
+      .join(broadcast(dfreq), "w")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("w").as("term"), col("cnt"), col("df"),
+        round((col("cnt").cast("double") / col("len")) * log(lit(n) / col("df")), 6).as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
   // --------------------------------------------------------------- dedup
 
   val ngramJaccard: QueryDef = QueryDef.sqlBacked(
@@ -259,6 +303,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] = Seq(
     textFingerprint, dedupContentHash, tokenStats, textQuality, langIdQ,
+    wordFreq, tfidf,
     ngramJaccard, minhashLsh, simhash,
     cosineTopK, annLsh, embedNearDup,
     multimodalMeta, multimodalFeatures)
