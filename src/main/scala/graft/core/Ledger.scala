@@ -109,10 +109,28 @@ final class Ledger(path: Path) {
     append(Entry(nextSeq(), resource, scope, "abandoned", packageHash, None, None))
   }
 
-  /** One committed head per scope: the latest committed entry. */
-  def committedHead(resource: String, scope: String): Option[Entry] =
-    entries().filter(e =>
-      e.resource == resource && e.scope == scope && e.state == "committed").lastOption
+  /** Rewind the scope to an earlier committed package: append-only (the
+    * history of the later commits stays queryable), but the head — and
+    * therefore the resume position — becomes the rewound-to entry.
+    * Rewinding to a hash never committed in this scope is a State error. */
+  def rewind(resource: String, scope: String, toPackageHash: String): Entry = synchronized {
+    val target = entries().find(e => e.resource == resource && e.scope == scope &&
+      e.state == "committed" && e.packageHash == toPackageHash)
+    require(target.isDefined, s"rewind target never committed: $resource/$scope/$toPackageHash")
+    append(Entry(nextSeq(), resource, scope, "rewound", toPackageHash,
+      target.get.position, target.get.receipt))
+  }
+
+  /** One committed head per scope: the latest committed entry, unless a
+    * later rewind redirects the head to an earlier package. */
+  def committedHead(resource: String, scope: String): Option[Entry] = {
+    val es = entries().filter(e => e.resource == resource && e.scope == scope)
+    es.reverse.collectFirst {
+      case e if e.state == "rewound" =>
+        es.filter(x => x.state == "committed" && x.packageHash == e.packageHash).last
+      case e if e.state == "committed" => e
+    }
+  }
 
   /** Resume position = head's recorded position (typed). */
   def resumePosition(resource: String, scope: String): Option[Position] =

@@ -63,14 +63,25 @@ object Multimodal {
     StructField("media_id", LongType, nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
+  /** Decoder batch size: codecs amortize model/codec setup per batch,
+    * exactly like `mapInPandas` receives Arrow batches. */
+  val DecodeBatchSize = 64
+
+  /** Batch decode seam: a real codec implementation replaces this with
+    * one that decodes `batch` payloads together (GPU/process reuse). */
+  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Array[Double])] =
+    batch.map { case (id, payload) => (id, stubDecodeFeatures(payload)) }
+
   /** Partition-parallel feature extraction over the binary column —
-    * the `mapInPandas`-shaped seam where a codec plugs in. */
+    * the `mapInPandas`-shaped seam: payloads flow to the decoder in
+    * fixed-size batches within each partition. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
-      it.map { r =>
-        Row(r.getLong(0), stubDecodeFeatures(r.getAs[Array[Byte]](1)).toSeq)
-      }
+      it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .grouped(DecodeBatchSize)
+        .flatMap(decodeBatch)
+        .map { case (id, f) => Row(id, f.toSeq) }
     }
     spark.createDataFrame(rdd, featureSchema)
   }

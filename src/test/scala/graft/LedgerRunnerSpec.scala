@@ -26,6 +26,12 @@ class LedgerRunnerSpec extends SparkSpec {
     l.commit("r", "root", "h2", """{"rows":2}""")
     assert(l.committedHead("r", "root").map(_.packageHash) == Some("h2"))
     assert(l.resumePosition("r", "root") == Some(Position.Cursor("ts", 200)))
+    // rewind: head and resume position return to h1; history intact
+    l.rewind("r", "root", "h1")
+    assert(l.committedHead("r", "root").map(_.packageHash) == Some("h1"))
+    assert(l.resumePosition("r", "root") == Some(Position.Cursor("ts", 100)))
+    assert(l.entries().count(_.state == "committed") == 2) // append-only
+    intercept[IllegalArgumentException](l.rewind("r", "root", "never_committed"))
   }
 
   test("package content hash is invariant to partitioning (jobs invariance)") {
