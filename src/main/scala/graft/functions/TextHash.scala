@@ -52,6 +52,35 @@ object TextHashImpl {
     sig
   }
 
+  /** Distinct word n-grams (space-joined) in one pass — the shingle
+    * builder (set-equal to TextAnalysis.wordNgrams; first-occurrence
+    * order). */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.trim
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val words = s.split("\\s+")
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k2 = 0
+    while (it.hasNext) { out(k2) = UTF8String.fromString(it.next()); k2 += 1 }
+    new GenericArrayData(out)
+  }
+
   /** k-element MinHash signature over a string array, one pass:
     * element i = min over values of mix(xxhash64(value), i). */
   def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
@@ -101,6 +130,17 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
 }
 
+/** `graft_ngrams(text, n)` — one-pass distinct word-n-gram shingles. */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression
+    with CodegenFallback {
+  require(n > 0)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashImpl.wordNgrams(v.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(c: Expression): WordNgramsExpr = copy(child = c)
+}
+
 /** Registration + Column access for the native expressions. */
 object TextHashFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -108,5 +148,7 @@ object TextHashFunctions {
       "graft_simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash16", exprs => MinHashSigExpr(exprs.head, 16), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngrams5", exprs => WordNgramsExpr(exprs.head, 5), "scala_udf")
   }
 }

@@ -86,10 +86,15 @@ object TextDedup {
       n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     // repartition + persist: see ngramJaccardPairs — the signature
     // pipeline is the expensive narrow stage and feeds three consumers.
+    // n=5 takes the native one-pass shingle kernel.
+    val gramCol =
+      if (n == 5) {
+        graft.functions.TextHashFunctions.register(df.sparkSession)
+        call_function("graft_ngrams5", col(textCol))
+      } else TextAnalysis.wordNgrams(col(textCol), n)
     val grams = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
         col(idCol))
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.wordNgrams(col(textCol), n).as("ngrams"))
+      .select(col(idCol).as("doc_id"), gramCol.as("ngrams"))
       .filter(size(col("ngrams")) > 0)
       .persist()
     // native one-pass signature kernel when available for k, else the

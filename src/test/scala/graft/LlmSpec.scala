@@ -62,6 +62,20 @@ class LlmSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("native word-ngram kernel is set-equal to the HOF reference") {
+    graft.functions.TextHashFunctions.register(spark)
+    val docs = graft.core.Tables(spark, sf(), "documents")
+    val diff = docs.select(
+        array_sort(TextAnalysis.wordNgrams(col("text"), 5)).as("hof"),
+        array_sort(call_function("graft_ngrams5", col("text"))).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diff == 0)
+    // short-text guard: fewer than n words → empty set in both
+    val short = Seq(Tuple1("a b c")).toDF("text")
+    assert(short.select(call_function("graft_ngrams5", col("text")).as("g"))
+      .head().getSeq[String](0).isEmpty)
+  }
+
   test("simhash: identical docs at hamming 0; near dups close; distinct docs far") {
     val sigs = corpus.select(col("doc_id"),
       TextDedup.simhash64(col("text")).as("sig"))
