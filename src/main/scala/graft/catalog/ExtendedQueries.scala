@@ -182,7 +182,49 @@ object ExtendedQueries {
       .orderBy("r_name", "n_name")
   }
 
+  /** Format-decode roundtrips: write a typed slice out through the
+    * format, read it back through `FileSource` with the declared
+    * schema, aggregate — the oracle computes the same aggregate from
+    * the parquet table directly, so a hash match proves the decode
+    * path is lossless (cdf format crates, SURVEY §2.1). Restricted to
+    * columns whose text round-trip is exact (ints, strings, shortest-
+    * repr doubles). */
+  private def roundtrip(name: String, writer: (DataFrame, String) => Unit,
+      fmt: String => graft.sources.FileSource.Format): QueryDef = QueryDef.sqlBacked(
+    name,
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+      |  min(l_returnflag) AS min_flag
+      |FROM lineitem""".stripMargin,
+    doc = s"$name: decode-path losslessness proven against the parquet-side oracle.") { (s, d) =>
+    val slice = t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    val dir = s"/tmp/graft_roundtrip/${name}_${Integer.toHexString(d.hashCode)}"
+    writer(slice, dir)
+    val files = graft.sources.FileSource.discover(dir, "part-*").files.map(_.path)
+    val back = graft.sources.FileSource.read(s, fmt(dir), files, Some(slice.schema))
+    back.agg(
+      count(lit(1)).as("n"),
+      sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double").as("sum_qty"),
+      min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"),
+      min(col("l_returnflag")).as("min_flag"))
+  }
+
+  val csvRoundtrip: QueryDef = roundtrip("q_csv_decode",
+    (df, dir) => df.write.mode("overwrite").option("header", "true").csv(dir),
+    _ => graft.sources.FileSource.Format.Csv())
+
+  val ndjsonRoundtrip: QueryDef = roundtrip("q_ndjson_decode",
+    (df, dir) => df.write.mode("overwrite").json(dir),
+    _ => graft.sources.FileSource.Format.Ndjson)
+
+  val orcRoundtrip: QueryDef = roundtrip("q_orc_decode",
+    (df, dir) => df.write.mode("overwrite").orc(dir),
+    _ => graft.sources.FileSource.Format.Orc)
+
   val all: Seq[QueryDef] = Seq(
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
-    brandJoinAgg, countDistinctQ, freshness, regionRollup)
+    brandJoinAgg, countDistinctQ, freshness, regionRollup,
+    csvRoundtrip, ndjsonRoundtrip, orcRoundtrip)
 }

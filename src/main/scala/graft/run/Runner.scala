@@ -48,6 +48,14 @@ object Runner {
       schemaFingerprint: String = "",
       segments: Int = 1)
 
+  /** `cdf preview`: run the validate → normalize pipeline over a
+    * bounded slice, writing NOTHING (cdf: orchestration.rs:244-420 —
+    * bounded read, no artifacts, no ledger effects). */
+  def preview(cfg: RunConfig, source: DataFrame, limit: Int): DataFrame = {
+    val program = ValidationProgram.compile(cfg.policy)
+    Transform(program.annotate(source), cfg.transforms).limit(limit)
+  }
+
   /** Execute one bounded run: `source` → package at `pkgDir` →
     * destination parquet at `destDir` → ledger commit. Idempotent on
     * package hash (replay → duplicate=true, nothing rewritten). */

@@ -6,7 +6,21 @@ import graft.pkg.Bucketing
 
 class BucketingSpec extends SparkSpec {
 
+  /** drop catalog entry AND stale warehouse dirs from prior JVM runs
+    * (the in-memory catalog forgets tables across sessions, but the
+    * managed locations persist). */
+  private def dropClean(tables: String*): Unit = tables.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = java.nio.file.Paths.get("spark-warehouse", t)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("bucketed-by-merge-key tables join without shuffling the base side") {
+    dropClean("orders_bucketed", "stage_bucketed")
     val orders = graft.core.Tables(spark, sf("sf0.01"), "orders")
     Bucketing.writeBucketed(orders, "orders_bucketed", "o_orderkey", buckets = 8)
     Bucketing.writeBucketed(orders.limit(1000), "stage_bucketed", "o_orderkey", buckets = 8)
@@ -26,6 +40,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("recurring merge into a bucketed table preserves bucketing and content") {
+    dropClean("merge_target", "merge_target__swap")
     val orders = graft.core.Tables(spark, sf(), "orders")
     Bucketing.writeBucketed(orders, "merge_target", "o_orderkey", buckets = 4)
     val stage = orders.filter(col("o_orderkey") % 10 === 0)
