@@ -93,6 +93,30 @@ object Descriptor {
       "partitions" -> JInt(partitions))
   }
 
+  /** Delivery guarantee derived from plan facts, never asserted by the
+    * author (cdf: VISION.md:960-969 derivation table): replayable
+    * source + keyed dedup/merge + verified receipt ⇒ effectively-once;
+    * missing pieces degrade honestly. */
+  sealed trait DeliveryGuarantee
+  object DeliveryGuarantee {
+    case object ExactlyOnceEffective extends DeliveryGuarantee
+    case object AtLeastOnce extends DeliveryGuarantee
+    case object AtMostOnce extends DeliveryGuarantee
+  }
+
+  def deriveGuarantee(sourceReplayable: Boolean, disposition: Disposition,
+      receiptVerified: Boolean): DeliveryGuarantee = {
+    val keyed = disposition match {
+      case Disposition.Merge(keys) => keys.nonEmpty
+      case Disposition.CdcApply(keys, _) => keys.nonEmpty
+      case Disposition.Replace => true // idempotent by construction
+      case Disposition.Append => false
+    }
+    if (!sourceReplayable) DeliveryGuarantee.AtMostOnce // a lost batch cannot be refetched
+    else if (keyed && receiptVerified) DeliveryGuarantee.ExactlyOnceEffective
+    else DeliveryGuarantee.AtLeastOnce // replays may duplicate appended rows
+  }
+
   /** Pushdown negotiation (cdf planning.rs:1169-1310): predicates the
     * source claims `Exact` are pushed and dropped engine-side; `Inexact`
     * are pushed AND re-checked; `Unsupported` stay engine-side. Limit

@@ -149,6 +149,37 @@ object Expr {
       "expr" -> e.toJson,
       "registry" -> JStr(s"$FunctionNamespace@$FunctionVersion")))
 
+  /** Expression lints (cdf: engine/expression.rs:238-252 — provable
+    * `AlwaysTrue`/`AlwaysFalse` predicates are plan-time diagnostics:
+    * a filter that can't reject anything usually means an authoring
+    * mistake, not an optimization opportunity). */
+  sealed trait Lint { def msg: String }
+  object Lint {
+    final case class AlwaysTrue(msg: String) extends Lint
+    final case class AlwaysFalse(msg: String) extends Lint
+  }
+
+  def lint(e: Expr): Seq[Lint] = {
+    val out = Seq.newBuilder[Lint]
+    def walk(x: Expr): Unit = x match {
+      case Binary(op, Col(a), Col(b)) if a == b => op match {
+        case BinOp.Eq | BinOp.Lte | BinOp.Gte =>
+          out += Lint.AlwaysTrue(s"$a ${op} $a is always true (except null)")
+        case BinOp.Neq | BinOp.Lt | BinOp.Gt =>
+          out += Lint.AlwaysFalse(s"$a ${op} $a is always false")
+        case _ =>
+      }
+      case In(_, LStrList(vs)) if vs.isEmpty =>
+        out += Lint.AlwaysFalse("IN () over an empty set is always false")
+      case Binary(BinOp.And, l, r) => walk(l); walk(r)
+      case Binary(BinOp.Or, l, r) => walk(l); walk(r)
+      case Unary(_, c) => walk(c)
+      case _ =>
+    }
+    walk(e)
+    out.result()
+  }
+
   /** `col op literal` comparison parser (cdf expression.rs:71-130) —
     * the bounded predicate grammar for pushdown negotiation. */
   private val cmp = """\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|!=|>=|<=|>|<)\s*(.+?)\s*""".r

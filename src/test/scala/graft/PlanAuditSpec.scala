@@ -1,0 +1,66 @@
+package graft
+
+import graft.catalog.Catalog
+import graft.core.Descriptor
+import graft.expr.Expr
+
+/** Plan-quality regression tests: the `.explain` discipline encoded as
+  * assertions, so a refactor that silently degrades a plan (loses a
+  * pushdown, turns an equi-join into a nested loop) fails CI instead
+  * of shipping a 100 TB regression. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    Catalog.byName(name).run(spark, sf("sf0.01")).queryExecution.executedPlan.toString
+
+  test("scan queries push filters and prune columns at the parquet scan") {
+    val p = planOf("q_scan_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"))
+    assert(p.contains("ReadSchema") && !p.contains("l_shipdate")) // pruned out
+  }
+
+  test("dimension joins broadcast; no nested-loop or cartesian anywhere in the catalog's joins") {
+    assert(planOf("q3_join").contains("BroadcastHashJoin"))
+    assert(planOf("q_brand_join_agg").contains("BroadcastHashJoin"))
+    for (q <- Seq("q3_join", "q_brand_join_agg", "q_region_rollup",
+        "q_asof_join", "q_range_join", "q_merge_upsert", "q_ngram_jaccard")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated to a nested loop")
+    }
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    assert(planOf("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations are partial (map-side combine before the exchange)") {
+    val p = planOf("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+  }
+
+  test("delivery guarantee derives from plan facts") {
+    import Descriptor._
+    assert(deriveGuarantee(sourceReplayable = true,
+      Disposition.Merge(Seq("k")), receiptVerified = true) ==
+      DeliveryGuarantee.ExactlyOnceEffective)
+    assert(deriveGuarantee(sourceReplayable = true,
+      Disposition.Append, receiptVerified = true) == DeliveryGuarantee.AtLeastOnce)
+    assert(deriveGuarantee(sourceReplayable = false,
+      Disposition.Merge(Seq("k")), receiptVerified = true) == DeliveryGuarantee.AtMostOnce)
+    assert(deriveGuarantee(sourceReplayable = true,
+      Disposition.Replace, receiptVerified = true) ==
+      DeliveryGuarantee.ExactlyOnceEffective)
+  }
+
+  test("expression lints flag provable tautologies") {
+    import Expr._
+    assert(lint(Binary(BinOp.Eq, Col("x"), Col("x")))
+      .exists(_.isInstanceOf[Lint.AlwaysTrue]))
+    assert(lint(Binary(BinOp.Lt, Col("x"), Col("x")))
+      .exists(_.isInstanceOf[Lint.AlwaysFalse]))
+    assert(lint(In(Col("x"), LStrList(Nil)))
+      .exists(_.isInstanceOf[Lint.AlwaysFalse]))
+    assert(lint(Binary(BinOp.Gt, Col("x"), LInt(5))).isEmpty)
+  }
+}
