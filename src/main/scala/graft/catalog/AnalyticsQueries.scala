@@ -276,6 +276,20 @@ object AnalyticsQueries {
       .orderBy("o_custkey", "rnk")
   }
 
+  val dedupFailEvidence: QueryDef = QueryDef.sqlBacked(
+    "q_dedup_fail_evidence",
+    """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 1
+      |ORDER BY user_id, event_type""".stripMargin,
+    doc = "Dedup keep=Fail evidence: the duplicate-key groups a Fail contract reports before " +
+      "rejecting the batch (cdf DedupKeep::Fail, program.rs:335-341).") { (s, d) =>
+    t(s, d, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy("user_id", "event_type")
+  }
+
   val approxDistinct: QueryDef = QueryDef.rowsOnly(
     "q_approx_distinct",
     doc = "HLL sketches: approx_count_distinct (engine-specific estimates → rows-only; " +
@@ -288,5 +302,5 @@ object AnalyticsQueries {
   val all: Seq[QueryDef] = Seq(
     semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
-    asofJoin, sessionize, rangeJoin, topKAgg, approxDistinct)
+    asofJoin, sessionize, rangeJoin, topKAgg, dedupFailEvidence, approxDistinct)
 }

@@ -48,6 +48,36 @@ object Runner {
       schemaFingerprint: String = "",
       segments: Int = 1)
 
+  /** Partition-scoped runs: one package + ledger scope per partition
+    * (cdf ScopeKey `partition:` — the single-writer unit, VISION.md:
+    * 873-875), with the combined resume position as a typed Composite
+    * merged across scopes (position_aggregation.rs). Scopes are
+    * independent: a failed partition leaves the others committed and
+    * resumable. */
+  def runPartitioned(spark: SparkSession, cfg: RunConfig,
+      partitions: Seq[(String, DataFrame)], baseDir: String,
+      ledger: Ledger): (Seq[(String, RunResult)], Option[Position]) = {
+    val results = partitions.map { case (pid, df) =>
+      val scopedCfg = cfg.copy(descriptor = cfg.descriptor.copy(
+        id = cfg.descriptor.id))
+      val pkgDir = s"$baseDir/pkg_$pid"
+      val destDir = s"$baseDir/dest_$pid"
+      // reuse the scope machinery by running under a partition-suffixed
+      // resource id; the ledger scope is the partition key
+      val r = run(spark, scopedCfg.copy(descriptor =
+        scopedCfg.descriptor.copy(id = s"${cfg.descriptor.id}/partition:$pid")),
+        df, pkgDir, destDir, ledger)
+      pid -> r
+    }
+    val combined = results.flatMap { case (pid, r) =>
+      r.position.map(pid -> _)
+    } match {
+      case Nil => None
+      case ps => Some(Position.Composite(ps.toMap): Position)
+    }
+    (results, combined)
+  }
+
   /** `cdf preview`: run the validate → normalize pipeline over a
     * bounded slice, writing NOTHING (cdf: orchestration.rs:244-420 —
     * bounded read, no artifacts, no ledger effects). */
