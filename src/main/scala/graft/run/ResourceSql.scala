@@ -1,0 +1,111 @@
+package graft.run
+
+import org.apache.spark.sql.SparkSession
+
+import graft.contract.TrustPreset
+import graft.core.Descriptor
+import graft.core.Descriptor._
+
+/** The `.cdf.sql` authoring surface (cdf: crates/cdf-project/src/
+  * resource_sql.rs:74-166; clause table :151-162; examples
+  * examples/postgres/cdf/warehouse/orders.cdf.sql,
+  * examples/rest-fixture/cdf/api/events.cdf.sql):
+  *
+  * ```
+  * RESOURCE
+  * TARGET warehouse.orders
+  * DISPOSITION MERGE KEY o_orderkey
+  * CURSOR updated_at LAG 60000
+  * TRUST GOVERNED
+  * EXECUTION BOUNDED
+  * AS
+  * SELECT ... FROM upstream WHERE ...
+  * ```
+  *
+  * Envelope clauses compile to a [[ResourceDescriptor]] + trust
+  * preset; the body must pass the Projection(Filter?(Scan)) admission
+  * (graft.expr.Admission) — any other SQL shape is rejected at
+  * compile time, exactly like the reference's bounded load path.
+  */
+object ResourceSql {
+
+  final case class Compiled(
+      descriptor: ResourceDescriptor,
+      trust: TrustPreset,
+      bounded: Boolean,
+      selectSql: String)
+
+  private val clause = """(?m)^\s*(RESOURCE|TARGET|DISPOSITION|CURSOR|TRUST|EXECUTION)\b(.*)$""".r
+
+  def compile(spark: SparkSession, text: String): Either[String, Compiled] = {
+    val asIdx = "(?is)\\bAS\\b\\s*(SELECT\\b.*)$".r.findFirstMatchIn(text)
+      .getOrElse(return Left("missing `AS SELECT ...` body"))
+    val body = asIdx.group(1).trim.stripSuffix(";")
+    val envelope = text.substring(0, asIdx.start)
+
+    var target = ""
+    var disposition: Disposition = Disposition.Append
+    var cursor: Option[CursorSpec] = None
+    var trust: TrustPreset = TrustPreset.Governed
+    var bounded = true
+
+    clause.findAllMatchIn(envelope).foreach { m =>
+      val args = m.group(2).trim
+      m.group(1) match {
+        case "RESOURCE" => // marker
+        case "TARGET" => target = args
+        case "DISPOSITION" =>
+          val parts = args.split("\\s+").toList
+          disposition = parts match {
+            case "APPEND" :: Nil => Disposition.Append
+            case "REPLACE" :: Nil => Disposition.Replace
+            case "MERGE" :: "KEY" :: keys => Disposition.Merge(keys.map(_.stripSuffix(",")))
+            case "CDC_APPLY" :: "KEY" :: key :: "OP" :: op :: Nil =>
+              Disposition.CdcApply(Seq(key), op)
+            case other => return Left(s"unknown DISPOSITION: ${other.mkString(" ")}")
+          }
+        case "CURSOR" =>
+          val parts = args.split("\\s+").toList
+          cursor = parts match {
+            case field :: Nil => Some(CursorSpec(field, 0, OrderingClaim.Inexact))
+            case field :: "LAG" :: lag :: Nil =>
+              Some(CursorSpec(field, lag.toLong, OrderingClaim.Inexact))
+            case other => return Left(s"unknown CURSOR: ${other.mkString(" ")}")
+          }
+        case "TRUST" => trust = args match {
+          case "RAW" => TrustPreset.Raw
+          case "GOVERNED" => TrustPreset.Governed
+          case "CERTIFIED" => TrustPreset.Certified
+          case other => return Left(s"unknown TRUST: $other")
+        }
+        case "EXECUTION" => args match {
+          case "BOUNDED" => bounded = true
+          case s if s.startsWith("DRAIN") => bounded = false
+          case other => return Left(s"unknown EXECUTION: $other")
+        }
+      }
+    }
+    if (target.isEmpty) return Left("missing TARGET clause")
+
+    graft.expr.Admission.admit(spark, body) match {
+      case Left(err) => Left(s"body rejected: $err")
+      case Right(_) => Right(Compiled(
+        ResourceDescriptor(
+          id = target,
+          schemaSource = SchemaSource.Discover,
+          primaryKey = disposition match {
+            case Disposition.Merge(ks) => ks
+            case Disposition.CdcApply(ks, _) => ks
+            case _ => Nil
+          },
+          cursor = cursor,
+          disposition = disposition,
+          bounded = bounded),
+        trust, bounded, body))
+    }
+  }
+
+  /** Compile + execute the admitted body against registered views. */
+  def query(spark: SparkSession, text: String): Either[String, org.apache.spark.sql.DataFrame] =
+    compile(spark, text).map(c => spark.sql(c.selectSql))
+}
