@@ -196,6 +196,49 @@ object LlmQueries {
       .orderBy("doc_id", "term")
   }
 
+  /** Cleaning patterns shared by q_text_clean (RE2 ∩ Java-regex safe). */
+  private val urlPattern = "https?://[^\\s]+"
+  private val tagPattern = "<[^>]*>"
+
+  val textClean: QueryDef = QueryDef.sqlBacked(
+    "q_text_clean",
+    s"""SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(
+       |    text || ' see https://ex.com/d' || doc_id || ' and <b>bold</b> end',
+       |    '$urlPattern', '', 'g'), '$tagPattern', '', 'g')) AS cleaned
+       |FROM documents ORDER BY doc_id""".stripMargin,
+    doc = "Boilerplate stripping (URLs, markup) — standard pre-training cleanup; dirt is injected " +
+      "deterministically so the removal path is exercised on clean corpora too.") { (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(
+        concat(col("text"), lit(" see https://ex.com/d"), col("doc_id"),
+          lit(" and <b>bold</b> end")),
+        urlPattern, ""), tagPattern, "")).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedact: QueryDef = QueryDef.sqlBacked(
+    "q_pii_redact",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS INTEGER) AS n_emails,
+      |  regexp_replace(dirty, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g') AS masked,
+      |  sha256(regexp_extract(dirty, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS pii_hash
+      |FROM (SELECT doc_id, 'contact user' || doc_id || '@example.com or ' || text AS dirty
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin,
+    doc = "PII detection + masking + hash-not-plaintext evidence (the quarantine redaction rule " +
+      "applied as a corpus cleanup op — cdf VISION.md:723).") { (s, d) =>
+    val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    docs(s, d)
+      .select(col("doc_id"),
+        concat(lit("contact user"), col("doc_id"), lit("@example.com or "), col("text")).as("dirty"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0))).as("n_emails"),
+        regexp_replace(col("dirty"), emailRe, "<EMAIL>").as("masked"),
+        sha2(regexp_extract(col("dirty"), emailRe, 0), 256).as("pii_hash"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- dedup
 
   val ngramJaccard: QueryDef = QueryDef.sqlBacked(
@@ -303,7 +346,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] = Seq(
     textFingerprint, dedupContentHash, tokenStats, textQuality, langIdQ,
-    wordFreq, tfidf,
+    wordFreq, tfidf, textClean, piiRedact,
     ngramJaccard, minhashLsh, simhash,
     cosineTopK, annLsh, embedNearDup,
     multimodalMeta, multimodalFeatures)

@@ -52,7 +52,9 @@ object Namecase {
     else {
       val h = java.security.MessageDigest.getInstance("SHA-256")
         .digest(named.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      named.take(MaxLen - 9) + "_" + h
+      // trailing underscores at the cut would create `__` (and break
+      // idempotence — found by the property fuzzer)
+      named.take(MaxLen - 9).replaceAll("_+$", "") + "_" + h
     }
   }
 
