@@ -108,4 +108,23 @@ object ResourceSql {
   /** Compile + execute the admitted body against registered views. */
   def query(spark: SparkSession, text: String): Either[String, org.apache.spark.sql.DataFrame] =
     compile(spark, text).map(c => spark.sql(c.selectSql))
+
+  /** The full `cdf run` loop from authored text: compile envelope →
+    * trust-preset policy → execute body → Runner spine (validate /
+    * package / dest / receipt / ledger). */
+  def run(spark: SparkSession, text: String, rules: Seq[graft.contract.RowRule],
+      baseDir: String, ledger: graft.core.Ledger): Either[String, Runner.RunResult] =
+    compile(spark, text).map { c =>
+      val cfg = Runner.RunConfig(
+        descriptor = c.descriptor,
+        policy = TrustPreset.policy(c.trust, rules),
+        depthRing = c.trust.initialDepth match {
+          case graft.contract.ValidationDepth.Discovery => graft.contract.DepthController.Discovery
+          case graft.contract.ValidationDepth.Full => graft.contract.DepthController.Full
+          case graft.contract.ValidationDepth.Sampled(f, _) => graft.contract.DepthController.Sampled(f)
+        },
+        orderColumns = c.descriptor.primaryKey)
+      Runner.run(spark, cfg, spark.sql(c.selectSql),
+        s"$baseDir/pkg", s"$baseDir/dest", ledger)
+    }
 }

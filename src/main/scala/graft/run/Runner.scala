@@ -150,12 +150,24 @@ object Runner {
         schemaFingerprint = fingerprint, segments = segRecording.segments)
     }
 
-    // 5. cursor position: window-close = max(observed) − lag
+    // 5. cursor position: window-close = max(observed) − lag. Typed by
+    //    the cursor column's domain: timestamps/dates become epoch
+    //    micros (lag in ms → µs); numeric cursors stay in their own
+    //    units with the lag subtracted raw (non-timestamp watermark
+    //    domains, SURVEY §7.4.3).
     val packaged = spark.read.parquet(s"$pkgDir/data")
     val position = cfg.descriptor.cursor.flatMap { c =>
-      val row = packaged.agg(max(col(c.field)).cast("long")).head()
+      import org.apache.spark.sql.types._
+      val (maxExpr, lagUnits) = packaged.schema(c.field).dataType match {
+        case TimestampType | TimestampNTZType =>
+          (unix_micros(max(col(c.field)).cast(TimestampType)), c.lagMs * 1000L)
+        case DateType =>
+          (unix_micros(max(col(c.field)).cast(TimestampType)), c.lagMs * 1000L)
+        case _ => (max(col(c.field)).cast(LongType), c.lagMs)
+      }
+      val row = packaged.agg(maxExpr).head()
       if (row.isNullAt(0)) None
-      else Some(Position.Cursor(c.field, row.getLong(0) - c.lagMs): Position)
+      else Some(Position.Cursor(c.field, row.getLong(0) - lagUnits): Position)
     }
 
     ledger.propose(cfg.descriptor.id, scope, pkg.packageHash, position)

@@ -43,6 +43,21 @@ class ResourceSqlSpec extends SparkSpec {
     assert(drain.toOption.exists(!_.bounded))
   }
 
+  test("authored resource runs end-to-end through the Runner spine") {
+    graft.core.Tables.registerAll(spark, sf())
+    val base = tmpDir()
+    val ledger = graft.core.Ledger.at(base)
+    val result = ResourceSql.run(spark, ordersResource,
+      rules = Seq(graft.contract.RowRule.Nullability("nn", "o_orderkey")),
+      baseDir = base, ledger = ledger).toOption.get
+    assert(result.committed && !result.duplicate)
+    assert(result.accepted > 0)
+    // merge disposition landed at the destination, keyed by the envelope's KEY
+    val dest = spark.read.parquet(s"$base/dest")
+    assert(dest.count() == result.accepted)
+    assert(ledger.committedHead("warehouse.orders", "root").isDefined)
+  }
+
   test("REST resource end-to-end: fixture pages → $.items extraction → typed DataFrame + position") {
     // the reference's rest-fixture payload shape (FIXTURES §2.1)
     val schema = StructType(Seq(
