@@ -69,18 +69,23 @@ object Descriptor {
   /** Negotiated read (resource.rs:567-610): what the engine asked for
     * and what the source promised, recorded as evidence. */
   final case class ScanPredicate(sql: String, fidelity: Fidelity)
+  /** order-by is pushdown-only: the engine never sorts result sets in
+    * the load path (cdf resource.rs:611-622). */
+  final case class OrderBy(field: String, ascending: Boolean)
   final case class ScanRequest(
       projection: Seq[String],
       predicates: Seq[String],
       limit: Option[Long],
-      resumeFrom: Option[Position])
+      resumeFrom: Option[Position],
+      orderBy: Option[OrderBy] = None)
   final case class ScanPlan(
       resource: String,
       projection: Seq[String],
       predicates: Seq[ScanPredicate],
       residualPredicates: Seq[String],
       limitPushed: Option[Long],
-      partitions: Int) {
+      partitions: Int,
+      orderByPushed: Option[OrderBy] = None) {
 
     import CanonicalJson._
     def toJson: J = JObj.of(
@@ -123,7 +128,8 @@ object Descriptor {
     * only pushes when every pushed predicate is Exact
     * (table_provider.rs:126-137). */
   def negotiate(resource: String, req: ScanRequest,
-      sourceFidelity: String => Fidelity, partitions: Int): ScanPlan = {
+      sourceFidelity: String => Fidelity, partitions: Int,
+      sourceOrders: Boolean = false): ScanPlan = {
     val classified = req.predicates.map(p => ScanPredicate(p, sourceFidelity(p)))
     val residual = classified.collect {
       case ScanPredicate(p, Fidelity.Inexact) => p
@@ -136,6 +142,9 @@ object Descriptor {
       classified.filter(_.fidelity != Fidelity.Unsupported),
       residual,
       if (allExact) req.limit else None,
-      partitions)
+      partitions,
+      // order-by only pushes to a source that claims ordering, and a
+      // limit on ordered results additionally needs all-Exact predicates
+      orderByPushed = if (sourceOrders) req.orderBy else None)
   }
 }

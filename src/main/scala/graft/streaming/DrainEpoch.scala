@@ -36,6 +36,30 @@ object DrainEpoch {
       packageHash: String,
       frontierUs: Option[Long])
 
+  /** Epoch-closure cadence triggers (cdf: resource_sql.rs:512-529,
+    * declarations.rs:140-148 — `ELAPSED n | WATERMARK | BATCHES n |
+    * ROWS n | BYTES n`): an epoch closes (package rotates, ledger
+    * settles) when ANY armed trigger fires. */
+  sealed trait Cadence
+  object Cadence {
+    final case class Batches(n: Int) extends Cadence
+    final case class Rows(n: Long) extends Cadence
+    final case class Bytes(n: Long) extends Cadence
+    /** close when the watermark advanced at least `us` since last close. */
+    final case class WatermarkAdvance(us: Long) extends Cadence
+  }
+
+  final case class CadenceState(batches: Int, rows: Long, bytes: Long,
+      lastCloseWatermarkUs: Long)
+
+  def shouldClose(triggers: Seq[Cadence], s: CadenceState, currentWmUs: Long): Boolean =
+    triggers.exists {
+      case Cadence.Batches(n) => s.batches >= n
+      case Cadence.Rows(n) => s.rows >= n
+      case Cadence.Bytes(n) => s.bytes >= n
+      case Cadence.WatermarkAdvance(us) => currentWmUs - s.lastCloseWatermarkUs >= us
+    }
+
   final case class Config(
       resource: String,
       eventTimeCol: String,

@@ -48,6 +48,44 @@ class ContractSpec extends SparkSpec {
     assert(program.accepted(df).columns.toSeq == df.columns.toSeq) // schema preserved
   }
 
+  test("custom boolean row rules evaluate arbitrary predicates") {
+    val df = Seq((1L, 10.0, 5.0), (2L, 3.0, 9.0)).toDF("id", "a", "b")
+    val policy = ContractPolicy(Seq(
+      RowRule.Custom("a_gt_b", "a", "a > b")))
+    val program = ValidationProgram.compile(policy)
+    assert(program.accepted(df).select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("scan negotiation: residuals, limit gating, order-by pushdown") {
+    import graft.core.Descriptor._
+    def fid(p: String): Fidelity =
+      if (p.contains("inexact")) Fidelity.Inexact
+      else if (p.contains("exact")) Fidelity.Exact
+      else Fidelity.Unsupported
+    val req = ScanRequest(Seq("a", "b"), Seq("a_exact > 1", "b_inexact < 2", "c_other = 3"),
+      limit = Some(10), resumeFrom = None, orderBy = Some(OrderBy("a", ascending = true)))
+    val plan = negotiate("r", req, fid, partitions = 4, sourceOrders = true)
+    assert(plan.predicates.map(_.sql) == Seq("a_exact > 1", "b_inexact < 2")) // unsupported not pushed
+    assert(plan.residualPredicates == Seq("b_inexact < 2", "c_other = 3")) // re-checked engine-side
+    assert(plan.limitPushed.isEmpty) // inexact present → limit stays engine-side
+    assert(plan.orderByPushed == Some(OrderBy("a", ascending = true)))
+    val exactOnly = negotiate("r", req.copy(predicates = Seq("a_exact > 1")), fid, 4)
+    assert(exactOnly.limitPushed == Some(10))
+    assert(exactOnly.orderByPushed.isEmpty) // source doesn't claim ordering
+  }
+
+  test("epoch cadence triggers: any armed trigger closes the epoch") {
+    import graft.streaming.DrainEpoch._
+    val s = CadenceState(batches = 3, rows = 5000, bytes = 1 << 20, lastCloseWatermarkUs = 1000)
+    assert(shouldClose(Seq(Cadence.Batches(3)), s, 1000))
+    assert(!shouldClose(Seq(Cadence.Batches(4)), s, 1000))
+    assert(shouldClose(Seq(Cadence.Rows(5000)), s, 1000))
+    assert(shouldClose(Seq(Cadence.Bytes(1 << 20)), s, 1000))
+    assert(shouldClose(Seq(Cadence.WatermarkAdvance(500)), s, 1600))
+    assert(!shouldClose(Seq(Cadence.WatermarkAdvance(700)), s, 1600))
+    assert(shouldClose(Seq(Cadence.Batches(99), Cadence.Rows(5000)), s, 1000)) // any-of
+  }
+
   test("quarantine redacts PII columns with sha2, never plaintext") {
     val df = Seq((1L, "alice@example.com"), (2L, "bob@example.com"))
       .toDF("id", "email")
