@@ -26,6 +26,20 @@ class ConformanceSpec extends SparkSpec {
     assert(r1.packageHash == r2.packageHash) // across runs AND partition counts
   }
 
+  test("golden fixture: pinned package hash (identity must never drift silently)") {
+    // the golden-package discipline (cdf conformance golden/ fixtures):
+    // a fixed input must produce THIS hash, across runs, partition
+    // counts and refactors; changing manifest format/hashing is only
+    // legal with a deliberate update of this constant.
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha", 10.5), (2L, "beta", 20.25), (3L, "gamma", 30.75)
+    ).toDF("id", "name", "value")
+    val r = graft.pkg.PackageWriter.write(df.repartition(3), None, tmpDir(), "golden_r", "plan0")
+    assert(r.packageHash ==
+      "e43a446ba5411ea2fac72a1831c9c0b43d79077718e9713f610f326634161303")
+  }
+
   test("chaos: crash between propose and commit leaves a dangling proposal; resume settles it") {
     val base = tmpDir()
     val ledger = Ledger.at(base)
