@@ -37,4 +37,31 @@ class StatefulDedupSpec extends SparkSpec {
     assert(rows.sorted == Seq(
       ("k1", 2L, "b"), ("k1", 7L, "c"), ("k2", 5L, "x"), ("k3", 1L, "z")))
   }
+
+  test("stateful dedup runs on the RocksDB state store (the at-scale provider)") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Keyed]
+      val query = StatefulDedup(input.toDS()).writeStream
+        .format("memory").queryName("dedup_rocks")
+        .outputMode(OutputMode.Update())
+        .start()
+      input.addData(Keyed("a", 1, "x"), Keyed("a", 2, "y"))
+      query.processAllAvailable()
+      input.addData(Keyed("a", 2, "y"), Keyed("b", 1, "z")) // replay + new key
+      query.processAllAvailable()
+      query.stop()
+      val rows = spark.sql("SELECT key, position FROM dedup_rocks")
+        .as[(String, Long)].collect().toSeq.sorted
+      assert(rows == Seq(("a", 2L), ("b", 1L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
