@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Jdbc
+
+/** JDBC resource conformance against embedded Derby: pushdown,
+  * partitioned reads, stage+MERGE disposition, receipt probe. */
+class JdbcSpec extends SparkSpec {
+
+  private val conn = Jdbc.Conn("jdbc:derby:memory:graftdb;create=true")
+
+  test("jdbc roundtrip with predicate pushdown and partitioned parallel reads") {
+    val orders = graft.core.Tables(spark, sf(), "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Jdbc.createTable(conn,
+      "CREATE TABLE ORDERS_J (O_ORDERKEY BIGINT PRIMARY KEY, O_CUSTKEY BIGINT, O_TOTALPRICE DOUBLE)")
+    Jdbc.append(orders, conn, "ORDERS_J")
+
+    val back = Jdbc.read(spark, conn, "ORDERS_J")
+    assert(back.count() == orders.count())
+
+    // predicate pushdown reaches the JDBC scan (Exact fidelity)
+    val filtered = back.filter(col("O_TOTALPRICE") > 100000)
+    val scanPlan = filtered.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PushedFilters") && scanPlan.contains("O_TOTALPRICE"))
+    val truth = orders.filter(col("o_totalprice") > 100000).count()
+    assert(filtered.count() == truth)
+
+    // range-partitioned read: 4 cursors, union completeness
+    val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+    val part = Jdbc.readPartitioned(spark, conn, "ORDERS_J", "O_ORDERKEY", 0, maxKey, 4)
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.count() == orders.count())
+    assert(part.select("O_ORDERKEY").distinct().count() == orders.count())
+  }
+
+  test("merge disposition: stage table + SQL MERGE, idempotent, receipt probe") {
+    val base = graft.core.Tables(spark, sf(), "region")
+      .select(col("r_regionkey").cast("long").as("RK"), col("r_name").as("RNAME"))
+    Jdbc.createTable(conn,
+      "CREATE TABLE REGION_J (RK BIGINT PRIMARY KEY, RNAME VARCHAR(64))")
+    Jdbc.append(base, conn, "REGION_J")
+
+    import spark.implicits._
+    val stage = Seq((0L, "UPDATED"), (99L, "NEWROW")).toDF("RK", "RNAME")
+    Jdbc.mergeInto(stage, conn, "REGION_J", "RK")
+
+    val after = Jdbc.read(spark, conn, "REGION_J")
+    assert(after.count() == base.count() + 1) // one insert
+    assert(after.filter(col("RK") === 0).select("RNAME").as[String].head() == "UPDATED")
+    assert(after.filter(col("RK") === 99).count() == 1)
+
+    // replay the same stage: idempotent (merge, not append)
+    Jdbc.mergeInto(stage, conn, "REGION_J", "RK")
+    assert(Jdbc.countProbe(conn, "REGION_J") == base.count() + 1)
+  }
+}
