@@ -283,6 +283,55 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  val datasetMix: QueryDef = QueryDef.sqlBacked(
+    "q_dataset_mix",
+    """SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN keep
+      |    THEN len(regexp_split_to_array(trim(text), '\s+')) ELSE 0 END) AS BIGINT) AS sampled_tokens
+      |FROM (
+      |  SELECT source, text,
+      |    (doc_id % 100) < (CASE WHEN source IN ('src0','src1','src2') THEN 80
+      |                           WHEN source IN ('src3','src4') THEN 50
+      |                           ELSE 20 END) AS keep
+      |  FROM documents) t
+      |GROUP BY source ORDER BY source""".stripMargin,
+    doc = "Training-mixture sampling: per-source keep rates applied by a DETERMINISTIC id-derived " +
+      "coin (never rand() — replays select identical documents); reports doc + token budgets.") {
+    (s, d) =>
+      val rate = when(col("source").isin("src0", "src1", "src2"), 80)
+        .when(col("source").isin("src3", "src4"), 50)
+        .otherwise(20)
+      docs(s, d)
+        .withColumn("keep", (col("doc_id") % 100) < rate)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("keep"), size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+            .otherwise(0L)).as("sampled_tokens"))
+        .orderBy("source")
+  }
+
+  val shardPlan: QueryDef = QueryDef.sqlBacked(
+    "q_shard_plan",
+    """SELECT doc_id % 8 AS shard,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY doc_id % 8 ORDER BY shard""".stripMargin,
+    doc = "Deterministic shard assignment + per-shard token budgets — the write-side plan for " +
+      "tokenized training shards (id-derived, replay-stable).") { (s, d) =>
+    docs(s, d)
+      .groupBy((col("doc_id") % 8).as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.wsTokens(col("text"))).cast("long")).as("n_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+  }
+
   // ---------------------------------------------------------- similarity
 
   val cosineTopK: QueryDef = QueryDef.sqlBacked(
@@ -346,7 +395,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] = Seq(
     textFingerprint, dedupContentHash, tokenStats, textQuality, langIdQ,
-    wordFreq, tfidf, textClean, piiRedact,
+    wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
     ngramJaccard, minhashLsh, simhash,
     cosineTopK, annLsh, embedNearDup,
     multimodalMeta, multimodalFeatures)

@@ -74,6 +74,17 @@ object Jdbc {
     }
   }
 
+  /** Incremental cursor scan: the cursor predicate is pushed into the
+    * remote SQL as a dbtable subquery (Exact fidelity — the source
+    * evaluates it, nothing re-checked), reading only rows past the
+    * committed position. */
+  def readIncremental(spark: SparkSession, c: Conn, table: String,
+      cursorColumn: String, after: Long): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", c.url).option("driver", c.driver)
+      .option("dbtable", s"(SELECT * FROM $table WHERE $cursorColumn > $after) cursor_scan")
+      .load()
+
   /** Post-commit receipt probe: count via an independent connection. */
   def countProbe(c: Conn, table: String): Long = withConn(c) { conn =>
     val rs = conn.createStatement().executeQuery(s"SELECT COUNT(*) FROM $table")

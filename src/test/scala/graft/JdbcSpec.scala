@@ -55,4 +55,15 @@ class JdbcSpec extends SparkSpec {
     Jdbc.mergeInto(stage, conn, "REGION_J", "RK")
     assert(Jdbc.countProbe(conn, "REGION_J") == base.count() + 1)
   }
+
+  test("incremental cursor scan pushes the position predicate into the remote SQL") {
+    // reuses ORDERS_J from the roundtrip test (suite-ordered)
+    val orders = graft.core.Tables(spark, sf(), "orders")
+    val mid = orders.agg(org.apache.spark.sql.functions.expr("percentile_approx(o_orderkey, 0.5)"))
+      .head().getLong(0)
+    val inc = Jdbc.readIncremental(spark, conn, "ORDERS_J", "O_ORDERKEY", mid)
+    val truth = orders.filter(col("o_orderkey") > mid).count()
+    assert(inc.count() == truth)
+    assert(inc.agg(org.apache.spark.sql.functions.min("O_ORDERKEY")).head().getLong(0) > mid)
+  }
 }
