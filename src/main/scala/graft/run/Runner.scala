@@ -93,24 +93,33 @@ object Runner {
       pkgDir: String, destDir: String, ledger: Ledger): RunResult = {
 
     // 0. schema fingerprint + admission against the authority — drift
-    //    is caught at the batch where it occurs (cdf VISION.md:681)
+    //    is caught at the batch where it occurs (cdf VISION.md:681).
+    //    New columns admitted-as-variant are MOVED into the _cdf_variant
+    //    JSON column so the authority schema stays stable downstream.
     val fingerprint = graft.contract.SchemaOps.fingerprint(source.schema)
-    cfg.authority.foreach { auth =>
-      graft.contract.SchemaOps.admit(auth, source.schema) match {
-        case graft.contract.SchemaOps.AdmissionVerdict.RejectBatch(reason) =>
-          throw graft.core.GraftError.Data(s"schema admission rejected batch: $reason")
-        case _ => // Admit / AdmitAsVariant / Quarantine proceed; variant
-                  // capture is a transform decision recorded by policy
-      }
+    val admitted = cfg.authority match {
+      case None => source
+      case Some(auth) =>
+        graft.contract.SchemaOps.admit(auth, source.schema) match {
+          case graft.contract.SchemaOps.AdmissionVerdict.RejectBatch(reason) =>
+            throw graft.core.GraftError.Data(s"schema admission rejected batch: $reason")
+          case graft.contract.SchemaOps.AdmissionVerdict.Quarantine(reason) =>
+            throw graft.core.GraftError.Data(s"schema admission quarantined batch: $reason")
+          case graft.contract.SchemaOps.AdmissionVerdict.AdmitAsVariant(newCols) =>
+            source.withColumn(graft.contract.NestedActions.VariantColumn,
+              to_json(struct(newCols.map(col): _*)))
+              .drop(newCols: _*)
+          case graft.contract.SchemaOps.AdmissionVerdict.Admit => source
+        }
     }
 
     // 1. validate: one classifying projection, then two filters; the
     //    depth ring decides full-frame vs seeded-sample validation
     val program = ValidationProgram.compile(cfg.policy)
-    val validationInput = graft.contract.DepthController.validationInput(source, cfg.depthRing)
+    val validationInput = graft.contract.DepthController.validationInput(admitted, cfg.depthRing)
     val accepted0 =
-      if (validationInput eq source) program.accepted(source)
-      else source // sampled ring: checks ran on the sample; full frame flows
+      if (validationInput eq admitted) program.accepted(admitted)
+      else admitted // sampled ring: checks ran on the sample; full frame flows
     val quarantined = program.quarantined(validationInput, cfg.redactColumns)
 
     // 2. normalize (rename/cast/derive/filter/redact pipeline)
@@ -128,7 +137,7 @@ object Runner {
     // 3b. segmentation: plan from targets, record beside the package
     //     (outside identity — jobs invariance)
     val (segmentedDf, segRecording) = graft.core.Segmentation.segmented(
-      deduped, source.count(), cfg.approxRowBytes)
+      deduped, admitted.count(), cfg.approxRowBytes)
     graft.core.Segmentation.writeRecording(pkgDir, segRecording)
 
     // 4. package evidence (hash-addressed, partition-invariant)

@@ -56,6 +56,29 @@ class IncrementalRunSpec extends SparkSpec {
     assert(pos2.value > pos1.value)
   }
 
+  test("drift admitted-as-variant: new columns captured into _cdf_variant, authority schema kept") {
+    val base = tmpDir()
+    val source = graft.core.Tables(spark, sf(), "region")
+      .withColumn("surprise_col", concat(lit("v"), col("r_regionkey")))
+    val authority = graft.core.Tables(spark, sf(), "region").schema
+    val cfg = Runner.RunConfig(
+      descriptor = Descriptor.ResourceDescriptor(
+        id = "region_drift", schemaSource = Descriptor.SchemaSource.Discover,
+        primaryKey = Seq("r_regionkey"), cursor = None,
+        disposition = Descriptor.Disposition.Append),
+      policy = ContractPolicy(Nil),
+      authority = Some(authority))
+    val r = Runner.run(spark, cfg, source, s"$base/pkg", s"$base/dest", Ledger.at(base))
+    assert(r.committed)
+    val dest = spark.read.parquet(s"$base/dest")
+    assert(!dest.columns.contains("surprise_col"))
+    assert(dest.columns.contains(graft.contract.NestedActions.VariantColumn))
+    import spark.implicits._
+    val v = dest.filter(col("r_regionkey") === 0)
+      .select(graft.contract.NestedActions.VariantColumn).as[String].head()
+    assert(v.contains("\"surprise_col\":\"v0\""))
+  }
+
   test("schema admission: authority mismatch rejects the batch with a typed Data error") {
     val base = tmpDir()
     val source = graft.core.Tables(spark, sf(), "region")
