@@ -88,5 +88,19 @@ class ResourceSqlSpec extends SparkSpec {
     import spark.implicits._
     assert(df.select("id").as[Long].collect().sorted.toSeq == (1L to 25L))
     assert(pos.isDefined)
+
+    // incremental resume through the ledger: commit the position, then a
+    // second drain fetches only what the stored position permits
+    val base = tmpDir()
+    val ledger = graft.core.Ledger.at(base)
+    ledger.propose("rest_r", "root", "pkg1", Some(Position.Cursor("offset", 20)))
+    ledger.commit("rest_r", "root", "pkg1", "{}")
+    val resume = ledger.resumePosition("rest_r", "root")
+    val (df2, _) = RestSource.read(spark, Paginators.Offset(10), req => {
+      val o = req.params("offset").toInt
+      val slice = all.slice(o, o + 10)
+      Paginators.PageResponse(if (slice.isEmpty) Nil else Seq(page(slice)))
+    }, "$.items", schema, resume)
+    assert(df2.select("id").as[Long].collect().sorted.toSeq == (21L to 25L))
   }
 }
