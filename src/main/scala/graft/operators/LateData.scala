@@ -1,7 +1,7 @@
 package graft.operators
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Explicit 3-way late-data split (cdf: crates/cdf-engine/src/
@@ -49,6 +49,4 @@ object LateData {
     if (row.isNullAt(0)) None
     else Some(new Timestamp(row.getTimestamp(0).getTime - lagMs))
   }
-
-  def colMax(df: DataFrame, c: String): Column = max(col(c))
 }

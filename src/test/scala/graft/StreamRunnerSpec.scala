@@ -60,4 +60,31 @@ class StreamRunnerSpec extends SparkSpec {
       assert(ledger.committedHead("ev_stream", s"stream:ev_stream/epoch:${e.epoch}").isDefined)
     }
   }
+
+  test("native session windows over a stream match the batch sessionizer's session count") {
+    // streaming counterpart of q_sessionize: Spark's session_window with
+    // the same 1h gap must produce the same number of (user, session)
+    // groups as the batch lag/cumsum formulation
+    val events = graft.core.Tables(spark, sf(), "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "ts", "user_id")
+    val srcDir = s"${tmpDir()}/events"
+    events.coalesce(1).write.parquet(srcDir)
+
+    val stream = spark.readStream.schema(events.schema).parquet(srcDir)
+    val agg = stream
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .count()
+    val q = agg.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamingSessions = spark.sql("SELECT COUNT(*) FROM sessions_out").head().getLong(0)
+    val batchSessions = graft.operators.Sessionize.summarize(
+      events.withColumn("ts_us", expr("unix_micros(ts)")).select("user_id", "ts_us", "event_id"),
+      Seq("user_id"), "ts_us", "event_id", gapUs = 3600000000L).count()
+    assert(streamingSessions == batchSessions)
+  }
 }
