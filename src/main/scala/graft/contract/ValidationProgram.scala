@@ -102,4 +102,19 @@ object ValidationProgram {
 
   def compile(policy: ContractPolicy): ValidationProgram =
     new ValidationProgram(policy, policy.rules.map(r => r -> compileRule(r)))
+
+  /** Schema-aware compilation with a missing-column policy
+    * (cdf: program.rs:146-200 `missing_column: Error|Skip`): rules over
+    * columns absent from the observed schema either fail compilation
+    * (Error — the contract cannot be evaluated honestly) or are
+    * skipped with the skip recorded. */
+  def compileFor(schema: org.apache.spark.sql.types.StructType, policy: ContractPolicy,
+      missingColumns: String = "error"): Either[String, (ValidationProgram, Seq[String])] = {
+    val present = schema.fieldNames.toSet
+    val (ok, missing) = policy.rules.partition(r => present.contains(r.column))
+    if (missing.nonEmpty && missingColumns == "error")
+      Left(s"rules over missing columns: ${missing.map(r => s"${r.id}(${r.column})").mkString(", ")}")
+    else
+      Right((compile(policy.copy(rules = ok)), missing.map(_.id)))
+  }
 }

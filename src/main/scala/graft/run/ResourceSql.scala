@@ -105,6 +105,29 @@ object ResourceSql {
     }
   }
 
+  /** Immutable compiled-plan artifact (cdf: `.cdf/compiled/
+    * <resource>@<hash>.json`, docs/architecture.md:28-33): canonical
+    * JSON of the envelope + body, content-addressed by its own hash so
+    * a resource's compilation is reproducible evidence. */
+  def writeCompiled(c: Compiled, dir: String): (String, String) = {
+    import graft.core.CanonicalJson._
+    val json = JObj.of(
+      "resource" -> JStr(c.descriptor.id),
+      "disposition" -> JStr(c.descriptor.disposition.toString),
+      "primary_key" -> JArr(c.descriptor.primaryKey.map(JStr)),
+      "cursor" -> c.descriptor.cursor.map(cs => JObj.of(
+        "field" -> JStr(cs.field), "lag_ms" -> JInt(cs.lagMs)): J).getOrElse(JNull),
+      "trust" -> JStr(c.trust.toString),
+      "bounded" -> JBool(c.bounded),
+      "select" -> JStr(c.selectSql))
+    val rendered = render(json)
+    val hash = sha256Hex(rendered).take(16)
+    val path = java.nio.file.Paths.get(dir, s"${c.descriptor.id.replace('.', '_')}@$hash.json")
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.writeString(path, rendered)
+    (path.toString, hash)
+  }
+
   /** Compile + execute the admitted body against registered views. */
   def query(spark: SparkSession, text: String): Either[String, org.apache.spark.sql.DataFrame] =
     compile(spark, text).map(c => spark.sql(c.selectSql))

@@ -96,6 +96,55 @@ class ContractSpec extends SparkSpec {
     assert(vals.forall(v => v.length == 64 && !v.contains("@")))
   }
 
+  test("schema-aware compile: missing-column rules error or skip per policy") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.DoubleType)))
+    val policy = ContractPolicy(Seq(
+      RowRule.Range("r_a", "a", 0, 1),
+      RowRule.Nullability("r_ghost", "ghost")))
+    assert(ValidationProgram.compileFor(schema, policy).isLeft) // default: error
+    val Right((program, skipped)) =
+      ValidationProgram.compileFor(schema, policy, missingColumns = "skip")
+    assert(skipped == Seq("r_ghost"))
+    assert(program.ruleCols.map(_._1.id) == Seq("r_a"))
+  }
+
+  test("field metadata (cdf:semantic etc.) survives the package write/read boundary") {
+    import org.apache.spark.sql.types._
+    val meta = new MetadataBuilder()
+      .putString("cdf:semantic", "cdf.pii@1(class=\"email\")")
+      .putString("cdf:source_name", "Email_Address")
+      .putString("cdf:null_origin", "declared").build()
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, "a@b.c")),
+      StructType(Seq(StructField("id", LongType),
+        StructField("email", StringType, nullable = true, meta))))
+    val dir = tmpDir()
+    graft.pkg.PackageWriter.write(df, None, dir, "meta_r", "p")
+    val back = spark.read.parquet(s"$dir/data")
+    val got = back.schema("email").metadata
+    assert(got.getString("cdf:semantic").contains("cdf.pii@1"))
+    assert(got.getString("cdf:source_name") == "Email_Address")
+    assert(got.getString("cdf:null_origin") == "declared")
+  }
+
+  test("compiled-plan artifact: content-addressed, reproducible") {
+    graft.core.Tables.registerAll(spark, sf())
+    val text =
+      """RESOURCE
+        |TARGET t.orders
+        |DISPOSITION APPEND
+        |EXECUTION BOUNDED
+        |AS SELECT o_orderkey FROM orders WHERE o_totalprice > 10""".stripMargin
+    val c = graft.run.ResourceSql.compile(spark, text).toOption.get
+    val dir = tmpDir()
+    val (p1, h1) = graft.run.ResourceSql.writeCompiled(c, dir)
+    val (p2, h2) = graft.run.ResourceSql.writeCompiled(c, dir)
+    assert(h1 == h2 && p1 == p2) // reproducible, content-addressed
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(p1)).contains("\"resource\":\"t.orders\""))
+  }
+
   test("namecase-v1: deterministic normalization + collision is a plan error") {
     assert(Namecase.normalize("CamelCaseCol") == "camel_case_col")
     assert(Namecase.normalize("weird col-name!") == "weird_col_name")
