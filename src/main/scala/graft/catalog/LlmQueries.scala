@@ -370,6 +370,40 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  val embedQuantize: QueryDef = QueryDef.sqlBacked(
+    "q_embed_quantize",
+    """SELECT vec_id,
+      |  round(mn, 6) AS mn_r, round(mx, 6) AS mx_r,
+      |  codes[1] AS c0, codes[2] AS c1, codes[32] AS c31, codes[64] AS c63,
+      |  CAST(list_sum(codes) AS BIGINT) AS code_sum
+      |FROM (
+      |  SELECT vec_id,
+      |    list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+      |    list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mx,
+      |    list_transform(embedding, x -> CAST(floor(
+      |      (CAST(x AS DOUBLE) - list_min(list_transform(embedding, y -> CAST(y AS DOUBLE))))
+      |      * 255.0 /
+      |      (list_max(list_transform(embedding, y -> CAST(y AS DOUBLE)))
+      |       - list_min(list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS INTEGER)) AS codes
+      |  FROM embeddings) t
+      |ORDER BY vec_id""".stripMargin,
+    doc = "Int8 scalar quantization of embeddings (the ANN storage-compression path): per-vector " +
+      "min/max affine codes via floor — identical double arithmetic both engines, so even the " +
+      "codes are bit-exact. Sampled code positions + code_sum oracle-checked.") { (s, d) =>
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val mn = array_min(embD)
+    val mx = array_max(embD)
+    val codes = transform(embD, x => floor((x - mn) * 255.0 / (mx - mn)).cast("int"))
+    t(s, d, "embeddings")
+      .select(col("vec_id"), mn.as("mn"), mx.as("mx"), codes.as("codes"))
+      .select(col("vec_id"),
+        round(col("mn"), 6).as("mn_r"), round(col("mx"), 6).as("mx_r"),
+        element_at(col("codes"), 1).as("c0"), element_at(col("codes"), 2).as("c1"),
+        element_at(col("codes"), 32).as("c31"), element_at(col("codes"), 64).as("c63"),
+        aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"))
+      .orderBy("vec_id")
+  }
+
   // ----------------------------------------------------------- multimodal
 
   val multimodalMeta: QueryDef = QueryDef.sqlBacked(
@@ -397,6 +431,6 @@ object LlmQueries {
     textFingerprint, dedupContentHash, tokenStats, textQuality, langIdQ,
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
     ngramJaccard, minhashLsh, simhash,
-    cosineTopK, annLsh, embedNearDup,
+    cosineTopK, annLsh, embedNearDup, embedQuantize,
     multimodalMeta, multimodalFeatures)
 }
