@@ -73,6 +73,25 @@ object PropertySuite extends Properties("graft") {
       }
     }
 
+  property("topk aggregator: merge order never changes the result (partial-agg correctness)") = {
+    import graft.functions.{Scored, TopKAgg, TopKBuf}
+    val agg = new TopKAgg(3)
+    val scoredGen = Gen.zip(Gen.chooseNum(0.0, 100.0), Gen.chooseNum(0L, 50L))
+      .map { case (v, i) => Scored(v, i) }
+    forAll(Gen.listOf(scoredGen), Gen.listOf(scoredGen)) { (xs, ys) =>
+      val all = (xs ++ ys).foldLeft(agg.zero)(agg.reduce)
+      val split = agg.merge(
+        xs.foldLeft(agg.zero)(agg.reduce),
+        ys.foldLeft(agg.zero)(agg.reduce))
+      val flipped = agg.merge(
+        ys.foldLeft(agg.zero)(agg.reduce),
+        xs.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(all) == agg.finish(split) &&
+        agg.finish(split) == agg.finish(flipped) &&
+        agg.finish(all).length <= 3
+    }
+  }
+
   property("file-manifest merge: union by path, latest wins, idempotent") =
     forAll(Gen.listOf(Gen.zip(Gen.oneOf("a", "b", "c", "d"),
         Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 1000L)))) { entries =>
