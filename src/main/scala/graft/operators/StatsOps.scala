@@ -31,6 +31,16 @@ object StatsOps {
         max(col(c)).as(s"${c}__max"))
     }
 
+  /** In-flight stats via `Dataset.observe` (cdf batch stats computed
+    * DURING the load, not as a second pass — SURVEY §2.5 "or
+    * `Dataset.observe()` with custom metrics"): attach to any plan and
+    * the metrics materialize as a by-product of whatever action runs. */
+  def observed(df: DataFrame, cols: Seq[String]): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = statsAggs(df, cols)
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** Whole-frame stats: one row, `row_count` + per-col nulls/min/max. */
   def batchStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = statsAggs(df, cols)

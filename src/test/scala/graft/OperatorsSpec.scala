@@ -57,6 +57,28 @@ class OperatorsSpec extends SparkSpec {
     assert(a.intersect(r).count() == 0)
   }
 
+  test("observe-based stats materialize as a by-product of the write, no second pass") {
+    val li = graft.core.Tables(spark, sf(), "lineitem")
+    val (observed, obs) = StatsOps.observed(li, Seq("l_quantity"))
+    observed.write.format("noop").mode("overwrite").save() // the only action
+    val m = obs.get
+    assert(m("row_count") == li.count())
+    assert(m("l_quantity__min") == 1.0 && m("l_quantity__max") == 50.0)
+    assert(m("l_quantity__nulls") == 0L)
+  }
+
+  test("zstd-compressed parquet round-trips (columnar codec path)") {
+    val dir = tmpDir()
+    val df = graft.core.Tables(spark, sf(), "nation")
+    df.write.option("compression", "zstd").parquet(s"$dir/z")
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == df.count())
+    assert(back.except(df).count() == 0)
+    // the files really are zstd-compressed
+    val f = new java.io.File(s"$dir/z").listFiles().find(_.getName.endsWith(".parquet")).get
+    assert(f.getName.contains("zstd"))
+  }
+
   test("segment pruning conservatively retains missing stats") {
     val stats = Seq(
       (0L, Some(1.0), Some(10.0)),
