@@ -35,6 +35,11 @@ object PagedRegistry {
   final case class Entry(schema: StructType, partitions: Seq[Seq[Row]], fid: Fid)
   private val tables = TrieMap.empty[String, Entry]
   def register(name: String, e: Entry): Unit = tables.put(name, e)
+  /** append rows (the streaming log grows; readers pick them up next trigger). */
+  def append(name: String, rows: Seq[Row]): Unit = {
+    val e = get(name)
+    tables.put(name, e.copy(partitions = e.partitions :+ rows))
+  }
   def get(name: String): Entry = tables.getOrElse(name,
     throw new IllegalArgumentException(s"unknown paged table: $name"))
 }
@@ -53,7 +58,7 @@ final class PagedTable(name: String) extends Table with SupportsRead {
   override def name(): String = s"paged:$name"
   override def schema(): StructType = entry.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(name, entry)
 }
@@ -109,6 +114,9 @@ final class PagedScan(name: String, entry: PagedRegistry.Entry,
 
   override def readSchema(): StructType = projection
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PagedMicroBatchStream(name)
   override def description(): String =
     s"PagedScan($name, pushed=${pushed.mkString(",")}, " +
       s"inexact=${inexact.mkString(",")}, limit=$limit)"
