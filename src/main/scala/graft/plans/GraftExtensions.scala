@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           "graft.functions.MinHashSigExpr", "graft_minhash16"),
         (exprs: Seq[Expression]) => graft.functions.MinHashSigExpr(exprs.head, 16)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngrams5"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.WordNgramsExpr", "graft_ngrams5"),
+        (exprs: Seq[Expression]) => graft.functions.WordNgramsExpr(exprs.head, 5)))
   }
 }
 

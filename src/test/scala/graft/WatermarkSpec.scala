@@ -31,4 +31,20 @@ class WatermarkSpec extends AnyFunSuite {
     assert(through(Some(100L), Behavior.Drop).isEmpty)
     assert(through(None, Behavior.Transform(5)).isEmpty)
   }
+
+  test("settlement units: byte/op ceilings never split a transaction") {
+    import graft.streaming.Settlement._
+    val p = Policy(maxOps = 10, maxBytes = 1000)
+    val txns = Seq(Txn(1, 4, 300), Txn(2, 4, 300), Txn(3, 4, 300),
+      Txn(4, 50, 5000), // oversized: must be its own unit, never split
+      Txn(5, 2, 100), Txn(6, 2, 100))
+    val units = pack(txns, p)
+    assert(validate(txns, units, p))
+    assert(units(0) == Seq(Txn(1, 4, 300), Txn(2, 4, 300))) // 3rd would exceed ops? 12>10
+    assert(units.exists(_.== (Seq(Txn(4, 50, 5000))))) // oversized alone
+    // order preserved end-to-end
+    assert(units.flatten.map(_.txId) == txns.map(_.txId))
+    // commit order is a law
+    intercept[IllegalArgumentException](pack(Seq(Txn(2, 1, 1), Txn(1, 1, 1)), p))
+  }
 }
