@@ -299,7 +299,50 @@ object AnalyticsQueries {
       approx_count_distinct(col("l_partkey")).as("approx_parts"))
   }
 
+  val histogram: QueryDef = QueryDef.sqlBacked(
+    "q_histogram",
+    """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    doc = "Fixed-width histogram via floor-bucketing (exact, engine-portable binning).") { (s, d) =>
+    t(s, d, "orders")
+      .groupBy(floor(col("o_totalprice") / 25000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("bucket")
+  }
+
+  val cubeAgg: QueryDef = QueryDef.sqlBacked(
+    "q_cube",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin,
+    doc = "Full cube over two dimensions (grouping-sets family, beyond rollup).") { (s, d) =>
+    t(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("n"))
+      .orderBy("flag", "status")
+  }
+
+  val stringAgg: QueryDef = QueryDef.sqlBacked(
+    "q_string_agg",
+    """SELECT o_orderstatus,
+      |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    doc = "Ordered string aggregation (deterministic: distinct + sorted before join).") { (s, d) =>
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    histogram, cubeAgg, stringAgg,
     semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
     asofJoin, sessionize, rangeJoin, topKAgg, dedupFailEvidence, approxDistinct)
