@@ -299,6 +299,21 @@ object AnalyticsQueries {
       approx_count_distinct(col("l_partkey")).as("approx_parts"))
   }
 
+  val outerJoin: QueryDef = QueryDef.sqlBacked(
+    "q_outer_join",
+    """SELECT n_name, CAST(COUNT(c_custkey) AS BIGINT) AS n_customers,
+      |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_rows
+      |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    doc = "Left outer join with null-skipping COUNT — outer-join null semantics coverage.") { (s, d) =>
+    t(s, d, "nation")
+      .join(t(s, d, "customer"), col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy("n_name")
+      .agg(count(col("c_custkey")).as("n_customers"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("null_rows"))
+      .orderBy("n_name")
+  }
+
   val histogram: QueryDef = QueryDef.sqlBacked(
     "q_histogram",
     """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
@@ -342,7 +357,7 @@ object AnalyticsQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    histogram, cubeAgg, stringAgg,
+    outerJoin, histogram, cubeAgg, stringAgg,
     semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
     asofJoin, sessionize, rangeJoin, topKAgg, dedupFailEvidence, approxDistinct)

@@ -92,6 +92,16 @@ object PropertySuite extends Properties("graft") {
     }
   }
 
+  property("settlement packing: order preserved, txns never split, ceilings respected") = {
+    import graft.streaming.Settlement._
+    val txnsGen = Gen.listOf(Gen.zip(Gen.chooseNum(1, 20), Gen.chooseNum(1L, 2000L)))
+      .map(_.zipWithIndex.map { case ((ops, bytes), i) => Txn(i.toLong, ops, bytes) })
+    forAll(txnsGen, Gen.chooseNum(5, 50), Gen.chooseNum(500L, 5000L)) { (txns, maxOps, maxBytes) =>
+      val p = Policy(maxOps, maxBytes)
+      validate(txns, pack(txns, p), p)
+    }
+  }
+
   property("file-manifest merge: union by path, latest wins, idempotent") =
     forAll(Gen.listOf(Gen.zip(Gen.oneOf("a", "b", "c", "d"),
         Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 1000L)))) { entries =>
