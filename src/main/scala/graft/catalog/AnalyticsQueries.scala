@@ -299,6 +299,48 @@ object AnalyticsQueries {
       approx_count_distinct(col("l_partkey")).as("approx_parts"))
   }
 
+  val exactMedian: QueryDef = QueryDef.sqlBacked(
+    "q_exact_median",
+    """SELECT l_returnflag, val AS median_qty FROM (
+      |  SELECT l_returnflag, l_quantity AS val,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem) t
+      |WHERE rn = (n + 1) // 2
+      |ORDER BY l_returnflag""".stripMargin,
+    doc = "Exact (lower) median via rank selection — engine-portable, unlike interpolating " +
+      "percentile built-ins whose algorithms differ.") { (s, d) =>
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    t(s, d, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("l_returnflag"), col("l_quantity").as("median_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val modeAgg: QueryDef = QueryDef.sqlBacked(
+    "q_mode",
+    """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (
+      |  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+      |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+    doc = "Mode (most frequent value) per group with deterministic tie-break.") { (s, d) =>
+    val counted = t(s, d, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    counted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
   val outerJoin: QueryDef = QueryDef.sqlBacked(
     "q_outer_join",
     """SELECT n_name, CAST(COUNT(c_custkey) AS BIGINT) AS n_customers,
@@ -357,7 +399,7 @@ object AnalyticsQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    outerJoin, histogram, cubeAgg, stringAgg,
+    exactMedian, modeAgg, outerJoin, histogram, cubeAgg, stringAgg,
     semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
     asofJoin, sessionize, rangeJoin, topKAgg, dedupFailEvidence, approxDistinct)
