@@ -46,14 +46,6 @@ final class Ledger(path: Path) {
       "position" -> e.position.map(JStr(_): J).getOrElse(JNull),
       "receipt" -> e.receipt.map(JStr(_): J).getOrElse(JNull)))
 
-  private def field(line: String, k: String): Option[String] = {
-    val m = ("\"" + k + "\":(\"(?:[^\"\\\\]|\\\\.)*\"|-?\\d+|null)").r.findFirstMatchIn(line)
-    m.map(_.group(1)).filter(_ != "null")
-      .map(v => if (v.startsWith("\""))
-        v.substring(1, v.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
-      else v)
-  }
-
   def entries(): Seq[Entry] =
     if (!Files.exists(path)) Vector.empty
     else {
@@ -61,14 +53,25 @@ final class Ledger(path: Path) {
         Files.lines(path, StandardCharsets.UTF_8).iterator()).asScala
         .filter(_.nonEmpty)
         .map { l =>
-          Entry(
-            field(l, "seq").get.toLong,
-            field(l, "resource").get,
-            field(l, "scope").get,
-            field(l, "state").get,
-            field(l, "package_hash").get,
-            field(l, "position"),
-            field(l, "receipt"))
+          // structural parse (full unescape incl. \n \r \t \uXXXX),
+          // symmetric with renderEntry/CanonicalJson.esc — receipts and
+          // positions containing control characters round-trip exactly
+          val f = objFields(parse(l))
+          def str(k: String): String = f(k) match {
+            case JStr(v) => v
+            case other => throw new IllegalArgumentException(s"ledger field $k: $other")
+          }
+          def optStr(k: String): Option[String] = f.get(k) match {
+            case Some(JStr(v)) => Some(v)
+            case Some(JNull) | None => None
+            case Some(other) => throw new IllegalArgumentException(s"ledger field $k: $other")
+          }
+          def long(k: String): Long = f(k) match {
+            case JInt(v) => v
+            case other => throw new IllegalArgumentException(s"ledger field $k: $other")
+          }
+          Entry(long("seq"), str("resource"), str("scope"), str("state"),
+            str("package_hash"), optStr("position"), optStr("receipt"))
         }.toVector
     }
 

@@ -88,21 +88,43 @@ object Position {
       s"cannot merge positions of kinds ${a.kind} and ${b.kind}")
   }
 
-  def fromJson(s: String): Position = {
-    // minimal parser over our own canonical output (flat objects only)
-    def field(k: String): Option[String] = {
-      val m = ("\"" + k + "\":(\"(?:[^\"\\\\]|\\\\.)*\"|-?\\d+)").r.findFirstMatchIn(s)
-      m.map(_.group(1)).map(v => if (v.startsWith("\"")) v.substring(1, v.length - 1) else v)
+  def fromJson(s: String): Position = fromJ(CanonicalJson.parse(s))
+
+  /** Structural decode — total inverse of `toJson` over every kind,
+    * including nested `composite` and `file_manifest` (cdf positions
+    * round-trip through the checkpoint store losslessly;
+    * position.rs:1-721). A flat regex would mis-read nested JSON —
+    * e.g. return one partition's cursor as the whole composite. */
+  def fromJ(j: J): Position = {
+    val f = CanonicalJson.objFields(j)
+    def str(k: String): String = f(k) match {
+      case JStr(v) => v
+      case other => throw new IllegalArgumentException(s"position field $k: expected string, got $other")
     }
-    field("kind") match {
-      case Some("cursor") => Cursor(field("field").get, field("value").get.toLong)
-      case Some("postgres_commit") =>
-        PostgresCommit(field("commit_lsn").get.toLong, field("end_lsn").get.toLong, field("xid").get.toLong)
-      case Some("mysql_commit") =>
-        MySqlCommit(field("binlog_file").get, field("end_log_position").get.toLong, field("gtids").get)
-      case Some("page_token") => PageToken(field("token").get)
-      case Some("foreign_state") => ForeignState(field("format").get, field("blob").get)
-      case other => throw new IllegalArgumentException(s"unsupported position json: $other")
+    def long(k: String): Long = f(k) match {
+      case JInt(v) => v
+      case other => throw new IllegalArgumentException(s"position field $k: expected int, got $other")
+    }
+    str("kind") match {
+      case "cursor" => Cursor(str("field"), long("value"))
+      case "postgres_commit" => PostgresCommit(long("commit_lsn"), long("end_lsn"), long("xid"))
+      case "mysql_commit" => MySqlCommit(str("binlog_file"), long("end_log_position"), str("gtids"))
+      case "page_token" => PageToken(str("token"))
+      case "foreign_state" => ForeignState(str("format"), str("blob"))
+      case "file_manifest" =>
+        val files = f("files") match {
+          case JArr(vs) => vs.map { e =>
+            val ef = CanonicalJson.objFields(e)
+            def es(k: String) = ef(k).asInstanceOf[JStr].v
+            def el(k: String) = ef(k).asInstanceOf[JInt].v
+            FileEntry(es("path"), el("size"), el("mtime_ms"))
+          }
+          case other => throw new IllegalArgumentException(s"file_manifest files: expected array, got $other")
+        }
+        FileManifest(files)
+      case "composite" =>
+        Composite(f.collect { case (k, v) if k != "kind" => k -> fromJ(v) })
+      case other => throw new IllegalArgumentException(s"unsupported position kind: $other")
     }
   }
 }

@@ -146,16 +146,19 @@ object Runner {
 
     val scope = Descriptor.ScopeKey.Root.render
 
-    // replay identity: same package hash already committed → duplicate
-    val alreadyCommitted = ledger.committedHead(cfg.descriptor.id, scope)
-      .exists(_.packageHash == pkg.packageHash)
-    if (alreadyCommitted) {
-      val head = ledger.committedHead(cfg.descriptor.id, scope).get
+    // replay identity: same package hash committed ANYWHERE in this
+    // scope's history → duplicate, nothing re-executed. Head-only would
+    // re-run the destination write (duplicating rows under Append) for
+    // a package that is no longer the head but was already delivered.
+    val priorCommit = ledger.entries().reverse.find(e =>
+      e.resource == cfg.descriptor.id && e.scope == scope &&
+        e.state == "committed" && e.packageHash == pkg.packageHash)
+    priorCommit.foreach { prior =>
       return RunResult(pkg.packageHash, pkg.rows, pkg.quarantined,
         PackageWriter.Receipt("parquet:" + destDir, pkg.rows, PackageWriter.contentHash(
           spark.read.parquet(s"$pkgDir/data"))),
         committed = true, duplicate = true,
-        head.position.map(Position.fromJson),
+        prior.position.map(Position.fromJson),
         schemaFingerprint = fingerprint, segments = segRecording.segments)
     }
 
@@ -194,14 +197,24 @@ object Runner {
           catch { case _: Exception => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], packaged.schema) }
         val merged = MergeOps.upsert(base, packaged, keys)
-        // replace-by-swap: write temp, then atomic move (never delete-then-insert)
+        // replace-by-swap with no missing-table window: write temp, move
+        // the current dest ASIDE (rename, atomic on HDFS/posix), move temp
+        // into place, then delete the old generation. A crash between the
+        // two renames leaves dest.__old intact for recovery — never a
+        // state with no destination at all.
         val tmp = s"$destDir.__swap"
         merged.write.mode("overwrite").parquet(tmp)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val destPath = new org.apache.hadoop.fs.Path(destDir)
-        fs.delete(destPath, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), destPath)
+        val oldPath = new org.apache.hadoop.fs.Path(s"$destDir.__old")
+        fs.delete(oldPath, true) // clear any leftover from a prior crash
+        val hadPrior = fs.exists(destPath)
+        if (hadPrior) require(fs.rename(destPath, oldPath),
+          s"swap failed: could not move $destPath aside")
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), destPath),
+          s"swap failed: could not move $tmp into place")
+        if (hadPrior) fs.delete(oldPath, true)
       case Descriptor.Disposition.CdcApply(keys, opCol) =>
         val applied = MergeOps.cdcApply(packaged, keys, opCol,
           if (cfg.orderColumns.nonEmpty) cfg.orderColumns else keys)

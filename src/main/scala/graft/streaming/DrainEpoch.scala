@@ -75,15 +75,21 @@ object DrainEpoch {
     var carryover: Option[DataFrame] = None
     var frontier: Option[Long] = None
     val results = Seq.newBuilder[EpochResult]
+    var lastWm: Timestamp = null
+    var epochsRun = 0
 
     batches.zip(watermarks).zipWithIndex.take(cfg.maxEpochs).foreach {
       case ((batch, wm), epoch) =>
-        // previous epoch's recaptured rows re-enter this epoch (RECAPTURE
-        // action — cdf late_data.rs; they are re-classified under the
-        // new watermark, so repeated lateness eventually quarantines)
-        val input = carryover.map(batch.unionByName(_)).getOrElse(batch)
-        val (admit, recapture, quarantine) =
-          LateData.split(input, cfg.eventTimeCol, wm, cfg.graceMs)
+        // Only the NEW batch is classified against the (monotone) watermark.
+        // The previous epoch's recaptured rows are admitted into THIS
+        // epoch's package directly (cdf orchestration.rs:3845-3978 feeds
+        // carryover into the next epoch's package as admitted rows):
+        // re-classifying them against a watermark that only advances would
+        // cycle recapture→quarantine and never deliver within-grace data.
+        val (admitNew, recapture, quarantine) =
+          LateData.split(batch, cfg.eventTimeCol, wm, cfg.graceMs)
+        val admit = carryover.map(admitNew.unionByName(_)).getOrElse(admitNew)
+        lastWm = wm
 
         val pkgDir = s"$outDir/epoch_$epoch"
         val pkg = PackageWriter.write(admit, Some(quarantine), pkgDir,
@@ -113,10 +119,34 @@ object DrainEpoch {
 
         val rec = recapture.persist()
         val recCount = rec.count()
+        carryover.foreach(_.unpersist()) // consumed into this epoch's package
         carryover = if (recCount > 0) Some(rec) else { rec.unpersist(); None }
 
         results += EpochResult(epoch, wm, pkg.rows, recCount,
           pkg.quarantined, pkg.packageHash, frontier)
+        epochsRun += 1
+    }
+
+    // Drain end: recaptured rows from the final epoch must never be
+    // dropped (cdf orchestration.rs:3845-3978 — carryover is delivered,
+    // not discarded). Flush them as one final admitted package, settled
+    // through the ledger like any epoch.
+    carryover.foreach { rest =>
+      val epoch = epochsRun
+      val pkgDir = s"$outDir/epoch_$epoch"
+      val pkg = PackageWriter.write(rest, None, pkgDir, cfg.resource,
+        planHash = s"epoch-$epoch-carryover-flush")
+      val admitted = spark.read.parquet(s"$pkgDir/data")
+      val scope = s"stream:${cfg.resource}/epoch:$epoch"
+      ledger.propose(cfg.resource, scope, pkg.packageHash,
+        frontier.map(Position.Cursor(cfg.eventTimeCol, _)))
+      val receipt = PackageWriter.Receipt(s"parquet:$pkgDir/data", pkg.rows,
+        PackageWriter.contentHash(admitted))
+      require(PackageWriter.verifyReceipt(admitted, receipt),
+        s"carryover flush receipt verify failed")
+      ledger.commit(cfg.resource, scope, pkg.packageHash, receipt.toJsonString)
+      rest.unpersist()
+      results += EpochResult(epoch, lastWm, pkg.rows, 0, 0, pkg.packageHash, frontier)
     }
     results.result()
   }

@@ -44,6 +44,7 @@ object StreamRunner {
     val results = scala.collection.mutable.ArrayBuffer.empty[DrainEpoch.EpochResult]
     var frontier: Option[Long] = None
     var carryover: Option[DataFrame] = None
+    var lastWm: Option[Timestamp] = None
     val spark = stream.sparkSession
 
     val q = stream.writeStream
@@ -54,9 +55,13 @@ object StreamRunner {
         watermarkFor(batchDf) match {
           case None => // empty epoch: nothing to settle
           case Some(wm) =>
-            val input = carryover.map(batchDf.unionByName(_)).getOrElse(batchDf)
-            val (admit, recapture, quarantine) =
-              LateData.split(input, eventTimeCol, wm, graceMs)
+            // Classify only the new batch; prior carryover is admitted into
+            // this epoch's package directly (see DrainEpoch.drain — the
+            // watermark is monotone, so re-classifying carryover would
+            // starve it into quarantine instead of delivering it).
+            val (admitNew, recapture, quarantine) =
+              LateData.split(batchDf, eventTimeCol, wm, graceMs)
+            val admit = carryover.map(admitNew.unionByName(_)).getOrElse(admitNew)
             val pkgDir = s"$outDir/epoch_$epochId"
             val pkg = PackageWriter.write(admit, Some(quarantine), pkgDir,
               resource, planHash = s"stream-epoch-$epochId")
@@ -76,7 +81,9 @@ object StreamRunner {
             ledger.commit(resource, scope, pkg.packageHash, receipt.toJsonString)
             val rec = recapture.persist()
             val n = rec.count()
+            carryover.foreach(_.unpersist()) // consumed into this epoch
             carryover = if (n > 0) Some(rec) else { rec.unpersist(); None }
+            lastWm = Some(wm)
             results += DrainEpoch.EpochResult(epochId.toInt, wm, pkg.rows, n,
               pkg.quarantined, pkg.packageHash, frontier)
             ()
@@ -84,6 +91,27 @@ object StreamRunner {
       }
       .start()
     q.awaitTermination()
+
+    // Never drop end-of-drain carryover (cdf orchestration.rs:3845-3978):
+    // flush the final epoch's recaptured rows as one more settled package.
+    carryover.foreach { rest =>
+      val epoch = results.map(_.epoch).maxOption.fold(0)(_ + 1)
+      val pkgDir = s"$outDir/epoch_${epoch}_flush"
+      val pkg = PackageWriter.write(rest, None, pkgDir, resource,
+        planHash = s"stream-epoch-$epoch-carryover-flush")
+      val admitted = spark.read.parquet(s"$pkgDir/data")
+      val scope = s"stream:$resource/epoch:$epoch"
+      ledger.propose(resource, scope, pkg.packageHash,
+        frontier.map(graft.core.Position.Cursor(eventTimeCol, _)))
+      val receipt = PackageWriter.Receipt(s"parquet:$pkgDir/data", pkg.rows,
+        PackageWriter.contentHash(admitted))
+      require(PackageWriter.verifyReceipt(admitted, receipt),
+        "stream carryover flush receipt verify failed")
+      ledger.commit(resource, scope, pkg.packageHash, receipt.toJsonString)
+      rest.unpersist()
+      results += DrainEpoch.EpochResult(epoch, lastWm.orNull, pkg.rows, 0, 0,
+        pkg.packageHash, frontier)
+    }
     StreamResult(results.toSeq, frontier)
   }
 }

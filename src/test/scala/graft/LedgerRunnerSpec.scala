@@ -86,6 +86,86 @@ class LedgerRunnerSpec extends SparkSpec {
     assert(ledger.entries().size == entriesBefore)
   }
 
+  test("position json round-trips every kind, including nested composite and file_manifest") {
+    val manifest = Position.FileManifest(Seq(
+      Position.FileEntry("/data/a.parquet", 123L, 1700000000000L),
+      Position.FileEntry("/data/b with space\n.parquet", 456L, 1700000001000L)))
+    val composite: Position = Position.Composite(Map(
+      "p0" -> Position.Cursor("ts", 42L),
+      "p1" -> manifest,
+      "p2" -> Position.Composite(Map("inner" -> Position.Cursor("ts", 7L)))))
+    for (p <- Seq[Position](Position.Cursor("ts", 1), manifest, composite,
+        Position.PostgresCommit(10, 20, 30), Position.MySqlCommit("bin.0001", 99, "gtid:1-5"),
+        Position.PageToken("tok\"en"), Position.ForeignState("singer", "{\"a\":1}"))) {
+      val json = graft.core.CanonicalJson.render(p.toJson)
+      assert(Position.fromJson(json) == p, s"round-trip failed for ${p.kind}")
+    }
+    // the old flat-regex bug: a composite must NOT decode as its first nested cursor
+    val decoded = Position.fromJson(graft.core.CanonicalJson.render(composite.toJson))
+    assert(decoded.isInstanceOf[Position.Composite])
+  }
+
+  test("ledger round-trips receipts and positions containing control characters") {
+    val dir = tmpDir()
+    val l = Ledger.at(dir)
+    val receipt = "{\"note\":\"line1\\nline2\\ttab \\u0001ctl\"}"
+    l.propose("r", "root", "h1", Some(Position.PageToken("tok\nwith\nnewlines\t!")))
+    l.commit("r", "root", "h1", receipt)
+    val head = l.committedHead("r", "root").get
+    assert(head.receipt.contains(receipt)) // exact, not backslash-n mangled
+    assert(l.resumePosition("r", "root") == Some(Position.PageToken("tok\nwith\nnewlines\t!")))
+    // a FileManifest position survives the ledger (resume works for glob sources)
+    val mf = Position.FileManifest(Seq(Position.FileEntry("/x/y.parquet", 1, 2)))
+    l.propose("r2", "root", "h2", Some(mf))
+    l.commit("r2", "root", "h2", "{}")
+    assert(l.resumePosition("r2", "root") == Some(mf))
+  }
+
+  test("replay of an EARLIER committed package (not head) is duplicate — no double append") {
+    val base = tmpDir()
+    val ledger = Ledger.at(base)
+    val all = graft.core.Tables(spark, sf(), "region")
+    val first = all.filter(org.apache.spark.sql.functions.col("r_regionkey") < 2)
+    val second = all.filter(org.apache.spark.sql.functions.col("r_regionkey") >= 2)
+    val cfg = Runner.RunConfig(
+      descriptor = Descriptor.ResourceDescriptor(
+        id = "region_r", schemaSource = Descriptor.SchemaSource.Discover,
+        primaryKey = Seq("r_regionkey"), cursor = None,
+        disposition = Descriptor.Disposition.Append),
+      policy = ContractPolicy(Seq(RowRule.Nullability("nn", "r_regionkey"))))
+
+    val r1 = Runner.run(spark, cfg, first, s"$base/pkg1", s"$base/dest", ledger)
+    val r2 = Runner.run(spark, cfg, second, s"$base/pkg2", s"$base/dest", ledger)
+    assert(!r1.duplicate && !r2.duplicate && r1.packageHash != r2.packageHash)
+    val afterTwo = spark.read.parquet(s"$base/dest").count()
+    assert(afterTwo == r1.accepted + r2.accepted)
+
+    // r1's package is no longer the committed head — replaying it must
+    // still be recognized and must NOT append its rows again
+    val r1b = Runner.run(spark, cfg, first, s"$base/pkg1", s"$base/dest", ledger)
+    assert(r1b.duplicate && r1b.packageHash == r1.packageHash)
+    assert(spark.read.parquet(s"$base/dest").count() == afterTwo)
+  }
+
+  test("merge swap never leaves a missing destination and cleans up the old generation") {
+    val base = tmpDir()
+    val ledger = Ledger.at(base)
+    val source = graft.core.Tables(spark, sf(), "nation")
+    val cfg = Runner.RunConfig(
+      descriptor = Descriptor.ResourceDescriptor(
+        id = "nation_r", schemaSource = Descriptor.SchemaSource.Discover,
+        primaryKey = Seq("n_nationkey"), cursor = None,
+        disposition = Descriptor.Disposition.Merge(Seq("n_nationkey"))),
+      policy = ContractPolicy(Seq(RowRule.Nullability("nn", "n_nationkey"))),
+      orderColumns = Seq("n_nationkey"))
+    Runner.run(spark, cfg, source.limit(10), s"$base/pkg1", s"$base/dest", ledger)
+    Runner.run(spark, cfg, source, s"$base/pkg2", s"$base/dest", ledger)
+    assert(spark.read.parquet(s"$base/dest").count() == source.count())
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/dest.__old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/dest.__swap")))
+  }
+
   test("runner cursor disposition records window-close position (max - lag)") {
     val base = tmpDir()
     val ledger = Ledger.at(base)
