@@ -390,12 +390,18 @@ object LlmQueries {
     doc = "Int8 scalar quantization of embeddings (the ANN storage-compression path): per-vector " +
       "min/max affine codes via floor — identical double arithmetic both engines, so even the " +
       "codes are bit-exact. Sampled code positions + code_sum oracle-checked.") { (s, d) =>
+    // Stage emb_d/mn/mx as real columns BEFORE the codes lambda:
+    // interpreted HOF lambdas re-evaluate embedded subtrees per element,
+    // so an inline array_min(transform(...)) inside transform() is
+    // O(d²) per row. Staged, each pass is O(d).
     val embD = transform(col("embedding"), x => x.cast("double"))
-    val mn = array_min(embD)
-    val mx = array_max(embD)
-    val codes = transform(embD, x => floor((x - mn) * 255.0 / (mx - mn)).cast("int"))
     t(s, d, "embeddings")
-      .select(col("vec_id"), mn.as("mn"), mx.as("mx"), codes.as("codes"))
+      .select(col("vec_id"), embD.as("emb_d"))
+      .select(col("vec_id"), col("emb_d"),
+        array_min(col("emb_d")).as("mn"), array_max(col("emb_d")).as("mx"))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        transform(col("emb_d"),
+          x => floor((x - col("mn")) * 255.0 / (col("mx") - col("mn"))).cast("int")).as("codes"))
       .select(col("vec_id"),
         round(col("mn"), 6).as("mn_r"), round(col("mx"), 6).as("mx_r"),
         element_at(col("codes"), 1).as("c0"), element_at(col("codes"), 2).as("c1"),
@@ -421,9 +427,14 @@ object LlmQueries {
   val multimodalFeatures: QueryDef = QueryDef.rowsOnly(
     "q_multimodal_features",
     doc = "Partition-parallel feature extraction over binary payloads (decode step STUBBED — " +
-      "deterministic byte-fold; plumbing/batch shape real).") { (s, d) =>
+      "deterministic byte-fold; plumbing/batch shape real). Output scalarized (sampled dims + " +
+      "checksum) so the driver's row compare sees only hashable columns.") { (s, d) =>
     Multimodal.extractFeatures(
         Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text"))
+      .select(col("media_id"),
+        round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), Multimodal.FeatureDim), 6).as("f_last"),
+        round(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x), 6).as("f_sum"))
       .orderBy("media_id")
   }
 
