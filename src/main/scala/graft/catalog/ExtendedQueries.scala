@@ -226,8 +226,75 @@ object ExtendedQueries {
     (df, dir) => df.write.mode("overwrite").orc(dir),
     _ => graft.sources.FileSource.Format.Orc)
 
+  private val roundtripOracle =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+      |  min(l_returnflag) AS min_flag
+      |FROM lineitem""".stripMargin
+
+  private def roundtripAgg(back: DataFrame): DataFrame =
+    back.agg(
+      count(lit(1)).as("n"),
+      sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double").as("sum_qty"),
+      min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"),
+      min(col("l_returnflag")).as("min_flag"))
+
+  val avroRoundtrip: QueryDef = QueryDef.sqlBacked(
+    "q_avro_decode", roundtripOracle,
+    doc = "Avro OCF encode→decode losslessness vs the parquet-side oracle " +
+      "(cdf-format-avro, SURVEY §2.1): per-partition container write, per-file " +
+      "distributed read, typed lattice incl. nullable unions.") { (s, d) =>
+    val slice = t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    val dir = s"/tmp/graft_roundtrip/avro_${Integer.toHexString(d.hashCode)}"
+    graft.sources.AvroSource.write(slice, dir)
+    roundtripAgg(graft.sources.AvroSource.read(s, s"$dir/part-*.avro"))
+  }
+
+  val protobufRoundtrip: QueryDef = QueryDef.sqlBacked(
+    "q_protobuf_decode", roundtripOracle,
+    doc = "Framed-protobuf encode→decode losslessness vs the parquet-side oracle " +
+      "(cdf-format-protobuf, SURVEY §2.1): varint-framed wire format, schema-driven " +
+      "descriptor, unknown-field skip; per-file distributed read.") { (s, d) =>
+    import graft.sources.ProtobufFraming._
+    val spec = MessageSpec(Seq(
+      FieldSpec(1, "l_orderkey", PType.VarintLong),
+      FieldSpec(2, "l_linenumber", PType.VarintLong),
+      FieldSpec(3, "l_quantity", PType.Fixed64Double),
+      FieldSpec(4, "l_returnflag", PType.Str)))
+    val slice = t(s, d, "lineitem").select(
+      col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+      col("l_quantity").cast("double"), col("l_returnflag"))
+    val dir = s"/tmp/graft_roundtrip/pb_${Integer.toHexString(d.hashCode)}"
+    write(slice, spec, dir)
+    roundtripAgg(read(s, s"$dir/part-*.pb", spec))
+  }
+
+  val xzCsvRoundtrip: QueryDef = QueryDef.sqlBacked(
+    "q_xz_decode", roundtripOracle,
+    doc = "Decompression-transform pipeline (cdf-transform-xz, SURVEY §2.1): csv → xz " +
+      "(a codec Hadoop does NOT handle natively) → streaming decompress → csv decode, " +
+      "one task per archive.") { (s, d) =>
+    val slice = t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    val dir = s"/tmp/graft_roundtrip/xz_${Integer.toHexString(d.hashCode)}"
+    val plain = s"$dir/plain"
+    slice.coalesce(4).write.mode("overwrite").option("header", "true").csv(plain)
+    val xzDir = new java.io.File(s"$dir/xz"); xzDir.mkdirs()
+    new java.io.File(plain).listFiles().filter(_.getName.startsWith("part-")).foreach { f =>
+      graft.sources.Decompress.compressFile(f.getPath, s"$xzDir/${f.getName}.xz", "xz")
+    }
+    val back = graft.sources.Decompress.csv(s, s"$xzDir/*.xz", "xz")
+      .selectExpr("CAST(l_orderkey AS BIGINT) AS l_orderkey",
+        "CAST(l_linenumber AS INT) AS l_linenumber",
+        "CAST(l_quantity AS DOUBLE) AS l_quantity", "l_returnflag")
+    roundtripAgg(back)
+  }
+
   val all: Seq[QueryDef] = Seq(
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,
-    csvRoundtrip, ndjsonRoundtrip, orcRoundtrip)
+    csvRoundtrip, ndjsonRoundtrip, orcRoundtrip,
+    avroRoundtrip, protobufRoundtrip, xzCsvRoundtrip)
 }
