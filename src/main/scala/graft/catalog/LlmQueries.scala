@@ -359,6 +359,15 @@ object LlmQueries {
       queryId = 0L, numPlanes = 4, k = 10)
   }
 
+  val annIvf: QueryDef = QueryDef.rowsOnly(
+    "q_ann_ivf",
+    doc = "IVF ANN: deterministic sample-trained coarse centroids (Lloyd's, no RNG), native " +
+      "nearest-centroid assignment kernel, nProbe-cluster exact cosine re-rank — the " +
+      "codebook-based scale path beside LSH.") { (s, d) =>
+    Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, kClusters = 16, nProbe = 4, k = 10)
+  }
+
   val embedNearDup: QueryDef = QueryDef.rowsOnly(
     "q_embed_neardup",
     doc = "Embedding-cosine near-dup edges (threshold 0.99) over corpus ∪ exact copies, " +
@@ -442,6 +451,6 @@ object LlmQueries {
     textFingerprint, dedupContentHash, tokenStats, textQuality, langIdQ,
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
     ngramJaccard, minhashLsh, simhash,
-    cosineTopK, annLsh, embedNearDup, embedQuantize,
+    cosineTopK, annLsh, annIvf, embedNearDup, embedQuantize,
     multimodalMeta, multimodalFeatures)
 }

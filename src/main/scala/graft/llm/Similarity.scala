@@ -80,6 +80,78 @@ object Similarity {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------- IVF
+
+  /** Deterministic Lloyd's k-means over a bounded sample — the IVF
+    * coarse quantizer (how FAISS-style IVF indexes train: a sample is
+    * statistically sufficient for coarse centroids; the full corpus
+    * never moves). Init = evenly-spaced sample rows (deterministic, no
+    * RNG — replay identity), `iters` damped Lloyd rounds in the driver
+    * (k·d·n ops on ≤4096 rows — microseconds). */
+  def trainCentroids(df: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int = 10): Array[Array[Double]] = {
+    val sampleN = math.min(4096, math.max(16 * k, 256))
+    val sample = df.orderBy(col(idCol)).limit(sampleN)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= k, s"need at least $k vectors to train $k centroids")
+    val d = sample.head.length
+    var centroids = Array.tabulate(k)(i => sample((i * sample.length) / k).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestDist = Double.MaxValue; var c = 0
+        while (c < k) {
+          var dist = 0.0; var i = 0
+          while (i < d) { val diff = v(i) - centroids(c)(i); dist += diff * diff; i += 1 }
+          if (dist < bestDist) { bestDist = dist; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c) // empty cluster: keep (deterministic)
+        else Array.tabulate(d)(i => sums(c)(i) / counts(c)))
+    }
+    centroids
+  }
+
+  /** Corpus + its IVF cluster assignment — a narrow map stage (the
+    * native kernel runs one tight loop per row). Persist or bucket the
+    * result by `_ivf_cluster` for repeated queries: probes then prune
+    * whole partitions. */
+  def ivfAssign(df: DataFrame, embCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("_ivf_cluster",
+      graft.functions.VectorKernels.nearestCentroid(df.sparkSession, col(embCol), centroids))
+
+  /** IVF ANN top-k: probe the `nProbe` clusters nearest the query,
+    * exact cosine re-rank inside them. Scale shape: the filter on
+    * `_ivf_cluster` prunes (corpus/k)·nProbe rows into the re-rank;
+    * everything else is TakeOrderedAndProject. */
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String, queryId: Long,
+      kClusters: Int, nProbe: Int, k: Int): DataFrame = {
+    val centroids = trainCentroids(df, idCol, embCol, kClusters)
+    val qEmb = df.filter(col(idCol) === queryId).select(col(embCol)).head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val probed = centroids.zipWithIndex.map { case (c, i) =>
+      var dist = 0.0; var j = 0
+      while (j < qEmb.length) { val diff = qEmb(j) - c(j); dist += diff * diff; j += 1 }
+      (dist, i)
+    }.sortBy(x => (x._1, x._2)).take(nProbe).map(_._2)
+    val qLit = array(qEmb.map(lit): _*)
+    val qNorm = math.sqrt(qEmb.map(x => x * x).sum)
+    ivfAssign(df, embCol, centroids)
+      .filter(col("_ivf_cluster").isin(probed.map(Int.box): _*) && col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(dot(col(embCol), qLit) / (norm(col(embCol)) * qNorm), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs near-neighbor edges above a cosine threshold, candidate
     * generation by shared LSH bucket (the embedding-cosine near-dup
     * path for corpus dedup). */

@@ -107,6 +107,35 @@ class LlmSpec extends SparkSpec {
     assert(n > 1 && n <= 16) // 4 planes → ≤16 buckets, actually split
   }
 
+  test("ivf: assignment total and deterministic; top-k achieves recall vs brute force") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings").select("vec_id", "embedding")
+    val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    assert(centroids.length == 8)
+    // training is deterministic (no RNG anywhere)
+    val again = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    assert(centroids.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // every vector lands in exactly one cluster; all clusters in range
+    val assigned = Similarity.ivfAssign(emb, "embedding", centroids)
+    assert(assigned.count() == emb.count())
+    val clusters = assigned.select("_ivf_cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(clusters.subsetOf((0 until 8).toSet) && clusters.size > 1)
+    // probing half the clusters recovers most of the exact top-10
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L,
+      kClusters = 8, nProbe = 4, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+    // an identical vector is always found (it shares the query's cluster)
+    val withDup = emb.unionByName(
+      emb.filter(col("vec_id") === 0).select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val top = Similarity.ivfTopK(withDup, "vec_id", "embedding", 0L, 8, 2, 5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 100000L && top.head._2 == 1.0)
+  }
+
   test("multimodal: metadata + stubbed feature extraction preserve ids and shape") {
     val media = Multimodal.asMedia(corpus, "doc_id", "text", "text")
     val meta = Multimodal.metadata(media).collect()
