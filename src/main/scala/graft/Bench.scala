@@ -20,13 +20,20 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
 
-    val results = graft.catalog.Catalog.all.map { q =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = graft.catalog.Catalog.all.filter(q => only.forall(_.contains(q.name)))
+    val results = selected.map { q =>
       val t0 = System.nanoTime()
       val ok =
         try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); false }
       val sec = (System.nanoTime() - t0) / 1e9
+      // drop persist barriers a query left behind: cached partitions
+      // otherwise accumulate across the suite and steal executor memory
+      // from every later cell (incl. the derived sustained rates)
+      spark.catalog.clearCache()
       q.name -> (if (ok) sec else -1.0)
     }
 

@@ -275,20 +275,22 @@ object ExtendedQueries {
     "q_xz_decode", roundtripOracle,
     doc = "Decompression-transform pipeline (cdf-transform-xz, SURVEY §2.1): csv → xz " +
       "(a codec Hadoop does NOT handle natively) → streaming decompress → csv decode, " +
-      "one task per archive.") { (s, d) =>
-    val slice = t(s, d, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      "one task per archive both directions. Headerless + explicit schema (inference " +
+      "would decompress every archive twice and mis-read repeated headers); l_quantity " +
+      "travels as DECIMAL(12,2) text so the round-trip is digit-exact (the reference's " +
+      "decimal-fidelity law, cdf-contract program.rs:357-363).") { (s, d) =>
+    val slice = t(s, d, "lineitem").select(
+      col("l_orderkey").cast("long").as("l_orderkey"),
+      col("l_linenumber").cast("int").as("l_linenumber"),
+      col("l_quantity").cast(DecimalType(12, 2)).as("l_quantity"),
+      col("l_returnflag"))
     val dir = s"/tmp/graft_roundtrip/xz_${Integer.toHexString(d.hashCode)}"
-    val plain = s"$dir/plain"
-    slice.coalesce(4).write.mode("overwrite").option("header", "true").csv(plain)
-    val xzDir = new java.io.File(s"$dir/xz"); xzDir.mkdirs()
-    new java.io.File(plain).listFiles().filter(_.getName.startsWith("part-")).foreach { f =>
-      graft.sources.Decompress.compressFile(f.getPath, s"$xzDir/${f.getName}.xz", "xz")
-    }
-    val back = graft.sources.Decompress.csv(s, s"$xzDir/*.xz", "xz")
-      .selectExpr("CAST(l_orderkey AS BIGINT) AS l_orderkey",
-        "CAST(l_linenumber AS INT) AS l_linenumber",
-        "CAST(l_quantity AS DOUBLE) AS l_quantity", "l_returnflag")
+    // 32 archives: xz is not splittable, so archive count IS the read
+    // parallelism (at scale: many medium archives, never one giant one).
+    // Repartition BEFORE formatting so format+compress fan out together.
+    graft.sources.Decompress.writeCsv(slice.repartition(32), s"$dir/xz", "xz")
+    val back = graft.sources.Decompress.csv(s, s"$dir/xz/*.xz", "xz",
+      header = false, schema = Some(slice.schema))
     roundtripAgg(back)
   }
 

@@ -15,11 +15,23 @@ import graft.llm._
 object LlmQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
-  /** documents ships as one tiny parquet split; CPU-bound text ops must
-    * fan out across cores (at 100 TB the reader supplies real splits —
-    * this mirrors that). */
-  private def docs(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+  /** Plain documents scan — cheap per-row ops (regex rewrite, sampling
+    * coins, shard arithmetic) must NOT pay a full-payload shuffle just
+    * to fan out; the repartition costs more than it wins (round-2
+    * lesson: five queries regressed 2.4–4.7×). */
+  private def docs(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+
+  /** Fanned out across cores for CPU-BOUND token pipelines only:
+    * documents ships as one tiny parquet split locally, which would
+    * serialize tokenize/score work. Conditional — when the scan already
+    * has enough splits (the 100 TB case: the reader supplies real
+    * splits), this is the identity and no shuffle happens. */
+  private def docsFanout(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+    val target = s.sparkContext.defaultParallelism
+    if (base.rdd.getNumPartitions * 2 >= target) base
+    else base.repartition(target, col("doc_id"))
+  }
 
   /** documents ∪ exact copies of every 50th doc (ids +100000) — the
     * deterministic duplicate corpus for dedup demos (the base corpus
@@ -84,7 +96,7 @@ object LlmQueries {
        |FROM documents ORDER BY doc_id""".stripMargin,
     doc = "Token counting: whitespace tokens + BPE-ish regex pre-tokens, pure codegen'd expressions.") {
     (s, d) =>
-      docs(s, d).select(
+      docsFanout(s, d).select(
         col("doc_id"),
         size(TextAnalysis.wsTokens(col("text"))).as("n_ws_tokens"),
         size(TextAnalysis.bpeTokens(col("text"))).as("n_bpe_tokens")
@@ -109,7 +121,7 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin,
     doc = "Quality scoring: length / lexical-diversity / punctuation-density metrics + bounded score.") {
     (s, d) =>
-      val staged = docs(s, d).select(col("doc_id"), col("text"),
+      val staged = docsFanout(s, d).select(col("doc_id"), col("text"),
         TextAnalysis.wsTokens(col("text")).as("_w"))
       val cols = TextAnalysis.qualityFromTokens(col("_w"), col("text"))
         .map { case (n, c) => c.as(n) }
@@ -141,7 +153,7 @@ object LlmQueries {
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin,
     doc = "Language-ID heuristic: stopword-profile voting with deterministic tie-break.") { (s, d) =>
-    val staged = docs(s, d).select(col("doc_id"),
+    val staged = docsFanout(s, d).select(col("doc_id"),
       TextAnalysis.wsTokens(lower(col("text"))).as("_w"))
     val scores = TextAnalysis.langScoresFromTokens(col("_w"))
     val scored = staged.select(
@@ -159,7 +171,7 @@ object LlmQueries {
       |      FROM documents) t
       |GROUP BY w ORDER BY n DESC, word LIMIT 20""".stripMargin,
     doc = "Corpus vocabulary frequency (the tokenizer-training precursor): explode + count.") { (s, d) =>
-    docs(s, d)
+    docsFanout(s, d)
       .select(explode(TextAnalysis.wsTokens(lower(col("text")))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word"))
@@ -180,14 +192,15 @@ object LlmQueries {
       |WHERE tf.doc_id < 20
       |ORDER BY doc_id, term""".stripMargin,
     doc = "TF-IDF per (doc, term): per-row double arithmetic (no cross-row FP sums), " +
-      "document-frequency join broadcastable (vocab ≪ corpus).") { (s, d) =>
-    val tok = docs(s, d)
+      "document-frequency join broadcastable (vocab ≪ corpus). One tokenize pass: " +
+      "len and df both derive from the persisted tf aggregate (tf already holds " +
+      "distinct (doc, term) rows), so the explode runs exactly once.") { (s, d) =>
+    val tok = docsFanout(s, d)
       .select(col("doc_id"), explode(TextAnalysis.wsTokens(trim(lower(col("text"))))).as("w"))
-    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-    val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
-    val dfreq = tok.select("doc_id", "w").distinct()
-      .groupBy("w").agg(count(lit(1)).as("df"))
-    val n = docs(s, d).count().toDouble
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt")).persist()
+    val len = tf.groupBy("doc_id").agg(sum("cnt").as("len"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = t(s, d, "documents").count().toDouble
     tf.join(len, "doc_id")
       .join(broadcast(dfreq), "w")
       .filter(col("doc_id") < 20)
