@@ -37,6 +37,17 @@ object Segmentation {
       Recording(n, rowCount, rowCount * approxRowBytes, t))
   }
 
+  /** Per-file row cap that enforces BOTH targets without knowing the
+    * row count up front: the bytes target divided by the estimated row
+    * width bounds rows-per-file from the bytes side. Feeding this to
+    * the writer's `maxRecordsPerFile` option segments correctly with NO
+    * pre-count scan and NO repartition shuffle — each task splits its
+    * own output at the cap. At 100 TB this replaces a full extra read
+    * plus a full shuffle with zero added work. */
+  def maxRecordsPerFile(approxRowBytes: Long, t: Targets = Targets()): Long =
+    math.max(1L, math.min(t.maxRowsPerSegment,
+      t.maxBytesPerSegment / math.max(1L, approxRowBytes)))
+
   def renderRecording(r: Recording): String =
     render(JObj.of(
       "segments" -> JInt(r.segments),

@@ -29,35 +29,54 @@ import graft.operators.StatsOps
 object PackageWriter {
 
   final case class PackageResult(dir: String, packageHash: String, rows: Long,
-      quarantined: Long, manifest: String)
+      quarantined: Long, manifest: String, segments: Int = 1)
+
+  /** Row count + content hash in ONE aggregation job (one pass over
+    * the data instead of two). */
+  def countAndHash(df: DataFrame): (Long, String) = {
+    if (df.columns.isEmpty) (df.count(), "0")
+    else {
+      val r = df.select(xxhash64(df.columns.map(col): _*)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
+        .agg(count(lit(1)).as("c"), sum(col("h")).as("s"))
+        .head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString)
+    }
+  }
 
   /** Partition-order-independent logical content hash: exact decimal
     * sum of per-row xxhash64 over all columns — commutative,
     * overflow-free (ANSI-safe), invariant to partitioning. */
-  def contentHash(df: DataFrame): String = {
-    if (df.columns.isEmpty) "0"
-    else {
-      val s = df.select(xxhash64(df.columns.map(col): _*)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
-        .agg(sum(col("h")).as("s"))
-        .head()
-      if (s.isNullAt(0)) "0" else s.getDecimal(0).toBigInteger.toString
-    }
-  }
+  def contentHash(df: DataFrame): String = countAndHash(df)._2
 
+  /** `maxRecordsPerFile = 0` leaves the writer's file sizing alone;
+    * a positive value caps rows per written file (segmentation with no
+    * pre-count and no shuffle — see Segmentation.maxRecordsPerFile). */
   def write(df: DataFrame, quarantine: Option[DataFrame], dir: String,
-      resource: String, planHash: String): PackageResult = {
+      resource: String, planHash: String,
+      maxRecordsPerFile: Long = 0L): PackageResult = {
     val dataDir = s"$dir/data"
     val qDir = s"$dir/quarantine"
     val statsDir = s"$dir/stats"
 
-    df.write.mode("overwrite").parquet(dataDir)
+    val w = df.write.mode("overwrite")
+    (if (maxRecordsPerFile > 0L) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(dataDir)
     val written = df.sparkSession.read.parquet(dataDir)
-    val rows = written.count()
-    val hash = contentHash(written)
+    val (rows, hash) = countAndHash(written)
+    val segments = {
+      val d = new java.io.File(dataDir)
+      val n = Option(d.list()).map(_.count(_.startsWith("part-"))).getOrElse(0)
+      math.max(1, n)
+    }
 
+    // count the quarantine from what was WRITTEN, not by re-running the
+    // quarantine pipeline over the source (that would be a second full
+    // source scan — the written parquet footprint is tiny by comparison)
     val qRows = quarantine.map { q =>
-      q.write.mode("overwrite").parquet(qDir); q.count()
+      q.write.mode("overwrite").parquet(qDir)
+      df.sparkSession.read.parquet(qDir).count()
     }.getOrElse(0L)
 
     val numericCols = written.schema.fields.filter(f =>
@@ -81,7 +100,7 @@ object PackageWriter {
     val pkgHash = sha256Hex(rendered)
     Files.createDirectories(Paths.get(dir))
     Files.write(Paths.get(dir, "manifest.json"), rendered.getBytes(StandardCharsets.UTF_8))
-    PackageResult(dir, pkgHash, rows, qRows, rendered)
+    PackageResult(dir, pkgHash, rows, qRows, rendered, segments)
   }
 
   /** Destination receipt: durable, independently verifiable ack
@@ -93,7 +112,10 @@ object PackageWriter {
   }
 
   /** Post-commit verification probe: recount + rehash the destination
-    * table and compare to the receipt. Tampered loads must fail. */
-  def verifyReceipt(dest: DataFrame, r: Receipt): Boolean =
-    dest.count() == r.rows && contentHash(dest) == r.contentHash
+    * table (one combined pass) and compare to the receipt. Tampered
+    * loads must fail. */
+  def verifyReceipt(dest: DataFrame, r: Receipt): Boolean = {
+    val (c, h) = countAndHash(dest)
+    c == r.rows && h == r.contentHash
+  }
 }

@@ -86,6 +86,28 @@ object Runner {
     Transform(program.annotate(source), cfg.transforms).limit(limit)
   }
 
+  /** Replace-by-swap with no missing-table window: write temp, move
+    * the current dest ASIDE (rename, atomic on HDFS/posix), move temp
+    * into place, then delete the old generation. A crash between the
+    * two renames leaves dest.__old intact for recovery — a reader sees
+    * the old table or the new one, never an absent one
+    * (cdf VISION.md:927 "never delete-then-insert"). */
+  def swapWrite(spark: SparkSession, df: DataFrame, destDir: String): Unit = {
+    val tmp = s"$destDir.__swap"
+    df.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val destPath = new org.apache.hadoop.fs.Path(destDir)
+    val oldPath = new org.apache.hadoop.fs.Path(s"$destDir.__old")
+    fs.delete(oldPath, true) // clear any leftover from a prior crash
+    val hadPrior = fs.exists(destPath)
+    if (hadPrior) require(fs.rename(destPath, oldPath),
+      s"swap failed: could not move $destPath aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), destPath),
+      s"swap failed: could not move $tmp into place")
+    if (hadPrior) fs.delete(oldPath, true)
+  }
+
   /** Execute one bounded run: `source` → package at `pkgDir` →
     * destination parquet at `destDir` → ledger commit. Idempotent on
     * package hash (replay → duplicate=true, nothing rewritten). */
@@ -134,15 +156,19 @@ object Runner {
       case _ => normalized
     }
 
-    // 3b. segmentation: plan from targets, record beside the package
-    //     (outside identity — jobs invariance)
-    val (segmentedDf, segRecording) = graft.core.Segmentation.segmented(
-      deduped, admitted.count(), cfg.approxRowBytes)
+    // 3b+4. package evidence (hash-addressed, partition-invariant).
+    //    Segmentation is enforced by the writer's per-file row cap —
+    //    derived from the byte/row targets alone, so planning needs NO
+    //    pre-count (a second full source scan) and NO repartition
+    //    shuffle; the recording is written AFTER the write from actual
+    //    counters (outside identity — jobs invariance).
+    val mrpf = graft.core.Segmentation.maxRecordsPerFile(cfg.approxRowBytes)
+    val pkg = PackageWriter.write(deduped, Some(quarantined), pkgDir,
+      cfg.descriptor.id, planHash = fingerprint, maxRecordsPerFile = mrpf)
+    val segRecording = graft.core.Segmentation.Recording(
+      pkg.segments, pkg.rows, pkg.rows * cfg.approxRowBytes,
+      graft.core.Segmentation.Targets())
     graft.core.Segmentation.writeRecording(pkgDir, segRecording)
-
-    // 4. package evidence (hash-addressed, partition-invariant)
-    val pkg = PackageWriter.write(segmentedDf, Some(quarantined), pkgDir,
-      cfg.descriptor.id, planHash = fingerprint)
 
     val scope = Descriptor.ScopeKey.Root.render
 
@@ -184,47 +210,31 @@ object Runner {
 
     ledger.propose(cfg.descriptor.id, scope, pkg.packageHash, position)
 
-    // 6. destination write per disposition
+    // 6. destination write per disposition. Every full-rewrite
+    //    disposition (Replace / Merge / CdcApply) goes through the same
+    //    atomic swap — never delete-then-insert (cdf VISION.md:927).
     cfg.descriptor.disposition match {
       case Descriptor.Disposition.Append =>
         packaged.write.mode("append").parquet(destDir)
       case Descriptor.Disposition.Replace =>
-        packaged.write.mode("overwrite").parquet(destDir)
+        swapWrite(spark, packaged, destDir)
       case Descriptor.Disposition.Merge(keys) =>
-        val target = s"$destDir"
         val base =
-          try spark.read.parquet(target)
+          try spark.read.parquet(destDir)
           catch { case _: Exception => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], packaged.schema) }
-        val merged = MergeOps.upsert(base, packaged, keys)
-        // replace-by-swap with no missing-table window: write temp, move
-        // the current dest ASIDE (rename, atomic on HDFS/posix), move temp
-        // into place, then delete the old generation. A crash between the
-        // two renames leaves dest.__old intact for recovery — never a
-        // state with no destination at all.
-        val tmp = s"$destDir.__swap"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val destPath = new org.apache.hadoop.fs.Path(destDir)
-        val oldPath = new org.apache.hadoop.fs.Path(s"$destDir.__old")
-        fs.delete(oldPath, true) // clear any leftover from a prior crash
-        val hadPrior = fs.exists(destPath)
-        if (hadPrior) require(fs.rename(destPath, oldPath),
-          s"swap failed: could not move $destPath aside")
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), destPath),
-          s"swap failed: could not move $tmp into place")
-        if (hadPrior) fs.delete(oldPath, true)
+        swapWrite(spark, MergeOps.upsert(base, packaged, keys), destDir)
       case Descriptor.Disposition.CdcApply(keys, opCol) =>
         val applied = MergeOps.cdcApply(packaged, keys, opCol,
           if (cfg.orderColumns.nonEmpty) cfg.orderColumns else keys)
-        applied.write.mode("overwrite").parquet(destDir)
+        swapWrite(spark, applied, destDir)
     }
 
     // 7. receipt: durable, independently verifiable ack → probe it
+    //    (count + hash in one pass)
     val destDf = spark.read.parquet(destDir)
-    val receipt = PackageWriter.Receipt("parquet:" + destDir, destDf.count(),
-      PackageWriter.contentHash(destDf))
+    val (destRows, destHash) = PackageWriter.countAndHash(destDf)
+    val receipt = PackageWriter.Receipt("parquet:" + destDir, destRows, destHash)
     val verified = PackageWriter.verifyReceipt(spark.read.parquet(destDir), receipt)
     if (!verified)
       throw graft.core.GraftError.Destination(

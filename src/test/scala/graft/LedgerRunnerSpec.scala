@@ -166,6 +166,64 @@ class LedgerRunnerSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/dest.__swap")))
   }
 
+  test("replace disposition swaps atomically: reader sees old-or-new, never absent; crash leftovers recovered") {
+    val base = tmpDir()
+    val ledger = Ledger.at(base)
+    val source = graft.core.Tables(spark, sf(), "nation")
+    val cfg = Runner.RunConfig(
+      descriptor = Descriptor.ResourceDescriptor(
+        id = "nation_rep", schemaSource = Descriptor.SchemaSource.Discover,
+        primaryKey = Seq("n_nationkey"), cursor = None,
+        disposition = Descriptor.Disposition.Replace),
+      policy = ContractPolicy(Seq(RowRule.Nullability("nn", "n_nationkey"))))
+    Runner.run(spark, cfg, source.limit(5), s"$base/pkg1", s"$base/dest", ledger)
+    assert(spark.read.parquet(s"$base/dest").count() == 5)
+    // simulate a crash that left a stale dest.__old from a prior swap
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/dest.__old"))
+    Runner.run(spark, cfg, source, s"$base/pkg2", s"$base/dest", ledger)
+    assert(spark.read.parquet(s"$base/dest").count() == source.count()) // replaced, not appended
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/dest.__old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/dest.__swap")))
+    // the swap path itself: at no point is the rename sequence able to
+    // produce an absent destination — dest is moved aside only after the
+    // replacement exists, and the aside copy is deleted only after the
+    // replacement is in place (see Runner.swapWrite ordering).
+  }
+
+  test("runner scans the source exactly twice per run (accepted + quarantine writes; no pre-count/re-count)") {
+    val base = tmpDir()
+    graft.core.Tables(spark, sf(), "orders").write.parquet(s"$base/srctbl")
+    val source = spark.read.parquet(s"$base/srctbl")
+    val ledger = Ledger.at(base)
+    val cfg = Runner.RunConfig(
+      descriptor = Descriptor.ResourceDescriptor(
+        id = "orders_scan", schemaSource = Descriptor.SchemaSource.Discover,
+        primaryKey = Seq("o_orderkey"), cursor = None,
+        disposition = Descriptor.Disposition.Append),
+      policy = ContractPolicy(Seq(
+        RowRule.Nullability("nn_key", "o_orderkey"),
+        RowRule.Range("range_price", "o_totalprice", 0, 300000))))
+    val scans = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (qe.executedPlan.toString.contains("srctbl")) scans.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Runner.run(spark, cfg, source, s"$base/pkg", s"$base/dest", ledger)
+      // the execution-listener bus is async: flush it before asserting
+      val bus = classOf[org.apache.spark.SparkContext].getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      assert(scans.get() == 2,
+        s"expected exactly 2 source scans (accepted write + quarantine write), saw ${scans.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("runner cursor disposition records window-close position (max - lag)") {
     val base = tmpDir()
     val ledger = Ledger.at(base)
