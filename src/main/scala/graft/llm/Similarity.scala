@@ -45,15 +45,16 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH bucket id: bit j = sign of ⟨v, Hⱼ⟩ where
+  /** Random-hyperplane LSH bucket id: bit j = sign of ⟨v, Hⱼ₊ₒ⟩ where
     * plane component Hⱼ[i] is a deterministic pseudo-random value in
-    * (−0.5, 0.5) derived from xxhash64(j, i). No stored codebook. */
-  def lshBucket(emb: Column, numPlanes: Int): Column = {
+    * (−0.5, 0.5) derived from xxhash64(j, i). No stored codebook.
+    * `planeOffset` selects a disjoint plane family per band. */
+  def lshBucket(emb: Column, numPlanes: Int, planeOffset: Column = lit(0)): Column = {
     val dims = size(emb)
     val bits = transform(sequence(lit(0), lit(numPlanes - 1)), j => {
       val proj = aggregate(
         zip_with(toDouble(emb), sequence(lit(0), dims - 1),
-          (x, i) => x * ((xxhash64(j, i).bitwiseAND(1048575L)).cast("double") / 1048576.0 - 0.5)),
+          (x, i) => x * ((xxhash64(j + planeOffset, i).bitwiseAND(1048575L)).cast("double") / 1048576.0 - 0.5)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, 1L).otherwise(0L)
     })
@@ -61,6 +62,19 @@ object Similarity {
         (bit, j) => call_function("shiftleft", bit, j)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
+
+  /** Banded hyperplane keys — OR-composition across `numBands` disjoint
+    * plane families of `planesPerBand` planes each (same shape as
+    * minhash LSH banding): a pair is a candidate iff it shares the FULL
+    * bucket of at least one band. With b bands of r planes, a pair at
+    * angle θ survives with 1 − (1 − (1−θ/π)ʳ)ᵇ — near-1 for near-dups,
+    * vanishing for unrelated vectors — while each band still has 2ʳ
+    * buckets, so candidate sets stay ≪ n² at corpus scale (the 4-plane
+    * single-band variant collapsed to 16 buckets → ~n²/16 pairs). */
+  def lshBandKeys(emb: Column, numBands: Int, planesPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)), b =>
+      concat_ws(":", b.cast("string"),
+        lshBucket(emb, planesPerBand, b * lit(planesPerBand)).cast("string")))
 
   /** Bucketed ANN: exact cosine re-rank restricted to the query's LSH
     * bucket. Recall < 1 by construction; bucket width (numPlanes)
@@ -153,24 +167,50 @@ object Similarity {
   }
 
   /** All-pairs near-neighbor edges above a cosine threshold, candidate
-    * generation by shared LSH bucket (the embedding-cosine near-dup
-    * path for corpus dedup). */
+    * generation by banded hyperplane LSH (the embedding-cosine near-dup
+    * path for corpus dedup).
+    *
+    * 100 TB shape: only (band_key, id) pairs shuffle for the candidate
+    * join — never the embeddings — and each band partitions the corpus
+    * into 2^planesPerBand buckets, so in-bucket joins are ~(n/2ʳ)²·2ʳ·b
+    * per band, not n². Candidates are deduped across bands before the
+    * single exact-cosine verification join. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
-      numPlanes: Int, threshold: Double): DataFrame = {
-    // precompute norm + bucket once per row behind a persist barrier so
-    // the self-join reads cached (id, emb, norm, bucket) tuples; the
-    // candidate join then only evaluates one dot product per pair.
+      numBands: Int, planesPerBand: Int, threshold: Double): DataFrame = {
+    // precompute norm + band keys once per row behind a persist barrier;
+    // the verification join then evaluates one dot product per pair.
     val b = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
         col(idCol))
       .select(col(idCol).as("id"), col(embCol).as("emb"))
-      .withColumn("bucket", lshBucket(col("emb"), numPlanes))
       .withColumn("nrm", norm(col("emb")))
       .persist()
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 4)
+    val banded = b
+      .select(col("id"), explode(lshBandKeys(col("emb"), numBands, planesPerBand)).as("band"))
+      .persist()
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(b.select(col("id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(b.select(col("id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 4)
           .as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Candidate-pair count for the banded LSH near-dup path — the
+    * scale-audit hook (spec asserts candidates ≪ n²/2). */
+  def cosineNearDupCandidateCount(df: DataFrame, idCol: String, embCol: String,
+      numBands: Int, planesPerBand: Int): Long = {
+    val banded = df
+      .select(col(idCol).as("id"),
+        explode(lshBandKeys(col(embCol), numBands, planesPerBand)).as("band"))
+      .persist()
+    try banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    finally { banded.unpersist(); () }
   }
 }

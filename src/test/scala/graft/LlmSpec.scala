@@ -88,6 +88,31 @@ class LlmSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("banded embed near-dup: recall 1.0 on planted dups; candidate set stays far below n²") {
+    val e = graft.core.Tables(spark, sf(), "embeddings").select("vec_id", "embedding")
+    // plant exact copies: every 25th vector re-appears under id+100000
+    val planted = e.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val corpus = e.unionByName(planted)
+    val n = corpus.count()
+    val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+        numBands = 8, planesPerBand = 12, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // recall 1.0 on the planted exact dups: θ=0 ⇒ every band agrees by
+    // construction, so banding can never lose them
+    val expected = planted.select((col("vec_id") - 100000).as("a"), col("vec_id").as("b"))
+      .as[(Long, Long)].collect()
+    expected.foreach { case (a, bId) =>
+      assert(pairs.contains((a, bId)), s"planted dup ($a,$bId) missed")
+    }
+    // scale audit: OR-composed 12-plane bands must keep candidates ≪ n²/2
+    // (the old single 4-plane family degenerated to ~n²/16; banded
+    // density is bands/2^planes = 8/4096 ≈ 0.2% of the pair space)
+    val cands = Similarity.cosineNearDupCandidateCount(corpus, "vec_id", "embedding", 8, 12)
+    assert(cands < n * n / 2 / 20,
+      s"candidate pairs $cands not ≪ n²/2 = ${n * n / 2} (n=$n)")
+  }
+
   test("cosine top-k: identical vector ranks first with cosine 1") {
     val emb = graft.core.Tables(spark, sf(), "embeddings")
     val withDup = emb.select("vec_id", "embedding").unionByName(
