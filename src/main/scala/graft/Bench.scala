@@ -20,6 +20,54 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
 
+    def f(d: Double): String = String.format(Locale.ROOT, "%.4f", Double.box(d))
+
+    // BASELINE-comparable sustained-rate cells (rows/s shapes from
+    // BASELINE.md: validation throughput, columnar-sink load rate,
+    // end-to-end pipeline rate). Median of 3 after one warmup.
+    // Measured BEFORE the query sweep: 74 queries of accumulated heap /
+    // page-cache / temp-spill pressure depressed these cells 30-40%
+    // when they ran last (r2/r3 regressions were ordering artifacts —
+    // the same cells in a fresh session match round-1 rates).
+    // median of 5: run-to-run disk/page-cache noise on this host swings
+    // single measurements ±30%; the median of five is stable to ~10%
+    def timed(iters: Int)(work: Int => Long): Double = {
+      work(0) // warmup
+      val times = (1 to iters).map { i =>
+        val t0 = System.nanoTime(); val rows = work(i)
+        rows / ((System.nanoTime() - t0) / 1e9)
+      }.sorted
+      times(times.length / 2)
+    }
+    // replicate the scan 8x so sustained rate isn't job-overhead bound
+    val li1 = graft.core.Tables(spark, sfDir, "lineitem")
+    val li = (1 to 8).map(_ => li1).reduce(_ unionAll _)
+    val liRows = li1.count() * 8
+    val program = graft.contract.ValidationProgram.compile(graft.catalog.CoreQueries.lineitemPolicy)
+    val validateRps = timed(5) { _ =>
+      val d = program.annotate(li)
+      d.write.format("noop").mode("overwrite").save(); liRows
+    }
+    // fresh dir per iteration: mode(overwrite) over a previous iteration's
+    // output would spend timed wall-clock deleting thousands of files
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val sinkRps = timed(5) { i =>
+      li.write.parquet(s"$sinkDir/li_$i"); liRows
+    }
+    val e2eRps = timed(5) { i =>
+      val accepted = program.accepted(li)
+      graft.contract.Transform(accepted,
+          Seq(graft.contract.Transform.Derive("charge",
+            "l_extendedprice * (1 - l_discount) * (1 + l_tax)")))
+        .write.parquet(s"$sinkDir/e2e_$i")
+      liRows
+    }
+    val derived = Seq(
+      "validate_rows_per_sec" -> validateRps,
+      "parquet_sink_rows_per_sec" -> sinkRps,
+      "e2e_pipeline_rows_per_sec" -> e2eRps)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = graft.catalog.Catalog.all.filter(q => only.forall(_.contains(q.name)))
@@ -32,53 +80,14 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       // drop persist barriers a query left behind: cached partitions
       // otherwise accumulate across the suite and steal executor memory
-      // from every later cell (incl. the derived sustained rates)
+      // from every later cell
       spark.catalog.clearCache()
       q.name -> (if (ok) sec else -1.0)
     }
-
-    def f(d: Double): String = String.format(Locale.ROOT, "%.4f", Double.box(d))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
-    // BASELINE-comparable sustained-rate cells (rows/s shapes from
-    // BASELINE.md: validation throughput, columnar-sink load rate,
-    // end-to-end pipeline rate). Median of 3 after one warmup.
-    def timed(iters: Int)(work: () => Long): Double = {
-      work() // warmup
-      val times = (1 to iters).map { _ =>
-        val t0 = System.nanoTime(); val rows = work()
-        rows / ((System.nanoTime() - t0) / 1e9)
-      }.sorted
-      times(times.length / 2)
-    }
-    // replicate the scan 8x so sustained rate isn't job-overhead bound
-    val li1 = graft.core.Tables(spark, sfDir, "lineitem")
-    val li = (1 to 8).map(_ => li1).reduce(_ unionAll _)
-    val liRows = li1.count() * 8
-    val program = graft.contract.ValidationProgram.compile(graft.catalog.CoreQueries.lineitemPolicy)
-    val validateRps = timed(3) { () =>
-      val d = program.annotate(li)
-      d.write.format("noop").mode("overwrite").save(); liRows
-    }
-    val sinkDir = java.nio.file.Files.createTempDirectory("graft_bench").toString
-    val sinkRps = timed(3) { () =>
-      li.write.mode("overwrite").parquet(s"$sinkDir/li"); liRows
-    }
-    val e2eRps = timed(3) { () =>
-      val accepted = program.accepted(li)
-      graft.contract.Transform(accepted,
-          Seq(graft.contract.Transform.Derive("charge",
-            "l_extendedprice * (1 - l_discount) * (1 + l_tax)")))
-        .write.mode("overwrite").parquet(s"$sinkDir/e2e")
-      liRows
-    }
-    val derived = Seq(
-      "validate_rows_per_sec" -> validateRps,
-      "parquet_sink_rows_per_sec" -> sinkRps,
-      "e2e_pipeline_rows_per_sec" -> e2eRps)
-      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"derived":$derived,"sf":"$sfDir"}""")
     spark.stop()
   }

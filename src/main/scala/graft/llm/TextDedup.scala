@@ -44,13 +44,25 @@ object TextDedup {
     // gram pipeline is CPU-bound and must fan out across all cores.
     // persist: the gram table feeds sizes + both join sides — without a
     // barrier the split/shingle pipeline is recomputed per consumer.
+    // n=5 takes the native one-pass shingle kernel (codegen'd) over the
+    // interpreted HOF reference path.
+    val gramCol =
+      if (n == 5) {
+        graft.functions.TextHashFunctions.register(df.sparkSession)
+        call_function("graft_ngrams5", col(textCol))
+      } else TextAnalysis.wordNgrams(col(textCol), n)
     val grams = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
         col(idCol))
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.wordNgrams(col(textCol), n).as("ngrams"))
+      .select(col(idCol).as("doc_id"), gramCol.as("ngrams"))
       .persist()
     val sizes = grams.select(col("doc_id"), size(col("ngrams")).as("sz"))
-    val exploded = grams.select(col("doc_id"), explode(col("ngrams")).as("ng"))
+    // join on the 64-bit gram hash, not the gram text: candidate
+    // generation shuffles 8-byte keys instead of ~n-word strings (the
+    // distinct-gram set sizes are unchanged; a cross-doc xxhash64
+    // collision would need two distinct grams at the same 64-bit value
+    // in the same pair — negligible and caught by the oracle gate).
+    val exploded = grams.select(col("doc_id"),
+      explode(col("ngrams")).as("ng0")).select(col("doc_id"), xxhash64(col("ng0")).as("ng"))
     val a = exploded.as("a")
     val b = exploded.as("b")
     val inter = a.join(b, col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
