@@ -8,6 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.contract._
 import graft.core.{QueryDef, Tables}
 import graft.operators._
+import graft.streaming.CdcLogRunner
 
 /** Core relational surface: the reference's bounded
   * `Projection(Filter?(TableScan))` pipeline, scalar transforms, batch
@@ -279,6 +280,38 @@ object CoreQueries {
     MergeOps.cdcApply(ops, Seq("user_id"), "op", Seq("ts_us", "event_id")).orderBy("user_id")
   }
 
+  val cdcStream: QueryDef = QueryDef.sqlBacked(
+    "q_cdc_stream",
+    """SELECT user_id, event_id, ts_us, value FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+      |    CASE WHEN event_type = 'error' THEN 'delete'
+      |         WHEN event_type = 'signup' THEN 'insert' ELSE 'update' END AS op,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY event_id // 20 DESC, ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
+    doc = "CDC log source end-to-end: settlement units planned from per-txn summaries " +
+      "(never split a transaction), each unit delivered as one ledger-settled package with a " +
+      "typed tx cursor, then ordered apply over the delivered units — " +
+      "cdf cdc_log_source.rs:34-340; chaos law in CdcLogSpec (kill between units loses/dups nothing).") { (s, d) =>
+    val log = events(s, d)
+      .withColumn("tx_id", expr("event_id div 20")) // synthetic txn = 20 consecutive ops
+      .withColumn("op",
+        when(col("event_type") === "error", "delete")
+          .when(col("event_type") === "signup", "insert")
+          .otherwise("update"))
+      .select("tx_id", "user_id", "event_id", "ts_us", "value", "op")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString
+    val ledger = graft.core.Ledger.at(outDir)
+    val txns = CdcLogRunner.txnSummaries(log, "tx_id")
+    val policy = CdcLogRunner.policyForTargetUnits(txns.map(_.ops.toLong).sum, targetUnits = 6)
+    val plans = CdcLogRunner.packPlans(txns, policy)
+    CdcLogRunner.drain(log, "tx_id", outDir, ledger, "events_cdc", plans)
+    CdcLogRunner.applied(s, outDir, Seq("user_id"), "op", "tx_id", Seq("ts_us", "event_id"))
+      .select("user_id", "event_id", "ts_us", "value")
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------ streaming shapes
 
   val lateDataSplit: QueryDef = QueryDef.sqlBacked(
@@ -319,6 +352,6 @@ object CoreQueries {
   val all: Seq[QueryDef] = Seq(
     scanProjectFilter, scalarTransform, batchStats, segmentPruning,
     q1Agg, q3Join, validationVerdicts, validationSplit,
-    dedupExact, dedupKeyedLast, mergeUpsert, cdcApply,
+    dedupExact, dedupKeyedLast, mergeUpsert, cdcApply, cdcStream,
     lateDataSplit, incrementalCursor)
 }

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Ledger, Position}
+import graft.operators.MergeOps
+import graft.pkg.PackageWriter
+
+/** End-to-end CDC drain over a durable (parquet-backed) change log:
+  * plan settlement units from per-transaction summaries, deliver each
+  * unit as one ledger-settled package, resume from the typed cursor
+  * (cdf: crates/cdf-runtime/src/cdc_log_source.rs:34-340; chaos law
+  * crates/cdf-conformance/src/runtime_chaos/ — a kill between units
+  * loses nothing and duplicates nothing, and no unit ever splits a
+  * source transaction).
+  *
+  * 100 TB shape: only the per-transaction SUMMARIES (txId, ops, bytes)
+  * are collected to the driver to run the packing rule — a bounded
+  * metadata stream, thousands of structs per settlement window, never
+  * payload. Each unit then reads the log with a contiguous `txCol`
+  * range predicate, which reaches the parquet scan (row-group pruning
+  * on txCol min/max; on a time/tx-partitioned log, partition pruning).
+  */
+object CdcLogRunner {
+
+  final case class UnitPlan(unitId: Int, fromTx: Long, toTx: Long, ops: Long, bytes: Long)
+
+  final case class UnitResult(unitId: Int, fromTx: Long, toTx: Long, rows: Long,
+      packageHash: String)
+
+  /** Per-transaction summaries in commit order — ONE aggregation job;
+    * only (txId, ops, bytes) structs come back, never payload.
+    * `bytesCol` sums per-row payload size; when absent each op counts
+    * `fallbackBytesPerOp`. */
+  def txnSummaries(log: DataFrame, txCol: String, bytesCol: Option[String] = None,
+      fallbackBytesPerOp: Long = 64L): Seq[Settlement.Txn] =
+    log.groupBy(col(txCol).as("tx"))
+      .agg(count(lit(1)).as("ops"),
+        bytesCol.map(b => sum(col(b)).cast("long")).getOrElse(count(lit(1)) * fallbackBytesPerOp).as("bytes"))
+      .orderBy("tx")
+      .collect()
+      .map(r => Settlement.Txn(r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
+      .toSeq
+
+  /** Pack summaries into contiguous tx ranges via the shared
+    * settlement rule; validated against the conformance invariants. */
+  def packPlans(txns: Seq[Settlement.Txn], policy: Settlement.Policy): Seq[UnitPlan] = {
+    val units = Settlement.pack(txns, policy)
+    require(Settlement.validate(txns, units, policy), "settlement packing invariant violated")
+    units.zipWithIndex.map { case (u, i) =>
+      UnitPlan(i, u.head.txId, u.last.txId, u.map(_.ops.toLong).sum, u.map(_.bytes).sum)
+    }
+  }
+
+  def planUnits(log: DataFrame, txCol: String, policy: Settlement.Policy,
+      bytesCol: Option[String] = None, fallbackBytesPerOp: Long = 64L): Seq[UnitPlan] =
+    packPlans(txnSummaries(log, txCol, bytesCol, fallbackBytesPerOp), policy)
+
+  /** Policy that yields ~`targetUnits` units for this log (op-ceiling
+    * split of the observed total; byte ceiling effectively off). Used
+    * by the catalog query so unit count stays flat across scale
+    * factors. */
+  def policyForTargetUnits(totalOps: Long, targetUnits: Int): Settlement.Policy =
+    Settlement.Policy(math.max(1L, (totalOps + targetUnits - 1) / targetUnits).toInt, Long.MaxValue)
+
+  private def scope(resource: String): String = s"cdc:$resource"
+
+  /** Deliver every unit past the committed cursor. `killAfterUnits`
+    * simulates a crash for the chaos spec: the runner stops cold after
+    * N successful unit commits. Returns results for units delivered in
+    * THIS call. */
+  def drain(log: DataFrame, txCol: String, outDir: String, ledger: Ledger,
+      resource: String, plans: Seq[UnitPlan],
+      killAfterUnits: Option[Int] = None): Seq[UnitResult] = {
+    val spark = log.sparkSession
+    val resumeTx = ledger.resumePosition(resource, scope(resource)) match {
+      case Some(Position.Cursor(f, v)) =>
+        require(f == txCol, s"cursor field $f does not match tx column $txCol"); v
+      case Some(other) => throw new IllegalStateException(s"unexpected position kind ${other.kind}")
+      case None => Long.MinValue
+    }
+    val results = Seq.newBuilder[UnitResult]
+    var delivered = 0
+    plans.iterator
+      .filter(_.toTx > resumeTx) // exactly-once: committed units never re-deliver
+      .takeWhile(_ => killAfterUnits.forall(delivered < _))
+      .foreach { u =>
+        val slice = log.filter(col(txCol) >= u.fromTx && col(txCol) <= u.toTx)
+        val pkgDir = s"$outDir/unit_${u.unitId}"
+        val pkg = PackageWriter.write(slice, None, pkgDir, resource,
+          planHash = s"cdc-unit-${u.unitId}:${u.fromTx}-${u.toTx}")
+        val written = spark.read.parquet(s"$pkgDir/data")
+        ledger.propose(resource, scope(resource), pkg.packageHash,
+          Some(Position.Cursor(txCol, u.toTx)))
+        val receipt = PackageWriter.Receipt(s"parquet:$pkgDir/data", pkg.rows,
+          pkg.contentHash)
+        require(PackageWriter.verifyReceipt(written, receipt),
+          s"cdc unit ${u.unitId} receipt verify failed")
+        ledger.commit(resource, scope(resource), pkg.packageHash, receipt.toJsonString)
+        results += UnitResult(u.unitId, u.fromTx, u.toTx, pkg.rows, pkg.packageHash)
+        delivered += 1
+      }
+    results.result()
+  }
+
+  /** Materialized view after ordered apply of all delivered units:
+    * last op per key in (tx, order-cols) order; terminal delete
+    * removes. */
+  def applied(spark: SparkSession, outDir: String, keys: Seq[String], opCol: String,
+      txCol: String, orderCols: Seq[String]): DataFrame = {
+    val units = spark.read.parquet(s"$outDir/unit_*/data")
+    MergeOps.cdcApply(units, keys, opCol, txCol +: orderCols)
+  }
+}
