@@ -23,13 +23,19 @@ object StatsOps {
   def exactSum(c: Column, precision: Int = 28, scale: Int = 10): Column =
     sum(c.cast(DecimalType(precision, scale))).cast(DoubleType)
 
-  private def statsAggs(df: DataFrame, cols: Seq[String]): Seq[Column] =
+  /** The full stats aggregate list (row_count + per-column
+    * nulls/min/max) — public so callers can FUSE these into an
+    * aggregation they already run (e.g. PackageWriter folds them into
+    * its count+content-hash job: one pass, not two). */
+  def statsAggs(cols: Seq[String]): Seq[Column] =
     count(lit(1)).as("row_count") +: cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         min(col(c)).as(s"${c}__min"),
         max(col(c)).as(s"${c}__max"))
     }
+  private def statsAggs(df: DataFrame, cols: Seq[String]): Seq[Column] =
+    statsAggs(cols)
 
   /** In-flight stats via `Dataset.observe` (cdf batch stats computed
     * DURING the load, not as a second pass — SURVEY §2.5 "or

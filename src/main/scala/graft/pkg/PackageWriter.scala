@@ -29,7 +29,8 @@ import graft.operators.StatsOps
 object PackageWriter {
 
   final case class PackageResult(dir: String, packageHash: String, rows: Long,
-      quarantined: Long, manifest: String, segments: Int = 1)
+      quarantined: Long, manifest: String, segments: Int = 1,
+      contentHash: String = "")
 
   /** Row count + content hash in ONE aggregation job (one pass over
     * the data instead of two). */
@@ -64,7 +65,27 @@ object PackageWriter {
     (if (maxRecordsPerFile > 0L) w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).parquet(dataDir)
     val written = df.sparkSession.read.parquet(dataDir)
-    val (rows, hash) = countAndHash(written)
+
+    val numericCols = written.schema.fields.filter(f =>
+      f.dataType.typeName match {
+        case "integer" | "long" | "double" | "float" | "string" | "timestamp" => true
+        case _ => false
+      }).map(_.name).toSeq
+    // ONE aggregation pass over the written package: row count +
+    // content hash + the full per-column stats profile (two jobs fused
+    // — at 100 TB the package read-back is the cost, not the agg).
+    val aggs = StatsOps.statsAggs(numericCols)
+    val combined = written
+      .select(col("*"), xxhash64(written.columns.map(col): _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__h"))
+      .agg(aggs.head, sum(col("__h")).as("__hash_sum") +: aggs.tail: _*)
+      .persist()
+    val cRow = combined.head()
+    val rows = cRow.getLong(0)
+    val hash = if (cRow.isNullAt(1)) "0" else cRow.getDecimal(1).toBigInteger.toString
+    combined.drop("__hash_sum").coalesce(1).write.mode("overwrite").parquet(statsDir)
+    combined.unpersist()
+
     val segments = {
       val d = new java.io.File(dataDir)
       val n = Option(d.list()).map(_.count(_.startsWith("part-"))).getOrElse(0)
@@ -79,14 +100,6 @@ object PackageWriter {
       df.sparkSession.read.parquet(qDir).count()
     }.getOrElse(0L)
 
-    val numericCols = written.schema.fields.filter(f =>
-      f.dataType.typeName match {
-        case "integer" | "long" | "double" | "float" | "string" | "timestamp" => true
-        case _ => false
-      }).map(_.name).toSeq
-    StatsOps.batchStats(written, numericCols)
-      .coalesce(1).write.mode("overwrite").parquet(statsDir)
-
     val manifest = JObj.of(
       "manifest_version" -> JInt(1),
       "resource" -> JStr(resource),
@@ -100,7 +113,7 @@ object PackageWriter {
     val pkgHash = sha256Hex(rendered)
     Files.createDirectories(Paths.get(dir))
     Files.write(Paths.get(dir, "manifest.json"), rendered.getBytes(StandardCharsets.UTF_8))
-    PackageResult(dir, pkgHash, rows, qRows, rendered, segments)
+    PackageResult(dir, pkgHash, rows, qRows, rendered, segments, hash)
   }
 
   /** Destination receipt: durable, independently verifiable ack

@@ -111,7 +111,7 @@ object DrainEpoch {
         ledger.propose(cfg.resource, scope, pkg.packageHash,
           newFrontier.map(Position.Cursor(cfg.eventTimeCol, _)))
         val receipt = PackageWriter.Receipt(s"parquet:$pkgDir/data", pkg.rows,
-          PackageWriter.contentHash(admitted))
+          pkg.contentHash)
         require(PackageWriter.verifyReceipt(admitted, receipt),
           s"epoch $epoch receipt verify failed")
         ledger.commit(cfg.resource, scope, pkg.packageHash, receipt.toJsonString)
@@ -141,7 +141,7 @@ object DrainEpoch {
       ledger.propose(cfg.resource, scope, pkg.packageHash,
         frontier.map(Position.Cursor(cfg.eventTimeCol, _)))
       val receipt = PackageWriter.Receipt(s"parquet:$pkgDir/data", pkg.rows,
-        PackageWriter.contentHash(admitted))
+        pkg.contentHash)
       require(PackageWriter.verifyReceipt(admitted, receipt),
         s"carryover flush receipt verify failed")
       ledger.commit(cfg.resource, scope, pkg.packageHash, receipt.toJsonString)

@@ -75,7 +75,7 @@ object StreamRunner {
             ledger.propose(resource, scope, pkg.packageHash,
               frontier.map(graft.core.Position.Cursor(eventTimeCol, _)))
             val receipt = PackageWriter.Receipt(s"parquet:$pkgDir/data",
-              pkg.rows, PackageWriter.contentHash(admitted))
+              pkg.rows, pkg.contentHash)
             require(PackageWriter.verifyReceipt(admitted, receipt),
               s"epoch $epochId receipt verify failed")
             ledger.commit(resource, scope, pkg.packageHash, receipt.toJsonString)
@@ -104,7 +104,7 @@ object StreamRunner {
       ledger.propose(resource, scope, pkg.packageHash,
         frontier.map(graft.core.Position.Cursor(eventTimeCol, _)))
       val receipt = PackageWriter.Receipt(s"parquet:$pkgDir/data", pkg.rows,
-        PackageWriter.contentHash(admitted))
+        pkg.contentHash)
       require(PackageWriter.verifyReceipt(admitted, receipt),
         "stream carryover flush receipt verify failed")
       ledger.commit(resource, scope, pkg.packageHash, receipt.toJsonString)
