@@ -294,7 +294,31 @@ object ExtendedQueries {
     roundtripAgg(back)
   }
 
+  val icebergIncremental: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_incremental",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+      |FROM lineitem WHERE l_orderkey % 10 = 1""".stripMargin,
+    doc = "Iceberg-spec incremental scan (cdf-source-iceberg driver.rs:1035): two committed " +
+      "snapshots (metadata json + manifest-list/manifest avro per the public format spec), " +
+      "then the (snap1, snap2] append-diff reads ONLY the files snapshot 2 added — verified " +
+      "because the aggregate matches the second slice exactly.") { (s, d) =>
+    val li = t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), dec2(col("l_quantity")).as("l_quantity"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg").toString + "/tbl"
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 10 === 0), snapshotId = 1L, timestampMs = 1L)
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 10 === 1), snapshotId = 2L, timestampMs = 2L)
+    graft.sources.IcebergSource.readIncremental(s, dir, Some(1L), 2L)
+      .agg(count(lit(1)).cast("long").as("n"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    icebergIncremental,
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,
     csvRoundtrip, ndjsonRoundtrip, orcRoundtrip,

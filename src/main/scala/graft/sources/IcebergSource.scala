@@ -1,0 +1,286 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.CanonicalJson
+import graft.core.CanonicalJson._
+
+/** Apache Iceberg table-format reader/writer built from the PUBLIC
+  * format spec (iceberg.apache.org/spec, format v2) — no Iceberg jars
+  * exist on this classpath, so the metadata plumbing is implemented
+  * directly: `metadata/version-hint.text` → `vN.metadata.json` →
+  * snapshot list → manifest-list Avro → manifest Avro → parquet data
+  * files. Mirrors the reference's biggest connector (cdf:
+  * crates/cdf-source-iceberg/src/driver.rs:1035 — snapshot-pinned
+  * scans, incremental append-diff between snapshots, typed snapshot
+  * positions).
+  *
+  * Scale shape: metadata files are KB-sized and read driver-side
+  * (exactly how Iceberg's own planner works); the DATA read is a
+  * normal distributed parquet scan over the planned file list, so
+  * pushdown/pruning/AQE all apply. Incremental scan reads ONLY the
+  * files added by snapshots in `(from, to]` — the append-diff, never
+  * a full-table diff.
+  *
+  * Subset honesty: append-only v2 tables (status=ADDED entries, no
+  * positional/equality deletes), unpartitioned specs, absolute file
+  * paths. Enough for snapshot-pinned + incremental scans and for the
+  * resume-replay law; delete files and partition specs are recorded as
+  * out of scope (package format here is parquet packages — SURVEY §7.1).
+  */
+object IcebergSource {
+
+  // ---------------------------------------------------------- avro schemas
+  // Field names follow the spec ("manifest_file" / "manifest_entry" /
+  // "data_file" records); subset of required fields.
+
+  private val manifestFileSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"added_snapshot_id","type":"long"},
+      |{"name":"added_files_count","type":"int"},
+      |{"name":"added_rows_count","type":"long"}]}""".stripMargin)
+
+  private val manifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  final val StatusAdded = 1
+  final val StatusExisting = 0
+
+  // ------------------------------------------------------------ model
+
+  final case class Snapshot(id: Long, parentId: Option[Long], sequenceNumber: Long,
+      timestampMs: Long, manifestList: String)
+  final case class TableMeta(location: String, currentSnapshotId: Option[Long],
+      snapshots: Seq[Snapshot], version: Int) {
+    def snapshot(id: Long): Snapshot = snapshots.find(_.id == id)
+      .getOrElse(throw new IllegalArgumentException(s"unknown snapshot $id"))
+    /** parent-chain from `to` (inclusive) down to `fromExclusive`
+      * (exclusive); newest first. */
+    def lineage(fromExclusive: Option[Long], to: Long): Seq[Snapshot] = {
+      val out = Seq.newBuilder[Snapshot]
+      var cur: Option[Long] = Some(to)
+      while (cur.isDefined && fromExclusive != cur) {
+        val s = snapshot(cur.get)
+        out += s
+        cur = s.parentId
+      }
+      require(fromExclusive.forall(f => cur.contains(f)),
+        s"snapshot $fromExclusive is not an ancestor of $to")
+      out.result()
+    }
+  }
+  final case class DataFileRef(path: String, recordCount: Long, sizeBytes: Long)
+
+  // ------------------------------------------------------------- read
+
+  def currentVersion(tableDir: String): Int = {
+    val hint = Paths.get(tableDir, "metadata", "version-hint.text")
+    new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt
+  }
+
+  def readMeta(tableDir: String): TableMeta = readMeta(tableDir, currentVersion(tableDir))
+
+  def readMeta(tableDir: String, version: Int): TableMeta = {
+    val p = Paths.get(tableDir, "metadata", s"v$version.metadata.json")
+    val j = CanonicalJson.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    val f = CanonicalJson.objFields(j)
+    def longOf(x: J): Long = x match {
+      case JInt(v) => v
+      case other => throw new IllegalArgumentException(s"expected int, got $other")
+    }
+    val snaps = f.get("snapshots") match {
+      case Some(JArr(vs)) => vs.map { s =>
+        val sf = CanonicalJson.objFields(s)
+        Snapshot(
+          longOf(sf("snapshot-id")),
+          sf.get("parent-snapshot-id").collect { case JInt(v) => v },
+          longOf(sf("sequence-number")),
+          longOf(sf("timestamp-ms")),
+          sf("manifest-list") match { case JStr(v) => v; case o => o.toString })
+      }
+      case _ => Seq.empty
+    }
+    val cur = f.get("current-snapshot-id").collect { case JInt(v) if v >= 0 => v }
+    val loc = f.get("location").collect { case JStr(v) => v }.getOrElse(tableDir)
+    TableMeta(loc, cur, snaps, version)
+  }
+
+  private def readAvro(path: String): Seq[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](new File(path),
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toVector finally r.close()
+  }
+
+  /** manifest-list → manifests, optionally restricted to those added
+    * by `addedBy`. */
+  private def manifests(manifestList: String, addedBy: Option[Set[Long]]): Seq[String] =
+    readAvro(manifestList)
+      .filter(m => addedBy.forall(_.contains(m.get("added_snapshot_id").asInstanceOf[Long])))
+      .map(_.get("manifest_path").toString)
+
+  private def entries(manifestPath: String): Seq[(Int, Option[Long], DataFileRef)] =
+    readAvro(manifestPath).map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      (e.get("status").asInstanceOf[Int],
+        Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]),
+        DataFileRef(df.get("file_path").toString,
+          df.get("record_count").asInstanceOf[Long],
+          df.get("file_size_in_bytes").asInstanceOf[Long]))
+    }
+
+  /** All live data files at a snapshot (append-only subset: every
+    * non-deleted entry across the snapshot's manifest list). */
+  def dataFiles(tableDir: String, snapshotId: Option[Long] = None): Seq[DataFileRef] = {
+    val meta = readMeta(tableDir)
+    val snap = snapshotId.orElse(meta.currentSnapshotId)
+      .map(meta.snapshot)
+      .getOrElse(return Seq.empty)
+    manifests(snap.manifestList, None).flatMap(entries)
+      .collect { case (s, _, f) if s != 2 => f }
+  }
+
+  /** The append-diff: data files added by snapshots in
+    * `(fromExclusive, to]`, via parent-chain lineage — the exact shape
+    * of the reference's incremental scan. */
+  def addedFiles(tableDir: String, fromExclusive: Option[Long], to: Long): Seq[DataFileRef] = {
+    val meta = readMeta(tableDir)
+    val lineageIds = meta.lineage(fromExclusive, to).map(_.id).toSet
+    val snap = meta.snapshot(to)
+    manifests(snap.manifestList, Some(lineageIds)).flatMap(entries)
+      .collect { case (StatusAdded, Some(sid), f) if lineageIds.contains(sid) => f }
+  }
+
+  /** Snapshot-pinned distributed read (time travel when `snapshotId`
+    * names an older snapshot). */
+  def read(spark: SparkSession, tableDir: String, snapshotId: Option[Long] = None): DataFrame = {
+    val files = dataFiles(tableDir, snapshotId)
+    require(files.nonEmpty, s"no data files at snapshot $snapshotId")
+    spark.read.parquet(files.map(_.path): _*)
+  }
+
+  /** Incremental read of the `(from, to]` append-diff. */
+  def readIncremental(spark: SparkSession, tableDir: String,
+      fromExclusive: Option[Long], to: Long): DataFrame = {
+    val files = addedFiles(tableDir, fromExclusive, to)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(_.path): _*)
+  }
+
+  // ------------------------------------------------------------- write
+
+  private def writeAvro(path: String, schema: Schema, records: Seq[GenericRecord]): Long = {
+    Files.createDirectories(Paths.get(path).getParent)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(path))
+    records.foreach(w.append)
+    w.close()
+    new File(path).length()
+  }
+
+  /** Append `df` as a new snapshot: parquet data files (distributed
+    * write), one ADDED manifest, manifest-list = parent's + new,
+    * metadata vN+1, version-hint flip (the spec's commit protocol —
+    * readers resolve the hint to an immutable metadata file, so a
+    * crash mid-commit leaves the old version fully readable). */
+  def commitAppend(spark: SparkSession, tableDir: String, df: DataFrame,
+      snapshotId: Long, timestampMs: Long): TableMeta = {
+    val metaDir = s"$tableDir/metadata"
+    val haveMeta = Files.exists(Paths.get(metaDir, "version-hint.text"))
+    val parent: Option[TableMeta] = if (haveMeta) Some(readMeta(tableDir)) else None
+
+    val dataDir = s"$tableDir/data/snap-$snapshotId"
+    df.write.mode("errorifexists").parquet(dataDir)
+    // per-file row counts in one job (manifest stats are real, not stubs)
+    val perFile = spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0).replaceFirst("^file:/+", "/"), r.getLong(1)))
+    val files = perFile.map { case (p, n) => DataFileRef(p, n, new File(p).length()) }
+
+    val manifestPath = s"$metaDir/manifest-$snapshotId.avro"
+    val entryRecs = files.map { f =>
+      val d = new GenericData.Record(manifestEntrySchema.getField("data_file").schema())
+      d.put("content", 0)
+      d.put("file_path", f.path)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", f.recordCount)
+      d.put("file_size_in_bytes", f.sizeBytes)
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", StatusAdded)
+      e.put("snapshot_id", Long.box(snapshotId))
+      e.put("data_file", d)
+      e
+    }
+    val manifestLen = writeAvro(manifestPath, manifestEntrySchema, entryRecs.toSeq)
+
+    val parentSnap = parent.flatMap(m => m.currentSnapshotId.map(m.snapshot))
+    val priorManifests: Seq[GenericRecord] =
+      parentSnap.map(s => readAvro(s.manifestList)).getOrElse(Seq.empty)
+    val newManifest = new GenericData.Record(manifestFileSchema)
+    newManifest.put("manifest_path", manifestPath)
+    newManifest.put("manifest_length", manifestLen)
+    newManifest.put("partition_spec_id", 0)
+    newManifest.put("content", 0)
+    newManifest.put("added_snapshot_id", snapshotId)
+    newManifest.put("added_files_count", files.length)
+    newManifest.put("added_rows_count", files.map(_.recordCount).sum)
+    val listPath = s"$metaDir/snap-$snapshotId-manifest-list.avro"
+    // re-encode prior entries against our schema (field-by-field copy)
+    val priorCopies = priorManifests.map { m =>
+      val r = new GenericData.Record(manifestFileSchema)
+      manifestFileSchema.getFields.asScala.foreach(f => r.put(f.name(), m.get(f.name())))
+      r
+    }
+    writeAvro(listPath, manifestFileSchema, priorCopies :+ newManifest)
+
+    val seq = parent.map(_.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1).getOrElse(1L)
+    val snap = Snapshot(snapshotId, parent.flatMap(_.currentSnapshotId), seq, timestampMs, listPath)
+    val allSnaps = parent.map(_.snapshots).getOrElse(Seq.empty) :+ snap
+    val version = parent.map(_.version + 1).getOrElse(1)
+
+    def snapJson(s: Snapshot): J = JObj.of(
+      (Seq("snapshot-id" -> (JInt(s.id): J)) ++
+        s.parentId.map(p => "parent-snapshot-id" -> (JInt(p): J)).toSeq ++
+        Seq(
+          "sequence-number" -> (JInt(s.sequenceNumber): J),
+          "timestamp-ms" -> (JInt(s.timestampMs): J),
+          "manifest-list" -> (JStr(s.manifestList): J),
+          "summary" -> (JObj.of("operation" -> JStr("append")): J))): _*)
+
+    val metaJson = JObj.of(
+      "format-version" -> JInt(2),
+      "table-uuid" -> JStr(f"graft-${tableDir.hashCode}%08x-0000-0000-0000-000000000000"),
+      "location" -> JStr(tableDir),
+      "last-sequence-number" -> JInt(seq),
+      "last-updated-ms" -> JInt(timestampMs),
+      "current-snapshot-id" -> JInt(snapshotId),
+      "snapshots" -> JArr(allSnaps.map(snapJson)))
+    Files.createDirectories(Paths.get(metaDir))
+    Files.write(Paths.get(metaDir, s"v$version.metadata.json"),
+      CanonicalJson.render(metaJson).getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(metaDir, "version-hint.text"),
+      version.toString.getBytes(StandardCharsets.UTF_8))
+    TableMeta(tableDir, Some(snapshotId), allSnaps, version)
+  }
+}
