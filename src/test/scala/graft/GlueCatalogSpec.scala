@@ -1,0 +1,109 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.GlueCatalog
+import graft.sources.GlueCatalog.{GlueColumn, GluePartition}
+
+/** Glue JSON-protocol conformance against a paged in-memory endpoint
+  * (cdf: crates/cdf-source-glue/src/driver.rs:1073). */
+class GlueCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** fixture transport: serves NextToken-paged responses and records
+    * every request for pagination/pruning assertions. */
+  private class Endpoint(partLocs: Seq[String]) {
+    val calls = mutable.ArrayBuffer.empty[(String, String)]
+    def transport: GlueCatalog.Transport = (action, req) => {
+      calls += ((action, req))
+      val token = "\"NextToken\":\"([^\"]+)\"".r.findFirstMatchIn(req).map(_.group(1))
+      action match {
+        case "AWSGlue.GetDatabases" => token match {
+          case None => """{"DatabaseList":[{"Name":"sales"}],"NextToken":"t1"}"""
+          case Some("t1") => """{"DatabaseList":[{"Name":"ops"}]}"""
+          case t => sys.error(s"bad token $t")
+        }
+        case "AWSGlue.GetTables" =>
+          require(req.contains(""""DatabaseName":"sales""""), s"bad req $req")
+          """{"TableList":[{"Name":"orders","StorageDescriptor":{
+            |"Location":"/unused/base","InputFormat":"org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+            |"Columns":[{"Name":"id","Type":"bigint"},{"Name":"amount","Type":"decimal(12,2)"},
+            |{"Name":"tag","Type":"string"}]},
+            |"PartitionKeys":[{"Name":"ds","Type":"string"}]}]}""".stripMargin.replace("\n", "")
+        case "AWSGlue.GetPartitions" => token match {
+          case None =>
+            s"""{"Partitions":[{"Values":["2024-01-01"],"StorageDescriptor":{"Location":"${partLocs(0)}"}},
+               |{"Values":["2024-01-02"],"StorageDescriptor":{"Location":"${partLocs(1)}"}}],
+               |"NextToken":"p1"}""".stripMargin.replace("\n", "")
+          case Some("p1") =>
+            s"""{"Partitions":[{"Values":["2024-01-03"],"StorageDescriptor":{"Location":"${partLocs(2)}"}}]}"""
+          case t => sys.error(s"bad token $t")
+        }
+      }
+    }
+  }
+
+  private def writePartitions(): Seq[String] = {
+    val base = tmpDir()
+    (1 to 3).map { d =>
+      val loc = s"$base/ds=2024-01-0$d"
+      (1 to 10).map(i => (d * 100L + i, BigDecimal(i) + 0.25, s"t$i"))
+        .toDF("id", "amount", "tag")
+        .withColumn("amount", col("amount").cast(DecimalType(12, 2)))
+        .write.parquet(loc)
+      loc
+    }
+  }
+
+  test("NextToken pagination walks every page of databases and partitions") {
+    val ep = new Endpoint(writePartitions())
+    assert(GlueCatalog.getDatabases(ep.transport) == Seq("sales", "ops"))
+    assert(ep.calls.count(_._1 == "AWSGlue.GetDatabases") == 2)
+    val parts = GlueCatalog.getPartitions(ep.transport, "sales", "orders")
+    assert(parts.map(_.values.head) == Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+    assert(ep.calls.count(_._1 == "AWSGlue.GetPartitions") == 2)
+  }
+
+  test("storage descriptor maps to a typed Spark schema") {
+    val ep = new Endpoint(writePartitions())
+    val Seq(tbl) = GlueCatalog.getTables(ep.transport, "sales")
+    assert(tbl.partitionKeys == Seq(GlueColumn("ds", "string")))
+    assert(GlueCatalog.toStructType(tbl) == StructType(Seq(
+      StructField("id", LongType), StructField("amount", DecimalType(12, 2)),
+      StructField("tag", StringType))))
+    // type-mapping edges
+    assert(GlueCatalog.toSparkType("array<int>") == ArrayType(IntegerType))
+    intercept[IllegalArgumentException](GlueCatalog.toSparkType("struct<a:int>"))
+  }
+
+  test("catalog-level partition pruning reads ONLY matching locations") {
+    val locs = writePartitions()
+    val ep = new Endpoint(locs)
+    val Seq(tbl) = GlueCatalog.getTables(ep.transport, "sales")
+    val parts = GlueCatalog.getPartitions(ep.transport, "sales", "orders")
+
+    val pruned = GlueCatalog.scan(spark, tbl, parts,
+      keep = _.values.head >= "2024-01-02")
+    assert(pruned.count() == 20)
+    // partition-key column surfaces from catalog values, typed
+    assert(pruned.select("ds").distinct().as[String].collect().sorted.toSeq
+      == Seq("2024-01-02", "2024-01-03"))
+    // the pruned location was never touched by the scan
+    val touched = pruned.inputFiles.mkString(",")
+    assert(!touched.contains(locs(0)) && touched.contains(locs(1)) && touched.contains(locs(2)))
+    // values match the files + catalog key
+    assert(pruned.filter(col("ds") === "2024-01-02").agg(min("id")).head().getLong(0) == 201L)
+  }
+
+  test("full scan unions all partitions with catalog keys attached") {
+    val ep = new Endpoint(writePartitions())
+    val Seq(tbl) = GlueCatalog.getTables(ep.transport, "sales")
+    val parts = GlueCatalog.getPartitions(ep.transport, "sales", "orders")
+    val full = GlueCatalog.scan(spark, tbl, parts)
+    assert(full.count() == 30)
+    assert(full.groupBy("ds").count().count() == 3)
+  }
+}
