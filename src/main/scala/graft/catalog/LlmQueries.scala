@@ -462,9 +462,67 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  val repetitionSignals: QueryDef = QueryDef.sqlBacked(
+    "q_repetition",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |wa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+      |       CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(c) AS top_word FROM wc GROUP BY 1),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+      |      FROM documents),
+      |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      |ga AS (SELECT doc_id, MAX(c) AS top_gram, CAST(SUM(c) AS BIGINT) AS n_grams FROM gc GROUP BY 1)
+      |SELECT wa.doc_id, n_words,
+      |  round(CAST(n_distinct AS DOUBLE) / n_words, 4) AS distinct_frac,
+      |  round(CAST(top_word AS DOUBLE) / n_words, 4) AS top_word_frac,
+      |  round(CAST(coalesce(top_gram, 0) AS DOUBLE) / greatest(coalesce(n_grams, 0), 1), 4) AS top_bigram_frac
+      |FROM wa LEFT JOIN ga ON wa.doc_id = ga.doc_id
+      |ORDER BY wa.doc_id""".stripMargin,
+    doc = "Gopher-style repetition quality signals: distinct-word ratio, top-word fraction, " +
+      "top-bigram fraction (Rae et al. 2021 repetition filters, adapted to word granularity). " +
+      "Shuffles (doc_id, token) pairs only; partial aggregation map-side.") { (s, d) =>
+    val words = docsFanout(s, d).select(col("doc_id"), split(col("text"), " ").as("words"))
+    val wc = words.select(col("doc_id"), explode(col("words")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val wa = wc.groupBy("doc_id").agg(
+      sum("c").cast("long").as("n_words"),
+      count(lit(1)).cast("long").as("n_distinct"),
+      max("c").as("top_word"))
+    // bigrams WITH multiplicity (the shingle kernel dedups, so HOF here)
+    val grams = words.select(col("doc_id"),
+      explode(when(size(col("words")) < 2, array().cast("array<string>"))
+        .otherwise(expr("transform(sequence(1, size(words) - 1), " +
+          "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"))).as("gram"))
+    val ga = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_gram"), sum("c").cast("long").as("n_grams"))
+    wa.join(ga, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        round(col("n_distinct").cast("double") / col("n_words"), 4).as("distinct_frac"),
+        round(col("top_word").cast("double") / col("n_words"), 4).as("top_word_frac"),
+        round(coalesce(col("top_gram"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val prefixDedup: QueryDef = QueryDef.sqlBacked(
+    "q_prefix_dedup",
+    """SELECT md5(substring(text, 1, 64)) AS prefix_key,
+      |  min(doc_id) AS keeper_doc_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
+    doc = "Prefix-hash dedup (boilerplate-prefix near-dup family): group on md5 of the " +
+      "64-char prefix, keep the smallest doc_id. At scale only 16-byte keys shuffle, " +
+      "never document text.") { (s, d) =>
+    docs(s, d)
+      .groupBy(md5(substring(col("text"), 1, 64)).as("prefix_key"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).cast("long").as("n_docs"))
+      .orderBy("keeper_doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     textFingerprint, dedupContentHash, tokenStats, textQuality, langIdQ,
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
+    repetitionSignals, prefixDedup,
     ngramJaccard, minhashLsh, simhash,
     cosineTopK, annLsh, annIvf, embedNearDup, embedQuantize,
     multimodalMeta, multimodalFeatures)
