@@ -306,8 +306,8 @@ object CoreQueries {
     val txns = CdcLogRunner.txnSummaries(log, "tx_id")
     val policy = CdcLogRunner.policyForTargetUnits(txns.map(_.ops.toLong).sum, targetUnits = 6)
     val plans = CdcLogRunner.packPlans(txns, policy)
-    CdcLogRunner.drain(log, "tx_id", outDir, ledger, "events_cdc", plans)
-    CdcLogRunner.applied(s, outDir, Seq("user_id"), "op", "tx_id", Seq("ts_us", "event_id"))
+    CdcLogRunner.drainBulk(log, "tx_id", outDir, ledger, "events_cdc", plans)
+    CdcLogRunner.appliedBulk(s, outDir, Seq("user_id"), "op", "tx_id", Seq("ts_us", "event_id"))
       .select("user_id", "event_id", "ts_us", "value")
       .orderBy("user_id")
   }

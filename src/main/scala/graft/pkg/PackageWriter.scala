@@ -100,13 +100,20 @@ object PackageWriter {
       df.sparkSession.read.parquet(qDir).count()
     }.getOrElse(0L)
 
+    writeManifest(dir, resource, planHash, rows, qRows, written.columns.toSeq, hash, segments)
+  }
+
+  /** Render + persist the canonical package manifest; shared by the
+    * per-package writer and bulk (partitioned) writers. */
+  def writeManifest(dir: String, resource: String, planHash: String, rows: Long,
+      qRows: Long, columns: Seq[String], hash: String, segments: Int): PackageResult = {
     val manifest = JObj.of(
       "manifest_version" -> JInt(1),
       "resource" -> JStr(resource),
       "plan_hash" -> JStr(planHash),
       "row_count" -> JInt(rows),
       "quarantine_count" -> JInt(qRows),
-      "columns" -> JArr(written.columns.sorted.map(JStr(_)).toSeq),
+      "columns" -> JArr(columns.sorted.map(JStr(_))),
       "content_hash" -> JStr(hash),
       "layout" -> JArr(Seq("data/", "quarantine/", "stats/", "manifest.json").map(JStr)))
     val rendered = render(manifest)

@@ -104,12 +104,118 @@ object CdcLogRunner {
     results.result()
   }
 
+  /** Bounded-backfill drain: ONE pass over the log (the repo's
+    * one-source-scan law) instead of one filtered scan per unit. A
+    * single dynamic-partition write lands every undelivered unit's
+    * data; ONE grouped aggregation computes every unit's row count +
+    * content hash + stats (the segment-stats manifest); then units
+    * settle through the ledger in commit order, each verified by an
+    * independent probe of its (tiny) package dir. Committed units'
+    * directories are untouched (dynamic overwrite only rewrites
+    * partitions present in the write). The sequential [[drain]] stays
+    * for true streaming delivery; this is the shape a 100 TB backfill
+    * wants. */
+  def drainBulk(log: DataFrame, txCol: String, outDir: String, ledger: Ledger,
+      resource: String, plans: Seq[UnitPlan],
+      killAfterUnits: Option[Int] = None): Seq[UnitResult] = {
+    val spark = log.sparkSession
+    val resumeTx = ledger.resumePosition(resource, scope(resource)) match {
+      case Some(Position.Cursor(f, v)) =>
+        require(f == txCol, s"cursor field $f does not match tx column $txCol"); v
+      case Some(other) => throw new IllegalStateException(s"unexpected position kind ${other.kind}")
+      case None => Long.MinValue
+    }
+    val todo = plans.filter(_.toTx > resumeTx)
+    if (todo.isEmpty) return Seq.empty
+
+    // unit assignment: contiguous tx ranges → one CASE chain, stays in
+    // whole-stage codegen with the scan
+    val unitCol = todo.tail.foldLeft(
+      when(col(txCol) <= todo.head.toTx, lit(todo.head.unitId))) { (acc, u) =>
+      acc.when(col(txCol) <= u.toTx, lit(u.unitId))
+    }
+    val unitsRoot = s"$outDir/units"
+    log.filter(col(txCol) >= todo.head.fromTx && col(txCol) <= todo.last.toTx)
+      .withColumn("__unit", unitCol)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__unit")
+      .parquet(unitsRoot)
+
+    // ONE grouped aggregation: per-unit row count + content hash + the
+    // full column-stats profile (receipt inputs and the segment-stats
+    // manifest come out of the same pass)
+    def groupedCountHashStats(withStats: Boolean) = {
+      val written = spark.read.parquet(unitsRoot)
+        .filter(col("__unit").isin(todo.map(_.unitId): _*))
+      val dataCols = written.columns.filterNot(_ == "__unit").toSeq
+      val statAggs =
+        if (withStats) graft.operators.StatsOps.statsAggs(dataCols) else Seq.empty
+      val agg = written
+        .select(col("*"), xxhash64(dataCols.map(col): _*)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__h"))
+        .groupBy("__unit")
+        .agg(count(lit(1)).as("__rows"), (sum(col("__h")).as("__hash_sum") +: statAggs): _*)
+      (agg, dataCols)
+    }
+    val (fused, dataCols) = groupedCountHashStats(withStats = true)
+    val fusedRows = fused.persist().collect()
+    val perUnit = fusedRows
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDecimal(2).toBigInteger.toString))
+      .toMap
+    // segment-stats manifest from the same pass: tiny cached write,
+    // partitioned by segment so a resumed delivery adds its units
+    // without clobbering committed ones
+    fused.withColumnRenamed("__unit", "segment_id")
+      .drop("__rows", "__hash_sum")
+      .coalesce(1).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segment_id").parquet(s"$outDir/stats")
+    fused.unpersist()
+
+    // independent receipt probe: ONE re-read of the delivered files
+    // verifies every unit (same fidelity as per-unit probes, U−1 fewer
+    // jobs)
+    val (probe, _) = groupedCountHashStats(withStats = false)
+    val probed = probe.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDecimal(2).toBigInteger.toString))
+      .toMap
+
+    val results = Seq.newBuilder[UnitResult]
+    var delivered = 0
+    todo.iterator
+      .takeWhile(_ => killAfterUnits.forall(delivered < _))
+      .foreach { u =>
+        val unitDir = s"$unitsRoot/__unit=${u.unitId}"
+        val (rows, hash) = perUnit(u.unitId)
+        val pkg = PackageWriter.writeManifest(s"$outDir/unit_${u.unitId}", resource,
+          planHash = s"cdc-unit-${u.unitId}:${u.fromTx}-${u.toTx}",
+          rows = rows, qRows = 0L, columns = dataCols, hash = hash, segments = 1)
+        ledger.propose(resource, scope(resource), pkg.packageHash,
+          Some(Position.Cursor(txCol, u.toTx)))
+        val receipt = PackageWriter.Receipt(s"parquet:$unitDir", rows, hash)
+        require(probed.get(u.unitId).contains((rows, hash)),
+          s"cdc unit ${u.unitId} receipt verify failed")
+        ledger.commit(resource, scope(resource), pkg.packageHash, receipt.toJsonString)
+        results += UnitResult(u.unitId, u.fromTx, u.toTx, rows, pkg.packageHash)
+        delivered += 1
+      }
+    results.result()
+  }
+
   /** Materialized view after ordered apply of all delivered units:
     * last op per key in (tx, order-cols) order; terminal delete
     * removes. */
   def applied(spark: SparkSession, outDir: String, keys: Seq[String], opCol: String,
       txCol: String, orderCols: Seq[String]): DataFrame = {
     val units = spark.read.parquet(s"$outDir/unit_*/data")
+    MergeOps.cdcApply(units, keys, opCol, txCol +: orderCols)
+  }
+
+  /** `applied` for the bulk layout (`units/__unit=K`). */
+  def appliedBulk(spark: SparkSession, outDir: String, keys: Seq[String], opCol: String,
+      txCol: String, orderCols: Seq[String]): DataFrame = {
+    val units = spark.read.parquet(s"$outDir/units").drop("__unit")
     MergeOps.cdcApply(units, keys, opCol, txCol +: orderCols)
   }
 }

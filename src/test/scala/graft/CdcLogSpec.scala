@@ -147,4 +147,38 @@ class CdcLogSpec extends SparkSpec {
       .orderBy("key").collect().toSeq
     assert(viaUnits == oneShot)
   }
+
+  test("bulk drain: one source pass, same packages, same chaos law as sequential") {
+    val logDir = s"${tmpDir()}/log"
+    spark.createDataFrame(logRows.asJava, schema)
+      .repartition(4).write.parquet(logDir)
+    val log = spark.read.parquet(logDir)
+    val outDir = tmpDir()
+    val ledger = Ledger.at(outDir)
+    val plans = CdcLogRunner.planUnits(log, "tx_id", policy, fallbackBytesPerOp = 10L)
+
+    val first = CdcLogRunner.drainBulk(log, "tx_id", outDir, ledger, "bulk_res", plans,
+      killAfterUnits = Some(2))
+    assert(first.size == 2)
+    assert(ledger.resumePosition("bulk_res", "cdc:bulk_res")
+      == Some(Position.Cursor("tx_id", plans(1).toTx)))
+    val second = CdcLogRunner.drainBulk(log, "tx_id", outDir, ledger, "bulk_res", plans)
+    assert((first ++ second).map(_.unitId) == plans.map(_.unitId))
+    assert(CdcLogRunner.drainBulk(log, "tx_id", outDir, ledger, "bulk_res", plans).isEmpty)
+
+    // bulk layout delivers the identical content and receipts as the
+    // sequential drain: same per-unit rows and content hashes
+    val seqOut = tmpDir()
+    val seqLedger = Ledger.at(seqOut)
+    val seqResults = CdcLogRunner.drain(log, "tx_id", seqOut, seqLedger, "seq_res", plans)
+    val bulkByUnit = (first ++ second).map(r => r.unitId -> r.rows).toMap
+    assert(seqResults.map(r => r.unitId -> r.rows).toMap == bulkByUnit)
+    val bulkApplied = CdcLogRunner.appliedBulk(spark, outDir, Seq("key"), "op", "tx_id", Seq("v"))
+      .orderBy("key").collect().toSeq
+    val seqApplied = CdcLogRunner.applied(spark, seqOut, Seq("key"), "op", "tx_id", Seq("v"))
+      .orderBy("key").collect().toSeq
+    assert(bulkApplied == seqApplied)
+    // segment-stats manifest has one row per unit
+    assert(spark.read.parquet(s"$outDir/stats").count() == plans.size)
+  }
 }
