@@ -240,6 +240,19 @@ object ExtendedQueries {
       min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"),
       min(col("l_returnflag")).as("min_flag"))
 
+  val arrowRoundtrip: QueryDef = QueryDef.sqlBacked(
+    "q_arrow_decode", roundtripOracle,
+    doc = "Arrow IPC file-format encode→decode losslessness vs the parquet-side oracle " +
+      "(cdf-format-arrow-ipc: the reference's package segments; SURVEY §2.1): " +
+      "per-partition IPC file write with footer (seekable/mmap-able), per-file " +
+      "distributed read.") { (s, d) =>
+    val slice = t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    val dir = s"/tmp/graft_roundtrip/arrow_${Integer.toHexString(d.hashCode)}"
+    graft.sources.ArrowIpcSource.write(slice, dir)
+    roundtripAgg(graft.sources.ArrowIpcSource.read(s, s"$dir/part-*.arrow"))
+  }
+
   val avroRoundtrip: QueryDef = QueryDef.sqlBacked(
     "q_avro_decode", roundtripOracle,
     doc = "Avro OCF encode→decode losslessness vs the parquet-side oracle " +
@@ -322,5 +335,5 @@ object ExtendedQueries {
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,
     csvRoundtrip, ndjsonRoundtrip, orcRoundtrip,
-    avroRoundtrip, protobufRoundtrip, xzCsvRoundtrip)
+    arrowRoundtrip, avroRoundtrip, protobufRoundtrip, xzCsvRoundtrip)
 }
