@@ -253,6 +253,20 @@ object ExtendedQueries {
     roundtripAgg(graft.sources.ArrowIpcSource.read(s, s"$dir/part-*.arrow"))
   }
 
+  val pgcopyRoundtrip: QueryDef = QueryDef.sqlBacked(
+    "q_pgcopy_decode", roundtripOracle,
+    doc = "PostgreSQL COPY BINARY wire codec losslessness vs the parquet-side oracle " +
+      "(cdf-dest-postgres commit.rs:678-943 staged binary COPY; envelope bar " +
+      "'binary COPY >= 2x CSV COPY'): per-partition COPY streams, l_quantity travels " +
+      "as base-10000 NUMERIC digit groups — digit-exact.") { (s, d) =>
+    val slice = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec2(col("l_quantity")).as("l_quantity"), col("l_returnflag"))
+    val dir = s"/tmp/graft_roundtrip/pgcopy_${Integer.toHexString(d.hashCode)}"
+    graft.sources.PgCopyBinary.write(slice, dir)
+    roundtripAgg(graft.sources.PgCopyBinary.read(s, s"$dir/part-*.pgcopy", slice.schema))
+  }
+
   val avroRoundtrip: QueryDef = QueryDef.sqlBacked(
     "q_avro_decode", roundtripOracle,
     doc = "Avro OCF encode→decode losslessness vs the parquet-side oracle " +
@@ -335,5 +349,5 @@ object ExtendedQueries {
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,
     csvRoundtrip, ndjsonRoundtrip, orcRoundtrip,
-    arrowRoundtrip, avroRoundtrip, protobufRoundtrip, xzCsvRoundtrip)
+    arrowRoundtrip, pgcopyRoundtrip, avroRoundtrip, protobufRoundtrip, xzCsvRoundtrip)
 }
