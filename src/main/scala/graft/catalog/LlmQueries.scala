@@ -505,6 +505,34 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  val decontaminate: QueryDef = QueryDef.sqlBacked(
+    "q_decontaminate",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+      |       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM d),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 7),
+      |train AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 100 <> 7)
+      |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+      |FROM train t JOIN bench b USING (gram)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    doc = "Benchmark decontamination (GPT-3/Pile style): flag training documents sharing " +
+      "any word n-gram with the held-out eval set (doc_id%100==7 stands in for the " +
+      "benchmark; n=3 at demo grain, production uses 8-13 with the identical plan). " +
+      "At scale the eval gram set is broadcast (eval sets are MBs) and only " +
+      "(doc_id, gram-hash) pairs shuffle.") { (s, d) =>
+    val words = docsFanout(s, d).select(col("doc_id"), split(col("text"), " ").as("words"))
+    val grams = words.select(col("doc_id"),
+      explode(when(size(col("words")) < 3, array().cast("array<string>"))
+        .otherwise(expr("transform(sequence(1, size(words) - 2), " +
+          "i -> concat(element_at(words, i), ' ', element_at(words, i + 1), ' ', " +
+          "element_at(words, i + 2)))"))).as("gram"))
+    val bench = grams.filter(col("doc_id") % 100 === 7).select("gram").distinct()
+    val train = grams.filter(col("doc_id") % 100 =!= 7).select("doc_id", "gram").distinct()
+    train.join(broadcast(bench), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   val prefixDedup: QueryDef = QueryDef.sqlBacked(
     "q_prefix_dedup",
     """SELECT md5(substring(text, 1, 64)) AS prefix_key,
@@ -519,10 +547,25 @@ object LlmQueries {
       .orderBy("keeper_doc_id")
   }
 
+  val seqPack: QueryDef = QueryDef.rowsOnly(
+    "q_seq_pack",
+    doc = "Training-sequence packing: greedy first-fit of documents into 2048-token " +
+      "sequences, 8 deterministic shards (xxhash64 % shards, never rand()); document " +
+      "atomicity law — an oversized doc gets its own sequence. Sequential per shard " +
+      "inside mapPartitions, one (doc_id, token_count) shuffle, no text moves. " +
+      "No oracle: running-sum-with-reset is not expressible in portable SQL; " +
+      "invariants (budget, atomicity, order, partitioning-invariance) are " +
+      "spec-asserted in SeqPackingSpec.") { (s, d) =>
+    val docs = docsFanout(s, d).select(col("doc_id"),
+      size(TextAnalysis.bpeTokens(col("text"))).as("toks"))
+    val packed = SeqPacking.pack(docs, "doc_id", "toks", budget = 2048, shards = 8)
+    SeqPacking.sequenceFill(packed).orderBy("shard", "seq")
+  }
+
   val all: Seq[QueryDef] = Seq(
     textFingerprint, dedupContentHash, tokenStats, textQuality, langIdQ,
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
-    repetitionSignals, prefixDedup,
+    repetitionSignals, prefixDedup, decontaminate, seqPack,
     ngramJaccard, minhashLsh, simhash,
     cosineTopK, annLsh, annIvf, embedNearDup, embedQuantize,
     multimodalMeta, multimodalFeatures)
