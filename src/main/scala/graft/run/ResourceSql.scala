@@ -33,7 +33,11 @@ object ResourceSql {
       descriptor: ResourceDescriptor,
       trust: TrustPreset,
       bounded: Boolean,
-      selectSql: String)
+      selectSql: String,
+      /** per-node watermark behavior of the body w.r.t. the cursor
+        * column (cdf execution_extent.rs:627-643), derived at compile
+        * time; empty when no cursor is declared. */
+      watermarkNodes: Seq[graft.streaming.OperatorWatermarks.NodeBehavior] = Nil)
 
   private val clause = """(?m)^\s*(RESOURCE|TARGET|DISPOSITION|CURSOR|TRUST|EXECUTION)\b(.*)$""".r
 
@@ -89,7 +93,19 @@ object ResourceSql {
 
     graft.expr.Admission.admit(spark, body) match {
       case Left(err) => Left(s"body rejected: $err")
-      case Right(_) => Right(Compiled(
+      case Right(aq) =>
+        // cursor resources must CARRY their event-time claim through the
+        // body: a plan that drops or non-monotonically rewrites the
+        // cursor column could never advance its frontier (capability
+        // truth-telling — reject at compile, not at the first run)
+        val wmNodes = cursor.map(cs =>
+          graft.streaming.OperatorWatermarks.derive(aq.plan, cs.field)).getOrElse(Nil)
+        cursor.foreach { cs =>
+          if (wmNodes.lastOption.flatMap(_.outCol).isEmpty)
+            return Left(s"cursor column ${cs.field} does not survive the body " +
+              s"(per-node watermark behavior: ${wmNodes.map(n => s"${n.node}=${n.behavior}").mkString(", ")})")
+        }
+        Right(Compiled(
         ResourceDescriptor(
           id = target,
           schemaSource = SchemaSource.Discover,
@@ -101,7 +117,7 @@ object ResourceSql {
           cursor = cursor,
           disposition = disposition,
           bounded = bounded),
-        trust, bounded, body))
+        trust, bounded, body, wmNodes))
     }
   }
 
@@ -119,6 +135,9 @@ object ResourceSql {
         "field" -> JStr(cs.field), "lag_ms" -> JInt(cs.lagMs)): J).getOrElse(JNull),
       "trust" -> JStr(c.trust.toString),
       "bounded" -> JBool(c.bounded),
+      "watermark_behavior" -> JArr(c.watermarkNodes.map(n => JObj.of(
+        "node" -> JStr(n.node), "behavior" -> JStr(n.behavior.toString),
+        "claim_col" -> n.outCol.map(JStr(_): J).getOrElse(JNull)): J)),
       "select" -> JStr(c.selectSql))
     val rendered = render(json)
     val hash = sha256Hex(rendered).take(16)

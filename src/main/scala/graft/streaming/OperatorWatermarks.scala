@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 
@@ -46,6 +46,8 @@ object OperatorWatermarks {
   private def classifyProject(exprs: Seq[NamedExpression], col: String): (Behavior, Option[String]) = {
     val carriers = exprs.flatMap {
       case a: Alias => classifyExpr(a.child, col).map { b => (b, a.name) }
+      // SELECT * forwards every column unchanged, the claim included
+      case _: UnresolvedStar => Some((Behavior.Preserve: Behavior, col))
       case e => nameOf(e).filter(_ == col).map(_ => (Behavior.Preserve: Behavior, col))
     }
     carriers match {

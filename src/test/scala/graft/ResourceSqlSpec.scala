@@ -43,6 +43,36 @@ class ResourceSqlSpec extends SparkSpec {
     assert(drain.toOption.exists(!_.bounded))
   }
 
+  test("cursor resources must carry their watermark claim through the body") {
+    graft.core.Tables.registerAll(spark, sf())
+    // the happy path records per-node behavior in the compiled artifact
+    val c = ResourceSql.compile(spark, ordersResource).toOption.get
+    assert(c.watermarkNodes.nonEmpty)
+    assert(c.watermarkNodes.last.outCol == Some("o_orderdate"))
+    val (path, _) = ResourceSql.writeCompiled(c, tmpDir())
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      .contains("watermark_behavior"))
+
+    // dropping the cursor column is a compile-time rejection, not a
+    // first-run surprise
+    val drops = ordersResource.replace(
+      "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate",
+      "SELECT o_orderkey, o_custkey, o_totalprice")
+    assert(ResourceSql.compile(spark, drops).left.exists(_.contains("does not survive")))
+
+    // a non-monotone rewrite of the cursor column is rejected too
+    val mangles = ordersResource.replace(
+      "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate",
+      "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate % 7 AS o_orderdate")
+    assert(ResourceSql.compile(spark, mangles).left.exists(_.contains("does not survive")))
+
+    // SELECT * forwards the claim
+    val star = ordersResource.replace(
+      "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate", "SELECT *")
+    assert(ResourceSql.compile(spark, star).toOption
+      .exists(_.watermarkNodes.last.outCol == Some("o_orderdate")))
+  }
+
   test("authored resource runs end-to-end through the Runner spine") {
     graft.core.Tables.registerAll(spark, sf())
     val base = tmpDir()
