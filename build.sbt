@@ -26,9 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32 executor threads share this one JVM: a small heap turns into
-  // multi-second GC spikes on random queries (observed ±5s run-to-run).
-  // Pre-commit the heap so growth pauses never land mid-measurement.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Measured on THIS host: 8g beats a 24g pinned heap by 2-6x on the
+  // sustained-rate cells (a huge heap spreads allocation over cold
+  // pages and inflates G1 young collections; the run-to-run spikes
+  // that motivated trying 24g turned out to be co-tenant load).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
