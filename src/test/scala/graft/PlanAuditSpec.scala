@@ -34,6 +34,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(planOf("q_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("decontamination broadcasts the eval gram set; no shuffle of the bench side") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval-set join must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("prefix dedup and repetition shuffle keys, with map-side partial aggregation") {
+    assert("HashAggregate".r.findAllIn(planOf("q_prefix_dedup")).size >= 2)
+    assert("HashAggregate".r.findAllIn(planOf("q_repetition")).size >= 2)
+  }
+
   test("aggregations are partial (map-side combine before the exchange)") {
     val p = planOf("q1_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
