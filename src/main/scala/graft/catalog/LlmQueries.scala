@@ -381,11 +381,25 @@ object LlmQueries {
       queryId = 0L, kClusters = 16, nProbe = 4, k = 10)
   }
 
-  val embedNearDup: QueryDef = QueryDef.rowsOnly(
+  val embedNearDup: QueryDef = QueryDef.sqlBacked(
     "q_embed_neardup",
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |  FROM embeddings WHERE vec_id % 50 = 0)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.e, b.e) /
+      |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.e, b.e) /
+      |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.99
+      |ORDER BY id_a, id_b""".stripMargin,
     doc = "Embedding-cosine near-dup edges (threshold 0.99) over corpus ∪ exact copies, " +
       "banded hyperplane-LSH candidate generation (8 bands × 12 planes, OR-composed: " +
-      "0.2% candidate density, 99.9% recall at cosine 0.99).") { (s, d) =>
+      "0.2% candidate density). Oracle is the brute-force all-pairs scan — a hash match " +
+      "proves recall 1.0 on this corpus, not just plausible pairs (exact copies share " +
+      "every band key, so copy-recall is 1.0 by construction at any scale).") { (s, d) =>
     val e = t(s, d, "embeddings").select("vec_id", "embedding")
     val withDups = e.unionByName(
       e.filter(col("vec_id") % 50 === 0).withColumn("vec_id", col("vec_id") + 100000))
@@ -448,11 +462,31 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
-  val multimodalFeatures: QueryDef = QueryDef.rowsOnly(
-    "q_multimodal_features",
+  private val mmFeatureOracle: String = {
+    val residues = (0 until Multimodal.FeatureDim).map { j =>
+      s"CAST(coalesce(list_sum(list_transform(range(1, len(bs) + 1), " +
+        s"i -> CASE WHEN (i - 1) % ${Multimodal.FeatureDim} = $j THEN bs[i] ELSE 0 END)), 0) AS BIGINT) AS r$j"
+    }.mkString(",\n  ")
+    val sumExpr = (0 until Multimodal.FeatureDim).map(j => s"r$j / 255.0").mkString(" + ")
+    s"""WITH b AS (SELECT doc_id AS media_id,
+       |  list_transform(range(1, strlen(text) + 1),
+       |    i -> ascii(substring(text, CAST(i AS INT), 1))) AS bs FROM documents),
+       |r AS (SELECT media_id,
+       |  $residues
+       |FROM b)
+       |SELECT media_id, round(r0 / 255.0, 6) AS f0,
+       |  round(r${Multimodal.FeatureDim - 1} / 255.0, 6) AS f_last,
+       |  round($sumExpr, 6) AS f_sum
+       |FROM r ORDER BY media_id""".stripMargin
+  }
+
+  val multimodalFeatures: QueryDef = QueryDef.sqlBacked(
+    "q_multimodal_features", mmFeatureOracle,
     doc = "Partition-parallel feature extraction over binary payloads (decode step STUBBED — " +
-      "deterministic byte-fold; plumbing/batch shape real). Output scalarized (sampled dims + " +
-      "checksum) so the driver's row compare sees only hashable columns.") { (s, d) =>
+      "deterministic byte-fold; plumbing/batch shape real). The oracle recomputes the fold " +
+      "from the text bytes (ASCII corpus), with integer-exact residue sums and one " +
+      "normalizing division — a hash match proves the binary column delivered every payload " +
+      "byte faithfully through the batched mapPartitions path.") { (s, d) =>
     Multimodal.extractFeatures(
         Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text"))
       .select(col("media_id"),

@@ -46,17 +46,20 @@ object Multimodal {
 
   /** STUB decode: a real implementation would decode the image/audio
     * payload here (per-partition, batched). The fake is a deterministic
-    * byte-fold so tests exercise the full distributed path. */
+    * byte-fold so tests exercise the full distributed path. Bytes
+    * accumulate as EXACT integers with one normalizing division at the
+    * end — bit-deterministic regardless of accumulation order, so the
+    * result is oracle-comparable (never sum raw doubles). */
   private def stubDecodeFeatures(payload: Array[Byte]): Array[Double] = {
-    val out = new Array[Double](FeatureDim)
+    val acc = new Array[Long](FeatureDim)
     if (payload != null) {
       var i = 0
       while (i < payload.length) {
-        out(i % FeatureDim) += (payload(i) & 0xff) / 255.0
+        acc(i % FeatureDim) += (payload(i) & 0xff)
         i += 1
       }
     }
-    out
+    acc.map(_ / 255.0)
   }
 
   val featureSchema: StructType = StructType(Seq(
