@@ -16,7 +16,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Decompress {
 
-  /** codec ∈ {"gz","bzip2","xz","zstd"} (CompressorStreamFactory names).
+  /** codec ∈ {"gz","bzip2","xz","zstd"} (CompressorStreamFactory
+    * names) or `"none"` for a pure charset-transcode pass (cdf:
+    * crates/cdf-transform-character/ — decode bytes in the SOURCE
+    * encoding, hand UTF-16 strings to the engine; `charset` names any
+    * JVM charset, e.g. ISO-8859-1, UTF-16LE, windows-1252).
     *
     * One task per archive, explicitly: `binaryFiles` COMBINES small
     * files into few partitions by size+open-cost heuristics (all 32
@@ -24,7 +28,8 @@ object Decompress {
     * are not splittable, so the archive list IS the parallelism — glob
     * it, one partition per file, open through the Hadoop FS API (same
     * code path on HDFS/S3A). */
-  def lines(spark: SparkSession, pathGlob: String, codec: String): Dataset[String] = {
+  def lines(spark: SparkSession, pathGlob: String, codec: String,
+      charset: String = "UTF-8"): Dataset[String] = {
     import spark.implicits._
     val glob = new org.apache.hadoop.fs.Path(pathGlob)
     val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -34,9 +39,11 @@ object Decompress {
       val path = new org.apache.hadoop.fs.Path(p)
       val raw = new java.io.BufferedInputStream(
         path.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(path))
-      val in = new CompressorStreamFactory().createCompressorInputStream(codec, raw)
+      val in =
+        if (codec == "none") raw
+        else new CompressorStreamFactory().createCompressorInputStream(codec, raw)
       val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        new java.io.InputStreamReader(in, java.nio.charset.Charset.forName(charset)))
       new Iterator[String] {
         private var line = reader.readLine()
         def hasNext: Boolean = { val h = line != null; if (!h) reader.close(); h }
@@ -52,10 +59,11 @@ object Decompress {
     * files + explicit schema avoid both. */
   def csv(spark: SparkSession, pathGlob: String, codec: String,
       header: Boolean = true,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      charset: String = "UTF-8"): DataFrame = {
     val r = spark.read.option("header", header.toString)
     schema.fold(r.option("inferSchema", "true"))(r.schema)
-      .csv(lines(spark, pathGlob, codec))
+      .csv(lines(spark, pathGlob, codec, charset))
   }
 
   /** Decompress + NDJSON decode. */

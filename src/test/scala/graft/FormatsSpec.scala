@@ -102,4 +102,34 @@ class FormatsSpec extends SparkSpec {
         df.select("r_name").collect().map(_.getString(0)).sorted.toSeq, s"codec $cname content")
     }
   }
+
+  test("charset transcode: legacy encodings decode losslessly, alone or under compression") {
+    import org.apache.spark.sql.types._
+    val base = tmpDir()
+    val text = "café,1\nnaïve señor,2\nplain,3"
+    val schema = StructType(Seq(StructField("s", StringType), StructField("n", IntegerType)))
+
+    // ISO-8859-1 (would mojibake as UTF-8: é is a single 0xE9 byte)
+    java.nio.file.Files.write(java.nio.file.Paths.get(base, "latin1.csv"),
+      text.getBytes("ISO-8859-1"))
+    val latin = Decompress.csv(spark, s"$base/latin1.csv", codec = "none",
+      header = false, schema = Some(schema), charset = "ISO-8859-1")
+    assert(latin.orderBy("n").select("s").collect().map(_.getString(0)).toSeq
+      == Seq("café", "naïve señor", "plain"))
+    // decoding the same bytes as UTF-8 must NOT silently produce the
+    // right answer (proves the transcode is doing real work)
+    val wrong = Decompress.csv(spark, s"$base/latin1.csv", codec = "none",
+      header = false, schema = Some(schema), charset = "UTF-8")
+    assert(wrong.orderBy("n").select("s").collect().map(_.getString(0)).toSeq
+      != Seq("café", "naïve señor", "plain"))
+
+    // UTF-16LE under gzip: transcode composes with decompression
+    val u16 = java.nio.file.Paths.get(base, "u16.csv")
+    java.nio.file.Files.write(u16, text.getBytes("UTF-16LE"))
+    Decompress.compressFile(u16.toString, s"$base/u16.csv.gz", "gz")
+    val back = Decompress.csv(spark, s"$base/u16.csv.gz", codec = "gz",
+      header = false, schema = Some(schema), charset = "UTF-16LE")
+    assert(back.orderBy("n").select("s").collect().map(_.getString(0)).toSeq
+      == Seq("café", "naïve señor", "plain"))
+  }
 }
