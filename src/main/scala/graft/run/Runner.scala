@@ -35,7 +35,13 @@ object Runner {
         * transitions across runs). */
       depthRing: graft.contract.DepthController.Ring = graft.contract.DepthController.Full,
       /** estimated bytes/row for segmentation planning. */
-      approxRowBytes: Long = 64)
+      approxRowBytes: Long = 64,
+      /** source-authoritative position: snapshot/token-positioned
+        * sources (Iceberg snapshot ids, Mongo resume tokens, page
+        * tokens) know their own frontier — the run records it verbatim
+        * instead of deriving a column cursor (cdf: positions come from
+        * the source driver, position.rs). */
+      positionOverride: Option[Position] = None)
 
   final case class RunResult(
       packageHash: String,
@@ -194,7 +200,7 @@ object Runner {
     //    units with the lag subtracted raw (non-timestamp watermark
     //    domains, SURVEY §7.4.3).
     val packaged = spark.read.parquet(s"$pkgDir/data")
-    val position = cfg.descriptor.cursor.flatMap { c =>
+    val position = cfg.positionOverride.orElse(cfg.descriptor.cursor.flatMap { c =>
       import org.apache.spark.sql.types._
       val (maxExpr, lagUnits) = packaged.schema(c.field).dataType match {
         case TimestampType | TimestampNTZType =>
@@ -206,7 +212,7 @@ object Runner {
       val row = packaged.agg(maxExpr).head()
       if (row.isNullAt(0)) None
       else Some(Position.Cursor(c.field, row.getLong(0) - lagUnits): Position)
-    }
+    })
 
     ledger.propose(cfg.descriptor.id, scope, pkg.packageHash, position)
 

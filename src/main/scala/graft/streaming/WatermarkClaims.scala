@@ -36,6 +36,22 @@ object WatermarkClaims {
 
   object State { val empty: State = State(Map.empty) }
 
+  /** Idle-partition exclusion (cdf execution_extent.rs: watermark
+    * idleness capability — `idle_after_milliseconds` must be > 0): a
+    * partition that has not claimed for `idleAfterMs` stops holding
+    * the stream watermark back, so one stalled shard cannot freeze
+    * every window downstream. At least one live partition must have
+    * claimed — excluding everything would fabricate completeness. */
+  def combinedWithIdleExclusion(s: State, expected: Set[String],
+      lastHeardMs: Map[String, Long], nowMs: Long, idleAfterMs: Long): Option[Long] = {
+    require(idleAfterMs > 0, "watermark idle exclusion must wait more than zero milliseconds")
+    val live = expected.filter(p =>
+      nowMs - lastHeardMs.getOrElse(p, Long.MinValue / 2) < idleAfterMs)
+    val claimed = live.filter(s.perPartition.contains)
+    if (claimed.isEmpty || claimed != live) None
+    else Some(claimed.map(s.perPartition).min)
+  }
+
   /** Operator watermark behavior through a pipeline stage (cdf
     * execution_extent.rs:627-643): Preserve, Transform (monotone
     * mapping), or Drop (stage emits no event-time claim). */

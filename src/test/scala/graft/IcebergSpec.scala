@@ -81,6 +81,55 @@ class IcebergSpec extends SparkSpec {
       == graft.pkg.PackageWriter.contentHash(run2))
   }
 
+  test("composes with the Runner spine: incremental scans merge through ledger-settled runs") {
+    import graft.contract.{ContractPolicy, RowRule}
+    import graft.core.Descriptor
+    import graft.run.Runner
+
+    val tbl = s"${tmpDir()}/tbl"
+    val base = tmpDir()
+    val ledger = Ledger.at(base)
+    def cfg(pos: Position) = Runner.RunConfig(
+      descriptor = Descriptor.ResourceDescriptor(
+        id = "ice_merge", schemaSource = Descriptor.SchemaSource.Discover,
+        primaryKey = Seq("id"), cursor = None,
+        disposition = Descriptor.Disposition.Merge(Seq("id"))),
+      policy = ContractPolicy(Seq(RowRule.Nullability("nn_id", "id"))),
+      orderColumns = Seq("id"),
+      positionOverride = Some(pos))
+
+    // run 1: bootstrap (None, snap 1]
+    IcebergSource.commitAppend(spark, tbl, nums(0, 50), 1L, 1L)
+    val inc1 = IcebergSource.readIncremental(spark, tbl, None, 1L)
+    val r1 = Runner.run(spark, cfg(Position.Cursor("snapshot_id", 1L)), inc1,
+      s"$base/pkg1", s"$base/dest", ledger)
+    assert(r1.committed && r1.position == Some(Position.Cursor("snapshot_id", 1L)))
+
+    // run 2: table advances; resume from the committed snapshot cursor
+    IcebergSource.commitAppend(spark, tbl, nums(50, 70), 2L, 2L)
+    val from = ledger.resumePosition("ice_merge", "root")
+      .collect { case Position.Cursor("snapshot_id", v) => v }
+    assert(from == Some(1L))
+    val inc2 = IcebergSource.readIncremental(spark, tbl, from, 2L)
+    assert(inc2.count() == 20, "second run reads only the append-diff")
+    val r2 = Runner.run(spark, cfg(Position.Cursor("snapshot_id", 2L)), inc2,
+      s"$base/pkg2", s"$base/dest", ledger)
+    assert(r2.committed && !r2.duplicate)
+
+    // the merged destination equals the table's current snapshot
+    val dest = spark.read.parquet(s"$base/dest")
+    assert(dest.count() == 70)
+    assert(graft.pkg.PackageWriter.contentHash(dest)
+      == graft.pkg.PackageWriter.contentHash(IcebergSource.read(spark, tbl)))
+
+    // replaying run 2 is a duplicate: nothing rewritten, cursor unchanged
+    val r3 = Runner.run(spark, cfg(Position.Cursor("snapshot_id", 2L)), inc2,
+      s"$base/pkg2", s"$base/dest", ledger)
+    assert(r3.duplicate)
+    assert(ledger.resumePosition("ice_merge", "root")
+      == Some(Position.Cursor("snapshot_id", 2L)))
+  }
+
   test("non-ancestor incremental window is rejected, not silently wrong") {
     val dir = s"${tmpDir()}/tbl"
     IcebergSource.commitAppend(spark, dir, nums(0, 10), 5L, 1L)

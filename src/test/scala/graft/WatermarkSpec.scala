@@ -19,6 +19,30 @@ class WatermarkSpec extends AnyFunSuite {
     assert(s.combined(expected) == Some(80))
   }
 
+  test("idle-partition exclusion: a stalled shard stops holding the watermark back") {
+    val expected = Set("p0", "p1", "p2")
+    var s = State.empty
+    s = s.advance(Claim("p0", 100)).toOption.get
+    s = s.advance(Claim("p1", 200)).toOption.get
+    // p2 silent since t=0; p0/p1 heard recently
+    val heard = Map("p0" -> 9_500L, "p1" -> 9_800L, "p2" -> 0L)
+    // without exclusion the missing claim blocks everything
+    assert(s.combined(expected).isEmpty)
+    // with exclusion the idle shard is dropped from the min
+    assert(combinedWithIdleExclusion(s, expected, heard, nowMs = 10_000L,
+      idleAfterMs = 5_000L) == Some(100))
+    // a live-but-unclaimed partition still blocks (no fabricated completeness)
+    assert(combinedWithIdleExclusion(s, expected, heard + ("p2" -> 9_900L),
+      nowMs = 10_000L, idleAfterMs = 5_000L).isEmpty)
+    // everything idle → None, never a claim out of thin air
+    assert(combinedWithIdleExclusion(s, expected, heard.view.mapValues(_ => 0L).toMap,
+      nowMs = 10_000L, idleAfterMs = 5_000L).isEmpty)
+    // zero wait is a contract error (reference law)
+    intercept[IllegalArgumentException] {
+      combinedWithIdleExclusion(s, expected, heard, 10_000L, idleAfterMs = 0L)
+    }
+  }
+
   test("claim regression is a violation; equal re-claims are fine") {
     val s = State.empty.advance(Claim("p0", 100)).toOption.get
     assert(s.advance(Claim("p0", 99)).isLeft)
