@@ -83,6 +83,74 @@ object Subprocess {
     SingerResult(dfs, state, rows.map { case (k, v) => k -> v.size.toLong }.toMap)
   }
 
+  final case class AirbyteResult(
+      streams: Map[String, DataFrame],
+      state: Option[Position.ForeignState],
+      recordCounts: Map[String, Long])
+
+  /** Airbyte protocol adapter (public spec: `{"type":"RECORD","record":
+    * {"stream":s,"data":{...},"emitted_at":ms}}`, `{"type":"STATE",
+    * "state":{...}}`, `{"type":"CATALOG","catalog":{"streams":[...]}}`).
+    * Stream schemas come from the declared `schemas` map or from a
+    * CATALOG message (json_schema per stream, either flat or nested
+    * under "stream"); the STATE blob is carried verbatim as a
+    * `ForeignState("airbyte", ...)` — same resume posture as Singer. */
+  def airbyte(spark: SparkSession, command: Seq[String],
+      schemas: Map[String, StructType] = Map.empty,
+      maxRecords: Long = Long.MaxValue): AirbyteResult = {
+    val proc = new ProcessBuilder(command: _*).redirectErrorStream(false).start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+    val known = mutable.Map.empty[String, StructType] ++ schemas
+    val rows = mutable.Map.empty[String, mutable.ArrayBuffer[Row]]
+    var state: Option[Position.ForeignState] = None
+    var total = 0L
+    try {
+      var line = reader.readLine()
+      while (line != null && total < maxRecords) {
+        if (line.trim.nonEmpty) {
+          val msg = objFields(parse(line))
+          msg.get("type") match {
+            case Some(JStr("CATALOG")) =>
+              msg.get("catalog").map(objFields).flatMap(_.get("streams")).foreach {
+                case JArr(ss) => ss.foreach { s =>
+                  val sf = objFields(s)
+                  // configured catalogs nest under "stream"; source
+                  // catalogs are flat
+                  val f = sf.get("stream").map(objFields).getOrElse(sf)
+                  for (JStr(name) <- f.get("name"); js <- f.get("json_schema"))
+                    known(name) = jsonSchemaToSpark(js)
+                }
+                case _ => ()
+              }
+            case Some(JStr("RECORD")) =>
+              val rec = objFields(msg("record"))
+              val stream = str(rec, "stream")
+              val st = known.getOrElse(stream, throw new IllegalArgumentException(
+                s"airbyte RECORD for undeclared stream '$stream' (no schema, no CATALOG)"))
+              rows.getOrElseUpdate(stream, mutable.ArrayBuffer.empty) +=
+                recordToRow(objFields(rec("data")), st)
+              total += 1
+            case Some(JStr("STATE")) =>
+              state = Some(Position.ForeignState("airbyte", render(msg("state"))))
+            case _ => // LOG / TRACE / SPEC / CONNECTION_STATUS: pass through
+          }
+        }
+        line = reader.readLine()
+      }
+    } finally {
+      reader.close()
+      proc.destroy()
+      proc.waitFor()
+    }
+    val dfs = rows.map { case (stream, rs) =>
+      val st = known(stream)
+      stream -> spark.createDataFrame(
+        spark.sparkContext.parallelize(rs.toSeq, math.max(1, math.min(rs.size, 8))), st)
+    }.toMap
+    AirbyteResult(dfs, state, rows.map { case (k, v) => k -> v.size.toLong }.toMap)
+  }
+
   /** Plain NDJSON-over-stdio adapter: one JSON object per stdout line →
     * DataFrame (schema via Spark's JSON inference over the batch). */
   def ndjson(spark: SparkSession, command: Seq[String],
