@@ -344,8 +344,71 @@ object ExtendedQueries {
         min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
   }
 
+  val glueScan: QueryDef = QueryDef.sqlBacked(
+    "q_glue_scan",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+      |FROM lineitem WHERE l_orderkey % 3 <> 0""".stripMargin,
+    doc = "Glue catalog-driven scan with partition pruning (cdf-source-glue driver.rs:1073): " +
+      "three Hive-layout partitions discovered over the NextToken-paged protocol, predicate " +
+      "on the partition key prunes one BEFORE any file I/O; the aggregate matching the " +
+      "surviving slices proves the pruned partition was never read.") { (s, d) =>
+    val li = t(s, d, "lineitem").select(
+      col("l_orderkey"), dec2(col("l_quantity")).as("l_quantity"))
+    val base = java.nio.file.Files.createTempDirectory("graft_glue").toString
+    val locs = (0 until 3).map { m =>
+      val loc = s"$base/ds=2024-01-0${m + 1}"
+      li.filter(col("l_orderkey") % 3 === m).write.parquet(loc)
+      loc
+    }
+    val transport: graft.sources.GlueCatalog.Transport = (action, req) => action match {
+      case "AWSGlue.GetTables" =>
+        """{"TableList":[{"Name":"li","StorageDescriptor":{"Location":"/unused",
+          |"InputFormat":"parquet","Columns":[{"Name":"l_orderkey","Type":"bigint"},
+          |{"Name":"l_quantity","Type":"decimal(12,2)"}]},
+          |"PartitionKeys":[{"Name":"ds","Type":"string"}]}]}""".stripMargin.replace("\n", "")
+      case "AWSGlue.GetPartitions" =>
+        // paged: one partition per page, NextToken chain
+        val tok = "\"NextToken\":\"(\\d)\"".r.findFirstMatchIn(req).map(_.group(1).toInt).getOrElse(0)
+        val nxt = if (tok < 2) s""","NextToken":"${tok + 1}"""" else ""
+        s"""{"Partitions":[{"Values":["2024-01-0${tok + 1}"],
+           |"StorageDescriptor":{"Location":"${locs(tok)}"}}]$nxt}""".stripMargin.replace("\n", "")
+      case other => throw new IllegalArgumentException(other)
+    }
+    val Seq(tbl) = graft.sources.GlueCatalog.getTables(transport, "wh")
+    val parts = graft.sources.GlueCatalog.getPartitions(transport, "wh", "li")
+    graft.sources.GlueCatalog.scan(s, tbl, parts, keep = _.values.head >= "2024-01-02")
+      .agg(count(lit(1)).cast("long").as("n"), decSum(col("l_quantity")).as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+  }
+
+  val tier2Python: QueryDef = QueryDef.sqlBacked(
+    "q_tier2_python",
+    """SELECT CAST(i AS BIGINT) AS id, CAST(1000 + i AS BIGINT) AS ts,
+      |  i / 4.0 AS v, 't' || CAST(i % 7 AS VARCHAR) AS tag
+      |FROM range(500) t(i) ORDER BY id""".stripMargin,
+    doc = "Tier-2 Python resource end-to-end (cdf-python / python SDK): a decorated " +
+      "generator runs under python3 speaking the typed NDJSON protocol; the oracle " +
+      "recomputes the deterministic rows — a hash match proves the subprocess decode " +
+      "path delivers typed values faithfully.") { (s, d) =>
+    val script = java.nio.file.Files.createTempFile("graft_t2q_", ".py")
+    java.nio.file.Files.writeString(script,
+      """from graft_sdk import resource, run
+        |
+        |@resource(name="gen", cursor="ts",
+        |          schema={"id": ("long", False), "ts": "long", "v": "double", "tag": "string"})
+        |def gen():
+        |    for i in range(500):
+        |        yield {"id": i, "ts": 1000 + i, "v": i / 4.0, "tag": "t%d" % (i % 7)}
+        |
+        |run(gen)
+        |""".stripMargin)
+    graft.sources.PythonResource.run(s, script.toString).df.orderBy("id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    icebergIncremental,
+    icebergIncremental, glueScan, tier2Python,
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,
     csvRoundtrip, ndjsonRoundtrip, orcRoundtrip,
