@@ -185,7 +185,7 @@ object LlmQueries {
       |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
       |len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY 1),
       |df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
-      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+      |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tf)
       |SELECT tf.doc_id, tf.w AS term, tf.cnt, df.df,
       |  round((CAST(tf.cnt AS DOUBLE) / len.len) * ln((SELECT n FROM n) / df.df), 6) AS tfidf
       |FROM tf JOIN len USING (doc_id) JOIN df ON tf.w = df.w
@@ -193,19 +193,22 @@ object LlmQueries {
       |ORDER BY doc_id, term""".stripMargin,
     doc = "TF-IDF per (doc, term): per-row double arithmetic (no cross-row FP sums), " +
       "document-frequency join broadcastable (vocab ≪ corpus). One tokenize pass: " +
-      "len and df both derive from the persisted tf aggregate (tf already holds " +
-      "distinct (doc, term) rows), so the explode runs exactly once.") { (s, d) =>
+      "len, df AND the corpus size n all derive from the persisted tf aggregate " +
+      "(tf already holds distinct (doc, term) rows), so the explode runs exactly " +
+      "once and no driver-side count job is scheduled — n joins in as a broadcast " +
+      "1-row frame (the scalar-subquery shape).") { (s, d) =>
     val tok = docsFanout(s, d)
       .select(col("doc_id"), explode(TextAnalysis.wsTokens(trim(lower(col("text"))))).as("w"))
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt")).persist()
     val len = tf.groupBy("doc_id").agg(sum("cnt").as("len"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val n = t(s, d, "documents").count().toDouble
+    val n = tf.agg(countDistinct("doc_id").cast("double").as("__n"))
     tf.join(len, "doc_id")
       .join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(n))
       .filter(col("doc_id") < 20)
       .select(col("doc_id"), col("w").as("term"), col("cnt"), col("df"),
-        round((col("cnt").cast("double") / col("len")) * log(lit(n) / col("df")), 6).as("tfidf"))
+        round((col("cnt").cast("double") / col("len")) * log(col("__n") / col("df")), 6).as("tfidf"))
       .orderBy("doc_id", "term")
   }
 
@@ -515,22 +518,26 @@ object LlmQueries {
       |ORDER BY wa.doc_id""".stripMargin,
     doc = "Gopher-style repetition quality signals: distinct-word ratio, top-word fraction, " +
       "top-bigram fraction (Rae et al. 2021 repetition filters, adapted to word granularity). " +
-      "Shuffles (doc_id, token) pairs only; partial aggregation map-side.") { (s, d) =>
+      "ONE corpus pass: unigrams and bigrams explode from the same tokenized row into a " +
+      "single (doc_id, token) frame (disjoint key spaces — a bigram always contains the " +
+      "' ' joiner, a unigram never does), so one shuffle + one conditional aggregation " +
+      "replace two full explode+agg passes over the corpus.") { (s, d) =>
     val words = docsFanout(s, d).select(col("doc_id"), split(col("text"), " ").as("words"))
-    val wc = words.select(col("doc_id"), explode(col("words")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    val wa = wc.groupBy("doc_id").agg(
-      sum("c").cast("long").as("n_words"),
-      count(lit(1)).cast("long").as("n_distinct"),
-      max("c").as("top_word"))
     // bigrams WITH multiplicity (the shingle kernel dedups, so HOF here)
-    val grams = words.select(col("doc_id"),
-      explode(when(size(col("words")) < 2, array().cast("array<string>"))
-        .otherwise(expr("transform(sequence(1, size(words) - 1), " +
-          "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"))).as("gram"))
-    val ga = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_gram"), sum("c").cast("long").as("n_grams"))
-    wa.join(ga, Seq("doc_id"), "left")
+    val toks = words.select(col("doc_id"),
+      explode(concat(col("words"),
+        when(size(col("words")) < 2, array().cast("array<string>"))
+          .otherwise(expr("transform(sequence(1, size(words) - 1), " +
+            "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))")))).as("tok"))
+    val counted = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("is_gram", col("tok").contains(" "))
+    val fused = counted.groupBy("doc_id").agg(
+      sum(when(!col("is_gram"), col("c"))).cast("long").as("n_words"),
+      count(when(!col("is_gram"), lit(1))).cast("long").as("n_distinct"),
+      max(when(!col("is_gram"), col("c"))).as("top_word"),
+      max(when(col("is_gram"), col("c"))).as("top_gram"),
+      sum(when(col("is_gram"), col("c"))).cast("long").as("n_grams"))
+    fused
       .select(col("doc_id"), col("n_words"),
         round(col("n_distinct").cast("double") / col("n_words"), 4).as("distinct_frac"),
         round(col("top_word").cast("double") / col("n_words"), 4).as("top_word_frac"),

@@ -82,8 +82,14 @@ object Similarity {
   def annLshTopK(df: DataFrame, idCol: String, embCol: String,
       queryId: Long, numPlanes: Int, k: Int): DataFrame = {
     val bucketed = df.withColumn("_bucket", lshBucket(col(embCol), numPlanes))
-    val qBucket = bucketed.filter(col(idCol) === queryId).select(col("_bucket")).head().getLong(0)
-    val qEmb = df.filter(col(idCol) === queryId).select(col(embCol)).head().getSeq[Float](0)
+    // ONE probe for the query row fetches bucket AND embedding together
+    // (the id filter pushes below the bucket projection, so the bucket
+    // expression evaluates for just this row); the corpus-wide bucket
+    // evaluation then happens exactly once, in the re-rank scan below.
+    val qRow = bucketed.filter(col(idCol) === queryId)
+      .select(col("_bucket"), col(embCol)).head()
+    val qBucket = qRow.getLong(0)
+    val qEmb = qRow.getSeq[Float](1)
     val qLit = array(qEmb.map(f => lit(f.toDouble)): _*)
     val qNorm = math.sqrt(qEmb.map(f => f.toDouble * f.toDouble).sum)
     bucketed

@@ -22,6 +22,11 @@ import graft.pkg.PackageWriter
   */
 object Runner {
 
+  /** Internal partition column of the hash-bucketed Merge destination
+    * layout. Readers of the logical table drop it (the receipt probe
+    * does); it exists so merges prune to touched buckets. */
+  val MergeBucketCol = "__mbucket"
+
   final case class RunConfig(
       descriptor: Descriptor.ResourceDescriptor,
       policy: ContractPolicy,
@@ -41,7 +46,13 @@ object Runner {
         * tokens) know their own frontier — the run records it verbatim
         * instead of deriving a column cursor (cdf: positions come from
         * the source driver, position.rs). */
-      positionOverride: Option[Position] = None)
+      positionOverride: Option[Position] = None,
+      /** hash-bucket count for the Merge destination layout. Fixed at
+        * table creation (like bucketBy): an incremental merge rewrites
+        * ONLY the buckets its stage keys hash into, never the whole
+        * destination. Size for the target scale (e.g. 4096 ≈ 25 GB/
+        * bucket at 100 TB). */
+      mergeBuckets: Int = 64)
 
   final case class RunResult(
       packageHash: String,
@@ -91,6 +102,11 @@ object Runner {
     val program = ValidationProgram.compile(cfg.policy)
     Transform(program.annotate(source), cfg.transforms).limit(limit)
   }
+
+  /** Read a destination directory as its logical table — internal
+    * layout columns (the Merge bucket partition) stripped. */
+  def readDest(spark: SparkSession, destDir: String): DataFrame =
+    spark.read.parquet(destDir).drop(MergeBucketCol)
 
   /** Replace-by-swap with no missing-table window: write temp, move
     * the current dest ASIDE (rename, atomic on HDFS/posix), move temp
@@ -216,32 +232,97 @@ object Runner {
 
     ledger.propose(cfg.descriptor.id, scope, pkg.packageHash, position)
 
-    // 6. destination write per disposition. Every full-rewrite
-    //    disposition (Replace / Merge / CdcApply) goes through the same
-    //    atomic swap — never delete-then-insert (cdf VISION.md:927).
+    // 6. destination write per disposition. Replace / CdcApply go
+    //    through the atomic swap — never delete-then-insert (cdf
+    //    VISION.md:927). Merge does NOT: it is partition-pruned.
+    //    The Merge destination is laid out hash-bucketed by the merge
+    //    key (pmod(xxhash64(keys), mergeBuckets) as a partition column),
+    //    so an incremental run rewrites ONLY the buckets its stage keys
+    //    hash into — a 1% package pays ~1% of the destination, never a
+    //    full-dest rewrite (cdf law: a staged merge touches only staged
+    //    keys, cdf-dest-postgres/src/commit.rs:916-943). Dynamic
+    //    partition overwrite replaces exactly the partitions present in
+    //    the write; untouched bucket directories are never opened.
+    var mergeTouched: Option[Seq[Int]] = None
     cfg.descriptor.disposition match {
       case Descriptor.Disposition.Append =>
         packaged.write.mode("append").parquet(destDir)
       case Descriptor.Disposition.Replace =>
         swapWrite(spark, packaged, destDir)
       case Descriptor.Disposition.Merge(keys) =>
-        val base =
-          try spark.read.parquet(destDir)
-          catch { case _: Exception => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], packaged.schema) }
-        swapWrite(spark, MergeOps.upsert(base, packaged, keys), destDir)
+        val staged = packaged.withColumn(MergeBucketCol,
+          pmod(xxhash64(keys.map(col): _*), lit(cfg.mergeBuckets)).cast("int"))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(destDir))) {
+          // first load: every staged bucket is new — plain bucketed write
+          staged.write.partitionBy(MergeBucketCol).parquet(destDir)
+        } else {
+          // touched buckets from the STAGE (bounded: <= mergeBuckets ids,
+          // scans the incremental package, never the destination)
+          val touched = staged.select(MergeBucketCol).distinct()
+            .collect().map(_.getInt(0)).toSeq.sorted
+          // partition pruning: only touched bucket dirs are read
+          val base = spark.read.parquet(destDir)
+            .filter(col(MergeBucketCol).isin(touched.map(Int.box): _*))
+          val merged = MergeOps.upsert(base, staged, keys)
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(MergeBucketCol).parquet(destDir)
+          mergeTouched = Some(touched)
+        }
       case Descriptor.Disposition.CdcApply(keys, opCol) =>
         val applied = MergeOps.cdcApply(packaged, keys, opCol,
           if (cfg.orderColumns.nonEmpty) cfg.orderColumns else keys)
         swapWrite(spark, applied, destDir)
     }
 
-    // 7. receipt: durable, independently verifiable ack → probe it
-    //    (count + hash in one pass)
-    val destDf = spark.read.parquet(destDir)
-    val (destRows, destHash) = PackageWriter.countAndHash(destDf)
-    val receipt = PackageWriter.Receipt("parquet:" + destDir, destRows, destHash)
-    val verified = PackageWriter.verifyReceipt(spark.read.parquet(destDir), receipt)
+    // 7. receipt: durable, independently verifiable ack. ONE probe scan
+    //    — count + content hash come from a single aggregation job, and
+    //    verification compares that probe against write-side
+    //    expectations that cost no extra read:
+    //    - Replace: dest must equal the package exactly (rows + hash).
+    //    - Append: the content hash is an exact decimal SUM of per-row
+    //      hashes, so expected = prior receipt + package, additively.
+    //    - Merge: probe scope is the touched buckets only (pruned scan —
+    //      the whole point is not re-reading 100 TB post-write); every
+    //      staged row survives an upsert, so probe rows >= package rows.
+    //    - CdcApply: applied view is last-op-per-key minus deletes, so
+    //      probe rows <= package rows.
+    //    (The previous shape scanned the destination twice — countAndHash
+    //    then a verifyReceipt re-read recomputing the identical pair.)
+    val probeDf = mergeTouched match {
+      case Some(touched) => spark.read.parquet(destDir)
+        .filter(col(MergeBucketCol).isin(touched.map(Int.box): _*))
+      case None => spark.read.parquet(destDir)
+    }
+    val (destRows, destHash) = PackageWriter.countAndHash(probeDf.drop(MergeBucketCol))
+    val receiptDest = mergeTouched match {
+      case Some(touched) => s"parquet:$destDir#buckets=${touched.mkString(",")}"
+      case None => "parquet:" + destDir
+    }
+    val receipt = PackageWriter.Receipt(receiptDest, destRows, destHash)
+    val verified = cfg.descriptor.disposition match {
+      case Descriptor.Disposition.Replace =>
+        destRows == pkg.rows && destHash == pkg.contentHash
+      case Descriptor.Disposition.Append =>
+        ledger.committedHead(cfg.descriptor.id, scope).flatMap(_.receipt) match {
+          case Some(priorJson) =>
+            val pf = graft.core.CanonicalJson.objFields(
+              graft.core.CanonicalJson.parse(priorJson))
+            (pf.get("rows"), pf.get("content_hash")) match {
+              case (Some(graft.core.CanonicalJson.JInt(priorRows)),
+                    Some(graft.core.CanonicalJson.JStr(priorHash))) =>
+                destRows == priorRows + pkg.rows &&
+                  BigInt(destHash) == BigInt(priorHash) + BigInt(pkg.contentHash)
+              case _ => destRows >= pkg.rows
+            }
+          case None => // first load: dest IS the package
+            destRows == pkg.rows && destHash == pkg.contentHash
+        }
+      case _: Descriptor.Disposition.Merge => destRows >= pkg.rows
+      case _: Descriptor.Disposition.CdcApply => destRows <= pkg.rows
+    }
     if (!verified)
       throw graft.core.GraftError.Destination(
         "receipt verification failed — refusing to commit", transient = false)

@@ -117,7 +117,8 @@ class IcebergSpec extends SparkSpec {
     assert(r2.committed && !r2.duplicate)
 
     // the merged destination equals the table's current snapshot
-    val dest = spark.read.parquet(s"$base/dest")
+    // (logical read: the bucketed-merge layout column is internal)
+    val dest = Runner.readDest(spark, s"$base/dest")
     assert(dest.count() == 70)
     assert(graft.pkg.PackageWriter.contentHash(dest)
       == graft.pkg.PackageWriter.contentHash(IcebergSource.read(spark, tbl)))

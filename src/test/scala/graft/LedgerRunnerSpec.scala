@@ -147,6 +147,112 @@ class LedgerRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/dest").count() == afterTwo)
   }
 
+  test("incremental merge rewrites ONLY touched buckets; untouched bucket files are not rewritten") {
+    val base = tmpDir()
+    val ledger = Ledger.at(base)
+    val source = graft.core.Tables(spark, sf(), "orders")
+    val cfg = Runner.RunConfig(
+      descriptor = Descriptor.ResourceDescriptor(
+        id = "orders_bm", schemaSource = Descriptor.SchemaSource.Discover,
+        primaryKey = Seq("o_orderkey"), cursor = None,
+        disposition = Descriptor.Disposition.Merge(Seq("o_orderkey"))),
+      policy = ContractPolicy(Seq(RowRule.Nullability("nn", "o_orderkey"))),
+      orderColumns = Seq("o_orderkey"), mergeBuckets = 16)
+
+    // first load: full table, bucketed layout
+    Runner.run(spark, cfg, source, s"$base/pkg1", s"$base/dest", ledger)
+    val before = listParquet(s"$base/dest")
+    val bucketsBefore = before.keys.map(bucketOf).toSet
+    assert(bucketsBefore.size > 1, "first load should spread across buckets")
+
+    // incremental: a stage touching ONE key → exactly one bucket rewritten
+    val oneKey = source.filter(org.apache.spark.sql.functions.col("o_orderkey") === 1)
+    assert(oneKey.count() == 1)
+    Runner.run(spark, cfg, oneKey, s"$base/pkg2", s"$base/dest", ledger)
+    val after = listParquet(s"$base/dest")
+    val changed = after.keySet.diff(before.keySet) ++ before.keySet.diff(after.keySet)
+    val touchedBuckets = changed.map(bucketOf)
+    assert(touchedBuckets.size == 1,
+      s"one staged key must rewrite exactly one bucket, got $touchedBuckets")
+    // untouched bucket files survive byte-identical (same physical files)
+    val untouched = before.filter { case (p, _) => !touchedBuckets.contains(bucketOf(p)) }
+    untouched.foreach { case (p, mtime) =>
+      assert(after.get(p).contains(mtime), s"untouched file rewritten: $p") }
+    // logical table still correct: merge of one existing key changes no count
+    assert(spark.read.parquet(s"$base/dest").count() == source.count())
+  }
+
+  private def listParquet(dir: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    } finally s.close()
+  }
+  private def bucketOf(path: String): String =
+    path.split('/').find(_.startsWith(s"${Runner.MergeBucketCol}=")).getOrElse("?")
+
+  test("receipt probe is ONE destination scan (count+hash fused, no verify re-read)") {
+    val base = tmpDir()
+    val ledger = Ledger.at(base)
+    val source = graft.core.Tables(spark, sf(), "nation")
+    val cfg = Runner.RunConfig(
+      descriptor = Descriptor.ResourceDescriptor(
+        id = "nation_probe", schemaSource = Descriptor.SchemaSource.Discover,
+        primaryKey = Seq("n_nationkey"), cursor = None,
+        disposition = Descriptor.Disposition.Append),
+      policy = ContractPolicy(Seq(RowRule.Nullability("nn", "n_nationkey"))))
+    val destScans = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        // line-based: a "FileScan" line naming the dest dir is a dest
+        // READ; the write job's InsertIntoHadoopFsRelationCommand line
+        // names dest too but is not a FileScan (robust under AQE, whose
+        // wrapper hides scan nodes from plan.collect)
+        val readsDest = qe.executedPlan.toString.linesIterator
+          .exists(l => l.contains("FileScan") && l.contains("/dest"))
+        if (readsDest) destScans.incrementAndGet()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val r = Runner.run(spark, cfg, source, s"$base/pkg", s"$base/dest", ledger)
+      assert(r.committed)
+      val bus = classOf[org.apache.spark.SparkContext].getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      assert(destScans.get() == 1,
+        s"expected exactly 1 post-write destination scan (the fused probe), saw ${destScans.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("append receipt verifies additively against the prior receipt (tamper between runs fails)") {
+    val base = tmpDir()
+    val ledger = Ledger.at(base)
+    val all = graft.core.Tables(spark, sf(), "region")
+    val cfg = Runner.RunConfig(
+      descriptor = Descriptor.ResourceDescriptor(
+        id = "region_add", schemaSource = Descriptor.SchemaSource.Discover,
+        primaryKey = Seq("r_regionkey"), cursor = None,
+        disposition = Descriptor.Disposition.Append),
+      policy = ContractPolicy(Seq(RowRule.Nullability("nn", "r_regionkey"))))
+    val first = all.filter(org.apache.spark.sql.functions.col("r_regionkey") < 2)
+    Runner.run(spark, cfg, first, s"$base/pkg1", s"$base/dest", ledger)
+    // tamper: sneak an extra file into the destination between runs
+    first.limit(1).write.mode("append").parquet(s"$base/dest")
+    val second = all.filter(org.apache.spark.sql.functions.col("r_regionkey") >= 2)
+    val e = intercept[graft.core.GraftError.Destination](
+      Runner.run(spark, cfg, second, s"$base/pkg2", s"$base/dest", ledger))
+    assert(e.getMessage.contains("receipt verification failed"))
+  }
+
   test("merge swap never leaves a missing destination and cleans up the old generation") {
     val base = tmpDir()
     val ledger = Ledger.at(base)
