@@ -290,13 +290,26 @@ object AnalyticsQueries {
       .orderBy("user_id", "event_type")
   }
 
-  val approxDistinct: QueryDef = QueryDef.rowsOnly(
+  val approxDistinct: QueryDef = QueryDef.sqlBacked(
     "q_approx_distinct",
-    doc = "HLL sketches: approx_count_distinct (engine-specific estimates → rows-only; " +
-      "the exact counterparts are oracle-checked in q_count_distinct).") { (s, d) =>
+    """SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  TRUE AS orders_within_10pct, TRUE AS parts_within_10pct
+      |FROM lineitem""".stripMargin,
+    doc = "HLL sketches: approx_count_distinct. The estimate itself is engine-specific, " +
+      "but its ERROR BOUND is oracle-checkable: the query emits the exact counts plus " +
+      "booleans asserting the sketch landed within 2x the configured rsd (5%); the " +
+      "oracle expects TRUE — a sketch regression (or a broken merge of partial " +
+      "sketches) now fails the gate instead of hiding behind rows-only.") { (s, d) =>
     t(s, d, "lineitem").agg(
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      (abs(approx_count_distinct(col("l_orderkey")).cast("double") -
+          countDistinct(col("l_orderkey")).cast("double")) <=
+        countDistinct(col("l_orderkey")).cast("double") * 0.10).as("orders_within_10pct"),
+      (abs(approx_count_distinct(col("l_partkey")).cast("double") -
+          countDistinct(col("l_partkey")).cast("double")) <=
+        countDistinct(col("l_partkey")).cast("double") * 0.10).as("parts_within_10pct"))
   }
 
   val exactMedian: QueryDef = QueryDef.sqlBacked(

@@ -283,10 +283,32 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val minhashLsh: QueryDef = QueryDef.rowsOnly(
+  val minhashLsh: QueryDef = QueryDef.sqlBacked(
     "q_minhash_lsh",
-    doc = "MinHash(16 hashes)+LSH(4 bands) near-dup pairs verified by exact Jaccard; " +
-      "xxhash64-based so rows-only (engine-specific hash).") { (s, d) =>
+    s"""WITH corpus AS ($corpusSql),
+       |toks AS (SELECT doc_id, $wsSplitSql AS w FROM corpus),
+       |ngr AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' ')))) AS ng
+       |  FROM toks WHERE len(w) >= 5),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS sz FROM ngr GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM ngr a JOIN ngr b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin,
+    doc = "MinHash(16 hashes)+LSH(4 bands) near-dup pairs verified by exact Jaccard. " +
+      "The minhash itself is xxhash64 (engine-specific) but the EMITTED set is " +
+      "exact-Jaccard-verified, so the oracle is the brute-force exact-Jaccard pair " +
+      "set: hash-equality holds iff LSH candidate recall is 1.0 at this threshold " +
+      "on this corpus — the oracle now falsifies missed candidates, not just " +
+      "wrong verification.") { (s, d) =>
     TextDedup.minhashLshPairs(corpusWithDups(s, d), "doc_id", "text",
       n = 5, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
       .orderBy("doc_a", "doc_b")

@@ -35,8 +35,12 @@ import graft.core.CanonicalJson._
   * Subset honesty: append-only v2 tables (status=ADDED entries, no
   * positional/equality deletes), unpartitioned specs, absolute file
   * paths. Enough for snapshot-pinned + incremental scans and for the
-  * resume-replay law; delete files and partition specs are recorded as
-  * out of scope (package format here is parquet packages — SURVEY §7.1).
+  * resume-replay law. Tables OUTSIDE the subset — delete manifests,
+  * delete data files, or a partitioned spec — are REJECTED at plan
+  * time with a typed [[graft.core.GraftError.Plan]] fidelity error
+  * rather than read wrong silently (the reference handles full v2,
+  * crates/cdf-source-iceberg/src/driver.rs:1035; until this reader
+  * does, refusing is the only correct answer).
   */
 object IcebergSource {
 
@@ -124,6 +128,21 @@ object IcebergSource {
     }
     val cur = f.get("current-snapshot-id").collect { case JInt(v) if v >= 0 => v }
     val loc = f.get("location").collect { case JStr(v) => v }.getOrElse(tableDir)
+    // plan-time fidelity gate: a PARTITIONED spec changes which files a
+    // scan must plan (partition pruning, spec evolution) — reading it
+    // with the unpartitioned subset would be silently wrong, so reject.
+    f.get("partition-specs").foreach {
+      case JArr(specs) => specs.foreach { s =>
+        CanonicalJson.objFields(s).get("fields") match {
+          case Some(JArr(fields)) if fields.nonEmpty =>
+            throw graft.core.GraftError.Plan(
+              "iceberg fidelity: table declares a partitioned spec — outside this " +
+                "reader's unpartitioned append-only v2 subset")
+          case _ => ()
+        }
+      }
+      case _ => ()
+    }
     TableMeta(loc, cur, snaps, version)
   }
 
@@ -133,16 +152,46 @@ object IcebergSource {
     try r.iterator().asScala.toVector finally r.close()
   }
 
+  /** Plan-time fidelity gate: any long-valued field of an Avro record
+    * (reader uses the WRITER's embedded schema, so fields outside our
+    * subset schema are still visible) that signals deletes must be 0. */
+  private def longField(r: GenericRecord, name: String): Long =
+    if (r.getSchema.getField(name) == null) 0L
+    else r.get(name) match {
+      case null => 0L
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case _ => 0L
+    }
+
   /** manifest-list → manifests, optionally restricted to those added
-    * by `addedBy`. */
-  private def manifests(manifestList: String, addedBy: Option[Set[Long]]): Seq[String] =
-    readAvro(manifestList)
+    * by `addedBy`. Rejects delete manifests (content=1) and manifests
+    * carrying deleted-file counts at plan time — reading past them
+    * would silently resurrect deleted rows. */
+  private def manifests(manifestList: String, addedBy: Option[Set[Long]]): Seq[String] = {
+    val all = readAvro(manifestList)
+    all.foreach { m =>
+      if (longField(m, "content") != 0L)
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: delete manifest (content=${longField(m, "content")}) in " +
+            s"$manifestList — delete files are outside this reader's append-only v2 subset")
+      if (longField(m, "deleted_files_count") != 0L || longField(m, "deleted_rows_count") != 0L)
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: manifest ${m.get("manifest_path")} records deleted files — " +
+            "outside this reader's append-only v2 subset")
+    }
+    all
       .filter(m => addedBy.forall(_.contains(m.get("added_snapshot_id").asInstanceOf[Long])))
       .map(_.get("manifest_path").toString)
+  }
 
   private def entries(manifestPath: String): Seq[(Int, Option[Long], DataFileRef)] =
     readAvro(manifestPath).map { e =>
       val df = e.get("data_file").asInstanceOf[GenericRecord]
+      if (longField(df, "content") != 0L)
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: delete data file (content=${longField(df, "content")}) in " +
+            s"$manifestPath — position/equality deletes are outside this reader's subset")
       (e.get("status").asInstanceOf[Int],
         Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]),
         DataFileRef(df.get("file_path").toString,

@@ -41,8 +41,20 @@ object PythonResource {
     case other => throw new IllegalArgumentException(s"tier-2 schema type: $other")
   }
 
+  /** Driver-side intake budget. The child stream is buffered on the
+    * driver before `parallelize` (package granularity — exactly where
+    * the reference's embedded interpreter hands rows to the engine), so
+    * a misdeclared unbounded resource must fail TYPED instead of
+    * OOMing the driver. Exceeding either cap raises
+    * [[graft.core.GraftError.Resource]] (non-transient: re-running
+    * cannot succeed until the resource is re-scoped or the budget
+    * raised). Distinct from `maxRecords`, which is a caller's
+    * deliberate page bound and truncates without error. */
+  final case class Budget(maxRecords: Long = 1_000_000L, maxBytes: Long = 256L << 20)
+
   def run(spark: SparkSession, script: String, resume: Option[Position] = None,
-      python: String = "python3", maxRecords: Long = Long.MaxValue): Result = {
+      python: String = "python3", maxRecords: Long = Long.MaxValue,
+      budget: Budget = Budget()): Result = {
     val pb = new ProcessBuilder(python, script)
     val env = pb.environment()
     resume.foreach(p => env.put("GRAFT_RESUME_POSITION", render(p.toJson)))
@@ -59,9 +71,17 @@ object PythonResource {
     var declared: Option[Declared] = None
     var position: Option[Position] = None
     val rows = mutable.ArrayBuffer.empty[Row]
+    var bytes = 0L
     try {
       var line = reader.readLine()
       while (line != null && rows.size < maxRecords) {
+        bytes += line.length + 1L
+        if (rows.size >= budget.maxRecords || bytes > budget.maxBytes)
+          throw graft.core.GraftError.Resource(
+            s"tier-2 resource exceeded the driver intake budget " +
+              s"(${rows.size} records, $bytes bytes vs ${budget.maxRecords}/${budget.maxBytes}) — " +
+              "scope the resource (cursor window, partition scopes) or raise the budget",
+            transient = false)
         if (line.trim.nonEmpty) {
           val msg = objFields(parse(line))
           msg.get("type") match {

@@ -133,6 +133,51 @@ class Dsv2Spec extends SparkSpec {
       s"duplicates: ${seen.filter(_._2 > 1)}")
   }
 
+  test("ClickHouse DSv2: pushed predicates appear in the dialect SQL; residuals re-check") {
+    import graft.sources.dsv2.ClickHouseRegistry
+    val all = Seq(
+      (1L, 2.5, "apple"), (2L, 5.0, "banana"), (3L, 7.25, "apricot"), (4L, 9.0, "cherry"))
+    // fake server: honors exactly the WHERE the dialect SQL carries for
+    // qty (a real ClickHouse evaluates Exact predicates faithfully);
+    // serves every tag — residual trimming is the ENGINE's job
+    val transport: graft.sources.ClickHouse.Transport = { sql =>
+      val filtered = if (sql.contains("`qty` > 4.5")) all.filter(_._2 > 4.5) else all
+      filtered.map { case (i, q, t) => s"""{"id":$i,"qty":$q,"tag":"$t"}""" }.mkString("\n")
+    }
+    ClickHouseRegistry.register("ev", ClickHouseRegistry.Entry(
+      "events", schema, transport, pushable = Set("id", "qty")))
+    val df = spark.read.format("graft.sources.dsv2.ClickHouseSource")
+      .option("table", "ev").load()
+      .filter(col("qty") > 4.5)            // Exact → pushed into the SQL
+      .filter(col("tag").startsWith("a"))  // dialect can't say it → residual
+      .select("id", "tag")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((3L, "apricot"))) // superset trimmed by the residual re-check
+    val sqls = ClickHouseRegistry.issuedSql("ev")
+    assert(sqls.exists(_.contains("`qty` > 4.5")),
+      s"pushed predicate missing from dialect SQL: $sqls")
+    assert(sqls.forall(s => !s.toLowerCase.contains("apple") && !s.toLowerCase.contains("like")),
+      "residual predicate must never reach the dialect SQL")
+    assert(sqls.forall(_.endsWith("FORMAT JSONEachRow")))
+
+    // projection pruning reaches the SELECT list
+    ClickHouseRegistry.register("ev2", ClickHouseRegistry.Entry(
+      "events", schema, transport, pushable = Set("id", "qty")))
+    val one = spark.read.format("graft.sources.dsv2.ClickHouseSource")
+      .option("table", "ev2").load().select("tag")
+    assert(one.distinct().count() == 4)
+    assert(ClickHouseRegistry.issuedSql("ev2").exists(_.startsWith("SELECT `tag` FROM `events`")),
+      s"projection not pruned: ${ClickHouseRegistry.issuedSql("ev2")}")
+
+    // LIMIT pushes (all pushed predicates are Exact by construction)
+    ClickHouseRegistry.register("ev3", ClickHouseRegistry.Entry(
+      "events", schema, transport, pushable = Set("id", "qty")))
+    val lim = spark.read.format("graft.sources.dsv2.ClickHouseSource")
+      .option("table", "ev3").load().limit(2)
+    assert(lim.count() == 2)
+    assert(ClickHouseRegistry.issuedSql("ev3").exists(_.contains("LIMIT 2")))
+  }
+
   test("limit pushes only under all-Exact predicates") {
     register("t_lim", exact = Set("qty"), inexact = Set.empty)
     assert(read("t_lim").filter(col("qty") > 10).limit(7).count() == 7)

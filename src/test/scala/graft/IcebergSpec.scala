@@ -131,6 +131,55 @@ class IcebergSpec extends SparkSpec {
       == Some(Position.Cursor("snapshot_id", 2L)))
   }
 
+  test("fidelity gate: delete manifests, delete files and partitioned specs are rejected at plan time") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import scala.jdk.CollectionConverters._
+
+    // (a) a DELETE manifest (content=1) in the manifest list
+    val dir1 = s"${tmpDir()}/tbl"
+    val m = IcebergSource.commitAppend(spark, dir1, nums(0, 10), 1L, 1L)
+    val listPath = m.snapshot(1L).manifestList
+    val reader = new DataFileReader[GenericRecord](new java.io.File(listPath),
+      new GenericDatumReader[GenericRecord]())
+    val (schema, recs) =
+      try (reader.getSchema, reader.iterator().asScala.toVector) finally reader.close()
+    val deleteManifest = new GenericData.Record(schema)
+    schema.getFields.asScala.foreach(f => deleteManifest.put(f.name(), recs.head.get(f.name())))
+    deleteManifest.put("content", 1) // delete manifest
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(listPath))
+    recs.foreach(w.append); w.append(deleteManifest); w.close()
+    val e1 = intercept[graft.core.GraftError.Plan](IcebergSource.dataFiles(dir1))
+    assert(e1.getMessage.contains("delete manifest"))
+
+    // (b) a delete DATA file (data_file.content=2, equality deletes)
+    val dir2 = s"${tmpDir()}/tbl"
+    IcebergSource.commitAppend(spark, dir2, nums(0, 10), 1L, 1L)
+    val manifestPath = s"$dir2/metadata/manifest-1.avro"
+    val r2 = new DataFileReader[GenericRecord](new java.io.File(manifestPath),
+      new GenericDatumReader[GenericRecord]())
+    val (es, erecs) = try (r2.getSchema, r2.iterator().asScala.toVector) finally r2.close()
+    erecs.head.get("data_file").asInstanceOf[GenericRecord].put("content", 2)
+    val w2 = new DataFileWriter(new GenericDatumWriter[GenericRecord](es))
+    w2.create(es, new java.io.File(manifestPath))
+    erecs.foreach(w2.append); w2.close()
+    val e2 = intercept[graft.core.GraftError.Plan](IcebergSource.dataFiles(dir2))
+    assert(e2.getMessage.contains("delete data file"))
+
+    // (c) a partitioned spec in the table metadata
+    val dir3 = s"${tmpDir()}/tbl"
+    IcebergSource.commitAppend(spark, dir3, nums(0, 10), 1L, 1L)
+    val metaPath = java.nio.file.Paths.get(s"$dir3/metadata/v1.metadata.json")
+    val metaJson = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    val partitioned = metaJson.replaceFirst("\\{",
+      """{"partition-specs":[{"spec-id":0,"fields":[{"name":"id_bucket","transform":"bucket[16]","source-id":1,"field-id":1000}]}],""")
+    java.nio.file.Files.write(metaPath, partitioned.getBytes("UTF-8"))
+    val e3 = intercept[graft.core.GraftError.Plan](IcebergSource.readMeta(dir3))
+    assert(e3.getMessage.contains("partitioned spec"))
+  }
+
   test("non-ancestor incremental window is rejected, not silently wrong") {
     val dir = s"${tmpDir()}/tbl"
     IcebergSource.commitAppend(spark, dir, nums(0, 10), 5L, 1L)

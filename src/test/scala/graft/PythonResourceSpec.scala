@@ -87,6 +87,32 @@ class PythonResourceSpec extends SparkSpec {
     assert(e.getMessage.contains("upstream exploded"))
   }
 
+  test("driver intake budget: a runaway resource fails typed, never OOMs the driver") {
+    val runaway = script(
+      """from graft_sdk import resource, run
+        |
+        |@resource(name="flood", cursor="ts", schema={"ts": "long"})
+        |def flood():
+        |    for i in range(100000):
+        |        yield {"ts": i}
+        |
+        |run(flood)
+        |""".stripMargin)
+    val e = intercept[graft.core.GraftError.Resource](
+      PythonResource.run(spark, runaway,
+        budget = PythonResource.Budget(maxRecords = 500)))
+    assert(e.getMessage.contains("driver intake budget"))
+    assert(!e.transient) // re-running cannot succeed; re-scope instead
+    // the byte cap trips independently of the record cap
+    val e2 = intercept[graft.core.GraftError.Resource](
+      PythonResource.run(spark, runaway,
+        budget = PythonResource.Budget(maxBytes = 4096)))
+    assert(e2.getMessage.contains("driver intake budget"))
+    // an explicit caller page bound still truncates WITHOUT error
+    val page = PythonResource.run(spark, runaway, maxRecords = 100)
+    assert(page.records == 100)
+  }
+
   test("records before a declaration are a protocol violation") {
     val rogue = script("""import json, sys
       |sys.stdout.write(json.dumps({"type":"record","data":{"x":1}}) + "\n")
