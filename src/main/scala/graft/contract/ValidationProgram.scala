@@ -39,10 +39,22 @@ final class ValidationProgram private (
       .withColumn(DispositionCol, rankToDisposition(verdictRank))
   }
 
-  /** Accepted rows, original schema (cdf: program.rs:378-420 Accept). */
+  /** Accepted rows, original schema (cdf: program.rs:378-420 Accept).
+    *
+    * Hot path: filters directly on the integer verdict rank — the
+    * per-row verdict/disposition STRINGS of [[annotate]] are never
+    * built (each is a when-chain allocating a UTF8String per row; at
+    * 100 TB that's pure garbage for rows whose only fate is a boolean
+    * split). Semantics identical: rank ∈ accept-ranks ⇔ disposition
+    * would have been "accept". */
   def accepted(df: DataFrame): DataFrame = {
-    val a = annotate(df)
-    a.filter(col(DispositionCol) === "accept").select(df.columns.map(col): _*)
+    val verdictRank = ruleCols
+      .map { case (r, c) => ruleVerdict(r, c) }
+      .reduceOption((a, b) => greatest(a, b))
+      .getOrElse(lit(Verdict.Pass.rank))
+    val acceptRanks = Verdict.all
+      .filter(v => Disposition.ofVerdict(v) == Disposition.Accept).map(_.rank)
+    df.filter(verdictRank.isin(acceptRanks.map(Int.box): _*))
   }
 
   /** Quarantined rows with evidence columns; PII-classified columns are
