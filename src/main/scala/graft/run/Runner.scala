@@ -232,49 +232,84 @@ object Runner {
 
     ledger.propose(cfg.descriptor.id, scope, pkg.packageHash, position)
 
-    // 6. destination write per disposition. Replace / CdcApply go
-    //    through the atomic swap — never delete-then-insert (cdf
-    //    VISION.md:927). Merge does NOT: it is partition-pruned.
-    //    The Merge destination is laid out hash-bucketed by the merge
-    //    key (pmod(xxhash64(keys), mergeBuckets) as a partition column),
-    //    so an incremental run rewrites ONLY the buckets its stage keys
-    //    hash into — a 1% package pays ~1% of the destination, never a
-    //    full-dest rewrite (cdf law: a staged merge touches only staged
-    //    keys, cdf-dest-postgres/src/commit.rs:916-943). Dynamic
-    //    partition overwrite replaces exactly the partitions present in
-    //    the write; untouched bucket directories are never opened.
+    // 6. destination write per disposition. Replace goes through the
+    //    atomic swap — never delete-then-insert (cdf VISION.md:927).
+    //    Merge and CdcApply do NOT full-rewrite: their destination is
+    //    laid out hash-bucketed by the key (pmod(xxhash64(keys),
+    //    mergeBuckets) as a partition column), so an incremental run
+    //    rewrites ONLY the buckets its stage keys hash into — a 1%
+    //    package pays ~1% of the destination (cdf law: a staged merge
+    //    touches only staged keys, cdf-dest-postgres/src/commit.rs:
+    //    916-943). Dynamic partition overwrite replaces exactly the
+    //    partitions present in the write; untouched bucket directories
+    //    are never opened.
     var mergeTouched: Option[Seq[Int]] = None
+    var cdcDeletedKeys: Option[DataFrame] = None
+
+    /** bucket-pruned upsert/apply: read only the stage's buckets from
+      * the base, replace keys present in `stageKeys`, add `replacement`
+      * rows, dynamic-overwrite the touched partitions. */
+    def bucketedApply(keys: Seq[String], stageKeys: DataFrame,
+        replacement: DataFrame): Unit = {
+      def withBucket(df: DataFrame) = df.withColumn(MergeBucketCol,
+        pmod(xxhash64(keys.map(col): _*), lit(cfg.mergeBuckets)).cast("int"))
+      val staged = withBucket(replacement)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(destDir))) {
+        // first load: every staged bucket is new — plain bucketed write
+        staged.write.partitionBy(MergeBucketCol).parquet(destDir)
+      } else {
+        // touched buckets from the STAGE KEYS (bounded: <= mergeBuckets
+        // ids, scans the incremental package, never the destination)
+        val touched = withBucket(stageKeys).select(MergeBucketCol).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        // partition pruning: only touched bucket dirs are read
+        val base = spark.read.parquet(destDir)
+          .filter(col(MergeBucketCol).isin(touched.map(Int.box): _*))
+        val survivors = base.join(stageKeys, keys, "left_anti")
+        val merged = staged.select(base.columns.map(col): _*)
+          .unionByName(survivors.select(base.columns.map(col): _*))
+          .persist()
+        // dynamic overwrite only rewrites partitions PRESENT in the
+        // write: a bucket whose every row was evicted (terminal deletes)
+        // produces no output rows, so its stale dir must be removed
+        // explicitly. The persist bounds the present-bucket job to the
+        // already-pruned merge scope; a crash before the cleanup leaves
+        // stale rows but no commit — the dangling-proposal re-run
+        // re-evicts them idempotently.
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(MergeBucketCol).parquet(destDir)
+        val present = merged.select(MergeBucketCol).distinct()
+          .collect().map(_.getInt(0)).toSet
+        merged.unpersist()
+        touched.filterNot(present).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$destDir/$MergeBucketCol=$b"), true)
+        }
+        mergeTouched = Some(touched)
+      }
+    }
+
     cfg.descriptor.disposition match {
       case Descriptor.Disposition.Append =>
         packaged.write.mode("append").parquet(destDir)
       case Descriptor.Disposition.Replace =>
         swapWrite(spark, packaged, destDir)
       case Descriptor.Disposition.Merge(keys) =>
-        val staged = packaged.withColumn(MergeBucketCol,
-          pmod(xxhash64(keys.map(col): _*), lit(cfg.mergeBuckets)).cast("int"))
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(destDir))) {
-          // first load: every staged bucket is new — plain bucketed write
-          staged.write.partitionBy(MergeBucketCol).parquet(destDir)
-        } else {
-          // touched buckets from the STAGE (bounded: <= mergeBuckets ids,
-          // scans the incremental package, never the destination)
-          val touched = staged.select(MergeBucketCol).distinct()
-            .collect().map(_.getInt(0)).toSeq.sorted
-          // partition pruning: only touched bucket dirs are read
-          val base = spark.read.parquet(destDir)
-            .filter(col(MergeBucketCol).isin(touched.map(Int.box): _*))
-          val merged = MergeOps.upsert(base, staged, keys)
-          merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(MergeBucketCol).parquet(destDir)
-          mergeTouched = Some(touched)
-        }
+        bucketedApply(keys, packaged.select(keys.map(col): _*), packaged)
       case Descriptor.Disposition.CdcApply(keys, opCol) =>
-        val applied = MergeOps.cdcApply(packaged, keys, opCol,
-          if (cfg.orderColumns.nonEmpty) cfg.orderColumns else keys)
-        swapWrite(spark, applied, destDir)
+        // ordered net effect of the package per key; a terminal delete
+        // REMOVES the key from the destination (anti-join on ALL staged
+        // keys evicts both updated and deleted keys; only non-deletes
+        // re-enter). Incremental: keys absent from this package are
+        // untouched — prior runs' rows survive (cdf VISION.md:931).
+        val last = Dedup.keyed(packaged, keys,
+          if (cfg.orderColumns.nonEmpty) cfg.orderColumns else keys, Dedup.Keep.Last)
+        cdcDeletedKeys = Some(
+          last.filter(col(opCol) === "delete").select(keys.map(col): _*))
+        bucketedApply(keys, last.select(keys.map(col): _*),
+          last.filter(col(opCol) =!= "delete").drop(opCol))
     }
 
     // 7. receipt: durable, independently verifiable ack. ONE probe scan
@@ -287,8 +322,9 @@ object Runner {
     //    - Merge: probe scope is the touched buckets only (pruned scan —
     //      the whole point is not re-reading 100 TB post-write); every
     //      staged row survives an upsert, so probe rows >= package rows.
-    //    - CdcApply: applied view is last-op-per-key minus deletes, so
-    //      probe rows <= package rows.
+    //    - CdcApply: the probe's SAME scan additionally counts surviving
+    //      rows whose key this package deleted (broadcast mark of the
+    //      stage-sized delete set) — must be zero.
     //    (The previous shape scanned the destination twice — countAndHash
     //    then a verifyReceipt re-read recomputing the identical pair.)
     val probeDf = mergeTouched match {
@@ -296,7 +332,25 @@ object Runner {
         .filter(col(MergeBucketCol).isin(touched.map(Int.box): _*))
       case None => spark.read.parquet(destDir)
     }
-    val (destRows, destHash) = PackageWriter.countAndHash(probeDf.drop(MergeBucketCol))
+    val probeData = probeDf.drop(MergeBucketCol)
+    val (destRows, destHash, deletedSurvivors) = cdcDeletedKeys match {
+      case Some(del) =>
+        val keys = del.columns.toSeq
+        val dataCols = probeData.columns.toSeq
+        val marked = probeData.join(
+          broadcast(del.withColumn("__gdel", lit(1L))), keys, "left")
+        val r = marked
+          .select(xxhash64(dataCols.map(col): _*)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__h"),
+            coalesce(col("__gdel"), lit(0L)).as("__d"))
+          .agg(count(lit(1)), sum(col("__h")), sum(col("__d"))).head()
+        (r.getLong(0),
+          if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString,
+          if (r.isNullAt(2)) 0L else r.getLong(2))
+      case None =>
+        val (c, h) = PackageWriter.countAndHash(probeData)
+        (c, h, 0L)
+    }
     val receiptDest = mergeTouched match {
       case Some(touched) => s"parquet:$destDir#buckets=${touched.mkString(",")}"
       case None => "parquet:" + destDir
@@ -321,7 +375,7 @@ object Runner {
             destRows == pkg.rows && destHash == pkg.contentHash
         }
       case _: Descriptor.Disposition.Merge => destRows >= pkg.rows
-      case _: Descriptor.Disposition.CdcApply => destRows <= pkg.rows
+      case _: Descriptor.Disposition.CdcApply => deletedSurvivors == 0L
     }
     if (!verified)
       throw graft.core.GraftError.Destination(

@@ -196,6 +196,47 @@ class LedgerRunnerSpec extends SparkSpec {
   private def bucketOf(path: String): String =
     path.split('/').find(_.startsWith(s"${Runner.MergeBucketCol}=")).getOrElse("?")
 
+  test("incremental cdc_apply: prior keys survive, deletes evict, only touched buckets rewrite") {
+    import spark.implicits._
+    val base = tmpDir()
+    val ledger = Ledger.at(base)
+    val cfg = Runner.RunConfig(
+      descriptor = Descriptor.ResourceDescriptor(
+        id = "cdc_inc", schemaSource = Descriptor.SchemaSource.Discover,
+        primaryKey = Seq("k"), cursor = None,
+        disposition = Descriptor.Disposition.CdcApply(Seq("k"), "op")),
+      policy = ContractPolicy(Seq(RowRule.Nullability("nn", "k"))),
+      orderColumns = Seq("seq"), mergeBuckets = 16)
+
+    // run 1: three inserts
+    val ops1 = Seq((1L, "a", "insert", 1L), (2L, "b", "insert", 2L), (3L, "c", "insert", 3L))
+      .toDF("k", "v", "op", "seq")
+    val r1 = Runner.run(spark, cfg, ops1, s"$base/pkg1", s"$base/dest", ledger)
+    assert(r1.committed)
+    val before = listParquet(s"$base/dest")
+
+    // run 2: update k2, DELETE k3, insert k4 — k1 must be untouched
+    val ops2 = Seq((2L, "b2", "update", 4L), (3L, "c", "delete", 5L), (4L, "d", "insert", 6L))
+      .toDF("k", "v", "op", "seq")
+    val r2 = Runner.run(spark, cfg, ops2, s"$base/pkg2", s"$base/dest", ledger)
+    assert(r2.committed)
+
+    val dest = Runner.readDest(spark, s"$base/dest")
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(dest == Seq((1L, "a"), (2L, "b2"), (4L, "d")),
+      s"incremental cdc_apply produced $dest")
+
+    // scale law: run 2 rewrote only the buckets of {2,3,4}; k1's bucket
+    // files (if disjoint) survive physically identical
+    val after = listParquet(s"$base/dest")
+    val changed = (after.keySet.diff(before.keySet) ++ before.keySet.diff(after.keySet))
+      .map(bucketOf)
+    val untouched = before.filter { case (p, _) => !changed.contains(bucketOf(p)) }
+    assert(untouched.nonEmpty, "expected at least one untouched bucket")
+    untouched.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"untouched file rewritten: $p") }
+  }
+
   test("receipt probe is ONE destination scan (count+hash fused, no verify re-read)") {
     val base = tmpDir()
     val ledger = Ledger.at(base)
