@@ -146,4 +146,70 @@ object GlueCatalog {
     }
     parts.reduce(_ unionByName _)
   }
+
+  /** The per-connector pushdown negotiation record (cdf: uniform per
+    * connector, crates/cdf-engine/src/table_provider.rs:151-178). */
+  final case class Negotiation(
+      prunedToLocations: Seq[String],
+      catalogSide: Seq[org.apache.spark.sql.sources.Filter],
+      residual: Seq[org.apache.spark.sql.sources.Filter])
+
+  /** Negotiated scan: Catalyst `Filter`s over PARTITION KEYS prune the
+    * catalog's partition list BEFORE any file is opened (Exact —
+    * partition values are authoritative in the catalog, so nothing to
+    * re-check); every other filter is residual, applied over the
+    * DataFrame where the stock parquet scan's own native pushdown takes
+    * it the rest of the way. Deliberately NOT a custom DSv2 reader: the
+    * data read stays Spark's vectorized parquet path — wrapping it
+    * would trade whole-stage codegen for a hand-rolled decoder. */
+  def scanWithFilters(spark: SparkSession, tbl: GlueTable,
+      partitions: Seq[GluePartition],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): (DataFrame, Negotiation) = {
+    import org.apache.spark.sql.sources._
+    val keyIdx = tbl.partitionKeys.map(_.name).zipWithIndex.toMap
+    def partValue(p: GluePartition, c: String): Option[String] =
+      keyIdx.get(c).flatMap(p.values.lift)
+    // a filter is catalog-side iff it constrains only partition keys
+    // with a shape the partition list can answer exactly
+    def catalogKeep(f: Filter): Option[GluePartition => Boolean] = f match {
+      case EqualTo(c, v) if keyIdx.contains(c) =>
+        Some(p => partValue(p, c).contains(String.valueOf(v)))
+      case In(c, vs) if keyIdx.contains(c) =>
+        val set = vs.map(String.valueOf(_)).toSet
+        Some(p => partValue(p, c).exists(set.contains))
+      case IsNotNull(c) if keyIdx.contains(c) => Some(_ => true) // catalog values are non-null
+      case _ => None
+    }
+    val classified = filters.map(f => f -> catalogKeep(f))
+    val catalogSide = classified.collect { case (f, Some(_)) => f }
+    val residual = classified.collect { case (f, None) => f }
+    val keeps = classified.collect { case (_, Some(k)) => k }
+    val kept = partitions.filter(p => keeps.forall(_(p)))
+    val df0 = scan(spark, tbl, partitions, p => keeps.forall(_(p)))
+    // residuals re-apply engine-side (and push natively into the
+    // parquet scan where the format supports them)
+    val df = residual.foldLeft(df0)((acc, f) => acc.filter(filterToColumn(f)))
+    (df, Negotiation(kept.map(_.location), catalogSide, residual))
+  }
+
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v) => col(c) === lit(v)
+      case GreaterThan(c, v) => col(c) > lit(v)
+      case GreaterThanOrEqual(c, v) => col(c) >= lit(v)
+      case LessThan(c, v) => col(c) < lit(v)
+      case LessThanOrEqual(c, v) => col(c) <= lit(v)
+      case In(c, vs) => col(c).isin(vs.toSeq: _*)
+      case IsNotNull(c) => col(c).isNotNull
+      case IsNull(c) => col(c).isNull
+      case StringStartsWith(c, v) => col(c).startsWith(v)
+      case StringEndsWith(c, v) => col(c).endsWith(v)
+      case StringContains(c, v) => col(c).contains(v)
+      case And(l, r) => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+      case Not(x) => !filterToColumn(x)
+      case other => throw new IllegalArgumentException(s"unsupported residual filter: $other")
+    }
+  }
 }

@@ -98,6 +98,33 @@ class GlueCatalogSpec extends SparkSpec {
     assert(pruned.filter(col("ds") === "2024-01-02").agg(min("id")).head().getLong(0) == 201L)
   }
 
+  test("negotiated filters: partition keys prune catalog-side, residuals re-check engine-side") {
+    import org.apache.spark.sql.sources._
+    val locs = writePartitions()
+    val ep = new Endpoint(locs)
+    val Seq(tbl) = GlueCatalog.getTables(ep.transport, "sales")
+    val parts = GlueCatalog.getPartitions(ep.transport, "sales", "orders")
+
+    val (df, neg) = GlueCatalog.scanWithFilters(spark, tbl, parts, Seq(
+      In("ds", Array("2024-01-02", "2024-01-03")), // partition key → catalog prune
+      GreaterThan("id", 205L),                     // data column → residual
+      StringStartsWith("tag", "t")))               // data column → residual
+    // negotiation record: what went catalog-side vs residual
+    assert(neg.catalogSide.map(_.toString).exists(_.contains("ds")))
+    assert(neg.residual.size == 2)
+    assert(neg.prunedToLocations.toSet == Set(locs(1), locs(2)))
+    // pruned location never touched
+    assert(!df.inputFiles.mkString(",").contains(locs(0)))
+    // residuals applied: ids 206..210 and 301..310 survive
+    assert(df.count() == 15)
+    assert(df.agg(min("id")).head().getLong(0) == 206L)
+    // the residual on a data column reaches the parquet scan as a
+    // pushed filter (stock DSv2 pushdown on the vectorized reader)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,205"),
+      s"residual did not push into the parquet scan:\n$plan")
+  }
+
   test("full scan unions all partitions with catalog keys attached") {
     val ep = new Endpoint(writePartitions())
     val Seq(tbl) = GlueCatalog.getTables(ep.transport, "sales")
