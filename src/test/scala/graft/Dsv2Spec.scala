@@ -178,6 +178,52 @@ class Dsv2Spec extends SparkSpec {
     assert(ClickHouseRegistry.issuedSql("ev3").exists(_.contains("LIMIT 2")))
   }
 
+  test("Mongo DSv2: Exact predicates compile into the find command; residuals re-check; Extended JSON decodes") {
+    import graft.sources.dsv2.MongoRegistry
+    val mongoSchema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType),
+      StructField("name", StringType), StructField("ts", TimestampType)))
+    // canonical Extended JSON docs (typed wrappers) — the decode path
+    // must unwrap $numberLong/$numberDouble/$date
+    val docs = Seq(
+      (1L, 2.5, "alice", 1700000000000L), (2L, 6.5, "bob", 1700000001000L),
+      (3L, 7.0, "ann", 1700000002000L), (4L, 9.5, "carol", 1700000003000L))
+    val transport: String => String = { cmd =>
+      // fake server honoring exactly the filter the command carries for
+      // score (a real mongod evaluates Exact predicates faithfully)
+      val kept = if (cmd.contains(""""$gt":{"$numberDouble":"4.5"}""")) docs.filter(_._2 > 4.5) else docs
+      kept.map { case (i, s, n, t) =>
+        s"""{"id":{"$$numberLong":"$i"},"score":{"$$numberDouble":"$s"},""" +
+          s""""name":"$n","ts":{"$$date":{"$$numberLong":"$t"}}}"""
+      }.mkString("\n")
+    }
+    MongoRegistry.register("docs", MongoRegistry.Entry(
+      "events.docs", mongoSchema, transport, pushable = Set("id", "score")))
+    val df = spark.read.format("graft.sources.dsv2.MongoFindSource")
+      .option("collection", "docs").load()
+      .filter(col("score") > 4.5)              // Exact → find filter
+      .filter(col("name").startsWith("a"))     // residual → engine re-check
+      .select("id", "name", "ts")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((3L, "ann")))
+    // typed decode of the $date wrapper
+    assert(df.select("ts").head().getTimestamp(0).getTime == 1700000002000L)
+    val cmds = MongoRegistry.issuedCommands("docs")
+    assert(cmds.exists(_.contains(""""score":{"$gt":{"$numberDouble":"4.5"}}""")),
+      s"pushed predicate missing from find command: $cmds")
+    assert(cmds.forall(c => !c.contains("alice") && !c.contains("regex")),
+      "residual predicate must never reach the find command")
+    // projection pruned to the required columns (+ filter columns)
+    assert(cmds.exists(c => c.contains(""""projection":{""") && c.contains(""""name":1""")))
+
+    // limit pushes into the command (all pushed predicates Exact)
+    MongoRegistry.register("docs2", MongoRegistry.Entry(
+      "events.docs", mongoSchema, transport, pushable = Set("id", "score")))
+    val lim = spark.read.format("graft.sources.dsv2.MongoFindSource")
+      .option("collection", "docs2").load().limit(3)
+    assert(lim.count() <= 3)
+    assert(MongoRegistry.issuedCommands("docs2").exists(_.contains(""""limit":3""")))
+  }
+
   test("limit pushes only under all-Exact predicates") {
     register("t_lim", exact = Set("qty"), inexact = Set.empty)
     assert(read("t_lim").filter(col("qty") > 10).limit(7).count() == 7)
