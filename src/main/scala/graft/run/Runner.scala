@@ -27,6 +27,15 @@ object Runner {
     * does); it exists so merges prune to touched buckets. */
   val MergeBucketCol = "__mbucket"
 
+  /** Test-only chaos kill-points (cdf: crates/cdf-conformance/src/
+    * runtime_chaos/ injects faults between pipeline stages). The spec
+    * plants an intervention between the destination write and the
+    * receipt probe to prove verification actually catches a
+    * destination that lost rows. Never set in production paths. */
+  object ChaosHooks {
+    @volatile var beforeReceiptProbe: Option[String => Unit] = None
+  }
+
   final case class RunConfig(
       descriptor: Descriptor.ResourceDescriptor,
       policy: ContractPolicy,
@@ -245,10 +254,22 @@ object Runner {
     //    are never opened.
     var mergeTouched: Option[Seq[Int]] = None
     var cdcDeletedKeys: Option[DataFrame] = None
+    // exact row count the merge job actually wrote (staged + survivors),
+    // observed inside the write job — the receipt probe must equal it
+    // (cdf reconciles exact written/updated counts,
+    // cdf-dest-postgres/src/commit.rs:916-943).
+    var mergeExpectedRows: Option[Long] = None
 
     /** bucket-pruned upsert/apply: read only the stage's buckets from
       * the base, replace keys present in `stageKeys`, add `replacement`
-      * rows, dynamic-overwrite the touched partitions. */
+      * rows. The merged touched scope is written to a fresh GENERATION
+      * dir and the touched bucket dirs are then swapped into place by
+      * rename — the destination is NEVER read and overwritten in the
+      * same job (the previous dynamic-overwrite shape was only legal
+      * because a persist() hid the self-read from Spark's overwrite
+      * check, with cache eviction recomputing against half-overwritten
+      * data). A bucket moved aside but not yet replaced at crash time
+      * is restored from the aside dir on the next run. */
     def bucketedApply(keys: Seq[String], stageKeys: DataFrame,
         replacement: DataFrame): Unit = {
       def withBucket(df: DataFrame) = df.withColumn(MergeBucketCol,
@@ -256,9 +277,26 @@ object Runner {
       val staged = withBucket(replacement)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(destDir))) {
+      def path(s: String) = new org.apache.hadoop.fs.Path(s)
+      val gen = s"$destDir.__mergegen"   // new generation of touched buckets
+      val aside = s"$destDir.__mergeold" // prior generation, aside mid-swap
+      // recovery: a crash mid-swap can leave a bucket moved aside but not
+      // yet replaced — restore any aside bucket the dest lacks, then clear
+      if (fs.exists(path(aside))) {
+        fs.listStatus(path(aside)).foreach { st =>
+          val destB = path(s"$destDir/${st.getPath.getName}")
+          if (!fs.exists(destB))
+            require(fs.rename(st.getPath, destB), s"merge recovery failed: $destB")
+        }
+        fs.delete(path(aside), true)
+      }
+      fs.delete(path(gen), true) // leftover generation from a prior crash
+      val obs = org.apache.spark.sql.Observation()
+      if (!fs.exists(path(destDir))) {
         // first load: every staged bucket is new — plain bucketed write
-        staged.write.partitionBy(MergeBucketCol).parquet(destDir)
+        staged.observe(obs, count(lit(1)).as("rows"))
+          .write.partitionBy(MergeBucketCol).parquet(destDir)
+        mergeExpectedRows = Some(obs.get("rows").asInstanceOf[Long])
       } else {
         // touched buckets from the STAGE KEYS (bounded: <= mergeBuckets
         // ids, scans the incremental package, never the destination)
@@ -270,23 +308,27 @@ object Runner {
         val survivors = base.join(stageKeys, keys, "left_anti")
         val merged = staged.select(base.columns.map(col): _*)
           .unionByName(survivors.select(base.columns.map(col): _*))
-          .persist()
-        // dynamic overwrite only rewrites partitions PRESENT in the
-        // write: a bucket whose every row was evicted (terminal deletes)
-        // produces no output rows, so its stale dir must be removed
-        // explicitly. The persist bounds the present-bucket job to the
-        // already-pruned merge scope; a crash before the cleanup leaves
-        // stale rows but no commit — the dangling-proposal re-run
-        // re-evicts them idempotently.
-        merged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(MergeBucketCol).parquet(destDir)
-        val present = merged.select(MergeBucketCol).distinct()
-          .collect().map(_.getInt(0)).toSet
-        merged.unpersist()
-        touched.filterNot(present).foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$destDir/$MergeBucketCol=$b"), true)
+        merged.observe(obs, count(lit(1)).as("rows"))
+          .write.partitionBy(MergeBucketCol).parquet(gen)
+        mergeExpectedRows = Some(obs.get("rows").asInstanceOf[Long])
+        // swap: for each touched bucket, move the old dir aside, move the
+        // new generation in. A bucket whose every row was evicted
+        // (terminal deletes) has no generation dir — its old dir stays
+        // aside and is dropped with the cleanup. No commit happens until
+        // the receipt verifies, so any crash window re-runs idempotently.
+        fs.mkdirs(path(aside))
+        touched.foreach { b =>
+          val destB = path(s"$destDir/$MergeBucketCol=$b")
+          val genB = path(s"$gen/$MergeBucketCol=$b")
+          if (fs.exists(destB))
+            require(fs.rename(destB, path(s"$aside/$MergeBucketCol=$b")),
+              s"merge swap failed: could not move $destB aside")
+          if (fs.exists(genB))
+            require(fs.rename(genB, destB),
+              s"merge swap failed: could not move $genB into place")
         }
+        fs.delete(path(aside), true)
+        fs.delete(path(gen), true)
         mergeTouched = Some(touched)
       }
     }
@@ -327,6 +369,7 @@ object Runner {
     //      stage-sized delete set) — must be zero.
     //    (The previous shape scanned the destination twice — countAndHash
     //    then a verifyReceipt re-read recomputing the identical pair.)
+    ChaosHooks.beforeReceiptProbe.foreach(_(destDir))
     val probeDf = mergeTouched match {
       case Some(touched) => spark.read.parquet(destDir)
         .filter(col(MergeBucketCol).isin(touched.map(Int.box): _*))
@@ -374,8 +417,16 @@ object Runner {
           case None => // first load: dest IS the package
             destRows == pkg.rows && destHash == pkg.contentHash
         }
-      case _: Descriptor.Disposition.Merge => destRows >= pkg.rows
-      case _: Descriptor.Disposition.CdcApply => deletedSurvivors == 0L
+      // Merge/CdcApply: EXACT reconciliation — the probe of the touched
+      // scope must count precisely what the merge job observed itself
+      // writing (staged + survivors). `>=` would miss a bucket that
+      // dropped survivor rows while the staged rows landed; a missing
+      // staged upsert is equally caught (cdf-dest-postgres/src/commit.rs:
+      // 916-943 reconciles exact written/updated counts).
+      case _: Descriptor.Disposition.Merge =>
+        mergeExpectedRows.contains(destRows) && destRows >= pkg.rows
+      case _: Descriptor.Disposition.CdcApply =>
+        deletedSurvivors == 0L && mergeExpectedRows.contains(destRows)
     }
     if (!verified)
       throw graft.core.GraftError.Destination(

@@ -11,6 +11,7 @@ import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{Filter => SFilter}
 
 import graft.core.CanonicalJson
 import graft.core.CanonicalJson._
@@ -33,14 +34,29 @@ import graft.core.CanonicalJson._
   * a full-table diff.
   *
   * Subset honesty: append-only v2 tables (status=ADDED entries, no
-  * positional/equality deletes), unpartitioned specs, absolute file
-  * paths. Enough for snapshot-pinned + incremental scans and for the
-  * resume-replay law. Tables OUTSIDE the subset — delete manifests,
-  * delete data files, or a partitioned spec — are REJECTED at plan
-  * time with a typed [[graft.core.GraftError.Plan]] fidelity error
-  * rather than read wrong silently (the reference handles full v2,
+  * positional/equality deletes), identity-partitioned or
+  * unpartitioned specs, absolute file paths. Enough for
+  * snapshot-pinned + incremental scans and for the resume-replay law.
+  * Tables OUTSIDE the subset — delete manifests, delete data files,
+  * or a partition spec with a NON-identity transform (bucket,
+  * truncate, temporal) — are REJECTED at plan time with a typed
+  * [[graft.core.GraftError.Plan]] fidelity error rather than read
+  * wrong silently (the reference handles full v2,
   * crates/cdf-source-iceberg/src/driver.rs:1035; until this reader
   * does, refusing is the only correct answer).
+  *
+  * Partition handling (identity transforms): per-file partition
+  * values come from the manifest entries' `data_file.partition`
+  * struct; scans accept `org.apache.spark.sql.sources.Filter`
+  * predicates and prune the planned file list driver-side BEFORE the
+  * distributed parquet scan — at 100 TB the pruning decision is a
+  * metadata operation over KB-sized manifests, and a partition-
+  * restricted query never opens the other partitions' files.
+  * Identity-partitioned source columns are regular data columns (the
+  * spec stores them in the data files), so partition values surface
+  * as columns with no reconstruction. Pruning is conservative: a
+  * file is skipped only when a predicate PROVABLY matches no rows
+  * (unknown columns, missing values, incomparable types → keep).
   */
 object IcebergSource {
 
@@ -77,7 +93,10 @@ object IcebergSource {
   final case class Snapshot(id: Long, parentId: Option[Long], sequenceNumber: Long,
       timestampMs: Long, manifestList: String)
   final case class TableMeta(location: String, currentSnapshotId: Option[Long],
-      snapshots: Seq[Snapshot], version: Int) {
+      snapshots: Seq[Snapshot], version: Int,
+      /** identity-partition column names of the default spec (empty =
+        * unpartitioned); non-identity specs never construct a TableMeta. */
+      partitionFields: Seq[String] = Nil) {
     def snapshot(id: Long): Snapshot = snapshots.find(_.id == id)
       .getOrElse(throw new IllegalArgumentException(s"unknown snapshot $id"))
     /** parent-chain from `to` (inclusive) down to `fromExclusive`
@@ -95,7 +114,10 @@ object IcebergSource {
       out.result()
     }
   }
-  final case class DataFileRef(path: String, recordCount: Long, sizeBytes: Long)
+  final case class DataFileRef(path: String, recordCount: Long, sizeBytes: Long,
+      /** identity partition values from the manifest entry's
+        * `data_file.partition` struct (empty for unpartitioned). */
+      partition: Map[String, Any] = Map.empty)
 
   // ------------------------------------------------------------- read
 
@@ -128,22 +150,57 @@ object IcebergSource {
     }
     val cur = f.get("current-snapshot-id").collect { case JInt(v) if v >= 0 => v }
     val loc = f.get("location").collect { case JStr(v) => v }.getOrElse(tableDir)
-    // plan-time fidelity gate: a PARTITIONED spec changes which files a
-    // scan must plan (partition pruning, spec evolution) — reading it
-    // with the unpartitioned subset would be silently wrong, so reject.
-    f.get("partition-specs").foreach {
-      case JArr(specs) => specs.foreach { s =>
+    // schemas: field-id → name, for resolving identity partition sources
+    // (a renamed partition field still points at its source column)
+    val fieldNameById: Map[Long, String] = f.get("schemas") match {
+      case Some(JArr(ss)) => ss.flatMap { s =>
         CanonicalJson.objFields(s).get("fields") match {
-          case Some(JArr(fields)) if fields.nonEmpty =>
-            throw graft.core.GraftError.Plan(
-              "iceberg fidelity: table declares a partitioned spec — outside this " +
-                "reader's unpartitioned append-only v2 subset")
-          case _ => ()
+          case Some(JArr(fs)) => fs.flatMap { fd =>
+            val ff = CanonicalJson.objFields(fd)
+            (ff.get("id"), ff.get("name")) match {
+              case (Some(JInt(id)), Some(JStr(n))) => Seq(id -> n)
+              case _ => Nil
+            }
+          }
+          case _ => Nil
         }
-      }
-      case _ => ()
+      }.toMap
+      case _ => Map.empty
     }
-    TableMeta(loc, cur, snaps, version)
+    // partition specs: identity transforms are IN the subset (values
+    // pruned from manifests, columns live in the data files); any
+    // non-identity transform changes which files a scan must plan in a
+    // way this reader cannot evaluate — plan-time fidelity rejection.
+    val defaultSpecId = f.get("default-spec-id").collect { case JInt(v) => v }
+    val partitionFields: Seq[String] = f.get("partition-specs") match {
+      case Some(JArr(specs)) if specs.nonEmpty =>
+        val parsed = specs.map { s =>
+          val sf = CanonicalJson.objFields(s)
+          val specId = sf.get("spec-id").collect { case JInt(v) => v }.getOrElse(0L)
+          val names = sf.get("fields") match {
+            case Some(JArr(fields)) => fields.map { fd =>
+              val ff = CanonicalJson.objFields(fd)
+              val transform = ff.get("transform").collect { case JStr(t) => t }.getOrElse("?")
+              if (transform != "identity")
+                throw graft.core.GraftError.Plan(
+                  s"iceberg fidelity: partitioned spec with non-identity transform " +
+                    s"'$transform' — outside this reader's identity-partitioned " +
+                    "append-only v2 subset")
+              val srcId = ff.get("source-id").collect { case JInt(v) => v }
+              srcId.flatMap(fieldNameById.get)
+                .orElse(ff.get("name").collect { case JStr(n) => n })
+                .getOrElse(throw graft.core.GraftError.Plan(
+                  "iceberg fidelity: partition field without a resolvable name"))
+            }
+            case _ => Seq.empty
+          }
+          specId -> names
+        }
+        parsed.find(p => defaultSpecId.contains(p._1))
+          .orElse(parsed.lastOption).map(_._2).getOrElse(Seq.empty)
+      case _ => Seq.empty
+    }
+    TableMeta(loc, cur, snaps, version, partitionFields)
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {
@@ -175,7 +232,13 @@ object IcebergSource {
         throw graft.core.GraftError.Plan(
           s"iceberg fidelity: delete manifest (content=${longField(m, "content")}) in " +
             s"$manifestList — delete files are outside this reader's append-only v2 subset")
-      if (longField(m, "deleted_files_count") != 0L || longField(m, "deleted_rows_count") != 0L)
+      // both spellings: Iceberg's Java/Rust writers name the manifest-list
+      // field `deleted_data_files_count`; older/other writers use
+      // `deleted_files_count`. longField is 0 for a missing field, so
+      // probing only one spelling silently no-ops on the other's tables.
+      if (longField(m, "deleted_files_count") != 0L ||
+          longField(m, "deleted_data_files_count") != 0L ||
+          longField(m, "deleted_rows_count") != 0L)
         throw graft.core.GraftError.Plan(
           s"iceberg fidelity: manifest ${m.get("manifest_path")} records deleted files — " +
             "outside this reader's append-only v2 subset")
@@ -184,6 +247,21 @@ object IcebergSource {
       .filter(m => addedBy.forall(_.contains(m.get("added_snapshot_id").asInstanceOf[Long])))
       .map(_.get("manifest_path").toString)
   }
+
+  /** identity partition values from the entry's `data_file.partition`
+    * struct (reader sees the writer's schema, so the struct is visible
+    * even though our subset schema omits it). Avro Utf8 → String. */
+  private def partitionOf(df: GenericRecord): Map[String, Any] =
+    Option(df.getSchema.getField("partition")).map(_ => df.get("partition")) match {
+      case Some(r: GenericRecord) =>
+        r.getSchema.getFields.asScala.map { pf =>
+          pf.name() -> (r.get(pf.name()) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case other => other
+          })
+        }.toMap
+      case _ => Map.empty
+    }
 
   private def entries(manifestPath: String): Seq[(Int, Option[Long], DataFileRef)] =
     readAvro(manifestPath).map { e =>
@@ -196,43 +274,116 @@ object IcebergSource {
         Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]),
         DataFileRef(df.get("file_path").toString,
           df.get("record_count").asInstanceOf[Long],
-          df.get("file_size_in_bytes").asInstanceOf[Long]))
+          df.get("file_size_in_bytes").asInstanceOf[Long],
+          partitionOf(df)))
     }
 
+  // -------------------------------------------------- partition pruning
+
+  /** Conservative file-level predicate evaluation against identity
+    * partition values: returns false ONLY when `f` provably matches no
+    * row of the file (every row shares the file's partition value under
+    * identity). Unknown columns, absent values, or incomparable types
+    * keep the file — pruning can never change results, only skip I/O
+    * (the stats-pruning conservative-on-missing law, SURVEY §2.10). */
+  private[sources] def mayMatch(f: SFilter, part: Map[String, Any]): Boolean = {
+    import org.apache.spark.sql.{sources => sf}
+    def cmp(pv: Any, lit: Any): Option[Int] = (pv, lit) match {
+      case (null, _) | (_, null) => None
+      case (a: Number, b: Number) =>
+        Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
+      case _ => None
+    }
+    def rel(c: String, lit: Any)(keep: Int => Boolean): Boolean = part.get(c) match {
+      case None => true        // not a partition column → unknown → keep
+      case Some(null) => false // all rows null → comparison never matches
+      case Some(pv) => cmp(pv, lit).forall(keep)
+    }
+    f match {
+      case sf.EqualTo(c, lit) => rel(c, lit)(_ == 0)
+      case sf.GreaterThan(c, lit) => rel(c, lit)(_ > 0)
+      case sf.GreaterThanOrEqual(c, lit) => rel(c, lit)(_ >= 0)
+      case sf.LessThan(c, lit) => rel(c, lit)(_ < 0)
+      case sf.LessThanOrEqual(c, lit) => rel(c, lit)(_ <= 0)
+      case sf.In(c, vs) => part.get(c) match {
+        case None => true
+        case Some(null) => false
+        case Some(pv) =>
+          val cs = vs.toSeq.map(cmp(pv, _))
+          cs.exists(_.contains(0)) || cs.exists(_.isEmpty)
+      }
+      case sf.IsNull(c) => part.get(c).forall(_ == null)
+      case sf.IsNotNull(c) => part.get(c).forall(_ != null)
+      case sf.And(l, r) => mayMatch(l, part) && mayMatch(r, part)
+      case sf.Or(l, r) => mayMatch(l, part) || mayMatch(r, part)
+      // Not cannot be derived from !mayMatch (both sides conservative);
+      // only the provable case: a file whose every row EQUALS lit has no
+      // row satisfying ≠ lit
+      case sf.Not(sf.EqualTo(c, lit)) => part.get(c) match {
+        case None => true
+        case Some(null) => false
+        case Some(pv) => !cmp(pv, lit).contains(0)
+      }
+      case _ => true
+    }
+  }
+
   /** All live data files at a snapshot (append-only subset: every
-    * non-deleted entry across the snapshot's manifest list). */
-  def dataFiles(tableDir: String, snapshotId: Option[Long] = None): Seq[DataFileRef] = {
+    * non-deleted entry across the snapshot's manifest list), pruned
+    * against `filters` via manifest partition values. */
+  def dataFiles(tableDir: String, snapshotId: Option[Long] = None,
+      filters: Seq[SFilter] = Nil): Seq[DataFileRef] = {
     val meta = readMeta(tableDir)
     val snap = snapshotId.orElse(meta.currentSnapshotId)
       .map(meta.snapshot)
       .getOrElse(return Seq.empty)
     manifests(snap.manifestList, None).flatMap(entries)
       .collect { case (s, _, f) if s != 2 => f }
+      .filter(f => filters.forall(mayMatch(_, f.partition)))
   }
 
   /** The append-diff: data files added by snapshots in
     * `(fromExclusive, to]`, via parent-chain lineage — the exact shape
-    * of the reference's incremental scan. */
-  def addedFiles(tableDir: String, fromExclusive: Option[Long], to: Long): Seq[DataFileRef] = {
+    * of the reference's incremental scan. Partition-pruned like
+    * [[dataFiles]]. */
+  def addedFiles(tableDir: String, fromExclusive: Option[Long], to: Long,
+      filters: Seq[SFilter] = Nil): Seq[DataFileRef] = {
     val meta = readMeta(tableDir)
     val lineageIds = meta.lineage(fromExclusive, to).map(_.id).toSet
     val snap = meta.snapshot(to)
     manifests(snap.manifestList, Some(lineageIds)).flatMap(entries)
       .collect { case (StatusAdded, Some(sid), f) if lineageIds.contains(sid) => f }
+      .filter(f => filters.forall(mayMatch(_, f.partition)))
   }
 
   /** Snapshot-pinned distributed read (time travel when `snapshotId`
-    * names an older snapshot). */
-  def read(spark: SparkSession, tableDir: String, snapshotId: Option[Long] = None): DataFrame = {
-    val files = dataFiles(tableDir, snapshotId)
+    * names an older snapshot). `filters` prune whole files via the
+    * manifests' partition values; they do NOT replace row-level
+    * filtering — apply the same predicates on the returned frame (the
+    * parquet scan then also gets them as pushed filters). */
+  def read(spark: SparkSession, tableDir: String, snapshotId: Option[Long] = None,
+      filters: Seq[SFilter] = Nil): DataFrame = {
+    val files = dataFiles(tableDir, snapshotId, filters)
+    if (files.isEmpty && filters.nonEmpty) return sparkEmpty(spark, tableDir, snapshotId)
     require(files.nonEmpty, s"no data files at snapshot $snapshotId")
     spark.read.parquet(files.map(_.path): _*)
   }
 
+  /** empty frame with the table's schema (all files pruned away). */
+  private def sparkEmpty(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long]): DataFrame = {
+    val any = dataFiles(tableDir, snapshotId)
+    require(any.nonEmpty, s"no data files at snapshot $snapshotId")
+    spark.read.parquet(any.head.path).limit(0)
+  }
+
   /** Incremental read of the `(from, to]` append-diff. */
   def readIncremental(spark: SparkSession, tableDir: String,
-      fromExclusive: Option[Long], to: Long): DataFrame = {
-    val files = addedFiles(tableDir, fromExclusive, to)
+      fromExclusive: Option[Long], to: Long,
+      filters: Seq[SFilter] = Nil): DataFrame = {
+    val files = addedFiles(tableDir, fromExclusive, to, filters)
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files.map(_.path): _*)
   }
@@ -248,40 +399,123 @@ object IcebergSource {
     new File(path).length()
   }
 
+  /** Avro type for an identity partition value, from the Spark column. */
+  private def avroPartType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "long"
+      case IntegerType => "int"
+      case StringType => "string"
+      case DoubleType => "double"
+      case BooleanType => "boolean"
+      case other => throw new IllegalArgumentException(
+        s"unsupported identity partition type: $other")
+    }
+  }
+
+  private def icebergType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "long"
+      case IntegerType => "int"
+      case StringType => "string"
+      case DoubleType => "double"
+      case BooleanType => "boolean"
+      case FloatType => "float"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case _ => "string"
+    }
+  }
+
+  /** manifest_entry schema with the spec's partition struct (name r102
+    * per the Iceberg spec's conventional partition record name). */
+  private def entrySchemaFor(partCols: Seq[(String, String)]): Schema =
+    if (partCols.isEmpty) manifestEntrySchema
+    else {
+      val pf = partCols.map { case (n, t) =>
+        s"""{"name":"$n","type":["null","$t"],"default":null}"""
+      }.mkString(",")
+      new Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+           |{"name":"status","type":"int"},
+           |{"name":"snapshot_id","type":["null","long"],"default":null},
+           |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+           |  {"name":"content","type":"int"},
+           |  {"name":"file_path","type":"string"},
+           |  {"name":"file_format","type":"string"},
+           |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$pf]}},
+           |  {"name":"record_count","type":"long"},
+           |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    }
+
   /** Append `df` as a new snapshot: parquet data files (distributed
     * write), one ADDED manifest, manifest-list = parent's + new,
     * metadata vN+1, version-hint flip (the spec's commit protocol —
     * readers resolve the hint to an immutable metadata file, so a
-    * crash mid-commit leaves the old version fully readable). */
+    * crash mid-commit leaves the old version fully readable).
+    *
+    * `partitionBy` lays the snapshot out identity-partitioned: data
+    * files are split per partition value (one distributed write — the
+    * partition columns are DUPLICATED into layout-only `__gp_*`
+    * columns so the real columns stay in the data files, as the spec
+    * requires), and each manifest entry carries its file's partition
+    * struct for pruning. Subsequent appends inherit the parent's
+    * spec when `partitionBy` is not repeated. */
   def commitAppend(spark: SparkSession, tableDir: String, df: DataFrame,
-      snapshotId: Long, timestampMs: Long): TableMeta = {
+      snapshotId: Long, timestampMs: Long,
+      partitionBy: Seq[String] = Nil): TableMeta = {
     val metaDir = s"$tableDir/metadata"
     val haveMeta = Files.exists(Paths.get(metaDir, "version-hint.text"))
     val parent: Option[TableMeta] = if (haveMeta) Some(readMeta(tableDir)) else None
+    val partCols: Seq[String] =
+      if (partitionBy.nonEmpty) partitionBy
+      else parent.map(_.partitionFields).getOrElse(Nil)
+    require(partCols.forall(df.columns.contains),
+      s"partition columns $partCols missing from ${df.columns.toSeq}")
 
     val dataDir = s"$tableDir/data/snap-$snapshotId"
-    df.write.mode("errorifexists").parquet(dataDir)
-    // per-file row counts in one job (manifest stats are real, not stubs)
+    if (partCols.isEmpty) df.write.mode("errorifexists").parquet(dataDir)
+    else {
+      val dup = partCols.foldLeft(df)((d, c) => d.withColumn(s"__gp_$c", col(c)))
+      dup.write.mode("errorifexists")
+        .partitionBy(partCols.map("__gp_" + _): _*).parquet(dataDir)
+    }
+    // per-file row counts + partition values in ONE job (manifest stats
+    // are real, not stubs; identity values are constant per file)
+    val aggs = count(lit(1)).as("n") +: partCols.map(c => first(col(c)).as(s"pv_$c"))
     val perFile = spark.read.parquet(dataDir)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0).replaceFirst("^file:/+", "/"), r.getLong(1)))
-    val files = perFile.map { case (p, n) => DataFileRef(p, n, new File(p).length()) }
+      .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val files = perFile.map { r =>
+      val p = r.getString(0).replaceFirst("^file:/+", "/")
+      val part = partCols.zipWithIndex.map { case (c, i) => c -> r.get(i + 2) }.toMap
+      DataFileRef(p, r.getLong(1), new File(p).length(), part)
+    }
 
+    val partTypes = partCols.map(c => c -> avroPartType(df.schema(c).dataType))
+    val entrySchema = entrySchemaFor(partTypes)
     val manifestPath = s"$metaDir/manifest-$snapshotId.avro"
     val entryRecs = files.map { f =>
-      val d = new GenericData.Record(manifestEntrySchema.getField("data_file").schema())
+      val d = new GenericData.Record(entrySchema.getField("data_file").schema())
       d.put("content", 0)
       d.put("file_path", f.path)
       d.put("file_format", "PARQUET")
       d.put("record_count", f.recordCount)
       d.put("file_size_in_bytes", f.sizeBytes)
-      val e = new GenericData.Record(manifestEntrySchema)
+      if (partCols.nonEmpty) {
+        val pr = new GenericData.Record(
+          entrySchema.getField("data_file").schema().getField("partition").schema())
+        f.partition.foreach { case (c, v) => pr.put(c, v) }
+        d.put("partition", pr)
+      }
+      val e = new GenericData.Record(entrySchema)
       e.put("status", StatusAdded)
       e.put("snapshot_id", Long.box(snapshotId))
       e.put("data_file", d)
       e
     }
-    val manifestLen = writeAvro(manifestPath, manifestEntrySchema, entryRecs.toSeq)
+    val manifestLen = writeAvro(manifestPath, entrySchema, entryRecs.toSeq)
 
     val parentSnap = parent.flatMap(m => m.currentSnapshotId.map(m.snapshot))
     val priorManifests: Seq[GenericRecord] =
@@ -317,19 +551,40 @@ object IcebergSource {
           "manifest-list" -> (JStr(s.manifestList): J),
           "summary" -> (JObj.of("operation" -> JStr("append")): J))): _*)
 
-    val metaJson = JObj.of(
-      "format-version" -> JInt(2),
-      "table-uuid" -> JStr(f"graft-${tableDir.hashCode}%08x-0000-0000-0000-000000000000"),
-      "location" -> JStr(tableDir),
-      "last-sequence-number" -> JInt(seq),
-      "last-updated-ms" -> JInt(timestampMs),
-      "current-snapshot-id" -> JInt(snapshotId),
-      "snapshots" -> JArr(allSnaps.map(snapJson)))
+    val baseFields = Seq(
+      "format-version" -> (JInt(2): J),
+      "table-uuid" -> (JStr(f"graft-${tableDir.hashCode}%08x-0000-0000-0000-000000000000"): J),
+      "location" -> (JStr(tableDir): J),
+      "last-sequence-number" -> (JInt(seq): J),
+      "last-updated-ms" -> (JInt(timestampMs): J),
+      "current-snapshot-id" -> (JInt(snapshotId): J),
+      "snapshots" -> (JArr(allSnaps.map(snapJson)): J))
+    // identity partition spec + the schema that resolves its source-ids
+    val specFields = if (partCols.isEmpty) Seq.empty else Seq(
+      "default-spec-id" -> (JInt(0): J),
+      "partition-specs" -> (JArr(Seq(JObj.of(
+        "spec-id" -> JInt(0),
+        "fields" -> JArr(partCols.zipWithIndex.map { case (c, i) =>
+          JObj.of(
+            "name" -> JStr(c),
+            "transform" -> JStr("identity"),
+            "source-id" -> JInt(df.schema.fieldIndex(c) + 1L),
+            "field-id" -> JInt(1000L + i)): J })))): J),
+      "schemas" -> (JArr(Seq(JObj.of(
+        "schema-id" -> JInt(0),
+        "type" -> JStr("struct"),
+        "fields" -> JArr(df.schema.fields.zipWithIndex.map { case (fld, i) =>
+          JObj.of(
+            "id" -> JInt(i + 1L),
+            "name" -> JStr(fld.name),
+            "required" -> JBool(false),
+            "type" -> JStr(icebergType(fld.dataType))): J })))): J))
+    val metaJson = JObj.of((baseFields ++ specFields): _*)
     Files.createDirectories(Paths.get(metaDir))
     Files.write(Paths.get(metaDir, s"v$version.metadata.json"),
       CanonicalJson.render(metaJson).getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(metaDir, "version-hint.text"),
       version.toString.getBytes(StandardCharsets.UTF_8))
-    TableMeta(tableDir, Some(snapshotId), allSnaps, version)
+    TableMeta(tableDir, Some(snapshotId), allSnaps, version, partCols)
   }
 }

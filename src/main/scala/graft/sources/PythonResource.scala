@@ -76,7 +76,11 @@ object PythonResource {
       var line = reader.readLine()
       while (line != null && rows.size < maxRecords) {
         bytes += line.length + 1L
-        if (rows.size >= budget.maxRecords || bytes > budget.maxBytes)
+        // bytes are a line-level cap; the RECORD cap is checked only on
+        // the record branch below — a resource emitting exactly
+        // maxRecords records followed by its position/end metadata must
+        // not be spuriously rejected by the trailing lines.
+        if (bytes > budget.maxBytes)
           throw graft.core.GraftError.Resource(
             s"tier-2 resource exceeded the driver intake budget " +
               s"(${rows.size} records, $bytes bytes vs ${budget.maxRecords}/${budget.maxBytes}) — " +
@@ -106,6 +110,12 @@ object PythonResource {
             case Some(JStr("record")) =>
               val d = declared.getOrElse(throw new IllegalStateException(
                 "tier-2 record before resource declaration"))
+              if (rows.size >= budget.maxRecords)
+                throw graft.core.GraftError.Resource(
+                  s"tier-2 resource exceeded the driver intake budget " +
+                    s"(${rows.size} records vs ${budget.maxRecords}) — " +
+                    "scope the resource (cursor window, partition scopes) or raise the budget",
+                  transient = false)
               rows += toRow(objFields(msg("data")), d.schema)
             case Some(JStr("position")) =>
               position = Some(Position.fromJson(render(msg("position"))))

@@ -87,9 +87,13 @@ final class MongoFindScanBuilder(name: String, entry: MongoRegistry.Entry)
   private var limit: Option[Int] = None
 
   /** Extended JSON v2 literal (canonical for numerics — the typed form
-    * the server compares without coercion surprises). */
+    * the server compares without coercion surprises). Null literals are
+    * NOT renderable: Mongo's {$eq:null}/{$in:[null]} match null-or-missing
+    * documents while Spark's `col = NULL` / `col IN (NULL,...)` never
+    * match, so a comparison carrying null must stay residual — the JSON
+    * `null` is reserved for the explicit IsNull/IsNotNull clauses. */
   private def extLit(v: Any): Option[String] = v match {
-    case null => Some("null")
+    case null => None
     case s: String => Some(CanonicalJson.render(JStr(s)))
     case b: Boolean => Some(if (b) "true" else "false")
     case i: java.lang.Integer => Some(s"""{"$$numberInt":"$i"}""")

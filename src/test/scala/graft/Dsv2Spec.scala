@@ -224,6 +224,31 @@ class Dsv2Spec extends SparkSpec {
     assert(MongoRegistry.issuedCommands("docs2").exists(_.contains(""""limit":3""")))
   }
 
+  test("Mongo DSv2: a null literal in IN/= stays residual — Mongo's $in:[null] matches missing fields, Spark's never does") {
+    import graft.sources.dsv2.MongoRegistry
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    // doc 3 has a NULL score; doc 4 omits the field entirely. A pushed
+    // {$in:[6.5,null]} would make the server return docs 3 AND 4 as
+    // matches; Spark's `score IN (6.5, NULL)` must return only doc 2.
+    val transport: String => String = { _ =>
+      Seq(
+        """{"id":{"$numberLong":"1"},"score":{"$numberDouble":"2.5"}}""",
+        """{"id":{"$numberLong":"2"},"score":{"$numberDouble":"6.5"}}""",
+        """{"id":{"$numberLong":"3"},"score":null}""",
+        """{"id":{"$numberLong":"4"}}""").mkString("\n")
+    }
+    MongoRegistry.register("nulls", MongoRegistry.Entry(
+      "events.nulls", schema, transport, pushable = Set("id", "score")))
+    val df = spark.read.format("graft.sources.dsv2.MongoFindSource")
+      .option("collection", "nulls").load()
+      .filter(col("score").isin(6.5, null))
+    assert(df.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val cmds = MongoRegistry.issuedCommands("nulls")
+    assert(cmds.forall(c => !c.contains("$in")),
+      s"null-carrying IN must stay residual, got: $cmds")
+  }
+
   test("limit pushes only under all-Exact predicates") {
     register("t_lim", exact = Set("qty"), inexact = Set.empty)
     assert(read("t_lim").filter(col("qty") > 10).limit(7).count() == 7)

@@ -39,6 +39,69 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergSource.readIncremental(spark, dir, None, 22L).count() == 130)
   }
 
+  test("partitioned table: values surface as columns, manifests prune file scans, incremental diff composes") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    val day1 = (0 until 60).map(i => (i.toLong, Seq("us", "eu", "ap")(i % 3), i * 1.5))
+      .toDF("id", "region", "v")
+    val m1 = IcebergSource.commitAppend(spark, dir, day1, 1L, 1L,
+      partitionBy = Seq("region"))
+    assert(m1.partitionFields == Seq("region"))
+    // the spec survives the metadata round-trip
+    assert(IcebergSource.readMeta(dir).partitionFields == Seq("region"))
+
+    // identity partition values are REAL columns in the data files
+    val full = IcebergSource.read(spark, dir)
+    assert(full.count() == 60)
+    assert(full.columns.toSet == Set("id", "region", "v"))
+    assert(full.filter($"region" === "eu").count() == 20)
+
+    // manifest entries carry per-file partition values
+    val files = IcebergSource.dataFiles(dir)
+    assert(files.forall(_.partition.keySet == Set("region")))
+    assert(files.map(_.partition("region")).toSet == Set("us", "eu", "ap"))
+
+    // pruning: an equality predicate plans ONLY that partition's files
+    val pruned = IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("region", "eu")))
+    assert(pruned.nonEmpty && pruned.forall(_.partition("region") == "eu"))
+    assert(pruned.size < files.size, "pruning must skip other partitions' files")
+    // ...and the pruned read still returns exactly the right rows
+    val prunedRead = IcebergSource.read(spark, dir,
+      filters = Seq(sqs.EqualTo("region", "eu"))).filter($"region" === "eu")
+    assert(prunedRead.count() == 20)
+    // conservative: a predicate on a NON-partition column prunes nothing
+    assert(IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("id", 7L))).size
+      == files.size)
+    // In / range / And compose
+    assert(IcebergSource.dataFiles(dir,
+      filters = Seq(sqs.In("region", Array("us", "ap")))).forall(f =>
+        Set("us", "ap")(f.partition("region").asInstanceOf[String])))
+    assert(IcebergSource.dataFiles(dir,
+      filters = Seq(sqs.And(sqs.EqualTo("region", "us"), sqs.EqualTo("id", 3L))))
+      .forall(_.partition("region") == "us"))
+
+    // second snapshot inherits the spec without repeating partitionBy
+    val day2 = (60 until 90).map(i => (i.toLong, Seq("us", "eu")(i % 2), i * 1.5))
+      .toDF("id", "region", "v")
+    val m2 = IcebergSource.commitAppend(spark, dir, day2, 2L, 2L)
+    assert(m2.partitionFields == Seq("region"))
+
+    // incremental diff reads only the appended files; pruned incremental
+    // restricts to the partition inside the diff
+    val inc = IcebergSource.readIncremental(spark, dir, Some(1L), 2L)
+    assert(inc.count() == 30)
+    val incPruned = IcebergSource.readIncremental(spark, dir, Some(1L), 2L,
+      filters = Seq(sqs.EqualTo("region", "eu"))).filter($"region" === "eu")
+    assert(incPruned.count() == 15)
+    val incFiles = IcebergSource.addedFiles(dir, Some(1L), 2L,
+      filters = Seq(sqs.EqualTo("region", "eu")))
+    assert(incFiles.size < IcebergSource.addedFiles(dir, Some(1L), 2L).size)
+
+    // time travel on the partitioned table still pins correctly
+    assert(IcebergSource.read(spark, dir, Some(1L)).count() == 60)
+  }
+
   test("manifest stats are real: per-file record counts sum to the table count") {
     val dir = s"${tmpDir()}/tbl"
     IcebergSource.commitAppend(spark, dir, nums(0, 57).repartition(3), 1L, 1L)

@@ -237,6 +237,68 @@ class LedgerRunnerSpec extends SparkSpec {
       assert(after.get(p).contains(m), s"untouched file rewritten: $p") }
   }
 
+  test("chaos: a merge destination that drops survivor rows fails exact receipt verification") {
+    import spark.implicits._
+    val base = tmpDir()
+    val ledger = Ledger.at(base)
+    // mergeBuckets = 1: survivors and the staged key share the single
+    // touched bucket, so dropping a file provably drops survivors from
+    // the probe scope
+    val cfg = Runner.RunConfig(
+      descriptor = Descriptor.ResourceDescriptor(
+        id = "chaos_merge", schemaSource = Descriptor.SchemaSource.Discover,
+        primaryKey = Seq("k"), cursor = None,
+        disposition = Descriptor.Disposition.Merge(Seq("k"))),
+      policy = ContractPolicy(Seq(RowRule.Nullability("nn", "k"))),
+      orderColumns = Seq("k"), mergeBuckets = 1)
+    val full = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    assert(Runner.run(spark, cfg, full, s"$base/pkg1", s"$base/dest", ledger).committed)
+
+    // the fault: between the destination write and the receipt probe,
+    // a parquet file vanishes from the touched bucket (survivor loss)
+    Runner.ChaosHooks.beforeReceiptProbe = Some { destDir =>
+      val f = listParquet(destDir).keys.head
+      java.nio.file.Files.delete(java.nio.file.Paths.get(f))
+    }
+    try {
+      val stage = Seq((1L, "v1b")).toDF("k", "v")
+      val e = intercept[graft.core.GraftError.Destination](
+        Runner.run(spark, cfg, stage, s"$base/pkg2", s"$base/dest", ledger))
+      assert(e.getMessage.contains("receipt verification failed"))
+      // the failed run must NOT have committed
+      assert(ledger.danglingProposals().nonEmpty)
+    } finally Runner.ChaosHooks.beforeReceiptProbe = None
+  }
+
+  test("chaos: a cdc_apply destination that drops staged upserts fails exact receipt verification") {
+    import spark.implicits._
+    val base = tmpDir()
+    val ledger = Ledger.at(base)
+    val cfg = Runner.RunConfig(
+      descriptor = Descriptor.ResourceDescriptor(
+        id = "chaos_cdc", schemaSource = Descriptor.SchemaSource.Discover,
+        primaryKey = Seq("k"), cursor = None,
+        disposition = Descriptor.Disposition.CdcApply(Seq("k"), "op")),
+      policy = ContractPolicy(Seq(RowRule.Nullability("nn", "k"))),
+      orderColumns = Seq("seq"), mergeBuckets = 1)
+    val ops1 = (1L to 50L).map(k => (k, s"v$k", "insert", k)).toDF("k", "v", "op", "seq")
+    assert(Runner.run(spark, cfg, ops1, s"$base/pkg1", s"$base/dest", ledger).committed)
+
+    // pre-r7 verification only checked deleted-survivors == 0; a write
+    // that silently dropped NON-delete rows would still have committed
+    Runner.ChaosHooks.beforeReceiptProbe = Some { destDir =>
+      val f = listParquet(destDir).keys.head
+      java.nio.file.Files.delete(java.nio.file.Paths.get(f))
+    }
+    try {
+      val ops2 = Seq((2L, "v2b", "update", 51L), (3L, "c", "delete", 52L))
+        .toDF("k", "v", "op", "seq")
+      val e = intercept[graft.core.GraftError.Destination](
+        Runner.run(spark, cfg, ops2, s"$base/pkg2", s"$base/dest", ledger))
+      assert(e.getMessage.contains("receipt verification failed"))
+    } finally Runner.ChaosHooks.beforeReceiptProbe = None
+  }
+
   test("receipt probe is ONE destination scan (count+hash fused, no verify re-read)") {
     val base = tmpDir()
     val ledger = Ledger.at(base)

@@ -111,6 +111,24 @@ class PythonResourceSpec extends SparkSpec {
     // an explicit caller page bound still truncates WITHOUT error
     val page = PythonResource.run(spark, runaway, maxRecords = 100)
     assert(page.records == 100)
+
+    // a resource emitting EXACTLY maxRecords records is within budget:
+    // its trailing position/end metadata lines must not trip the record
+    // cap (the cap guards the record-append branch, not every line)
+    val exact = script(
+      """from graft_sdk import resource, run
+        |
+        |@resource(name="exact", cursor="ts", schema={"ts": "long"})
+        |def exact():
+        |    for i in range(500):
+        |        yield {"ts": i}
+        |
+        |run(exact)
+        |""".stripMargin)
+    val ok = PythonResource.run(spark, exact,
+      budget = PythonResource.Budget(maxRecords = 500))
+    assert(ok.records == 500)
+    assert(ok.position.nonEmpty, "trailing position message must still be consumed")
   }
 
   test("records before a declaration are a protocol violation") {
