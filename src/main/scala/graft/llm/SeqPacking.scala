@@ -25,14 +25,22 @@ object SeqPacking {
 
   final case class Packed(doc_id: Long, shard: Int, seq: Long, offset: Long, toks: Long)
 
+  /** `shardExpr` overrides the shard assignment (default
+    * xxhash64(doc_id) % shards — best balance for structured id
+    * spaces). Any deterministic expression keeps the partitioning-
+    * invariance law; `pmod(doc_id, shards)` is the portable choice
+    * when the packing must reproduce in another engine (the DuckDB
+    * oracle recomputes it). */
   def pack(docs: DataFrame, idCol: String, tokCol: String,
-      budget: Long, shards: Int): Dataset[Packed] = {
+      budget: Long, shards: Int,
+      shardExpr: Option[org.apache.spark.sql.Column] = None): Dataset[Packed] = {
     require(budget > 0 && shards > 0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("doc_id"),
         col(tokCol).cast("long").as("toks"))
-      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(shards)).cast("int"))
+      .withColumn("shard", shardExpr
+        .getOrElse(pmod(xxhash64(col("doc_id")), lit(shards))).cast("int"))
       .repartition(shards, col("shard"))
       .sortWithinPartitions("shard", "doc_id")
       .as[(Long, Long, Int)]

@@ -76,12 +76,41 @@ object Similarity {
       concat_ws(":", b.cast("string"),
         lshBucket(emb, planesPerBand, b * lit(planesPerBand)).cast("string")))
 
+  /** Hyperplane component from a Weyl/LCG recurrence on (plane j,
+    * dim i): h = (j·D + i + 1) · 2654435761 mod 2³¹, value h/2³¹ − 0.5
+    * ∈ [−0.5, 0.5). Unlike the xxhash64 derivation, every step is
+    * exact 64-bit integer arithmetic + one exact double division — any
+    * engine (the DuckDB oracle included) reproduces the planes
+    * bit-identically, which makes the bucketed ANN fully
+    * oracle-checkable end to end. */
+  def lcgPlane(j: Column, i: Column, dims: Column): Column =
+    (((j * dims + i + lit(1L)) * lit(2654435761L)) % lit(2147483648L))
+      .cast("double") / 2147483648.0 - 0.5
+
+  /** LSH bucket with LCG-derived planes (engine-reproducible — see
+    * [[lcgPlane]]); same banding math as [[lshBucket]]. */
+  def lshBucketLcg(emb: Column, numPlanes: Int): Column = {
+    val dims = size(emb).cast("long")
+    val bits = transform(sequence(lit(0L), lit(numPlanes - 1L)), j => {
+      val proj = aggregate(
+        zip_with(toDouble(emb), sequence(lit(0L), dims - 1),
+          (x, i) => x * lcgPlane(j, i, dims)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, 1L).otherwise(0L)
+    })
+    aggregate(zip_with(bits, sequence(lit(0L), lit(numPlanes - 1L)),
+        (bit, j) => call_function("shiftleft", bit, j.cast("int"))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
   /** Bucketed ANN: exact cosine re-rank restricted to the query's LSH
     * bucket. Recall < 1 by construction; bucket width (numPlanes)
-    * trades recall vs candidate count. */
+    * trades recall vs candidate count. Planes are LCG-derived so the
+    * whole operator — bucket membership AND re-rank — reproduces in
+    * the DuckDB oracle. */
   def annLshTopK(df: DataFrame, idCol: String, embCol: String,
       queryId: Long, numPlanes: Int, k: Int): DataFrame = {
-    val bucketed = df.withColumn("_bucket", lshBucket(col(embCol), numPlanes))
+    val bucketed = df.withColumn("_bucket", lshBucketLcg(col(embCol), numPlanes))
     // ONE probe for the query row fetches bucket AND embedding together
     // (the id filter pushes below the bucket projection, so the bucket
     // expression evaluates for just this row); the corpus-wide bucket

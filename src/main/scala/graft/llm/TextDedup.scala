@@ -160,8 +160,15 @@ object TextDedup {
   /** SimHash near-dup pairs: candidates share at least one of four
     * 16-bit bands (any pair within Hamming distance 3 must collide on
     * ≥1 band); verified by exact Hamming distance. */
+  /** `verifyJaccard = Some((n, θ))` additionally joins candidate pairs
+    * back to their texts and emits the EXACT word-n-gram Jaccard,
+    * keeping only pairs ≥ θ — verification cost is proportional to the
+    * band-bounded candidate set, never the corpus. Emitted pairs are
+    * then provably true near-dups; what stays engine-specific is only
+    * RECALL (which jaccard-θ pairs the 16-bit bands surface —
+    * measured and pinned in LlmSpec; at sf0.01, 34 of 36 true pairs). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, verifyJaccard: Option[(Int, Double)] = None): DataFrame = {
     // native codegen'd one-pass simhash (bit-identical to the HOF
     // reference implementation — LlmSpec asserts it);
     // repartition+persist as in the other pair generators.
@@ -176,7 +183,7 @@ object TextDedup {
         concat_ws(":", col("band_idx").cast("string"),
           shr(col("sig"), col("band_idx") * 16).bitwiseAND(65535L).cast("string")))
       .select("doc_id", "sig", "band")
-    banded.as("a")
+    val pairs = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
@@ -184,5 +191,23 @@ object TextDedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+    verifyJaccard match {
+      case None => pairs
+      case Some((n, theta)) =>
+        val gramCol =
+          if (n == 5) call_function("graft_ngrams5", col(textCol))
+          else TextAnalysis.wordNgrams(col(textCol), n)
+        val grams = df.select(col(idCol).as("gdoc"), gramCol.as("gset"))
+        val withA = pairs.join(
+          grams.select(col("gdoc").as("doc_a"), col("gset").as("gs_a")), "doc_a")
+        val both = withA.join(
+          grams.select(col("gdoc").as("doc_b"), col("gset").as("gs_b")), "doc_b")
+        both
+          .withColumn("n_inter", size(array_intersect(col("gs_a"), col("gs_b"))))
+          .withColumn("jaccard", col("n_inter").cast("double") /
+            (size(col("gs_a")) + size(col("gs_b")) - col("n_inter")))
+          .filter(col("jaccard") >= theta)
+          .select("doc_a", "doc_b", "hamming", "jaccard")
+    }
   }
 }

@@ -161,6 +161,45 @@ class LlmSpec extends SparkSpec {
     assert(top.head._1 == 100000L && top.head._2 == 1.0)
   }
 
+  test("ivf re-rank is EXACT: emitted cosines equal the brute-force cosine for the same ids") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings").select("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L,
+      kClusters = 8, nProbe = 4, k = 10)
+      .as[(Long, Double)].collect().toMap
+    // brute-force cosine over the whole corpus; restrict to emitted ids —
+    // bucket membership decides WHICH ids surface (engine-specific), but
+    // each emitted cosine value must be the exact brute-force number
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, Int.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    ivf.foreach { case (id, c) =>
+      assert(brute(id) == c, s"ivf re-rank cosine for $id: $c != brute ${brute(id)}") }
+  }
+
+  test("simhash verified emission: every emitted pair is in the brute-force jaccard set; band recall pinned") {
+    // the REAL corpus (sf0.001 documents ∪ exact copies) — the same shape
+    // q_simhash runs on; this pins the measured evidence recorded in the
+    // q_simhash doc: emission precision is 1.0 (jaccard-verified), band
+    // recall is high but intrinsically < 1.0 (why the query is rows-only)
+    val docs = graft.core.Tables(spark, sf(), "documents").select("doc_id", "text")
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 50 === 0).withColumn("doc_id", col("doc_id") + 100000))
+    val emitted = TextDedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3,
+        verifyJaccard = Some((5, 0.5)))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    val truth = TextDedup.ngramJaccardPairs(corpus, "doc_id", "text", 5, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // precision 1.0: every emitted pair is a true jaccard-0.5 near-dup
+    emitted.foreach { case (a, b, j) =>
+      assert(truth((a, b)), s"emitted pair ($a,$b) not in the exact jaccard set")
+      assert(j >= 0.5) }
+    // recall: bands surface most true pairs but intrinsically not all —
+    // measured 32/44 (0.73) at sf0.001, 34/36 (0.94) at sf0.01; this
+    // floor guards against a band-construction regression, and the
+    // gap is exactly why q_simhash cannot carry a full jaccard oracle
+    val recall = emitted.map(p => (p._1, p._2)).toSet.size.toDouble / truth.size
+    assert(recall >= 0.7, s"simhash band recall $recall vs exact pair set ${truth.size}")
+  }
+
   test("multimodal: metadata + stubbed feature extraction preserve ids and shape") {
     val media = Multimodal.asMedia(corpus, "doc_id", "text", "text")
     val meta = Multimodal.metadata(media).collect()
