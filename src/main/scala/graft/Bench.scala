@@ -86,10 +86,52 @@ object Bench {
         .write.parquet(s"$sinkDir/e2e_$i")
       liRows
     }
+    // Per-CORE validation cell, matching the reference's methodology
+    // (BASELINE.md validation cells are GB/s per core from an isolated
+    // single-thread kernel): ONE task (single-partition input, no
+    // shuffle → exactly one of the 32 threads is busy) over an
+    // in-memory cache (no disk/parquet-decode noise), scan-only and
+    // scan+validate timed as a PAIR each iteration so correlated host
+    // noise cancels in the delta; GB = logical input bytes (fixed
+    // widths + string octet lengths — the bytes the validation program
+    // actually inspects), not compressed parquet bytes.
+    val li1p = li.coalesce(1).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    li1p.write.format("noop").mode("overwrite").save() // materialize the cache
+    val logicalBytes: Long = {
+      import org.apache.spark.sql.functions.{col, octet_length, sum => fsum}
+      val fixedPerRow = li1p.schema.fields.map(_.dataType match {
+        case org.apache.spark.sql.types.StringType => 0L
+        case org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.IntegerType => 4L
+        case _ => 8L
+      }).sum
+      val strCols = li1p.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+      val strBytes =
+        if (strCols.isEmpty) 0L
+        else li1p.select(strCols.map(c => fsum(octet_length(col(c)))): _*)
+          .head().toSeq.map { case l: Long => l; case _ => 0L }.sum
+      fixedPerRow * liRows + strBytes
+    }
+    program.annotate(li1p).write.format("noop").mode("overwrite").save() // warmup codegen
+    val gbpsRuns = (1 to 7).map { _ =>
+      val t0 = System.nanoTime()
+      li1p.write.format("noop").mode("overwrite").save()
+      val ts = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      program.annotate(li1p).write.format("noop").mode("overwrite").save()
+      val tv = (System.nanoTime() - t1) / 1e9
+      // floor the delta at 0.1 ms: a sub-noise delta reports an honest
+      // (huge, visibly unstable) number rather than dividing by ~0
+      logicalBytes / 1e9 / math.max(tv - ts, 1e-4)
+    }.sorted
+    val validateGbCore = (gbpsRuns.head, gbpsRuns(gbpsRuns.length / 2), gbpsRuns.last)
+    li1p.unpersist()
+
     // free the ram-backed sink output before the sweep
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkDir))
     val derivedCells = Seq(
       "validate_rows_per_sec" -> validateRps,
+      "validate_gb_per_sec_core" -> validateGbCore,
       "parquet_sink_rows_per_sec" -> sinkRps,
       "e2e_pipeline_rows_per_sec" -> e2eRps)
     val derived = derivedCells

@@ -423,16 +423,50 @@ object LlmQueries {
       queryId = 0L, numPlanes = 4, k = 10)
   }
 
-  val annIvf: QueryDef = QueryDef.rowsOnly(
+  val annIvf: QueryDef = QueryDef.sqlBacked(
     "q_ann_ivf",
-    doc = "IVF ANN: deterministic sample-trained coarse centroids (Lloyd's, no RNG), native " +
-      "nearest-centroid assignment kernel, nProbe-cluster exact cosine re-rank — the " +
-      "codebook-based scale path beside LSH. Rows-only with evidence: replaying Lloyd's " +
-      "iterations in SQL is not portable, but LlmSpec pins (a) re-rank EXACTNESS — every " +
-      "emitted cosine equals the brute-force cosine for that id — and (b) measured " +
-      "recall@10 vs the exact top-k, plus assignment totality/determinism.") { (s, d) =>
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      |ranked AS (
+      |  SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e),
+      |smp AS (SELECT rn, emb FROM ranked WHERE rn < 256),
+      |n AS (SELECT count(*) AS L FROM smp),
+      |cent AS (
+      |  SELECT gs.c AS c, s.emb AS cemb
+      |  FROM generate_series(0, 15) AS gs(c)
+      |  CROSS JOIN n
+      |  JOIN smp s ON s.rn = (gs.c * n.L) // 16),
+      |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+      |qp AS (
+      |  SELECT c FROM (
+      |    SELECT cent.c,
+      |      row_number() OVER (ORDER BY list_sum(list_transform(
+      |        generate_series(1, len(cent.cemb)), i ->
+      |        (q.qe[i] - cent.cemb[i]) * (q.qe[i] - cent.cemb[i]))), cent.c) AS rk
+      |    FROM cent, q) WHERE rk <= 4),
+      |assign AS (
+      |  SELECT vec_id, emb, c,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
+      |  FROM (
+      |    SELECT e.vec_id, e.emb, cent.c,
+      |      list_sum(list_transform(generate_series(1, len(e.emb)), i ->
+      |        (e.emb[i] - cent.cemb[i]) * (e.emb[i] - cent.cemb[i]))) AS dist
+      |    FROM e CROSS JOIN cent))
+      |SELECT vec_id,
+      |  round(list_dot_product(emb, (SELECT qe FROM q)) /
+      |    (sqrt(list_dot_product(emb, emb)) * (SELECT sqrt(list_dot_product(qe, qe)) FROM q)), 4) AS cosine
+      |FROM assign
+      |WHERE rk = 1 AND c IN (SELECT c FROM qp) AND vec_id <> 0
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    doc = "IVF ANN: coarse codebook, native nearest-centroid assignment kernel, nProbe-cluster " +
+      "exact cosine re-rank — the codebook-based scale path beside LSH. FULL oracle via " +
+      "training parameterization: the catalog query runs iters=0, where centroids are exactly " +
+      "the evenly-spaced deterministic sample rows, so DuckDB replays codebook selection, " +
+      "assignment (ties to lower index), the 4-probe choice AND the re-rank end to end. The " +
+      "operator default (10 Lloyd rounds) keeps its LlmSpec pins: re-rank exactness + measured " +
+      "recall@10 vs brute force.") { (s, d) =>
     Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-      queryId = 0L, kClusters = 16, nProbe = 4, k = 10)
+      queryId = 0L, kClusters = 16, nProbe = 4, k = 10, iters = 0)
   }
 
   val embedNearDup: QueryDef = QueryDef.sqlBacked(

@@ -180,10 +180,19 @@ object Similarity {
   /** IVF ANN top-k: probe the `nProbe` clusters nearest the query,
     * exact cosine re-rank inside them. Scale shape: the filter on
     * `_ivf_cluster` prunes (corpus/k)·nProbe rows into the re-rank;
-    * everything else is TakeOrderedAndProject. */
+    * everything else is TakeOrderedAndProject.
+    *
+    * `iters` parameterizes the coarse-quantizer training (default: 10
+    * Lloyd rounds). At `iters = 0` the centroids are exactly the
+    * evenly-spaced sample rows — structurally the same IVF (codebook,
+    * assignment, probes, re-rank) with a weaker codebook, but every
+    * step is replayable in portable SQL, which is what lets the
+    * catalog query carry a FULL oracle (the same
+    * operator-default-vs-oracle-parameterization as seq packing's
+    * shard assignment). */
   def ivfTopK(df: DataFrame, idCol: String, embCol: String, queryId: Long,
-      kClusters: Int, nProbe: Int, k: Int): DataFrame = {
-    val centroids = trainCentroids(df, idCol, embCol, kClusters)
+      kClusters: Int, nProbe: Int, k: Int, iters: Int = 10): DataFrame = {
+    val centroids = trainCentroids(df, idCol, embCol, kClusters, iters)
     val qEmb = df.filter(col(idCol) === queryId).select(col(embCol)).head()
       .getSeq[Float](0).map(_.toDouble).toArray
     val probed = centroids.zipWithIndex.map { case (c, i) =>

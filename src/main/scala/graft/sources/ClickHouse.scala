@@ -89,11 +89,21 @@ object ClickHouse {
     def sql: String = s"${ident(col)} $op ${literal(value)}"
   }
 
+  /** One ORDER BY term. Null placement is rendered explicitly — Spark's
+    * default (NULLS FIRST asc / NULLS LAST desc) happens to match
+    * ClickHouse's, but an OrderBy forwarded from the engine carries its
+    * own placement (cdf: crates/cdf-kernel/src/resource.rs:611-622) and
+    * the dialect must say it, not assume it. */
+  final case class Order(col: String, desc: Boolean = false, nullsLast: Boolean = false) {
+    def sql: String =
+      s"${ident(col)} ${if (desc) "DESC" else "ASC"} NULLS ${if (nullsLast) "LAST" else "FIRST"}"
+  }
+
   final case class ScanSpec(
       table: String,
       columns: Seq[String],
       preds: Seq[Pred] = Seq.empty,
-      orderBy: Seq[String] = Seq.empty,
+      orderBy: Seq[Order] = Seq.empty,
       limit: Option[Long] = None,
       cursor: Option[(String, Long)] = None) {
 
@@ -108,7 +118,7 @@ object ClickHouse {
         cursor.map { case (c, v) => s"${ident(c)} > $v" }.toSeq
       val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
       val order = if (orderBy.isEmpty) "" else
-        orderBy.map(ident).mkString(" ORDER BY ", ", ", "")
+        orderBy.map(_.sql).mkString(" ORDER BY ", ", ", "")
       val lim = limit.fold("")(l => s" LIMIT $l")
       s"SELECT $cols FROM ${ident(table)}$where$order$lim FORMAT JSONEachRow"
     }

@@ -134,10 +134,18 @@ object GlueCatalog {
   /** Catalog-pruned scan: keep only partitions passing `keep`, read
     * their locations, and surface partition-key columns (Hive layout:
     * key values live in the catalog, not the files). */
+  /** Full table schema as surfaced to the engine: data columns + the
+    * catalog-held partition-key columns (Hive layout). */
+  def fullSchema(tbl: GlueTable): StructType =
+    StructType(toStructType(tbl).fields ++
+      tbl.partitionKeys.map(k => StructField(k.name, toSparkType(k.glueType))))
+
   def scan(spark: SparkSession, tbl: GlueTable, partitions: Seq[GluePartition],
       keep: GluePartition => Boolean = _ => true): DataFrame = {
     val kept = partitions.filter(keep)
-    require(kept.nonEmpty, s"no partitions survive pruning for ${tbl.database}.${tbl.name}")
+    if (kept.isEmpty) // everything pruned: a legal empty result, not an error
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema(tbl))
     val parts = kept.map { p =>
       val base = spark.read.schema(toStructType(tbl)).parquet(p.location)
       tbl.partitionKeys.zip(p.values).foldLeft(base) { case (df, (k, v)) =>
@@ -162,15 +170,20 @@ object GlueCatalog {
     * it the rest of the way. Deliberately NOT a custom DSv2 reader: the
     * data read stays Spark's vectorized parquet path — wrapping it
     * would trade whole-stage codegen for a hand-rolled decoder. */
-  def scanWithFilters(spark: SparkSession, tbl: GlueTable,
-      partitions: Seq[GluePartition],
-      filters: Seq[org.apache.spark.sql.sources.Filter]): (DataFrame, Negotiation) = {
+  /** Classify filters for a table: a filter is catalog-side iff it
+    * constrains only partition keys with a shape the partition list can
+    * answer exactly. Shared by the driver seam ([[scanWithFilters]])
+    * and the DSv2 connector, so both negotiate identically. Returns
+    * (catalog-side, residual, keep-predicates). */
+  def classifyFilters(tbl: GlueTable,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : (Seq[org.apache.spark.sql.sources.Filter],
+         Seq[org.apache.spark.sql.sources.Filter],
+         Seq[GluePartition => Boolean]) = {
     import org.apache.spark.sql.sources._
     val keyIdx = tbl.partitionKeys.map(_.name).zipWithIndex.toMap
     def partValue(p: GluePartition, c: String): Option[String] =
       keyIdx.get(c).flatMap(p.values.lift)
-    // a filter is catalog-side iff it constrains only partition keys
-    // with a shape the partition list can answer exactly
     def catalogKeep(f: Filter): Option[GluePartition => Boolean] = f match {
       case EqualTo(c, v) if keyIdx.contains(c) =>
         Some(p => partValue(p, c).contains(String.valueOf(v)))
@@ -181,9 +194,15 @@ object GlueCatalog {
       case _ => None
     }
     val classified = filters.map(f => f -> catalogKeep(f))
-    val catalogSide = classified.collect { case (f, Some(_)) => f }
-    val residual = classified.collect { case (f, None) => f }
-    val keeps = classified.collect { case (_, Some(k)) => k }
+    (classified.collect { case (f, Some(_)) => f },
+      classified.collect { case (f, None) => f },
+      classified.collect { case (_, Some(k)) => k })
+  }
+
+  def scanWithFilters(spark: SparkSession, tbl: GlueTable,
+      partitions: Seq[GluePartition],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): (DataFrame, Negotiation) = {
+    val (catalogSide, residual, keeps) = classifyFilters(tbl, filters)
     val kept = partitions.filter(p => keeps.forall(_(p)))
     val df0 = scan(spark, tbl, partitions, p => keeps.forall(_(p)))
     // residuals re-apply engine-side (and push natively into the

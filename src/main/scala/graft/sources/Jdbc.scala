@@ -54,14 +54,26 @@ object Jdbc {
 
   /** merge disposition: bulk-write the batch to a staging table, then
     * one set-based MERGE statement — insert-or-update on the key,
-    * stage dropped after (cdf merge_from_stage). */
-  def mergeInto(df: DataFrame, c: Conn, table: String, key: String): Unit = {
+    * stage dropped after (cdf merge_from_stage, commit.rs:678-943).
+    *
+    * Crash-safety law (the commit path the reference proves e2e): the
+    * destination mutates in exactly ONE atomic statement (the MERGE);
+    * a crash before it leaves the destination untouched, a crash after
+    * it leaves only the inert stage table behind, and REPLAYING the
+    * whole merge from either point converges to the same final state
+    * (stage is overwritten, MERGE is an upsert). `chaos` is the
+    * kill-point hook: tests throw from it to simulate a crash between
+    * steps ("staged" → after the stage write, "merged" → after the
+    * MERGE, before the stage drop). */
+  def mergeInto(df: DataFrame, c: Conn, table: String, key: String,
+      chaos: String => Unit = _ => ()): Unit = {
     val stage = s"${table}_STAGE"
     val cols = df.columns
     df.write.format("jdbc")
       .option("url", c.url).option("driver", c.driver)
       .option("dbtable", stage)
       .mode("overwrite").save()
+    chaos("staged")
     val sets = cols.filterNot(_ == key).map(x => s"t.$x = s.$x").mkString(", ")
     val insertCols = cols.mkString(", ")
     val insertVals = cols.map(x => s"s.$x").mkString(", ")
@@ -70,6 +82,7 @@ object Jdbc {
         s"""MERGE INTO $table t USING $stage s ON t.$key = s.$key
            |WHEN MATCHED THEN UPDATE SET $sets
            |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
+      chaos("merged")
       conn.createStatement().executeUpdate(s"DROP TABLE $stage")
     }
   }

@@ -7,7 +7,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -80,12 +80,15 @@ final class ClickHouseTable(name: String) extends Table with SupportsRead {
 
 final class ClickHouseScanBuilder(name: String, entry: ClickHouseRegistry.Entry)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var exact: Seq[ClickHouse.Pred] = Seq.empty
   private var exactFilters: Array[Filter] = Array.empty
   private var projection: StructType = entry.schema
   private var limit: Option[Long] = None
+  private var order: Seq[ClickHouse.Order] = Seq.empty
+  private var residualHeld = false
 
   /** renderable literal for the dialect (ClickHouse.literal's domain). */
   private def renderable(v: Any): Boolean = v match {
@@ -111,6 +114,7 @@ final class ClickHouseScanBuilder(name: String, entry: ClickHouseRegistry.Entry)
     val (ex, residual) = filters.partition(f => toPred(f).isDefined)
     exact = ex.flatMap(toPred).toSeq
     exactFilters = ex
+    residualHeld = residual.nonEmpty
     residual // engine-side re-check for everything the dialect can't say
   }
   override def pushedFilters(): Array[Filter] = exactFilters
@@ -124,27 +128,61 @@ final class ClickHouseScanBuilder(name: String, entry: ClickHouseRegistry.Entry)
     * drop a row a residual would have kept. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l.toLong); true }
 
+  /** ORDER BY + LIMIT forwarded whole (cdf forwards OrderBy to sources,
+    * crates/cdf-kernel/src/resource.rs:611-622). Legal only when every
+    * pushed predicate is Exact (table_provider.rs:126-137): under a
+    * residual, a server-side top-N could retain rows the engine then
+    * filters, dropping rows that belonged in the true top-N. Catalyst
+    * never offers TopN across a residual Filter, but the law is the
+    * connector's to uphold, so it is checked here too. */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    if (residualHeld) return false
+    val terms = orders.toSeq.map { o =>
+      o.expression() match {
+        case ref: NamedReference if ref.fieldNames.length == 1 &&
+            entry.schema.fieldNames.contains(ref.fieldNames()(0)) =>
+          Some(ClickHouse.Order(ref.fieldNames()(0),
+            desc = o.direction() == SortDirection.DESCENDING,
+            nullsLast = o.nullOrdering() == NullOrdering.NULLS_LAST))
+        case _ => None // expression sorts stay engine-side
+      }
+    }
+    if (!terms.forall(_.isDefined)) return false
+    order = terms.flatten
+    limit = Some(l.toLong)
+    true
+  }
+
+  /** the server evaluates the full ORDER BY + LIMIT, so the scan output
+    * IS the top-N in order — Spark drops its own Sort entirely. */
+  override def isPartiallyPushed(): Boolean = false
+
   override def build(): Scan = {
     val cols = if (projection.isEmpty) StructType(entry.schema.fields.take(1)) else projection
-    val spec = ClickHouse.ScanSpec(entry.table, cols.fieldNames.toSeq, exact, limit = limit)
-    new ClickHouseScan(name, entry, cols, spec)
+    val spec = ClickHouse.ScanSpec(entry.table, cols.fieldNames.toSeq, exact,
+      orderBy = order, limit = limit)
+    // a fully-pushed top-N must come back as ONE partition: Spark has
+    // removed its Sort, so row order = partition-concatenation order
+    new ClickHouseScan(name, entry, cols, spec, singlePartition = order.nonEmpty)
   }
 }
 
 final class ClickHouseScan(name: String, entry: ClickHouseRegistry.Entry,
-    projection: StructType, spec: ClickHouse.ScanSpec) extends Scan with Batch {
+    projection: StructType, spec: ClickHouse.ScanSpec,
+    singlePartition: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = projection
   override def toBatch: Batch = this
   override def description(): String = s"ClickHouseScan(${spec.sql})"
 
   /** ONE dialect query, driver-side; NDJSON lines fan out over
-    * `partitions` splits for distributed decode. */
+    * `partitions` splits for distributed decode (one split under a
+    * fully-pushed top-N, preserving server order). */
   override def planInputPartitions(): Array[InputPartition] = {
     ClickHouseRegistry.recordSql(name, spec.sql)
     val body = entry.transport(spec.sql)
     val lines = body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toVector
-    val n = math.max(1, math.min(entry.partitions, lines.size))
+    val n = if (singlePartition) 1 else math.max(1, math.min(entry.partitions, lines.size))
     lines.grouped(math.max(1, (lines.size + n - 1) / n))
       .map(chunk => ClickHouseLinesPartition(chunk): InputPartition).toArray
   }

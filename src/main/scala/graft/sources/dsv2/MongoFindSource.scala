@@ -7,7 +7,8 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -16,10 +17,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.core.CanonicalJson
 import graft.core.CanonicalJson._
 
-/** MongoDB `find` scan as a DataSource V2 connector with negotiated
-  * Exact pushdown (cdf: crates/cdf-source-mongodb/src/resource.rs:
-  * 340-356 capabilities, query.rs:107-222 filter → find document;
-  * uniform negotiation record per connector, cdf-engine
+/** MongoDB scan as a DataSource V2 connector speaking BOTH command
+  * shapes the reference compiles to — `find` and `aggregate`
+  * (cdf: crates/cdf-source-mongodb/src/resource.rs:340-356
+  * capabilities, query.rs:107-222 filter → find/aggregate; uniform
+  * negotiation record per connector, cdf-engine
   * table_provider.rs:151-178).
   *
   * Pushdown classification, per predicate:
@@ -29,7 +31,13 @@ import graft.core.CanonicalJson._
   *    evaluates it faithfully, nothing re-checked.
   *  - Unsupported: residual; Spark re-applies it over decoded rows.
   * Projection prunes via the find command's projection document; LIMIT
-  * pushes (all pushed predicates are Exact).
+  * pushes (all pushed predicates are Exact); ORDER BY + LIMIT becomes
+  * the find command's sort document when Spark's requested null
+  * placement matches BSON sort order (nulls first asc / last desc);
+  * GROUP BY + {count/sum/min/max/avg} compiles to an aggregate
+  * pipeline `$match → $group → $project` with COMPLETE-pushdown
+  * semantics — Spark re-aggregates nothing, so the offer is made only
+  * when every group key and aggregate is servable exactly.
   *
   * The transport is `findCommandJson => NDJSON-of-ExtendedJSON` — the
   * exact request/response pair MongoDB's wire speaks; a deployment
@@ -79,12 +87,17 @@ final class MongoFindTable(name: String) extends Table with SupportsRead {
 
 final class MongoFindScanBuilder(name: String, entry: MongoRegistry.Entry)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var exactFilters: Array[Filter] = Array.empty
   private var filterDoc: Seq[String] = Seq.empty
   private var projection: StructType = entry.schema
   private var limit: Option[Int] = None
+  private var sortDoc: Option[String] = None
+  private var residualHeld = false
+  /** set when a complete aggregation is pushed: ($group+$project stages, output schema) */
+  private var aggPushed: Option[(Seq[String], StructType)] = None
 
   /** Extended JSON v2 literal (canonical for numerics — the typed form
     * the server compares without coercion surprises). Null literals are
@@ -132,33 +145,176 @@ final class MongoFindScanBuilder(name: String, entry: MongoRegistry.Entry)
     val classified = filters.map(f => f -> clause(f))
     exactFilters = classified.collect { case (f, Some(_)) => f }
     filterDoc = classified.collect { case (_, Some(c)) => c }.toSeq
-    classified.collect { case (f, None) => f } // residual re-check
+    val residual = classified.collect { case (f, None) => f }
+    residualHeld = residual.nonEmpty
+    residual // residual re-check
   }
   override def pushedFilters(): Array[Filter] = exactFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    projection = StructType(entry.schema.fields.filter(f =>
-      requiredSchema.fieldNames.contains(f.name)))
+    // with an aggregation pushed the scan's output schema IS the
+    // aggregate shape; the find projection no longer applies
+    if (aggPushed.isEmpty)
+      projection = StructType(entry.schema.fields.filter(f =>
+        requiredSchema.fieldNames.contains(f.name)))
 
-  /** all pushed predicates are Exact → a server-side limit is safe. */
+  /** all pushed predicates are Exact → a server-side limit is safe.
+    * Under a pushed aggregation the limit becomes a `$limit` stage
+    * after the `$project` — the server rows are final group rows, so
+    * keeping any l of them matches Spark's global-limit semantics. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
+  /** ORDER BY + LIMIT into the find command's sort document (cdf
+    * forwards OrderBy to sources, crates/cdf-kernel/src/resource.rs:
+    * 611-622; Exact-only law table_provider.rs:126-137). Mongo's sort
+    * places null/missing FIRST ascending and LAST descending (BSON
+    * total order) — exactly Spark's defaults — so any other requested
+    * null placement is refused rather than silently misordered. */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    if (residualHeld || aggPushed.isDefined) return false
+    val terms = orders.toSeq.map { o =>
+      (o.expression(), o.direction(), o.nullOrdering()) match {
+        case (ref: NamedReference, SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)
+            if ref.fieldNames.length == 1 && entry.schema.fieldNames.contains(ref.fieldNames()(0)) =>
+          Some(s"${field(ref.fieldNames()(0))}:1")
+        case (ref: NamedReference, SortDirection.DESCENDING, NullOrdering.NULLS_LAST)
+            if ref.fieldNames.length == 1 && entry.schema.fieldNames.contains(ref.fieldNames()(0)) =>
+          Some(s"${field(ref.fieldNames()(0))}:-1")
+        case _ => None
+      }
+    }
+    if (!terms.forall(_.isDefined)) return false
+    sortDoc = Some(terms.flatten.mkString("{", ",", "}"))
+    limit = Some(l)
+    true
+  }
+
+  /** the server evaluates the full sort + limit; the scan returns the
+    * top-N in order (one partition), so Spark drops its own Sort. */
+  override def isPartiallyPushed(): Boolean = false
+
+  // ------------------------------------------------- aggregate pipeline
+
+  /** GROUP BY → `$group` stage (cdf compiles filters into find OR
+    * aggregate, crates/cdf-source-mongodb/src/query.rs:107-222). Only
+    * COMPLETE pushdown is offered: the transport issues one command for
+    * the whole collection, so partial re-aggregation semantics (Spark
+    * merging per-partition partials) never apply. Null-grouping parity:
+    * Mongo groups null and MISSING under one null key; engine-side the
+    * same docs decode to null, so the groups coincide. */
+  private def compileAgg(agg: Aggregation): Option[(Seq[String], StructType)] = {
+    if (residualHeld) return None // Exact-only law, same as limit/top-N
+    val groups: Seq[Option[String]] = agg.groupByExpressions.toSeq.map {
+      case ref: NamedReference if ref.fieldNames.length == 1 &&
+          entry.schema.fieldNames.contains(ref.fieldNames()(0)) => Some(ref.fieldNames()(0))
+      case _ => None
+    }
+    if (!groups.forall(_.isDefined)) return None
+    val groupCols = groups.flatten
+    def colOf(e: Expression): Option[StructField] = e match {
+      case ref: NamedReference if ref.fieldNames.length == 1 =>
+        entry.schema.fields.find(_.name == ref.fieldNames()(0))
+      case _ => None
+    }
+    def sumType(dt: DataType): Option[DataType] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(LongType)
+      case FloatType | DoubleType => Some(DoubleType)
+      case d: DecimalType => Some(DecimalType(math.min(38, d.precision + 10), d.scale))
+      case _ => None
+    }
+    // non-null count accumulator: BSON total order puts missing/
+    // undefined and null at the bottom, so `$lte null` is exactly
+    // "not a value" — used for Count(col) and for $sum's null parity
+    def nnCount(c: String) = s"""{"$$sum":{"$$cond":[{"$$lte":["$$$c",null]},0,1]}}"""
+    // per aggregate: (accumulators it needs, $project value, result type)
+    val funcs: Seq[Option[(Seq[(String, String)], String, DataType)]] =
+      agg.aggregateExpressions.toSeq.zipWithIndex.map { case (fn, i) =>
+        val n = s"a$i"
+        fn match {
+          case _: CountStar => Some((Seq(n -> """{"$sum":1}"""), "1", LongType))
+          case c: Count if !c.isDistinct =>
+            colOf(c.column).map(f => (Seq(n -> nnCount(f.name)), "1", LongType))
+          case s: Sum if !s.isDistinct =>
+            // parity fix: $sum over a group with NO values yields 0
+            // where Spark's sum yields NULL — pair the $sum with a
+            // non-null count and project NULL when that count is 0
+            colOf(s.column).flatMap(f => sumType(f.dataType).map { t =>
+              (Seq(n -> s"""{"$$sum":"$$${f.name}"}""", s"${n}n" -> nnCount(f.name)),
+                s"""{"$$cond":[{"$$eq":["$$${n}n",0]},null,"$$$n"]}""", t)
+            })
+          case m: Min =>
+            colOf(m.column).map(f => (Seq(n -> s"""{"$$min":"$$${f.name}"}"""), "1", f.dataType))
+          case m: Max =>
+            colOf(m.column).map(f => (Seq(n -> s"""{"$$max":"$$${f.name}"}"""), "1", f.dataType))
+          case a: Avg if !a.isDistinct =>
+            // decimal avg stays engine-side (Spark's p+4/s+4 result
+            // scale has no server-side equivalent); $avg already
+            // yields null over a valueless group, matching Spark
+            colOf(a.column).collect {
+              case f if Set[DataType](ByteType, ShortType, IntegerType, LongType,
+                FloatType, DoubleType).contains(f.dataType) =>
+                (Seq(n -> s"""{"$$avg":"$$${f.name}"}"""), "1", DoubleType)
+            }
+          case _ => None // distinct / general / UDAF: not offered
+        }
+      }
+    if (!funcs.forall(_.isDefined)) return None
+    val compiled = funcs.flatten
+    val accNames = compiled.flatMap(_._1.map(_._1))
+    if (groupCols.exists(accNames.contains(_))) return None // name collision guard
+    val idDoc =
+      if (groupCols.isEmpty) "null"
+      else groupCols.zipWithIndex.map { case (c, i) => s""""g$i":"$$$c"""" }.mkString("{", ",", "}")
+    val groupStage = s"""{"$$group":{"_id":$idDoc""" +
+      compiled.flatMap(_._1).map { case (n, acc) => s""","$n":$acc""" }.mkString + "}}"
+    val projectStage = s"""{"$$project":{"_id":0""" +
+      groupCols.zipWithIndex.map { case (c, i) => s""",${field(c)}:"$$_id.g$i"""" }.mkString +
+      compiled.zipWithIndex.map { case ((_, proj, _), i) => s""","a$i":$proj""" }.mkString + "}}"
+    val outSchema = StructType(
+      groupCols.map(c => entry.schema.fields.find(_.name == c).get) ++
+        compiled.zipWithIndex.map { case ((_, _, t), i) => StructField(s"a$i", t) })
+    Some((Seq(groupStage, projectStage), outSchema))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = compileAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    // complete-or-nothing: without complete support Spark would treat
+    // returned rows as PARTIAL aggregates, which a one-shot command
+    // over the whole collection can never honestly provide
+    compileAgg(agg) match {
+      case some @ Some(_) => aggPushed = some; true
+      case None => false
+    }
+  }
+
   override def build(): Scan = {
-    val cols = if (projection.isEmpty) StructType(entry.schema.fields.take(1)) else projection
     val filter = filterDoc match {
       case Seq() => "{}"
       case Seq(one) => one
       case many => s"""{"$$and":[${many.mkString(",")}]}"""
     }
-    val proj = cols.fieldNames.map(c => s"${field(c)}:1").mkString("{", ",", "}")
-    val cmd = s"""{"find":${field(entry.collection)},"filter":$filter,"projection":$proj""" +
-      limit.fold("")(l => s""","limit":$l""") + "}"
-    new MongoFindScan(name, entry, cols, cmd)
+    aggPushed match {
+      case Some((stages, outSchema)) =>
+        val matchStage = if (filterDoc.isEmpty) Seq.empty else Seq(s"""{"$$match":$filter}""")
+        val pipeline = (matchStage ++ stages ++ limit.map(l => s"""{"$$limit":$l}""").toSeq)
+          .mkString("[", ",", "]")
+        val cmd = s"""{"aggregate":${field(entry.collection)},"pipeline":$pipeline,"cursor":{}}"""
+        new MongoFindScan(name, entry, outSchema, cmd)
+      case None =>
+        val cols = if (projection.isEmpty) StructType(entry.schema.fields.take(1)) else projection
+        val proj = cols.fieldNames.map(c => s"${field(c)}:1").mkString("{", ",", "}")
+        val cmd = s"""{"find":${field(entry.collection)},"filter":$filter,"projection":$proj""" +
+          sortDoc.fold("")(s => s""","sort":$s""") +
+          limit.fold("")(l => s""","limit":$l""") + "}"
+        new MongoFindScan(name, entry, cols, cmd, singlePartition = sortDoc.isDefined)
+    }
   }
 }
 
 final class MongoFindScan(name: String, entry: MongoRegistry.Entry,
-    projection: StructType, command: String) extends Scan with Batch {
+    projection: StructType, command: String,
+    singlePartition: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = projection
   override def toBatch: Batch = this
@@ -168,7 +324,7 @@ final class MongoFindScan(name: String, entry: MongoRegistry.Entry,
     MongoRegistry.recordCommand(name, command)
     val body = entry.transport(command)
     val lines = body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toVector
-    val n = math.max(1, math.min(entry.partitions, lines.size))
+    val n = if (singlePartition) 1 else math.max(1, math.min(entry.partitions, lines.size))
     lines.grouped(math.max(1, (lines.size + n - 1) / n))
       .map(chunk => MongoDocsPartition(chunk): InputPartition).toArray
   }

@@ -137,12 +137,16 @@ class Dsv2Spec extends SparkSpec {
     import graft.sources.dsv2.ClickHouseRegistry
     val all = Seq(
       (1L, 2.5, "apple"), (2L, 5.0, "banana"), (3L, 7.25, "apricot"), (4L, 9.0, "cherry"))
-    // fake server: honors exactly the WHERE the dialect SQL carries for
-    // qty (a real ClickHouse evaluates Exact predicates faithfully);
-    // serves every tag — residual trimming is the ENGINE's job
+    // fake server: honors exactly the WHERE + LIMIT the dialect SQL
+    // carries for qty (a real ClickHouse evaluates Exact predicates and
+    // LIMIT faithfully — the limit claim is a FULL push, so the server
+    // contract matters); serves every tag — residual trimming is the
+    // ENGINE's job
     val transport: graft.sources.ClickHouse.Transport = { sql =>
       val filtered = if (sql.contains("`qty` > 4.5")) all.filter(_._2 > 4.5) else all
-      filtered.map { case (i, q, t) => s"""{"id":$i,"qty":$q,"tag":"$t"}""" }.mkString("\n")
+      val limited = "LIMIT (\\d+)".r.findFirstMatchIn(sql)
+        .map(m => filtered.take(m.group(1).toInt)).getOrElse(filtered)
+      limited.map { case (i, q, t) => s"""{"id":$i,"qty":$q,"tag":"$t"}""" }.mkString("\n")
     }
     ClickHouseRegistry.register("ev", ClickHouseRegistry.Entry(
       "events", schema, transport, pushable = Set("id", "qty")))
@@ -189,10 +193,13 @@ class Dsv2Spec extends SparkSpec {
       (1L, 2.5, "alice", 1700000000000L), (2L, 6.5, "bob", 1700000001000L),
       (3L, 7.0, "ann", 1700000002000L), (4L, 9.5, "carol", 1700000003000L))
     val transport: String => String = { cmd =>
-      // fake server honoring exactly the filter the command carries for
-      // score (a real mongod evaluates Exact predicates faithfully)
+      // fake server honoring exactly the filter + limit the command
+      // carries for score (a real mongod evaluates Exact predicates and
+      // limit faithfully — the limit claim is a FULL push)
       val kept = if (cmd.contains(""""$gt":{"$numberDouble":"4.5"}""")) docs.filter(_._2 > 4.5) else docs
-      kept.map { case (i, s, n, t) =>
+      val limited = """"limit":(\d+)""".r.findFirstMatchIn(cmd)
+        .map(m => kept.take(m.group(1).toInt)).getOrElse(kept)
+      limited.map { case (i, s, n, t) =>
         s"""{"id":{"$$numberLong":"$i"},"score":{"$$numberDouble":"$s"},""" +
           s""""name":"$n","ts":{"$$date":{"$$numberLong":"$t"}}}"""
       }.mkString("\n")
@@ -257,5 +264,125 @@ class Dsv2Spec extends SparkSpec {
     // superset — correctness preserved engine-side
     val got = read("t_lim2").filter(col("qty") > 48).limit(5).count()
     assert(got == 5)
+  }
+
+  test("ClickHouse DSv2: top-N pushes ORDER BY ... LIMIT into the dialect SQL; no engine-side Sort") {
+    import graft.sources.dsv2.ClickHouseRegistry
+    val all = Seq((1L, 2.5, "a"), (2L, 9.0, "b"), (3L, 7.25, "c"), (4L, 5.0, "d"))
+    // fake server honoring the ORDER BY/LIMIT contract the SQL carries
+    val transport: graft.sources.ClickHouse.Transport = { sql =>
+      val sorted = if (sql.contains("ORDER BY `qty` DESC NULLS LAST")) all.sortBy(-_._2) else all
+      val limited = "LIMIT (\\d+)".r.findFirstMatchIn(sql)
+        .map(m => sorted.take(m.group(1).toInt)).getOrElse(sorted)
+      limited.map { case (i, q, t) => s"""{"id":$i,"qty":$q,"tag":"$t"}""" }.mkString("\n")
+    }
+    ClickHouseRegistry.register("ev_top", ClickHouseRegistry.Entry(
+      "events", schema, transport, pushable = Set("id", "qty")))
+    val df = spark.read.format("graft.sources.dsv2.ClickHouseSource")
+      .option("table", "ev_top").load()
+      .orderBy(col("qty").desc).limit(2)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    val sqls = ClickHouseRegistry.issuedSql("ev_top")
+    assert(sqls.exists(_.contains("ORDER BY `qty` DESC NULLS LAST LIMIT 2")),
+      s"top-N not pushed into the dialect SQL: $sqls")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Sort"), s"fully-pushed top-N must leave no engine-side Sort:\n$opt")
+
+    // a residual predicate forbids server-side top-N (the server would
+    // keep rows the engine then filters, dropping true top-N members)
+    ClickHouseRegistry.register("ev_top2", ClickHouseRegistry.Entry(
+      "events", schema, transport, pushable = Set("id", "qty")))
+    val res = spark.read.format("graft.sources.dsv2.ClickHouseSource")
+      .option("table", "ev_top2").load()
+      .filter(col("tag").isin("a", "c", "d")) // dialect can't say IN → residual
+      .orderBy(col("qty").desc).limit(2)
+    assert(res.collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    assert(ClickHouseRegistry.issuedSql("ev_top2").forall(!_.contains("ORDER BY")),
+      "top-N must stay engine-side under a residual predicate")
+  }
+
+  test("Mongo DSv2: top-N pushes sort+limit into the find command when null placement matches BSON order") {
+    import graft.sources.dsv2.MongoRegistry
+    val schemaM = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    val docs = Seq((1L, 2.5), (2L, 9.0), (3L, 7.25), (4L, 5.0))
+    val transport: String => String = { cmd =>
+      val sorted = if (cmd.contains(""""sort":{"score":-1}""")) docs.sortBy(-_._2) else docs
+      val limited = """"limit":(\d+)""".r.findFirstMatchIn(cmd)
+        .map(m => sorted.take(m.group(1).toInt)).getOrElse(sorted)
+      limited.map { case (i, s) =>
+        s"""{"id":{"$$numberLong":"$i"},"score":{"$$numberDouble":"$s"}}"""
+      }.mkString("\n")
+    }
+    MongoRegistry.register("topd", MongoRegistry.Entry(
+      "events.topd", schemaM, transport, pushable = Set("id", "score")))
+    val df = spark.read.format("graft.sources.dsv2.MongoFindSource")
+      .option("collection", "topd").load()
+      .orderBy(col("score").desc).limit(2) // desc → NULLS LAST = BSON order
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    val cmds = MongoRegistry.issuedCommands("topd")
+    assert(cmds.exists(c => c.contains(""""sort":{"score":-1}""") && c.contains(""""limit":2""")),
+      s"top-N not pushed into the find command: $cmds")
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Sort"))
+
+    // non-default null placement cannot be served by BSON sort order:
+    // the sort must stay engine-side (no sort key in the command)
+    MongoRegistry.register("topd2", MongoRegistry.Entry(
+      "events.topd", schemaM, transport, pushable = Set("id", "score")))
+    val eng = spark.read.format("graft.sources.dsv2.MongoFindSource")
+      .option("collection", "topd2").load()
+      .orderBy(col("score").asc_nulls_last).limit(2)
+    assert(eng.collect().map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    assert(MongoRegistry.issuedCommands("topd2").forall(!_.contains(""""sort"""")),
+      "asc NULLS LAST is not BSON sort order — must not push")
+  }
+
+  test("Mongo DSv2: group-by compiles to an aggregate pipeline; complete pushdown leaves no engine-side Aggregate") {
+    import graft.sources.dsv2.MongoRegistry
+    val schemaM = StructType(Seq(
+      StructField("id", LongType), StructField("qty", DoubleType),
+      StructField("tag", StringType)))
+    // tag "z" has ONLY null qty — the $sum null-parity projection must
+    // yield NULL (a bare $sum would yield 0, diverging from Spark)
+    val docs = Seq(
+      (1L, Some(2.0), "x"), (2L, Some(3.5), "x"), (3L, Some(10.0), "y"),
+      (4L, None, "y"), (5L, None, "z"))
+    val transport: String => String = { cmd =>
+      assert(cmd.startsWith("""{"aggregate":"events.aggd""""), s"expected aggregate command: $cmd")
+      // fake mongod evaluating the asserted pipeline shape over docs
+      docs.groupBy(_._3).toSeq.sortBy(_._1).map { case (tag, g) =>
+        val vals = g.flatMap(_._2)
+        val sum = if (vals.isEmpty) "null" else s"""{"$$numberDouble":"${vals.sum}"}"""
+        val mn = if (vals.isEmpty) "null" else s"""{"$$numberDouble":"${vals.min}"}"""
+        val avg = if (vals.isEmpty) "null" else s"""{"$$numberDouble":"${vals.sum / vals.size}"}"""
+        s"""{"tag":"$tag","a0":$sum,"a1":{"$$numberInt":"${g.size}"},""" +
+          s""""a2":{"$$numberInt":"${vals.size}"},"a3":$mn,"a4":$avg}"""
+      }.mkString("\n")
+    }
+    MongoRegistry.register("aggd", MongoRegistry.Entry(
+      "events.aggd", schemaM, transport, pushable = Set("id", "qty", "tag")))
+    val df = spark.read.format("graft.sources.dsv2.MongoFindSource")
+      .option("collection", "aggd").load()
+      .groupBy("tag")
+      .agg(sum("qty").as("s"), count(lit(1)).as("c"), count(col("qty")).as("cq"),
+        min("qty").as("m"), avg("qty").as("a"))
+      .orderBy("tag")
+    val got = df.collect().map(r => (r.getString(0),
+      Option(r.get(1)), r.getLong(2), r.getLong(3), Option(r.get(4)))).toSeq
+    assert(got == Seq(
+      ("x", Some(5.5), 2L, 2L, Some(2.0)),
+      ("y", Some(10.0), 2L, 1L, Some(10.0)),
+      ("z", None, 1L, 0L, None)))
+    val cmds = MongoRegistry.issuedCommands("aggd")
+    val cmd = cmds.find(_.contains(""""aggregate"""")).getOrElse(fail(s"no aggregate command: $cmds"))
+    assert(cmd.contains(""""$group":{"_id":{"g0":"$tag"}"""), cmd)
+    assert(cmd.contains(""""a0":{"$sum":"$qty"}"""), cmd)
+    assert(cmd.contains(""""a0n":{"$sum":{"$cond":[{"$lte":["$qty",null]},0,1]}}"""), cmd)
+    assert(cmd.contains(""""$project":{"_id":0,"tag":"$_id.g0""""), cmd)
+    assert(cmd.contains(""""a0":{"$cond":[{"$eq":["$a0n",0]},null,"$a0"]}"""), cmd)
+    assert(cmd.contains(""""a4":{"$avg":"$qty"}""") || cmd.contains(""""a4":1"""), cmd)
+    // complete pushdown: the engine re-aggregates NOTHING
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      s"complete pushdown must leave no engine-side Aggregate:\n${df.queryExecution.optimizedPlan}")
   }
 }

@@ -125,6 +125,37 @@ class GlueCatalogSpec extends SparkSpec {
       s"residual did not push into the parquet scan:\n$plan")
   }
 
+  test("DSv2 connector: uniform negotiation record; pruned locations NEVER opened") {
+    import graft.sources.dsv2.GlueRegistry
+    val locs = writePartitions()
+    val ep = new Endpoint(locs)
+    GlueRegistry.register("sales_orders", GlueRegistry.Entry(ep.transport, "sales", "orders"))
+    // delete the to-be-pruned partition's files BEFORE the query: if the
+    // scan touched that location at all, the parquet read would throw —
+    // success is proof the catalog-side prune really skipped it
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(locs(0)))
+    val df = spark.read.format("graft.sources.dsv2.GlueSource")
+      .option("table", "sales_orders").load()
+      .filter(col("ds").isin("2024-01-02", "2024-01-03")) // partition key → catalog prune
+      .filter(col("id") > 205L)                           // data column → residual
+    assert(df.count() == 15)
+    assert(df.agg(min("id")).head().getLong(0) == 206L)
+    // partition-key column surfaced from catalog values
+    assert(df.select("ds").distinct().as[String].collect().sorted.toSeq
+      == Seq("2024-01-02", "2024-01-03"))
+    // the negotiation record matches the driver seam's classification
+    val n = GlueRegistry.negotiations("sales_orders").last
+    assert(n.prunedToLocations.toSet == Set(locs(1), locs(2)))
+    assert(n.catalogSide.map(_.toString).exists(_.contains("ds")))
+    assert(n.residual.map(_.toString).exists(_.contains("id")))
+    // a filter pruning EVERYTHING is a legal empty result, not an error
+    GlueRegistry.register("sales_orders2", GlueRegistry.Entry(ep.transport, "sales", "orders"))
+    val empty = spark.read.format("graft.sources.dsv2.GlueSource")
+      .option("table", "sales_orders2").load()
+      .filter(col("ds") === "1999-01-01")
+    assert(empty.count() == 0)
+  }
+
   test("full scan unions all partitions with catalog keys attached") {
     val ep = new Endpoint(writePartitions())
     val Seq(tbl) = GlueCatalog.getTables(ep.transport, "sales")
