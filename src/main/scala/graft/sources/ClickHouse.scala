@@ -105,22 +105,33 @@ object ClickHouse {
       preds: Seq[Pred] = Seq.empty,
       orderBy: Seq[Order] = Seq.empty,
       limit: Option[Long] = None,
-      cursor: Option[(String, Long)] = None) {
+      cursor: Option[(String, Long)] = None,
+      /** raw select items replacing the column list (aggregate scans);
+        * each item must alias to the output field name. */
+      selectItems: Seq[String] = Seq.empty,
+      groupBy: Seq[String] = Seq.empty,
+      offset: Option[Long] = None) {
 
     /** limit + cursor cannot combine (capability truth-telling: a
       * limited incremental read could drop rows the cursor then skips
       * forever). */
     require(limit.isEmpty || cursor.isEmpty, "LIMIT unsupported on cursor resources")
+    require(offset.isEmpty || cursor.isEmpty, "OFFSET unsupported on cursor resources")
 
     def sql: String = {
-      val cols = columns.map(ident).mkString(", ")
+      val cols =
+        if (selectItems.nonEmpty) selectItems.mkString(", ")
+        else columns.map(ident).mkString(", ")
       val conds = preds.map(_.sql) ++
         cursor.map { case (c, v) => s"${ident(c)} > $v" }.toSeq
       val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+      val group = if (groupBy.isEmpty) "" else
+        groupBy.map(ident).mkString(" GROUP BY ", ", ", "")
       val order = if (orderBy.isEmpty) "" else
         orderBy.map(_.sql).mkString(" ORDER BY ", ", ", "")
       val lim = limit.fold("")(l => s" LIMIT $l")
-      s"SELECT $cols FROM ${ident(table)}$where$order$lim FORMAT JSONEachRow"
+      val off = offset.fold("")(o => s" OFFSET $o")
+      s"SELECT $cols FROM ${ident(table)}$where$group$order$lim$off FORMAT JSONEachRow"
     }
   }
 

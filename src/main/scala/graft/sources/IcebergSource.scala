@@ -34,29 +34,34 @@ import graft.core.CanonicalJson._
   * a full-table diff.
   *
   * Subset honesty: append-only v2 tables (status=ADDED entries, no
-  * positional/equality deletes), identity-partitioned or
-  * unpartitioned specs, absolute file paths. Enough for
+  * positional/equality deletes), absolute file paths. Enough for
   * snapshot-pinned + incremental scans and for the resume-replay law.
-  * Tables OUTSIDE the subset — delete manifests, delete data files,
-  * or a partition spec with a NON-identity transform (bucket,
-  * truncate, temporal) — are REJECTED at plan time with a typed
-  * [[graft.core.GraftError.Plan]] fidelity error rather than read
-  * wrong silently (the reference handles full v2,
-  * crates/cdf-source-iceberg/src/driver.rs:1035; until this reader
-  * does, refusing is the only correct answer).
+  * Tables with delete manifests or delete data files are REJECTED at
+  * plan time with a typed [[graft.core.GraftError.Plan]] fidelity
+  * error rather than read wrong silently (the reference handles full
+  * v2, crates/cdf-source-iceberg/src/driver.rs:1035; until this
+  * reader does, refusing is the only correct answer).
   *
-  * Partition handling (identity transforms): per-file partition
-  * values come from the manifest entries' `data_file.partition`
-  * struct; scans accept `org.apache.spark.sql.sources.Filter`
-  * predicates and prune the planned file list driver-side BEFORE the
-  * distributed parquet scan — at 100 TB the pruning decision is a
-  * metadata operation over KB-sized manifests, and a partition-
-  * restricted query never opens the other partitions' files.
-  * Identity-partitioned source columns are regular data columns (the
-  * spec stores them in the data files), so partition values surface
-  * as columns with no reconstruction. Pruning is conservative: a
-  * file is skipped only when a predicate PROVABLY matches no rows
-  * (unknown columns, missing values, incomparable types → keep).
+  * Partition handling (ANY transform): per-file partition values come
+  * from the manifest entries' `data_file.partition` struct; scans
+  * accept `org.apache.spark.sql.sources.Filter` predicates and prune
+  * the planned file list driver-side BEFORE the distributed parquet
+  * scan — at 100 TB the pruning decision is a metadata operation over
+  * KB-sized manifests, and a partition-restricted query never opens
+  * the other partitions' files. Transforms never change row CONTENT
+  * (the spec stores source columns in the data files regardless of
+  * layout), so every spec is READABLE; what varies per transform is
+  * how much a predicate can prune:
+  *  - identity: exact file-level evaluation (=, range, IN, null tests)
+  *  - truncate[W], year/month/day/hour: ORDER-PRESERVING — equality
+  *    via T(lit) == value, ranges via the monotone interval rule
+  *    (keep unless the transformed literal provably excludes the file)
+  *  - bucket[N]: equality/IN via the spec's murmur3_x86_32 bucket
+  *    function (Appendix B hash, pinned to the published test vectors)
+  *  - void / unknown transforms: never pruned — read everything
+  * Pruning is conservative everywhere: a file is skipped only when a
+  * predicate PROVABLY matches no rows (unknown columns, missing
+  * values, incomparable types → keep).
   */
 object IcebergSource {
 
@@ -92,11 +97,22 @@ object IcebergSource {
 
   final case class Snapshot(id: Long, parentId: Option[Long], sequenceNumber: Long,
       timestampMs: Long, manifestList: String)
+
+  /** One field of the default partition spec: the manifest struct's
+    * field name, the SOURCE column it derives from, and the transform
+    * ("identity", "bucket[N]", "truncate[W]", "year", "month", "day",
+    * "hour", "void", or anything future — unknown transforms read
+    * fine, they just never prune). */
+  final case class PartField(name: String, source: String, transform: String)
+
   final case class TableMeta(location: String, currentSnapshotId: Option[Long],
       snapshots: Seq[Snapshot], version: Int,
-      /** identity-partition column names of the default spec (empty =
-        * unpartitioned); non-identity specs never construct a TableMeta. */
-      partitionFields: Seq[String] = Nil) {
+      /** the default partition spec (empty = unpartitioned). */
+      spec: Seq[PartField] = Nil) {
+    /** identity-transform source columns — the subset the WRITER can
+      * lay out (commitAppend inherits these). */
+    def partitionFields: Seq[String] =
+      spec.collect { case PartField(_, s, "identity") => s }
     def snapshot(id: Long): Snapshot = snapshots.find(_.id == id)
       .getOrElse(throw new IllegalArgumentException(s"unknown snapshot $id"))
     /** parent-chain from `to` (inclusive) down to `fromExclusive`
@@ -167,40 +183,36 @@ object IcebergSource {
       }.toMap
       case _ => Map.empty
     }
-    // partition specs: identity transforms are IN the subset (values
-    // pruned from manifests, columns live in the data files); any
-    // non-identity transform changes which files a scan must plan in a
-    // way this reader cannot evaluate — plan-time fidelity rejection.
+    // partition specs: every transform is accepted — transforms decide
+    // LAYOUT and how much a predicate can prune, never row content
+    // (source columns live in the data files regardless). The typed
+    // spec drives per-transform pruning in fileMayMatch.
     val defaultSpecId = f.get("default-spec-id").collect { case JInt(v) => v }
-    val partitionFields: Seq[String] = f.get("partition-specs") match {
+    val spec: Seq[PartField] = f.get("partition-specs") match {
       case Some(JArr(specs)) if specs.nonEmpty =>
         val parsed = specs.map { s =>
           val sf = CanonicalJson.objFields(s)
           val specId = sf.get("spec-id").collect { case JInt(v) => v }.getOrElse(0L)
-          val names = sf.get("fields") match {
-            case Some(JArr(fields)) => fields.map { fd =>
+          val fields = sf.get("fields") match {
+            case Some(JArr(fds)) => fds.map { fd =>
               val ff = CanonicalJson.objFields(fd)
               val transform = ff.get("transform").collect { case JStr(t) => t }.getOrElse("?")
-              if (transform != "identity")
-                throw graft.core.GraftError.Plan(
-                  s"iceberg fidelity: partitioned spec with non-identity transform " +
-                    s"'$transform' — outside this reader's identity-partitioned " +
-                    "append-only v2 subset")
+              val name = ff.get("name").collect { case JStr(n) => n }
               val srcId = ff.get("source-id").collect { case JInt(v) => v }
-              srcId.flatMap(fieldNameById.get)
-                .orElse(ff.get("name").collect { case JStr(n) => n })
+              val source = srcId.flatMap(fieldNameById.get).orElse(name)
                 .getOrElse(throw graft.core.GraftError.Plan(
                   "iceberg fidelity: partition field without a resolvable name"))
+              PartField(name.getOrElse(source), source, transform)
             }
             case _ => Seq.empty
           }
-          specId -> names
+          specId -> fields
         }
         parsed.find(p => defaultSpecId.contains(p._1))
           .orElse(parsed.lastOption).map(_._2).getOrElse(Seq.empty)
       case _ => Seq.empty
     }
-    TableMeta(loc, cur, snaps, version, partitionFields)
+    TableMeta(loc, cur, snaps, version, spec)
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {
@@ -278,6 +290,102 @@ object IcebergSource {
           partitionOf(df)))
     }
 
+  // ------------------------------------------- partition transforms
+
+  /** MurmurHash3 x86_32 over bytes, seed 0 — the spec's bucket hash
+    * (Appendix B; pinned to the published test vectors in IcebergSpec). */
+  private[graft] def murmur3(data: Array[Byte], seed: Int = 0): Int = {
+    val c1 = 0xcc9e2d51; val c2 = 0x1b873593
+    var h = seed
+    var i = 0
+    val n = data.length & ~3
+    while (i < n) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 4
+    }
+    var k1 = 0
+    (data.length & 3) match {
+      case 3 => k1 ^= (data(n + 2) & 0xff) << 16; k1 ^= (data(n + 1) & 0xff) << 8; k1 ^= data(n) & 0xff
+      case 2 => k1 ^= (data(n + 1) & 0xff) << 8; k1 ^= data(n) & 0xff
+      case 1 => k1 ^= data(n) & 0xff
+      case _ => ()
+    }
+    if ((data.length & 3) != 0) { k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2; h ^= k1 }
+    h ^= data.length
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35; h ^= h >>> 16
+    h
+  }
+
+  /** Spec bucket function: (murmur3(serialized) & Int.MaxValue) % N.
+    * Integral values hash as 8-byte little-endian longs (int and long
+    * agree — Appendix B), strings as UTF-8 bytes, dates as their
+    * epoch-day int widened to long. Unsupported types → None. */
+  private[graft] def bucketOf(v: Any, n: Int): Option[Int] = {
+    def longBytes(l: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).array()
+    val bytes: Option[Array[Byte]] = v match {
+      case i: java.lang.Integer => Some(longBytes(i.longValue()))
+      case l: java.lang.Long => Some(longBytes(l.longValue()))
+      case s: java.lang.Short => Some(longBytes(s.longValue()))
+      case b: java.lang.Byte => Some(longBytes(b.longValue()))
+      case s: String => Some(s.getBytes(StandardCharsets.UTF_8))
+      case d: java.sql.Date => Some(longBytes(d.toLocalDate.toEpochDay))
+      case d: java.time.LocalDate => Some(longBytes(d.toEpochDay))
+      case _ => None
+    }
+    bytes.map(b => (murmur3(b) & Int.MaxValue) % n)
+  }
+
+  private def toLocalDate(v: Any): Option[java.time.LocalDate] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate)
+    case d: java.time.LocalDate => Some(d)
+    case t: java.sql.Timestamp => Some(t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    case i: java.time.Instant => Some(i.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    case _ => None
+  }
+
+  private def toInstant(v: Any): Option[java.time.Instant] = v match {
+    case t: java.sql.Timestamp => Some(t.toInstant)
+    case i: java.time.Instant => Some(i)
+    case _ => None
+  }
+
+  /** T(literal) for a transform — the value the spec's transform would
+    * store for a row carrying `lit`. None = not computable (no prune).
+    * Temporal ordinals per the spec: year/month relative to 1970,
+    * day = epoch days, hour = epoch hours (UTC). */
+  private[graft] def transformLit(transform: String, lit: Any): Option[Any] = {
+    val Bucket = """bucket\[(\d+)\]""".r
+    val Truncate = """truncate\[(\d+)\]""".r
+    transform match {
+      case "identity" => Option(lit)
+      case Bucket(n) => bucketOf(lit, n.toInt)
+      case Truncate(w) =>
+        val width = w.toInt
+        lit match {
+          case i: java.lang.Integer => Some(Int.box(i - java.lang.Math.floorMod(i.intValue(), width)))
+          case l: java.lang.Long => Some(Long.box(l - java.lang.Math.floorMod(l.longValue(), width.toLong)))
+          case s: String =>
+            val cps = s.codePoints().toArray
+            Some(if (cps.length <= width) s else new String(cps, 0, width))
+          case _ => None
+        }
+      case "year" => toLocalDate(lit).map(d => Int.box(d.getYear - 1970))
+      case "month" => toLocalDate(lit).map(d => Int.box((d.getYear - 1970) * 12 + d.getMonthValue - 1))
+      case "day" => toLocalDate(lit).map(d => Long.box(d.toEpochDay))
+      case "hour" => toInstant(lit).map(i => Long.box(Math.floorDiv(i.getEpochSecond, 3600L)))
+      case _ => None // void / unknown: no pruning
+    }
+  }
+
+  /** order-preserving transforms: the interval rule applies. */
+  private def monotone(transform: String): Boolean =
+    transform == "identity" || transform.startsWith("truncate[") ||
+      Set("year", "month", "day", "hour").contains(transform)
+
   // -------------------------------------------------- partition pruning
 
   /** Conservative file-level predicate evaluation against identity
@@ -330,9 +438,78 @@ object IcebergSource {
     }
   }
 
+  /** Spec-aware file-level pruning: evaluates `f` against the file's
+    * partition struct under the spec's TRANSFORMS. Per transform:
+    * identity gets the exact [[mayMatch]] rules; order-preserving
+    * transforms (truncate, year/month/day/hour) get equality via
+    * T(lit) and the conservative interval rule for ranges (a file
+    * whose transformed value equals T(lit) may straddle the literal,
+    * so it is always kept); bucket gets equality/IN via the spec hash;
+    * void/unknown only answer null tests where sound. Null reasoning
+    * holds for every real transform (they all map null→null and
+    * non-null→non-null) EXCEPT void, which maps everything to null —
+    * so null tests skip void fields. Returns false only on a PROVABLE
+    * no-match; empty spec falls back to identity-keyed behavior. */
+  private[graft] def fileMayMatch(f: SFilter, part: Map[String, Any],
+      spec: Seq[PartField]): Boolean = {
+    if (spec.isEmpty) return mayMatch(f, part)
+    import org.apache.spark.sql.{sources => sf}
+    def cmp(pv: Any, tl: Any): Option[Int] = (pv, tl) match {
+      case (null, _) | (_, null) => None
+      case (a: Number, b: Number) =>
+        Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case _ => None
+    }
+    // fields derived from column c that have a recorded value
+    def fieldsOf(c: String): Seq[(PartField, Any)] =
+      spec.filter(_.source == c).flatMap(pf =>
+        part.get(pf.name).map(pf -> _)) // absent from struct → no info
+    // provable no-match for one spec field under an equality literal
+    def eqNoMatch(pf: PartField, pv: Any, lit: Any): Boolean =
+      if (lit == null) false
+      else if (pv == null) pf.transform != "void" // non-void: all-null source never equals a value
+      else pf.transform match {
+        case t if t == "identity" || monotone(t) || t.startsWith("bucket[") =>
+          transformLit(t, lit).exists(tl => cmp(pv, tl).exists(_ != 0))
+        case _ => false
+      }
+    def rangeNoMatch(pf: PartField, pv: Any, lit: Any)(excl: Int => Boolean): Boolean =
+      if (!monotone(pf.transform)) false
+      else if (pv == null) pf.transform != "void" // comparisons never match all-null
+      else transformLit(pf.transform, lit).exists(tl => cmp(pv, tl).exists(excl))
+    f match {
+      case sf.EqualTo(c, lit) => !fieldsOf(c).exists { case (pf, pv) => eqNoMatch(pf, pv, lit) }
+      case sf.In(c, vs) => !fieldsOf(c).exists { case (pf, pv) =>
+        vs.nonEmpty && vs.forall(v => eqNoMatch(pf, pv, v)) }
+      // interval rule: file covers T-preimage of pv; provably excluded
+      // when pv sits strictly on the wrong side of T(lit)
+      case sf.GreaterThan(c, lit) =>
+        !fieldsOf(c).exists { case (pf, pv) => rangeNoMatch(pf, pv, lit)(_ < 0) }
+      case sf.GreaterThanOrEqual(c, lit) =>
+        !fieldsOf(c).exists { case (pf, pv) => rangeNoMatch(pf, pv, lit)(_ < 0) }
+      case sf.LessThan(c, lit) =>
+        !fieldsOf(c).exists { case (pf, pv) => rangeNoMatch(pf, pv, lit)(_ > 0) }
+      case sf.LessThanOrEqual(c, lit) =>
+        !fieldsOf(c).exists { case (pf, pv) => rangeNoMatch(pf, pv, lit)(_ > 0) }
+      // null tests: every transform except void maps null↔null
+      case sf.IsNull(c) => !fieldsOf(c).exists { case (pf, pv) =>
+        pf.transform != "void" && pv != null }
+      case sf.IsNotNull(c) => !fieldsOf(c).exists { case (pf, pv) =>
+        pf.transform != "void" && pv == null }
+      case sf.And(l, r) => fileMayMatch(l, part, spec) && fileMayMatch(r, part, spec)
+      case sf.Or(l, r) => fileMayMatch(l, part, spec) || fileMayMatch(r, part, spec)
+      case sf.Not(sf.EqualTo(c, lit)) => !fieldsOf(c).exists { case (pf, pv) =>
+        // only identity proves ≠: every row equals pv exactly
+        pf.transform == "identity" && pv != null && lit != null && cmp(pv, lit).contains(0) }
+      case _ => true
+    }
+  }
+
   /** All live data files at a snapshot (append-only subset: every
     * non-deleted entry across the snapshot's manifest list), pruned
-    * against `filters` via manifest partition values. */
+    * against `filters` via manifest partition values under the spec's
+    * transforms. */
   def dataFiles(tableDir: String, snapshotId: Option[Long] = None,
       filters: Seq[SFilter] = Nil): Seq[DataFileRef] = {
     val meta = readMeta(tableDir)
@@ -341,7 +518,7 @@ object IcebergSource {
       .getOrElse(return Seq.empty)
     manifests(snap.manifestList, None).flatMap(entries)
       .collect { case (s, _, f) if s != 2 => f }
-      .filter(f => filters.forall(mayMatch(_, f.partition)))
+      .filter(f => filters.forall(fileMayMatch(_, f.partition, meta.spec)))
   }
 
   /** The append-diff: data files added by snapshots in
@@ -355,7 +532,7 @@ object IcebergSource {
     val snap = meta.snapshot(to)
     manifests(snap.manifestList, Some(lineageIds)).flatMap(entries)
       .collect { case (StatusAdded, Some(sid), f) if lineageIds.contains(sid) => f }
-      .filter(f => filters.forall(mayMatch(_, f.partition)))
+      .filter(f => filters.forall(fileMayMatch(_, f.partition, meta.spec)))
   }
 
   /** Snapshot-pinned distributed read (time travel when `snapshotId`
@@ -468,6 +645,14 @@ object IcebergSource {
     val metaDir = s"$tableDir/metadata"
     val haveMeta = Files.exists(Paths.get(metaDir, "version-hint.text"))
     val parent: Option[TableMeta] = if (haveMeta) Some(readMeta(tableDir)) else None
+    // writer subset: the READER handles any transform, but this writer
+    // can only lay out identity partitions — appending to a table whose
+    // default spec has non-identity fields would silently rewrite that
+    // spec's meaning
+    parent.foreach(p => p.spec.find(_.transform != "identity").foreach(pf =>
+      throw graft.core.GraftError.Plan(
+        s"iceberg fidelity: cannot append to a table partitioned by " +
+          s"${pf.transform}(${pf.source}) — this writer lays out identity specs only")))
     val partCols: Seq[String] =
       if (partitionBy.nonEmpty) partitionBy
       else parent.map(_.partitionFields).getOrElse(Nil)
@@ -585,6 +770,7 @@ object IcebergSource {
       CanonicalJson.render(metaJson).getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(metaDir, "version-hint.text"),
       version.toString.getBytes(StandardCharsets.UTF_8))
-    TableMeta(tableDir, Some(snapshotId), allSnaps, version, partCols)
+    TableMeta(tableDir, Some(snapshotId), allSnaps, version,
+      partCols.map(c => PartField(c, c, "identity")))
   }
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -81,14 +82,19 @@ final class ClickHouseTable(name: String) extends Table with SupportsRead {
 final class ClickHouseScanBuilder(name: String, entry: ClickHouseRegistry.Entry)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN with SupportsPushDownAggregates
+    with SupportsPushDownOffset {
 
   private var exact: Seq[ClickHouse.Pred] = Seq.empty
   private var exactFilters: Array[Filter] = Array.empty
   private var projection: StructType = entry.schema
   private var limit: Option[Long] = None
+  private var offset: Option[Long] = None
   private var order: Seq[ClickHouse.Order] = Seq.empty
   private var residualHeld = false
+  /** set when a complete aggregation is pushed: (select items, group-by
+    * idents, output schema). */
+  private var aggPushed: Option[(Seq[String], Seq[String], StructType)] = None
 
   /** renderable literal for the dialect (ClickHouse.literal's domain). */
   private def renderable(v: Any): Boolean = v match {
@@ -120,13 +126,29 @@ final class ClickHouseScanBuilder(name: String, entry: ClickHouseRegistry.Entry)
   override def pushedFilters(): Array[Filter] = exactFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // keep declared column ORDER (the SELECT list is schema-ordered)
-    projection = StructType(entry.schema.fields.filter(f =>
-      requiredSchema.fieldNames.contains(f.name)))
+    // keep declared column ORDER (the SELECT list is schema-ordered);
+    // with an aggregation pushed the output schema IS the agg shape
+    if (aggPushed.isEmpty)
+      projection = StructType(entry.schema.fields.filter(f =>
+        requiredSchema.fieldNames.contains(f.name)))
 
   /** every pushed predicate is Exact, so a source-side LIMIT can never
     * drop a row a residual would have kept. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l.toLong); true }
+
+  /** OFFSET pushdown. Spark's contract: when a limit is also pushed it
+    * arrives as limit+offset (rows INCLUDING the skipped prefix), so
+    * the dialect renders `LIMIT (limit-offset) OFFSET offset` —
+    * skip-then-take, equivalent to Spark's take-(l+o)-then-skip-o.
+    * Same Exact-only law as limit. */
+  override def pushOffset(o: Int): Boolean =
+    if (residualHeld) false else { offset = Some(o.toLong); true }
+
+  private def renderedLimit: Option[Long] =
+    (limit, offset) match {
+      case (Some(l), Some(o)) => Some(math.max(0L, l - o))
+      case (l, _) => l
+    }
 
   /** ORDER BY + LIMIT forwarded whole (cdf forwards OrderBy to sources,
     * crates/cdf-kernel/src/resource.rs:611-622). Legal only when every
@@ -136,7 +158,7 @@ final class ClickHouseScanBuilder(name: String, entry: ClickHouseRegistry.Entry)
     * never offers TopN across a residual Filter, but the law is the
     * connector's to uphold, so it is checked here too. */
   override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
-    if (residualHeld) return false
+    if (residualHeld || aggPushed.isDefined) return false
     val terms = orders.toSeq.map { o =>
       o.expression() match {
         case ref: NamedReference if ref.fieldNames.length == 1 &&
@@ -157,13 +179,98 @@ final class ClickHouseScanBuilder(name: String, entry: ClickHouseRegistry.Entry)
     * IS the top-N in order — Spark drops its own Sort entirely. */
   override def isPartiallyPushed(): Boolean = false
 
+  // ------------------------------------------------ aggregate pushdown
+
+  /** GROUP BY + {count/sum/min/max/avg} render directly into the
+    * dialect SQL with COMPLETE-pushdown semantics (one query computes
+    * final groups; Spark re-aggregates nothing) — symmetric with the
+    * Mongo aggregate pipeline. Null parity is EXPLICIT in the SQL: the
+    * `-OrNull` combinator makes sum/min/max/avg return NULL when a
+    * group has no non-NULL input, exactly Spark's semantics, instead
+    * of relying on the server's Nullable-argument defaults. */
+  private def compileAgg(agg: Aggregation): Option[(Seq[String], Seq[String], StructType)] = {
+    if (residualHeld) return None // Exact-only law, same as limit/top-N
+    val groups: Seq[Option[StructField]] = agg.groupByExpressions.toSeq.map {
+      case ref: NamedReference if ref.fieldNames.length == 1 =>
+        entry.schema.fields.find(_.name == ref.fieldNames()(0))
+      case _ => None
+    }
+    if (!groups.forall(_.isDefined)) return None
+    val groupFields = groups.flatten
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case ref: NamedReference if ref.fieldNames.length == 1 =>
+          entry.schema.fields.find(_.name == ref.fieldNames()(0))
+        case _ => None
+      }
+    def sumType(dt: DataType): Option[DataType] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(LongType)
+      case FloatType | DoubleType => Some(DoubleType)
+      case d: DecimalType => Some(DecimalType(math.min(38, d.precision + 10), d.scale))
+      case _ => None
+    }
+    val numeric: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    val items: Seq[Option[(String, DataType)]] =
+      agg.aggregateExpressions.toSeq.zipWithIndex.map { case (fn, i) =>
+        val alias = s"a$i"
+        fn match {
+          case _: CountStar => Some((s"count(*) AS $alias", LongType))
+          case c: Count if !c.isDistinct =>
+            colOf(c.column).map(f => (s"count(${ClickHouse.ident(f.name)}) AS $alias", LongType))
+          case s: Sum if !s.isDistinct =>
+            colOf(s.column).flatMap(f => sumType(f.dataType).map(t =>
+              (s"sumOrNull(${ClickHouse.ident(f.name)}) AS $alias", t)))
+          case m: Min =>
+            colOf(m.column).map(f => (s"minOrNull(${ClickHouse.ident(f.name)}) AS $alias", f.dataType))
+          case m: Max =>
+            colOf(m.column).map(f => (s"maxOrNull(${ClickHouse.ident(f.name)}) AS $alias", f.dataType))
+          case a: Avg if !a.isDistinct =>
+            // decimal avg stays engine-side (Spark's p+4/s+4 result
+            // scale has no dialect equivalent)
+            colOf(a.column).collect {
+              case f if numeric.contains(f.dataType) =>
+                (s"avgOrNull(${ClickHouse.ident(f.name)}) AS $alias", DoubleType)
+            }
+          case _ => None // distinct / general / UDAF: not offered
+        }
+      }
+    if (!items.forall(_.isDefined)) return None
+    val aggItems = items.flatten
+    if (groupFields.exists(f => aggItems.indices.map(i => s"a$i").contains(f.name)))
+      return None // name collision guard
+    val selectItems = groupFields.map(f => ClickHouse.ident(f.name)) ++ aggItems.map(_._1)
+    val outSchema = StructType(groupFields ++
+      aggItems.zipWithIndex.map { case ((_, t), i) => StructField(s"a$i", t) })
+    Some((selectItems, groupFields.map(_.name), outSchema))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = compileAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    // complete-or-nothing: one dialect query computes final groups; a
+    // partial-aggregate contract (Spark merging partials) is never
+    // honestly servable from a single-shot transport
+    compileAgg(agg) match {
+      case some @ Some(_) => aggPushed = some; true
+      case None => false
+    }
+
   override def build(): Scan = {
-    val cols = if (projection.isEmpty) StructType(entry.schema.fields.take(1)) else projection
-    val spec = ClickHouse.ScanSpec(entry.table, cols.fieldNames.toSeq, exact,
-      orderBy = order, limit = limit)
-    // a fully-pushed top-N must come back as ONE partition: Spark has
-    // removed its Sort, so row order = partition-concatenation order
-    new ClickHouseScan(name, entry, cols, spec, singlePartition = order.nonEmpty)
+    aggPushed match {
+      case Some((selectItems, groupIdents, outSchema)) =>
+        val spec = ClickHouse.ScanSpec(entry.table, Seq.empty, exact,
+          limit = renderedLimit, selectItems = selectItems, groupBy = groupIdents,
+          offset = offset)
+        new ClickHouseScan(name, entry, outSchema, spec)
+      case None =>
+        val cols = if (projection.isEmpty) StructType(entry.schema.fields.take(1)) else projection
+        val spec = ClickHouse.ScanSpec(entry.table, cols.fieldNames.toSeq, exact,
+          orderBy = order, limit = renderedLimit, offset = offset)
+        // a fully-pushed top-N must come back as ONE partition: Spark has
+        // removed its Sort, so row order = partition-concatenation order
+        new ClickHouseScan(name, entry, cols, spec, singlePartition = order.nonEmpty)
+    }
   }
 }
 

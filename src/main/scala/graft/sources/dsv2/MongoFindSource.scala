@@ -88,12 +88,14 @@ final class MongoFindTable(name: String) extends Table with SupportsRead {
 final class MongoFindScanBuilder(name: String, entry: MongoRegistry.Entry)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownTopN with SupportsPushDownAggregates {
+    with SupportsPushDownTopN with SupportsPushDownAggregates
+    with SupportsPushDownOffset {
 
   private var exactFilters: Array[Filter] = Array.empty
   private var filterDoc: Seq[String] = Seq.empty
   private var projection: StructType = entry.schema
   private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
   private var sortDoc: Option[String] = None
   private var residualHeld = false
   /** set when a complete aggregation is pushed: ($group+$project stages, output schema) */
@@ -163,6 +165,20 @@ final class MongoFindScanBuilder(name: String, entry: MongoRegistry.Entry)
     * after the `$project` — the server rows are final group rows, so
     * keeping any l of them matches Spark's global-limit semantics. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  /** OFFSET → the find command's `skip` (mongod applies skip before
+    * limit) or a `$skip` stage after a pushed `$group`. Spark's
+    * contract: a co-pushed limit arrives as limit+offset (rows
+    * INCLUDING the skipped prefix), so the emitted limit is
+    * `limit - offset`. Exact-only law, same as limit. */
+  override def pushOffset(o: Int): Boolean =
+    if (residualHeld) false else { offset = Some(o); true }
+
+  private def renderedLimit: Option[Int] =
+    (limit, offset) match {
+      case (Some(l), Some(o)) => Some(math.max(0, l - o))
+      case (l, _) => l
+    }
 
   /** ORDER BY + LIMIT into the find command's sort document (cdf
     * forwards OrderBy to sources, crates/cdf-kernel/src/resource.rs:
@@ -297,7 +313,9 @@ final class MongoFindScanBuilder(name: String, entry: MongoRegistry.Entry)
     aggPushed match {
       case Some((stages, outSchema)) =>
         val matchStage = if (filterDoc.isEmpty) Seq.empty else Seq(s"""{"$$match":$filter}""")
-        val pipeline = (matchStage ++ stages ++ limit.map(l => s"""{"$$limit":$l}""").toSeq)
+        val pipeline = (matchStage ++ stages ++
+          offset.map(o => s"""{"$$skip":$o}""").toSeq ++
+          renderedLimit.map(l => s"""{"$$limit":$l}""").toSeq)
           .mkString("[", ",", "]")
         val cmd = s"""{"aggregate":${field(entry.collection)},"pipeline":$pipeline,"cursor":{}}"""
         new MongoFindScan(name, entry, outSchema, cmd)
@@ -306,7 +324,8 @@ final class MongoFindScanBuilder(name: String, entry: MongoRegistry.Entry)
         val proj = cols.fieldNames.map(c => s"${field(c)}:1").mkString("{", ",", "}")
         val cmd = s"""{"find":${field(entry.collection)},"filter":$filter,"projection":$proj""" +
           sortDoc.fold("")(s => s""","sort":$s""") +
-          limit.fold("")(l => s""","limit":$l""") + "}"
+          offset.fold("")(o => s""","skip":$o""") +
+          renderedLimit.fold("")(l => s""","limit":$l""") + "}"
         new MongoFindScan(name, entry, cols, cmd, singlePartition = sortDoc.isDefined)
     }
   }

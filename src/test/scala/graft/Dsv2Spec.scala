@@ -337,6 +337,86 @@ class Dsv2Spec extends SparkSpec {
       "asc NULLS LAST is not BSON sort order — must not push")
   }
 
+  test("offset pushes beside limit: ClickHouse OFFSET clause, Mongo skip key (skip-then-take)") {
+    import graft.sources.dsv2.{ClickHouseRegistry, MongoRegistry}
+    val rowsC = (1 to 6).map(i => (i.toLong, i * 1.0, s"t$i"))
+    val chTransport: graft.sources.ClickHouse.Transport = { sql =>
+      val off = "OFFSET (\\d+)".r.findFirstMatchIn(sql).map(_.group(1).toInt).getOrElse(0)
+      val lim = "LIMIT (\\d+)".r.findFirstMatchIn(sql).map(_.group(1).toInt).getOrElse(Int.MaxValue)
+      rowsC.drop(off).take(lim)
+        .map { case (i, q, t) => s"""{"id":$i,"qty":$q,"tag":"$t"}""" }.mkString("\n")
+    }
+    ClickHouseRegistry.register("ev_off", ClickHouseRegistry.Entry(
+      "events", schema, chTransport, pushable = Set("id", "qty")))
+    val ch = spark.read.format("graft.sources.dsv2.ClickHouseSource")
+      .option("table", "ev_off").load().offset(2).limit(3)
+    assert(ch.collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
+    assert(ClickHouseRegistry.issuedSql("ev_off").exists(_.contains("LIMIT 3 OFFSET 2")),
+      s"offset not pushed: ${ClickHouseRegistry.issuedSql("ev_off")}")
+
+    val mSchema = StructType(Seq(StructField("id", LongType)))
+    val mTransport: String => String = { cmd =>
+      val off = """"skip":(\d+)""".r.findFirstMatchIn(cmd).map(_.group(1).toInt).getOrElse(0)
+      val lim = """"limit":(\d+)""".r.findFirstMatchIn(cmd).map(_.group(1).toInt).getOrElse(Int.MaxValue)
+      (1 to 6).drop(off).take(lim)
+        .map(i => s"""{"id":{"$$numberLong":"$i"}}""").mkString("\n")
+    }
+    MongoRegistry.register("offd", MongoRegistry.Entry(
+      "events.offd", mSchema, mTransport, pushable = Set("id")))
+    val mg = spark.read.format("graft.sources.dsv2.MongoFindSource")
+      .option("collection", "offd").load().offset(2).limit(3)
+    assert(mg.collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
+    assert(MongoRegistry.issuedCommands("offd").exists(c =>
+      c.contains(""""skip":2""") && c.contains(""""limit":3""")),
+      s"skip not pushed: ${MongoRegistry.issuedCommands("offd")}")
+  }
+
+  test("ClickHouse DSv2: group-by renders into the dialect SQL with -OrNull parity; no engine-side Aggregate") {
+    import graft.sources.dsv2.ClickHouseRegistry
+    val schemaC = StructType(Seq(
+      StructField("id", LongType), StructField("qty", DoubleType),
+      StructField("tag", StringType)))
+    // tag "z" has ONLY null qty — sumOrNull must yield NULL like Spark
+    val docs = Seq(
+      (1L, Some(2.0), "x"), (2L, Some(3.5), "x"), (3L, Some(10.0), "y"),
+      (4L, None, "y"), (5L, None, "z"))
+    val transport: graft.sources.ClickHouse.Transport = { sql =>
+      assert(sql.contains("GROUP BY `tag`"), s"expected GROUP BY in dialect SQL: $sql")
+      // fake server evaluating the asserted aggregate SQL over docs
+      docs.groupBy(_._3).toSeq.sortBy(_._1).map { case (tag, g) =>
+        val vals = g.flatMap(_._2)
+        val sum = if (vals.isEmpty) "null" else vals.sum.toString
+        val mn = if (vals.isEmpty) "null" else vals.min.toString
+        val avg = if (vals.isEmpty) "null" else (vals.sum / vals.size).toString
+        s"""{"tag":"$tag","a0":$sum,"a1":${g.size},"a2":${vals.size},"a3":$mn,"a4":$avg}"""
+      }.mkString("\n")
+    }
+    ClickHouseRegistry.register("ev_agg", ClickHouseRegistry.Entry(
+      "events", schemaC, transport, pushable = Set("id", "qty", "tag")))
+    val df = spark.read.format("graft.sources.dsv2.ClickHouseSource")
+      .option("table", "ev_agg").load()
+      .groupBy("tag")
+      .agg(sum("qty").as("s"), count(lit(1)).as("c"), count(col("qty")).as("cq"),
+        min("qty").as("m"), avg("qty").as("a"))
+      .orderBy("tag")
+    val got = df.collect().map(r => (r.getString(0),
+      Option(r.get(1)), r.getLong(2), r.getLong(3), Option(r.get(4)))).toSeq
+    assert(got == Seq(
+      ("x", Some(5.5), 2L, 2L, Some(2.0)),
+      ("y", Some(10.0), 2L, 1L, Some(10.0)),
+      ("z", None, 1L, 0L, None)))
+    val sqls = ClickHouseRegistry.issuedSql("ev_agg")
+    val sql = sqls.find(_.contains("GROUP BY")).getOrElse(fail(s"no aggregate SQL: $sqls"))
+    assert(sql.contains("sumOrNull(`qty`) AS a0"), sql)
+    assert(sql.contains("count(*) AS a1"), sql)
+    assert(sql.contains("count(`qty`) AS a2"), sql)
+    assert(sql.contains("minOrNull(`qty`) AS a3"), sql)
+    assert(sql.contains("avgOrNull(`qty`) AS a4"), sql)
+    assert(sql.startsWith("SELECT `tag`, sumOrNull"), sql)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      s"complete pushdown must leave no engine-side Aggregate:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("Mongo DSv2: group-by compiles to an aggregate pipeline; complete pushdown leaves no engine-side Aggregate") {
     import graft.sources.dsv2.MongoRegistry
     val schemaM = StructType(Seq(

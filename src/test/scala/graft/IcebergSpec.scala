@@ -231,16 +231,115 @@ class IcebergSpec extends SparkSpec {
     val e2 = intercept[graft.core.GraftError.Plan](IcebergSource.dataFiles(dir2))
     assert(e2.getMessage.contains("delete data file"))
 
-    // (c) a partitioned spec in the table metadata
+    // (c) a NON-identity partitioned spec is READABLE (transforms only
+    // decide layout/pruning — the data files carry the source columns),
+    // but this WRITER refuses to append to it (it would rewrite the
+    // spec's meaning as identity)
     val dir3 = s"${tmpDir()}/tbl"
     IcebergSource.commitAppend(spark, dir3, nums(0, 10), 1L, 1L)
     val metaPath = java.nio.file.Paths.get(s"$dir3/metadata/v1.metadata.json")
     val metaJson = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
     val partitioned = metaJson.replaceFirst("\\{",
-      """{"partition-specs":[{"spec-id":0,"fields":[{"name":"id_bucket","transform":"bucket[16]","source-id":1,"field-id":1000}]}],""")
+      """{"partition-specs":[{"spec-id":0,"fields":[{"name":"id_bucket","transform":"bucket[16]","source-id":1,"field-id":1000}]}],"default-spec-id":0,""")
     java.nio.file.Files.write(metaPath, partitioned.getBytes("UTF-8"))
-    val e3 = intercept[graft.core.GraftError.Plan](IcebergSource.readMeta(dir3))
-    assert(e3.getMessage.contains("partitioned spec"))
+    val meta3 = IcebergSource.readMeta(dir3)
+    assert(meta3.spec == Seq(IcebergSource.PartField("id_bucket", "id_bucket", "bucket[16]")))
+    assert(IcebergSource.read(spark, dir3).count() == 10)
+    val e3 = intercept[graft.core.GraftError.Plan](
+      IcebergSource.commitAppend(spark, dir3, nums(10, 20), 2L, 2L))
+    assert(e3.getMessage.contains("identity specs only"))
+  }
+
+  test("non-identity transforms: spec bucket function matches the published vectors; monotone pruning is conservative and correct") {
+    import IcebergSource.{PartField, bucketOf, transformLit, fileMayMatch}
+    import org.apache.spark.sql.{sources => sqs}
+
+    // Appendix B test vectors (iceberg.apache.org/spec): the bucket
+    // hash of int 34 and long 34 is 2017239379; string "iceberg" is
+    // 1210000089; date 2017-11-16 (epoch day 17486) is -653330422.
+    assert(IcebergSource.murmur3(java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(34L).array()) == 2017239379)
+    assert(bucketOf(34, 16) == Some((2017239379 & Int.MaxValue) % 16))
+    assert(bucketOf(34L, 16) == bucketOf(34, 16), "int and long must hash identically")
+    assert(IcebergSource.murmur3("iceberg".getBytes("UTF-8")) == 1210000089)
+    assert(IcebergSource.murmur3(java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(17486L).array()) == -653330422)
+
+    // truncate: floor semantics for negatives, code points for strings
+    assert(transformLit("truncate[10]", Int.box(-1)) == Some(Int.box(-10)))
+    assert(transformLit("truncate[10]", Long.box(25L)) == Some(Long.box(20L)))
+    assert(transformLit("truncate[3]", "banana") == Some("ban"))
+    assert(transformLit("truncate[9]", "ab") == Some("ab"))
+    // temporal ordinals relative to 1970 (UTC)
+    val d = java.sql.Date.valueOf("2017-11-16")
+    assert(transformLit("year", d) == Some(Int.box(47)))
+    assert(transformLit("month", d) == Some(Int.box(47 * 12 + 10)))
+    assert(transformLit("day", d) == Some(Long.box(17486L)))
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2017-11-16T14:31:08Z"))
+    assert(transformLit("hour", ts) == Some(Long.box(17486L * 24 + 14)))
+
+    // pruning under a bucket spec: equality prunes wrong buckets, keeps
+    // the right one; ranges never prune (bucket is not order-preserving)
+    val bSpec = Seq(PartField("id_bucket", "id", "bucket[16]"))
+    val b34 = bucketOf(34L, 16).get
+    assert(fileMayMatch(sqs.EqualTo("id", 34L), Map("id_bucket" -> b34), bSpec))
+    assert(!fileMayMatch(sqs.EqualTo("id", 34L), Map("id_bucket" -> ((b34 + 1) % 16)), bSpec))
+    assert(fileMayMatch(sqs.GreaterThan("id", 34L), Map("id_bucket" -> b34), bSpec))
+    assert(fileMayMatch(sqs.In("id", Array(34L, 35L)),
+      Map("id_bucket" -> bucketOf(35L, 16).get), bSpec))
+
+    // pruning under a day spec: the interval rule — equal ordinal may
+    // straddle the literal (kept), strictly-lower ordinal is excluded
+    // for >, strictly-higher for <
+    val dSpec = Seq(PartField("ts_day", "ts", "day"))
+    assert(fileMayMatch(sqs.GreaterThan("ts", ts), Map("ts_day" -> Long.box(17486L)), dSpec))
+    assert(!fileMayMatch(sqs.GreaterThan("ts", ts), Map("ts_day" -> Long.box(17485L)), dSpec))
+    assert(!fileMayMatch(sqs.LessThan("ts", ts), Map("ts_day" -> Long.box(17487L)), dSpec))
+    assert(fileMayMatch(sqs.EqualTo("ts", ts), Map("ts_day" -> Long.box(17486L)), dSpec))
+    assert(!fileMayMatch(sqs.EqualTo("ts", ts), Map("ts_day" -> Long.box(17485L)), dSpec))
+    // null tests work through any non-void transform; void never prunes
+    assert(!fileMayMatch(sqs.IsNull("ts"), Map("ts_day" -> Long.box(17486L)), dSpec))
+    assert(!fileMayMatch(sqs.IsNotNull("ts"), Map("ts_day" -> null), dSpec))
+    val vSpec = Seq(PartField("v_void", "ts", "void"))
+    assert(fileMayMatch(sqs.IsNull("ts"), Map("v_void" -> null), vSpec))
+    assert(fileMayMatch(sqs.EqualTo("ts", ts), Map("v_void" -> null), vSpec))
+    // unknown transforms read everything
+    val uSpec = Seq(PartField("x_zorder", "id", "zorder[4]"))
+    assert(fileMayMatch(sqs.EqualTo("id", 1L), Map("x_zorder" -> Long.box(9L)), uSpec))
+  }
+
+  test("truncate-transform table end-to-end: spec relabel prunes file plans and reads stay exact") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    // Build an identity-partitioned table, then relabel the spec as
+    // truncate[25] on the same source: every region name is shorter
+    // than 25, so T(v) = v and the manifests' recorded values remain
+    // exactly what a truncate[25] writer would have produced — a
+    // consistent non-identity fixture without a non-identity writer.
+    val dir = s"${tmpDir()}/tbl"
+    val df = (0 until 60).map(i => (i.toLong, Seq("us", "eu", "ap")(i % 3), i * 1.5))
+      .toDF("id", "region", "v")
+    IcebergSource.commitAppend(spark, dir, df, 1L, 1L, partitionBy = Seq("region"))
+    val metaPath = java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json")
+    val metaJson = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    java.nio.file.Files.write(metaPath,
+      metaJson.replace("\"identity\"", "\"truncate[25]\"").getBytes("UTF-8"))
+    val meta = IcebergSource.readMeta(dir)
+    assert(meta.spec.map(_.transform) == Seq("truncate[25]"))
+    assert(meta.partitionFields.isEmpty, "truncate is not writable-identity")
+
+    val all = IcebergSource.dataFiles(dir)
+    val pruned = IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("region", "eu")))
+    assert(pruned.nonEmpty && pruned.size < all.size)
+    assert(pruned.forall(_.partition("region") == "eu"))
+    // range prunes via the interval rule (string order on prefixes)
+    val gt = IcebergSource.dataFiles(dir, filters = Seq(sqs.GreaterThan("region", "eu")))
+    assert(gt.map(_.partition("region")).toSet == Set("eu", "us"),
+      "eu may straddle (kept), ap provably below (pruned)")
+    // and the read of the pruned plan is exact after the engine filter
+    val got = IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("region", "eu")))
+      .filter($"region" === "eu")
+    assert(got.count() == 20)
   }
 
   test("non-ancestor incremental window is rejected, not silently wrong") {
