@@ -113,7 +113,16 @@ final class GlueScanBuilder(name: String, tbl: GlueCatalog.GlueTable,
 }
 
 /** V1 bridge: DSv2 negotiation above, the stock vectorized parquet
-  * DataFrame below (same pattern as Spark's JDBCScan). */
+  * DataFrame below (same pattern as Spark's JDBCScan).
+  *
+  * Known bridge limitation: Catalyst wraps every V1Scan in
+  * `V1ScanWrapper`, which forwards ONLY readSchema — a
+  * SupportsReportStatistics implementation here is silently ignored,
+  * so post-prune size estimates cannot reach the join planner through
+  * this connector. Pipelines that want size-aware planning (broadcast
+  * of a small pruned read) should use the driver seam
+  * (`GlueCatalog.scanWithFilters`), whose DataFrame carries the
+  * parquet relation's real statistics natively. */
 final class GlueV1Scan(df: DataFrame, projection: StructType) extends V1Scan {
   override def readSchema(): StructType = projection
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =

@@ -156,6 +156,30 @@ class GlueCatalogSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("driver seam carries real post-prune statistics: a small pruned read broadcasts in a join") {
+    // (The DSv2 bridge cannot report these — Catalyst's V1ScanWrapper
+    // forwards only readSchema, see GlueV1Scan's doc — so the seam is
+    // the size-aware path for join planning.)
+    import org.apache.spark.sql.sources._
+    val locs = writePartitions()
+    val ep = new Endpoint(locs)
+    val Seq(tbl) = GlueCatalog.getTables(ep.transport, "sales")
+    val parts = GlueCatalog.getPartitions(ep.transport, "sales", "orders")
+    val (pruned, neg) = GlueCatalog.scanWithFilters(spark, tbl, parts,
+      Seq(EqualTo("ds", "2024-01-02")))
+    assert(neg.prunedToLocations == Seq(locs(1)))
+    // the parquet relation's native size estimate covers ONLY the
+    // surviving location — small enough to broadcast
+    assert(pruned.queryExecution.optimizedPlan.stats.sizeInBytes
+      < spark.conf.get("spark.sql.autoBroadcastJoinThreshold").replace("b", "").toLong
+      || pruned.queryExecution.optimizedPlan.stats.sizeInBytes < 10L * 1024 * 1024)
+    val big = spark.range(0, 5000).select((col("id") % 1000 + 200).as("k"))
+    val joined = big.join(pruned, col("k") === col("id"))
+    assert(joined.count() > 0)
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"small pruned glue read should broadcast:\n${joined.queryExecution.executedPlan}")
+  }
+
   test("full scan unions all partitions with catalog keys attached") {
     val ep = new Endpoint(writePartitions())
     val Seq(tbl) = GlueCatalog.getTables(ep.transport, "sales")
