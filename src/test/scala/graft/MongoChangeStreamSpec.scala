@@ -101,4 +101,58 @@ class MongoChangeStreamSpec extends SparkSpec {
     // doc ...0010 survives (insert→update), ...0011 deleted, ...0012 survives
     assert(keys == Set("650000000000000000000010", "650000000000000000000012"))
   }
+
+  test("micro-batch stream: token offsets, trailing commit group held back, AvailableNow drains, exactly-once restart") {
+    import scala.collection.mutable
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.dsv2.MongoStreamRegistry
+
+    MongoStreamRegistry.register("orders_stream")
+    // two complete singleton commits + a 2-doc txn (B1/B2 share commit
+    // clusterTime) — the txn is the TRAILING group for now
+    MongoStreamRegistry.append("orders_stream", events.take(4))
+
+    val ckpt = tmpDir()
+    val seen = mutable.ArrayBuffer.empty[String]
+    def stream() = spark.readStream
+      .format("graft.sources.dsv2.MongoStreamSource")
+      .option("stream", "orders_stream").load()
+    val q1 = stream().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        // the typed decode composes over the streamed frame
+        val toks = MongoChangeStream.decodeEnvelope(b.toDF(), "event")
+          .select("resume_token").collect().map(_.getString(0))
+        seen.synchronized { seen ++= toks }; ()
+      }
+      .start()
+    q1.processAllAvailable()
+    // the trailing commit group (the B txn) is HELD BACK: its
+    // completeness is unproven until a later commit appears
+    assert(seen.sorted.toSeq == Seq("8100A1", "8100A2"),
+      s"trailing commit group must be held back, got $seen")
+
+    // a later commit proves the txn complete; the next batch releases
+    // BOTH its events atomically (never a half-transaction) and now
+    // holds back the new trailing group
+    MongoStreamRegistry.append("orders_stream", Seq(events(4)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(seen.sorted.toSeq == Seq("8100A1", "8100A2", "8100B1", "8100B2"))
+
+    // restart from the checkpoint with AvailableNow: drains the tail,
+    // resumes strictly after the committed token — exactly once
+    val seen2 = mutable.ArrayBuffer.empty[String]
+    val q2 = stream().writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        seen2.synchronized { seen2 ++= b.collect().map(_.getString(0)) }; ()
+      }
+      .start()
+    q2.awaitTermination()
+    assert(seen2.sorted.toSeq == Seq("8100C1"),
+      s"restart must resume after the checkpointed token, got $seen2")
+  }
 }
