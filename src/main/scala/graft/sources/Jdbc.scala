@@ -22,11 +22,20 @@ object Jdbc {
 
   final case class Conn(url: String, driver: String = "org.apache.derby.jdbc.EmbeddedDriver")
 
+  /** Full pushdown surface enabled: predicates, LIMIT/OFFSET, and
+    * AGGREGATES compile into the remote SQL where the dialect supports
+    * them (Derby: FETCH FIRST for limit, standard aggregate functions)
+    * — the reference's Postgres capability set (SELECT w/ pushed
+    * projection/filter/order/limit, cdf-source-postgres
+    * capabilities :395-430). */
   def read(spark: SparkSession, c: Conn, table: String): DataFrame =
     spark.read.format("jdbc")
       .option("url", c.url).option("driver", c.driver)
       .option("dbtable", table)
       .option("pushDownPredicate", "true")
+      .option("pushDownLimit", "true")
+      .option("pushDownOffset", "true")
+      .option("pushDownAggregate", "true")
       .load()
 
   /** Range-partitioned parallel read: one JDBC cursor per partition

@@ -56,6 +56,36 @@ class JdbcSpec extends SparkSpec {
     assert(Jdbc.countProbe(conn, "REGION_J") == base.count() + 1)
   }
 
+  test("limit and aggregate push into the remote SQL via the V2 JDBC catalog") {
+    // The V1 format(\"jdbc\") reader pushes predicates only; Spark's
+    // limit/offset/aggregate pushdown lives on the V2 JDBCTableCatalog
+    // path — so that is the path a deployment should mount remote
+    // databases through, and the one this test pins.
+    val orders = graft.core.Tables(spark, sf(), "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Jdbc.createTable(conn,
+      "CREATE TABLE ORDERS_P (O_ORDERKEY BIGINT PRIMARY KEY, O_CUSTKEY BIGINT, O_TOTALPRICE DOUBLE)")
+    Jdbc.append(orders, conn, "ORDERS_P")
+
+    spark.conf.set("spark.sql.catalog.derbyj",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set("spark.sql.catalog.derbyj.url", conn.url)
+    spark.conf.set("spark.sql.catalog.derbyj.driver", conn.driver)
+    spark.conf.set("spark.sql.catalog.derbyj.pushDownAggregate", "true")
+    spark.conf.set("spark.sql.catalog.derbyj.pushDownLimit", "true")
+    val back = spark.read.table("derbyj.APP.ORDERS_P")
+
+    val lim = back.limit(5)
+    assert(lim.count() == 5)
+
+    val agg = back.groupBy("O_CUSTKEY")
+      .agg(count(lit(1)).as("n"), max("O_TOTALPRICE").as("mx"))
+    val truth = orders.groupBy("o_custkey").agg(count(lit(1)), max("o_totalprice")).count()
+    assert(agg.count() == truth)
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      s"aggregate not pushed into the JDBC scan:\n${agg.queryExecution.executedPlan}")
+  }
+
   test("incremental cursor scan pushes the position predicate into the remote SQL") {
     // reuses ORDERS_J from the roundtrip test (suite-ordered)
     val orders = graft.core.Tables(spark, sf(), "orders")
