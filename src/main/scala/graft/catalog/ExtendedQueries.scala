@@ -344,6 +344,39 @@ object ExtendedQueries {
         min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
   }
 
+  val icebergPartitioned: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_partitioned",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+      |  CAST(1 AS BOOLEAN) AS pruned
+      |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+    doc = "Partitioned Iceberg scan with manifest partition pruning (cdf-source-iceberg " +
+      "driver.rs:1035): the table commits identity-partitioned by l_returnflag (per-file " +
+      "partition values in the manifest entries), an equality predicate prunes the file " +
+      "plan BEFORE any parquet is opened, and the aggregate over the pruned read matches " +
+      "the flag's slice exactly. The `pruned` column is computed from the two plans — it " +
+      "is true only if the filtered file list is strictly smaller than the full list, so " +
+      "a regression to scan-everything fails the hash, not just the wall clock.") { (s, d) =>
+    import org.apache.spark.sql.{sources => sqs}
+    val li = t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      dec2(col("l_quantity")).as("l_quantity"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_part").toString + "/tbl"
+    graft.sources.IcebergSource.commitAppend(s, dir, li,
+      snapshotId = 1L, timestampMs = 1L, partitionBy = Seq("l_returnflag"))
+    val filters = Seq(sqs.EqualTo("l_returnflag", "R"): sqs.Filter)
+    val planned = graft.sources.IcebergSource.dataFiles(dir, filters = filters)
+    val allFiles = graft.sources.IcebergSource.dataFiles(dir)
+    val prunedProof = planned.nonEmpty && planned.size < allFiles.size
+    graft.sources.IcebergSource.read(s, dir, filters = filters)
+      .filter(col("l_returnflag") === "R") // row-level re-check, pushed to parquet
+      .agg(count(lit(1)).cast("long").as("n"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        lit(prunedProof).as("pruned"))
+  }
+
   val glueScan: QueryDef = QueryDef.sqlBacked(
     "q_glue_scan",
     """SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -408,7 +441,7 @@ object ExtendedQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    icebergIncremental, glueScan, tier2Python,
+    icebergIncremental, icebergPartitioned, glueScan, tier2Python,
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,
     csvRoundtrip, ndjsonRoundtrip, orcRoundtrip,
