@@ -386,6 +386,60 @@ object IcebergSource {
     transform == "identity" || transform.startsWith("truncate[") ||
       Set("year", "month", "day", "hour").contains(transform)
 
+  /** transforms KNOWN to map null→null and non-null→non-null. Null-based
+    * exclusion is sound only for these — void maps everything to null,
+    * and an UNKNOWN transform might too, so both are excluded (a future
+    * void-like transform must never cause a wrong prune). */
+  private def nullPreserving(transform: String): Boolean =
+    transform == "identity" || transform.startsWith("bucket[") || monotone(transform)
+
+  /** Order comparison for pruning decisions — sound or absent. Integral
+    * values compare as longs (a double roundtrip collides beyond 2^53:
+    * Not(EqualTo) could prune a file whose value merely ROUNDS to the
+    * literal); floating values compare as doubles; strings compare by
+    * CODE POINT to match Spark's UTF-8 binary order (UTF-16
+    * String.compareTo misorders supplementary characters against
+    * the U+E000..U+FFFF block, which could unsoundly exclude a range
+    * file). Mixed
+    * or unknown type pairs → None → keep the file. */
+  private[graft] def cmpValues(pv: Any, lit: Any): Option[Int] = {
+    def integral(v: Any): Option[Long] = v match {
+      case i: java.lang.Integer => Some(i.longValue())
+      case l: java.lang.Long => Some(l.longValue())
+      case s: java.lang.Short => Some(s.longValue())
+      case b: java.lang.Byte => Some(b.longValue())
+      case _ => None
+    }
+    def floating(v: Any): Option[Double] = v match {
+      case d: java.lang.Double => Some(d.doubleValue())
+      case f: java.lang.Float => Some(f.doubleValue())
+      case _ => None
+    }
+    def cmpCodePoints(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+    (pv, lit) match {
+      case (null, _) | (_, null) => None
+      case (a: String, b: String) => Some(cmpCodePoints(a, b))
+      case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
+      case (a: java.math.BigDecimal, b: java.math.BigDecimal) => Some(a.compareTo(b))
+      case _ =>
+        (integral(pv), integral(lit)) match {
+          case (Some(a), Some(b)) => Some(java.lang.Long.compare(a, b))
+          case _ => (floating(pv), floating(lit)) match {
+            case (Some(a), Some(b)) => Some(java.lang.Double.compare(a, b))
+            case _ => None // mixed families / unsupported: keep
+          }
+        }
+    }
+  }
+
   // -------------------------------------------------- partition pruning
 
   /** Conservative file-level predicate evaluation against identity
@@ -396,14 +450,7 @@ object IcebergSource {
     * (the stats-pruning conservative-on-missing law, SURVEY §2.10). */
   private[sources] def mayMatch(f: SFilter, part: Map[String, Any]): Boolean = {
     import org.apache.spark.sql.{sources => sf}
-    def cmp(pv: Any, lit: Any): Option[Int] = (pv, lit) match {
-      case (null, _) | (_, null) => None
-      case (a: Number, b: Number) =>
-        Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
-      case (a: String, b: String) => Some(a.compareTo(b))
-      case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
-      case _ => None
-    }
+    def cmp(pv: Any, lit: Any): Option[Int] = cmpValues(pv, lit)
     def rel(c: String, lit: Any)(keep: Int => Boolean): Boolean = part.get(c) match {
       case None => true        // not a partition column → unknown → keep
       case Some(null) => false // all rows null → comparison never matches
@@ -454,13 +501,7 @@ object IcebergSource {
       spec: Seq[PartField]): Boolean = {
     if (spec.isEmpty) return mayMatch(f, part)
     import org.apache.spark.sql.{sources => sf}
-    def cmp(pv: Any, tl: Any): Option[Int] = (pv, tl) match {
-      case (null, _) | (_, null) => None
-      case (a: Number, b: Number) =>
-        Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
-      case (a: String, b: String) => Some(a.compareTo(b))
-      case _ => None
-    }
+    def cmp(pv: Any, tl: Any): Option[Int] = cmpValues(pv, tl)
     // fields derived from column c that have a recorded value
     def fieldsOf(c: String): Seq[(PartField, Any)] =
       spec.filter(_.source == c).flatMap(pf =>
@@ -468,7 +509,10 @@ object IcebergSource {
     // provable no-match for one spec field under an equality literal
     def eqNoMatch(pf: PartField, pv: Any, lit: Any): Boolean =
       if (lit == null) false
-      else if (pv == null) pf.transform != "void" // non-void: all-null source never equals a value
+      // null-preserving only: all-null source never equals a value.
+      // void AND unknown transforms map non-null→null, so a null pv
+      // proves nothing about the source column there.
+      else if (pv == null) nullPreserving(pf.transform)
       else pf.transform match {
         case t if t == "identity" || monotone(t) || t.startsWith("bucket[") =>
           transformLit(t, lit).exists(tl => cmp(pv, tl).exists(_ != 0))
@@ -476,7 +520,7 @@ object IcebergSource {
       }
     def rangeNoMatch(pf: PartField, pv: Any, lit: Any)(excl: Int => Boolean): Boolean =
       if (!monotone(pf.transform)) false
-      else if (pv == null) pf.transform != "void" // comparisons never match all-null
+      else if (pv == null) true // monotone ⊂ null-preserving: all-null source never satisfies a comparison
       else transformLit(pf.transform, lit).exists(tl => cmp(pv, tl).exists(excl))
     f match {
       case sf.EqualTo(c, lit) => !fieldsOf(c).exists { case (pf, pv) => eqNoMatch(pf, pv, lit) }
@@ -492,11 +536,13 @@ object IcebergSource {
         !fieldsOf(c).exists { case (pf, pv) => rangeNoMatch(pf, pv, lit)(_ > 0) }
       case sf.LessThanOrEqual(c, lit) =>
         !fieldsOf(c).exists { case (pf, pv) => rangeNoMatch(pf, pv, lit)(_ > 0) }
-      // null tests: every transform except void maps null↔null
+      // null tests: only the KNOWN null-preserving transforms prove
+      // anything (void — and possibly an unknown transform — maps
+      // non-null→null, so its fields answer no null test)
       case sf.IsNull(c) => !fieldsOf(c).exists { case (pf, pv) =>
-        pf.transform != "void" && pv != null }
+        nullPreserving(pf.transform) && pv != null }
       case sf.IsNotNull(c) => !fieldsOf(c).exists { case (pf, pv) =>
-        pf.transform != "void" && pv == null }
+        nullPreserving(pf.transform) && pv == null }
       case sf.And(l, r) => fileMayMatch(l, part, spec) && fileMayMatch(r, part, spec)
       case sf.Or(l, r) => fileMayMatch(l, part, spec) || fileMayMatch(r, part, spec)
       case sf.Not(sf.EqualTo(c, lit)) => !fieldsOf(c).exists { case (pf, pv) =>

@@ -45,7 +45,7 @@ import graft.core.CanonicalJson._
   * scales with the stream's partitioning, not the driver.
   */
 object MongoStreamRegistry {
-  final case class Event(token: String, commitKey: Long, json: String)
+  final case class Event(token: String, commitKey: String, json: String)
   final case class Entry(events: Vector[Event], partitions: Int = 4)
 
   private val tables = TrieMap.empty[String, Entry]
@@ -56,6 +56,12 @@ object MongoStreamRegistry {
       case Some(JStr(t)) => t
       case other => throw new IllegalArgumentException(s"change event without _id._data: $other")
     }
+    // Events sharing a clusterTime form one commit group. An event
+    // WITHOUT a clusterTime must get a UNIQUE key (its own resume
+    // token) — a shared sentinel like 0 would fuse unrelated events
+    // into a phantom group and, when the newest event lacks a
+    // clusterTime, truncate the frontier to before the FIRST such
+    // event, stalling offset advancement (liveness).
     val ck = f.get("clusterTime").map(CanonicalJson.objFields)
       .flatMap(_.get("$timestamp")).map(CanonicalJson.objFields) match {
       case Some(ts) =>
@@ -63,8 +69,8 @@ object MongoStreamRegistry {
           case Some(JInt(v)) => v
           case _ => 0L
         }
-        (l("t") << 32) | l("i")
-      case None => 0L
+        s"ct:${(l("t") << 32) | l("i")}"
+      case None => s"tok:$token"
     }
     Event(token, ck, eventJson)
   }

@@ -220,6 +220,12 @@ final class MongoFindScanBuilder(name: String, entry: MongoRegistry.Entry)
     * same docs decode to null, so the groups coincide. */
   private def compileAgg(agg: Aggregation): Option[(Seq[String], StructType)] = {
     if (residualHeld) return None // Exact-only law, same as limit/top-N
+    // global (no GROUP BY) aggregation stays engine-side: Mongo's
+    // $group over an empty (or fully $match-filtered) input emits ZERO
+    // rows where Spark's global aggregate must emit exactly one
+    // (count=0, sum/min/max/avg NULL) — a complete pushdown would
+    // silently swallow that row
+    if (agg.groupByExpressions.isEmpty) return None
     val groups: Seq[Option[String]] = agg.groupByExpressions.toSeq.map {
       case ref: NamedReference if ref.fieldNames.length == 1 &&
           entry.schema.fieldNames.contains(ref.fieldNames()(0)) => Some(ref.fieldNames()(0))
@@ -227,6 +233,11 @@ final class MongoFindScanBuilder(name: String, entry: MongoRegistry.Entry)
     }
     if (!groups.forall(_.isDefined)) return None
     val groupCols = groups.flatten
+    // a group column literally named `_id` would collide with the
+    // $group key document: the $project would carry both an `_id`
+    // exclusion and an `_id` inclusion — an invalid spec a real
+    // mongod rejects. Refuse; the engine aggregates instead.
+    if (groupCols.contains("_id")) return None
     def colOf(e: Expression): Option[StructField] = e match {
       case ref: NamedReference if ref.fieldNames.length == 1 =>
         entry.schema.fields.find(_.name == ref.fieldNames()(0))

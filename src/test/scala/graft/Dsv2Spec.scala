@@ -465,4 +465,50 @@ class Dsv2Spec extends SparkSpec {
     assert(!df.queryExecution.optimizedPlan.toString.contains("Aggregate"),
       s"complete pushdown must leave no engine-side Aggregate:\n${df.queryExecution.optimizedPlan}")
   }
+
+  test("Mongo DSv2: global aggregate stays engine-side — $group over an empty input emits zero rows, Spark must emit one") {
+    import graft.sources.dsv2.MongoRegistry
+    val schemaM = StructType(Seq(
+      StructField("id", LongType), StructField("qty", DoubleType)))
+    // empty collection: a pushed {"$group":{"_id":null}} would return
+    // NO documents, silently swallowing Spark's mandatory single row
+    val transport: String => String = { cmd =>
+      assert(!cmd.contains(""""aggregate""""),
+        s"global aggregate must NOT push to the server: $cmd")
+      "" // no documents
+    }
+    MongoRegistry.register("aggglobal", MongoRegistry.Entry(
+      "events.aggglobal", schemaM, transport, pushable = Set("id", "qty")))
+    val df = spark.read.format("graft.sources.dsv2.MongoFindSource")
+      .option("collection", "aggglobal").load()
+      .agg(count(lit(1)).as("c"), sum("qty").as("s"))
+    val got = df.collect()
+    assert(got.length == 1, "global aggregate over empty input must emit exactly one row")
+    assert(got(0).getLong(0) == 0L)
+    assert(got(0).isNullAt(1))
+  }
+
+  test("Mongo DSv2: grouping by a column named _id refuses pushdown — the $project spec would carry conflicting _id keys") {
+    import graft.sources.dsv2.MongoRegistry
+    val schemaM = StructType(Seq(
+      StructField("_id", StringType), StructField("qty", DoubleType)))
+    val transport: String => String = { cmd =>
+      assert(!cmd.contains(""""aggregate""""),
+        s"_id group key must NOT push to the server: $cmd")
+      Seq(
+        """{"_id":"a","qty":{"$numberDouble":"1.5"}}""",
+        """{"_id":"a","qty":{"$numberDouble":"2.5"}}""",
+        """{"_id":"b","qty":{"$numberDouble":"4.0"}}""").mkString("\n")
+    }
+    MongoRegistry.register("aggid", MongoRegistry.Entry(
+      "events.aggid", schemaM, transport, pushable = Set("_id", "qty")))
+    val df = spark.read.format("graft.sources.dsv2.MongoFindSource")
+      .option("collection", "aggid").load()
+      .groupBy("_id").agg(sum("qty").as("s")).orderBy("_id")
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("a", 4.0), ("b", 4.0)))
+    // engine-side aggregation still present
+    assert(df.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      s"refused pushdown must keep the engine Aggregate:\n${df.queryExecution.optimizedPlan}")
+  }
 }

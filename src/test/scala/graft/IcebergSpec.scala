@@ -306,6 +306,34 @@ class IcebergSpec extends SparkSpec {
     // unknown transforms read everything
     val uSpec = Seq(PartField("x_zorder", "id", "zorder[4]"))
     assert(fileMayMatch(sqs.EqualTo("id", 1L), Map("x_zorder" -> Long.box(9L)), uSpec))
+
+    // an UNKNOWN transform may be void-like (non-null source → null
+    // partition value), so a null pv proves nothing: no null-based
+    // exclusion, no IsNull/IsNotNull answers
+    assert(fileMayMatch(sqs.EqualTo("id", 1L), Map("x_zorder" -> null), uSpec))
+    assert(fileMayMatch(sqs.IsNotNull("id"), Map("x_zorder" -> null), uSpec))
+    assert(fileMayMatch(sqs.IsNull("id"), Map("x_zorder" -> Long.box(9L)), uSpec))
+    // ...while known null-preserving transforms still exclude soundly
+    val iSpec = Seq(PartField("id", "id", "identity"))
+    assert(!fileMayMatch(sqs.EqualTo("id", 1L), Map("id" -> null), iSpec))
+    assert(!fileMayMatch(sqs.IsNotNull("id"), Map("id" -> null), iSpec))
+
+    // comparator soundness: longs beyond 2^53 must not collide through
+    // a double roundtrip — 2^53 and 2^53+1 round to the SAME double, so
+    // a double-based Not(EqualTo) would wrongly prune the file
+    val big = 9007199254740992L // 2^53
+    assert(fileMayMatch(sqs.Not(sqs.EqualTo("id", big + 1)), Map("id" -> Long.box(big)), iSpec),
+      "distinct longs that round to the same double must not prune")
+    assert(!fileMayMatch(sqs.Not(sqs.EqualTo("id", big)), Map("id" -> Long.box(big)), iSpec))
+    // strings compare by CODE POINT (Spark's UTF-8 binary order):
+    // U+FFFF sorts BELOW a supplementary character (U+10000), while
+    // UTF-16 String.compareTo says the opposite — a range prune based
+    // on compareTo would wrongly exclude this file
+    val supp = new String(Character.toChars(0x10000))
+    assert("\uFFFF".compareTo(supp) > 0, "UTF-16 order (the trap) inverts here")
+    assert(fileMayMatch(sqs.GreaterThan("s", "\uFFFF"), Map("s" -> supp),
+      Seq(PartField("s", "s", "identity"))),
+      "supplementary char is > U+FFFF in code-point order; must be kept")
   }
 
   test("truncate-transform table end-to-end: spec relabel prunes file plans and reads stay exact") {

@@ -155,4 +155,41 @@ class MongoChangeStreamSpec extends SparkSpec {
     assert(seen2.sorted.toSeq == Seq("8100C1"),
       s"restart must resume after the checkpointed token, got $seen2")
   }
+
+  test("liveness: events without clusterTime get unique commit keys — the frontier never fuses them into a phantom group") {
+    import scala.collection.mutable
+    import org.apache.spark.sql.Row
+    import graft.sources.dsv2.MongoStreamRegistry
+
+    def bare(token: String, id: Int) = // no clusterTime at all
+      s"""{"_id":{"_data":"$token"},"operationType":"insert",
+         |"ns":{"db":"shop","coll":"orders"},
+         |"documentKey":{"_id":{"$$oid":"6500000000000000000000$id"}}}""".stripMargin.replace("\n", "")
+
+    MongoStreamRegistry.register("bare_stream")
+    // e2 and e4 both lack clusterTime; e4 is the newest. A shared
+    // sentinel key would truncate the frontier to BEFORE e2 (takeWhile
+    // stops at the first key equal to the last's), stalling the stream
+    // two events behind. Unique keys hold back ONLY e4.
+    MongoStreamRegistry.append("bare_stream", Seq(
+      ev("9200A1", "insert", 1800000001L, 1, 20, """{"qty":{"$numberLong":"1"}}"""),
+      bare("9200A2", 21),
+      ev("9200A3", "insert", 1800000003L, 1, 22, """{"qty":{"$numberLong":"2"}}"""),
+      bare("9200A4", 23)))
+
+    val seen = mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream
+      .format("graft.sources.dsv2.MongoStreamSource")
+      .option("stream", "bare_stream").load()
+      .writeStream
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        seen.synchronized { seen ++= b.collect().map(_.getString(0)) }; ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.sorted.toSeq == Seq("9200A1", "9200A2", "9200A3"),
+      s"frontier must advance past bare events, holding back only the trailing one, got $seen")
+  }
 }
