@@ -314,19 +314,62 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val simhash: QueryDef = QueryDef.rowsOnly(
+  val simhash: QueryDef = QueryDef.sqlBacked(
     "q_simhash",
+    s"""WITH corpus AS ($corpusSql),
+       |toks AS (SELECT doc_id, unnest($wsSplitSql) AS tok FROM corpus),
+       |th AS (SELECT doc_id,
+       |  CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+       |  CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo FROM toks),
+       |bitsum AS (
+       |  SELECT doc_id, gb.b AS b,
+       |    SUM(CASE WHEN (CASE WHEN gb.b < 32 THEN (lo // (1::BIGINT << gb.b)) % 2
+       |                        ELSE (hi // (1::BIGINT << (gb.b - 32))) % 2 END) = 1
+       |             THEN 1 ELSE -1 END) AS s
+       |  FROM th CROSS JOIN generate_series(0, 63) AS gb(b)
+       |  GROUP BY doc_id, gb.b),
+       |sig AS (SELECT doc_id, b, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM bitsum),
+       |bands AS (
+       |  SELECT doc_id, b // 16 AS band_idx,
+       |    CAST(SUM(bit << (b % 16)) AS BIGINT) AS band_val
+       |  FROM sig GROUP BY doc_id, b // 16),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id),
+       |ham AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(SUM(CASE WHEN sa.bit <> sb.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.b = sa.b
+       |  GROUP BY c.doc_a, c.doc_b
+       |  HAVING SUM(CASE WHEN sa.bit <> sb.bit THEN 1 ELSE 0 END) <= 3),
+       |grams AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))) AS gset
+       |  FROM (SELECT doc_id, $wsSplitSql AS w FROM corpus)
+       |  WHERE len(w) >= 5)
+       |SELECT h.doc_a, h.doc_b, h.hamming,
+       |  CAST(len(list_intersect(ga.gset, gb.gset)) AS DOUBLE) /
+       |    (len(ga.gset) + len(gb.gset) - len(list_intersect(ga.gset, gb.gset))) AS jaccard
+       |FROM ham h
+       |JOIN grams ga ON ga.doc_id = h.doc_a
+       |JOIN grams gb ON gb.doc_id = h.doc_b
+       |WHERE CAST(len(list_intersect(ga.gset, gb.gset)) AS DOUBLE) /
+       |    (len(ga.gset) + len(gb.gset) - len(list_intersect(ga.gset, gb.gset))) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin,
     doc = "64-bit SimHash, 16-bit band candidate generation, exact Hamming verify, then " +
       "EXACT word-5-gram Jaccard verification on the candidate set — every emitted pair " +
       "is a provably true near-dup (verification cost ∝ candidates, never corpus). " +
-      "Rows-only with evidence, not convenience: a full Jaccard oracle requires band " +
-      "recall 1.0, and the measured recall is 34/36 at sf0.01 (32/44 at sf0.001) — " +
-      "missed true pairs at jaccard 0.96-0.97 differ in simhash bits spread across all four 16-bit bands " +
-      "(intrinsic simhash recall, pinned in LlmSpec); the xxhash64-based signature is " +
-      "additionally engine-specific. The jaccard-verified emission is what IS portable " +
-      "and it is spec-asserted against the brute-force pair set.") { (s, d) =>
+      "FULL oracle (the q_ann_lsh pattern): the catalog query runs the md5-derived " +
+      "portable token hash, so DuckDB replays hash → per-bit majority → 16-bit bands → " +
+      "candidate join → Hamming ≤ 3 → exact-Jaccard verify end to end — candidate " +
+      "membership, hamming AND jaccard are all hash-checked. Production default stays " +
+      "the codegen'd one-pass xxhash64 kernel behind the same interface (its emission " +
+      "is Jaccard-verified and its recall pinned in LlmSpec).") { (s, d) =>
     TextDedup.simhashPairs(corpusWithDups(s, d), "doc_id", "text", maxHamming = 3,
-        verifyJaccard = Some((5, 0.5)))
+        verifyJaccard = Some((5, 0.5)), portableHash = true)
       .orderBy("doc_a", "doc_b")
   }
 

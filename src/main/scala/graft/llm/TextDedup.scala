@@ -157,6 +157,20 @@ object TextDedup {
 
   def simhash64(textCol: Column): Column = simhashOfHashes(tokenHashes(textCol))
 
+  /** Portable per-token 64-bit hash BOTH engines recompute exactly:
+    * the first 16 hex chars of md5(token) parsed as two 32-bit halves,
+    * hash = (hi << 32) | lo. md5 is byte-identical across engines
+    * (UTF-8 in, lowercase hex out), so a SQL oracle can replay the
+    * entire simhash pipeline — hash → bit-majority → bands → hamming.
+    * Production stays on the xxhash64 kernel (faster, one pass); this
+    * exists to make the emission hash-verifiable end to end. */
+  def portableTokenHashes(textCol: Column): Column =
+    transform(TextAnalysis.wsTokens(textCol), { t =>
+      val h = md5(t)
+      shl(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(32))
+        .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))
+    })
+
   /** SimHash near-dup pairs: candidates share at least one of four
     * 16-bit bands (any pair within Hamming distance 3 must collide on
     * ≥1 band); verified by exact Hamming distance. */
@@ -168,15 +182,21 @@ object TextDedup {
     * RECALL (which jaccard-θ pairs the 16-bit bands surface —
     * measured and pinned in LlmSpec; at sf0.01, 34 of 36 true pairs). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, verifyJaccard: Option[(Int, Double)] = None): DataFrame = {
+      maxHamming: Int, verifyJaccard: Option[(Int, Double)] = None,
+      portableHash: Boolean = false): DataFrame = {
     // native codegen'd one-pass simhash (bit-identical to the HOF
     // reference implementation — LlmSpec asserts it);
     // repartition+persist as in the other pair generators.
+    // portableHash swaps the signature's token hash for the md5-derived
+    // one so a SQL oracle can replay the pipeline; band/hamming/verify
+    // stages are IDENTICAL in both modes.
     graft.functions.TextHashFunctions.register(df.sparkSession)
+    val sigExpr =
+      if (portableHash) simhashOfHashes(portableTokenHashes(col(textCol)))
+      else call_function("graft_simhash64", col(textCol))
     val sigs = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
         col(idCol))
-      .select(col(idCol).as("doc_id"),
-        call_function("graft_simhash64", col(textCol)).as("sig"))
+      .select(col(idCol).as("doc_id"), sigExpr.as("sig"))
       .persist()
     val banded = sigs.withColumn("band_idx", explode(sequence(lit(0), lit(3))))
       .withColumn("band",
