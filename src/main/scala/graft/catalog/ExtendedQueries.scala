@@ -344,6 +344,55 @@ object ExtendedQueries {
         min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
   }
 
+  val icebergDeletes: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_deletes",
+    """WITH net AS (
+      |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+      |  WHERE l_orderkey % 2 = 0 AND l_orderkey % 7 <> 0 AND l_returnflag <> 'R'
+      |  UNION ALL
+      |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+      |  WHERE l_orderkey % 2 = 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+      |FROM net""".stripMargin,
+    doc = "Iceberg v2 MERGE-ON-READ scan (cdf-source-iceberg driver.rs:1035 reads full v2): " +
+      "snapshot 1 commits the even-orderkey slice; snapshot 2 commits a POSITION delete " +
+      "file (file_path+pos of every l_orderkey%7=0 row, coordinates from the parquet " +
+      "scan's own _metadata) AND an EQUALITY delete file (l_returnflag='R', resolved via " +
+      "schema field ids); snapshot 3 appends the odd slice, whose sequence number is above " +
+      "the delete's so neither delete touches it — its R rows survive (the n_r column " +
+      "proves the sequence rule, not just the row count). The oracle recomputes the net " +
+      "rows relationally.") { (s, d) =>
+    import org.apache.spark.sql.functions.expr
+    val li = t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      dec2(col("l_quantity")).as("l_quantity"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_del").toString + "/tbl"
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 2 === 0), snapshotId = 1L, timestampMs = 1L)
+    val paths = graft.sources.IcebergSource.dataFiles(dir).map(_.path)
+    val posDf = s.read.parquet(paths: _*)
+      .select(col("l_orderkey"),
+        expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+      .filter(col("l_orderkey") % 7 === 0)
+      .select("file_path", "pos")
+    import s.implicits._
+    graft.sources.IcebergSource.commitDeletes(s, dir,
+      posDeletes = Some(posDf),
+      eqDeletes = Some((Seq("R").toDF("l_returnflag"), Seq("l_returnflag"))),
+      snapshotId = 2L, timestampMs = 2L)
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 2 === 1), snapshotId = 3L, timestampMs = 3L)
+    graft.sources.IcebergSource.read(s, dir)
+      .agg(count(lit(1)).cast("long").as("n"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r"))
+  }
+
   val icebergPartitioned: QueryDef = QueryDef.sqlBacked(
     "q_iceberg_partitioned",
     """SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -441,7 +490,7 @@ object ExtendedQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    icebergIncremental, icebergPartitioned, glueScan, tier2Python,
+    icebergIncremental, icebergPartitioned, icebergDeletes, glueScan, tier2Python,
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,
     csvRoundtrip, ndjsonRoundtrip, orcRoundtrip,

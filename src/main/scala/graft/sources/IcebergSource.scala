@@ -33,14 +33,20 @@ import graft.core.CanonicalJson._
   * files added by snapshots in `(from, to]` — the append-diff, never
   * a full-table diff.
   *
-  * Subset honesty: append-only v2 tables (status=ADDED entries, no
-  * positional/equality deletes), absolute file paths. Enough for
-  * snapshot-pinned + incremental scans and for the resume-replay law.
-  * Tables with delete manifests or delete data files are REJECTED at
-  * plan time with a typed [[graft.core.GraftError.Plan]] fidelity
-  * error rather than read wrong silently (the reference handles full
-  * v2, crates/cdf-source-iceberg/src/driver.rs:1035; until this
-  * reader does, refusing is the only correct answer).
+  * v2 coverage: append snapshots AND merge-on-read deletes. Position
+  * delete files (file_path + pos) anti-join against the parquet
+  * scan's own `_metadata` columns; equality delete files anti-join
+  * null-safely on the columns their `equality_ids` name; both are
+  * gated by the spec's sequence rules (pos: dataSeq <= deleteSeq;
+  * eq: dataSeq < deleteSeq), so time travel before a delete snapshot
+  * naturally sees the undeleted rows (the reference reads full v2,
+  * crates/cdf-source-iceberg/src/driver.rs:1035). Still REJECTED with
+  * a typed [[graft.core.GraftError.Plan]] error, because reading past
+  * them would be silently wrong: non-parquet delete files (v3 puffin
+  * deletion vectors), unknown data_file content kinds, equality ids
+  * that resolve to no schema field, and incremental append-diff
+  * windows that contain a delete snapshot (row removal cannot be
+  * represented as added files).
   *
   * Partition handling (ANY transform): per-file partition values come
   * from the manifest entries' `data_file.partition` struct; scans
@@ -108,7 +114,11 @@ object IcebergSource {
   final case class TableMeta(location: String, currentSnapshotId: Option[Long],
       snapshots: Seq[Snapshot], version: Int,
       /** the default partition spec (empty = unpartitioned). */
-      spec: Seq[PartField] = Nil) {
+      spec: Seq[PartField] = Nil,
+      /** schema field-id → column name (resolves equality-delete ids). */
+      fieldNamesById: Map[Long, String] = Map.empty) {
+    def sequenceOf(snapshotId: Long): Long =
+      snapshots.find(_.id == snapshotId).map(_.sequenceNumber).getOrElse(0L)
     /** identity-transform source columns — the subset the WRITER can
       * lay out (commitAppend inherits these). */
     def partitionFields: Seq[String] =
@@ -133,7 +143,16 @@ object IcebergSource {
   final case class DataFileRef(path: String, recordCount: Long, sizeBytes: Long,
       /** identity partition values from the manifest entry's
         * `data_file.partition` struct (empty for unpartitioned). */
-      partition: Map[String, Any] = Map.empty)
+      partition: Map[String, Any] = Map.empty,
+      /** data sequence number (inherited from the adding snapshot) —
+        * decides which delete files apply to this file's rows. */
+      seq: Long = 0L)
+
+  /** A delete file from a v2 merge-on-read table. content 1 =
+    * position deletes (columns `file_path`, `pos`), content 2 =
+    * equality deletes (the columns named by `equalityIds`). */
+  final case class DeleteFileRef(path: String, content: Int, seq: Long,
+      equalityIds: Seq[Int])
 
   // ------------------------------------------------------------- read
 
@@ -212,7 +231,7 @@ object IcebergSource {
           .orElse(parsed.lastOption).map(_._2).getOrElse(Seq.empty)
       case _ => Seq.empty
     }
-    TableMeta(loc, cur, snaps, version, spec)
+    TableMeta(loc, cur, snaps, version, spec, fieldNameById)
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {
@@ -233,32 +252,21 @@ object IcebergSource {
       case _ => 0L
     }
 
+  /** One manifest as listed by the manifest list: its path, its
+    * content (0 = data, 1 = deletes) and the snapshot that added it. */
+  private final case class ManifestRef(path: String, content: Int, addedSnapshotId: Long)
+
   /** manifest-list → manifests, optionally restricted to those added
-    * by `addedBy`. Rejects delete manifests (content=1) and manifests
-    * carrying deleted-file counts at plan time — reading past them
-    * would silently resurrect deleted rows. */
-  private def manifests(manifestList: String, addedBy: Option[Set[Long]]): Seq[String] = {
-    val all = readAvro(manifestList)
-    all.foreach { m =>
-      if (longField(m, "content") != 0L)
-        throw graft.core.GraftError.Plan(
-          s"iceberg fidelity: delete manifest (content=${longField(m, "content")}) in " +
-            s"$manifestList — delete files are outside this reader's append-only v2 subset")
-      // both spellings: Iceberg's Java/Rust writers name the manifest-list
-      // field `deleted_data_files_count`; older/other writers use
-      // `deleted_files_count`. longField is 0 for a missing field, so
-      // probing only one spelling silently no-ops on the other's tables.
-      if (longField(m, "deleted_files_count") != 0L ||
-          longField(m, "deleted_data_files_count") != 0L ||
-          longField(m, "deleted_rows_count") != 0L)
-        throw graft.core.GraftError.Plan(
-          s"iceberg fidelity: manifest ${m.get("manifest_path")} records deleted files — " +
-            "outside this reader's append-only v2 subset")
-    }
-    all
+    * by `addedBy`. Delete manifests (content=1) are RETURNED, not
+    * rejected — the planner routes their delete files into the
+    * merge-on-read apply; data manifests recording removed files are
+    * fine too (their status=2 entries are skipped per entry). */
+  private def manifests(manifestList: String, addedBy: Option[Set[Long]]): Seq[ManifestRef] =
+    readAvro(manifestList)
       .filter(m => addedBy.forall(_.contains(m.get("added_snapshot_id").asInstanceOf[Long])))
-      .map(_.get("manifest_path").toString)
-  }
+      .map(m => ManifestRef(m.get("manifest_path").toString,
+        longField(m, "content").toInt,
+        m.get("added_snapshot_id").asInstanceOf[Long]))
 
   /** identity partition values from the entry's `data_file.partition`
     * struct (reader sees the writer's schema, so the struct is visible
@@ -275,19 +283,40 @@ object IcebergSource {
       case _ => Map.empty
     }
 
-  private def entries(manifestPath: String): Seq[(Int, Option[Long], DataFileRef)] =
+  /** One manifest entry: status, adding snapshot, file content kind
+    * (0 data / 1 position deletes / 2 equality deletes), the file
+    * reference and — for equality deletes — the equality field ids. */
+  private final case class RawEntry(status: Int, snapshotId: Option[Long],
+      content: Int, ref: DataFileRef, equalityIds: Seq[Int], fileFormat: String)
+
+  private def entries(manifestPath: String): Seq[RawEntry] =
     readAvro(manifestPath).map { e =>
       val df = e.get("data_file").asInstanceOf[GenericRecord]
-      if (longField(df, "content") != 0L)
+      val content = longField(df, "content").toInt
+      if (content < 0 || content > 2)
         throw graft.core.GraftError.Plan(
-          s"iceberg fidelity: delete data file (content=${longField(df, "content")}) in " +
-            s"$manifestPath — position/equality deletes are outside this reader's subset")
-      (e.get("status").asInstanceOf[Int],
+          s"iceberg fidelity: unknown data_file content=$content in $manifestPath — " +
+            "refusing to guess its semantics")
+      val eqIds: Seq[Int] =
+        if (df.getSchema.getField("equality_ids") == null) Nil
+        else df.get("equality_ids") match {
+          case null => Nil
+          case xs: java.util.Collection[_] =>
+            xs.asScala.toSeq.collect {
+              case i: java.lang.Integer => i.intValue()
+              case l: java.lang.Long => l.intValue()
+            }
+          case _ => Nil
+        }
+      RawEntry(e.get("status").asInstanceOf[Int],
         Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]),
+        content,
         DataFileRef(df.get("file_path").toString,
           df.get("record_count").asInstanceOf[Long],
           df.get("file_size_in_bytes").asInstanceOf[Long],
-          partitionOf(df)))
+          partitionOf(df)),
+        eqIds,
+        Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"))
     }
 
   // ------------------------------------------- partition transforms
@@ -557,14 +586,52 @@ object IcebergSource {
     * against `filters` via manifest partition values under the spec's
     * transforms. */
   def dataFiles(tableDir: String, snapshotId: Option[Long] = None,
-      filters: Seq[SFilter] = Nil): Seq[DataFileRef] = {
+      filters: Seq[SFilter] = Nil): Seq[DataFileRef] =
+    planFiles(tableDir, snapshotId, filters)._1
+
+  /** Full scan plan at a snapshot: (live data files, live delete
+    * files). Entry sequence numbers are INHERITED from the adding
+    * snapshot (entry snapshot_id, falling back to the manifest's
+    * added_snapshot_id) — the v2 inheritance rule for writers that
+    * leave sequence_number null. Delete files must be parquet (v3
+    * puffin deletion vectors are rejected, not guessed at). Partition
+    * pruning applies to DATA files; delete files are kept
+    * conservatively (applying a delete file to a file it cannot touch
+    * only costs work, never rows). */
+  def planFiles(tableDir: String, snapshotId: Option[Long] = None,
+      filters: Seq[SFilter] = Nil): (Seq[DataFileRef], Seq[DeleteFileRef]) = {
     val meta = readMeta(tableDir)
     val snap = snapshotId.orElse(meta.currentSnapshotId)
       .map(meta.snapshot)
-      .getOrElse(return Seq.empty)
-    manifests(snap.manifestList, None).flatMap(entries)
-      .collect { case (s, _, f) if s != 2 => f }
-      .filter(f => filters.forall(fileMayMatch(_, f.partition, meta.spec)))
+      .getOrElse(return (Seq.empty, Seq.empty))
+    val data = Seq.newBuilder[DataFileRef]
+    val dels = Seq.newBuilder[DeleteFileRef]
+    manifests(snap.manifestList, None).foreach { m =>
+      entries(m.path).foreach { e =>
+        if (e.status != 2) {
+          val seq = meta.sequenceOf(e.snapshotId.getOrElse(m.addedSnapshotId))
+          // spec invariant: data manifests list data files, delete
+          // manifests list delete files. A mismatch is corrupt
+          // metadata — resolving it either way could resurrect or
+          // drop rows, so refuse.
+          if ((m.content == 0) != (e.content == 0))
+            throw graft.core.GraftError.Plan(
+              s"iceberg fidelity: manifest ${m.path} (content=${m.content}) lists a " +
+                s"file with content=${e.content} — inconsistent metadata")
+          e.content match {
+            case 0 => data += e.ref.copy(seq = seq)
+            case c =>
+              if (!e.fileFormat.equalsIgnoreCase("PARQUET"))
+                throw graft.core.GraftError.Plan(
+                  s"iceberg fidelity: ${e.fileFormat} delete file ${e.ref.path} — only " +
+                    "parquet position/equality delete files are readable (no deletion vectors)")
+              dels += DeleteFileRef(e.ref.path, c, seq, e.equalityIds)
+          }
+        }
+      }
+    }
+    (data.result().filter(f => filters.forall(fileMayMatch(_, f.partition, meta.spec))),
+      dels.result())
   }
 
   /** The append-diff: data files added by snapshots in
@@ -576,8 +643,19 @@ object IcebergSource {
     val meta = readMeta(tableDir)
     val lineageIds = meta.lineage(fromExclusive, to).map(_.id).toSet
     val snap = meta.snapshot(to)
-    manifests(snap.manifestList, Some(lineageIds)).flatMap(entries)
-      .collect { case (StatusAdded, Some(sid), f) if lineageIds.contains(sid) => f }
+    val ms = manifests(snap.manifestList, Some(lineageIds))
+    val es = ms.flatMap(m => entries(m.path))
+    // append-diff semantics are only honest when the window ADDED rows
+    // and nothing else: a delete snapshot inside the window would make
+    // "the files added by (from, to]" a superset of the actual diff —
+    // rows it removed from EARLIER snapshots are invisible to any
+    // added-files scan. Refuse rather than emit phantom rows.
+    es.find(e => e.content != 0 && e.status == StatusAdded).foreach(e =>
+      throw graft.core.GraftError.Plan(
+        s"iceberg fidelity: incremental window (${fromExclusive.getOrElse("-")}, $to] " +
+          s"contains delete file ${e.ref.path} — the append-diff cannot represent row " +
+          "removal; run a full merge-on-read scan at each endpoint instead"))
+    es.collect { case RawEntry(StatusAdded, Some(sid), 0, f, _, _) if lineageIds.contains(sid) => f }
       .filter(f => filters.forall(fileMayMatch(_, f.partition, meta.spec)))
   }
 
@@ -585,13 +663,85 @@ object IcebergSource {
     * names an older snapshot). `filters` prune whole files via the
     * manifests' partition values; they do NOT replace row-level
     * filtering — apply the same predicates on the returned frame (the
-    * parquet scan then also gets them as pushed filters). */
+    * parquet scan then also gets them as pushed filters).
+    *
+    * Merge-on-read: when the snapshot carries delete files, the net
+    * rows are produced Spark-first —
+    *  - POSITION deletes anti-join on (file, position) using the
+    *    parquet scan's own `_metadata.file_path` / `_metadata
+    *    .row_index` columns (no bespoke row-numbering job: the
+    *    vectorized reader emits positions for free), gated by the v2
+    *    sequence rule dataSeq <= deleteSeq;
+    *  - EQUALITY deletes anti-join null-safely (<=>) on the columns
+    *    named by `equality_ids`, gated by dataSeq < deleteSeq (a
+    *    delete never applies to rows its own snapshot added).
+    * Per-file data sequence numbers reach rows through a BROADCAST
+    * join against the (file → seq) plan table — metadata-sized by
+    * construction. Time travel composes for free: planning from an
+    * older snapshot's manifest list never sees later delete files.
+    * At 100 TB every stage stays distributed: delete files scan as
+    * ordinary parquet, both anti-joins shuffle only (path, pos) /
+    * key-column tuples, and Catalyst broadcasts small delete sides. */
   def read(spark: SparkSession, tableDir: String, snapshotId: Option[Long] = None,
       filters: Seq[SFilter] = Nil): DataFrame = {
-    val files = dataFiles(tableDir, snapshotId, filters)
+    val (files, deletes) = planFiles(tableDir, snapshotId, filters)
     if (files.isEmpty && filters.nonEmpty) return sparkEmpty(spark, tableDir, snapshotId)
     require(files.nonEmpty, s"no data files at snapshot $snapshotId")
-    spark.read.parquet(files.map(_.path): _*)
+    val plain = spark.read.parquet(files.map(_.path): _*)
+    if (deletes.isEmpty) plain
+    else applyDeletes(spark, files, deletes, readMeta(tableDir), plain.columns.toSeq)
+  }
+
+  /** file: URI → plain path, so manifest paths, delete-file `file_path`
+    * values and `_metadata.file_path` all join in one namespace. */
+  private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^file:/+", "/")
+
+  private def applyDeletes(spark: SparkSession, files: Seq[DataFileRef],
+      deletes: Seq[DeleteFileRef], meta: TableMeta, dataCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val data = spark.read.parquet(files.map(_.path): _*)
+      .withColumn("__g_file", normPath(col("_metadata.file_path")))
+      .withColumn("__g_pos", col("_metadata.row_index"))
+    val seqDf = files.map(f => (f.path.replaceFirst("^file:/+", "/"), f.seq))
+      .toDF("__g_seqfile", "__g_dataseq")
+    val withSeq = data.join(broadcast(seqDf), data("__g_file") === seqDf("__g_seqfile"))
+      .drop("__g_seqfile")
+
+    val posFiles = deletes.filter(_.content == 1)
+    val afterPos =
+      if (posFiles.isEmpty) withSeq
+      else {
+        val pos = posFiles.map { p =>
+          spark.read.parquet(p.path).select(
+            normPath(col("file_path")).as("__d_file"),
+            col("pos").cast("long").as("__d_pos"),
+            lit(p.seq).as("__d_seq"))
+        }.reduce(_ unionByName _)
+        withSeq.join(pos,
+          withSeq("__g_file") === pos("__d_file") &&
+            withSeq("__g_pos") === pos("__d_pos") &&
+            pos("__d_seq") >= withSeq("__g_dataseq"),
+          "left_anti")
+      }
+
+    val eqGroups = deletes.filter(_.content == 2).groupBy(_.equalityIds).toSeq
+    val afterEq = eqGroups.foldLeft(afterPos) { case (acc, (ids, fs)) =>
+      val names = ids.map(id => meta.fieldNamesById.getOrElse(id.toLong,
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: equality delete references field id $id absent from the " +
+            "table schema — cannot resolve the delete key")))
+      val del = fs.map { f =>
+        spark.read.parquet(f.path).select(
+          names.map(n => col(n).as(s"__d_$n")) :+ (lit(f.seq).as("__d_seq")): _*)
+      }.reduce(_ unionByName _)
+      // spec null semantics: an equality delete matches null keys, so
+      // the join is null-SAFE (<=>), not =
+      val cond = names.map(n => acc(n) <=> del(s"__d_$n")).reduce(_ && _) &&
+        del("__d_seq") > acc("__g_dataseq")
+      acc.join(del, cond, "left_anti")
+    }
+    afterEq.select(dataCols.map(col): _*)
   }
 
   /** empty frame with the table's schema (all files pruned away). */
@@ -789,18 +939,9 @@ object IcebergSource {
       "last-sequence-number" -> (JInt(seq): J),
       "last-updated-ms" -> (JInt(timestampMs): J),
       "current-snapshot-id" -> (JInt(snapshotId): J),
-      "snapshots" -> (JArr(allSnaps.map(snapJson)): J))
-    // identity partition spec + the schema that resolves its source-ids
-    val specFields = if (partCols.isEmpty) Seq.empty else Seq(
-      "default-spec-id" -> (JInt(0): J),
-      "partition-specs" -> (JArr(Seq(JObj.of(
-        "spec-id" -> JInt(0),
-        "fields" -> JArr(partCols.zipWithIndex.map { case (c, i) =>
-          JObj.of(
-            "name" -> JStr(c),
-            "transform" -> JStr("identity"),
-            "source-id" -> JInt(df.schema.fieldIndex(c) + 1L),
-            "field-id" -> JInt(1000L + i)): J })))): J),
+      "snapshots" -> (JArr(allSnaps.map(snapJson)): J),
+      // ALWAYS written: field ids resolve identity partition sources
+      // AND equality-delete ids (commitDeletes / read-side apply)
       "schemas" -> (JArr(Seq(JObj.of(
         "schema-id" -> JInt(0),
         "type" -> JStr("struct"),
@@ -810,6 +951,17 @@ object IcebergSource {
             "name" -> JStr(fld.name),
             "required" -> JBool(false),
             "type" -> JStr(icebergType(fld.dataType))): J })))): J))
+    // identity partition spec (source-ids resolve through the schema)
+    val specFields = if (partCols.isEmpty) Seq.empty else Seq(
+      "default-spec-id" -> (JInt(0): J),
+      "partition-specs" -> (JArr(Seq(JObj.of(
+        "spec-id" -> JInt(0),
+        "fields" -> JArr(partCols.zipWithIndex.map { case (c, i) =>
+          JObj.of(
+            "name" -> JStr(c),
+            "transform" -> JStr("identity"),
+            "source-id" -> JInt(df.schema.fieldIndex(c) + 1L),
+            "field-id" -> JInt(1000L + i)): J })))): J))
     val metaJson = JObj.of((baseFields ++ specFields): _*)
     Files.createDirectories(Paths.get(metaDir))
     Files.write(Paths.get(metaDir, s"v$version.metadata.json"),
@@ -817,6 +969,134 @@ object IcebergSource {
     Files.write(Paths.get(metaDir, "version-hint.text"),
       version.toString.getBytes(StandardCharsets.UTF_8))
     TableMeta(tableDir, Some(snapshotId), allSnaps, version,
-      partCols.map(c => PartField(c, c, "identity")))
+      partCols.map(c => PartField(c, c, "identity")),
+      df.schema.fieldNames.zipWithIndex.map { case (n, i) => (i + 1L) -> n }.toMap)
+  }
+
+  /** manifest_entry schema for DELETE files: data_file carries content
+    * (1 pos / 2 eq) and the nullable equality_ids int array. */
+  private val deleteEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
+
+  private def perFileCounts(spark: SparkSession, dir: String): Seq[(String, Long)] =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0).replaceFirst("^file:/+", "/"), r.getLong(1))).toSeq
+
+  /** Commit a DELETE snapshot (merge-on-read, spec v2): position
+    * deletes (`file_path` string + `pos` long — positions in DATA
+    * files) and/or equality deletes (key tuples over `equalityCols`).
+    * Parquet delete files, one content=1 manifest whose entries carry
+    * data_file.content 1/2 (+ equality_ids), manifest list extended,
+    * metadata vN+1, version-hint flip — the same crash-safe commit
+    * protocol as [[commitAppend]] (readers resolve the hint to an
+    * immutable metadata file). Parent metadata is carried forward
+    * FIELD-BY-FIELD, so specs/schemas survive the delete commit
+    * verbatim (cdf reads full v2 incl. deletes,
+    * crates/cdf-source-iceberg/src/driver.rs:1035). */
+  def commitDeletes(spark: SparkSession, tableDir: String,
+      posDeletes: Option[DataFrame] = None,
+      eqDeletes: Option[(DataFrame, Seq[String])] = None,
+      snapshotId: Long = 0L, timestampMs: Long = 0L): TableMeta = {
+    val metaDir = s"$tableDir/metadata"
+    require(Files.exists(Paths.get(metaDir, "version-hint.text")),
+      "delete commit requires an existing table")
+    val parent = readMeta(tableDir)
+    val parentSnap = parent.currentSnapshotId.map(parent.snapshot)
+      .getOrElse(throw new IllegalArgumentException("cannot commit deletes to an empty table"))
+    val seq = parent.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
+
+    final case class Written(path: String, n: Long, content: Int, eqIds: Seq[Long])
+    val written = Seq.newBuilder[Written]
+    posDeletes.foreach { pdf =>
+      val dir = s"$tableDir/data/snap-$snapshotId-pos-deletes"
+      pdf.select(col("file_path").cast("string").as("file_path"),
+          col("pos").cast("long").as("pos"))
+        .write.mode("errorifexists").parquet(dir)
+      perFileCounts(spark, dir).foreach { case (p, n) => written += Written(p, n, 1, Nil) }
+    }
+    eqDeletes.foreach { case (edf, cols) =>
+      val nameToId = parent.fieldNamesById.map(_.swap)
+      val ids = cols.map(c => nameToId.getOrElse(c, throw graft.core.GraftError.Plan(
+        s"iceberg fidelity: equality delete column '$c' has no field id in the table schema")))
+      val dir = s"$tableDir/data/snap-$snapshotId-eq-deletes"
+      edf.select(cols.map(col): _*).write.mode("errorifexists").parquet(dir)
+      perFileCounts(spark, dir).foreach { case (p, n) => written += Written(p, n, 2, ids) }
+    }
+    val files = written.result()
+    require(files.nonEmpty, "commitDeletes: no delete rows given")
+
+    val manifestPath = s"$metaDir/manifest-$snapshotId-deletes.avro"
+    val entryRecs = files.map { w =>
+      val d = new GenericData.Record(deleteEntrySchema.getField("data_file").schema())
+      d.put("content", w.content)
+      d.put("file_path", w.path)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", w.n)
+      d.put("file_size_in_bytes", new File(w.path).length())
+      if (w.eqIds.nonEmpty)
+        d.put("equality_ids", w.eqIds.map(i => Int.box(i.toInt)).asJava)
+      val e = new GenericData.Record(deleteEntrySchema)
+      e.put("status", StatusAdded)
+      e.put("snapshot_id", Long.box(snapshotId))
+      e.put("data_file", d)
+      e
+    }
+    val manifestLen = writeAvro(manifestPath, deleteEntrySchema, entryRecs)
+
+    val priorCopies = readAvro(parentSnap.manifestList).map { m =>
+      val r = new GenericData.Record(manifestFileSchema)
+      manifestFileSchema.getFields.asScala.foreach(f => r.put(f.name(), m.get(f.name())))
+      r
+    }
+    val newManifest = new GenericData.Record(manifestFileSchema)
+    newManifest.put("manifest_path", manifestPath)
+    newManifest.put("manifest_length", manifestLen)
+    newManifest.put("partition_spec_id", 0)
+    newManifest.put("content", 1) // delete manifest
+    newManifest.put("added_snapshot_id", snapshotId)
+    newManifest.put("added_files_count", files.length)
+    newManifest.put("added_rows_count", files.map(_.n).sum)
+    val listPath = s"$metaDir/snap-$snapshotId-manifest-list.avro"
+    writeAvro(listPath, manifestFileSchema, priorCopies :+ newManifest)
+
+    // carry the parent metadata forward verbatim, touching only the
+    // snapshot bookkeeping (specs/schemas/uuid survive untouched)
+    val snapJson: J = JObj.of(
+      "snapshot-id" -> JInt(snapshotId),
+      "parent-snapshot-id" -> JInt(parentSnap.id),
+      "sequence-number" -> JInt(seq),
+      "timestamp-ms" -> JInt(timestampMs),
+      "manifest-list" -> JStr(listPath),
+      "summary" -> JObj.of("operation" -> JStr("delete")))
+    val vOld = currentVersion(tableDir)
+    val oldJson = CanonicalJson.parse(new String(
+      Files.readAllBytes(Paths.get(metaDir, s"v$vOld.metadata.json")), StandardCharsets.UTF_8))
+    val newJson = oldJson match {
+      case JObj(fields) => JObj(fields.map {
+        case ("snapshots", JArr(xs)) => "snapshots" -> (JArr(xs :+ snapJson): J)
+        case ("current-snapshot-id", _) => "current-snapshot-id" -> (JInt(snapshotId): J)
+        case ("last-sequence-number", _) => "last-sequence-number" -> (JInt(seq): J)
+        case ("last-updated-ms", _) => "last-updated-ms" -> (JInt(timestampMs): J)
+        case other => other
+      })
+      case other => other
+    }
+    val version = vOld + 1
+    Files.write(Paths.get(metaDir, s"v$version.metadata.json"),
+      CanonicalJson.render(newJson).getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(metaDir, "version-hint.text"),
+      version.toString.getBytes(StandardCharsets.UTF_8))
+    readMeta(tableDir)
   }
 }

@@ -194,13 +194,15 @@ class IcebergSpec extends SparkSpec {
       == Some(Position.Cursor("snapshot_id", 2L)))
   }
 
-  test("fidelity gate: delete manifests, delete files and partitioned specs are rejected at plan time") {
+  test("fidelity gate: inconsistent delete metadata and partitioned specs are rejected at plan time") {
     import org.apache.avro.Schema
     import org.apache.avro.file.{DataFileReader, DataFileWriter}
     import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
     import scala.jdk.CollectionConverters._
 
-    // (a) a DELETE manifest (content=1) in the manifest list
+    // (a) a manifest FLAGGED content=1 (delete) whose entries are data
+    // files — corrupt metadata; resolving it either way could
+    // resurrect or drop rows
     val dir1 = s"${tmpDir()}/tbl"
     val m = IcebergSource.commitAppend(spark, dir1, nums(0, 10), 1L, 1L)
     val listPath = m.snapshot(1L).manifestList
@@ -208,16 +210,17 @@ class IcebergSpec extends SparkSpec {
       new GenericDatumReader[GenericRecord]())
     val (schema, recs) =
       try (reader.getSchema, reader.iterator().asScala.toVector) finally reader.close()
-    val deleteManifest = new GenericData.Record(schema)
-    schema.getFields.asScala.foreach(f => deleteManifest.put(f.name(), recs.head.get(f.name())))
-    deleteManifest.put("content", 1) // delete manifest
+    val flipped = new GenericData.Record(schema)
+    schema.getFields.asScala.foreach(f => flipped.put(f.name(), recs.head.get(f.name())))
+    flipped.put("content", 1) // claims deletes, lists data
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
     w.create(schema, new java.io.File(listPath))
-    recs.foreach(w.append); w.append(deleteManifest); w.close()
+    w.append(flipped); w.close()
     val e1 = intercept[graft.core.GraftError.Plan](IcebergSource.dataFiles(dir1))
-    assert(e1.getMessage.contains("delete manifest"))
+    assert(e1.getMessage.contains("inconsistent"))
 
-    // (b) a delete DATA file (data_file.content=2, equality deletes)
+    // (b) a delete-file entry (data_file.content=2) inside a DATA
+    // manifest — same inconsistency, opposite direction
     val dir2 = s"${tmpDir()}/tbl"
     IcebergSource.commitAppend(spark, dir2, nums(0, 10), 1L, 1L)
     val manifestPath = s"$dir2/metadata/manifest-1.avro"
@@ -229,7 +232,7 @@ class IcebergSpec extends SparkSpec {
     w2.create(es, new java.io.File(manifestPath))
     erecs.foreach(w2.append); w2.close()
     val e2 = intercept[graft.core.GraftError.Plan](IcebergSource.dataFiles(dir2))
-    assert(e2.getMessage.contains("delete data file"))
+    assert(e2.getMessage.contains("inconsistent"))
 
     // (c) a NON-identity partitioned spec is READABLE (transforms only
     // decide layout/pruning — the data files carry the source columns),
@@ -243,11 +246,62 @@ class IcebergSpec extends SparkSpec {
       """{"partition-specs":[{"spec-id":0,"fields":[{"name":"id_bucket","transform":"bucket[16]","source-id":1,"field-id":1000}]}],"default-spec-id":0,""")
     java.nio.file.Files.write(metaPath, partitioned.getBytes("UTF-8"))
     val meta3 = IcebergSource.readMeta(dir3)
-    assert(meta3.spec == Seq(IcebergSource.PartField("id_bucket", "id_bucket", "bucket[16]")))
+    // source-id 1 resolves through the (always-written) schema to the
+    // real source column `id`
+    assert(meta3.spec == Seq(IcebergSource.PartField("id_bucket", "id", "bucket[16]")))
     assert(IcebergSource.read(spark, dir3).count() == 10)
     val e3 = intercept[graft.core.GraftError.Plan](
       IcebergSource.commitAppend(spark, dir3, nums(10, 20), 2L, 2L))
     assert(e3.getMessage.contains("identity specs only"))
+  }
+
+  test("merge-on-read deletes: position + equality files, sequence rules, time travel, incremental refusal") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    // snapshot 1: ids 0..99
+    IcebergSource.commitAppend(spark, dir, nums(0, 100), 1L, 1L)
+
+    // snapshot 2 (DELETE): position deletes for id % 7 == 0, computed
+    // from the parquet scan's own _metadata (the coordinates a real
+    // engine's delta writer would record), plus an equality delete on
+    // tag ∈ {row1, row2}
+    val paths = IcebergSource.dataFiles(dir).map(_.path)
+    val posDf = spark.read.parquet(paths: _*)
+      .select(col("id"),
+        expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+      .filter(col("id") % 7 === 0)
+      .select("file_path", "pos")
+    val eqDf = Seq("row1", "row2").toDF("tag")
+    IcebergSource.commitDeletes(spark, dir,
+      posDeletes = Some(posDf), eqDeletes = Some((eqDf, Seq("tag"))),
+      snapshotId = 2L, timestampMs = 2L)
+
+    val afterDelete = IcebergSource.read(spark, dir)
+    val expect1 = (0 until 100).filter(i => i % 7 != 0 && i != 1 && i != 2).map(_.toLong).toSet
+    assert(afterDelete.select("id").as[Long].collect().toSet == expect1)
+
+    // snapshot 3: re-adds id 1 (tag row1) and appends 100..109. Its
+    // sequence number (3) is ABOVE the delete's (2), so neither delete
+    // file touches the new rows — the v2 sequence rules, not wall-time.
+    IcebergSource.commitAppend(spark, dir, nums(1, 2).unionByName(nums(100, 110)), 3L, 3L)
+    val afterReadd = IcebergSource.read(spark, dir)
+    val expect2 = expect1 ++ Set(1L) ++ (100L until 110L)
+    assert(afterReadd.select("id").as[Long].collect().toSet == expect2)
+    // id 1 present exactly once (the snap-3 copy; snap-1's stays eq-deleted)
+    assert(afterReadd.filter(col("id") === 1).count() == 1)
+
+    // time travel BEFORE the delete snapshot sees all 100 rows
+    assert(IcebergSource.read(spark, dir, Some(1L)).count() == 100)
+
+    // incremental append-diff over a window CONTAINING the delete
+    // snapshot is refused (row removal is not representable as added
+    // files); the window after it works
+    val e = intercept[graft.core.GraftError.Plan](
+      IcebergSource.addedFiles(dir, Some(1L), 3L))
+    assert(e.getMessage.contains("append-diff"))
+    assert(IcebergSource.readIncremental(spark, dir, Some(2L), 3L).count() == 11)
   }
 
   test("non-identity transforms: spec bucket function matches the published vectors; monotone pruning is conservative and correct") {
