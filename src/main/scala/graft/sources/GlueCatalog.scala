@@ -155,6 +155,50 @@ object GlueCatalog {
     parts.reduce(_ unionByName _)
   }
 
+  /** Single-FileScan variant of [[scan]]: ONE multi-path parquet read
+    * over every kept location, with the catalog partition-key values
+    * attached via a LITERAL directory→value lookup on the scan's own
+    * `_metadata.file_path` — no UnionRDD anywhere in the plan. Two
+    * reasons: (1) the DSv2 connector executes this compiled RDD inside
+    * DSv2 readers, and a linear compute chain survives being shipped
+    * to a task (it never resolves partitions executor-side) where
+    * UnionRDD.getDependencies does not; (2) it is the shape a 100 TB
+    * scan wants anyway — N catalog partitions as ONE scan node with
+    * one split planner, not N plan nodes. Assumes the Hive layout the
+    * catalog protocol implies: data files sit directly under their
+    * partition's location. */
+  def scanSingle(spark: SparkSession, tbl: GlueTable, partitions: Seq[GluePartition],
+      keep: GluePartition => Boolean = _ => true): DataFrame = {
+    val kept = partitions.filter(keep)
+    if (kept.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema(tbl))
+    val base = spark.read.schema(toStructType(tbl)).parquet(kept.map(_.location): _*)
+    if (tbl.partitionKeys.isEmpty) base
+    else {
+      def norm(s: String) = s.replaceFirst("^file:/+", "/").stripSuffix("/")
+      val dirCol = regexp_replace(
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"), "/[^/]*$", "")
+      tbl.partitionKeys.zipWithIndex.foldLeft(base) { case (df, (k, i)) =>
+        val dirToVal = kept.map(p => norm(p.location) -> p.values(i)).toMap
+        df.withColumn(k.name,
+          element_at(typedLit(dirToVal), dirCol).cast(toSparkType(k.glueType)))
+      }
+    }
+  }
+
+  /** [[scanWithFilters]] over the single-FileScan shape (the DSv2
+    * connector's execution path). */
+  def scanSingleWithFilters(spark: SparkSession, tbl: GlueTable,
+      partitions: Seq[GluePartition],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): (DataFrame, Negotiation) = {
+    val (catalogSide, residual, keeps) = classifyFilters(tbl, filters)
+    val kept = partitions.filter(p => keeps.forall(_(p)))
+    val df0 = scanSingle(spark, tbl, partitions, p => keeps.forall(_(p)))
+    val df = residual.foldLeft(df0)((acc, f) => acc.filter(filterToColumn(f)))
+    (df, Negotiation(kept.map(_.location), catalogSide, residual))
+  }
+
   /** The per-connector pushdown negotiation record (cdf: uniform per
     * connector, crates/cdf-engine/src/table_provider.rs:151-178). */
   final case class Negotiation(

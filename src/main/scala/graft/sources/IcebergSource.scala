@@ -786,6 +786,66 @@ object IcebergSource {
     }
   }
 
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncRe = """truncate\[(\d+)\]""".r
+
+  /** Avro type of a partition field's stored VALUE under its transform. */
+  private def avroTransformType(pf: PartField,
+      dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    pf.transform match {
+      case "identity" => avroPartType(dt)
+      case BucketRe(_) => "int"
+      case "year" | "month" => "int"
+      case "day" | "hour" => "long"
+      case "void" => "long" // always null; the type is vestigial
+      case TruncRe(_) => dt match {
+        case IntegerType => "int"
+        case LongType => "long"
+        case StringType => "string"
+        case other => throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: truncate transform over unsupported type $other")
+      }
+      case other => throw graft.core.GraftError.Plan(
+        s"iceberg fidelity: cannot append under unknown transform '$other'")
+    }
+  }
+
+  /** The transform as a per-ROW Column — the write-side counterpart of
+    * [[transformLit]] (identical spec semantics; the read side prunes
+    * with the same functions on literals). Bucket runs the codegen'd
+    * spec-murmur3 kernel; temporal ordinals are computed in the UTC
+    * session; truncate substrings by code point (Spark's substring
+    * counts code points, matching the spec). */
+  private def transformCol(spark: SparkSession, pf: PartField,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val c = col(pf.source)
+    pf.transform match {
+      case "identity" => c
+      case BucketRe(n) =>
+        graft.functions.IcebergTransformFunctions.register(spark)
+        call_function("graft_iceberg_bucket", c, lit(n.toInt))
+      case TruncRe(w) => dt match {
+        case IntegerType => (c - pmod(c, lit(w.toInt))).cast(IntegerType)
+        case LongType => c - pmod(c, lit(w.toLong))
+        case StringType => substring(c, 1, w.toInt)
+        case other => throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: truncate transform over unsupported type $other")
+      }
+      case "year" => (year(c) - 1970).cast(IntegerType)
+      case "month" => ((year(c) - 1970) * 12 + month(c) - 1).cast(IntegerType)
+      case "day" => datediff(c, to_date(lit("1970-01-01"))).cast(LongType)
+      case "hour" =>
+        if (dt != TimestampType) throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: hour transform requires a timestamp column, got $dt")
+        floor(unix_timestamp(c) / 3600).cast(LongType)
+      case "void" => lit(null).cast(LongType)
+      case other => throw graft.core.GraftError.Plan(
+        s"iceberg fidelity: cannot append under unknown transform '$other'")
+    }
+  }
+
   private def icebergType(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
     dt match {
@@ -828,53 +888,60 @@ object IcebergSource {
     * readers resolve the hint to an immutable metadata file, so a
     * crash mid-commit leaves the old version fully readable).
     *
-    * `partitionBy` lays the snapshot out identity-partitioned: data
-    * files are split per partition value (one distributed write — the
-    * partition columns are DUPLICATED into layout-only `__gp_*`
-    * columns so the real columns stay in the data files, as the spec
+    * `partitionBy` lays the snapshot out identity-partitioned;
+    * `partitionSpec` lays it out under ANY writable transform
+    * (identity / bucket[N] via the codegen'd spec murmur3 /
+    * truncate[W] / year / month / day / hour / void). Data files are
+    * split per TRANSFORMED value (one distributed write — the
+    * transform values live in layout-only `__gp_*` columns so the
+    * real source columns stay in the data files, as the spec
     * requires), and each manifest entry carries its file's partition
     * struct for pruning. Subsequent appends inherit the parent's
-    * spec when `partitionBy` is not repeated. */
+    * spec — including non-identity transforms — when neither
+    * parameter is repeated. */
   def commitAppend(spark: SparkSession, tableDir: String, df: DataFrame,
       snapshotId: Long, timestampMs: Long,
-      partitionBy: Seq[String] = Nil): TableMeta = {
+      partitionBy: Seq[String] = Nil,
+      partitionSpec: Seq[PartField] = Nil): TableMeta = {
     val metaDir = s"$tableDir/metadata"
     val haveMeta = Files.exists(Paths.get(metaDir, "version-hint.text"))
     val parent: Option[TableMeta] = if (haveMeta) Some(readMeta(tableDir)) else None
-    // writer subset: the READER handles any transform, but this writer
-    // can only lay out identity partitions — appending to a table whose
-    // default spec has non-identity fields would silently rewrite that
-    // spec's meaning
-    parent.foreach(p => p.spec.find(_.transform != "identity").foreach(pf =>
-      throw graft.core.GraftError.Plan(
-        s"iceberg fidelity: cannot append to a table partitioned by " +
-          s"${pf.transform}(${pf.source}) — this writer lays out identity specs only")))
-    val partCols: Seq[String] =
-      if (partitionBy.nonEmpty) partitionBy
-      else parent.map(_.partitionFields).getOrElse(Nil)
-    require(partCols.forall(df.columns.contains),
-      s"partition columns $partCols missing from ${df.columns.toSeq}")
+    val spec0: Seq[PartField] =
+      if (partitionSpec.nonEmpty) partitionSpec
+      else if (partitionBy.nonEmpty) partitionBy.map(c => PartField(c, c, "identity"))
+      else parent.map(_.spec).getOrElse(Nil)
+    require(spec0.forall(pf => df.columns.contains(pf.source)),
+      s"partition source columns ${spec0.map(_.source)} missing from ${df.columns.toSeq}")
+    // fail fast on unwritable transforms (unknown names, hour over
+    // non-timestamp) BEFORE any data is written
+    val layoutCols = spec0.map(pf =>
+      s"__gp_${pf.name}" -> transformCol(spark, pf, df.schema(pf.source).dataType))
 
     val dataDir = s"$tableDir/data/snap-$snapshotId"
-    if (partCols.isEmpty) df.write.mode("errorifexists").parquet(dataDir)
+    if (spec0.isEmpty) df.write.mode("errorifexists").parquet(dataDir)
     else {
-      val dup = partCols.foldLeft(df)((d, c) => d.withColumn(s"__gp_$c", col(c)))
+      val dup = layoutCols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
       dup.write.mode("errorifexists")
-        .partitionBy(partCols.map("__gp_" + _): _*).parquet(dataDir)
+        .partitionBy(layoutCols.map(_._1): _*).parquet(dataDir)
     }
     // per-file row counts + partition values in ONE job (manifest stats
-    // are real, not stubs; identity values are constant per file)
-    val aggs = count(lit(1)).as("n") +: partCols.map(c => first(col(c)).as(s"pv_$c"))
+    // are real, not stubs; transform values are constant per file by
+    // construction of the partitioned write, recomputed from the
+    // source columns since layout columns never enter the data files)
+    val aggs = count(lit(1)).as("n") +: spec0.map(pf =>
+      first(transformCol(spark, pf, df.schema(pf.source).dataType)).as(s"pv_${pf.name}"))
     val perFile = spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
       .collect()
     val files = perFile.map { r =>
       val p = r.getString(0).replaceFirst("^file:/+", "/")
-      val part = partCols.zipWithIndex.map { case (c, i) => c -> r.get(i + 2) }.toMap
+      val part = spec0.zipWithIndex.map { case (pf, i) => pf.name -> r.get(i + 2) }.toMap
       DataFileRef(p, r.getLong(1), new File(p).length(), part)
     }
 
-    val partTypes = partCols.map(c => c -> avroPartType(df.schema(c).dataType))
+    val partCols = spec0.map(_.name)
+    val partTypes = spec0.map(pf =>
+      pf.name -> avroTransformType(pf, df.schema(pf.source).dataType))
     val entrySchema = entrySchemaFor(partTypes)
     val manifestPath = s"$metaDir/manifest-$snapshotId.avro"
     val entryRecs = files.map { f =>
@@ -951,16 +1018,17 @@ object IcebergSource {
             "name" -> JStr(fld.name),
             "required" -> JBool(false),
             "type" -> JStr(icebergType(fld.dataType))): J })))): J))
-    // identity partition spec (source-ids resolve through the schema)
-    val specFields = if (partCols.isEmpty) Seq.empty else Seq(
+    // partition spec with each field's TRANSFORM (source-ids resolve
+    // through the schema)
+    val specFields = if (spec0.isEmpty) Seq.empty else Seq(
       "default-spec-id" -> (JInt(0): J),
       "partition-specs" -> (JArr(Seq(JObj.of(
         "spec-id" -> JInt(0),
-        "fields" -> JArr(partCols.zipWithIndex.map { case (c, i) =>
+        "fields" -> JArr(spec0.zipWithIndex.map { case (pf, i) =>
           JObj.of(
-            "name" -> JStr(c),
-            "transform" -> JStr("identity"),
-            "source-id" -> JInt(df.schema.fieldIndex(c) + 1L),
+            "name" -> JStr(pf.name),
+            "transform" -> JStr(pf.transform),
+            "source-id" -> JInt(df.schema.fieldIndex(pf.source) + 1L),
             "field-id" -> JInt(1000L + i)): J })))): J))
     val metaJson = JObj.of((baseFields ++ specFields): _*)
     Files.createDirectories(Paths.get(metaDir))
@@ -968,8 +1036,7 @@ object IcebergSource {
       CanonicalJson.render(metaJson).getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(metaDir, "version-hint.text"),
       version.toString.getBytes(StandardCharsets.UTF_8))
-    TableMeta(tableDir, Some(snapshotId), allSnaps, version,
-      partCols.map(c => PartField(c, c, "identity")),
+    TableMeta(tableDir, Some(snapshotId), allSnaps, version, spec0,
       df.schema.fieldNames.zipWithIndex.map { case (n, i) => (i + 1L) -> n }.toMap)
   }
 

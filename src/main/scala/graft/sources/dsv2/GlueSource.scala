@@ -1,16 +1,18 @@
 package graft.sources.dsv2
 
-import java.util.{Map => JMap}
+import java.util.{Map => JMap, OptionalLong}
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -32,14 +34,17 @@ import graft.sources.GlueCatalog
   *    it is planted inside the underlying parquet read, where the
   *    format's own native pushdown takes it the rest of the way.
   *
-  * Execution goes through [[org.apache.spark.sql.connector.read.V1Scan]]
-  * — the public bridge Spark's own JDBC DSv2 connector uses — so the
-  * data path underneath stays the stock vectorized parquet scan over
-  * the pruned location list (a hand-rolled DSv2 parquet reader would
-  * trade whole-stage codegen for nothing). The one cost is a
-  * row-conversion boundary at the bridge, which is why the driver seam
-  * (`GlueCatalog.scanWithFilters`) remains the hot path for engine
-  * pipelines; this connector is the uniform-negotiation surface.
+  * Execution: a NATIVE DSv2 Batch whose input partitions execute the
+  * pruned parquet DataFrame's own compiled RDD (`queryExecution
+  * .toRdd`) — the data path underneath stays the stock vectorized
+  * parquet scan over the pruned location list (a hand-rolled DSv2
+  * parquet reader would trade whole-stage codegen for nothing), and
+  * unlike the earlier V1Scan bridge there is no Row conversion
+  * boundary AND the scan reports REAL statistics: Catalyst's
+  * `V1ScanWrapper` forwards only readSchema, which silently discarded
+  * SupportsReportStatistics; the native Batch surfaces the underlying
+  * plan's post-prune sizeInBytes, so a small Glue-mounted table
+  * broadcast-joins without hints (Dsv2Spec proves the plan).
   */
 object GlueRegistry {
   final case class Entry(transport: GlueCatalog.Transport, database: String, table: String)
@@ -104,31 +109,62 @@ final class GlueScanBuilder(name: String, tbl: GlueCatalog.GlueTable,
 
   override def build(): Scan = {
     val spark = SparkSession.active
-    val (df, negotiation) = GlueCatalog.scanWithFilters(spark, tbl, partitions, allFilters)
+    // single-FileScan shape: the compiled RDD ships into DSv2 readers,
+    // which a UnionRDD plan cannot survive (its getDependencies
+    // resolves child partitions, transient on executors)
+    val (df, negotiation) = GlueCatalog.scanSingleWithFilters(spark, tbl, partitions, allFilters)
     GlueRegistry.record(name, negotiation)
     val cols = if (projection.isEmpty) StructType(GlueCatalog.fullSchema(tbl).fields.take(1))
       else projection
-    new GlueV1Scan(df.select(cols.fieldNames.map(col).toSeq: _*), cols)
+    new GlueDfScan(df.select(cols.fieldNames.map(col).toSeq: _*), cols)
   }
 }
 
-/** V1 bridge: DSv2 negotiation above, the stock vectorized parquet
-  * DataFrame below (same pattern as Spark's JDBCScan).
-  *
-  * Known bridge limitation: Catalyst wraps every V1Scan in
-  * `V1ScanWrapper`, which forwards ONLY readSchema — a
-  * SupportsReportStatistics implementation here is silently ignored,
-  * so post-prune size estimates cannot reach the join planner through
-  * this connector. Pipelines that want size-aware planning (broadcast
-  * of a small pruned read) should use the driver seam
-  * (`GlueCatalog.scanWithFilters`), whose DataFrame carries the
-  * parquet relation's real statistics natively. */
-final class GlueV1Scan(df: DataFrame, projection: StructType) extends V1Scan {
+/** Native DSv2 Batch over the pruned parquet DataFrame's compiled
+  * RDD[InternalRow]: each InputPartition carries the RDD + one of its
+  * splits (exactly what a Spark task ships), so the vectorized parquet
+  * read, pushed filters and whole-stage codegen underneath run
+  * unchanged inside the DSv2 reader — and, because this is NOT a
+  * V1Scan, [[SupportsReportStatistics]] actually reaches Catalyst:
+  * sizeInBytes is the underlying optimized plan's post-prune estimate,
+  * which is what lets the join planner broadcast a small Glue table. */
+final class GlueDfScan(df: DataFrame, projection: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = projection
-  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-    new BaseRelation with TableScan {
-      override def sqlContext: SQLContext = context
-      override def schema: StructType = projection
-      override def buildScan(): RDD[Row] = df.rdd
-    }.asInstanceOf[T]
+  override def toBatch: Batch = this
+  override def description(): String = s"GlueDfScan(${projection.fieldNames.mkString(",")})"
+
+  override def estimateStatistics(): Statistics = {
+    val s = df.queryExecution.optimizedPlan.stats
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        OptionalLong.of(s.sizeInBytes.min(BigInt(Long.MaxValue)).toLong)
+      override def numRows(): OptionalLong =
+        s.rowCount.map(c => OptionalLong.of(c.min(BigInt(Long.MaxValue)).toLong))
+          .getOrElse(OptionalLong.empty())
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rdd = df.queryExecution.toRdd
+    rdd.partitions.map(p => GlueRddPartition(rdd, p): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GlueRddReaderFactory
+}
+
+final case class GlueRddPartition(rdd: RDD[InternalRow],
+    split: org.apache.spark.Partition) extends InputPartition
+
+final class GlueRddReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val gp = partition.asInstanceOf[GlueRddPartition]
+    val it = gp.rdd.iterator(gp.split, TaskContext.get())
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }

@@ -156,10 +156,24 @@ class GlueCatalogSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("DSv2 connector reports real statistics: a small Glue table broadcast-joins WITHOUT hints") {
+    import graft.sources.dsv2.GlueRegistry
+    val locs = writePartitions()
+    val ep = new Endpoint(locs)
+    GlueRegistry.register("sales_bcast", GlueRegistry.Entry(ep.transport, "sales", "orders"))
+    val glue = spark.read.format("graft.sources.dsv2.GlueSource")
+      .option("table", "sales_bcast").load()
+      .filter(col("ds") === "2024-01-02") // catalog prune → 1 location
+    val big = spark.range(0, 5000).select((col("id") % 1000 + 200).as("k"))
+    val joined = big.join(glue, col("k") === col("id"))
+    assert(joined.count() == 50) // ids 201..210 × 5 hits each
+    // the native DSv2 scan's SupportsReportStatistics reached the join
+    // planner (the earlier V1Scan bridge lost it in V1ScanWrapper)
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"small glue DSv2 read should broadcast without hints:\n${joined.queryExecution.executedPlan}")
+  }
+
   test("driver seam carries real post-prune statistics: a small pruned read broadcasts in a join") {
-    // (The DSv2 bridge cannot report these — Catalyst's V1ScanWrapper
-    // forwards only readSchema, see GlueV1Scan's doc — so the seam is
-    // the size-aware path for join planning.)
     import org.apache.spark.sql.sources._
     val locs = writePartitions()
     val ep = new Endpoint(locs)

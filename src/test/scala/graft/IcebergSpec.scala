@@ -235,9 +235,9 @@ class IcebergSpec extends SparkSpec {
     assert(e2.getMessage.contains("inconsistent"))
 
     // (c) a NON-identity partitioned spec is READABLE (transforms only
-    // decide layout/pruning — the data files carry the source columns),
-    // but this WRITER refuses to append to it (it would rewrite the
-    // spec's meaning as identity)
+    // decide layout/pruning — the data files carry the source columns)
+    // and — since r8 — APPENDABLE: the writer computes the transform
+    // values at append time. Truly UNKNOWN transforms still refuse.
     val dir3 = s"${tmpDir()}/tbl"
     IcebergSource.commitAppend(spark, dir3, nums(0, 10), 1L, 1L)
     val metaPath = java.nio.file.Paths.get(s"$dir3/metadata/v1.metadata.json")
@@ -250,9 +250,75 @@ class IcebergSpec extends SparkSpec {
     // real source column `id`
     assert(meta3.spec == Seq(IcebergSource.PartField("id_bucket", "id", "bucket[16]")))
     assert(IcebergSource.read(spark, dir3).count() == 10)
-    val e3 = intercept[graft.core.GraftError.Plan](
-      IcebergSource.commitAppend(spark, dir3, nums(10, 20), 2L, 2L))
-    assert(e3.getMessage.contains("identity specs only"))
+    // inherit-and-append: the new snapshot lays out spec buckets
+    IcebergSource.commitAppend(spark, dir3, nums(10, 20), 2L, 2L)
+    assert(IcebergSource.read(spark, dir3).count() == 20)
+    val added = IcebergSource.addedFiles(dir3, Some(1L), 2L)
+    assert(added.forall { f =>
+      val b = f.partition("id_bucket").asInstanceOf[Int]
+      b >= 0 && b < 16
+    })
+    // an UNKNOWN transform still refuses at append time
+    val dir4 = s"${tmpDir()}/tbl"
+    val e4 = intercept[graft.core.GraftError.Plan](
+      IcebergSource.commitAppend(spark, dir4, nums(0, 10), 1L, 1L,
+        partitionSpec = Seq(IcebergSource.PartField("z", "id", "zorder[4]"))))
+    assert(e4.getMessage.contains("unknown transform"))
+  }
+
+  test("transform-partitioned WRITE round-trip: bucket[4] + day lay out, prune and re-read exactly") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    import IcebergSource.PartField
+    val dir = s"${tmpDir()}/tbl"
+    val df = (0 until 60).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1 + i % 5)), s"row$i")
+    }.toDF("id", "d", "tag")
+    val spec = Seq(PartField("id_bucket", "id", "bucket[4]"), PartField("d_day", "d", "day"))
+    IcebergSource.commitAppend(spark, dir, df, 1L, 1L, partitionSpec = spec)
+
+    // spec round-trips through the metadata
+    val meta = IcebergSource.readMeta(dir)
+    assert(meta.spec == spec)
+
+    // data files carry the REAL columns; the read is exact
+    val back = IcebergSource.read(spark, dir)
+    assert(back.columns.toSet == Set("id", "d", "tag"))
+    assert(back.count() == 60)
+    assert(back.select("id").as[Long].collect().toSet == (0L until 60L).toSet)
+
+    // manifest partition values are the spec transforms
+    val all = IcebergSource.dataFiles(dir)
+    assert(all.forall { f =>
+      val b = f.partition("id_bucket").asInstanceOf[Int]
+      val day = f.partition("d_day").asInstanceOf[Long]
+      b >= 0 && b < 4 && day >= 19723L && day < 19728L // 2024-01-01..05 epoch days
+    })
+
+    // bucket pruning: equality on id keeps ONLY files of bucketOf(id)
+    val pruned = IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("id", 7L)))
+    val b7 = IcebergSource.bucketOf(7L, 4).get
+    assert(pruned.nonEmpty && pruned.size < all.size)
+    assert(pruned.forall(_.partition("id_bucket") == b7))
+    val prunedRead = IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("id", 7L)))
+      .filter($"id" === 7L)
+    assert(prunedRead.count() == 1)
+
+    // day pruning: equality on the date keeps only that day's files
+    val d3 = java.sql.Date.valueOf("2024-01-03")
+    val prunedD = IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("d", d3)))
+    assert(prunedD.nonEmpty && prunedD.size < all.size)
+    assert(prunedD.forall(_.partition("d_day") == 19725L))
+    assert(IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("d", d3)))
+      .filter($"d" === d3).count() == 12)
+
+    // a second append INHERITS the transform spec
+    val df2 = (60 until 80).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1 + i % 5)), s"row$i")
+    }.toDF("id", "d", "tag")
+    IcebergSource.commitAppend(spark, dir, df2, 2L, 2L)
+    assert(IcebergSource.read(spark, dir).count() == 80)
+    assert(IcebergSource.readMeta(dir).spec == spec)
   }
 
   test("merge-on-read deletes: position + equality files, sequence rules, time travel, incremental refusal") {
