@@ -61,6 +61,75 @@ class DestinationsSpec extends SparkSpec {
     assert(Jdbc.countProbe(conn, "ACCTS") == 5)
   }
 
+  test("pgwire: COPY BINARY + staged MERGE + receipt over a REAL socket protocol, chaos at every kill point") {
+    // The wire path (cdf-dest-postgres/src/commit.rs:678-943): the v3
+    // protocol client drives an embedded pgwire fixture over TCP —
+    // startup handshake, COPY-IN subprotocol carrying PgCopyBinary
+    // frames, MERGE upsert, exact-count receipt. Same replay law as
+    // the Derby JDBC path above, now with real protocol bytes.
+    import graft.sources.PgWire
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    val server = new PgWireServerFixture
+    try {
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType),
+        StructField("amt", DecimalType(10, 2))))
+      def dec(s: String) = new java.math.BigDecimal(s)
+      def payload(rows: (Long, String, String)*): Array[Byte] =
+        PgWire.payloadOf(rows.map { case (k, v, a) => Row(k, v, dec(a)) }, schema)
+
+      // first commit: two partition payloads (two COPY streams)
+      val n1 = PgWire.mergeViaWire("127.0.0.1", server.port, "graft", "graft",
+        "accts", "k", schema,
+        Seq(payload((1L, "a", "10.00"), (2L, "b", "20.50")), payload((3L, "c", "0.75"))))
+      assert(n1 == 3L)
+
+      final case class Kill(at: String) extends RuntimeException(at)
+      def killAt(p: String): String => Unit = s => if (s == p) throw Kill(p)
+      def state(): Seq[(Long, String, String)] =
+        server.tables("accts").rows
+          .map(r => (r.getLong(0), r.getString(1),
+            r.getAs[java.math.BigDecimal](2).toPlainString)).sortBy(_._1).toSeq
+
+      // kill after COPY into the stage: destination untouched; replay converges
+      val batch = Seq(payload((2L, "B2", "99.99"), (4L, "d", "4.00")))
+      intercept[Kill](PgWire.mergeViaWire("127.0.0.1", server.port, "graft", "graft",
+        "accts", "k", schema, batch, killAt("staged")))
+      assert(state() == Seq((1L, "a", "10.00"), (2L, "b", "20.50"), (3L, "c", "0.75")),
+        "a crash before the MERGE must leave the destination untouched")
+      val n2 = PgWire.mergeViaWire("127.0.0.1", server.port, "graft", "graft",
+        "accts", "k", schema, batch)
+      assert(n2 == 4L)
+      assert(state() == Seq((1L, "a", "10.00"), (2L, "B2", "99.99"),
+        (3L, "c", "0.75"), (4L, "d", "4.00")))
+
+      // kill after the MERGE, before the stage drop: destination final;
+      // stage survives inert; replay is a no-op upsert
+      val batch2 = Seq(payload((4L, "D2", "44.00"), (5L, "e", "5.55")))
+      intercept[Kill](PgWire.mergeViaWire("127.0.0.1", server.port, "graft", "graft",
+        "accts", "k", schema, batch2, killAt("merged")))
+      assert(state().map(_._1) == Seq(1L, 2L, 3L, 4L, 5L),
+        "the MERGE is the atomic commit point")
+      assert(server.tables.contains("accts__stage"), "stage survives the crash, inert")
+      val n3 = PgWire.mergeViaWire("127.0.0.1", server.port, "graft", "graft",
+        "accts", "k", schema, batch2)
+      assert(n3 == 5L, "replay after a post-commit crash must be a no-op upsert")
+      assert(!server.tables.contains("accts__stage"))
+      // decimals travelled digit-exact through the binary COPY
+      assert(state().find(_._1 == 5L).get._3 == "5.55")
+
+      // protocol errors surface typed, and the connection recovers
+      val c = new graft.sources.PgWireClient("127.0.0.1", server.port, "graft", "graft")
+      try {
+        val e = intercept[java.sql.SQLException](c.exec("SELECT nonsense"))
+        assert(e.getMessage.contains("pgwire:"))
+        assert(c.query("SELECT COUNT(*) FROM accts").head.head == "5")
+      } finally c.close()
+    } finally server.stop()
+  }
+
   test("csv and ndjson destinations round-trip with verified receipts") {
     val dir = tmpDir()
     val df = graft.core.Tables(spark, sf(), "nation")
