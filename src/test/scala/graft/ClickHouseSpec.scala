@@ -74,4 +74,69 @@ class ClickHouseSpec extends SparkSpec {
     // replaying the same package hash regenerates the SAME plan (idempotent)
     assert(plan == ClickHouse.publishPlan("orders", schema, Seq("id"), "qty", "abcdef0123456789ff"))
   }
+
+  test("HTTP wire path: staged EXCHANGE publish over a real endpoint, chaos at every kill point") {
+    // The live half (cdf-dest-clickhouse/src/session.rs:147-176): the
+    // HTTP-interface client drives an embedded fixture over real HTTP —
+    // INSERT payload in the body with the query in the URL (the
+    // documented bulk-load shape), statements as POST bodies, errors
+    // as non-200. Same replay law the plan-shape test above pins.
+    import graft.sources.{ClickHouseHttp, ClickHouseHttpClient}
+    import org.apache.spark.sql.types._
+
+    val server = new ClickHouseHttpFixture
+    try {
+      val client = new ClickHouseHttpClient(server.endpoint)
+      val schema = StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType, nullable = false),
+        StructField("ord", LongType, nullable = false)))
+      def rows(rs: (Long, String, Long)*): Seq[String] =
+        rs.map { case (k, v, o) => s"""{"k":$k,"v":"$v","ord":$o}""" }
+      def publish(hash: String, rs: Seq[String], chaos: String => Unit = _ => ()): Long =
+        ClickHouseHttp.publishViaHttp(client, "accts", schema, Seq("k"), "ord", hash, rs, chaos)
+      def state(): Seq[(Long, String)] =
+        server.tables("accts").rows
+          .map(r => (r("k").asInstanceOf[Long], r("v").asInstanceOf[String])).sortBy(_._1).toSeq
+
+      // first package
+      assert(publish("aaaa000000000000", rows((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))) == 3L)
+      assert(state() == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+      final case class Kill(at: String) extends RuntimeException(at)
+      def killAt(p: String): String => Unit = s => if (s == p) throw Kill(p)
+
+      // second package updates k=2, inserts k=4; kill BEFORE the swap
+      // at both earlier steps: the destination must be untouched
+      val pkg2 = rows((2L, "B2", 2L), (4L, "d", 2L))
+      intercept[Kill](publish("bbbb000000000000", pkg2, killAt("loaded")))
+      assert(state() == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      intercept[Kill](publish("bbbb000000000000", pkg2, killAt("staged")))
+      assert(state() == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        "the EXCHANGE is the only visible commit point")
+      // replay converges
+      assert(publish("bbbb000000000000", pkg2) == 4L)
+      assert(state() == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+
+      // kill AFTER the swap: destination already final, work tables
+      // survive inert; replay is an idempotent no-op swap of equals
+      val pkg3 = rows((4L, "D2", 3L), (5L, "e", 3L))
+      intercept[Kill](publish("cccc000000000000", pkg3, killAt("published")))
+      assert(state() == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "D2"), (5L, "e")))
+      assert(server.tables.keys.exists(_.startsWith("__")), "work tables survive the crash, inert")
+      assert(publish("cccc000000000000", pkg3) == 5L)
+      assert(state() == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "D2"), (5L, "e")),
+        "replay after a post-swap crash must republish identical content")
+      assert(!server.tables.keys.exists(_.startsWith("__")), "clean run drops its work tables")
+
+      // protocol errors surface typed with the server's text
+      val e = intercept[java.sql.SQLException](client.execute("SELECT nonsense"))
+      assert(e.getMessage.contains("clickhouse http 500"))
+
+      // the read seam runs over the SAME wire transport
+      val df = graft.sources.ClickHouse.read(spark, client.transport,
+        graft.sources.ClickHouse.ScanSpec("accts", Seq("k", "v", "ord")), schema)
+      assert(df.count() == 5)
+    } finally server.stop()
+  }
 }
