@@ -52,6 +52,41 @@ object TextHashImpl {
     sig
   }
 
+  /** One-pass PORTABLE SimHash: the per-token hash is the first 8
+    * bytes of md5(token) as a big-endian long — bit-identical to the
+    * HOF formulation `simhashOfHashes(portableTokenHashes(c))` (the
+    * first 16 hex chars parsed as two 32-bit halves ARE the first 8
+    * digest bytes big-endian), which is what lets the DuckDB oracle
+    * replay the whole q_simhash pipeline in SQL. Tokenization
+    * replicates `split(trim(s), "\\s+")` exactly (String.split with
+    * the same regex), so kernel and HOF agree on every corpus. */
+  def portableSimhash64(text: UTF8String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](64)
+    val toks = text.toString.trim.split("\\s+")
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      var b = 0
+      while (b < 64) {
+        counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** Distinct word n-grams (space-joined) in one pass — the shingle
     * builder (set-equal to TextAnalysis.wordNgrams; first-occurrence
     * order). */
@@ -114,6 +149,18 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
 }
 
+/** `graft_portable_simhash64(text)` — codegen'd one-pass portable
+  * (md5-lane) SimHash; see [[TextHashImpl.portableSimhash64]]. */
+case class PortableSimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_portable_simhash64"
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashImpl.portableSimhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.portableSimhash64($c)")
+  override protected def withNewChildInternal(c: Expression): PortableSimHash64Expr = copy(child = c)
+}
+
 /** `graft_minhash(array<string>, k)` — one-pass k-min signature.
   * Array-building output keeps it on the interpreted path
   * (CodegenFallback), but the single pass still replaces k HOF scans. */
@@ -146,6 +193,8 @@ object TextHashFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_portable_simhash64", exprs => PortableSimHash64Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash16", exprs => MinHashSigExpr(exprs.head, 16), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

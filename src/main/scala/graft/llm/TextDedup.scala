@@ -192,7 +192,7 @@ object TextDedup {
     // stages are IDENTICAL in both modes.
     graft.functions.TextHashFunctions.register(df.sparkSession)
     val sigExpr =
-      if (portableHash) simhashOfHashes(portableTokenHashes(col(textCol)))
+      if (portableHash) call_function("graft_portable_simhash64", col(textCol))
       else call_function("graft_simhash64", col(textCol))
     val sigs = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
         col(idCol))

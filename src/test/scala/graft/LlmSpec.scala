@@ -49,6 +49,20 @@ class LlmSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("portable simhash kernel is bit-identical to the md5-lane HOF formulation") {
+    // the oracle replays the HOF math in SQL, so the fast kernel must
+    // agree on every document (first 8 md5 bytes big-endian == the
+    // first 16 hex chars parsed as two 32-bit halves)
+    graft.functions.TextHashFunctions.register(spark)
+    val docs = graft.core.Tables(spark, sf(), "documents")
+    val diff = docs.select(
+        TextDedup.simhashOfHashes(
+          TextDedup.portableTokenHashes(col("text"))).as("hof"),
+        call_function("graft_portable_simhash64", col("text")).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diff == 0)
+  }
+
   test("native minhash signature: one pass, k mins, stable under array order") {
     graft.functions.TextHashFunctions.register(spark)
     val df = Seq(
