@@ -74,6 +74,34 @@ object GlueCatalog {
     case _ => Seq.empty
   }
 
+  /** HTTP wire transport for a real (or protocol-faithful embedded)
+    * Glue endpoint: the AWS JSON 1.1 protocol — POST with
+    * `Content-Type: application/x-amz-json-1.1` and
+    * `X-Amz-Target: AWSGlue.<Action>`, JSON request body, JSON
+    * response; non-200 surfaces the service's error text. Everything
+    * above the transport (paging, schema typing, pruning) is
+    * identical between the wire and an in-process seam. */
+  def httpTransport(endpoint: String): Transport = (action, requestJson) => {
+    val conn = new java.net.URL(endpoint + "/")
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/x-amz-json-1.1")
+    conn.setRequestProperty("X-Amz-Target", action)
+    val out = conn.getOutputStream
+    try { out.write(requestJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.flush() }
+    finally out.close()
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = if (stream == null) "" else {
+      try new String(stream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally stream.close()
+    }
+    if (code >= 400)
+      throw new java.io.IOException(s"glue http $code ($action): ${body.take(500)}")
+    body
+  }
+
   def getTables(t: Transport, database: String): Seq[GlueTable] =
     paged(t, "AWSGlue.GetTables",
       Seq("DatabaseName" -> (JStr(database): J)), "TableList") { j =>
