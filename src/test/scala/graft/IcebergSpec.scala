@@ -361,6 +361,14 @@ class IcebergSpec extends SparkSpec {
     // time travel BEFORE the delete snapshot sees all 100 rows
     assert(IcebergSource.read(spark, dir, Some(1L)).count() == 100)
 
+    // 100 TB plan shape: both delete applications are BROADCAST
+    // anti-joins (delete files are small relative to data), and
+    // nothing in the plan degenerates to a cartesian product
+    val plan = afterReadd.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"merge-on-read deletes should broadcast-anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in MoR plan:\n$plan")
+
     // incremental append-diff over a window CONTAINING the delete
     // snapshot is refused (row removal is not representable as added
     // files); the window after it works
