@@ -266,6 +266,42 @@ class IcebergSpec extends SparkSpec {
     assert(e4.getMessage.contains("unknown transform"))
   }
 
+  test("merge-on-read composes with partition pruning: deletes apply inside a pruned read") {
+    import org.apache.spark.sql.{sources => sqs}
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    val df = (0 until 60).map(i => (i.toLong, Seq("us", "eu", "ap")(i % 3), i * 1.5))
+      .toDF("id", "region", "v")
+    IcebergSource.commitAppend(spark, dir, df, 1L, 1L, partitionBy = Seq("region"))
+
+    // delete ids 0..9 by position (coordinates from _metadata), and
+    // region 'ap' rows with an equality delete on id ∈ committed rows?
+    // -> equality delete on id: remove ids 30..34 wherever they live
+    val paths = IcebergSource.dataFiles(dir).map(_.path)
+    val posDf = spark.read.parquet(paths: _*)
+      .select(col("id"), expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+      .filter(col("id") < 10).select("file_path", "pos")
+    val eqDf = (30L until 35L).toDF("id")
+    IcebergSource.commitDeletes(spark, dir,
+      posDeletes = Some(posDf), eqDeletes = Some((eqDf, Seq("id"))),
+      snapshotId = 2L, timestampMs = 2L)
+
+    val expect = (0 until 60).filter(i => i >= 10 && !(30 until 35).contains(i)).map(_.toLong).toSet
+    assert(IcebergSource.read(spark, dir).select("id").as[Long].collect().toSet == expect)
+
+    // a partition-PRUNED read still applies the deletes to the
+    // surviving files (delete files are never pruned away with them)
+    val pruned = IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("region", "eu")))
+      .filter($"region" === "eu")
+    val expectEu = expect.filter(i => i % 3 == 1)
+    assert(pruned.select("id").as[Long].collect().toSet == expectEu)
+    // and the file plan really was pruned
+    assert(IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("region", "eu"))).size
+      < IcebergSource.dataFiles(dir).size)
+  }
+
   test("transform-partitioned WRITE round-trip: bucket[4] + day lay out, prune and re-read exactly") {
     import org.apache.spark.sql.{sources => sqs}
     import spark.implicits._
