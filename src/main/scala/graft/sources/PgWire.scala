@@ -168,6 +168,35 @@ final class PgWireClient(host: String, port: Int, user: String, database: String
     tag
   }
 
+  /** COPY ... TO STDOUT (FORMAT binary): expects CopyOutResponse and
+    * returns the concatenated CopyData payload — one complete
+    * [[PgCopyBinary]] stream (the reference's scan mechanism,
+    * cdf-source-postgres/src/source.rs:636). */
+  def copyOutBinary(sql: String): Array[Byte] = {
+    sendQuery(sql)
+    var inCopy = false
+    while (!inCopy) readMessage() match {
+      case ('H', _) => inCopy = true
+      case ('E', body) => drainToReady(); throw new java.sql.SQLException(s"pgwire: ${errorText(body)}")
+      case _ => ()
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    var copying = true
+    while (copying) readMessage() match {
+      case ('d', body) => buf.write(body)
+      case ('c', _) => copying = false
+      case ('E', body) => drainToReady(); throw new java.sql.SQLException(s"pgwire: ${errorText(body)}")
+      case _ => ()
+    }
+    var ready = false
+    while (!ready) readMessage() match {
+      case ('Z', _) => ready = true
+      case ('E', body) => drainToReady(); throw new java.sql.SQLException(s"pgwire: ${errorText(body)}")
+      case _ => ()
+    }
+    buf.toByteArray
+  }
+
   override def close(): Unit = {
     try {
       out.writeByte('X') // Terminate
@@ -239,4 +268,30 @@ object PgWire {
   /** encode a partition's rows as one COPY BINARY payload. */
   def payloadOf(rows: Seq[Row], schema: StructType): Array[Byte] =
     PgCopyBinary.encodeStream(rows.iterator, schema)
+
+  /** The SCAN wire half, the reference's exact mechanism
+    * (cdf-source-postgres/src/source.rs:636): `COPY (SELECT ...) TO
+    * STDOUT (FORMAT binary)` over the v3 protocol, decoded by the
+    * spec-pinned [[PgCopyBinary]] codec. `where` clauses shard the
+    * read — a partitioned load opens one connection per key range
+    * (the readPartitioned shape) and each range arrives as its own
+    * complete COPY stream, decoded distributed. */
+  def scanBinary(spark: org.apache.spark.sql.SparkSession,
+      host: String, port: Int, user: String, database: String,
+      table: String, schema: StructType,
+      wheres: Seq[String] = Seq("")): org.apache.spark.sql.DataFrame = {
+    val cols = schema.fieldNames.mkString(", ")
+    val payloads = wheres.map { w =>
+      val client = new PgWireClient(host, port, user, database)
+      try {
+        val sel = s"SELECT $cols FROM $table" + (if (w.isEmpty) "" else s" WHERE $w")
+        client.copyOutBinary(s"COPY ($sel) TO STDOUT (FORMAT binary)")
+      } finally client.close()
+    }
+    // each COPY stream decodes in its own task (payloads are the unit
+    // of parallelism, exactly the per-range connection shape)
+    val rdd = spark.sparkContext.parallelize(payloads, math.max(1, payloads.size))
+      .flatMap(p => PgCopyBinary.decodeStream(p, schema))
+    spark.createDataFrame(rdd, schema)
+  }
 }

@@ -127,6 +127,17 @@ class DestinationsSpec extends SparkSpec {
         assert(e.getMessage.contains("pgwire:"))
         assert(c.query("SELECT COUNT(*) FROM accts").head.head == "5")
       } finally c.close()
+
+      // the SCAN wire half: COPY (...) TO STDOUT (FORMAT binary) — the
+      // reference's read mechanism — sharded into two key ranges, each
+      // its own connection + COPY stream, decoded distributed
+      val scanned = PgWire.scanBinary(spark, "127.0.0.1", server.port, "graft", "graft",
+        "accts", schema, wheres = Seq("k % 2 = 0", "k % 2 = 1"))
+      val got = scanned.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getAs[java.math.BigDecimal](2).toPlainString))
+        .sortBy(_._1).toSeq
+      assert(got == state(), "COPY TO STDOUT round-trip must equal the destination state")
+      assert(got.find(_._1 == 5L).get._3 == "5.55", "decimals digit-exact both directions")
     } finally server.stop()
   }
 

@@ -136,6 +136,9 @@ final class PgWireServerFixture {
     """(?is)CREATE TABLE (IF NOT EXISTS )?(\w+)\s*\((.*)\)\s*""".r
   private val DropRe = """(?is)DROP TABLE (IF EXISTS )?(\w+)\s*""".r
   private val CopyRe = """(?is)COPY (\w+) FROM STDIN WITH \(FORMAT binary\)\s*""".r
+  private val CopyOutRe =
+    """(?is)COPY \(SELECT [`\w, ]+ FROM (\w+)( WHERE (.+))?\) TO STDOUT \(FORMAT binary\)\s*""".r
+  private val WhereModRe = """(?i)\s*(\w+) %%?\s*(\d+) = (\d+)\s*""".r
   private val MergeRe =
     """(?is)MERGE INTO (\w+) t USING (\w+) s ON t\.(\w+) = s\.\3\s+WHEN MATCHED THEN UPDATE SET .*WHEN NOT MATCHED THEN INSERT .*""".r
   private val CountRe = """(?is)SELECT COUNT\(\*\) FROM (\w+)\s*""".r
@@ -188,6 +191,27 @@ final class PgWireServerFixture {
         val rows = PgCopyBinary.decodeStream(buf.toByteArray, tbl.schema).toVector
         tbl.rows ++= rows
         complete(out, s"COPY ${rows.size}")
+
+      case CopyOutRe(name, _, whereOpt) =>
+        val tbl = tables.getOrElse(name,
+          throw new IllegalArgumentException(s"relation $name does not exist"))
+        val kept = Option(whereOpt) match {
+          case None => tbl.rows.toVector
+          case Some(WhereModRe(c, m, r)) =>
+            val ci = tbl.schema.fieldIndex(c)
+            tbl.rows.toVector.filter(_.getLong(ci) % m.toLong == r.toLong)
+          case Some(other) => throw new IllegalArgumentException(s"fixture where: $other")
+        }
+        // CopyOutResponse: binary, per-column binary formats
+        send(out, 'H', b => {
+          b.writeByte(1)
+          b.writeShort(tbl.schema.length)
+          tbl.schema.foreach(_ => b.writeShort(1))
+        })
+        val payload = PgCopyBinary.encodeStream(kept.iterator, tbl.schema)
+        send(out, 'd', _.write(payload))
+        send(out, 'c', _ => ())
+        complete(out, s"COPY ${kept.size}")
 
       case MergeRe(target, stage, key) =>
         val t = tables.getOrElse(target,
