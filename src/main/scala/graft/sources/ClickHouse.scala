@@ -110,7 +110,11 @@ object ClickHouse {
         * each item must alias to the output field name. */
       selectItems: Seq[String] = Seq.empty,
       groupBy: Seq[String] = Seq.empty,
-      offset: Option[Long] = None) {
+      offset: Option[Long] = None,
+      /** raw shard/range predicates ANDed into the WHERE — how an
+        * executor-side scan splits one logical read into one dialect
+        * query per partition. */
+      rawWheres: Seq[String] = Seq.empty) {
 
     /** limit + cursor cannot combine (capability truth-telling: a
       * limited incremental read could drop rows the cursor then skips
@@ -122,7 +126,7 @@ object ClickHouse {
       val cols =
         if (selectItems.nonEmpty) selectItems.mkString(", ")
         else columns.map(ident).mkString(", ")
-      val conds = preds.map(_.sql) ++
+      val conds = preds.map(_.sql) ++ rawWheres ++
         cursor.map { case (c, v) => s"${ident(c)} > $v" }.toSeq
       val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
       val group = if (groupBy.isEmpty) "" else

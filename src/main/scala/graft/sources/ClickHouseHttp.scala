@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.StructType
   * points `endpoint` at a real server. */
 final class ClickHouseHttpClient(endpoint: String) {
 
-  private def post(url: String, body: Array[Byte]): String = {
+  private def postStream(url: String, body: Array[Byte]): java.io.InputStream = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
@@ -27,18 +27,31 @@ final class ClickHouseHttpClient(endpoint: String) {
     val out = conn.getOutputStream
     try { out.write(body); out.flush() } finally out.close()
     val code = conn.getResponseCode
-    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
-    val resp = if (stream == null) "" else {
-      try new String(stream.readAllBytes(), UTF_8) finally stream.close()
+    if (code >= 400) {
+      val es = conn.getErrorStream
+      val msg = if (es == null) "" else {
+        try new String(es.readAllBytes(), UTF_8) finally es.close()
+      }
+      throw new java.sql.SQLException(s"clickhouse http $code: ${msg.take(500)}")
     }
-    if (code >= 400)
-      throw new java.sql.SQLException(s"clickhouse http $code: ${resp.take(500)}")
-    resp
+    val in = conn.getInputStream
+    if (in == null) java.io.InputStream.nullInputStream() else in
+  }
+
+  private def post(url: String, body: Array[Byte]): String = {
+    val in = postStream(url, body)
+    try new String(in.readAllBytes(), UTF_8) finally in.close()
   }
 
   /** statement (DDL / SELECT / EXCHANGE); response body returned
     * verbatim (JSONEachRow for SELECT ... FORMAT JSONEachRow). */
   def execute(sql: String): String = post(endpoint + "/", sql.getBytes(UTF_8))
+
+  /** SELECT whose response body is consumed as a STREAM — the
+    * executor-side scan path reads JSONEachRow lines off the socket
+    * incrementally, never materializing the payload (caller closes). */
+  def executeStream(sql: String): java.io.InputStream =
+    postStream(endpoint + "/", sql.getBytes(UTF_8))
 
   /** INSERT with inline payload: query travels in the URL, the
     * JSONEachRow lines in the body — the documented bulk-load shape. */

@@ -71,55 +71,88 @@ object MongoWire {
     case other => throw new IllegalArgumentException(s"mongo wire: not a number: $other")
   }
 
-  /** A drop-in [[MongoRegistry]] transport: JSON command in,
-    * NDJSON-of-Extended-JSON documents out, over real OP_MSG bytes.
-    * Each scan opens ONE connection, runs the command, drains the
-    * cursor with getMore, and closes — the per-partition connection
-    * shape a distributed load uses. */
-  def wireTransport(host: String, port: Int, db: String): String => String = { commandJson =>
-    val socket = new Socket(host, port)
-    try {
+  private def checkOk(r: Seq[(String, J)]): Map[String, J] = {
+    val m = r.toMap
+    m.get("ok") match {
+      case Some(JNum(1.0)) | Some(JInt(1)) => m
+      case _ =>
+        val msg = m.get("errmsg") match { case Some(JStr(s)) => s; case _ => r.toString }
+        throw new java.sql.SQLException(s"mongo wire error: $msg")
+    }
+  }
+
+  /** An INCREMENTAL cursor over one command: opens its own connection,
+    * yields the firstBatch documents, and issues `getMore` LAZILY as
+    * the consumer drains — at most one server batch is ever in memory,
+    * so an executor task streaming a 100 TB collection shard holds
+    * batch-bounded state, never the whole result. Closes its socket
+    * when the cursor is exhausted (or on close()). */
+  final class WireCursor(host: String, port: Int, db: String, commandJson: String)
+      extends Iterator[String] with AutoCloseable {
+
+    private val socket = new Socket(host, port)
+    private var batch: Iterator[J] = Iterator.empty
+    private var cursorId = 0L
+    private var ns = ""
+    private var reqId = 1
+    private var closed = false
+
+    locally {
       val cmd = CanonicalJson.parse(commandJson) match {
         case JObj(fs) => JObj((fs :+ ("$db" -> (JStr(db): J))).toVector)
         case other => throw new IllegalArgumentException(s"mongo wire: bad command: $other")
       }
-      var reply = roundTrip(socket, 1, Bson.encodeDoc(cmd.v))
-      def check(r: Seq[(String, J)]): Map[String, J] = {
-        val m = r.toMap
-        m.get("ok") match {
-          case Some(JNum(1.0)) | Some(JInt(1)) => m
-          case _ =>
-            val msg = m.get("errmsg") match { case Some(JStr(s)) => s; case _ => r.toString }
-            throw new java.sql.SQLException(s"mongo wire error: $msg")
-        }
+      val m =
+        try checkOk(roundTrip(socket, reqId, Bson.encodeDoc(cmd.v)))
+        catch { case e: Throwable => close(); throw e }
+      reqId += 1
+      absorb(m, "firstBatch")
+    }
+
+    private def absorb(m: Map[String, J], batchKey: String): Unit = {
+      val cursor = m.get("cursor").map(CanonicalJson.objFields)
+      batch = cursor.flatMap(_.get(batchKey)) match {
+        case Some(JArr(xs)) => xs.iterator
+        case _ => Iterator.empty
       }
-      val docs = Vector.newBuilder[J]
-      var m = check(reply)
-      var cursor = m.get("cursor").map(CanonicalJson.objFields)
-      cursor.flatMap(_.get("firstBatch")).foreach {
-        case JArr(xs) => docs ++= xs
-        case _ => ()
-      }
-      var cursorId = cursor.flatMap(_.get("id")).map(num).getOrElse(0L)
-      val ns = cursor.flatMap(_.get("ns")).collect { case JStr(s) => s }.getOrElse("")
-      var reqId = 2
-      while (cursorId != 0L) {
+      cursorId = cursor.flatMap(_.get("id")).map(num).getOrElse(0L)
+      cursor.flatMap(_.get("ns")).collect { case JStr(s) => ns = s }
+    }
+
+    override def hasNext: Boolean = {
+      while (!batch.hasNext && cursorId != 0L) {
         val coll = ns.substring(ns.indexOf('.') + 1)
         val getMore = JObj.of(
           "getMore" -> JObj.of("$numberLong" -> JStr(cursorId.toString)),
           "collection" -> JStr(coll),
           "$db" -> JStr(db))
-        reply = roundTrip(socket, reqId, Bson.encodeDoc(getMore.v))
+        val m =
+          try checkOk(roundTrip(socket, reqId, Bson.encodeDoc(getMore.v)))
+          catch { case e: Throwable => close(); throw e }
         reqId += 1
-        m = check(reply)
-        cursor = m.get("cursor").map(CanonicalJson.objFields)
-        cursor.flatMap(_.get("nextBatch")).foreach {
-          case JArr(xs) => docs ++= xs
-          case _ => ()
-        }
-        cursorId = cursor.flatMap(_.get("id")).map(num).getOrElse(0L)
+        absorb(m, "nextBatch")
       }
-      docs.result().map(CanonicalJson.render).mkString("\n")
-    } finally socket.close()
+      val h = batch.hasNext
+      if (!h) close()
+      h
+    }
+
+    override def next(): String = {
+      if (!hasNext) throw new NoSuchElementException("wire cursor drained")
+      CanonicalJson.render(batch.next())
+    }
+
+    override def close(): Unit = if (!closed) { closed = true; socket.close() }
+  }
+
+  /** A drop-in [[MongoRegistry]] transport: JSON command in,
+    * NDJSON-of-Extended-JSON documents out, over real OP_MSG bytes —
+    * a driver-side convenience over [[WireCursor]] for bounded
+    * results. Scans at scale register a wire ENDPOINT instead
+    * ([[MongoRegistry.Entry.wire]]) so each task streams its own
+    * cursor executor-side. */
+  def wireTransport(host: String, port: Int, db: String): String => String = { commandJson =>
+    val cursor = new WireCursor(host, port, db, commandJson)
+    try cursor.mkString("\n") finally cursor.close()
   }
 }

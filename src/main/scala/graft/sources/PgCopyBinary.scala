@@ -139,30 +139,68 @@ object PgCopyBinary {
     signed.setScale(dscale)
   }
 
+  /** the 19-byte stream header (signature + flags + extension length)
+    * and 2-byte trailer, exposed so a server can frame per-tuple. */
+  private[graft] def headerBytes: Array[Byte] = {
+    val b = ByteBuffer.allocate(19)
+    b.put(Signature); b.putInt(0); b.putInt(0)
+    b.array()
+  }
+  private[graft] val trailerBytes: Array[Byte] = Array(0xFF.toByte, 0xFF.toByte)
+
+  /** one tuple's bytes (field count + length-prefixed fields) — the
+    * unit a real server sends as a single CopyData frame. */
+  private[graft] def encodeTuple(row: Row, schema: StructType): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val fields = schema.fields
+    out.writeShort(fields.length)
+    var i = 0
+    while (i < fields.length) {
+      if (row.isNullAt(i)) out.writeInt(-1)
+      else {
+        val bytes = encodeField(row, i, fields(i).dataType)
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
   // ------------------------------------------------------------ decode
 
-  def decodeStream(bytes: Array[Byte], schema: StructType): Iterator[Row] = {
-    val b = ByteBuffer.wrap(bytes)
-    val sig = new Array[Byte](11); b.get(sig)
+  def decodeStream(bytes: Array[Byte], schema: StructType): Iterator[Row] =
+    decodeFrom(new java.io.ByteArrayInputStream(bytes), schema)
+
+  /** Incremental decode STRAIGHT OFF a stream — one tuple materialized
+    * at a time, never the whole payload (the executor-side scan path:
+    * the stream is [[PgWireClient.copyOutStream]]'s lazy frame reader,
+    * so a 100 TB COPY holds one frame + one tuple per task). */
+  def decodeFrom(in0: java.io.InputStream, schema: StructType): Iterator[Row] = {
+    val in = new java.io.DataInputStream(in0)
+    val sig = new Array[Byte](11); in.readFully(sig)
     require(java.util.Arrays.equals(sig, Signature), "bad PGCOPY signature")
-    require(b.getInt == 0, "unsupported COPY flags")
-    val ext = b.getInt; b.position(b.position() + ext)
+    require(in.readInt() == 0, "unsupported COPY flags")
+    val ext = in.readInt()
+    if (ext > 0) in.skipNBytes(ext.toLong)
     val fields = schema.fields
     new Iterator[Row] {
-      private var nextCount: Int = b.getShort.toInt
+      private var nextCount: Int = in.readShort().toInt
       override def hasNext: Boolean = nextCount != -1
       override def next(): Row = {
         require(nextCount == fields.length,
           s"tuple has $nextCount fields, schema has ${fields.length}")
         val vals = fields.map { f =>
-          val len = b.getInt
+          val len = in.readInt()
           if (len == -1) null
           else {
-            val data = new Array[Byte](len); b.get(data)
+            val data = new Array[Byte](len); in.readFully(data)
             decodeField(data, f.dataType)
           }
         }
-        nextCount = b.getShort.toInt
+        nextCount = in.readShort().toInt
         Row.fromSeq(vals.toSeq)
       }
     }

@@ -81,12 +81,17 @@ final class PgWireClient(host: String, port: Int, user: String, database: String
     }
   }
 
+  /** After a fatal error (startup/auth failure) the server closes the
+    * connection WITHOUT ReadyForQuery — treat EOF/IO as drained so the
+    * original server error text surfaces, not an EOFException. */
   private def drainToReady(): Unit = {
-    var ready = false
-    while (!ready) readMessage() match {
-      case ('Z', _) => ready = true
-      case _ => ()
-    }
+    try {
+      var ready = false
+      while (!ready) readMessage() match {
+        case ('Z', _) => ready = true
+        case _ => ()
+      }
+    } catch { case _: java.io.IOException => () }
   }
 
   private def sendQuery(sql: String): Unit = {
@@ -169,10 +174,14 @@ final class PgWireClient(host: String, port: Int, user: String, database: String
   }
 
   /** COPY ... TO STDOUT (FORMAT binary): expects CopyOutResponse and
-    * returns the concatenated CopyData payload — one complete
+    * returns an InputStream over the CopyData payload — one complete
     * [[PgCopyBinary]] stream (the reference's scan mechanism,
-    * cdf-source-postgres/src/source.rs:636). */
-  def copyOutBinary(sql: String): Array[Byte] = {
+    * cdf-source-postgres/src/source.rs:636) — read FRAME BY FRAME as
+    * the consumer pulls, so a scan task holds at most one CopyData
+    * frame in memory, never the whole result. On CopyDone the stream
+    * drains to ReadyForQuery and signals EOF; the connection stays
+    * reusable. */
+  def copyOutStream(sql: String): java.io.InputStream = {
     sendQuery(sql)
     var inCopy = false
     while (!inCopy) readMessage() match {
@@ -180,22 +189,39 @@ final class PgWireClient(host: String, port: Int, user: String, database: String
       case ('E', body) => drainToReady(); throw new java.sql.SQLException(s"pgwire: ${errorText(body)}")
       case _ => ()
     }
-    val buf = new java.io.ByteArrayOutputStream()
-    var copying = true
-    while (copying) readMessage() match {
-      case ('d', body) => buf.write(body)
-      case ('c', _) => copying = false
-      case ('E', body) => drainToReady(); throw new java.sql.SQLException(s"pgwire: ${errorText(body)}")
-      case _ => ()
+    new java.io.InputStream {
+      private var frame: Array[Byte] = Array.emptyByteArray
+      private var pos = 0
+      private var done = false
+      /** true when bytes are available; loads the next frame lazily. */
+      private def ensure(): Boolean = {
+        while (!done && pos >= frame.length) readMessage() match {
+          case ('d', body) => frame = body; pos = 0
+          case ('c', _) =>
+            var ready = false
+            while (!ready) readMessage() match {
+              case ('Z', _) => ready = true
+              case ('E', body) => drainToReady(); throw new java.sql.SQLException(s"pgwire: ${errorText(body)}")
+              case _ => () // CommandComplete
+            }
+            done = true
+          case ('E', body) => drainToReady(); throw new java.sql.SQLException(s"pgwire: ${errorText(body)}")
+          case _ => ()
+        }
+        pos < frame.length
+      }
+      override def read(): Int =
+        if (!ensure()) -1 else { val b = frame(pos) & 0xFF; pos += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        if (len == 0) 0
+        else if (!ensure()) -1
+        else { val n = math.min(len, frame.length - pos); System.arraycopy(frame, pos, b, off, n); pos += n; n }
     }
-    var ready = false
-    while (!ready) readMessage() match {
-      case ('Z', _) => ready = true
-      case ('E', body) => drainToReady(); throw new java.sql.SQLException(s"pgwire: ${errorText(body)}")
-      case _ => ()
-    }
-    buf.toByteArray
   }
+
+  /** whole-payload convenience over [[copyOutStream]] (tests; bounded
+    * results). Scans go through the streaming form. */
+  def copyOutBinary(sql: String): Array[Byte] = copyOutStream(sql).readAllBytes()
 
   override def close(): Unit = {
     try {
@@ -272,26 +298,19 @@ object PgWire {
   /** The SCAN wire half, the reference's exact mechanism
     * (cdf-source-postgres/src/source.rs:636): `COPY (SELECT ...) TO
     * STDOUT (FORMAT binary)` over the v3 protocol, decoded by the
-    * spec-pinned [[PgCopyBinary]] codec. `where` clauses shard the
-    * read — a partitioned load opens one connection per key range
-    * (the readPartitioned shape) and each range arrives as its own
-    * complete COPY stream, decoded distributed. */
+    * spec-pinned [[PgCopyBinary]] codec. Runs as a DSv2 scan
+    * ([[dsv2.PgWireScanSource]]): each `where` key range becomes one
+    * InputPartition whose task opens its OWN connection and streams
+    * its COPY frames incrementally — result bytes never transit the
+    * driver, the shape that survives 100 TB. */
   def scanBinary(spark: org.apache.spark.sql.SparkSession,
       host: String, port: Int, user: String, database: String,
       table: String, schema: StructType,
-      wheres: Seq[String] = Seq("")): org.apache.spark.sql.DataFrame = {
-    val cols = schema.fieldNames.mkString(", ")
-    val payloads = wheres.map { w =>
-      val client = new PgWireClient(host, port, user, database)
-      try {
-        val sel = s"SELECT $cols FROM $table" + (if (w.isEmpty) "" else s" WHERE $w")
-        client.copyOutBinary(s"COPY ($sel) TO STDOUT (FORMAT binary)")
-      } finally client.close()
-    }
-    // each COPY stream decodes in its own task (payloads are the unit
-    // of parallelism, exactly the per-range connection shape)
-    val rdd = spark.sparkContext.parallelize(payloads, math.max(1, payloads.size))
-      .flatMap(p => PgCopyBinary.decodeStream(p, schema))
-    spark.createDataFrame(rdd, schema)
+      wheres: Seq[String] = Seq(""),
+      pushable: Set[String] = Set.empty): org.apache.spark.sql.DataFrame = {
+    val name = s"$host:$port/$database/$table#${wheres.hashCode.toHexString}"
+    dsv2.PgWireRegistry.register(name,
+      dsv2.PgWireRegistry.Entry(host, port, user, database, table, schema, wheres, pushable))
+    spark.read.format("graft.sources.dsv2.PgWireScanSource").option("table", name).load()
   }
 }

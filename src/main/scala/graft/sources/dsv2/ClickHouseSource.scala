@@ -34,14 +34,14 @@ import graft.sources.ClickHouse
   * pushes because every pushed predicate is Exact
   * (table_provider.rs:126-137 — a superset response would forbid it).
   *
-  * Scale shape: the transport call issues ONE dialect query per scan
-  * (driver-side, exactly where the reference's driver runs its
-  * protocol); the response's NDJSON lines fan out across
-  * `partitions` InputPartitions so decode + residual re-check + all
-  * downstream operators run distributed. A deployment plugs the HTTP
-  * interface into the same `Transport` seam; at 100 TB the query should
-  * carry a shard/range predicate per partition — the seam accepts one
-  * ScanSpec per partition without structural change.
+  * Scale shape, two modes:
+  *  - `http`-backed (the 100 TB path): one dialect query PER SHARD
+  *    predicate, POSTed and streamed line-by-line INSIDE each task —
+  *    result bytes never transit the driver, per-task memory is one
+  *    line + one row.
+  *  - seam-backed (bounded fixtures): ONE transport call driver-side,
+  *    lines fanned out across `partitions` InputPartitions for
+  *    distributed decode + residual re-check.
   */
 object ClickHouseRegistry {
   final case class Entry(
@@ -49,7 +49,16 @@ object ClickHouseRegistry {
       schema: StructType,
       transport: ClickHouse.Transport,
       pushable: Set[String],
-      partitions: Int = 4)
+      partitions: Int = 4,
+      /** HTTP-interface endpoint: when set, the scan bypasses
+        * `transport` and runs EXECUTOR-SIDE — each task POSTs its own
+        * dialect query and streams the JSONEachRow response off the
+        * socket line-by-line; result bytes never transit the driver. */
+      http: Option[String] = None,
+      /** raw disjoint shard predicates (dialect SQL) covering the
+        * table; with `http` set, a plain scan fans out one task +
+        * query per shard. */
+      shardWheres: Seq[String] = Seq.empty)
   private val tables = TrieMap.empty[String, Entry]
   /** negotiation record: the dialect SQL each scan actually issued. */
   val issuedSql = TrieMap.empty[String, Vector[String]]
@@ -282,17 +291,35 @@ final class ClickHouseScan(name: String, entry: ClickHouseRegistry.Entry,
   override def toBatch: Batch = this
   override def description(): String = s"ClickHouseScan(${spec.sql})"
 
-  /** ONE dialect query, driver-side; NDJSON lines fan out over
-    * `partitions` splits for distributed decode (one split under a
-    * fully-pushed top-N, preserving server order). */
-  override def planInputPartitions(): Array[InputPartition] = {
-    ClickHouseRegistry.recordSql(name, spec.sql)
-    val body = entry.transport(spec.sql)
-    val lines = body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toVector
-    val n = if (singlePartition) 1 else math.max(1, math.min(entry.partitions, lines.size))
-    lines.grouped(math.max(1, (lines.size + n - 1) / n))
-      .map(chunk => ClickHouseLinesPartition(chunk): InputPartition).toArray
+  /** Wire-backed entries plan one dialect query PER SHARD and open
+    * nothing here — tasks stream their own responses. Seam-backed
+    * entries keep the one-driver-query shape (bounded fixtures).
+    * Memoized: Spark plans partitions more than once per scan; the
+    * record — and on the seam path the transport call — must happen
+    * exactly once. */
+  private lazy val planned: Array[InputPartition] = entry.http match {
+    case Some(endpoint) =>
+      // global semantics (order/limit/offset/group) pin the read to
+      // ONE query; a plain scan fans out over the declared shards
+      val shardable = !singlePartition && spec.orderBy.isEmpty && spec.limit.isEmpty &&
+        spec.offset.isEmpty && spec.groupBy.isEmpty && entry.shardWheres.nonEmpty
+      val specs =
+        if (shardable) entry.shardWheres.map(w => spec.copy(rawWheres = spec.rawWheres :+ w))
+        else Seq(spec)
+      specs.map { s =>
+        ClickHouseRegistry.recordSql(name, s.sql)
+        ClickHouseHttpPartition(s.sql, endpoint): InputPartition
+      }.toArray
+    case None =>
+      ClickHouseRegistry.recordSql(name, spec.sql)
+      val body = entry.transport(spec.sql)
+      val lines = body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toVector
+      val n = if (singlePartition) 1 else math.max(1, math.min(entry.partitions, lines.size))
+      lines.grouped(math.max(1, (lines.size + n - 1) / n))
+        .map(chunk => ClickHouseLinesPartition(chunk): InputPartition).toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] = planned
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ClickHouseReaderFactory(projection)
@@ -300,10 +327,12 @@ final class ClickHouseScan(name: String, entry: ClickHouseRegistry.Entry,
 
 final case class ClickHouseLinesPartition(lines: Vector[String]) extends InputPartition
 
+/** one dialect query, POSTed and streamed INSIDE the task. */
+final case class ClickHouseHttpPartition(sql: String, endpoint: String) extends InputPartition
+
 final class ClickHouseReaderFactory(projection: StructType) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val lines = partition.asInstanceOf[ClickHouseLinesPartition].lines
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(projection)
 
     def conv(j: J, dt: DataType): Any = (j, dt) match {
@@ -327,18 +356,35 @@ final class ClickHouseReaderFactory(projection: StructType) extends PartitionRea
         s"clickhouse decode: cannot read $other as $t")
     }
 
-    val it = lines.iterator.map { line =>
+    def decodeLine(line: String): InternalRow = {
       val fields = CanonicalJson.objFields(CanonicalJson.parse(line))
       val vals = projection.fields.map(f =>
         fields.get(f.name).map(conv(_, f.dataType)).orNull)
       toCatalyst(Row.fromSeq(vals.toSeq)).asInstanceOf[InternalRow]
     }
 
-    new PartitionReader[InternalRow] {
-      private var current: InternalRow = _
-      override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
-      override def get(): InternalRow = current
-      override def close(): Unit = ()
+    def reader(it: Iterator[InternalRow], onClose: () => Unit): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private var current: InternalRow = _
+        override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
+        override def get(): InternalRow = current
+        override def close(): Unit = onClose()
+      }
+
+    partition match {
+      case ClickHouseLinesPartition(lines) =>
+        reader(lines.iterator.map(decodeLine), () => ())
+      case ClickHouseHttpPartition(sql, endpoint) =>
+        require(org.apache.spark.TaskContext.get() != null,
+          "clickhouse http scan must open its connection inside a task, never on the driver")
+        val in = new graft.sources.ClickHouseHttpClient(endpoint).executeStream(sql)
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        val lineIt = Iterator.continually(br.readLine()).takeWhile(_ != null)
+          .map(_.trim).filter(_.nonEmpty)
+        reader(lineIt.map(decodeLine), () => br.close())
+      case other =>
+        throw new IllegalArgumentException(s"clickhouse reader: unexpected partition $other")
     }
   }
 }

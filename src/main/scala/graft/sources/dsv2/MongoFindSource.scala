@@ -40,14 +40,17 @@ import graft.core.CanonicalJson._
   * when every group key and aggregate is servable exactly.
   *
   * The transport is `findCommandJson => NDJSON-of-ExtendedJSON` — the
-  * exact request/response pair MongoDB's wire speaks; a deployment
-  * plugs a real driver into the seam (zero-egress container exercises
-  * the full command compilation + decode). ONE command per scan
-  * (driver-side, where any Mongo cursor lives); response documents fan
-  * out across `partitions` InputPartitions so decode + residual
-  * re-check run distributed. Decode handles canonical AND relaxed
-  * Extended JSON scalars ($numberLong/$numberInt/$numberDouble/
-  * $numberDecimal/$date/$oid, or plain literals).
+  * exact request/response pair MongoDB's wire speaks. Two scan modes:
+  *  - `wire`-backed (the 100 TB path): one find command PER SHARD
+  *    filter; each task opens its OWN OP_MSG socket and drains its
+  *    cursor batch-by-batch ([[graft.sources.MongoWire.WireCursor]]) —
+  *    result documents never transit the driver.
+  *  - seam-backed (bounded fixtures): ONE transport command
+  *    driver-side, response lines fanned out across `partitions`
+  *    InputPartitions for distributed decode + residual re-check.
+  * Decode handles canonical AND relaxed Extended JSON scalars
+  * ($numberLong/$numberInt/$numberDouble/$numberDecimal/$date/$oid,
+  * or plain literals).
   */
 object MongoRegistry {
   final case class Entry(
@@ -55,7 +58,16 @@ object MongoRegistry {
       schema: StructType,
       transport: String => String,
       pushable: Set[String],
-      partitions: Int = 4)
+      partitions: Int = 4,
+      /** (host, port, db): when set, the scan bypasses `transport` and
+        * runs EXECUTOR-SIDE — each task opens its own OP_MSG socket and
+        * streams its cursor batch-by-batch ([[graft.sources.MongoWire.WireCursor]]);
+        * result documents never transit the driver. */
+      wire: Option[(String, Int, String)] = None,
+      /** disjoint Extended-JSON filter clauses covering the keyspace
+        * (e.g. _id ranges); with `wire` set, a plain find fans out one
+        * task + connection + cursor per shard. */
+      shardFilters: Seq[String] = Seq.empty)
   private val tables = TrieMap.empty[String, Entry]
   /** negotiation record: the find command each scan actually issued. */
   val issuedCommands = TrieMap.empty[String, Vector[String]]
@@ -333,31 +345,58 @@ final class MongoFindScanBuilder(name: String, entry: MongoRegistry.Entry)
       case None =>
         val cols = if (projection.isEmpty) StructType(entry.schema.fields.take(1)) else projection
         val proj = cols.fieldNames.map(c => s"${field(c)}:1").mkString("{", ",", "}")
-        val cmd = s"""{"find":${field(entry.collection)},"filter":$filter,"projection":$proj""" +
-          sortDoc.fold("")(s => s""","sort":$s""") +
-          offset.fold("")(o => s""","skip":$o""") +
-          renderedLimit.fold("")(l => s""","limit":$l""") + "}"
-        new MongoFindScan(name, entry, cols, cmd, singlePartition = sortDoc.isDefined)
+        def findCmd(f: String): String =
+          s"""{"find":${field(entry.collection)},"filter":$f,"projection":$proj""" +
+            sortDoc.fold("")(s => s""","sort":$s""") +
+            offset.fold("")(o => s""","skip":$o""") +
+            renderedLimit.fold("")(l => s""","limit":$l""") + "}"
+        // a plain wire find (no global sort/skip/limit) fans out one
+        // cursor per declared shard; anything with global semantics
+        // must stay a single cursor
+        val shardable = entry.wire.isDefined && entry.shardFilters.nonEmpty &&
+          sortDoc.isEmpty && limit.isEmpty && offset.isEmpty
+        val wireCmds =
+          if (shardable) entry.shardFilters.map { sc =>
+            val conj = filterDoc :+ sc
+            findCmd(if (conj.sizeIs == 1) conj.head else s"""{"$$and":[${conj.mkString(",")}]}""")
+          } else Seq(findCmd(filter))
+        new MongoFindScan(name, entry, cols, findCmd(filter),
+          singlePartition = sortDoc.isDefined, wireCommands = wireCmds)
     }
   }
 }
 
 final class MongoFindScan(name: String, entry: MongoRegistry.Entry,
     projection: StructType, command: String,
-    singlePartition: Boolean = false) extends Scan with Batch {
+    singlePartition: Boolean = false,
+    wireCommands: Seq[String] = Seq.empty) extends Scan with Batch {
 
   override def readSchema(): StructType = projection
   override def toBatch: Batch = this
   override def description(): String = s"MongoFindScan($command)"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    MongoRegistry.recordCommand(name, command)
-    val body = entry.transport(command)
-    val lines = body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toVector
-    val n = if (singlePartition) 1 else math.max(1, math.min(entry.partitions, lines.size))
-    lines.grouped(math.max(1, (lines.size + n - 1) / n))
-      .map(chunk => MongoDocsPartition(chunk): InputPartition).toArray
+  // memoized: Spark plans partitions more than once per scan (planning
+  // + execution); the command set — and on the seam path the transport
+  // call itself — must happen exactly once
+  private lazy val planned: Array[InputPartition] = entry.wire match {
+    case Some((host, port, db)) =>
+      // EXECUTOR-SIDE: no command issued here — each partition's task
+      // opens its own socket and streams its cursor incrementally
+      val cmds = if (wireCommands.isEmpty) Seq(command) else wireCommands
+      cmds.map { c =>
+        MongoRegistry.recordCommand(name, c)
+        MongoWirePartition(c, host, port, db): InputPartition
+      }.toArray
+    case None =>
+      MongoRegistry.recordCommand(name, command)
+      val body = entry.transport(command)
+      val lines = body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toVector
+      val n = if (singlePartition) 1 else math.max(1, math.min(entry.partitions, lines.size))
+      lines.grouped(math.max(1, (lines.size + n - 1) / n))
+        .map(chunk => MongoDocsPartition(chunk): InputPartition).toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] = planned
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MongoReaderFactory(projection)
@@ -365,10 +404,13 @@ final class MongoFindScan(name: String, entry: MongoRegistry.Entry,
 
 final case class MongoDocsPartition(lines: Vector[String]) extends InputPartition
 
+/** one cursor, opened and drained INSIDE the task. */
+final case class MongoWirePartition(command: String, host: String, port: Int, db: String)
+    extends InputPartition
+
 final class MongoReaderFactory(projection: StructType) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val lines = partition.asInstanceOf[MongoDocsPartition].lines
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(projection)
 
     // canonical + relaxed Extended JSON v2 scalar decode
@@ -409,18 +451,31 @@ final class MongoReaderFactory(projection: StructType) extends PartitionReaderFa
         s"mongo decode: cannot read $other as $t")
     }
 
-    val it = lines.iterator.map { line =>
+    def decodeLine(line: String): InternalRow = {
       val fields = CanonicalJson.objFields(CanonicalJson.parse(line))
       val vals = projection.fields.map(f =>
         fields.get(f.name).map(conv(_, f.dataType)).orNull)
       toCatalyst(Row.fromSeq(vals.toSeq)).asInstanceOf[InternalRow]
     }
 
-    new PartitionReader[InternalRow] {
-      private var current: InternalRow = _
-      override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
-      override def get(): InternalRow = current
-      override def close(): Unit = ()
+    def reader(it: Iterator[InternalRow], onClose: () => Unit): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private var current: InternalRow = _
+        override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
+        override def get(): InternalRow = current
+        override def close(): Unit = onClose()
+      }
+
+    partition match {
+      case MongoDocsPartition(lines) =>
+        reader(lines.iterator.map(decodeLine), () => ())
+      case MongoWirePartition(cmd, host, port, db) =>
+        require(org.apache.spark.TaskContext.get() != null,
+          "mongo wire scan must open its socket inside a task, never on the driver")
+        val cursor = new graft.sources.MongoWire.WireCursor(host, port, db, cmd)
+        reader(cursor.map(decodeLine), () => cursor.close())
+      case other =>
+        throw new IllegalArgumentException(s"mongo reader: unexpected partition $other")
     }
   }
 }

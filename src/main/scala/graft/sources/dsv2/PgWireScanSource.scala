@@ -1,0 +1,179 @@
+package graft.sources.dsv2
+
+import java.util.{Map => JMap}
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{PgCopyBinary, PgWireClient}
+
+/** Postgres wire scan as a DataSource V2 connector — the reference's
+  * exact read mechanism, `COPY (SELECT ...) TO STDOUT (FORMAT binary)`
+  * over the v3 protocol (cdf: crates/cdf-source-postgres/src/
+  * source.rs:636), made EXECUTOR-SIDE:
+  *
+  *  - `planInputPartitions` opens NO connection — it only renders one
+  *    COPY statement per declared key range. Result bytes never
+  *    transit the driver.
+  *  - each task opens its OWN connection ([[PgWireClient]] inside the
+  *    `PartitionReader`, guarded by a TaskContext assertion), runs one
+  *    COPY stream for its range, and decodes frames INCREMENTALLY
+  *    ([[PgCopyBinary.decodeFrom]] over the lazy frame stream) — at
+  *    most one CopyData frame + one tuple in memory per task, the
+  *    shape that survives a 100 TB table.
+  *
+  * Pushdown: projection prunes the SELECT list; predicates in the
+  * Exact set { = > >= < <= } on declared-pushable columns with
+  * renderable literals are rendered into the WHERE conjunction
+  * alongside the range shard (server evaluates them exactly, nothing
+  * re-checked); anything else stays engine-side as a residual.
+  */
+object PgWireRegistry {
+  final case class Entry(
+      host: String, port: Int, user: String, database: String,
+      table: String, schema: StructType,
+      /** disjoint range predicates covering the keyspace; one
+        * connection + COPY stream per entry ("" = whole table). */
+      rangeWheres: Seq[String] = Seq(""),
+      pushable: Set[String] = Set.empty)
+  private val tables = TrieMap.empty[String, Entry]
+  /** negotiation record: the COPY statements each scan actually issued. */
+  val issuedSql = TrieMap.empty[String, Vector[String]]
+  def register(name: String, e: Entry): Unit = { tables.put(name, e); issuedSql.put(name, Vector.empty) }
+  def get(name: String): Entry = tables.getOrElse(name,
+    throw new IllegalArgumentException(s"unknown pgwire table: $name"))
+  def recordSql(name: String, sql: String): Unit =
+    issuedSql.updateWith(name)(v => Some(v.getOrElse(Vector.empty) :+ sql))
+}
+
+class PgWireScanSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PgWireRegistry.get(options.get("table")).schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new PgWireTable(properties.get("table"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+final class PgWireTable(name: String) extends Table with SupportsRead {
+  private val entry = PgWireRegistry.get(name)
+  override def name(): String = s"pgwire:$name"
+  override def schema(): StructType = entry.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PgWireScanBuilder(name, entry)
+}
+
+final class PgWireScanBuilder(name: String, entry: PgWireRegistry.Entry)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var exactFilters: Array[Filter] = Array.empty
+  private var predSqls: Seq[String] = Seq.empty
+  private var projection: StructType = entry.schema
+
+  /** PG literal: '' -doubled strings, plain numerics, TRUE/FALSE. */
+  private def pgLiteral(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case b: java.lang.Boolean => Some(if (b) "TRUE" else "FALSE")
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case n: Number => Some(n.toString)
+    case _ => None
+  }
+
+  private def clause(f: Filter): Option[String] = {
+    def p(c: String, op: String, v: Any): Option[String] =
+      if (entry.pushable.contains(c)) pgLiteral(v).map(l => s"$c $op $l") else None
+    f match {
+      case EqualTo(c, v) => p(c, "=", v)
+      case GreaterThan(c, v) => p(c, ">", v)
+      case GreaterThanOrEqual(c, v) => p(c, ">=", v)
+      case LessThan(c, v) => p(c, "<", v)
+      case LessThanOrEqual(c, v) => p(c, "<=", v)
+      case _ => None
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val classified = filters.map(f => f -> clause(f))
+    exactFilters = classified.collect { case (f, Some(_)) => f }
+    predSqls = classified.collect { case (_, Some(c)) => c }.toSeq
+    classified.collect { case (f, None) => f } // residual re-check
+  }
+  override def pushedFilters(): Array[Filter] = exactFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    projection = StructType(entry.schema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = {
+    val cols = if (projection.isEmpty) StructType(entry.schema.fields.take(1)) else projection
+    new PgWireScan(name, entry, cols, predSqls)
+  }
+}
+
+final class PgWireScan(name: String, entry: PgWireRegistry.Entry,
+    projection: StructType, predSqls: Seq[String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = projection
+  override def toBatch: Batch = this
+
+  /** one partition per key range — statements rendered here, sockets
+    * opened ONLY in the tasks. Memoized: Spark plans partitions more
+    * than once per scan; the statement record must happen once. */
+  private lazy val planned: Array[InputPartition] = {
+    val cols = projection.fieldNames.mkString(", ")
+    val ranges = if (entry.rangeWheres.isEmpty) Seq("") else entry.rangeWheres
+    ranges.map { w =>
+      val conds = Seq(w).filter(_.nonEmpty) ++ predSqls
+      val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+      val sql = s"COPY (SELECT $cols FROM ${entry.table}$where) TO STDOUT (FORMAT binary)"
+      PgWireRegistry.recordSql(name, sql)
+      PgWirePartition(sql): InputPartition
+    }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = planned
+
+  override def description(): String =
+    s"PgWireScan(${entry.table}, ranges=${entry.rangeWheres.size}, preds=${predSqls.mkString(",")})"
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PgWireReaderFactory(entry.host, entry.port, entry.user, entry.database, projection)
+}
+
+final case class PgWirePartition(copySql: String) extends InputPartition
+
+final class PgWireReaderFactory(host: String, port: Int, user: String, database: String,
+    projection: StructType) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    require(TaskContext.get() != null,
+      "pgwire scan must open its socket inside a task, never on the driver")
+    val sql = partition.asInstanceOf[PgWirePartition].copySql
+    val client = new PgWireClient(host, port, user, database)
+    val rows =
+      try PgCopyBinary.decodeFrom(client.copyOutStream(sql), projection)
+      catch { case e: Throwable => client.close(); throw e }
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(projection)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        val h = rows.hasNext
+        if (h) current = toCatalyst(rows.next()).asInstanceOf[InternalRow]
+        h
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = client.close()
+    }
+  }
+}

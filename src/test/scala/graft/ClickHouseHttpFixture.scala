@@ -27,12 +27,17 @@ final class ClickHouseHttpFixture {
   final case class Table(schema: StructType, rows: mutable.ArrayBuffer[Map[String, Any]])
   val tables = mutable.Map.empty[String, Table]
 
+  /** request log: executor-side scans POST one query per task, so
+    * specs assert "0 until the action ran, N after". */
+  val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   def port: Int = server.getAddress.getPort
   def endpoint: String = s"http://127.0.0.1:$port"
 
   server.createContext("/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
+      requests.incrementAndGet()
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val queryParam = Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
         .find(_.startsWith("query=")).map(q =>
@@ -42,7 +47,7 @@ final class ClickHouseHttpFixture {
         case None => (body.trim, "")
       }
       val (code, resp) =
-        try (200, dispatch(sql, payload))
+        try (200, tables.synchronized(dispatch(sql, payload)))
         catch { case e: Throwable => (500, s"Code: 62. DB::Exception: ${e.getMessage}") }
       val bytes = resp.getBytes(UTF_8)
       ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
@@ -50,6 +55,11 @@ final class ClickHouseHttpFixture {
       ex.close()
     }
   })
+  // concurrent requests, like a real server (executor-side scan tasks
+  // arrive in parallel)
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "clickhouse-fixture"); t.setDaemon(true); t
+  }))
   server.start()
   def stop(): Unit = server.stop(0)
 
@@ -63,7 +73,44 @@ final class ClickHouseHttpFixture {
     """(?is)INSERT INTO `?(\w+)`?\s+SELECT .* FROM \(SELECT \*, row_number\(\) OVER \(PARTITION BY (.+?) ORDER BY `?(\w+)`? DESC, `?__src`? DESC\) AS __rn FROM \(SELECT .*, 0 AS `?__src`? FROM `?(\w+)`? UNION ALL SELECT .*, 1 AS `?__src`? FROM `?(\w+)`?\)\) WHERE __rn = 1\s*""".r
   private val ExchangeRe = """(?is)EXCHANGE TABLES `?(\w+)`? AND `?(\w+)`?\s*""".r
   private val CountRe = """(?is)SELECT count\(\) AS (\w+) FROM `?(\w+)`?\s+FORMAT JSONEachRow\s*""".r
-  private val SelectRe = """(?is)SELECT ([`\w, ]+) FROM `?(\w+)`?\s+FORMAT JSONEachRow\s*""".r
+  private val SelectRe =
+    """(?is)SELECT ([`\w, ]+) FROM `?(\w+)`?(?: WHERE (.+?))?(?: ORDER BY (.+?))?(?: LIMIT (\d+))?(?: OFFSET (\d+))?\s+FORMAT JSONEachRow\s*""".r
+  private val WhereModRe = """(?i)\s*`?(\w+)`?\s*%%?\s*(\d+)\s*=\s*(\d+)\s*""".r
+  private val WhereCmpRe = """(?i)\s*`?(\w+)`?\s*(>=|<=|=|>|<)\s*(.+?)\s*""".r
+
+  /** evaluate a WHERE conjunction — the shapes the DSv2 scan renders
+    * (Pred.sql comparisons plus raw mod-shard clauses). */
+  private def rowKeep(where: String): Map[String, Any] => Boolean = {
+    val clauses: Seq[Map[String, Any] => Boolean] = where.split("(?i) AND ").toSeq.map {
+      case WhereModRe(c, m, r) =>
+        row => row(c).asInstanceOf[Long] % m.toLong == r.toLong
+      case WhereCmpRe(c, op, lit) =>
+        val cmp: Map[String, Any] => Option[Int] =
+          if (lit.startsWith("'")) {
+            val s = lit.stripPrefix("'").stripSuffix("'")
+              .replace("\\'", "'").replace("\\\\", "\\")
+            row => row(c) match { case v: String => Some(v.compareTo(s)); case _ => None }
+          } else if (lit == "true" || lit == "false") {
+            val b = lit.toBoolean
+            row => row(c) match { case v: Boolean => Some(v.compareTo(b)); case _ => None }
+          } else {
+            val d = BigDecimal(lit)
+            row => row(c) match {
+              case null => None
+              case v => Some(BigDecimal(v.toString).compare(d))
+            }
+          }
+        op match {
+          case "=" => row => cmp(row).contains(0)
+          case ">" => row => cmp(row).exists(_ > 0)
+          case ">=" => row => cmp(row).exists(_ >= 0)
+          case "<" => row => cmp(row).exists(_ < 0)
+          case "<=" => row => cmp(row).exists(_ <= 0)
+        }
+      case other => throw new IllegalArgumentException(s"fixture where: $other")
+    }
+    row => clauses.forall(_(row))
+  }
 
   private def sparkTypeOf(ch: String): DataType = ClickHouse.sparkType(
     ch.trim.stripPrefix("Nullable(").stripSuffix(")"))
@@ -137,10 +184,29 @@ final class ClickHouseHttpFixture {
       val t = tables.getOrElse(name, throw new IllegalArgumentException(s"no table $name"))
       s"""{"$alias":${t.rows.size}}""" + "\n"
 
-    case SelectRe(colList, name) =>
+    case SelectRe(colList, name, whereOpt, orderOpt, limitOpt, offsetOpt) =>
       val t = tables.getOrElse(name, throw new IllegalArgumentException(s"no table $name"))
       val cols = colList.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
-      t.rows.map(r => cols.map(c =>
+      val kept = Option(whereOpt) match {
+        case None => t.rows.toVector
+        case Some(w) => t.rows.toVector.filter(rowKeep(w))
+      }
+      val ordered = Option(orderOpt) match {
+        case None => kept
+        case Some(o) =>
+          // first term only: `col` ASC|DESC [NULLS FIRST|LAST]
+          val term = o.split(",").head.trim
+          val desc = term.toUpperCase.contains(" DESC")
+          val c = term.split("\\s+").head.stripPrefix("`").stripSuffix("`")
+          val sorted = kept.sortBy(r => BigDecimal(r(c).toString))
+          if (desc) sorted.reverse else sorted
+      }
+      val off = Option(offsetOpt).map(_.toInt).getOrElse(0)
+      val sliced = Option(limitOpt).map(_.toInt) match {
+        case Some(l) => ordered.slice(off, off + l)
+        case None => ordered.drop(off)
+      }
+      sliced.map(r => cols.map(c =>
         s"""${CanonicalJson.render(JStr(c))}:${render(r(c))}""").mkString("{", ",", "}"))
         .mkString("", "\n", "\n")
 

@@ -139,4 +139,47 @@ class ClickHouseSpec extends SparkSpec {
       assert(df.count() == 5)
     } finally server.stop()
   }
+
+  test("executor-side HTTP scan: tasks POST their own queries and stream the response; bytes never transit the driver") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.ClickHouseHttpClient
+    import graft.sources.dsv2.ClickHouseRegistry
+    val server = new ClickHouseHttpFixture
+    try {
+      val client = new ClickHouseHttpClient(server.endpoint)
+      client.execute("CREATE TABLE `ev` (`k` Int64, `v` Nullable(String)) " +
+        "ENGINE = MergeTree ORDER BY (`k`)")
+      client.insert("INSERT INTO `ev` FORMAT JSONEachRow",
+        (1 to 8).map(i => s"""{"k":$i,"v":"x$i"}""").mkString("\n"))
+      val evSchema = StructType(Seq(
+        StructField("k", LongType, nullable = false), StructField("v", StringType)))
+      ClickHouseRegistry.register("ev_http", ClickHouseRegistry.Entry(
+        "ev", evSchema,
+        // the seam is dead for http entries — prove nothing uses it
+        transport = _ => sys.error("http entries must not use the driver-side seam"),
+        pushable = Set("k", "v"),
+        http = Some(server.endpoint),
+        shardWheres = Seq("k % 2 = 0", "k % 2 = 1")))
+      val before = server.requests.get
+      val df = spark.read.format("graft.sources.dsv2.ClickHouseSource")
+        .option("table", "ev_http").load()
+        .filter(col("k") > 2L)
+      df.queryExecution.executedPlan // plan fully — still no request
+      assert(server.requests.get == before,
+        "planning an executor-side scan must not issue a query")
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got == (3 to 8).map(i => (i.toLong, s"x$i")))
+      assert(server.requests.get == before + 2, "one task-side POST per shard")
+      val sqls = ClickHouseRegistry.issuedSql("ev_http")
+      assert(sqls.size == 2 && sqls.forall(_.contains("`k` > 2")), sqls.toString)
+      assert(sqls.exists(_.contains("% 2 = 0")) && sqls.exists(_.contains("% 2 = 1")))
+
+      // global semantics (pushed top-N) pin the scan to ONE streamed query
+      val top = spark.read.format("graft.sources.dsv2.ClickHouseSource")
+        .option("table", "ev_http").load()
+        .orderBy(col("k").desc_nulls_last).limit(3)
+      assert(top.collect().map(_.getLong(0)).toSeq == Seq(8L, 7L, 6L))
+      assert(server.requests.get == before + 3, "a pushed top-N must be a single query")
+    } finally server.stop()
+  }
 }

@@ -130,14 +130,31 @@ class DestinationsSpec extends SparkSpec {
 
       // the SCAN wire half: COPY (...) TO STDOUT (FORMAT binary) — the
       // reference's read mechanism — sharded into two key ranges, each
-      // its own connection + COPY stream, decoded distributed
+      // task opening its OWN connection + COPY stream, frames decoded
+      // incrementally: result bytes never transit the driver
       val scanned = PgWire.scanBinary(spark, "127.0.0.1", server.port, "graft", "graft",
-        "accts", schema, wheres = Seq("k % 2 = 0", "k % 2 = 1"))
+        "accts", schema, wheres = Seq("k % 2 = 0", "k % 2 = 1"), pushable = Set("k"))
+      val before = server.connects.get
+      scanned.queryExecution.executedPlan // plan fully — still no socket
+      assert(server.connects.get == before,
+        "planning an executor-side wire scan must not open a connection")
       val got = scanned.collect().map(r =>
         (r.getLong(0), r.getString(1), r.getAs[java.math.BigDecimal](2).toPlainString))
         .sortBy(_._1).toSeq
       assert(got == state(), "COPY TO STDOUT round-trip must equal the destination state")
       assert(got.find(_._1 == 5L).get._3 == "5.55", "decimals digit-exact both directions")
+      assert(server.connects.get == before + 2,
+        "one task-side connection per key-range partition")
+
+      // pushed predicate + pruned projection reach the COPY statement;
+      // the residual IsNotNull stays engine-side
+      val filtered = PgWire.scanBinary(spark, "127.0.0.1", server.port, "graft", "graft",
+        "accts", schema, wheres = Seq("k % 2 = 0", "k % 2 = 1"), pushable = Set("k"))
+        .where("k <= 3").select("k")
+      assert(filtered.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+      val copySqls = graft.sources.dsv2.PgWireRegistry.issuedSql.values.flatten.toVector
+      assert(copySqls.exists(s => s.contains("SELECT k FROM accts") && s.contains("k <= 3")),
+        s"pushdown must reach the COPY statement: $copySqls")
     } finally server.stop()
   }
 

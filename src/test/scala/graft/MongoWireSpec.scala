@@ -33,11 +33,18 @@ class MongoWireSpec extends SparkSpec {
     private val cursors = mutable.Map.empty[Long, Vector[J]]
     private var nextCursor = 100L
 
+    /** connection log: executor-side scans open one socket per task. */
+    val connects = new java.util.concurrent.atomic.AtomicInteger(0)
+
     private val thread = new Thread(() => {
       while (running) {
         try {
           val s = server.accept()
-          try handle(s) catch { case _: Throwable => () } finally s.close()
+          connects.incrementAndGet()
+          val w = new Thread(() => {
+            try handle(s) catch { case _: Throwable => () } finally s.close()
+          }, "mongo-wire-fixture-conn")
+          w.setDaemon(true); w.start() // concurrent, like a real mongod
         } catch { case _: Throwable => () }
       }
     }, "mongo-wire-fixture")
@@ -85,7 +92,8 @@ class MongoWireSpec extends SparkSpec {
 
     private def cursorReply(batchKey: String, docs: Vector[J], ns: String): JObj = {
       val (batch, rest) = docs.splitAt(2)
-      val id = if (rest.isEmpty) 0L else { nextCursor += 1; cursors(nextCursor) = rest; nextCursor }
+      val id = if (rest.isEmpty) 0L
+        else cursors.synchronized { nextCursor += 1; cursors(nextCursor) = rest; nextCursor }
       JObj.of(
         "cursor" -> JObj.of(
           batchKey -> JArr(batch),
@@ -117,10 +125,27 @@ class MongoWireSpec extends SparkSpec {
           else {
             val filter = cmd.get("filter").map(CanonicalJson.objFields).getOrElse(Map.empty)
             val proj = cmd.get("projection").map(CanonicalJson.objFields).getOrElse(Map.empty)
-            val kept = docs.filter(matches(_, filter)).map { d =>
+            val kept0 = docs.filter(matches(_, filter)).map { d =>
               val cols = if (proj.isEmpty) d.toVector
                 else d.filter { case (k, _) => proj.contains(k) }.toVector
               JObj(cols): J
+            }
+            // honor the pushed sort document (first term suffices here)
+            val kept = cmd.get("sort").map(CanonicalJson.objFields) match {
+              case Some(s) if s.nonEmpty =>
+                val (c, dirJ) = s.head
+                val desc = (dirJ match {
+                  case JInt(v) => v
+                  case JNum(v) => v.toLong
+                  case _ => 1L
+                }) < 0
+                val sorted = kept0.sortBy(d => CanonicalJson.objFields(d).get(c) match {
+                  case Some(JInt(v)) => v.toDouble
+                  case Some(JNum(v)) => v
+                  case _ => Double.MinValue
+                })
+                if (desc) sorted.reverse else sorted
+              case _ => kept0
             }
             val limited = cmd.get("limit").collect {
               case JInt(l) => kept.take(l.toInt)
@@ -135,7 +160,7 @@ class MongoWireSpec extends SparkSpec {
             case JObj(fs) => fs.toMap.get("$numberLong").collect { case JStr(v) => v.toLong }.get
             case o => sys.error(s"bad getMore $o")
           }
-          val rest0 = cursors.remove(id).getOrElse(Vector.empty)
+          val rest0 = cursors.synchronized(cursors.remove(id)).getOrElse(Vector.empty)
           reply(reqId, cursorReply("nextBatch", rest0, "wiredb.events"), out)
         } else {
           reply(reqId, JObj.of("ok" -> JNum(0.0),
@@ -226,6 +251,49 @@ class MongoWireSpec extends SparkSpec {
         (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(x =>
           Option(x.getMessage).getOrElse("")).mkString(" | "))
       assert(rootMsg(e).contains("ns not found"), rootMsg(e))
+    } finally fixture.stop()
+  }
+
+  test("executor-side wire scan: one socket per shard task, cursors stream in-task, bytes never transit the driver") {
+    import graft.sources.dsv2.MongoRegistry
+    val docs = (1 to 9).map { i =>
+      Map[String, J]("id" -> JInt(i.toLong), "qty" -> JNum(i * 1.5), "tag" -> JStr(s"t${i % 3}"))
+    }.toVector
+    val fixture = new Fixture(docs)
+    try {
+      val schemaM = StructType(Seq(
+        StructField("id", LongType), StructField("qty", DoubleType),
+        StructField("tag", StringType)))
+      MongoRegistry.register("wire_sharded", MongoRegistry.Entry(
+        "events", schemaM,
+        // the seam is dead for wire entries — prove nothing uses it
+        transport = _ => sys.error("wire entries must not use the driver-side seam"),
+        pushable = Set("id", "qty", "tag"),
+        wire = Some(("127.0.0.1", fixture.port, "wiredb")),
+        shardFilters = Seq(
+          """{"id":{"$lt":{"$numberLong":"4"}}}""",
+          """{"id":{"$gte":{"$numberLong":"4"}}}""")))
+      val df = spark.read.format("graft.sources.dsv2.MongoFindSource")
+        .option("collection", "wire_sharded").load()
+        .filter(col("id") > 1L)
+      df.queryExecution.executedPlan // plan fully — still no socket
+      assert(fixture.connects.get == 0,
+        "planning an executor-side wire scan must not open a socket")
+      val got = df.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (2L to 9L))
+      assert(fixture.connects.get == 2, "one task-side socket per shard")
+      // each shard command carries the pushed filter AND its own range;
+      // shard 2 (6 docs at batch size 2) genuinely paged with getMore
+      val cmds = MongoRegistry.issuedCommands("wire_sharded")
+      assert(cmds.size == 2 && cmds.forall(_.contains(""""$gt"""")), cmds.toString)
+      assert(cmds.exists(_.contains(""""$lt"""")) && cmds.exists(_.contains(""""$gte"""")))
+
+      // global semantics (pushed top-N) pin the wire scan to ONE cursor
+      val top = spark.read.format("graft.sources.dsv2.MongoFindSource")
+        .option("collection", "wire_sharded").load()
+        .orderBy(col("id").desc_nulls_last).limit(3)
+      assert(top.collect().map(_.getLong(0)).toSeq == Seq(9L, 8L, 7L))
+      assert(fixture.connects.get == 3, "a pushed top-N must be a single cursor")
     } finally fixture.stop()
   }
 }

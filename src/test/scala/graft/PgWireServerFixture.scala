@@ -29,6 +29,11 @@ final class PgWireServerFixture {
   final case class Table(schema: StructType, rows: mutable.ArrayBuffer[Row])
   val tables = mutable.Map.empty[String, Table] // the "database"
 
+  /** connection log: executor-side scans open one socket per task, so
+    * specs assert "0 until the action ran, N after" — the proof that
+    * result bytes never transit the driver. */
+  val connects = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
   @volatile private var running = true
@@ -37,9 +42,14 @@ final class PgWireServerFixture {
     while (running) {
       try {
         val sock = server.accept()
-        try handle(sock)
-        catch { case _: Throwable => () } // client died mid-flight: fine
-        finally sock.close()
+        connects.incrementAndGet()
+        val worker = new Thread(() => {
+          try handle(sock)
+          catch { case _: Throwable => () } // client died mid-flight: fine
+          finally sock.close()
+        }, "pgwire-fixture-conn")
+        worker.setDaemon(true)
+        worker.start() // concurrent connections, like a real server
       } catch { case _: Throwable => () } // accept interrupted on stop
     }
   }, "pgwire-fixture")
@@ -137,14 +147,45 @@ final class PgWireServerFixture {
   private val DropRe = """(?is)DROP TABLE (IF EXISTS )?(\w+)\s*""".r
   private val CopyRe = """(?is)COPY (\w+) FROM STDIN WITH \(FORMAT binary\)\s*""".r
   private val CopyOutRe =
-    """(?is)COPY \(SELECT [`\w, ]+ FROM (\w+)( WHERE (.+))?\) TO STDOUT \(FORMAT binary\)\s*""".r
+    """(?is)COPY \(SELECT ([`\w, ]+) FROM (\w+)( WHERE (.+))?\) TO STDOUT \(FORMAT binary\)\s*""".r
   private val WhereModRe = """(?i)\s*(\w+) %%?\s*(\d+) = (\d+)\s*""".r
+  private val WhereCmpRe = """(?i)\s*(\w+)\s*(>=|<=|=|>|<)\s*(.+?)\s*""".r
+
+  /** evaluate a WHERE conjunction (`AND`-joined mod-shard and simple
+    * comparison clauses — the shapes the executor-side scan renders). */
+  private def rowKeep(schema: StructType, where: String): Row => Boolean = {
+    val clauses: Seq[Row => Boolean] = where.split("(?i) AND ").toSeq.map {
+      case WhereModRe(c, m, r) =>
+        val ci = schema.fieldIndex(c)
+        row => row.getLong(ci) % m.toLong == r.toLong
+      case WhereCmpRe(c, op, lit) =>
+        val ci = schema.fieldIndex(c)
+        val cmp: Row => Int =
+          if (lit.startsWith("'")) {
+            val s = lit.stripPrefix("'").stripSuffix("'").replace("''", "'")
+            row => row.getString(ci).compareTo(s)
+          } else {
+            val d = BigDecimal(lit)
+            row => BigDecimal(row.get(ci).toString).compare(d)
+          }
+        op match {
+          case "=" => row => cmp(row) == 0
+          case ">" => row => cmp(row) > 0
+          case ">=" => row => cmp(row) >= 0
+          case "<" => row => cmp(row) < 0
+          case "<=" => row => cmp(row) <= 0
+        }
+      case other => throw new IllegalArgumentException(s"fixture where: $other")
+    }
+    row => clauses.forall(_(row))
+  }
   private val MergeRe =
     """(?is)MERGE INTO (\w+) t USING (\w+) s ON t\.(\w+) = s\.\3\s+WHEN MATCHED THEN UPDATE SET .*WHEN NOT MATCHED THEN INSERT .*""".r
   private val CountRe = """(?is)SELECT COUNT\(\*\) FROM (\w+)\s*""".r
 
+  // store access serialized across concurrent connection handlers
   private def dispatch(sql: String, in: DataInputStream, out: DataOutputStream): Unit =
-    sql match {
+    tables.synchronized { sql match {
       case CreateRe(ifNot, name, colsDef) =>
         if (tables.contains(name) && ifNot == null)
           throw new IllegalArgumentException(s"relation $name already exists")
@@ -192,24 +233,28 @@ final class PgWireServerFixture {
         tbl.rows ++= rows
         complete(out, s"COPY ${rows.size}")
 
-      case CopyOutRe(name, _, whereOpt) =>
+      case CopyOutRe(colList, name, _, whereOpt) =>
         val tbl = tables.getOrElse(name,
           throw new IllegalArgumentException(s"relation $name does not exist"))
+        val cols = colList.split(",").map(_.trim).filter(_.nonEmpty)
+        val proj = StructType(cols.map(c => tbl.schema(tbl.schema.fieldIndex(c))))
+        val idx = cols.map(tbl.schema.fieldIndex)
         val kept = Option(whereOpt) match {
           case None => tbl.rows.toVector
-          case Some(WhereModRe(c, m, r)) =>
-            val ci = tbl.schema.fieldIndex(c)
-            tbl.rows.toVector.filter(_.getLong(ci) % m.toLong == r.toLong)
-          case Some(other) => throw new IllegalArgumentException(s"fixture where: $other")
+          case Some(w) => tbl.rows.toVector.filter(rowKeep(tbl.schema, w))
         }
+        val projected = kept.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
         // CopyOutResponse: binary, per-column binary formats
         send(out, 'H', b => {
           b.writeByte(1)
-          b.writeShort(tbl.schema.length)
-          tbl.schema.foreach(_ => b.writeShort(1))
+          b.writeShort(proj.length)
+          proj.foreach(_ => b.writeShort(1))
         })
-        val payload = PgCopyBinary.encodeStream(kept.iterator, tbl.schema)
-        send(out, 'd', _.write(payload))
+        // per-TUPLE CopyData frames, like a real server — exercises the
+        // client's incremental frame-boundary handling
+        send(out, 'd', _.write(PgCopyBinary.headerBytes))
+        projected.foreach(r => send(out, 'd', _.write(PgCopyBinary.encodeTuple(r, proj))))
+        send(out, 'd', _.write(PgCopyBinary.trailerBytes))
         send(out, 'c', _ => ())
         complete(out, s"COPY ${kept.size}")
 
@@ -246,5 +291,5 @@ final class PgWireServerFixture {
         complete(out, "SELECT 1")
 
       case other => throw new IllegalArgumentException(s"fixture cannot parse: $other")
-    }
+    } }
 }
