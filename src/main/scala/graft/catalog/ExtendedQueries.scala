@@ -393,6 +393,58 @@ object ExtendedQueries {
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r"))
   }
 
+  val icebergIncrementalDeletes: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_incremental_deletes",
+    """WITH net AS (
+      |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+      |  WHERE l_orderkey % 2 = 1 AND l_orderkey % 7 <> 0 AND l_returnflag <> 'A'
+      |  UNION ALL
+      |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+      |  WHERE l_orderkey % 10 = 6)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+      |FROM net""".stripMargin,
+    doc = "Iceberg NET-CHANGES incremental scan over a window CONTAINING delete snapshots " +
+      "(cdf-source-iceberg driver.rs:1035 — the incremental driver reads full v2): " +
+      "snapshot 1 (pre-window) commits the even slice; snapshot 2 appends the odd slice; " +
+      "snapshot 3 commits position deletes (every l_orderkey%7=0 row of the files committed " +
+      "so far) AND an equality delete (l_returnflag='A'); snapshot 4 appends the %10=6 " +
+      "slice. The (1, 4] window returns snapshot 2's rows minus both deletes plus snapshot " +
+      "4's rows INTACT — n_a counts the surviving 'A' rows, proving the sequence gates are " +
+      "window-scoped (snapshot 4 outranks the delete; pre-window rows never appear). The " +
+      "oracle recomputes the net window relationally.") { (s, d) =>
+    import org.apache.spark.sql.functions.expr
+    val li = t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      dec2(col("l_quantity")).as("l_quantity"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_incdel").toString + "/tbl"
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 2 === 0), snapshotId = 1L, timestampMs = 1L)
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 2 === 1), snapshotId = 2L, timestampMs = 2L)
+    val paths = graft.sources.IcebergSource.dataFiles(dir).map(_.path)
+    val posDf = s.read.parquet(paths: _*)
+      .select(col("l_orderkey"),
+        expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+      .filter(col("l_orderkey") % 7 === 0)
+      .select("file_path", "pos")
+    import s.implicits._
+    graft.sources.IcebergSource.commitDeletes(s, dir,
+      posDeletes = Some(posDf),
+      eqDeletes = Some((Seq("A").toDF("l_returnflag"), Seq("l_returnflag"))),
+      snapshotId = 3L, timestampMs = 3L)
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 10 === 6), snapshotId = 4L, timestampMs = 4L)
+    graft.sources.IcebergSource.readIncremental(s, dir, Some(1L), 4L)
+      .agg(count(lit(1)).cast("long").as("n"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("n_a"))
+  }
+
   val icebergPartitioned: QueryDef = QueryDef.sqlBacked(
     "q_iceberg_partitioned",
     """SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -490,7 +542,8 @@ object ExtendedQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    icebergIncremental, icebergPartitioned, icebergDeletes, glueScan, tier2Python,
+    icebergIncremental, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
+    glueScan, tier2Python,
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,
     csvRoundtrip, ndjsonRoundtrip, orcRoundtrip,

@@ -285,13 +285,20 @@ object IcebergSource {
 
   /** One manifest entry: status, adding snapshot, file content kind
     * (0 data / 1 position deletes / 2 equality deletes), the file
-    * reference and — for equality deletes — the equality field ids. */
+    * reference, the entry's EXPLICIT sequence number when the writer
+    * recorded one (compacted EXISTING entries carry it; inheritance
+    * only covers null + ADDED), and — for equality deletes — the
+    * equality field ids. */
   private final case class RawEntry(status: Int, snapshotId: Option[Long],
-      content: Int, ref: DataFileRef, equalityIds: Seq[Int], fileFormat: String)
+      content: Int, ref: DataFileRef, equalityIds: Seq[Int], fileFormat: String,
+      seqNumber: Option[Long] = None)
 
   private def entries(manifestPath: String): Seq[RawEntry] =
     readAvro(manifestPath).map { e =>
       val df = e.get("data_file").asInstanceOf[GenericRecord]
+      def optLong(name: String): Option[Long] =
+        if (e.getSchema.getField(name) == null) None
+        else Option(e.get(name)).map(_.asInstanceOf[Long])
       val content = longField(df, "content").toInt
       if (content < 0 || content > 2)
         throw graft.core.GraftError.Plan(
@@ -316,7 +323,20 @@ object IcebergSource {
           df.get("file_size_in_bytes").asInstanceOf[Long],
           partitionOf(df)),
         eqIds,
-        Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"))
+        Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"),
+        optLong("sequence_number").orElse(optLong("data_sequence_number")))
+    }
+
+  /** Data sequence number for an entry: the entry's EXPLICIT field
+    * first (the spec's rule — v2 inheritance applies only when the
+    * field is null), else inherited from the adding snapshot. None
+    * when neither resolves (compacted EXISTING entry whose adding
+    * snapshot expired from metadata) — the caller decides whether
+    * that matters (it only does when delete files exist). */
+  private def entrySeq(e: RawEntry, m: ManifestRef, meta: TableMeta): Option[Long] =
+    e.seqNumber.orElse {
+      val sid = e.snapshotId.getOrElse(m.addedSnapshotId)
+      meta.snapshots.find(_.id == sid).map(_.sequenceNumber)
     }
 
   // ------------------------------------------- partition transforms
@@ -604,12 +624,11 @@ object IcebergSource {
     val snap = snapshotId.orElse(meta.currentSnapshotId)
       .map(meta.snapshot)
       .getOrElse(return (Seq.empty, Seq.empty))
-    val data = Seq.newBuilder[DataFileRef]
-    val dels = Seq.newBuilder[DeleteFileRef]
+    val data = Seq.newBuilder[(DataFileRef, Option[Long])]
+    val dels = Seq.newBuilder[(DeleteFileRef, Option[Long])]
     manifests(snap.manifestList, None).foreach { m =>
       entries(m.path).foreach { e =>
         if (e.status != 2) {
-          val seq = meta.sequenceOf(e.snapshotId.getOrElse(m.addedSnapshotId))
           // spec invariant: data manifests list data files, delete
           // manifests list delete files. A mismatch is corrupt
           // metadata — resolving it either way could resurrect or
@@ -619,19 +638,44 @@ object IcebergSource {
               s"iceberg fidelity: manifest ${m.path} (content=${m.content}) lists a " +
                 s"file with content=${e.content} — inconsistent metadata")
           e.content match {
-            case 0 => data += e.ref.copy(seq = seq)
+            case 0 => data += ((e.ref, entrySeq(e, m, meta)))
             case c =>
               if (!e.fileFormat.equalsIgnoreCase("PARQUET"))
                 throw graft.core.GraftError.Plan(
                   s"iceberg fidelity: ${e.fileFormat} delete file ${e.ref.path} — only " +
                     "parquet position/equality delete files are readable (no deletion vectors)")
-              dels += DeleteFileRef(e.ref.path, c, seq, e.equalityIds)
+              dels += ((DeleteFileRef(e.ref.path, c, 0L, e.equalityIds), entrySeq(e, m, meta)))
           }
         }
       }
     }
-    (data.result().filter(f => filters.forall(fileMayMatch(_, f.partition, meta.spec))),
-      dels.result())
+    val (dataR, delsR) = resolveSeqs(data.result(), dels.result())
+    (dataR.filter(f => filters.forall(fileMayMatch(_, f.partition, meta.spec))), delsR)
+  }
+
+  /** Sequence resolution law (delete correctness hinges on it): a file
+    * whose sequence cannot be resolved — compacted EXISTING entry, its
+    * adding snapshot expired — must NOT silently default to 0, which
+    * would make every delete apply to it. Without delete files the
+    * number is inert, so 0 is safe; with them, refuse typed. */
+  private def resolveSeqs(data: Seq[(DataFileRef, Option[Long])],
+      dels: Seq[(DeleteFileRef, Option[Long])]): (Seq[DataFileRef], Seq[DeleteFileRef]) = {
+    val delsR = dels.map { case (d, so) =>
+      d.copy(seq = so.getOrElse(throw graft.core.GraftError.Plan(
+        s"iceberg fidelity: cannot resolve the sequence number of delete file ${d.path} " +
+          "(no entry-level sequence_number and the adding snapshot is absent from metadata)")))
+    }
+    val dataR = data.map { case (f, so) =>
+      f.copy(seq = so.getOrElse {
+        if (delsR.isEmpty) 0L
+        else throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: cannot resolve the sequence number of data file ${f.path} " +
+            "(no entry-level sequence_number and the adding snapshot is absent from " +
+            "metadata) — with delete files present a guessed sequence could silently " +
+            "delete or resurrect rows")
+      })
+    }
+    (dataR, delsR)
   }
 
   /** The append-diff: data files added by snapshots in
@@ -655,7 +699,7 @@ object IcebergSource {
         s"iceberg fidelity: incremental window (${fromExclusive.getOrElse("-")}, $to] " +
           s"contains delete file ${e.ref.path} — the append-diff cannot represent row " +
           "removal; run a full merge-on-read scan at each endpoint instead"))
-    es.collect { case RawEntry(StatusAdded, Some(sid), 0, f, _, _) if lineageIds.contains(sid) => f }
+    es.collect { case RawEntry(StatusAdded, Some(sid), 0, f, _, _, _) if lineageIds.contains(sid) => f }
       .filter(f => filters.forall(fileMayMatch(_, f.partition, meta.spec)))
   }
 
@@ -752,13 +796,52 @@ object IcebergSource {
     spark.read.parquet(any.head.path).limit(0)
   }
 
-  /** Incremental read of the `(from, to]` append-diff. */
+  /** NET-CHANGES incremental read of `(from, to]`: the rows added by
+    * the window's snapshots that are STILL LIVE at `to` — the window's
+    * added data files with the window's position/equality deletes
+    * applied through the same merge-on-read machinery as [[read]]
+    * (reference: the incremental driver reads full v2,
+    * crates/cdf-source-iceberg/src/driver.rs:1035).
+    *
+    * Scope law: only deletes ADDED IN THE WINDOW can touch
+    * window-added files — an older delete fails the sequence gates
+    * (pos: delSeq >= dataSeq, eq: delSeq > dataSeq) by construction —
+    * so the plan restricts delete manifests to the window's lineage;
+    * a delete snapshot's effect on PRE-window rows is row removal,
+    * which an added-rows read cannot represent (consumers needing the
+    * removal side run full MoR scans at each endpoint and diff).
+    * A delete-free window degenerates to the plain append-diff scan. */
   def readIncremental(spark: SparkSession, tableDir: String,
       fromExclusive: Option[Long], to: Long,
       filters: Seq[SFilter] = Nil): DataFrame = {
-    val files = addedFiles(tableDir, fromExclusive, to, filters)
+    val meta = readMeta(tableDir)
+    val lineageIds = meta.lineage(fromExclusive, to).map(_.id).toSet
+    val snap = meta.snapshot(to)
+    val data = Seq.newBuilder[(DataFileRef, Option[Long])]
+    val dels = Seq.newBuilder[(DeleteFileRef, Option[Long])]
+    manifests(snap.manifestList, Some(lineageIds)).foreach { m =>
+      entries(m.path).foreach { e =>
+        val addedInWindow = e.status == StatusAdded &&
+          lineageIds.contains(e.snapshotId.getOrElse(m.addedSnapshotId))
+        if (addedInWindow) e.content match {
+          case 0 => data += ((e.ref, entrySeq(e, m, meta)))
+          case c =>
+            if (!e.fileFormat.equalsIgnoreCase("PARQUET"))
+              throw graft.core.GraftError.Plan(
+                s"iceberg fidelity: ${e.fileFormat} delete file ${e.ref.path} — only " +
+                  "parquet position/equality delete files are readable (no deletion vectors)")
+            dels += ((DeleteFileRef(e.ref.path, c, 0L, e.equalityIds), entrySeq(e, m, meta)))
+        }
+      }
+    }
+    val (dataR, delsR) = resolveSeqs(data.result(), dels.result())
+    val files = dataR.filter(f => filters.forall(fileMayMatch(_, f.partition, meta.spec)))
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(_.path): _*)
+    else {
+      val plain = spark.read.parquet(files.map(_.path): _*)
+      if (delsR.isEmpty) plain
+      else applyDeletes(spark, files, delsR, meta, plain.columns.toSeq)
+    }
   }
 
   // ------------------------------------------------------------- write

@@ -405,13 +405,27 @@ class IcebergSpec extends SparkSpec {
       s"merge-on-read deletes should broadcast-anti-join:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in MoR plan:\n$plan")
 
-    // incremental append-diff over a window CONTAINING the delete
-    // snapshot is refused (row removal is not representable as added
-    // files); the window after it works
+    // the STRICT append-diff (addedFiles) still refuses a window
+    // containing the delete snapshot — "files added" cannot represent
+    // row removal
     val e = intercept[graft.core.GraftError.Plan](
       IcebergSource.addedFiles(dir, Some(1L), 3L))
     assert(e.getMessage.contains("append-diff"))
     assert(IcebergSource.readIncremental(spark, dir, Some(2L), 3L).count() == 11)
+
+    // readIncremental over the SAME window now answers NET-CHANGES:
+    // the window's added rows with the window's deletes applied.
+    // (1, 3]: snap 3's rows (seq 3 outranks the seq-2 deletes) = 11
+    val netWin = IcebergSource.readIncremental(spark, dir, Some(1L), 3L)
+    assert(netWin.select("id").as[Long].collect().toSet ==
+      Set(1L) ++ (100L until 110L), "net window = snap-3 adds, deletes outranked")
+    // bootstrap window (None, 3] covers ALL snapshots: its net rows
+    // must equal the full merge-on-read scan of the current table
+    val netAll = IcebergSource.readIncremental(spark, dir, None, 3L)
+    assert(netAll.select("id").as[Long].collect().toSet == expect2,
+      "bootstrap net-changes must equal the full MoR scan")
+    // a deletes-only window adds nothing
+    assert(IcebergSource.readIncremental(spark, dir, Some(1L), 2L).count() == 0)
   }
 
   test("non-identity transforms: spec bucket function matches the published vectors; monotone pruning is conservative and correct") {
