@@ -63,15 +63,32 @@ object Bson {
         out.write(encodeDoc(xs.zipWithIndex.map { case (x, i) => i.toString -> x }))
       case obj @ JObj(fs) =>
         val m = fs.toMap
+        // Extended JSON v2 canonical ambiguity: a single-field document
+        // whose key is a wrapper name IS the wrapped scalar (the spec's
+        // own round-trip rule), so a wrapper key with a MALFORMED value
+        // is a typed error, never a NumberFormatException and never a
+        // silent fall-through to a plain document the reader would then
+        // re-type on the way back.
+        def wrapped[T](key: String, s: String)(parse: String => T): T =
+          try parse(s)
+          catch {
+            case e: NumberFormatException => throw new IllegalArgumentException(
+              s"bson encode: Extended JSON wrapper $key carries malformed value '$s'", e)
+          }
         (m.get("$numberLong"), m.get("$numberInt"), m.get("$numberDouble")) match {
-          case (Some(JStr(s)), _, _) if fs.size == 1 => tag(0x12); out.write(le64(s.toLong))
-          case (_, Some(JStr(s)), _) if fs.size == 1 => tag(0x10); out.write(le32(s.toInt))
+          case (Some(JStr(s)), _, _) if fs.size == 1 =>
+            tag(0x12); out.write(le64(wrapped("$numberLong", s)(_.toLong)))
+          case (_, Some(JStr(s)), _) if fs.size == 1 =>
+            tag(0x10); out.write(le32(wrapped("$numberInt", s)(_.toInt)))
           case (_, _, Some(JStr(s))) if fs.size == 1 =>
-            tag(0x01); out.write(le64(java.lang.Double.doubleToLongBits(s.toDouble)))
+            tag(0x01)
+            out.write(le64(java.lang.Double.doubleToLongBits(wrapped("$numberDouble", s)(_.toDouble))))
           case _ => m.get("$oid") match {
             case Some(JStr(hex)) if fs.size == 1 =>
               tag(0x07)
-              require(hex.length == 24, s"bad ObjectId: $hex")
+              if (hex.length != 24 || !hex.forall(c => Character.digit(c, 16) >= 0))
+                throw new IllegalArgumentException(
+                  s"bson encode: Extended JSON wrapper $$oid carries malformed value '$hex'")
               out.write(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
             case _ => m.get("$date") match {
               case Some(inner) if fs.size == 1 =>

@@ -205,12 +205,26 @@ object GlueCatalog {
     if (tbl.partitionKeys.isEmpty) base
     else {
       def norm(s: String) = s.replaceFirst("^file:/+", "/").stripSuffix("/")
-      val dirCol = regexp_replace(
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"), "/[^/]*$", "")
+      val fileCol = regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+      val dirCol = regexp_replace(fileCol, "/[^/]*$", "")
+      // longest-prefix resolution: the O(1) exact-directory map answers
+      // the flat Hive layout; files in NESTED subdirectories of their
+      // partition location fall through to a prefix chain (longest
+      // location first, so a location nested inside another wins); a
+      // file under NO kept location fails fast instead of silently
+      // carrying a NULL partition value into key filters above
+      val byLen = kept.sortBy(p => -norm(p.location).length)
       tbl.partitionKeys.zipWithIndex.foldLeft(base) { case (df, (k, i)) =>
         val dirToVal = kept.map(p => norm(p.location) -> p.values(i)).toMap
+        val prefixChain = byLen.tail.foldLeft(
+          when(fileCol.startsWith(norm(byLen.head.location) + "/"), lit(byLen.head.values(i)))) {
+          case (acc, p) => acc.when(fileCol.startsWith(norm(p.location) + "/"), lit(p.values(i)))
+        }.otherwise(raise_error(concat(
+          lit(s"glue scan: file outside every partition location (key ${k.name}): "),
+          col("_metadata.file_path"))))
         df.withColumn(k.name,
-          element_at(typedLit(dirToVal), dirCol).cast(toSparkType(k.glueType)))
+          coalesce(element_at(typedLit(dirToVal), dirCol), prefixChain)
+            .cast(toSparkType(k.glueType)))
       }
     }
   }

@@ -121,9 +121,10 @@ final class GlueScanBuilder(name: String, tbl: GlueCatalog.GlueTable,
 }
 
 /** Native DSv2 Batch over the pruned parquet DataFrame's compiled
-  * RDD[InternalRow]: each InputPartition carries the RDD + one of its
-  * splits (exactly what a Spark task ships), so the vectorized parquet
-  * read, pushed filters and whole-stage codegen underneath run
+  * RDD[InternalRow]: the reader FACTORY carries the RDD (serialized
+  * once into the stage's task binary) and each InputPartition carries
+  * only its split, so the vectorized parquet read, pushed filters and
+  * whole-stage codegen underneath run
   * unchanged inside the DSv2 reader — and, because this is NOT a
   * V1Scan, [[SupportsReportStatistics]] actually reaches Catalyst:
   * sizeInBytes is the underlying optimized plan's post-prune estimate,
@@ -146,20 +147,35 @@ final class GlueDfScan(df: DataFrame, projection: StructType)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val rdd = df.queryExecution.toRdd
-    rdd.partitions.map(p => GlueRddPartition(rdd, p): InputPartition)
+    // narrow-plan law: an executor-side iterator() call cannot resolve
+    // shuffle dependencies, so the compiled plan must be exchange-free
+    // (it is by construction — scan+filter+project — but a future
+    // non-narrow residual must fail typed here, not hang at runtime)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+    }
+    if (exchanges.nonEmpty)
+      throw graft.core.GraftError.Plan(
+        s"glue scan: pruned plan contains an exchange (${exchanges.head.nodeName}) — " +
+          "the narrow compiled-RDD execution shape cannot carry a shuffle")
+    df.queryExecution.toRdd.partitions.map(p => GlueRddPartition(p): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new GlueRddReaderFactory
+  /** the factory CARRIES the compiled RDD: it is serialized once into
+    * the stage's broadcast task binary (the shape Spark itself uses for
+    * lineage), so partitions ship only their split — O(P) bytes, not
+    * one embedded lineage copy per partition (O(P^2)). */
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GlueRddReaderFactory(df.queryExecution.toRdd)
 }
 
-final case class GlueRddPartition(rdd: RDD[InternalRow],
-    split: org.apache.spark.Partition) extends InputPartition
+final case class GlueRddPartition(split: org.apache.spark.Partition) extends InputPartition
 
-final class GlueRddReaderFactory extends PartitionReaderFactory {
+final class GlueRddReaderFactory(rdd: RDD[InternalRow]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val gp = partition.asInstanceOf[GlueRddPartition]
-    val it = gp.rdd.iterator(gp.split, TaskContext.get())
+    val it = rdd.iterator(gp.split, TaskContext.get())
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }

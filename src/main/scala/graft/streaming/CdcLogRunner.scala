@@ -29,12 +29,32 @@ object CdcLogRunner {
   final case class UnitResult(unitId: Int, fromTx: Long, toTx: Long, rows: Long,
       packageHash: String)
 
+  /** Driver-side planning budget: settlement packing runs on the
+    * driver over one struct per transaction, so a pathological log
+    * (per-row transaction ids, an unbounded backlog) must fail TYPED
+    * before the collect, never OOM the driver — the same intake law as
+    * the tier-2 Python budget. ~48 bytes/struct puts the default cap
+    * around 100 MB of driver heap. */
+  final case class PlanBudget(maxTxns: Long = 2_000_000L)
+
   /** Per-transaction summaries in commit order — ONE aggregation job;
     * only (txId, ops, bytes) structs come back, never payload.
     * `bytesCol` sums per-row payload size; when absent each op counts
-    * `fallbackBytesPerOp`. */
+    * `fallbackBytesPerOp`. The transaction COUNT is probed first and
+    * checked against `budget` (an aggregation the log scan answers
+    * without moving payload), so the summary collect is provably
+    * bounded before it starts. */
   def txnSummaries(log: DataFrame, txCol: String, bytesCol: Option[String] = None,
-      fallbackBytesPerOp: Long = 64L): Seq[Settlement.Txn] =
+      fallbackBytesPerOp: Long = 64L, budget: PlanBudget = PlanBudget()): Seq[Settlement.Txn] = {
+    val txns = log.select(approx_count_distinct(col(txCol)).as("n")).head().getLong(0)
+    // approx_count_distinct err ≤ ~2.3%; compare against a 5% slack so
+    // the guard never false-positives at the boundary
+    if (txns > budget.maxTxns + budget.maxTxns / 20)
+      throw graft.core.GraftError.Resource(
+        s"cdc settlement planning exceeded the driver intake budget " +
+          s"(~$txns transactions vs ${budget.maxTxns}) — scope the drain window " +
+          "(tx range, time partition) or raise the budget",
+        transient = false)
     log.groupBy(col(txCol).as("tx"))
       .agg(count(lit(1)).as("ops"),
         bytesCol.map(b => sum(col(b)).cast("long")).getOrElse(count(lit(1)) * fallbackBytesPerOp).as("bytes"))
@@ -42,6 +62,7 @@ object CdcLogRunner {
       .collect()
       .map(r => Settlement.Txn(r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
       .toSeq
+  }
 
   /** Pack summaries into contiguous tx ranges via the shared
     * settlement rule; validated against the conformance invariants. */
@@ -54,8 +75,9 @@ object CdcLogRunner {
   }
 
   def planUnits(log: DataFrame, txCol: String, policy: Settlement.Policy,
-      bytesCol: Option[String] = None, fallbackBytesPerOp: Long = 64L): Seq[UnitPlan] =
-    packPlans(txnSummaries(log, txCol, bytesCol, fallbackBytesPerOp), policy)
+      bytesCol: Option[String] = None, fallbackBytesPerOp: Long = 64L,
+      budget: PlanBudget = PlanBudget()): Seq[UnitPlan] =
+    packPlans(txnSummaries(log, txCol, bytesCol, fallbackBytesPerOp, budget), policy)
 
   /** Policy that yields ~`targetUnits` units for this log (op-ceiling
     * split of the observed total; byte ceiling effectively off). Used

@@ -47,6 +47,20 @@ class CdcLogSpec extends SparkSpec {
     spark.readStream.format("graft.sources.dsv2.CdcLogSource")
       .option("table", table).load()
 
+  test("settlement planning budget: a pathological transaction count fails typed, never OOMs the driver") {
+    import spark.implicits._
+    val log = spark.createDataFrame(
+      spark.sparkContext.parallelize(logRows), schema)
+    // 12 transactions against a budget of 2 → typed Resource error
+    val e = intercept[graft.core.GraftError.Resource](
+      CdcLogRunner.txnSummaries(log, "tx_id",
+        budget = CdcLogRunner.PlanBudget(maxTxns = 2L)))
+    assert(e.getMessage.contains("intake budget") && !e.transient, e.getMessage)
+    // within budget the summaries are unchanged
+    val ok = CdcLogRunner.txnSummaries(log, "tx_id")
+    assert(ok.map(t => t.txId -> t.ops) == txnSizes.map { case (t, n) => (t.toLong, n) })
+  }
+
   test("micro-batch admission: one settlement unit per batch, transactions never split") {
     CdcLogRegistry.register("cdc_units",
       CdcLogRegistry.Entry(schema, logRows, "tx_id", policy, bytesPerOp = 10L))

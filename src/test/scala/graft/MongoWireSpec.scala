@@ -203,6 +203,14 @@ class MongoWireSpec extends SparkSpec {
     assert(f("g") == JNull && f("h") == JBool(true) && f("i") == JStr("text"))
     assert(f("j") == JArr(Vector(JInt(1), JInt(2))))
     assert(f("k") == JObj.of("nested" -> JStr("doc")))
+
+    // malformed wrapper payloads are typed errors, not NumberFormatException
+    val badLong = intercept[IllegalArgumentException](
+      Bson.encodeJson("""{"a":{"$numberLong":"not-a-number"}}"""))
+    assert(badLong.getMessage.contains("$numberLong"), badLong.getMessage)
+    val badOid = intercept[IllegalArgumentException](
+      Bson.encodeJson("""{"a":{"$oid":"zz00000000000000000000zz"}}"""))
+    assert(badOid.getMessage.contains("$oid"), badOid.getMessage)
   }
 
   // ------------------------------------------------------- wire e2e
