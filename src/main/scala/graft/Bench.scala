@@ -24,7 +24,13 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
 
-    def f(d: Double): String = String.format(Locale.ROOT, "%.4f", Double.box(d))
+    // COMPACT cells: the driver tail-captures the JSON line and two
+    // rounds running truncation left it unparsed ("parsed": null), so
+    // every byte counts — seconds at 2 decimals, rows/s as integers,
+    // GB/s at 3 decimals, host-load as ints ×100.
+    def f(d: Double): String = String.format(Locale.ROOT, "%.2f", Double.box(d))
+    def fRate(d: Double): String = math.round(d).toString
+    def fGb(d: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(d))
 
     // Host-load markers: 1-min loadavg + cgroup CPU pressure (PSI
     // some/avg10) captured BEFORE and AFTER every cell and emitted in
@@ -43,6 +49,7 @@ object Bench {
         .flatMap(_.toDoubleOption).getOrElse(-1.0)
       (la, psi)
     }
+    // ×100 ints in the artifact (loadavg 7.73 → 773, PSI 2.18 → 218)
     val loadMarks = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double, Double)]
     def marked[A](name: String)(work: => A): A = {
       val (la0, psi0) = hostLoad()
@@ -54,25 +61,33 @@ object Bench {
 
     // BASELINE-comparable sustained-rate cells (rows/s shapes from
     // BASELINE.md: validation throughput, columnar-sink load rate,
-    // end-to-end pipeline rate). Five timed runs after one warmup.
-    // Measured BEFORE the query sweep: 74 queries of accumulated heap /
-    // page-cache / temp-spill pressure depressed these cells 30-40%
-    // when they ran last (r2/r3 regressions were ordering artifacts —
-    // the same cells in a fresh session match round-1 rates).
+    // end-to-end pipeline rate). Six timed runs after one warmup,
+    // split into two BACK-TO-BACK HALVES inside this one process, and
+    // each cell emits its own stability ratio
+    // (min-wall-of-half-1 vs min-wall-of-half-2, whichever larger on
+    // top) — the r8 pair needed two separate runs straddling different
+    // co-tenant windows to adjudicate e2e (7.07M vs 13.33M, 1.9×); the
+    // in-artifact halves make a single run self-certifying: a cell is
+    // adjudicable when its ratio stays within 1.3, and self-flags
+    // otherwise. Measured BEFORE the query sweep: 74 queries of
+    // accumulated heap / page-cache / temp-spill pressure depressed
+    // these cells 30-40% when they ran last.
     // Every derived cell reports (min, median, max) so a reader can see
     // the spread instead of trusting one number; the HEADLINE is the
     // best rate (min wall) — co-tenant noise on this host is strictly
     // one-sided, so min-time is the estimator that survives it.
-    def timed(iters: Int)(work: Int => Long): (Double, Double, Double) = {
+    final case class Cell(min: Double, med: Double, max: Double, stability: Double)
+    def timed(iters: Int)(work: Int => Long): Cell = {
       work(0) // warmup
-      val times = (1 to iters).map { i =>
+      val walls = (1 to iters).map { i =>
         val t0 = System.nanoTime(); val rows = work(i)
-        rows / ((System.nanoTime() - t0) / 1e9)
-      }.sorted
-      (times.head, times(times.length / 2), times.last)
+        (((System.nanoTime() - t0) / 1e9), rows)
+      }
+      val rates = walls.map { case (w, rows) => rows / w }.sorted
+      val (h1, h2) = walls.map(_._1).splitAt(walls.length / 2)
+      val (a, b) = (h1.min, h2.min)
+      Cell(rates.head, rates(rates.length / 2), rates.last, math.max(a, b) / math.min(a, b))
     }
-    def spread3(t: (Double, Double, Double)): String =
-      s"[${f(t._1)},${f(t._2)},${f(t._3)}]"
     // fresh dir per iteration: mode(overwrite) over a previous iteration's
     // output would spend timed wall-clock deleting thousands of files.
     // RAM-backed when available: this host's disk is shared with
@@ -101,14 +116,14 @@ object Bench {
       .repartition(32).write.parquet(stagedDir)
     val li = spark.read.parquet(stagedDir)
     val program = graft.contract.ValidationProgram.compile(graft.catalog.CoreQueries.lineitemPolicy)
-    val validateRps = marked("validate_rows_per_sec")(timed(5) { _ =>
+    val validateRps = marked("validate_rows_per_sec")(timed(6) { _ =>
       val d = program.annotate(li)
       d.write.format("noop").mode("overwrite").save(); liRows
     })
-    val sinkRps = marked("parquet_sink_rows_per_sec")(timed(5) { i =>
+    val sinkRps = marked("parquet_sink_rows_per_sec")(timed(6) { i =>
       li.write.parquet(s"$sinkDir/li_$i"); liRows
     })
-    val e2eRps = marked("e2e_pipeline_rows_per_sec")(timed(5) { i =>
+    val e2eRps = marked("e2e_pipeline_rows_per_sec")(timed(6) { i =>
       val accepted = program.accepted(li)
       graft.contract.Transform(accepted,
           Seq(graft.contract.Transform.Derive("charge",
@@ -177,9 +192,9 @@ object Bench {
     }
     val tvSorted = pairWalls.map(_._2).sorted
     // headline: inspected-bytes over the min validation wall
-    def cellOf(bytes: Long, walls: Seq[Double]): (Double, Double, Double) = {
+    def cellOf(bytes: Long, walls: Seq[Double]): Cell = {
       val g = walls.sorted.map(w => bytes / 1e9 / w)
-      (g.min, g(g.length / 2), g.max)
+      Cell(g.min, g(g.length / 2), g.max, pairStability)
     }
     val validateGbCore = cellOf(inspectedBytes, tvSorted)
     val validateRowGbCore = cellOf(rowBytes, tvSorted)
@@ -188,21 +203,27 @@ object Bench {
 
     // free the ram-backed sink output before the sweep
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkDir))
-    val derivedCells = Seq(
-      "validate_rows_per_sec" -> validateRps,
-      "validate_gb_per_sec_core" -> validateGbCore,
-      "validate_row_gb_per_sec_core" -> validateRowGbCore,
-      "validate_noop_row_gb_per_sec_core" -> noopRowGbCore,
-      "parquet_sink_rows_per_sec" -> sinkRps,
-      "e2e_pipeline_rows_per_sec" -> e2eRps)
+    val derivedCells: Seq[(String, Cell, Double => String)] = Seq(
+      ("validate_rows_per_sec", validateRps, fRate),
+      ("validate_gb_per_sec_core", validateGbCore, fGb),
+      ("validate_row_gb_per_sec_core", validateRowGbCore, fGb),
+      ("validate_noop_row_gb_per_sec_core", noopRowGbCore, fGb),
+      ("parquet_sink_rows_per_sec", sinkRps, fRate),
+      ("e2e_pipeline_rows_per_sec", e2eRps, fRate))
     // headline = BEST rate (= min wall): steady-state cost is one-sided
     // under co-tenant noise, so min-time is the reproducible estimator
     // (the r7 driver-vs-local 5-100x collapse was medians eating noise)
     val derived = derivedCells
-      .map { case (k, v) => "\"" + k + "\":" + f(v._3) }.mkString("{", ",", "}")
+      .map { case (k, v, fm) => "\"" + k + "\":" + fm(v.max) }.mkString("{", ",", "}")
+    // per-cell in-run stability (two back-to-back halves of the SAME
+    // run): ≤1.3 certifies the cell without a second run; the per-core
+    // GB cells share the pair cell's walls so they share its ratio
     val derivedSpread = (derivedCells
-      .map { case (k, v) => "\"" + k + "\":" + spread3(v) } :+
-      ("\"validate_core_pair_stability\":" + f(pairStability)))
+      .map { case (k, v, fm) => "\"" + k + s"""\":[${fm(v.min)},${fm(v.med)},${fm(v.max)}]""" } ++ Seq(
+      "\"validate_stability\":" + f(validateRps.stability),
+      "\"sink_stability\":" + f(sinkRps.stability),
+      "\"e2e_stability\":" + f(e2eRps.stability),
+      "\"validate_core_pair_stability\":" + f(pairStability)))
       .mkString("{", ",", "}")
 
     // SPARK_GRAFT_ONLY=q_a,q_b (or arg 2) restricts the run (local iteration aid)
@@ -237,15 +258,23 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v._1) }
       .mkString("{", ",", "}")
-    val qSpread = results.map { case (k, v) => "\"" + k + "\":" + spread3(v) }
+    val qSpread = results.map { case (k, v) =>
+      "\"" + k + s"""\":[${f(v._1)},${f(v._2)},${f(v._3)}]""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v._1 >= 0 => v._1 }.sum
 
+    def l100(d: Double): String = math.round(d * 100).toString
     val loadJson = loadMarks.map { case (k, (a, b, c2, d)) =>
-      "\"" + k + s"""":[${f(a)},${f(b)},${f(c2)},${f(d)}]"""
+      "\"" + k + s"""":[${l100(a)},${l100(b)},${l100(c2)},${l100(d)}]"""
     }.mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"queries_spread":$qSpread,"derived":$derived,"derived_spread":$derivedSpread,"host_load":$loadJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"queries_spread":$qSpread,"derived":$derived,"derived_spread":$derivedSpread,"host_load":$loadJson,"sf":"$sfDir"}"""
+    // the stdout line is the driver contract, but the driver's capture
+    // has tail-truncated it two rounds running ("parsed": null) — the
+    // SAME json goes to a file, so the artifact survives any capture
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }
