@@ -134,21 +134,54 @@ object Bench {
     // Per-CORE validation cell, DIRECT-pair methodology (no more
     // scan-minus-scan delta — subtracting two noisy full runs gave a
     // sub-noise difference whose spread confessed it wasn't a
-    // measurement). ONE task (single-partition cache, no shuffle) is
-    // timed through (a) the full validation projection and (b) a
-    // SAME-WIDTH no-op projection (constant verdict/disposition
-    // columns): both walls are reported, so the reader sees the
-    // validation increment against the row-pipeline floor instead of
-    // trusting a difference. GB = bytes the validation program
-    // actually INSPECTS (the rules' columns only — the reference's
-    // per-core cells count gated bytes the same way); the full-row
-    // logical GB/s is emitted beside it for the pipeline reading.
-    // Stability: the 8 alternating iterations split into two
+    // measurement). The input is the VECTORIZED parquet scan, not a
+    // row cache: r8 ran this cell over a MEMORY_AND_DISK
+    // single-partition cache and its 0.41 GB/s/core "floor" was
+    // dominated by the cache's own CachedBatch decode — a harness
+    // artifact, not the engine. One parquet file (shm-backed, under
+    // maxPartitionBytes → ONE split, ONE task = one core) drives the
+    // vectorized reader through codegen'd ColumnarToRow + projection:
+    // the exact per-core shape of a wide cluster scan, minus
+    // scheduling. THREE passes interleave per iteration so the wall
+    // decomposes without subtraction: (s) raw scan→sink, the pipeline
+    // floor; (n) scan + SAME-WIDTH no-op projection (constant
+    // verdict/disposition columns); (v) scan + full validation.
+    // GB = bytes the validation program actually INSPECTS (the rules'
+    // columns only — the reference's per-core cells count gated bytes
+    // the same way); the full-row logical GB/s is emitted beside it
+    // for the pipeline reading.
+    // Stability: the 8 interleaved iterations split into two
     // back-to-back halves; headline = min over ALL, and the
     // min-of-half-1 / min-of-half-2 ratio is emitted — a cell is
     // adjudicable only when that ratio stays within 1.3.
-    val li1p = li.coalesce(1).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    li1p.write.format("noop").mode("overwrite").save() // materialize the cache
+    // WHERE THE FLOOR IS (tools/PerCoreProbe, r9): the scan→sink
+    // pass alone runs ~0.46 row-GB/s/core — that is Spark's
+    // vectorized-decode → ColumnarToRow/UnsafeRow boundary, ~160ns
+    // per 16-column row, and no projection above it can beat it. The
+    // validation increment over the same-width noop is ~1.2× wall and
+    // is GENUINE work: kernel cells show rank evaluation costs
+    // exactly as much as touching the five gated columns
+    // (k_rank_cache 0.65s vs k_5cols_cache 0.68s on 4.8M rows), i.e.
+    // the rules are free and the cost is UTF8String byte compares +
+    // the two contract string materializations. Rewriting rank as
+    // boolean-ORs, or the strings as when-chains vs element_at, is
+    // wall-identical (±noise). The reference's 3–7 GB/s/core cells
+    // are columnar kernels that never materialize rows; matching them
+    // inside a row-pipeline sink shape is a JVM/Spark-architecture
+    // bound, recorded here rather than papered over. The 32-core
+    // cells (validate_rows_per_sec, e2e) are the numbers that scale.
+    val coreDir = s"$sinkDir/core_li"
+    li.coalesce(1).write.parquet(coreDir)
+    // ONE split: without these, FilePartition packing targets
+    // totalBytes/defaultParallelism (≈8 MB here) and the single file
+    // fans out to ~21 tasks — a 32-core cell wearing a per-core label
+    val prevMpb = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevMpn = spark.conf.getOption("spark.sql.files.minPartitionNum")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (4L << 30).toString)
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    val li1p = spark.read.parquet(coreDir)
+    require(li1p.rdd.getNumPartitions == 1,
+      s"per-core cell needs ONE split, got ${li1p.rdd.getNumPartitions}")
     def logicalBytesOf(cols: Set[String]): Long = {
       import org.apache.spark.sql.functions.{col, octet_length, sum => fsum}
       val picked = li1p.schema.fields.filter(f => cols.isEmpty || cols.contains(f.name))
@@ -168,29 +201,32 @@ object Bench {
     val rowBytes = logicalBytesOf(Set.empty)
     val inspectedBytes = logicalBytesOf(
       graft.catalog.CoreQueries.lineitemPolicy.rules.map(_.column).toSet)
+    val scanPass = () => li1p // raw vectorized scan → sink: the floor
     val validatePass = () => program.annotate(li1p)
     val noopPass = () => li1p // the same 16-column row pipeline, zero rules
       .withColumn(graft.contract.ValidationProgram.VerdictCol, org.apache.spark.sql.functions.lit("pass"))
       .withColumn(graft.contract.ValidationProgram.DispositionCol, org.apache.spark.sql.functions.lit("accept"))
-    validatePass().write.format("noop").mode("overwrite").save() // warmup codegen
+    scanPass().write.format("noop").mode("overwrite").save() // warmup codegen
+    validatePass().write.format("noop").mode("overwrite").save()
     noopPass().write.format("noop").mode("overwrite").save()
     val pairWalls = marked("validate_gb_per_sec_core")((1 to 8).map { _ =>
       val t0 = System.nanoTime()
-      noopPass().write.format("noop").mode("overwrite").save()
-      val tn = (System.nanoTime() - t0) / 1e9
+      scanPass().write.format("noop").mode("overwrite").save()
+      val ts = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
+      noopPass().write.format("noop").mode("overwrite").save()
+      val tn = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
       validatePass().write.format("noop").mode("overwrite").save()
-      val tv = (System.nanoTime() - t1) / 1e9
-      (tn, tv)
+      val tv = (System.nanoTime() - t2) / 1e9
+      (ts, tn, tv)
     })
     val (h1, h2) = pairWalls.splitAt(pairWalls.length / 2)
-    val tvMin = pairWalls.map(_._2).min
-    val tnMin = pairWalls.map(_._1).min
     val pairStability = {
-      val a = h1.map(_._2).min; val b = h2.map(_._2).min
+      val a = h1.map(_._3).min; val b = h2.map(_._3).min
       math.max(a, b) / math.min(a, b)
     }
-    val tvSorted = pairWalls.map(_._2).sorted
+    val tvSorted = pairWalls.map(_._3).sorted
     // headline: inspected-bytes over the min validation wall
     def cellOf(bytes: Long, walls: Seq[Double]): Cell = {
       val g = walls.sorted.map(w => bytes / 1e9 / w)
@@ -198,8 +234,13 @@ object Bench {
     }
     val validateGbCore = cellOf(inspectedBytes, tvSorted)
     val validateRowGbCore = cellOf(rowBytes, tvSorted)
-    val noopRowGbCore = cellOf(rowBytes, pairWalls.map(_._1))
-    li1p.unpersist()
+    val noopRowGbCore = cellOf(rowBytes, pairWalls.map(_._2))
+    val scanRowGbCore = cellOf(rowBytes, pairWalls.map(_._1))
+    // restore the split policy before the query sweep's parquet reads
+    prevMpb.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
+      spark.conf.set("spark.sql.files.maxPartitionBytes", _))
+    prevMpn.fold(spark.conf.unset("spark.sql.files.minPartitionNum"))(
+      spark.conf.set("spark.sql.files.minPartitionNum", _))
 
     // free the ram-backed sink output before the sweep
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkDir))
@@ -208,6 +249,7 @@ object Bench {
       ("validate_gb_per_sec_core", validateGbCore, fGb),
       ("validate_row_gb_per_sec_core", validateRowGbCore, fGb),
       ("validate_noop_row_gb_per_sec_core", noopRowGbCore, fGb),
+      ("scan_row_gb_per_sec_core", scanRowGbCore, fGb),
       ("parquet_sink_rows_per_sec", sinkRps, fRate),
       ("e2e_pipeline_rows_per_sec", e2eRps, fRate))
     // headline = BEST rate (= min wall): steady-state cost is one-sided

@@ -91,21 +91,27 @@ object ValidationProgram {
   val VerdictCol = "_graft_verdict"
   val DispositionCol = "_graft_disposition"
 
+  /** rank → string via a LITERAL-ARRAY index (ranks are contiguous
+    * 0..4 by construction): one bounds-checked read of a constant
+    * UTF8String per row instead of a 5-branch when-chain re-comparing
+    * the rank. Measured (tools/PerCoreProbe, single-core cell):
+    * wall-equal to the when-chain — the validation increment over the
+    * same-width noop floor is rule evaluation itself (byte compares
+    * on the gated string columns) plus the two contract string
+    * materializations, not the rank→string mapping. Kept for the
+    * simpler generated code. */
   private def rankToName(rank: Column): Column =
-    Verdict.all.foldRight(lit(Verdict.Fatal.name): Column) { (v, acc) =>
-      when(rank === v.rank, lit(v.name)).otherwise(acc)
-    }
+    element_at(typedLit(Verdict.all.sortBy(_.rank).map(_.name)), rank + 1)
 
   private def rankToDisposition(rank: Column): Column =
-    Verdict.all.foldRight(lit("reject_batch"): Column) { (v, acc) =>
-      val d = Disposition.ofVerdict(v) match {
+    element_at(typedLit(Verdict.all.sortBy(_.rank).map { v =>
+      Disposition.ofVerdict(v) match {
         case Disposition.Accept => "accept"
         case Disposition.Quarantine => "quarantine"
         case Disposition.RejectBatch => "reject_batch"
         case Disposition.RejectRun => "reject_run"
       }
-      when(rank === v.rank, lit(d)).otherwise(acc)
-    }
+    }), rank + 1)
 
   /** Anchored-literal regex → the plain string test it denotes.
     * regexp_like has FIND semantics, so "^lit" ⇔ startsWith, "lit$" ⇔
