@@ -393,6 +393,50 @@ object ExtendedQueries {
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r"))
   }
 
+  val icebergDv: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_dv",
+    """WITH net AS (
+      |  SELECT l_orderkey, l_quantity FROM lineitem
+      |  WHERE l_orderkey % 2 = 0 AND l_orderkey % 9 <> 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_quantity FROM lineitem
+      |  WHERE l_orderkey % 2 = 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+      |  CAST(SUM(CASE WHEN l_orderkey % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nine
+      |FROM net""".stripMargin,
+    doc = "Iceberg V3 DELETION VECTORS (parity-plus over cdf's v2 read, driver.rs:1035): " +
+      "snapshot 1 commits the even-orderkey slice; snapshot 2 commits a PUFFIN file " +
+      "holding one roaring-bitmap DV blob per referenced data file (public puffin + v3 " +
+      "specs: BE length, magic D1D33964, portable roaring64, BE CRC-32), coordinates from " +
+      "the parquet scan's own _metadata; snapshot 3 appends the odd slice, whose sequence " +
+      "outranks the DV so its %9 rows survive — n_nine proves the sequence gate inside " +
+      "the hash. Blobs decode INSIDE tasks (one task per DV), never on the driver.") { (s, d) =>
+    import org.apache.spark.sql.functions.expr
+    val li = t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), dec2(col("l_quantity")).as("l_quantity"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_dv").toString + "/tbl"
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 2 === 0), snapshotId = 1L, timestampMs = 1L)
+    val paths = graft.sources.IcebergSource.dataFiles(dir).map(_.path)
+    val dvDf = s.read.parquet(paths: _*)
+      .select(col("l_orderkey"),
+        expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+      .filter(col("l_orderkey") % 9 === 0)
+      .select("file_path", "pos")
+    graft.sources.IcebergSource.commitDeletes(s, dir,
+      dvDeletes = Some(dvDf), snapshotId = 2L, timestampMs = 2L)
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 2 === 1), snapshotId = 3L, timestampMs = 3L)
+    graft.sources.IcebergSource.read(s, dir)
+      .agg(count(lit(1)).cast("long").as("n"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        sum(when(col("l_orderkey") % 9 === 0, 1L).otherwise(0L)).as("n_nine"))
+  }
+
   val icebergIncrementalDeletes: QueryDef = QueryDef.sqlBacked(
     "q_iceberg_incremental_deletes",
     """WITH net AS (
@@ -543,6 +587,7 @@ object ExtendedQueries {
 
   val all: Seq[QueryDef] = Seq(
     icebergIncremental, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
+    icebergDv,
     glueScan, tier2Python,
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,

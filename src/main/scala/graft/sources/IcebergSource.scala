@@ -40,10 +40,13 @@ import graft.core.CanonicalJson._
   * gated by the spec's sequence rules (pos: dataSeq <= deleteSeq;
   * eq: dataSeq < deleteSeq), so time travel before a delete snapshot
   * naturally sees the undeleted rows (the reference reads full v2,
-  * crates/cdf-source-iceberg/src/driver.rs:1035). Still REJECTED with
-  * a typed [[graft.core.GraftError.Plan]] error, because reading past
-  * them would be silently wrong: non-parquet delete files (v3 puffin
-  * deletion vectors), unknown data_file content kinds, equality ids
+  * crates/cdf-source-iceberg/src/driver.rs:1035). v3 puffin DELETION
+  * VECTORS read through the same machinery ([[Puffin]] decodes each
+  * blob inside one task; a DV supersedes position delete files for
+  * its data file, per the v3 spec). Still REJECTED with a typed
+  * [[graft.core.GraftError.Plan]] error, because reading past them
+  * would be silently wrong: delete files in formats other than
+  * parquet/puffin, unknown data_file content kinds, equality ids
   * that resolve to no schema field, and incremental append-diff
   * windows that contain a delete snapshot (row removal cannot be
   * represented as added files).
@@ -148,11 +151,17 @@ object IcebergSource {
         * decides which delete files apply to this file's rows. */
       seq: Long = 0L)
 
-  /** A delete file from a v2 merge-on-read table. content 1 =
-    * position deletes (columns `file_path`, `pos`), content 2 =
-    * equality deletes (the columns named by `equalityIds`). */
+  /** A delete file from a v2/v3 merge-on-read table. content 1 =
+    * position deletes (parquet `file_path`+`pos`, or a v3 puffin
+    * DELETION VECTOR — format "PUFFIN" with the blob coordinates and
+    * the one data file it references), content 2 = equality deletes
+    * (the columns named by `equalityIds`). */
   final case class DeleteFileRef(path: String, content: Int, seq: Long,
-      equalityIds: Seq[Int])
+      equalityIds: Seq[Int], format: String = "PARQUET",
+      contentOffset: Option[Long] = None, contentSize: Option[Long] = None,
+      referencedFile: Option[String] = None) {
+    def isDv: Boolean = format.equalsIgnoreCase("PUFFIN")
+  }
 
   // ------------------------------------------------------------- read
 
@@ -291,7 +300,10 @@ object IcebergSource {
     * equality field ids. */
   private final case class RawEntry(status: Int, snapshotId: Option[Long],
       content: Int, ref: DataFileRef, equalityIds: Seq[Int], fileFormat: String,
-      seqNumber: Option[Long] = None)
+      seqNumber: Option[Long] = None,
+      /** v3 deletion-vector coordinates from the data_file struct. */
+      referencedFile: Option[String] = None,
+      contentOffset: Option[Long] = None, contentSize: Option[Long] = None)
 
   private def entries(manifestPath: String): Seq[RawEntry] =
     readAvro(manifestPath).map { e =>
@@ -315,6 +327,14 @@ object IcebergSource {
             }
           case _ => Nil
         }
+      def optDfLong(name: String): Option[Long] =
+        if (df.getSchema.getField(name) == null) None
+        else Option(df.get(name)).map {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case other => throw graft.core.GraftError.Plan(
+            s"iceberg fidelity: non-numeric $name in $manifestPath: $other")
+        }
       RawEntry(e.get("status").asInstanceOf[Int],
         Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]),
         content,
@@ -324,8 +344,34 @@ object IcebergSource {
           partitionOf(df)),
         eqIds,
         Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"),
-        optLong("sequence_number").orElse(optLong("data_sequence_number")))
+        optLong("sequence_number").orElse(optLong("data_sequence_number")),
+        referencedFile =
+          if (df.getSchema.getField("referenced_data_file") == null) None
+          else Option(df.get("referenced_data_file")).map(_.toString),
+        contentOffset = optDfLong("content_offset"),
+        contentSize = optDfLong("content_size_in_bytes"))
     }
+
+  /** Validate a delete entry's format and build its ref: parquet
+    * position/equality files, and v3 PUFFIN deletion vectors —
+    * content=1 with the blob coordinates and the single data file
+    * they reference (Iceberg table-spec v3). Anything else is refused
+    * typed, never guessed at. */
+  private def deleteRefOf(e: RawEntry, manifestPath: String): DeleteFileRef =
+    if (e.fileFormat.equalsIgnoreCase("PUFFIN")) {
+      if (e.content != 1 || e.referencedFile.isEmpty ||
+          e.contentOffset.isEmpty || e.contentSize.isEmpty)
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: puffin delete file ${e.ref.path} in $manifestPath is not a " +
+            "well-formed v3 deletion vector (needs content=1, referenced_data_file, " +
+            "content_offset, content_size_in_bytes)")
+      DeleteFileRef(e.ref.path, 1, 0L, Nil, "PUFFIN",
+        e.contentOffset, e.contentSize, e.referencedFile)
+    } else if (!e.fileFormat.equalsIgnoreCase("PARQUET"))
+      throw graft.core.GraftError.Plan(
+        s"iceberg fidelity: ${e.fileFormat} delete file ${e.ref.path} — only parquet " +
+          "position/equality delete files and v3 puffin deletion vectors are readable")
+    else DeleteFileRef(e.ref.path, e.content, 0L, e.equalityIds)
 
   /** Data sequence number for an entry: the entry's EXPLICIT field
     * first (the spec's rule — v2 inheritance applies only when the
@@ -613,8 +659,9 @@ object IcebergSource {
     * files). Entry sequence numbers are INHERITED from the adding
     * snapshot (entry snapshot_id, falling back to the manifest's
     * added_snapshot_id) — the v2 inheritance rule for writers that
-    * leave sequence_number null. Delete files must be parquet (v3
-    * puffin deletion vectors are rejected, not guessed at). Partition
+    * leave sequence_number null. Delete files must be parquet or v3
+    * puffin deletion vectors (anything else is rejected typed, not
+    * guessed at). Partition
     * pruning applies to DATA files; delete files are kept
     * conservatively (applying a delete file to a file it cannot touch
     * only costs work, never rows). */
@@ -639,12 +686,7 @@ object IcebergSource {
                 s"file with content=${e.content} — inconsistent metadata")
           e.content match {
             case 0 => data += ((e.ref, entrySeq(e, m, meta)))
-            case c =>
-              if (!e.fileFormat.equalsIgnoreCase("PARQUET"))
-                throw graft.core.GraftError.Plan(
-                  s"iceberg fidelity: ${e.fileFormat} delete file ${e.ref.path} — only " +
-                    "parquet position/equality delete files are readable (no deletion vectors)")
-              dels += ((DeleteFileRef(e.ref.path, c, 0L, e.equalityIds), entrySeq(e, m, meta)))
+            case _ => dels += ((deleteRefOf(e, m.path), entrySeq(e, m, meta)))
           }
         }
       }
@@ -699,7 +741,10 @@ object IcebergSource {
         s"iceberg fidelity: incremental window (${fromExclusive.getOrElse("-")}, $to] " +
           s"contains delete file ${e.ref.path} — the append-diff cannot represent row " +
           "removal; run a full merge-on-read scan at each endpoint instead"))
-    es.collect { case RawEntry(StatusAdded, Some(sid), 0, f, _, _, _) if lineageIds.contains(sid) => f }
+    es.collect {
+      case e @ RawEntry(StatusAdded, Some(sid), 0, _, _, _, _, _, _, _)
+        if lineageIds.contains(sid) => e.ref
+    }
       .filter(f => filters.forall(fileMayMatch(_, f.partition, meta.spec)))
   }
 
@@ -752,22 +797,53 @@ object IcebergSource {
     val withSeq = data.join(broadcast(seqDf), data("__g_file") === seqDf("__g_seqfile"))
       .drop("__g_seqfile")
 
-    val posFiles = deletes.filter(_.content == 1)
-    val afterPos =
-      if (posFiles.isEmpty) withSeq
+    val (dvFiles, pqPosFiles) = deletes.filter(_.content == 1).partition(_.isDv)
+    val dvPos: Option[DataFrame] =
+      if (dvFiles.isEmpty) None
       else {
-        val pos = posFiles.map { p =>
+        // v3 deletion vectors: ONE TASK PER DV decodes its blob
+        // executor-side (Puffin.readDeletionVector seeks straight to
+        // the blob) — only manifest coordinates transit the driver,
+        // never bitmap bytes; memory per task is one blob.
+        val coords = dvFiles.map(d => (d.path, d.contentOffset.get, d.contentSize.get,
+          d.referencedFile.get.replaceFirst("^file:/+", "/"), d.seq))
+        Some(spark.sparkContext
+          .parallelize(coords, math.max(1, math.min(coords.size, 32)))
+          .flatMap { case (p, off, len, ref, seq) =>
+            Puffin.readDeletionVector(p, off, len).iterator.map(pos => (ref, pos, seq))
+          }
+          .toDF("__d_file", "__d_pos", "__d_seq"))
+      }
+    val pqPos: Option[DataFrame] =
+      if (pqPosFiles.isEmpty) None
+      else {
+        val raw = pqPosFiles.map { p =>
           spark.read.parquet(p.path).select(
             normPath(col("file_path")).as("__d_file"),
             col("pos").cast("long").as("__d_pos"),
             lit(p.seq).as("__d_seq"))
         }.reduce(_ unionByName _)
+        // v3 supersede rule: a data file covered by a deletion vector
+        // ignores position delete FILES entirely (the DV replaced
+        // them); file list is planning metadata, so broadcast it.
+        val dvRefs = dvFiles.flatMap(_.referencedFile)
+          .map(_.replaceFirst("^file:/+", "/")).distinct
+        if (dvRefs.isEmpty) Some(raw)
+        else {
+          val refsDf = dvRefs.toDF("__dv_ref")
+          Some(raw.join(broadcast(refsDf),
+            raw("__d_file") === refsDf("__dv_ref"), "left_anti"))
+        }
+      }
+    val afterPos = (dvPos.toSeq ++ pqPos.toSeq).reduceOption(_ unionByName _) match {
+      case None => withSeq
+      case Some(pos) =>
         withSeq.join(pos,
           withSeq("__g_file") === pos("__d_file") &&
             withSeq("__g_pos") === pos("__d_pos") &&
             pos("__d_seq") >= withSeq("__g_dataseq"),
           "left_anti")
-      }
+    }
 
     val eqGroups = deletes.filter(_.content == 2).groupBy(_.equalityIds).toSeq
     val afterEq = eqGroups.foldLeft(afterPos) { case (acc, (ids, fs)) =>
@@ -825,12 +901,7 @@ object IcebergSource {
           lineageIds.contains(e.snapshotId.getOrElse(m.addedSnapshotId))
         if (addedInWindow) e.content match {
           case 0 => data += ((e.ref, entrySeq(e, m, meta)))
-          case c =>
-            if (!e.fileFormat.equalsIgnoreCase("PARQUET"))
-              throw graft.core.GraftError.Plan(
-                s"iceberg fidelity: ${e.fileFormat} delete file ${e.ref.path} — only " +
-                  "parquet position/equality delete files are readable (no deletion vectors)")
-            dels += ((DeleteFileRef(e.ref.path, c, 0L, e.equalityIds), entrySeq(e, m, meta)))
+          case _ => dels += ((deleteRefOf(e, m.path), entrySeq(e, m, meta)))
         }
       }
     }
@@ -1135,7 +1206,10 @@ object IcebergSource {
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
       |  {"name":"file_size_in_bytes","type":"long"},
-      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
+      |  {"name":"referenced_data_file","type":["null","string"],"default":null},
+      |  {"name":"content_offset","type":["null","long"],"default":null},
+      |  {"name":"content_size_in_bytes","type":["null","long"],"default":null}]}}]}""".stripMargin)
 
   private def perFileCounts(spark: SparkSession, dir: String): Seq[(String, Long)] =
     spark.read.parquet(dir)
@@ -1157,7 +1231,14 @@ object IcebergSource {
   def commitDeletes(spark: SparkSession, tableDir: String,
       posDeletes: Option[DataFrame] = None,
       eqDeletes: Option[(DataFrame, Seq[String])] = None,
-      snapshotId: Long = 0L, timestampMs: Long = 0L): TableMeta = {
+      snapshotId: Long = 0L, timestampMs: Long = 0L,
+      /** v3 deletion vectors: same (`file_path`, `pos`) shape as
+        * `posDeletes`, written as ONE puffin file holding one
+        * roaring-bitmap DV blob per referenced data file; each blob
+        * gets its own manifest entry (file_format=PUFFIN,
+        * referenced_data_file + content_offset/content_size_in_bytes,
+        * record_count = cardinality) per the v3 spec. */
+      dvDeletes: Option[DataFrame] = None): TableMeta = {
     val metaDir = s"$tableDir/metadata"
     require(Files.exists(Paths.get(metaDir, "version-hint.text")),
       "delete commit requires an existing table")
@@ -1166,8 +1247,28 @@ object IcebergSource {
       .getOrElse(throw new IllegalArgumentException("cannot commit deletes to an empty table"))
     val seq = parent.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
 
-    final case class Written(path: String, n: Long, content: Int, eqIds: Seq[Long])
+    final case class Written(path: String, n: Long, content: Int, eqIds: Seq[Long],
+        format: String = "PARQUET", refFile: Option[String] = None,
+        offset: Option[Long] = None, size: Option[Long] = None)
     val written = Seq.newBuilder[Written]
+    dvDeletes.foreach { ddf =>
+      // DV construction is per referenced data file: positions group
+      // by file (each group is one file's deleted rows — bounded by
+      // rows-per-file, and roaring-compressed on write)
+      val perFile = ddf
+        .select(col("file_path").cast("string").as("f"), col("pos").cast("long").as("p"))
+        .groupBy("f").agg(collect_list("p").as("ps"))
+        .collect()
+        .map(r => Puffin.Dv(r.getString(0), r.getSeq[Long](1)))
+        .sortBy(_.referencedDataFile)
+      require(perFile.nonEmpty, "commitDeletes: dvDeletes has no rows")
+      val puffinPath = s"$tableDir/data/snap-$snapshotId-deletes.puffin"
+      Puffin.writeDeletionVectors(puffinPath, perFile.toSeq, snapshotId, seq)
+        .foreach { r =>
+          written += Written(puffinPath, r.cardinality, 1, Nil, "PUFFIN",
+            Some(r.referencedDataFile), Some(r.offset), Some(r.length))
+        }
+    }
     posDeletes.foreach { pdf =>
       val dir = s"$tableDir/data/snap-$snapshotId-pos-deletes"
       pdf.select(col("file_path").cast("string").as("file_path"),
@@ -1191,11 +1292,14 @@ object IcebergSource {
       val d = new GenericData.Record(deleteEntrySchema.getField("data_file").schema())
       d.put("content", w.content)
       d.put("file_path", w.path)
-      d.put("file_format", "PARQUET")
+      d.put("file_format", w.format)
       d.put("record_count", w.n)
       d.put("file_size_in_bytes", new File(w.path).length())
       if (w.eqIds.nonEmpty)
         d.put("equality_ids", w.eqIds.map(i => Int.box(i.toInt)).asJava)
+      w.refFile.foreach(d.put("referenced_data_file", _))
+      w.offset.foreach(o => d.put("content_offset", Long.box(o)))
+      w.size.foreach(s => d.put("content_size_in_bytes", Long.box(s)))
       val e = new GenericData.Record(deleteEntrySchema)
       e.put("status", StatusAdded)
       e.put("snapshot_id", Long.box(snapshotId))

@@ -1,0 +1,359 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
+import graft.core.CanonicalJson
+import graft.core.CanonicalJson._
+import graft.core.GraftError
+
+/** Puffin file format + Iceberg v3 deletion-vector blob codec,
+  * implemented from the PUBLIC specs only: the Puffin spec
+  * (iceberg: format/puffin-spec.md — magic "PFA1", blobs, JSON footer
+  * with trailing size+flags), the Iceberg v3 table-spec
+  * deletion-vector layout (big-endian length, magic D1 D3 39 64,
+  * portable 64-bit roaring bitmap, big-endian CRC-32 of magic+vector)
+  * and the RoaringFormatSpec portable serialization (cookies
+  * 12346/12347, array/bitset/run containers, little-endian).
+  *
+  * Reference behavior: cdf reads v2 merge-on-read tables
+  * (crates/cdf-source-iceberg/src/driver.rs:1035); v3 deletion
+  * vectors are this library's parity-plus extension of the same
+  * position-delete semantics.
+  *
+  * Scale shape: [[readDeletionVector]] seeks straight to one blob and
+  * decodes it — callers run it INSIDE tasks (one task per DV), so at
+  * 100 TB the bitmaps stream executor-side and never transit the
+  * driver; memory per task is one blob, never the file.
+  */
+object Puffin {
+
+  private val Magic = Array[Byte](0x50, 0x46, 0x41, 0x31) // "PFA1"
+  private val DvMagic = Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64)
+  private val DvBlobType = "deletion-vector-v1"
+
+  // RoaringFormatSpec constants
+  private val SerialCookie = 12347 // run containers present
+  private val SerialCookieNoRun = 12346
+  private val NoOffsetThreshold = 4
+  private val ArrayMaxCard = 4096
+
+  final case class BlobMeta(
+      blobType: String,
+      offset: Long,
+      length: Long,
+      snapshotId: Long,
+      sequenceNumber: Long,
+      properties: Map[String, String])
+
+  final case class Footer(blobs: Seq[BlobMeta], properties: Map[String, String])
+
+  /** One deletion vector to write: deleted row positions of one
+    * referenced data file. */
+  final case class Dv(referencedDataFile: String, positions: Seq[Long])
+
+  /** A written DV blob's coordinates — exactly what the manifest
+    * entry records (content_offset / content_size_in_bytes /
+    * referenced_data_file / cardinality). */
+  final case class DvRef(referencedDataFile: String, offset: Long, length: Long,
+      cardinality: Long)
+
+  // ----------------------------------------------------------- read
+
+  /** Parse the footer of a puffin file: trailing magic, 4-byte flags,
+    * 4-byte LE payload size, JSON payload. Compressed footers
+    * (flag bit 0) are REJECTED typed, not guessed at. */
+  def readFooter(path: String): Footer = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val len = raf.length()
+      if (len < 20) fail(s"$path: too short for a puffin file ($len bytes)")
+      val head = new Array[Byte](4)
+      raf.seek(0); raf.readFully(head)
+      if (!head.sameElements(Magic)) fail(s"$path: leading magic mismatch")
+      val tail = new Array[Byte](12)
+      raf.seek(len - 12); raf.readFully(tail)
+      val bb = ByteBuffer.wrap(tail).order(ByteOrder.LITTLE_ENDIAN)
+      val payloadSize = bb.getInt()
+      val flags = bb.getInt()
+      val magic = new Array[Byte](4); bb.get(magic)
+      if (!magic.sameElements(Magic)) fail(s"$path: trailing magic mismatch")
+      if ((flags & 1) != 0)
+        fail(s"$path: compressed footer payload (flag bit 0) is not supported")
+      if (payloadSize < 0 || len - 12 - payloadSize < 4)
+        fail(s"$path: footer payload size $payloadSize out of bounds")
+      val payload = new Array[Byte](payloadSize)
+      raf.seek(len - 12 - payloadSize); raf.readFully(payload)
+      // the footer's own leading magic sits right before the payload
+      val fm = new Array[Byte](4)
+      raf.seek(len - 12 - payloadSize - 4); raf.readFully(fm)
+      if (!fm.sameElements(Magic)) fail(s"$path: footer magic mismatch")
+      parseFooter(new String(payload, StandardCharsets.UTF_8), path)
+    } finally raf.close()
+  }
+
+  private def parseFooter(json: String, path: String): Footer = {
+    def strMap(j: J): Map[String, String] = j match {
+      case JObj(fields) => fields.collect { case (k, JStr(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+    def longOf(j: J): Long = j match {
+      case JInt(v) => v
+      case JNum(v) => v.toLong
+      case other => fail(s"$path: non-numeric footer field: $other")
+    }
+    CanonicalJson.parse(json) match {
+      case JObj(fields) =>
+        val m = fields.toMap
+        val blobs = m.get("blobs") match {
+          case Some(JArr(xs)) => xs.map {
+            case JObj(bf) =>
+              val b = bf.toMap
+              BlobMeta(
+                blobType = b.get("type") match {
+                  case Some(JStr(t)) => t
+                  case _ => fail(s"$path: blob without a type")
+                },
+                offset = longOf(b.getOrElse("offset", fail(s"$path: blob without offset"))),
+                length = longOf(b.getOrElse("length", fail(s"$path: blob without length"))),
+                snapshotId = b.get("snapshot-id").map(longOf).getOrElse(-1L),
+                sequenceNumber = b.get("sequence-number").map(longOf).getOrElse(-1L),
+                properties = b.get("properties").map(strMap).getOrElse(Map.empty))
+            case other => fail(s"$path: non-object blob metadata: $other")
+          }
+          case _ => Seq.empty
+        }
+        Footer(blobs, m.get("properties").map(strMap).getOrElse(Map.empty))
+      case other => fail(s"$path: footer payload is not a JSON object: $other")
+    }
+  }
+
+  /** Decode one deletion-vector blob at (offset, length): Iceberg v3
+    * layout = u32 BE (vector+magic length), magic D1 D3 39 64,
+    * portable roaring64, u32 BE CRC-32 over magic+vector. Returns the
+    * SORTED deleted positions. */
+  def readDeletionVector(path: String, offset: Long, length: Long): Array[Long] = {
+    val raf = new RandomAccessFile(path, "r")
+    val blob = new Array[Byte](length.toInt)
+    try { raf.seek(offset); raf.readFully(blob) } finally raf.close()
+    decodeDeletionVector(blob, s"$path@$offset")
+  }
+
+  def decodeDeletionVector(blob: Array[Byte], where: String = "dv"): Array[Long] = {
+    if (blob.length < 12) fail(s"$where: DV blob too short (${blob.length} bytes)")
+    val bb = ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN)
+    val inner = bb.getInt() // length of magic + vector
+    if (inner < 4 || inner > blob.length - 8)
+      fail(s"$where: DV inner length $inner out of bounds for ${blob.length}-byte blob")
+    val magic = new Array[Byte](4); bb.get(magic)
+    if (!magic.sameElements(DvMagic))
+      fail(s"$where: DV magic mismatch (${magic.map(b => f"$b%02X").mkString(" ")})")
+    val vector = new Array[Byte](inner - 4)
+    bb.get(vector)
+    val crcStored = bb.getInt()
+    val crc = new CRC32()
+    crc.update(DvMagic); crc.update(vector)
+    if (crc.getValue.toInt != crcStored)
+      fail(f"$where: DV CRC mismatch (stored 0x$crcStored%08X, computed 0x${crc.getValue.toInt}%08X)")
+    deserializeRoaring64(vector, where)
+  }
+
+  /** Portable 64-bit roaring: u64 LE bucket count, then per bucket a
+    * u32 LE high key + a portable 32-bit roaring bitmap. */
+  private[sources] def deserializeRoaring64(bytes: Array[Byte], where: String): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nBuckets = bb.getLong()
+    if (nBuckets < 0 || nBuckets > Int.MaxValue)
+      fail(s"$where: roaring64 bucket count $nBuckets out of range")
+    val out = Array.newBuilder[Long]
+    var prevHigh = -1L
+    var b = 0L
+    while (b < nBuckets) {
+      val high = bb.getInt().toLong & 0xFFFFFFFFL
+      if (high <= prevHigh) fail(s"$where: roaring64 buckets out of order")
+      prevHigh = high
+      deserializeRoaring32(bb, where).foreach { low =>
+        out += (high << 32) | (low.toLong & 0xFFFFFFFFL)
+      }
+      b += 1
+    }
+    out.result()
+  }
+
+  /** Portable 32-bit roaring at the buffer's position (advances it):
+    * cookie 12347 (+run bitset) or 12346, descriptive headers,
+    * optional offset header, then array / bitset / run containers. */
+  private def deserializeRoaring32(bb: ByteBuffer, where: String): Array[Int] = {
+    val cookie = bb.getInt()
+    val hasRun = (cookie & 0xFFFF) == SerialCookie
+    val n =
+      if (hasRun) (cookie >>> 16) + 1
+      else if (cookie == SerialCookieNoRun) bb.getInt()
+      else fail(s"$where: invalid roaring cookie $cookie")
+    if (n < 0 || n > 65536) fail(s"$where: roaring container count $n out of range")
+    val runBits = new Array[Byte](if (hasRun) (n + 7) / 8 else 0)
+    if (hasRun) bb.get(runBits)
+    def isRun(i: Int): Boolean = hasRun && ((runBits(i / 8) >> (i % 8)) & 1) == 1
+    val keys = new Array[Int](n)
+    val cards = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      keys(i) = bb.getShort().toInt & 0xFFFF
+      cards(i) = (bb.getShort().toInt & 0xFFFF) + 1
+      i += 1
+    }
+    if (!hasRun || n >= NoOffsetThreshold) { // offset header present
+      var j = 0
+      while (j < n) { bb.getInt(); j += 1 } // sequential read — offsets unused
+    }
+    val out = Array.newBuilder[Int]
+    i = 0
+    while (i < n) {
+      val base = keys(i) << 16
+      if (isRun(i)) {
+        val nRuns = bb.getShort().toInt & 0xFFFF
+        var r = 0
+        while (r < nRuns) {
+          val start = bb.getShort().toInt & 0xFFFF
+          val len = bb.getShort().toInt & 0xFFFF // run length - 1
+          var v = start
+          while (v <= start + len) { out += (base | v); v += 1 }
+          r += 1
+        }
+      } else if (cards(i) <= ArrayMaxCard) {
+        var c = 0
+        while (c < cards(i)) { out += (base | (bb.getShort().toInt & 0xFFFF)); c += 1 }
+      } else { // bitset container: 1024 × u64
+        var w = 0
+        while (w < 1024) {
+          var word = bb.getLong()
+          val wordBase = base | (w << 6)
+          while (word != 0L) {
+            out += (wordBase | java.lang.Long.numberOfTrailingZeros(word))
+            word &= word - 1
+          }
+          w += 1
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------- write
+
+  /** Write one puffin file holding one deletion-vector blob per
+    * referenced data file. Returns each blob's manifest coordinates.
+    * Footer JSON carries the spec's `referenced-data-file` and
+    * `cardinality` blob properties. */
+  def writeDeletionVectors(path: String, dvs: Seq[Dv],
+      snapshotId: Long, sequenceNumber: Long): Seq[DvRef] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path)))
+    try {
+      out.write(Magic)
+      var offset = 4L
+      val refs = dvs.map { dv =>
+        val blob = encodeDeletionVector(dv.positions)
+        out.write(blob)
+        val r = DvRef(dv.referencedDataFile, offset, blob.length.toLong,
+          dv.positions.distinct.length.toLong)
+        offset += blob.length
+        r
+      }
+      val blobsJson = JArr(refs.map { r =>
+        JObj.of(
+          "type" -> JStr(DvBlobType),
+          "fields" -> JArr(Seq.empty),
+          "snapshot-id" -> JInt(snapshotId),
+          "sequence-number" -> JInt(sequenceNumber),
+          "offset" -> JInt(r.offset),
+          "length" -> JInt(r.length),
+          "properties" -> JObj.of(
+            "referenced-data-file" -> JStr(r.referencedDataFile),
+            "cardinality" -> JStr(r.cardinality.toString)))
+      })
+      val payload = CanonicalJson.render(
+        JObj.of("blobs" -> blobsJson, "properties" -> JObj.of()))
+        .getBytes(StandardCharsets.UTF_8)
+      out.write(Magic) // footer's leading magic
+      out.write(payload)
+      val tail = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      tail.putInt(payload.length)
+      tail.putInt(0) // flags: uncompressed footer
+      tail.put(Magic)
+      out.write(tail.array())
+      refs
+    } finally out.close()
+  }
+
+  /** Encode positions as a v3 DV blob (BE length, magic, portable
+    * roaring64, BE CRC-32 of magic+vector). */
+  def encodeDeletionVector(positions: Seq[Long]): Array[Byte] = {
+    positions.foreach(p => require(p >= 0, s"negative delete position $p"))
+    val vector = serializeRoaring64(positions.distinct.sorted.toArray)
+    val crc = new CRC32()
+    crc.update(DvMagic); crc.update(vector)
+    val bb = ByteBuffer.allocate(4 + 4 + vector.length + 4).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(4 + vector.length)
+    bb.put(DvMagic)
+    bb.put(vector)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Writer emits the NO_RUNCONTAINER portable form (cookie 12346,
+    * offset header always present, array/bitset containers) — every
+    * spec-conformant reader handles it; run containers are a read
+    * concern only. */
+  private[sources] def serializeRoaring64(sorted: Array[Long]): Array[Byte] = {
+    val byHigh = sorted.toSeq.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1 & 0xFFFFFFFFL)
+    val buckets = byHigh.map { case (high, ps) =>
+      high -> serializeRoaring32(ps.map(p => (p & 0xFFFFFFFFL).toInt).toArray)
+    }
+    val size = 8L + buckets.map(b => 4L + b._2.length).sum
+    val bb = ByteBuffer.allocate(size.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(buckets.length.toLong)
+    buckets.foreach { case (high, bytes) => bb.putInt(high); bb.put(bytes) }
+    bb.array()
+  }
+
+  private def serializeRoaring32(lows: Array[Int]): Array[Byte] = {
+    val byKey = lows.toSeq.groupBy(v => (v >>> 16) & 0xFFFF).toSeq.sortBy(_._1)
+    val containers = byKey.map { case (key, vs) =>
+      val vals = vs.map(_ & 0xFFFF).distinct.sorted
+      val body =
+        if (vals.length <= ArrayMaxCard) {
+          val b = ByteBuffer.allocate(vals.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+          vals.foreach(v => b.putShort(v.toShort))
+          b.array()
+        } else {
+          val words = new Array[Long](1024)
+          vals.foreach(v => words(v >>> 6) |= (1L << (v & 63)))
+          val b = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+          words.foreach(b.putLong)
+          b.array()
+        }
+      (key, vals.length, body)
+    }
+    val n = containers.length
+    val headerSize = 4 + 4 + n * 4 + n * 4 // cookie + count + descriptive + offsets
+    val bb = ByteBuffer.allocate(headerSize + containers.map(_._3.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(SerialCookieNoRun)
+    bb.putInt(n)
+    containers.foreach { case (key, card, _) =>
+      bb.putShort(key.toShort); bb.putShort((card - 1).toShort)
+    }
+    var off = headerSize
+    containers.foreach { case (_, _, body) => bb.putInt(off); off += body.length }
+    containers.foreach { case (_, _, body) => bb.put(body) }
+    bb.array()
+  }
+
+  private def fail(msg: String): Nothing =
+    throw GraftError.Plan(s"puffin: $msg")
+}

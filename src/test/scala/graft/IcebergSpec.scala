@@ -428,6 +428,130 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergSource.readIncremental(spark, dir, Some(1L), 2L).count() == 0)
   }
 
+  test("puffin codec: DV blob + portable roaring64 round-trip; spec-layout bytes decode; corruption rejected typed") {
+    import graft.sources.Puffin
+    // round-trip across container types and 32-bit buckets: >4096
+    // values in key 0 forces a BITSET container, the 70k pair an
+    // ARRAY container under a second 16-bit key, and the 2^32/2^33
+    // values exercise multiple roaring64 buckets
+    val positions = (0L until 5000L).map(_ * 2) ++ Seq(70000L, 70001L) ++
+      Seq((1L << 32) + 5, (1L << 33) + 123, (1L << 33) + 123)
+    val blob = Puffin.encodeDeletionVector(positions)
+    assert(Puffin.decodeDeletionVector(blob).toSeq == positions.distinct.sorted)
+
+    // HAND-BUILT vector per the public RoaringFormatSpec byte layout,
+    // independent of our encoder — one bucket (high=0), SERIAL_COOKIE
+    // 12347 with one RUN container: key=1, one run (start=10, len-1=2)
+    // → values 65546, 65547, 65548. n=1 < 4 and runs present → no
+    // offset header, per the spec.
+    val vec = java.nio.ByteBuffer.allocate(8 + 4 + 4 + 1 + 4 + 2 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vec.putLong(1L)            // roaring64 bucket count
+    vec.putInt(0)              // bucket high bits
+    vec.putInt(12347)          // cookie: run containers, n = (0 << 16) + 1
+    vec.put(0x01.toByte)       // run bitset: container 0 is a run
+    vec.putShort(1.toShort)    // container key
+    vec.putShort(2.toShort)    // cardinality - 1
+    vec.putShort(1.toShort)    // number of runs
+    vec.putShort(10.toShort)   // run start
+    vec.putShort(2.toShort)    // run length - 1
+    val vecBytes = vec.array()
+    val crc = new java.util.zip.CRC32()
+    val dvMagic = Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64)
+    crc.update(dvMagic); crc.update(vecBytes)
+    val hand = java.nio.ByteBuffer.allocate(4 + 4 + vecBytes.length + 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    hand.putInt(4 + vecBytes.length).put(dvMagic).put(vecBytes)
+      .putInt(crc.getValue.toInt)
+    assert(Puffin.decodeDeletionVector(hand.array()).toSeq ==
+      Seq(65546L, 65547L, 65548L))
+
+    // corruption is rejected typed: flip one vector byte → CRC error
+    val bad = hand.array().clone()
+    bad(12) = (bad(12) ^ 0x40).toByte
+    val e1 = intercept[graft.core.GraftError.Plan](Puffin.decodeDeletionVector(bad))
+    assert(e1.getMessage.contains("CRC"))
+    val e2 = intercept[graft.core.GraftError.Plan](
+      Puffin.decodeDeletionVector(Array.fill[Byte](16)(0x11)))
+    assert(e2.getMessage.contains("magic") || e2.getMessage.contains("length"))
+  }
+
+  test("v3 deletion vectors: puffin DVs read through merge-on-read, sequence-gated, superseding position files") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    import graft.sources.Puffin
+    val dir = s"${tmpDir()}/tbl"
+    IcebergSource.commitAppend(spark, dir, nums(0, 100), 1L, 1L)
+
+    // snapshot 2 (DELETE): a deletion vector over id % 9 == 0, with
+    // coordinates from the parquet scan's own _metadata
+    val paths = IcebergSource.dataFiles(dir).map(_.path)
+    val dvDf = spark.read.parquet(paths: _*)
+      .select(col("id"),
+        expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+      .filter(col("id") % 9 === 0)
+      .select("file_path", "pos")
+    IcebergSource.commitDeletes(spark, dir, dvDeletes = Some(dvDf),
+      snapshotId = 2L, timestampMs = 2L)
+
+    // the written puffin file is spec-shaped: footer parses, blobs are
+    // deletion-vector-v1 with referenced-data-file + cardinality props
+    val puffinPath = s"$dir/data/snap-2-deletes.puffin"
+    val footer = Puffin.readFooter(puffinPath)
+    assert(footer.blobs.nonEmpty)
+    assert(footer.blobs.forall(_.blobType == "deletion-vector-v1"))
+    assert(footer.blobs.forall(b =>
+      b.properties.contains("referenced-data-file") &&
+        b.properties.get("cardinality").exists(_.toLong > 0)))
+
+    val afterDv = IcebergSource.read(spark, dir)
+    val expect1 = (0 until 100).filter(_ % 9 != 0).map(_.toLong).toSet
+    assert(afterDv.select("id").as[Long].collect().toSet == expect1)
+
+    // snapshot 3 re-adds id 0 and appends 100..109: sequence 3 is
+    // above the DV's (2), so the DV cannot touch the new rows — the
+    // same v2 gate (delSeq >= dataSeq) applied to DVs
+    IcebergSource.commitAppend(spark, dir,
+      nums(0, 1).unionByName(nums(100, 110)), 3L, 3L)
+    val afterReadd = IcebergSource.read(spark, dir)
+    assert(afterReadd.select("id").as[Long].collect().toSet ==
+      expect1 ++ Set(0L) ++ (100L until 110L))
+    assert(afterReadd.filter(col("id") === 0).count() == 1)
+
+    // time travel BEFORE the DV snapshot sees all rows
+    assert(IcebergSource.read(spark, dir, Some(1L)).count() == 100)
+
+    // plan shape: DV application is a broadcast anti-join too
+    val plan = afterDv.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV deletes should broadcast-anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in DV plan:\n$plan")
+
+    // SUPERSEDE rule (v3 spec): once a data file is covered by a DV,
+    // readers must IGNORE position delete FILES for it — the DV
+    // writer is required to carry previous deletes forward. Fresh
+    // table: a parquet position delete of id 0 (snap 2), then a DV of
+    // id 1 only (snap 3). The spec-conformant read resurrects id 0.
+    val dir2 = s"${tmpDir()}/tbl2"
+    IcebergSource.commitAppend(spark, dir2, nums(0, 10), 1L, 1L)
+    val p2 = IcebergSource.dataFiles(dir2).map(_.path)
+    def coords2(idPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      spark.read.parquet(p2: _*)
+        .select(col("id"), expr("_metadata.file_path").as("file_path"),
+          expr("_metadata.row_index").as("pos"))
+        .filter(idPred(col("id"))).select("file_path", "pos")
+    IcebergSource.commitDeletes(spark, dir2,
+      posDeletes = Some(coords2(_ === 0)), snapshotId = 2L, timestampMs = 2L)
+    assert(IcebergSource.read(spark, dir2).select("id").as[Long].collect().toSet ==
+      (1L until 10L).toSet)
+    IcebergSource.commitDeletes(spark, dir2,
+      dvDeletes = Some(coords2(_ === 1)), snapshotId = 3L, timestampMs = 3L)
+    assert(IcebergSource.read(spark, dir2).select("id").as[Long].collect().toSet ==
+      Set(0L) ++ (2L until 10L).toSet,
+      "DV supersedes the parquet position-delete file for its data file")
+  }
+
   test("non-identity transforms: spec bucket function matches the published vectors; monotone pruning is conservative and correct") {
     import IcebergSource.{PartField, bucketOf, transformLit, fileMayMatch}
     import org.apache.spark.sql.{sources => sqs}
