@@ -92,6 +92,7 @@ object IcebergSource {
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
       |  {"name":"content","type":"int"},
       |  {"name":"file_path","type":"string"},
@@ -105,7 +106,12 @@ object IcebergSource {
   // ------------------------------------------------------------ model
 
   final case class Snapshot(id: Long, parentId: Option[Long], sequenceNumber: Long,
-      timestampMs: Long, manifestList: String)
+      timestampMs: Long, manifestList: String,
+      /** summary.operation ("append" | "delete" | "replace" | ...);
+        * incremental windows refuse to cross "replace" (compaction)
+        * because the compacted manifest list no longer carries the
+        * window's add/delete history. */
+      operation: String = "append")
 
   /** One field of the default partition spec: the manifest struct's
     * field name, the SOURCE column it derives from, and the transform
@@ -149,7 +155,11 @@ object IcebergSource {
       partition: Map[String, Any] = Map.empty,
       /** data sequence number (inherited from the adding snapshot) —
         * decides which delete files apply to this file's rows. */
-      seq: Long = 0L)
+      seq: Long = 0L,
+      /** snapshot that added the file (entry snapshot_id, falling back
+        * to the manifest's) — carried so compaction can preserve it on
+        * EXISTING entries. */
+      addedBy: Option[Long] = None)
 
   /** A delete file from a v2/v3 merge-on-read table. content 1 =
     * position deletes (parquet `file_path`+`pos`, or a v3 puffin
@@ -188,7 +198,9 @@ object IcebergSource {
           sf.get("parent-snapshot-id").collect { case JInt(v) => v },
           longOf(sf("sequence-number")),
           longOf(sf("timestamp-ms")),
-          sf("manifest-list") match { case JStr(v) => v; case o => o.toString })
+          sf("manifest-list") match { case JStr(v) => v; case o => o.toString },
+          sf.get("summary").map(CanonicalJson.objFields).flatMap(_.get("operation"))
+            .collect { case JStr(op) => op }.getOrElse("append"))
       }
       case _ => Seq.empty
     }
@@ -685,7 +697,8 @@ object IcebergSource {
               s"iceberg fidelity: manifest ${m.path} (content=${m.content}) lists a " +
                 s"file with content=${e.content} — inconsistent metadata")
           e.content match {
-            case 0 => data += ((e.ref, entrySeq(e, m, meta)))
+            case 0 => data += ((e.ref.copy(
+              addedBy = e.snapshotId.orElse(Some(m.addedSnapshotId))), entrySeq(e, m, meta)))
             case _ => dels += ((deleteRefOf(e, m.path), entrySeq(e, m, meta)))
           }
         }
@@ -727,6 +740,12 @@ object IcebergSource {
   def addedFiles(tableDir: String, fromExclusive: Option[Long], to: Long,
       filters: Seq[SFilter] = Nil): Seq[DataFileRef] = {
     val meta = readMeta(tableDir)
+    meta.lineage(fromExclusive, to).find(_.operation == "replace").foreach(r =>
+      throw graft.core.GraftError.Plan(
+        s"iceberg fidelity: incremental window (${fromExclusive.getOrElse("-")}, $to] crosses " +
+          s"compaction snapshot ${r.id} (operation=replace) — the compacted manifest list no " +
+          "longer carries the window's add/delete history; re-window on either side of the " +
+          "compaction"))
     val lineageIds = meta.lineage(fromExclusive, to).map(_.id).toSet
     val snap = meta.snapshot(to)
     val ms = manifests(snap.manifestList, Some(lineageIds))
@@ -891,6 +910,12 @@ object IcebergSource {
       fromExclusive: Option[Long], to: Long,
       filters: Seq[SFilter] = Nil): DataFrame = {
     val meta = readMeta(tableDir)
+    meta.lineage(fromExclusive, to).find(_.operation == "replace").foreach(r =>
+      throw graft.core.GraftError.Plan(
+        s"iceberg fidelity: incremental window (${fromExclusive.getOrElse("-")}, $to] crosses " +
+          s"compaction snapshot ${r.id} (operation=replace) — the compacted manifest list no " +
+          "longer carries the window's add/delete history; re-window on either side of the " +
+          "compaction"))
     val lineageIds = meta.lineage(fromExclusive, to).map(_.id).toSet
     val snap = meta.snapshot(to)
     val data = Seq.newBuilder[(DataFileRef, Option[Long])]
@@ -1027,6 +1052,7 @@ object IcebergSource {
         s"""{"type":"record","name":"manifest_entry","fields":[
            |{"name":"status","type":"int"},
            |{"name":"snapshot_id","type":["null","long"],"default":null},
+           |{"name":"sequence_number","type":["null","long"],"default":null},
            |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
            |  {"name":"content","type":"int"},
            |  {"name":"file_path","type":"string"},
@@ -1151,7 +1177,10 @@ object IcebergSource {
           "sequence-number" -> (JInt(s.sequenceNumber): J),
           "timestamp-ms" -> (JInt(s.timestampMs): J),
           "manifest-list" -> (JStr(s.manifestList): J),
-          "summary" -> (JObj.of("operation" -> JStr("append")): J))): _*)
+          // preserve each snapshot's own operation — clobbering a
+          // compaction's "replace" to "append" would let incremental
+          // windows silently cross the rewrite
+          "summary" -> (JObj.of("operation" -> JStr(s.operation)): J))): _*)
 
     val baseFields = Seq(
       "format-version" -> (JInt(2): J),
@@ -1352,5 +1381,174 @@ object IcebergSource {
     Files.write(Paths.get(metaDir, "version-hint.text"),
       version.toString.getBytes(StandardCharsets.UTF_8))
     readMeta(tableDir)
+  }
+
+  /** COMPACTION (maintenance, REPLACE snapshot): folds every live
+    * delete file into rewritten data files and merges small files,
+    * then commits a snapshot whose manifest list holds ONE data
+    * manifest and no delete manifests.
+    *
+    * The sequence-number law this exists to exercise: a data file
+    * carried forward UNCHANGED becomes an EXISTING entry with an
+    * EXPLICIT entry-level `sequence_number` (v2 inheritance covers
+    * only null + ADDED), so (a) deletes committed before compaction
+    * can never re-apply to it, (b) deletes committed after still gate
+    * correctly, and (c) both hold even once the file's adding
+    * snapshot is expired from metadata — the exact metadata shape
+    * real compactors emit and [[planFiles]]/[[resolveSeqs]] refuse to
+    * guess about. Rewritten files are ADDED entries inheriting the
+    * compaction snapshot's sequence number, which is correct because
+    * their rows already HAVE every older delete applied.
+    *
+    * A file is rewritten when a live delete could touch it under the
+    * gates (pos/DV: fileSeq <= deleteSeq; eq: fileSeq < deleteSeq) or
+    * when it is smaller than `smallFileBytes`; everything else is
+    * carried forward. One distributed read→write job; only file
+    * METADATA transits the driver. Partitioned tables are refused
+    * typed (carrying the partition struct through a rewrite is not
+    * implemented), never silently flattened. */
+  def compact(spark: SparkSession, tableDir: String, snapshotId: Long,
+      timestampMs: Long, smallFileBytes: Long = 64L << 20): TableMeta = {
+    val metaDir = s"$tableDir/metadata"
+    require(Files.exists(Paths.get(metaDir, "version-hint.text")),
+      "compact requires an existing table")
+    val parent = readMeta(tableDir)
+    if (parent.spec.nonEmpty)
+      throw graft.core.GraftError.Plan(
+        "iceberg fidelity: compaction of a partitioned table is not implemented — " +
+          "refusing to flatten the partition layout")
+    val parentSnap = parent.currentSnapshotId.map(parent.snapshot)
+      .getOrElse(throw new IllegalArgumentException("cannot compact an empty table"))
+    val (files, dels) = planFiles(tableDir)
+    val maxPosSeq = dels.filter(_.content == 1).map(_.seq).maxOption
+    val maxEqSeq = dels.filter(_.content == 2).map(_.seq).maxOption
+    val (rewrite, carry) = files.partition { f =>
+      maxPosSeq.exists(f.seq <= _) || maxEqSeq.exists(f.seq < _) ||
+        f.sizeBytes < smallFileBytes
+    }
+    require(rewrite.nonEmpty || dels.nonEmpty,
+      "compact: nothing to do (no deletes, no small files)")
+    val seq = parent.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
+
+    val newFiles: Seq[DataFileRef] =
+      if (rewrite.isEmpty) Seq.empty
+      else {
+        val cols = spark.read.parquet(rewrite.head.path).limit(0).columns.toSeq
+        val resolved =
+          if (dels.isEmpty) spark.read.parquet(rewrite.map(_.path): _*)
+          else applyDeletes(spark, rewrite, dels, parent, cols)
+        val dataDir = s"$tableDir/data/snap-$snapshotId"
+        // size-targeted layout: enough output files to stay near the
+        // small-file threshold, never fewer than one
+        val targetN = math.max(1L,
+          rewrite.map(_.sizeBytes).sum / math.max(1L, smallFileBytes)).toInt
+        resolved.repartition(targetN).write.mode("errorifexists").parquet(dataDir)
+        perFileCounts(spark, dataDir).map { case (p, n) =>
+          DataFileRef(p, n, new File(p).length())
+        }
+      }
+
+    val manifestPath = s"$metaDir/manifest-$snapshotId-compact.avro"
+    val entryRecs = (newFiles.map((_, None: Option[Long])) ++
+      carry.map(f => (f, Some(f.seq)))).map { case (f, explicitSeq) =>
+      val d = new GenericData.Record(manifestEntrySchema.getField("data_file").schema())
+      d.put("content", 0)
+      d.put("file_path", f.path)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", f.recordCount)
+      d.put("file_size_in_bytes", f.sizeBytes)
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", if (explicitSeq.isEmpty) StatusAdded else StatusExisting)
+      e.put("snapshot_id",
+        Long.box(explicitSeq.flatMap(_ => f.addedBy).getOrElse(snapshotId)))
+      explicitSeq.foreach(s => e.put("sequence_number", Long.box(s)))
+      e.put("data_file", d)
+      e
+    }
+    val manifestLen = writeAvro(manifestPath, manifestEntrySchema, entryRecs)
+    val newManifest = new GenericData.Record(manifestFileSchema)
+    newManifest.put("manifest_path", manifestPath)
+    newManifest.put("manifest_length", manifestLen)
+    newManifest.put("partition_spec_id", 0)
+    newManifest.put("content", 0)
+    newManifest.put("added_snapshot_id", snapshotId)
+    newManifest.put("added_files_count", newFiles.length)
+    newManifest.put("added_rows_count", newFiles.map(_.recordCount).sum)
+    val listPath = s"$metaDir/snap-$snapshotId-manifest-list.avro"
+    writeAvro(listPath, manifestFileSchema, Seq(newManifest))
+
+    val snapJson: J = JObj.of(
+      "snapshot-id" -> JInt(snapshotId),
+      "parent-snapshot-id" -> JInt(parentSnap.id),
+      "sequence-number" -> JInt(seq),
+      "timestamp-ms" -> JInt(timestampMs),
+      "manifest-list" -> JStr(listPath),
+      "summary" -> JObj.of("operation" -> JStr("replace")))
+    bumpMetadata(metaDir, timestampMs, seq, snapshotId, addSnap = Some(snapJson))
+    readMeta(tableDir)
+  }
+
+  /** Snapshot EXPIRATION (maintenance): drop snapshots outside `keep`
+    * from the metadata, without touching any data or manifest file.
+    * The current snapshot must be kept. After expiry, time travel to
+    * an expired id fails, and sequence resolution for compacted
+    * EXISTING entries must come from their explicit entry-level
+    * sequence_number — [[resolveSeqs]] refuses typed if it cannot
+    * (the silent seq=0 default would re-apply every delete). */
+  def expireSnapshots(tableDir: String, keep: Set[Long], timestampMs: Long): TableMeta = {
+    val metaDir = s"$tableDir/metadata"
+    val meta = readMeta(tableDir)
+    val current = meta.currentSnapshotId.getOrElse(
+      throw new IllegalArgumentException("cannot expire snapshots of an empty table"))
+    require(keep.contains(current), s"expireSnapshots must keep the current snapshot $current")
+    val vOld = currentVersion(tableDir)
+    val oldJson = CanonicalJson.parse(new String(
+      Files.readAllBytes(Paths.get(metaDir, s"v$vOld.metadata.json")), StandardCharsets.UTF_8))
+    val newJson = oldJson match {
+      case JObj(fields) => JObj(fields.map {
+        case ("snapshots", JArr(xs)) => "snapshots" -> (JArr(xs.filter {
+          case JObj(sf) => sf.toMap.get("snapshot-id") match {
+            case Some(JInt(id)) => keep.contains(id)
+            case _ => true
+          }
+          case _ => true
+        }): J)
+        case ("last-updated-ms", _) => "last-updated-ms" -> (JInt(timestampMs): J)
+        case other => other
+      })
+      case other => other
+    }
+    val version = vOld + 1
+    Files.write(Paths.get(metaDir, s"v$version.metadata.json"),
+      CanonicalJson.render(newJson).getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(metaDir, "version-hint.text"),
+      version.toString.getBytes(StandardCharsets.UTF_8))
+    readMeta(tableDir)
+  }
+
+  /** Carry the current metadata forward verbatim, bumping only the
+    * snapshot bookkeeping (same shape [[commitDeletes]] uses). */
+  private def bumpMetadata(metaDir: String, timestampMs: Long, seq: Long,
+      snapshotId: Long, addSnap: Option[J]): Unit = {
+    val vOld0 = Integer.parseInt(new String(
+      Files.readAllBytes(Paths.get(metaDir, "version-hint.text")), StandardCharsets.UTF_8).trim)
+    val oldJson = CanonicalJson.parse(new String(
+      Files.readAllBytes(Paths.get(metaDir, s"v$vOld0.metadata.json")), StandardCharsets.UTF_8))
+    val newJson = oldJson match {
+      case JObj(fields) => JObj(fields.map {
+        case ("snapshots", JArr(xs)) =>
+          "snapshots" -> (JArr(xs ++ addSnap.toSeq): J)
+        case ("current-snapshot-id", _) => "current-snapshot-id" -> (JInt(snapshotId): J)
+        case ("last-sequence-number", _) => "last-sequence-number" -> (JInt(seq): J)
+        case ("last-updated-ms", _) => "last-updated-ms" -> (JInt(timestampMs): J)
+        case other => other
+      })
+      case other => other
+    }
+    val version = vOld0 + 1
+    Files.write(Paths.get(metaDir, s"v$version.metadata.json"),
+      CanonicalJson.render(newJson).getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(metaDir, "version-hint.text"),
+      version.toString.getBytes(StandardCharsets.UTF_8))
   }
 }

@@ -135,6 +135,8 @@ object Puffin {
     * portable roaring64, u32 BE CRC-32 over magic+vector. Returns the
     * SORTED deleted positions. */
   def readDeletionVector(path: String, offset: Long, length: Long): Array[Long] = {
+    if (offset < 0 || length < 12 || length > Int.MaxValue.toLong)
+      fail(s"$path: DV blob coordinates out of range (offset=$offset, length=$length)")
     val raf = new RandomAccessFile(path, "r")
     val blob = new Array[Byte](length.toInt)
     try { raf.seek(offset); raf.readFully(blob) } finally raf.close()

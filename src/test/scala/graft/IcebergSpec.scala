@@ -552,6 +552,78 @@ class IcebergSpec extends SparkSpec {
       "DV supersedes the parquet position-delete file for its data file")
   }
 
+  test("compaction: deletes fold into rewrites, carried files keep explicit sequence numbers, expiry leaves reads exact") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    // snap 1: ids 0..99; snap 2: pos-delete id%7==0 + eq-delete row1/row2
+    IcebergSource.commitAppend(spark, dir, nums(0, 100), 1L, 1L)
+    val paths = IcebergSource.dataFiles(dir).map(_.path)
+    val posDf = spark.read.parquet(paths: _*)
+      .select(col("id"), expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+      .filter(col("id") % 7 === 0).select("file_path", "pos")
+    IcebergSource.commitDeletes(spark, dir,
+      posDeletes = Some(posDf),
+      eqDeletes = Some((Seq("row1", "row2").toDF("tag"), Seq("tag"))),
+      snapshotId = 2L, timestampMs = 2L)
+    // snap 3: 100..119 — sequence 3 outranks the deletes, so these
+    // files are NOT delete-affected and must be carried forward
+    IcebergSource.commitAppend(spark, dir, nums(100, 120), 3L, 3L)
+    val before = IcebergSource.read(spark, dir).select("id").as[Long].collect().toSet
+
+    // snap 4 (REPLACE): smallFileBytes=0 pins the rewrite set to
+    // exactly the delete-affected files
+    IcebergSource.compact(spark, dir, 4L, 4L, smallFileBytes = 0L)
+    val after = IcebergSource.read(spark, dir)
+    assert(after.select("id").as[Long].collect().toSet == before,
+      "compaction must not change the table's rows")
+
+    // plan shape after compaction: no delete files left; snap-3 files
+    // carried with their ORIGINAL sequence number (explicit entry
+    // field), rewrites at the compaction's sequence
+    val (files4, dels4) = IcebergSource.planFiles(dir)
+    assert(dels4.isEmpty, "compaction must fold every delete file away")
+    assert(files4.exists(_.seq == 3L), "carried files keep sequence 3")
+    assert(files4.exists(_.seq == 4L), "rewritten files inherit sequence 4")
+    assert(!files4.exists(f => f.seq != 3L && f.seq != 4L), files4.map(_.seq).toString)
+
+    // a delete committed AFTER compaction gates correctly against both
+    // carried (seq 3) and rewritten (seq 4) files
+    IcebergSource.commitDeletes(spark, dir,
+      eqDeletes = Some((Seq("row50", "row110").toDF("tag"), Seq("tag"))),
+      snapshotId = 5L, timestampMs = 5L)
+    val expect5 = before - 50L - 110L
+    assert(IcebergSource.read(spark, dir).select("id").as[Long].collect().toSet == expect5)
+
+    // EXPIRE snapshots 1..3: the carried EXISTING entries' sequence
+    // numbers must now resolve from the explicit entry-level field
+    // alone (their adding snapshots are gone from metadata) — the
+    // silent-zero default would re-apply the post-compaction delete
+    // to everything; the typed refusal would kill the read. Neither:
+    // the read stays exact.
+    IcebergSource.expireSnapshots(dir, keep = Set(4L, 5L), timestampMs = 6L)
+    assert(IcebergSource.read(spark, dir).select("id").as[Long].collect().toSet == expect5,
+      "reads after expiry resolve carried sequence numbers from the entry field")
+    // time travel to an expired snapshot fails, not guesses
+    intercept[IllegalArgumentException](IcebergSource.read(spark, dir, Some(1L)))
+
+    // incremental windows refuse to cross the compaction snapshot
+    val dir2 = s"${tmpDir()}/tbl2"
+    IcebergSource.commitAppend(spark, dir2, nums(0, 10), 1L, 1L)
+    IcebergSource.commitAppend(spark, dir2, nums(10, 20), 2L, 2L)
+    IcebergSource.compact(spark, dir2, 3L, 3L) // merges small files
+    IcebergSource.commitAppend(spark, dir2, nums(20, 30), 4L, 4L)
+    val e = intercept[graft.core.GraftError.Plan](
+      IcebergSource.readIncremental(spark, dir2, Some(1L), 4L))
+    assert(e.getMessage.contains("replace"))
+    // a window entirely after the compaction still reads
+    assert(IcebergSource.readIncremental(spark, dir2, Some(3L), 4L)
+      .select("id").as[Long].collect().toSet == (20L until 30L).toSet)
+    // and the compacted table itself reads exactly
+    assert(IcebergSource.read(spark, dir2).count() == 30)
+  }
+
   test("non-identity transforms: spec bucket function matches the published vectors; monotone pruning is conservative and correct") {
     import IcebergSource.{PartField, bucketOf, transformLit, fileMayMatch}
     import org.apache.spark.sql.{sources => sqs}
