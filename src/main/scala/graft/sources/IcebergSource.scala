@@ -1062,6 +1062,62 @@ object IcebergSource {
            |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
     }
 
+  /** Distributed data-file write under `spec0` + real per-file stats:
+    * the transform values live in layout-only `__gp_*` directory
+    * columns (the real source columns stay in the data files, as the
+    * spec requires) and per-file row counts + partition values come
+    * from ONE aggregate job over the written files, recomputed from
+    * the source columns. Shared by append and compaction commits. */
+  private def writeDataFiles(spark: SparkSession, df: DataFrame, dataDir: String,
+      spec0: Seq[PartField]): Seq[DataFileRef] = {
+    // fail fast on unwritable transforms (unknown names, hour over
+    // non-timestamp) BEFORE any data is written
+    val layoutCols = spec0.map(pf =>
+      s"__gp_${pf.name}" -> transformCol(spark, pf, df.schema(pf.source).dataType))
+    if (spec0.isEmpty) df.write.mode("errorifexists").parquet(dataDir)
+    else {
+      val dup = layoutCols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      dup.write.mode("errorifexists")
+        .partitionBy(layoutCols.map(_._1): _*).parquet(dataDir)
+    }
+    val aggs = count(lit(1)).as("n") +: spec0.map(pf =>
+      first(transformCol(spark, pf, df.schema(pf.source).dataType)).as(s"pv_${pf.name}"))
+    val perFile = spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    perFile.toSeq.map { r =>
+      val p = r.getString(0).replaceFirst("^file:/+", "/")
+      val part = spec0.zipWithIndex.map { case (pf, i) => pf.name -> r.get(i + 2) }.toMap
+      DataFileRef(p, r.getLong(1), new File(p).length(), part)
+    }
+  }
+
+  /** One data-file manifest entry (partition struct included when the
+    * schema has one; `explicitSeq` writes the entry-level
+    * sequence_number an EXISTING carried-forward file must keep). */
+  private def dataEntryRec(entrySchema: Schema, f: DataFileRef,
+      status: Int, snapshotId: Long, explicitSeq: Option[Long]): GenericRecord = {
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val d = new GenericData.Record(dfSchema)
+    d.put("content", 0)
+    d.put("file_path", f.path)
+    d.put("file_format", "PARQUET")
+    d.put("record_count", f.recordCount)
+    d.put("file_size_in_bytes", f.sizeBytes)
+    if (dfSchema.getField("partition") != null) {
+      val pr = new GenericData.Record(dfSchema.getField("partition").schema())
+      f.partition.foreach { case (c, v) => pr.put(c, v) }
+      d.put("partition", pr)
+    }
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", status)
+    e.put("snapshot_id", Long.box(f.addedBy.filter(_ => status == StatusExisting)
+      .getOrElse(snapshotId)))
+    explicitSeq.foreach(sq => e.put("sequence_number", Long.box(sq)))
+    e.put("data_file", d)
+    e
+  }
+
   /** Append `df` as a new snapshot: parquet data files (distributed
     * write), one ADDED manifest, manifest-list = parent's + new,
     * metadata vN+1, version-hint flip (the spec's commit protocol —
@@ -1092,57 +1148,14 @@ object IcebergSource {
       else parent.map(_.spec).getOrElse(Nil)
     require(spec0.forall(pf => df.columns.contains(pf.source)),
       s"partition source columns ${spec0.map(_.source)} missing from ${df.columns.toSeq}")
-    // fail fast on unwritable transforms (unknown names, hour over
-    // non-timestamp) BEFORE any data is written
-    val layoutCols = spec0.map(pf =>
-      s"__gp_${pf.name}" -> transformCol(spark, pf, df.schema(pf.source).dataType))
+    val files = writeDataFiles(spark, df, s"$tableDir/data/snap-$snapshotId", spec0)
 
-    val dataDir = s"$tableDir/data/snap-$snapshotId"
-    if (spec0.isEmpty) df.write.mode("errorifexists").parquet(dataDir)
-    else {
-      val dup = layoutCols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
-      dup.write.mode("errorifexists")
-        .partitionBy(layoutCols.map(_._1): _*).parquet(dataDir)
-    }
-    // per-file row counts + partition values in ONE job (manifest stats
-    // are real, not stubs; transform values are constant per file by
-    // construction of the partitioned write, recomputed from the
-    // source columns since layout columns never enter the data files)
-    val aggs = count(lit(1)).as("n") +: spec0.map(pf =>
-      first(transformCol(spark, pf, df.schema(pf.source).dataType)).as(s"pv_${pf.name}"))
-    val perFile = spark.read.parquet(dataDir)
-      .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val files = perFile.map { r =>
-      val p = r.getString(0).replaceFirst("^file:/+", "/")
-      val part = spec0.zipWithIndex.map { case (pf, i) => pf.name -> r.get(i + 2) }.toMap
-      DataFileRef(p, r.getLong(1), new File(p).length(), part)
-    }
-
-    val partCols = spec0.map(_.name)
     val partTypes = spec0.map(pf =>
       pf.name -> avroTransformType(pf, df.schema(pf.source).dataType))
     val entrySchema = entrySchemaFor(partTypes)
     val manifestPath = s"$metaDir/manifest-$snapshotId.avro"
-    val entryRecs = files.map { f =>
-      val d = new GenericData.Record(entrySchema.getField("data_file").schema())
-      d.put("content", 0)
-      d.put("file_path", f.path)
-      d.put("file_format", "PARQUET")
-      d.put("record_count", f.recordCount)
-      d.put("file_size_in_bytes", f.sizeBytes)
-      if (partCols.nonEmpty) {
-        val pr = new GenericData.Record(
-          entrySchema.getField("data_file").schema().getField("partition").schema())
-        f.partition.foreach { case (c, v) => pr.put(c, v) }
-        d.put("partition", pr)
-      }
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", StatusAdded)
-      e.put("snapshot_id", Long.box(snapshotId))
-      e.put("data_file", d)
-      e
-    }
+    val entryRecs = files.map(f =>
+      dataEntryRec(entrySchema, f, StatusAdded, snapshotId, explicitSeq = None))
     val manifestLen = writeAvro(manifestPath, entrySchema, entryRecs.toSeq)
 
     val parentSnap = parent.flatMap(m => m.currentSnapshotId.map(m.snapshot))
@@ -1404,22 +1417,20 @@ object IcebergSource {
     * gates (pos/DV: fileSeq <= deleteSeq; eq: fileSeq < deleteSeq) or
     * when it is smaller than `smallFileBytes`; everything else is
     * carried forward. One distributed read→write job; only file
-    * METADATA transits the driver. Partitioned tables are refused
-    * typed (carrying the partition struct through a rewrite is not
-    * implemented), never silently flattened. */
+    * METADATA transits the driver. Partitioned tables rewrite under
+    * the SAME spec (rows cluster by their transform values, so each
+    * partition's small files collapse together) and carried entries
+    * keep their partition structs, so pruning is unchanged. */
   def compact(spark: SparkSession, tableDir: String, snapshotId: Long,
       timestampMs: Long, smallFileBytes: Long = 64L << 20): TableMeta = {
     val metaDir = s"$tableDir/metadata"
     require(Files.exists(Paths.get(metaDir, "version-hint.text")),
       "compact requires an existing table")
     val parent = readMeta(tableDir)
-    if (parent.spec.nonEmpty)
-      throw graft.core.GraftError.Plan(
-        "iceberg fidelity: compaction of a partitioned table is not implemented — " +
-          "refusing to flatten the partition layout")
     val parentSnap = parent.currentSnapshotId.map(parent.snapshot)
       .getOrElse(throw new IllegalArgumentException("cannot compact an empty table"))
     val (files, dels) = planFiles(tableDir)
+    require(files.nonEmpty, "cannot compact a table with no data files")
     val maxPosSeq = dels.filter(_.content == 1).map(_.seq).maxOption
     val maxEqSeq = dels.filter(_.content == 2).map(_.seq).maxOption
     val (rewrite, carry) = files.partition { f =>
@@ -1429,43 +1440,40 @@ object IcebergSource {
     require(rewrite.nonEmpty || dels.nonEmpty,
       "compact: nothing to do (no deletes, no small files)")
     val seq = parent.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
+    val spec0 = parent.spec
+    val srcSchema = spark.read.parquet(files.head.path).schema
+    val partTypes = spec0.map(pf =>
+      pf.name -> avroTransformType(pf, srcSchema(pf.source).dataType))
+    val entrySchema = entrySchemaFor(partTypes)
 
     val newFiles: Seq[DataFileRef] =
       if (rewrite.isEmpty) Seq.empty
       else {
-        val cols = spark.read.parquet(rewrite.head.path).limit(0).columns.toSeq
         val resolved =
           if (dels.isEmpty) spark.read.parquet(rewrite.map(_.path): _*)
-          else applyDeletes(spark, rewrite, dels, parent, cols)
-        val dataDir = s"$tableDir/data/snap-$snapshotId"
-        // size-targeted layout: enough output files to stay near the
-        // small-file threshold, never fewer than one
-        val targetN = math.max(1L,
-          rewrite.map(_.sizeBytes).sum / math.max(1L, smallFileBytes)).toInt
-        resolved.repartition(targetN).write.mode("errorifexists").parquet(dataDir)
-        perFileCounts(spark, dataDir).map { case (p, n) =>
-          DataFileRef(p, n, new File(p).length())
-        }
+          else applyDeletes(spark, rewrite, dels, parent, srcSchema.fieldNames.toSeq)
+        // layout: partitioned tables cluster by transform value (each
+        // partition's small files collapse together); unpartitioned
+        // tables size-target the output file count, never exceeding
+        // the input count
+        val clustered =
+          if (spec0.nonEmpty)
+            resolved.repartition(spec0.map(pf =>
+              transformCol(spark, pf, srcSchema(pf.source).dataType)): _*)
+          else {
+            val targetN = math.min(rewrite.length.toLong, math.max(1L,
+              rewrite.map(_.sizeBytes).sum / math.max(1L, smallFileBytes))).toInt
+            resolved.repartition(targetN)
+          }
+        writeDataFiles(spark, clustered, s"$tableDir/data/snap-$snapshotId", spec0)
       }
 
     val manifestPath = s"$metaDir/manifest-$snapshotId-compact.avro"
-    val entryRecs = (newFiles.map((_, None: Option[Long])) ++
-      carry.map(f => (f, Some(f.seq)))).map { case (f, explicitSeq) =>
-      val d = new GenericData.Record(manifestEntrySchema.getField("data_file").schema())
-      d.put("content", 0)
-      d.put("file_path", f.path)
-      d.put("file_format", "PARQUET")
-      d.put("record_count", f.recordCount)
-      d.put("file_size_in_bytes", f.sizeBytes)
-      val e = new GenericData.Record(manifestEntrySchema)
-      e.put("status", if (explicitSeq.isEmpty) StatusAdded else StatusExisting)
-      e.put("snapshot_id",
-        Long.box(explicitSeq.flatMap(_ => f.addedBy).getOrElse(snapshotId)))
-      explicitSeq.foreach(s => e.put("sequence_number", Long.box(s)))
-      e.put("data_file", d)
-      e
-    }
-    val manifestLen = writeAvro(manifestPath, manifestEntrySchema, entryRecs)
+    val entryRecs =
+      newFiles.map(dataEntryRec(entrySchema, _, StatusAdded, snapshotId, None)) ++
+        carry.map(f =>
+          dataEntryRec(entrySchema, f, StatusExisting, snapshotId, Some(f.seq)))
+    val manifestLen = writeAvro(manifestPath, entrySchema, entryRecs)
     val newManifest = new GenericData.Record(manifestFileSchema)
     newManifest.put("manifest_path", manifestPath)
     newManifest.put("manifest_length", manifestLen)

@@ -552,6 +552,33 @@ class IcebergSpec extends SparkSpec {
       "DV supersedes the parquet position-delete file for its data file")
   }
 
+  test("deletion vectors compose with net-changes incremental windows") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    // snap 1 (pre-window): 0..9; snap 2: adds 10..29; snap 3: DV
+    // deleting the even ids of ALL files so far; snap 4: adds 30..39
+    IcebergSource.commitAppend(spark, dir, nums(0, 10), 1L, 1L)
+    IcebergSource.commitAppend(spark, dir, nums(10, 30), 2L, 2L)
+    val paths = IcebergSource.dataFiles(dir).map(_.path)
+    val dvDf = spark.read.parquet(paths: _*)
+      .select(col("id"), expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+      .filter(col("id") % 2 === 0).select("file_path", "pos")
+    IcebergSource.commitDeletes(spark, dir, dvDeletes = Some(dvDf),
+      snapshotId = 3L, timestampMs = 3L)
+    IcebergSource.commitAppend(spark, dir, nums(30, 40), 4L, 4L)
+    // (1, 4] net-changes: snap 2's rows minus the DV (snap 4 outranks
+    // it; snap 1's rows are pre-window and never appear)
+    val win = IcebergSource.readIncremental(spark, dir, Some(1L), 4L)
+      .select("id").as[Long].collect().toSet
+    assert(win == (10L until 30L).filter(_ % 2 != 0).toSet ++ (30L until 40L), win.toString)
+    // full MoR scan agrees with the bootstrap window
+    val full = IcebergSource.read(spark, dir).select("id").as[Long].collect().toSet
+    assert(IcebergSource.readIncremental(spark, dir, None, 4L)
+      .select("id").as[Long].collect().toSet == full)
+  }
+
   test("compaction: deletes fold into rewrites, carried files keep explicit sequence numbers, expiry leaves reads exact") {
     import org.apache.spark.sql.functions.{col, expr}
     import spark.implicits._
@@ -622,6 +649,45 @@ class IcebergSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == (20L until 30L).toSet)
     // and the compacted table itself reads exactly
     assert(IcebergSource.read(spark, dir2).count() == 30)
+  }
+
+  test("partitioned compaction: partition structs and pruning survive the rewrite") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    val df = (0 until 60).map(i => (i.toLong, s"g${i % 3}", i * 1.0)).toDF("id", "g", "v")
+    IcebergSource.commitAppend(spark, dir, df.filter(col("id") < 30), 1L, 1L,
+      partitionBy = Seq("g"))
+    IcebergSource.commitAppend(spark, dir, df.filter(col("id") >= 30), 2L, 2L)
+    val paths = IcebergSource.dataFiles(dir).map(_.path)
+    val posDf = spark.read.parquet(paths: _*)
+      .select(col("id"), expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+      .filter(col("id") % 5 === 0).select("file_path", "pos")
+    IcebergSource.commitDeletes(spark, dir, posDeletes = Some(posDf),
+      snapshotId = 3L, timestampMs = 3L)
+    val before = IcebergSource.read(spark, dir).select("id").as[Long].collect().toSet
+    assert(before == (0L until 60L).filterNot(_ % 5 == 0).toSet)
+
+    IcebergSource.compact(spark, dir, 4L, 4L) // everything is small → full rewrite
+    val after = IcebergSource.read(spark, dir)
+    assert(after.select("id").as[Long].collect().toSet == before)
+
+    // every rewritten entry carries its partition struct, the delete
+    // files are gone, and manifest pruning still prunes
+    val (files4, dels4) = IcebergSource.planFiles(dir)
+    assert(dels4.isEmpty)
+    assert(files4.forall(_.partition.contains("g")), files4.map(_.partition).toString)
+    val pruned = IcebergSource.dataFiles(dir,
+      filters = Seq(sqs.EqualTo("g", "g1"): sqs.Filter))
+    assert(pruned.nonEmpty && pruned.size < files4.size,
+      s"pruning must survive compaction: ${pruned.size} vs ${files4.size}")
+    assert(IcebergSource.read(spark, dir,
+        filters = Seq(sqs.EqualTo("g", "g1"): sqs.Filter))
+      .filter(col("g") === "g1")
+      .select("id").as[Long].collect().toSet ==
+      (0L until 60L).filter(i => i % 3 == 1 && i % 5 != 0).toSet)
   }
 
   test("non-identity transforms: spec bucket function matches the published vectors; monotone pruning is conservative and correct") {
