@@ -1296,7 +1296,18 @@ object IcebergSource {
     dvDeletes.foreach { ddf =>
       // DV construction is per referenced data file: positions group
       // by file (each group is one file's deleted rows — bounded by
-      // rows-per-file, and roaring-compressed on write)
+      // rows-per-file, and roaring-compressed on write). The builder
+      // holds every position of this COMMIT in driver memory, so the
+      // intake is budgeted typed (the CDC planner's law): a commit
+      // over the budget should be split into several DV commits, not
+      // allowed to OOM the driver.
+      val budget = 50_000_000L // positions ≈ 400 MB of longs
+      val nPos = ddf.count()
+      if (nPos > budget)
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: DV commit carries $nPos delete positions (> $budget budget) — " +
+            "split the delete set into multiple commits (one DV per data file is rewritten " +
+            "wholesale anyway)")
       val perFile = ddf
         .select(col("file_path").cast("string").as("f"), col("pos").cast("long").as("p"))
         .groupBy("f").agg(collect_list("p").as("ps"))
@@ -1375,24 +1386,7 @@ object IcebergSource {
       "timestamp-ms" -> JInt(timestampMs),
       "manifest-list" -> JStr(listPath),
       "summary" -> JObj.of("operation" -> JStr("delete")))
-    val vOld = currentVersion(tableDir)
-    val oldJson = CanonicalJson.parse(new String(
-      Files.readAllBytes(Paths.get(metaDir, s"v$vOld.metadata.json")), StandardCharsets.UTF_8))
-    val newJson = oldJson match {
-      case JObj(fields) => JObj(fields.map {
-        case ("snapshots", JArr(xs)) => "snapshots" -> (JArr(xs :+ snapJson): J)
-        case ("current-snapshot-id", _) => "current-snapshot-id" -> (JInt(snapshotId): J)
-        case ("last-sequence-number", _) => "last-sequence-number" -> (JInt(seq): J)
-        case ("last-updated-ms", _) => "last-updated-ms" -> (JInt(timestampMs): J)
-        case other => other
-      })
-      case other => other
-    }
-    val version = vOld + 1
-    Files.write(Paths.get(metaDir, s"v$version.metadata.json"),
-      CanonicalJson.render(newJson).getBytes(StandardCharsets.UTF_8))
-    Files.write(Paths.get(metaDir, "version-hint.text"),
-      version.toString.getBytes(StandardCharsets.UTF_8))
+    bumpMetadata(metaDir, timestampMs, seq, snapshotId, addSnap = Some(snapJson))
     readMeta(tableDir)
   }
 
