@@ -229,7 +229,10 @@ object Bench {
     val tvSorted = pairWalls.map(_._3).sorted
     // headline: inspected-bytes over the min validation wall
     def cellOf(bytes: Long, walls: Seq[Double]): Cell = {
-      val g = walls.sorted.map(w => bytes / 1e9 / w)
+      // sort the RATES ascending (walls ascending maps to rates
+      // descending) so the med index means the same thing here as in
+      // timed()'s rows/s cells
+      val g = walls.map(w => bytes / 1e9 / w).sorted
       Cell(g.min, g(g.length / 2), g.max, pairStability)
     }
     val validateGbCore = cellOf(inspectedBytes, tvSorted)

@@ -140,7 +140,15 @@ object IcebergSource {
       val out = Seq.newBuilder[Snapshot]
       var cur: Option[Long] = Some(to)
       while (cur.isDefined && fromExclusive != cur) {
-        val s = snapshot(cur.get)
+        // a parent EXPIRED from metadata means the window crosses
+        // history that no longer exists — typed, not an unknown-id
+        // crash (expireSnapshots leaves kept snapshots' parent ids
+        // dangling by design)
+        val s = snapshots.find(_.id == cur.get).getOrElse(
+          throw graft.core.GraftError.Plan(
+            s"iceberg fidelity: incremental window (${fromExclusive.getOrElse("-")}, $to] " +
+              s"crosses snapshot ${cur.get}, which is expired from metadata — re-window " +
+              "from a retained snapshot"))
         out += s
         cur = s.parentId
       }
@@ -737,16 +745,28 @@ object IcebergSource {
     * `(fromExclusive, to]`, via parent-chain lineage — the exact shape
     * of the reference's incremental scan. Partition-pruned like
     * [[dataFiles]]. */
-  def addedFiles(tableDir: String, fromExclusive: Option[Long], to: Long,
-      filters: Seq[SFilter] = Nil): Seq[DataFileRef] = {
-    val meta = readMeta(tableDir)
-    meta.lineage(fromExclusive, to).find(_.operation == "replace").foreach(r =>
+  /** Window lineage with the compaction-crossing gate: the parent
+    * chain of (from, to], refused typed when it contains an
+    * operation=replace snapshot — the compacted manifest list no
+    * longer carries the window's add/delete history, so net-changes
+    * across it would fabricate or drop rows. Shared by the strict
+    * append-diff and the net-changes readers. */
+  private def windowLineage(meta: TableMeta, fromExclusive: Option[Long],
+      to: Long): Seq[Snapshot] = {
+    val lin = meta.lineage(fromExclusive, to)
+    lin.find(_.operation == "replace").foreach(r =>
       throw graft.core.GraftError.Plan(
         s"iceberg fidelity: incremental window (${fromExclusive.getOrElse("-")}, $to] crosses " +
           s"compaction snapshot ${r.id} (operation=replace) — the compacted manifest list no " +
           "longer carries the window's add/delete history; re-window on either side of the " +
           "compaction"))
-    val lineageIds = meta.lineage(fromExclusive, to).map(_.id).toSet
+    lin
+  }
+
+  def addedFiles(tableDir: String, fromExclusive: Option[Long], to: Long,
+      filters: Seq[SFilter] = Nil): Seq[DataFileRef] = {
+    val meta = readMeta(tableDir)
+    val lineageIds = windowLineage(meta, fromExclusive, to).map(_.id).toSet
     val snap = meta.snapshot(to)
     val ms = manifests(snap.manifestList, Some(lineageIds))
     val es = ms.flatMap(m => entries(m.path))
@@ -910,13 +930,7 @@ object IcebergSource {
       fromExclusive: Option[Long], to: Long,
       filters: Seq[SFilter] = Nil): DataFrame = {
     val meta = readMeta(tableDir)
-    meta.lineage(fromExclusive, to).find(_.operation == "replace").foreach(r =>
-      throw graft.core.GraftError.Plan(
-        s"iceberg fidelity: incremental window (${fromExclusive.getOrElse("-")}, $to] crosses " +
-          s"compaction snapshot ${r.id} (operation=replace) — the compacted manifest list no " +
-          "longer carries the window's add/delete history; re-window on either side of the " +
-          "compaction"))
-    val lineageIds = meta.lineage(fromExclusive, to).map(_.id).toSet
+    val lineageIds = windowLineage(meta, fromExclusive, to).map(_.id).toSet
     val snap = meta.snapshot(to)
     val data = Seq.newBuilder[(DataFileRef, Option[Long])]
     val dels = Seq.newBuilder[(DeleteFileRef, Option[Long])]

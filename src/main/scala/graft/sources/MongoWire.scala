@@ -98,15 +98,18 @@ object MongoWire {
     private var closed = false
 
     locally {
-      val cmd = CanonicalJson.parse(commandJson) match {
-        case JObj(fs) => JObj((fs :+ ("$db" -> (JStr(db): J))).toVector)
-        case other => throw new IllegalArgumentException(s"mongo wire: bad command: $other")
-      }
-      val m =
-        try checkOk(roundTrip(socket, reqId, Bson.encodeDoc(cmd.v)))
-        catch { case e: Throwable => close(); throw e }
-      reqId += 1
-      absorb(m, "firstBatch")
+      // the whole handshake is close-guarded: a parse failure (bad
+      // command JSON) must release the already-open socket, not just
+      // a wire failure
+      try {
+        val cmd = CanonicalJson.parse(commandJson) match {
+          case JObj(fs) => JObj((fs :+ ("$db" -> (JStr(db): J))).toVector)
+          case other => throw new IllegalArgumentException(s"mongo wire: bad command: $other")
+        }
+        val m = checkOk(roundTrip(socket, reqId, Bson.encodeDoc(cmd.v)))
+        reqId += 1
+        absorb(m, "firstBatch")
+      } catch { case e: Throwable => close(); throw e }
     }
 
     private def absorb(m: Map[String, J], batchKey: String): Unit = {

@@ -220,6 +220,11 @@ object Puffin {
         while (r < nRuns) {
           val start = bb.getShort().toInt & 0xFFFF
           val len = bb.getShort().toInt & 0xFFFF // run length - 1
+          // a run is 16-bit values only; overflow would silently land
+          // positions in the wrong 64k container — reject like every
+          // other corruption
+          if (start + len > 0xFFFF)
+            fail(s"$where: run container overflows 16 bits (start=$start, len-1=$len)")
           var v = start
           while (v <= start + len) { out += (base | v); v += 1 }
           r += 1

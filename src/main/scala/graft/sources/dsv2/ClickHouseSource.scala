@@ -299,10 +299,15 @@ final class ClickHouseScan(name: String, entry: ClickHouseRegistry.Entry,
     * exactly once. */
   private lazy val planned: Array[InputPartition] = entry.http match {
     case Some(endpoint) =>
-      // global semantics (order/limit/offset/group) pin the read to
-      // ONE query; a plain scan fans out over the declared shards
+      // global semantics (order/limit/offset/group/aggregate) pin the
+      // read to ONE query; a plain scan fans out over the declared
+      // shards. selectItems non-empty = a pushed aggregate — a GLOBAL
+      // one has groupBy empty, and sharding it would return one
+      // partial row per shard with Spark's own aggregate already
+      // removed (complete pushdown), silently multiplying results.
       val shardable = !singlePartition && spec.orderBy.isEmpty && spec.limit.isEmpty &&
-        spec.offset.isEmpty && spec.groupBy.isEmpty && entry.shardWheres.nonEmpty
+        spec.offset.isEmpty && spec.groupBy.isEmpty && spec.selectItems.isEmpty &&
+        entry.shardWheres.nonEmpty
       val specs =
         if (shardable) entry.shardWheres.map(w => spec.copy(rawWheres = spec.rawWheres :+ w))
         else Seq(spec)

@@ -46,9 +46,11 @@ object CdcLogRunner {
     * bounded before it starts. */
   def txnSummaries(log: DataFrame, txCol: String, bytesCol: Option[String] = None,
       fallbackBytesPerOp: Long = 64L, budget: PlanBudget = PlanBudget()): Seq[Settlement.Txn] = {
-    val txns = log.select(approx_count_distinct(col(txCol)).as("n")).head().getLong(0)
-    // approx_count_distinct err ≤ ~2.3%; compare against a 5% slack so
-    // the guard never false-positives at the boundary
+    // rsd pinned to 1% (Spark's DEFAULT is 5%, which would blow past
+    // any single-digit slack at ±2σ); the 5% slack is then 5 standard
+    // deviations — the guard neither false-positives at the boundary
+    // nor admits a meaningfully over-budget log
+    val txns = log.select(approx_count_distinct(col(txCol), 0.01).as("n")).head().getLong(0)
     if (txns > budget.maxTxns + budget.maxTxns / 20)
       throw graft.core.GraftError.Resource(
         s"cdc settlement planning exceeded the driver intake budget " +

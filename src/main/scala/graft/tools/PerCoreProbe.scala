@@ -50,10 +50,22 @@ object PerCoreProbe {
         .otherwise(lit(graft.contract.Verdict.Pass.rank))
     val verdictNames = typedLit(
       graft.contract.Verdict.all.sortBy(_.rank).map(_.name))
+    // a DISTINCT array for _d: the identical expression twice would be
+    // collapsed by codegen subexpression elimination and under-measure
+    // the variant vs annotate's two different lookups
+    val dispositionNames = typedLit(
+      graft.contract.Verdict.all.sortBy(_.rank).map { v =>
+        graft.contract.Disposition.ofVerdict(v) match {
+          case graft.contract.Disposition.Accept => "accept"
+          case graft.contract.Disposition.Quarantine => "quarantine"
+          case graft.contract.Disposition.RejectBatch => "reject_batch"
+          case graft.contract.Disposition.RejectRun => "reject_run"
+        }
+      })
     def annotateOr(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("_r", rankOr)
       .withColumn("_v", element_at(verdictNames, col("_r") + 1))
-      .withColumn("_d", element_at(verdictNames, col("_r") + 1))
+      .withColumn("_d", element_at(dispositionNames, col("_r") + 1))
       .drop("_r")
 
     val passes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(

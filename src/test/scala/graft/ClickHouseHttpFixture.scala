@@ -72,7 +72,8 @@ final class ClickHouseHttpFixture {
   private val DedupRe =
     """(?is)INSERT INTO `?(\w+)`?\s+SELECT .* FROM \(SELECT \*, row_number\(\) OVER \(PARTITION BY (.+?) ORDER BY `?(\w+)`? DESC, `?__src`? DESC\) AS __rn FROM \(SELECT .*, 0 AS `?__src`? FROM `?(\w+)`? UNION ALL SELECT .*, 1 AS `?__src`? FROM `?(\w+)`?\)\) WHERE __rn = 1\s*""".r
   private val ExchangeRe = """(?is)EXCHANGE TABLES `?(\w+)`? AND `?(\w+)`?\s*""".r
-  private val CountRe = """(?is)SELECT count\(\) AS (\w+) FROM `?(\w+)`?\s+FORMAT JSONEachRow\s*""".r
+  private val CountRe =
+    """(?is)SELECT count\(\*?\) AS (\w+) FROM `?(\w+)`?(?: WHERE (.+?))?\s+FORMAT JSONEachRow\s*""".r
   private val SelectRe =
     """(?is)SELECT ([`\w, ]+) FROM `?(\w+)`?(?: WHERE (.+?))?(?: ORDER BY (.+?))?(?: LIMIT (\d+))?(?: OFFSET (\d+))?\s+FORMAT JSONEachRow\s*""".r
   private val WhereModRe = """(?i)\s*`?(\w+)`?\s*%%?\s*(\d+)\s*=\s*(\d+)\s*""".r
@@ -180,9 +181,13 @@ final class ClickHouseHttpFixture {
       val tb = tables.getOrElse(b, throw new IllegalArgumentException(s"no table $b"))
       tables(a) = tb; tables(b) = ta; ""
 
-    case CountRe(alias, name) =>
+    case CountRe(alias, name, whereOpt) =>
       val t = tables.getOrElse(name, throw new IllegalArgumentException(s"no table $name"))
-      s"""{"$alias":${t.rows.size}}""" + "\n"
+      val n = Option(whereOpt) match {
+        case None => t.rows.size
+        case Some(w) => t.rows.count(rowKeep(w))
+      }
+      s"""{"$alias":$n}""" + "\n"
 
     case SelectRe(colList, name, whereOpt, orderOpt, limitOpt, offsetOpt) =>
       val t = tables.getOrElse(name, throw new IllegalArgumentException(s"no table $name"))

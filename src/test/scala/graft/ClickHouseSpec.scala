@@ -180,6 +180,18 @@ class ClickHouseSpec extends SparkSpec {
         .orderBy(col("k").desc_nulls_last).limit(3)
       assert(top.collect().map(_.getLong(0)).toSeq == Seq(8L, 7L, 6L))
       assert(server.requests.get == before + 3, "a pushed top-N must be a single query")
+
+      // a completely-pushed GLOBAL aggregate (no GROUP BY) must also
+      // pin to ONE query: Spark's own aggregate is gone, so a
+      // per-shard fan-out would return one partial row per shard
+      val cnt = spark.read.format("graft.sources.dsv2.ClickHouseSource")
+        .option("table", "ev_http").load()
+        .agg(count(lit(1)).as("n"))
+        .collect()
+      assert(cnt.length == 1 && cnt.head.getLong(0) == 8L,
+        s"global aggregate over a sharded entry must return ONE total row: ${cnt.toSeq}")
+      assert(server.requests.get == before + 4,
+        "a completely-pushed global aggregate must be a single query")
     } finally server.stop()
   }
 }
