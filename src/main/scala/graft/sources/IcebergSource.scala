@@ -849,7 +849,7 @@ object IcebergSource {
         Some(spark.sparkContext
           .parallelize(coords, math.max(1, math.min(coords.size, 32)))
           .flatMap { case (p, off, len, ref, seq) =>
-            Puffin.readDeletionVector(p, off, len).iterator.map(pos => (ref, pos, seq))
+            Puffin.readDeletionVector(p, off, len).map(pos => (ref, pos, seq))
           }
           .toDF("__d_file", "__d_pos", "__d_seq"))
       }

@@ -130,20 +130,32 @@ object Puffin {
     }
   }
 
-  /** Decode one deletion-vector blob at (offset, length): Iceberg v3
+  /** Stream one deletion-vector blob at (offset, length): Iceberg v3
     * layout = u32 BE (vector+magic length), magic D1 D3 39 64,
-    * portable roaring64, u32 BE CRC-32 over magic+vector. Returns the
-    * SORTED deleted positions. */
-  def readDeletionVector(path: String, offset: Long, length: Long): Array[Long] = {
+    * portable roaring64, u32 BE CRC-32 over magic+vector. The blob
+    * (roaring-COMPRESSED — at worst ~8 KB per 64k-row range) is held
+    * in memory and CRC-checked eagerly; the positions EXPAND lazily,
+    * one container (≤64k values) at a time, so a task applying a DV
+    * that deletes 100M rows never holds the ~800 MB position array —
+    * it streams rows straight into the anti-join. */
+  def readDeletionVector(path: String, offset: Long, length: Long): Iterator[Long] = {
     if (offset < 0 || length < 12 || length > Int.MaxValue.toLong)
       fail(s"$path: DV blob coordinates out of range (offset=$offset, length=$length)")
     val raf = new RandomAccessFile(path, "r")
     val blob = new Array[Byte](length.toInt)
     try { raf.seek(offset); raf.readFully(blob) } finally raf.close()
-    decodeDeletionVector(blob, s"$path@$offset")
+    decodeDeletionVectorStream(blob, s"$path@$offset")
   }
 
-  def decodeDeletionVector(blob: Array[Byte], where: String = "dv"): Array[Long] = {
+  /** Eager decode for tests / small vectors. */
+  def decodeDeletionVector(blob: Array[Byte], where: String = "dv"): Array[Long] =
+    decodeDeletionVectorStream(blob, where).toArray
+
+  /** Validates the envelope (magic, bounds, CRC) EAGERLY; returns the
+    * lazy position stream. Structural corruption inside the vector
+    * (bad cookie, bucket order, run overflow) is raised typed at the
+    * point of consumption. */
+  def decodeDeletionVectorStream(blob: Array[Byte], where: String = "dv"): Iterator[Long] = {
     if (blob.length < 12) fail(s"$where: DV blob too short (${blob.length} bytes)")
     val bb = ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN)
     val inner = bb.getInt() // length of magic + vector
@@ -163,31 +175,30 @@ object Puffin {
   }
 
   /** Portable 64-bit roaring: u64 LE bucket count, then per bucket a
-    * u32 LE high key + a portable 32-bit roaring bitmap. */
-  private[sources] def deserializeRoaring64(bytes: Array[Byte], where: String): Array[Long] = {
+    * u32 LE high key + a portable 32-bit roaring bitmap. LAZY: the
+    * buffer advances as the iterator is consumed (strictly in order —
+    * iterator flatMap is sequential), holding at most one container's
+    * values (≤64k) at a time. */
+  private[sources] def deserializeRoaring64(bytes: Array[Byte], where: String): Iterator[Long] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val nBuckets = bb.getLong()
     if (nBuckets < 0 || nBuckets > Int.MaxValue)
       fail(s"$where: roaring64 bucket count $nBuckets out of range")
-    val out = Array.newBuilder[Long]
     var prevHigh = -1L
-    var b = 0L
-    while (b < nBuckets) {
+    (0L until nBuckets).iterator.flatMap { _ =>
       val high = bb.getInt().toLong & 0xFFFFFFFFL
       if (high <= prevHigh) fail(s"$where: roaring64 buckets out of order")
       prevHigh = high
-      deserializeRoaring32(bb, where).foreach { low =>
-        out += (high << 32) | (low.toLong & 0xFFFFFFFFL)
-      }
-      b += 1
+      deserializeRoaring32(bb, where).map(low => (high << 32) | (low.toLong & 0xFFFFFFFFL))
     }
-    out.result()
   }
 
   /** Portable 32-bit roaring at the buffer's position (advances it):
     * cookie 12347 (+run bitset) or 12346, descriptive headers,
-    * optional offset header, then array / bitset / run containers. */
-  private def deserializeRoaring32(bb: ByteBuffer, where: String): Array[Int] = {
+    * optional offset header, then array / bitset / run containers.
+    * Header parses EAGERLY; containers decode one at a time as the
+    * iterator is consumed (each ≤64k values). */
+  private def deserializeRoaring32(bb: ByteBuffer, where: String): Iterator[Int] = {
     val cookie = bb.getInt()
     val hasRun = (cookie & 0xFFFF) == SerialCookie
     val n =
@@ -210,10 +221,9 @@ object Puffin {
       var j = 0
       while (j < n) { bb.getInt(); j += 1 } // sequential read — offsets unused
     }
-    val out = Array.newBuilder[Int]
-    i = 0
-    while (i < n) {
+    (0 until n).iterator.flatMap { i =>
       val base = keys(i) << 16
+      val out = Array.newBuilder[Int]
       if (isRun(i)) {
         val nRuns = bb.getShort().toInt & 0xFFFF
         var r = 0
@@ -244,9 +254,8 @@ object Puffin {
           w += 1
         }
       }
-      i += 1
+      out.result().iterator
     }
-    out.result()
   }
 
   // ---------------------------------------------------------- write
