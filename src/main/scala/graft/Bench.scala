@@ -221,22 +221,25 @@ object Bench {
       val tv = (System.nanoTime() - t2) / 1e9
       (ts, tn, tv)
     })
-    val (h1, h2) = pairWalls.splitAt(pairWalls.length / 2)
-    val pairStability = {
-      val a = h1.map(_._3).min; val b = h2.map(_._3).min
-      math.max(a, b) / math.min(a, b)
-    }
-    val tvSorted = pairWalls.map(_._3).sorted
-    // headline: inspected-bytes over the min validation wall
+    // headline: inspected-bytes over the min wall. Each cell's
+    // stability comes from ITS OWN walls (min-of-half-1 vs
+    // min-of-half-2) — stamping the scan/noop cells with the validate
+    // ratio would let a burst confined to their sub-windows ride a
+    // passing certification.
     def cellOf(bytes: Long, walls: Seq[Double]): Cell = {
+      val (w1, w2) = walls.splitAt(walls.length / 2)
+      val stab = {
+        val a = w1.min; val b = w2.min
+        math.max(a, b) / math.min(a, b)
+      }
       // sort the RATES ascending (walls ascending maps to rates
       // descending) so the med index means the same thing here as in
       // timed()'s rows/s cells
       val g = walls.map(w => bytes / 1e9 / w).sorted
-      Cell(g.min, g(g.length / 2), g.max, pairStability)
+      Cell(g.min, g(g.length / 2), g.max, stab)
     }
-    val validateGbCore = cellOf(inspectedBytes, tvSorted)
-    val validateRowGbCore = cellOf(rowBytes, tvSorted)
+    val validateGbCore = cellOf(inspectedBytes, pairWalls.map(_._3))
+    val validateRowGbCore = cellOf(rowBytes, pairWalls.map(_._3))
     val noopRowGbCore = cellOf(rowBytes, pairWalls.map(_._2))
     val scanRowGbCore = cellOf(rowBytes, pairWalls.map(_._1))
     // restore the split policy before the query sweep's parquet reads
@@ -261,14 +264,16 @@ object Bench {
     val derived = derivedCells
       .map { case (k, v, fm) => "\"" + k + "\":" + fm(v.max) }.mkString("{", ",", "}")
     // per-cell in-run stability (two back-to-back halves of the SAME
-    // run): ≤1.3 certifies the cell without a second run; the per-core
-    // GB cells share the pair cell's walls so they share its ratio
+    // run): ≤1.3 certifies the cell without a second run; each
+    // per-core cell carries the ratio of ITS OWN pass's walls
     val derivedSpread = (derivedCells
       .map { case (k, v, fm) => "\"" + k + s"""\":[${fm(v.min)},${fm(v.med)},${fm(v.max)}]""" } ++ Seq(
       "\"validate_stability\":" + f(validateRps.stability),
       "\"sink_stability\":" + f(sinkRps.stability),
       "\"e2e_stability\":" + f(e2eRps.stability),
-      "\"validate_core_pair_stability\":" + f(pairStability)))
+      "\"validate_core_pair_stability\":" + f(validateGbCore.stability),
+      "\"scan_core_pair_stability\":" + f(scanRowGbCore.stability),
+      "\"noop_core_pair_stability\":" + f(noopRowGbCore.stability)))
       .mkString("{", ",", "}")
 
     // SPARK_GRAFT_ONLY=q_a,q_b (or arg 2) restricts the run (local iteration aid)

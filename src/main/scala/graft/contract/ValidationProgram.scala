@@ -100,18 +100,25 @@ object ValidationProgram {
     * on the gated string columns) plus the two contract string
     * materializations, not the rank→string mapping. Kept for the
     * simpler generated code. */
-  private def rankToName(rank: Column): Column =
-    element_at(typedLit(Verdict.all.sortBy(_.rank).map(_.name)), rank + 1)
-
-  private def rankToDisposition(rank: Column): Column =
-    element_at(typedLit(Verdict.all.sortBy(_.rank).map { v =>
+  /** rank-indexed name tables — the single source the annotate
+    * columns (and any diagnostic comparing against them) index into. */
+  private[graft] val verdictNamesByRank: Seq[String] =
+    Verdict.all.sortBy(_.rank).map(_.name)
+  private[graft] val dispositionNamesByRank: Seq[String] =
+    Verdict.all.sortBy(_.rank).map { v =>
       Disposition.ofVerdict(v) match {
         case Disposition.Accept => "accept"
         case Disposition.Quarantine => "quarantine"
         case Disposition.RejectBatch => "reject_batch"
         case Disposition.RejectRun => "reject_run"
       }
-    }), rank + 1)
+    }
+
+  private def rankToName(rank: Column): Column =
+    element_at(typedLit(verdictNamesByRank), rank + 1)
+
+  private def rankToDisposition(rank: Column): Column =
+    element_at(typedLit(dispositionNamesByRank), rank + 1)
 
   /** Anchored-literal regex → the plain string test it denotes.
     * regexp_like has FIND semantics, so "^lit" ⇔ startsWith, "lit$" ⇔

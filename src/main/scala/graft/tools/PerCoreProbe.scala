@@ -48,20 +48,13 @@ object PerCoreProbe {
       when(anyFatal, lit(graft.contract.Verdict.Fatal.rank))
         .when(anyFail, lit(graft.contract.Verdict.Violation.rank))
         .otherwise(lit(graft.contract.Verdict.Pass.rank))
+    // the SAME name tables annotate indexes into (distinct arrays for
+    // _v/_d: an identical expression twice would be collapsed by
+    // codegen subexpression elimination and under-measure the variant)
     val verdictNames = typedLit(
-      graft.contract.Verdict.all.sortBy(_.rank).map(_.name))
-    // a DISTINCT array for _d: the identical expression twice would be
-    // collapsed by codegen subexpression elimination and under-measure
-    // the variant vs annotate's two different lookups
+      graft.contract.ValidationProgram.verdictNamesByRank)
     val dispositionNames = typedLit(
-      graft.contract.Verdict.all.sortBy(_.rank).map { v =>
-        graft.contract.Disposition.ofVerdict(v) match {
-          case graft.contract.Disposition.Accept => "accept"
-          case graft.contract.Disposition.Quarantine => "quarantine"
-          case graft.contract.Disposition.RejectBatch => "reject_batch"
-          case graft.contract.Disposition.RejectRun => "reject_run"
-        }
-      })
+      graft.contract.ValidationProgram.dispositionNamesByRank)
     def annotateOr(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("_r", rankOr)
       .withColumn("_v", element_at(verdictNames, col("_r") + 1))
