@@ -125,7 +125,10 @@ object IcebergSource {
       /** the default partition spec (empty = unpartitioned). */
       spec: Seq[PartField] = Nil,
       /** schema field-id → column name (resolves equality-delete ids). */
-      fieldNamesById: Map[Long, String] = Map.empty) {
+      fieldNamesById: Map[Long, String] = Map.empty,
+      /** table format-version (2 default; 3 once deletion vectors are
+        * committed — never downgraded by later commits). */
+      formatVersion: Long = 2L) {
     def sequenceOf(snapshotId: Long): Long =
       snapshots.find(_.id == snapshotId).map(_.sequenceNumber).getOrElse(0L)
     /** identity-transform source columns — the subset the WRITER can
@@ -194,6 +197,16 @@ object IcebergSource {
     val p = Paths.get(tableDir, "metadata", s"v$version.metadata.json")
     val j = CanonicalJson.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
     val f = CanonicalJson.objFields(j)
+    // the spec's version gate: readers MUST refuse tables written under
+    // a format version they do not implement — a v4 table may encode
+    // semantics (new delete kinds, new entry fields) this reader would
+    // silently misread
+    f.get("format-version").collect { case JInt(v) => v }.foreach { v =>
+      if (v < 1 || v > 3)
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: format-version $v at $p — this reader implements versions " +
+            "1-3 and refuses to guess at newer semantics")
+    }
     def longOf(x: J): Long = x match {
       case JInt(v) => v
       case other => throw new IllegalArgumentException(s"expected int, got $other")
@@ -260,7 +273,8 @@ object IcebergSource {
           .orElse(parsed.lastOption).map(_._2).getOrElse(Seq.empty)
       case _ => Seq.empty
     }
-    TableMeta(loc, cur, snaps, version, spec, fieldNameById)
+    TableMeta(loc, cur, snaps, version, spec, fieldNameById,
+      formatVersion = f.get("format-version").collect { case JInt(v) => v }.getOrElse(2L))
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {
@@ -1210,7 +1224,8 @@ object IcebergSource {
           "summary" -> (JObj.of("operation" -> JStr(s.operation)): J))): _*)
 
     val baseFields = Seq(
-      "format-version" -> (JInt(2): J),
+      // never downgrade a table a DV commit raised to v3
+      "format-version" -> (JInt(parent.map(_.formatVersion).getOrElse(2L) max 2L): J),
       "table-uuid" -> (JStr(f"graft-${tableDir.hashCode}%08x-0000-0000-0000-000000000000"): J),
       "location" -> (JStr(tableDir): J),
       "last-sequence-number" -> (JInt(seq): J),
@@ -1400,7 +1415,8 @@ object IcebergSource {
       "timestamp-ms" -> JInt(timestampMs),
       "manifest-list" -> JStr(listPath),
       "summary" -> JObj.of("operation" -> JStr("delete")))
-    bumpMetadata(metaDir, timestampMs, seq, snapshotId, addSnap = Some(snapJson))
+    bumpMetadata(metaDir, timestampMs, seq, snapshotId, addSnap = Some(snapJson),
+      minFormatVersion = dvDeletes.map(_ => 3L))
     readMeta(tableDir)
   }
 
@@ -1545,7 +1561,11 @@ object IcebergSource {
   /** Carry the current metadata forward verbatim, bumping only the
     * snapshot bookkeeping (same shape [[commitDeletes]] uses). */
   private def bumpMetadata(metaDir: String, timestampMs: Long, seq: Long,
-      snapshotId: Long, addSnap: Option[J]): Unit = {
+      snapshotId: Long, addSnap: Option[J],
+      /** raise format-version (never lowered): a deletion-vector
+        * commit makes the table v3 — a spec-conformant foreign reader
+        * would reject DV entries under format-version 2. */
+      minFormatVersion: Option[Long] = None): Unit = {
     val vOld0 = Integer.parseInt(new String(
       Files.readAllBytes(Paths.get(metaDir, "version-hint.text")), StandardCharsets.UTF_8).trim)
     val oldJson = CanonicalJson.parse(new String(
@@ -1557,6 +1577,8 @@ object IcebergSource {
         case ("current-snapshot-id", _) => "current-snapshot-id" -> (JInt(snapshotId): J)
         case ("last-sequence-number", _) => "last-sequence-number" -> (JInt(seq): J)
         case ("last-updated-ms", _) => "last-updated-ms" -> (JInt(timestampMs): J)
+        case ("format-version", JInt(v)) =>
+          "format-version" -> (JInt(math.max(v, minFormatVersion.getOrElse(v))): J)
         case other => other
       })
       case other => other

@@ -522,6 +522,26 @@ class IcebergSpec extends SparkSpec {
     // time travel BEFORE the DV snapshot sees all rows
     assert(IcebergSource.read(spark, dir, Some(1L)).count() == 100)
 
+    // the DV commit raised the table to format-version 3, and the
+    // later append did NOT downgrade it (a spec-conformant foreign
+    // reader would reject DV entries under v2)
+    assert(IcebergSource.readMeta(dir).formatVersion == 3L)
+
+    // an unknown future format version is refused typed, not misread
+    val vCur = IcebergSource.currentVersion(dir)
+    val mp = java.nio.file.Paths.get(dir, "metadata", s"v$vCur.metadata.json")
+    val doctored = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      .replace("\"format-version\":3", "\"format-version\":4")
+    val v4 = java.nio.file.Paths.get(dir, "metadata", s"v${vCur + 1}.metadata.json")
+    java.nio.file.Files.write(v4, doctored.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "metadata", "version-hint.text"),
+      (vCur + 1).toString.getBytes("UTF-8"))
+    val ev = intercept[graft.core.GraftError.Plan](IcebergSource.readMeta(dir))
+    assert(ev.getMessage.contains("format-version 4"))
+    // restore the hint for the rest of the scenario
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "metadata", "version-hint.text"),
+      vCur.toString.getBytes("UTF-8"))
+
     // plan shape: DV application is a broadcast anti-join too
     val plan = afterDv.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
