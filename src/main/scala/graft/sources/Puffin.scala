@@ -63,8 +63,10 @@ object Puffin {
   // ----------------------------------------------------------- read
 
   /** Parse the footer of a puffin file: trailing magic, 4-byte flags,
-    * 4-byte LE payload size, JSON payload. Compressed footers
-    * (flag bit 0) are REJECTED typed, not guessed at. */
+    * 4-byte LE payload size, JSON payload. Flag bit 0 = payload is an
+    * LZ4 FRAME (the one compression the spec allows for footers) —
+    * decoded via the lz4-java Spark already ships; any other flag bit
+    * is REJECTED typed, not guessed at. */
   def readFooter(path: String): Footer = {
     val raf = new RandomAccessFile(path, "r")
     try {
@@ -80,16 +82,23 @@ object Puffin {
       val flags = bb.getInt()
       val magic = new Array[Byte](4); bb.get(magic)
       if (!magic.sameElements(Magic)) fail(s"$path: trailing magic mismatch")
-      if ((flags & 1) != 0)
-        fail(s"$path: compressed footer payload (flag bit 0) is not supported")
+      if ((flags & ~1) != 0)
+        fail(s"$path: unknown footer flags 0x${flags.toHexString} — refusing to guess")
       if (payloadSize < 0 || len - 12 - payloadSize < 4)
         fail(s"$path: footer payload size $payloadSize out of bounds")
-      val payload = new Array[Byte](payloadSize)
-      raf.seek(len - 12 - payloadSize); raf.readFully(payload)
+      val stored = new Array[Byte](payloadSize)
+      raf.seek(len - 12 - payloadSize); raf.readFully(stored)
       // the footer's own leading magic sits right before the payload
       val fm = new Array[Byte](4)
       raf.seek(len - 12 - payloadSize - 4); raf.readFully(fm)
       if (!fm.sameElements(Magic)) fail(s"$path: footer magic mismatch")
+      val payload =
+        if ((flags & 1) == 0) stored
+        else {
+          val in = new net.jpountz.lz4.LZ4FrameInputStream(
+            new java.io.ByteArrayInputStream(stored))
+          try in.readAllBytes() finally in.close()
+        }
       parseFooter(new String(payload, StandardCharsets.UTF_8), path)
     } finally raf.close()
   }

@@ -474,6 +474,37 @@ class IcebergSpec extends SparkSpec {
     val e2 = intercept[graft.core.GraftError.Plan](
       Puffin.decodeDeletionVector(Array.fill[Byte](16)(0x11)))
     assert(e2.getMessage.contains("magic") || e2.getMessage.contains("length"))
+
+    // LZ4-FRAMED footer (flag bit 0) — the one compression the spec
+    // allows for footers; hand-built file, read back through the
+    // same blob coordinates the footer declares
+    val magic = Array[Byte]('P', 'F', 'A', '1')
+    val dvb = Puffin.encodeDeletionVector(Seq(1L, 5L, 9L))
+    val json =
+      s"""{"blobs":[{"type":"deletion-vector-v1","fields":[],"offset":4,""" +
+        s""""length":${dvb.length},"properties":{"referenced-data-file":"f1",""" +
+        s""""cardinality":"3"}}],"properties":{}}"""
+    val baos = new java.io.ByteArrayOutputStream()
+    val lz = new net.jpountz.lz4.LZ4FrameOutputStream(baos)
+    lz.write(json.getBytes("UTF-8")); lz.close()
+    val comp = baos.toByteArray
+    def writePuffin(path: String, flags: Int): Unit = {
+      val out = new java.io.DataOutputStream(new java.io.FileOutputStream(path))
+      out.write(magic); out.write(dvb); out.write(magic); out.write(comp)
+      val t = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      t.putInt(comp.length); t.putInt(flags); t.put(magic)
+      out.write(t.array()); out.close()
+    }
+    val pf = s"${tmpDir()}/lz4.puffin"
+    writePuffin(pf, flags = 1)
+    val ftr = Puffin.readFooter(pf)
+    assert(ftr.blobs.head.properties("referenced-data-file") == "f1")
+    assert(Puffin.readDeletionVector(pf, 4, dvb.length.toLong).toSeq == Seq(1L, 5L, 9L))
+    // unknown flag bits are refused typed, never guessed
+    val pf2 = s"${tmpDir()}/badflag.puffin"
+    writePuffin(pf2, flags = 2)
+    val e3 = intercept[graft.core.GraftError.Plan](Puffin.readFooter(pf2))
+    assert(e3.getMessage.contains("flags"))
   }
 
   test("v3 deletion vectors: puffin DVs read through merge-on-read, sequence-gated, superseding position files") {
