@@ -200,13 +200,13 @@ object IcebergSource {
     // the spec's version gate: readers MUST refuse tables written under
     // a format version they do not implement — a v4 table may encode
     // semantics (new delete kinds, new entry fields) this reader would
-    // silently misread
-    f.get("format-version").collect { case JInt(v) => v }.foreach { v =>
-      if (v < 1 || v > 3)
-        throw graft.core.GraftError.Plan(
-          s"iceberg fidelity: format-version $v at $p — this reader implements versions " +
-            "1-3 and refuses to guess at newer semantics")
-    }
+    // silently misread. ONE extraction feeds both the gate and the
+    // recorded TableMeta.formatVersion so they can never diverge.
+    val fmtVersion = f.get("format-version").collect { case JInt(v) => v }.getOrElse(2L)
+    if (fmtVersion < 1 || fmtVersion > 3)
+      throw graft.core.GraftError.Plan(
+        s"iceberg fidelity: format-version $fmtVersion at $p — this reader implements " +
+          "versions 1-3 and refuses to guess at newer semantics")
     def longOf(x: J): Long = x match {
       case JInt(v) => v
       case other => throw new IllegalArgumentException(s"expected int, got $other")
@@ -274,7 +274,7 @@ object IcebergSource {
       case _ => Seq.empty
     }
     TableMeta(loc, cur, snaps, version, spec, fieldNameById,
-      formatVersion = f.get("format-version").collect { case JInt(v) => v }.getOrElse(2L))
+      formatVersion = fmtVersion)
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {
@@ -1223,9 +1223,10 @@ object IcebergSource {
           // windows silently cross the rewrite
           "summary" -> (JObj.of("operation" -> JStr(s.operation)): J))): _*)
 
+    val writtenFormatVersion = parent.map(_.formatVersion).getOrElse(2L) max 2L
     val baseFields = Seq(
       // never downgrade a table a DV commit raised to v3
-      "format-version" -> (JInt(parent.map(_.formatVersion).getOrElse(2L) max 2L): J),
+      "format-version" -> (JInt(writtenFormatVersion): J),
       "table-uuid" -> (JStr(f"graft-${tableDir.hashCode}%08x-0000-0000-0000-000000000000"): J),
       "location" -> (JStr(tableDir): J),
       "last-sequence-number" -> (JInt(seq): J),
@@ -1262,7 +1263,8 @@ object IcebergSource {
     Files.write(Paths.get(metaDir, "version-hint.text"),
       version.toString.getBytes(StandardCharsets.UTF_8))
     TableMeta(tableDir, Some(snapshotId), allSnaps, version, spec0,
-      df.schema.fieldNames.zipWithIndex.map { case (n, i) => (i + 1L) -> n }.toMap)
+      df.schema.fieldNames.zipWithIndex.map { case (n, i) => (i + 1L) -> n }.toMap,
+      formatVersion = writtenFormatVersion)
   }
 
   /** manifest_entry schema for DELETE files: data_file carries content

@@ -95,9 +95,30 @@ object Puffin {
       val payload =
         if ((flags & 1) == 0) stored
         else {
-          val in = new net.jpountz.lz4.LZ4FrameInputStream(
-            new java.io.ByteArrayInputStream(stored))
-          try in.readAllBytes() finally in.close()
+          // typed like every other corruption path, and bounded: a
+          // crafted high-ratio frame must not allocate past any sane
+          // footer size before the JSON parse would reject it anyway
+          val maxFooter = 64 << 20
+          try {
+            val in = new net.jpountz.lz4.LZ4FrameInputStream(
+              new java.io.ByteArrayInputStream(stored))
+            try {
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](64 << 10)
+              var n = in.read(buf)
+              while (n >= 0) {
+                out.write(buf, 0, n)
+                if (out.size() > maxFooter)
+                  fail(s"$path: lz4 footer expands past $maxFooter bytes")
+                n = in.read(buf)
+              }
+              out.toByteArray
+            } finally in.close()
+          } catch {
+            case e: GraftError => throw e
+            case e: Exception =>
+              fail(s"$path: corrupt lz4 footer frame (${e.getMessage})")
+          }
         }
       parseFooter(new String(payload, StandardCharsets.UTF_8), path)
     } finally raf.close()
