@@ -101,9 +101,18 @@ object ValidationProgram {
     * materializations, not the rank→string mapping. Kept for the
     * simpler generated code. */
   /** rank-indexed name tables — the single source the annotate
-    * columns (and any diagnostic comparing against them) index into. */
-  private[graft] val verdictNamesByRank: Seq[String] =
-    Verdict.all.sortBy(_.rank).map(_.name)
+    * columns (and any diagnostic comparing against them) index into.
+    * Positional indexing is only sound while ranks are contiguous
+    * from 0, so that is ASSERTED at class-load, and the lookups below
+    * still coalesce to the worst verdict/disposition — the fail-safe
+    * the old when-chain fallback provided — so an impossible rank can
+    * never yield a NULL that slips past every disposition filter. */
+  private[graft] val verdictNamesByRank: Seq[String] = {
+    val sorted = Verdict.all.sortBy(_.rank)
+    require(sorted.map(_.rank) == sorted.indices.map(identity),
+      s"verdict ranks must be contiguous from 0: ${sorted.map(v => v.name -> v.rank)}")
+    sorted.map(_.name)
+  }
   private[graft] val dispositionNamesByRank: Seq[String] =
     Verdict.all.sortBy(_.rank).map { v =>
       Disposition.ofVerdict(v) match {
@@ -115,10 +124,12 @@ object ValidationProgram {
     }
 
   private def rankToName(rank: Column): Column =
-    element_at(typedLit(verdictNamesByRank), rank + 1)
+    coalesce(element_at(typedLit(verdictNamesByRank), rank + 1),
+      lit(Verdict.all.maxBy(_.rank).name))
 
   private def rankToDisposition(rank: Column): Column =
-    element_at(typedLit(dispositionNamesByRank), rank + 1)
+    coalesce(element_at(typedLit(dispositionNamesByRank), rank + 1),
+      lit(dispositionNamesByRank.last))
 
   /** Anchored-literal regex → the plain string test it denotes.
     * regexp_like has FIND semantics, so "^lit" ⇔ startsWith, "lit$" ⇔

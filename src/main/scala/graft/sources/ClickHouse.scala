@@ -126,8 +126,12 @@ object ClickHouse {
       val cols =
         if (selectItems.nonEmpty) selectItems.mkString(", ")
         else columns.map(ident).mkString(", ")
-      val conds = preds.map(_.sql) ++ rawWheres ++
-        cursor.map { case (c, v) => s"${ident(c)} > $v" }.toSeq
+      // every conjunct is parenthesized: a shard/raw predicate may
+      // legitimately contain OR ("id < 100 OR id IS NULL") and a bare
+      // AND-join would let it escape the conjunction (AND binds
+      // tighter than OR), returning wrong rows per shard
+      val conds = (preds.map(_.sql) ++ rawWheres ++
+        cursor.map { case (c, v) => s"${ident(c)} > $v" }.toSeq).map(c => s"($c)")
       val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
       val group = if (groupBy.isEmpty) "" else
         groupBy.map(ident).mkString(" GROUP BY ", ", ", "")

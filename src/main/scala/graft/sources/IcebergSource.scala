@@ -783,20 +783,26 @@ object IcebergSource {
     val lineageIds = windowLineage(meta, fromExclusive, to).map(_.id).toSet
     val snap = meta.snapshot(to)
     val ms = manifests(snap.manifestList, Some(lineageIds))
-    val es = ms.flatMap(m => entries(m.path))
+    val es = ms.flatMap(m => entries(m.path).map(e => (m, e)))
     // append-diff semantics are only honest when the window ADDED rows
     // and nothing else: a delete snapshot inside the window would make
     // "the files added by (from, to]" a superset of the actual diff —
     // rows it removed from EARLIER snapshots are invisible to any
     // added-files scan. Refuse rather than emit phantom rows.
-    es.find(e => e.content != 0 && e.status == StatusAdded).foreach(e =>
-      throw graft.core.GraftError.Plan(
-        s"iceberg fidelity: incremental window (${fromExclusive.getOrElse("-")}, $to] " +
-          s"contains delete file ${e.ref.path} — the append-diff cannot represent row " +
-          "removal; run a full merge-on-read scan at each endpoint instead"))
+    es.collectFirst { case (_, e) if e.content != 0 && e.status == StatusAdded => e }
+      .foreach(e =>
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: incremental window (${fromExclusive.getOrElse("-")}, $to] " +
+            s"contains delete file ${e.ref.path} — the append-diff cannot represent row " +
+            "removal; run a full merge-on-read scan at each endpoint instead"))
+    // the v2 inheritance rule as everywhere else: an ADDED entry's
+    // null snapshot_id inherits the manifest's added_snapshot_id — a
+    // Some-only pattern would silently DROP inheritance-style writers'
+    // files from the diff
     es.collect {
-      case e @ RawEntry(StatusAdded, Some(sid), 0, _, _, _, _, _, _, _)
-        if lineageIds.contains(sid) => e.ref
+      case (m, e)
+        if e.status == StatusAdded && e.content == 0 &&
+          lineageIds.contains(e.snapshotId.getOrElse(m.addedSnapshotId)) => e.ref
     }
       .filter(f => filters.forall(fileMayMatch(_, f.partition, meta.spec)))
   }
@@ -1108,6 +1114,16 @@ object IcebergSource {
       dup.write.mode("errorifexists")
         .partitionBy(layoutCols.map(_._1): _*).parquet(dataDir)
     }
+    // zero part files is legal (a partitioned dynamic write of zero
+    // rows — e.g. compaction where deletes covered every rewritten
+    // row — creates only _SUCCESS); reading the dir would throw an
+    // untyped schema-inference error
+    val wrotePart = {
+      val s = java.nio.file.Files.walk(Paths.get(dataDir))
+      try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    if (!wrotePart) return Seq.empty
     val aggs = count(lit(1)).as("n") +: spec0.map(pf =>
       first(transformCol(spark, pf, df.schema(pf.source).dataType)).as(s"pv_${pf.name}"))
     val perFile = spark.read.parquet(dataDir)
@@ -1333,16 +1349,23 @@ object IcebergSource {
       // over the budget should be split into several DV commits, not
       // allowed to OOM the driver.
       val budget = 50_000_000L // positions ≈ 400 MB of longs
-      val nPos = ddf.count()
-      if (nPos > budget)
+      // persisted across the probe + collect: the budget gate must not
+      // re-execute an expensive upstream plan a second time
+      val cached = ddf
+        .select(col("file_path").cast("string").as("f"), col("pos").cast("long").as("p"))
+        .persist()
+      val nPos = cached.count()
+      if (nPos > budget) {
+        cached.unpersist()
         throw graft.core.GraftError.Plan(
           s"iceberg fidelity: DV commit carries $nPos delete positions (> $budget budget) — " +
             "split the delete set into multiple commits (one DV per data file is rewritten " +
             "wholesale anyway)")
-      val perFile = ddf
-        .select(col("file_path").cast("string").as("f"), col("pos").cast("long").as("p"))
-        .groupBy("f").agg(collect_list("p").as("ps"))
-        .collect()
+      }
+      val rows =
+        try cached.groupBy("f").agg(collect_list("p").as("ps")).collect()
+        finally cached.unpersist()
+      val perFile = rows
         .map(r => Puffin.Dv(r.getString(0), r.getSeq[Long](1)))
         .sortBy(_.referencedDataFile)
       require(perFile.nonEmpty, "commitDeletes: dvDeletes has no rows")

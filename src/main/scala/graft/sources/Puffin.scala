@@ -303,10 +303,11 @@ object Puffin {
       out.write(Magic)
       var offset = 4L
       val refs = dvs.map { dv =>
-        val blob = encodeDeletionVector(dv.positions)
+        val deduped = sortedDistinct(dv.positions)
+        val blob = encodeSorted(deduped)
         out.write(blob)
         val r = DvRef(dv.referencedDataFile, offset, blob.length.toLong,
-          dv.positions.distinct.length.toLong)
+          deduped.length.toLong)
         offset += blob.length
         r
       }
@@ -336,11 +337,18 @@ object Puffin {
     } finally out.close()
   }
 
+  private def sortedDistinct(positions: Seq[Long]): Array[Long] = {
+    positions.foreach(p => require(p >= 0, s"negative delete position $p"))
+    positions.distinct.sorted.toArray
+  }
+
   /** Encode positions as a v3 DV blob (BE length, magic, portable
     * roaring64, BE CRC-32 of magic+vector). */
-  def encodeDeletionVector(positions: Seq[Long]): Array[Byte] = {
-    positions.foreach(p => require(p >= 0, s"negative delete position $p"))
-    val vector = serializeRoaring64(positions.distinct.sorted.toArray)
+  def encodeDeletionVector(positions: Seq[Long]): Array[Byte] =
+    encodeSorted(sortedDistinct(positions))
+
+  private def encodeSorted(sorted: Array[Long]): Array[Byte] = {
+    val vector = serializeRoaring64(sorted)
     val crc = new CRC32()
     crc.update(DvMagic); crc.update(vector)
     val bb = ByteBuffer.allocate(4 + 4 + vector.length + 4).order(ByteOrder.BIG_ENDIAN)

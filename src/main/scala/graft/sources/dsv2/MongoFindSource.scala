@@ -459,12 +459,7 @@ final class MongoReaderFactory(projection: StructType) extends PartitionReaderFa
     }
 
     def reader(it: Iterator[InternalRow], onClose: () => Unit): PartitionReader[InternalRow] =
-      new PartitionReader[InternalRow] {
-        private var current: InternalRow = _
-        override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
-        override def get(): InternalRow = current
-        override def close(): Unit = onClose()
-      }
+      RowReaders.fromIterator(it, onClose)
 
     partition match {
       case MongoDocsPartition(lines) =>

@@ -134,7 +134,9 @@ final class PgWireScan(name: String, entry: PgWireRegistry.Entry,
     val cols = projection.fieldNames.mkString(", ")
     val ranges = if (entry.rangeWheres.isEmpty) Seq("") else entry.rangeWheres
     ranges.map { w =>
-      val conds = Seq(w).filter(_.nonEmpty) ++ predSqls
+      // parenthesize every conjunct: a range predicate may contain OR
+      // ("k < 10 OR k IS NULL") and AND binds tighter than OR
+      val conds = (Seq(w).filter(_.nonEmpty) ++ predSqls).map(c => s"($c)")
       val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
       val sql = s"COPY (SELECT $cols FROM ${entry.table}$where) TO STDOUT (FORMAT binary)"
       PgWireRegistry.recordSql(name, sql)
@@ -165,15 +167,8 @@ final class PgWireReaderFactory(host: String, port: Int, user: String, database:
       try PgCopyBinary.decodeFrom(client.copyOutStream(sql), projection)
       catch { case e: Throwable => client.close(); throw e }
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(projection)
-    new PartitionReader[InternalRow] {
-      private var current: InternalRow = _
-      override def next(): Boolean = {
-        val h = rows.hasNext
-        if (h) current = toCatalyst(rows.next()).asInstanceOf[InternalRow]
-        h
-      }
-      override def get(): InternalRow = current
-      override def close(): Unit = client.close()
-    }
+    RowReaders.fromIterator(
+      rows.map(r => toCatalyst(r).asInstanceOf[InternalRow]),
+      () => client.close())
   }
 }

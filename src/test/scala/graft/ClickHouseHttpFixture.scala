@@ -81,8 +81,14 @@ final class ClickHouseHttpFixture {
 
   /** evaluate a WHERE conjunction — the shapes the DSv2 scan renders
     * (Pred.sql comparisons plus raw mod-shard clauses). */
+  private def unparen(c: String): String = {
+    val t = c.trim
+    if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1).trim else t
+  }
+
   private def rowKeep(where: String): Map[String, Any] => Boolean = {
-    val clauses: Seq[Map[String, Any] => Boolean] = where.split("(?i) AND ").toSeq.map {
+    val clauses: Seq[Map[String, Any] => Boolean] = where.split("(?i) AND ").toSeq
+      .map(unparen).map {
       case WhereModRe(c, m, r) =>
         row => row(c).asInstanceOf[Long] % m.toLong == r.toLong
       case WhereCmpRe(c, op, lit) =>

@@ -30,8 +30,10 @@ class ClickHouseSpec extends SparkSpec {
     val spec = ScanSpec("events", Seq("id", "qty"),
       preds = Seq(Pred("qty", ">", 4.5), Pred("tag", "=", "a'b")),
       orderBy = Seq(ClickHouse.Order("id")), cursor = Some(("id", 100L)))
-    assert(spec.sql == "SELECT `id`, `qty` FROM `events` WHERE `qty` > 4.5 AND " +
-      "`tag` = 'a\\'b' AND `id` > 100 ORDER BY `id` ASC NULLS FIRST FORMAT JSONEachRow")
+    // every conjunct parenthesized: OR-bearing shard predicates must
+    // not escape the conjunction
+    assert(spec.sql == "SELECT `id`, `qty` FROM `events` WHERE (`qty` > 4.5) AND " +
+      "(`tag` = 'a\\'b') AND (`id` > 100) ORDER BY `id` ASC NULLS FIRST FORMAT JSONEachRow")
     // only the reference's declared operator set is pushable
     intercept[IllegalArgumentException](Pred("tag", "LIKE", "x%"))
     // limit + cursor refused (capability truth-telling)

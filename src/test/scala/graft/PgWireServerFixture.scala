@@ -154,7 +154,12 @@ final class PgWireServerFixture {
   /** evaluate a WHERE conjunction (`AND`-joined mod-shard and simple
     * comparison clauses — the shapes the executor-side scan renders). */
   private def rowKeep(schema: StructType, where: String): Row => Boolean = {
-    val clauses: Seq[Row => Boolean] = where.split("(?i) AND ").toSeq.map {
+    def unparen(c: String): String = {
+      val t = c.trim
+      if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1).trim else t
+    }
+    val clauses: Seq[Row => Boolean] = where.split("(?i) AND ").toSeq
+      .map(unparen).map {
       case WhereModRe(c, m, r) =>
         val ci = schema.fieldIndex(c)
         row => row.getLong(ci) % m.toLong == r.toLong
