@@ -603,6 +603,34 @@ class IcebergSpec extends SparkSpec {
       "DV supersedes the parquet position-delete file for its data file")
   }
 
+  test("inheritance-style manifests: null entry snapshot_id falls back to the manifest's adding snapshot in the append-diff") {
+    import spark.implicits._
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val dir = s"${tmpDir()}/tbl"
+    IcebergSource.commitAppend(spark, dir, nums(0, 10), 1L, 1L)
+    IcebergSource.commitAppend(spark, dir, nums(10, 20), 2L, 2L)
+    // rewrite snapshot 2's manifest with entry snapshot_id = null —
+    // the v2 inheritance shape (the adding snapshot comes from the
+    // manifest list's added_snapshot_id)
+    val m2 = new java.io.File(s"$dir/metadata/manifest-2.avro")
+    val rd = new DataFileReader[GenericRecord](m2, new GenericDatumReader[GenericRecord]())
+    val (schema, recs) =
+      try (rd.getSchema, rd.iterator().asScala.toVector) finally rd.close()
+    recs.foreach(_.put("snapshot_id", null))
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, m2)
+    try recs.foreach(w.append) finally w.close()
+    // the append-diff still sees snapshot 2's files (a Some-only
+    // pattern silently dropped them), and the full read is unchanged
+    val win = IcebergSource.addedFiles(dir, Some(1L), 2L)
+    assert(win.nonEmpty, "inheritance-style entries must not vanish from the diff")
+    assert(IcebergSource.readIncremental(spark, dir, Some(1L), 2L)
+      .select("id").as[Long].collect().toSet == (10L until 20L).toSet)
+    assert(IcebergSource.read(spark, dir).count() == 20)
+  }
+
   test("deletion vectors compose with net-changes incremental windows") {
     import org.apache.spark.sql.functions.{col, expr}
     import spark.implicits._
