@@ -505,6 +505,26 @@ class IcebergSpec extends SparkSpec {
     writePuffin(pf2, flags = 2)
     val e3 = intercept[graft.core.GraftError.Plan](Puffin.readFooter(pf2))
     assert(e3.getMessage.contains("flags"))
+
+    // whole-file round-trip: several DVs of different densities in ONE
+    // puffin file — the footer's own coordinates drive each blob read
+    val multi = s"${tmpDir()}/multi.puffin"
+    val dvsIn = Seq(
+      Puffin.Dv("fA", Seq(3L, 3L, 7L, (1L << 33) + 1)),
+      Puffin.Dv("fB", (0L until 5000L).map(_ * 3)), // bitset container
+      Puffin.Dv("fC", Seq(0L)))
+    val refs = Puffin.writeDeletionVectors(multi, dvsIn, snapshotId = 9L, sequenceNumber = 4L)
+    val ftr2 = Puffin.readFooter(multi)
+    assert(ftr2.blobs.map(_.snapshotId).distinct == Seq(9L))
+    assert(ftr2.blobs.map(_.sequenceNumber).distinct == Seq(4L))
+    dvsIn.zip(refs).foreach { case (dv, r) =>
+      val viaFooter = ftr2.blobs.find(
+        _.properties("referenced-data-file") == dv.referencedDataFile).get
+      assert(viaFooter.offset == r.offset && viaFooter.length == r.length)
+      assert(Puffin.readDeletionVector(multi, r.offset, r.length).toSeq ==
+        dv.positions.distinct.sorted)
+      assert(r.cardinality == dv.positions.distinct.length.toLong)
+    }
   }
 
   test("v3 deletion vectors: puffin DVs read through merge-on-read, sequence-gated, superseding position files") {
