@@ -522,6 +522,41 @@ object ExtendedQueries {
         lit(prunedProof).as("pruned"))
   }
 
+  val icebergStatsPruned: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_stats_pruned",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+      |  CAST(1 AS BOOLEAN) AS pruned
+      |FROM lineitem WHERE l_orderkey < 3000""".stripMargin,
+    doc = "Stats-based file pruning on an UNPARTITIONED Iceberg table (the reference's " +
+      "statistics-pruning law — verified statistics may skip work but never produce " +
+      "identity-bearing bytes, cdf-engine statistics_pruning.rs:27-160): commit lays out " +
+      "8 range-clustered files whose manifest entries carry per-column lower/upper bounds " +
+      "read from the parquet FOOTERS at commit (never a second data scan); a range " +
+      "predicate prunes the file plan with no partition spec to help. The `pruned` column " +
+      "is computed from the two plans, so a regression to scan-everything fails the hash; " +
+      "the aggregate over the pruned read proves skipped files contribute no rows.") { (s, d) =>
+    import org.apache.spark.sql.{sources => sqs}
+    val li = t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      dec2(col("l_quantity")).as("l_quantity"))
+      .repartitionByRange(8, col("l_orderkey"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_stats").toString + "/tbl"
+    graft.sources.IcebergSource.commitAppend(s, dir, li,
+      snapshotId = 1L, timestampMs = 1L)
+    val filters = Seq(sqs.LessThan("l_orderkey", 3000L): sqs.Filter)
+    val planned = graft.sources.IcebergSource.dataFiles(dir, filters = filters)
+    val allFiles = graft.sources.IcebergSource.dataFiles(dir)
+    val prunedProof = planned.nonEmpty && planned.size < allFiles.size
+    graft.sources.IcebergSource.read(s, dir, filters = filters)
+      .filter(col("l_orderkey") < 3000L) // row-level re-check, pushed to parquet
+      .agg(count(lit(1)).cast("long").as("n"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        lit(prunedProof).as("pruned"))
+  }
+
   val glueScan: QueryDef = QueryDef.sqlBacked(
     "q_glue_scan",
     """SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -587,7 +622,7 @@ object ExtendedQueries {
 
   val all: Seq[QueryDef] = Seq(
     icebergIncremental, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
-    icebergDv,
+    icebergDv, icebergStatsPruned,
     glueScan, tier2Python,
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,

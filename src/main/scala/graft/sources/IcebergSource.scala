@@ -103,6 +103,20 @@ object IcebergSource {
   final val StatusAdded = 1
   final val StatusExisting = 0
 
+  /** Writer version law: this writer emits v2 metadata (sequence
+    * numbers, v2 manifests). Committing to a format-version 1 table
+    * would silently REWRITE it as v2 with no sequence-number backfill
+    * semantics — and v1 cannot hold delete files or explicit entry
+    * sequence numbers at all — so every commit path refuses typed
+    * rather than guessing at a migration ("never downgraded, never
+    * guessed"; reads of v1 tables stay supported). */
+  private def requireV2Plus(meta: TableMeta, op: String): Unit =
+    if (meta.formatVersion < 2L)
+      throw graft.core.GraftError.Plan(
+        s"iceberg fidelity: cannot $op to a format-version ${meta.formatVersion} table — " +
+          "this writer emits v2 metadata and a silent v1→v2 rewrite has no " +
+          "sequence-number backfill semantics; migrate the table explicitly")
+
   // ------------------------------------------------------------ model
 
   final case class Snapshot(id: Long, parentId: Option[Long], sequenceNumber: Long,
@@ -128,7 +142,10 @@ object IcebergSource {
       fieldNamesById: Map[Long, String] = Map.empty,
       /** table format-version (2 default; 3 once deletion vectors are
         * committed — never downgraded by later commits). */
-      formatVersion: Long = 2L) {
+      formatVersion: Long = 2L,
+      /** schema field-id → primitive iceberg type name ("long", "int",
+        * "string", "date", ...) — decodes the manifest column bounds. */
+      fieldTypesById: Map[Long, String] = Map.empty) {
     def sequenceOf(snapshotId: Long): Long =
       snapshots.find(_.id == snapshotId).map(_.sequenceNumber).getOrElse(0L)
     /** identity-transform source columns — the subset the WRITER can
@@ -170,7 +187,15 @@ object IcebergSource {
       /** snapshot that added the file (entry snapshot_id, falling back
         * to the manifest's) — carried so compaction can preserve it on
         * EXISTING entries. */
-      addedBy: Option[Long] = None)
+      addedBy: Option[Long] = None,
+      /** manifest column statistics (spec data_file fields 125/128/110):
+        * field-id → Appendix-D single-value bytes for per-file min/max,
+        * field-id → null count. Written from parquet FOOTERS at commit;
+        * read back for stats-based file pruning. Absent entries prune
+        * nothing (conservative-on-missing). */
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty)
 
   /** A delete file from a v2/v3 merge-on-read table. content 1 =
     * position deletes (parquet `file_path`+`pos`, or a v3 puffin
@@ -229,21 +254,27 @@ object IcebergSource {
     val loc = f.get("location").collect { case JStr(v) => v }.getOrElse(tableDir)
     // schemas: field-id → name, for resolving identity partition sources
     // (a renamed partition field still points at its source column)
-    val fieldNameById: Map[Long, String] = f.get("schemas") match {
+    val schemaFields: Seq[(Long, String, Option[String])] = f.get("schemas") match {
       case Some(JArr(ss)) => ss.flatMap { s =>
         CanonicalJson.objFields(s).get("fields") match {
           case Some(JArr(fs)) => fs.flatMap { fd =>
             val ff = CanonicalJson.objFields(fd)
             (ff.get("id"), ff.get("name")) match {
-              case (Some(JInt(id)), Some(JStr(n))) => Seq(id -> n)
+              case (Some(JInt(id)), Some(JStr(n))) =>
+                // primitive types only — nested types (JObj) carry no
+                // decodable bounds, so record no type for them
+                Seq((id, n, ff.get("type").collect { case JStr(t) => t }))
               case _ => Nil
             }
           }
           case _ => Nil
         }
-      }.toMap
-      case _ => Map.empty
+      }
+      case _ => Seq.empty
     }
+    val fieldNameById: Map[Long, String] = schemaFields.map(x => x._1 -> x._2).toMap
+    val fieldTypeById: Map[Long, String] =
+      schemaFields.collect { case (id, _, Some(t)) => id -> t }.toMap
     // partition specs: every transform is accepted — transforms decide
     // LAYOUT and how much a predicate can prune, never row content
     // (source columns live in the data files regardless). The typed
@@ -274,7 +305,7 @@ object IcebergSource {
       case _ => Seq.empty
     }
     TableMeta(loc, cur, snaps, version, spec, fieldNameById,
-      formatVersion = fmtVersion)
+      formatVersion = fmtVersion, fieldTypesById = fieldTypeById)
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {
@@ -369,13 +400,51 @@ object IcebergSource {
           case other => throw graft.core.GraftError.Plan(
             s"iceberg fidelity: non-numeric $name in $manifestPath: $other")
         }
+      // manifest column stats: the spec's array<struct<key,value>>
+      // map encoding (data_file fields 110/125/128) — absent fields or
+      // null values read as empty maps (no pruning, never an error)
+      def kvRecords(name: String): Seq[GenericRecord] =
+        if (df.getSchema.getField(name) == null) Nil
+        else df.get(name) match {
+          case xs: java.util.Collection[_] =>
+            xs.asScala.toSeq.collect { case r: GenericRecord => r }
+          case _ => Nil
+        }
+      def kvKey(r: GenericRecord): Int = r.get("key") match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+        case other => throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: non-int stats map key in $manifestPath: $other")
+      }
+      def kvBytes(name: String): Map[Int, Array[Byte]] =
+        kvRecords(name).flatMap { r =>
+          Option(r.get("value")).map {
+            case bb: java.nio.ByteBuffer =>
+              val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+            case ab: Array[Byte] => ab
+            case other => throw graft.core.GraftError.Plan(
+              s"iceberg fidelity: non-binary bound value in $manifestPath: ${other.getClass}")
+          }.map(kvKey(r) -> _)
+        }.toMap
+      def kvLongs(name: String): Map[Int, Long] =
+        kvRecords(name).flatMap { r =>
+          Option(r.get("value")).map {
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+            case other => throw graft.core.GraftError.Plan(
+              s"iceberg fidelity: non-long stats count in $manifestPath: $other")
+          }.map(kvKey(r) -> _)
+        }.toMap
       RawEntry(e.get("status").asInstanceOf[Int],
         Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]),
         content,
         DataFileRef(df.get("file_path").toString,
           df.get("record_count").asInstanceOf[Long],
           df.get("file_size_in_bytes").asInstanceOf[Long],
-          partitionOf(df)),
+          partitionOf(df),
+          lowerBounds = kvBytes("lower_bounds"),
+          upperBounds = kvBytes("upper_bounds"),
+          nullCounts = kvLongs("null_value_counts")),
         eqIds,
         Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"),
         optLong("sequence_number").orElse(optLong("data_sequence_number")),
@@ -559,13 +628,141 @@ object IcebergSource {
       case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
       case (a: java.math.BigDecimal, b: java.math.BigDecimal) => Some(a.compareTo(b))
       case _ =>
+        // dates compare by epoch day — STRICTLY date-typed on both
+        // sides (a timestamp literal date-truncated against a date
+        // bound would make ranges unsound)
+        def dateOnly(v: Any): Option[Long] = v match {
+          case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+          case d: java.time.LocalDate => Some(d.toEpochDay)
+          case _ => None
+        }
         (integral(pv), integral(lit)) match {
           case (Some(a), Some(b)) => Some(java.lang.Long.compare(a, b))
           case _ => (floating(pv), floating(lit)) match {
             case (Some(a), Some(b)) => Some(java.lang.Double.compare(a, b))
-            case _ => None // mixed families / unsupported: keep
+            case _ => (dateOnly(pv), dateOnly(lit)) match {
+              case (Some(a), Some(b)) => Some(java.lang.Long.compare(a, b))
+              case _ => None // mixed families / unsupported: keep
+            }
           }
         }
+    }
+  }
+
+  // ------------------------------------- manifest column statistics
+
+  /** Iceberg Appendix-D binary single-value serialization for the
+    * primitive types whose parquet footer stats prune soundly:
+    * int (4 LE), long (8 LE), boolean (1 byte), date (epoch-day int,
+    * 4 LE), string (UTF-8 bytes). Everything else → None (no bound —
+    * float/double are excluded for NaN soundness, timestamps because
+    * Spark's default INT96 layout records no usable stats). */
+  private[graft] def serializeBound(tpe: String, v: Any): Option[Array[Byte]] = {
+    def le(n: Int)(put: java.nio.ByteBuffer => Unit): Option[Array[Byte]] = {
+      val b = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      put(b); Some(b.array())
+    }
+    (tpe, v) match {
+      case ("int", i: Int) => le(4)(_.putInt(i))
+      case ("long", l: Long) => le(8)(_.putLong(l))
+      case ("boolean", b: Boolean) => Some(Array[Byte](if (b) 1 else 0))
+      case ("date", d: java.time.LocalDate) => le(4)(_.putInt(d.toEpochDay.toInt))
+      case ("string", s: String) => Some(s.getBytes(StandardCharsets.UTF_8))
+      case _ => None
+    }
+  }
+
+  private[graft] def deserializeBound(tpe: String, bytes: Array[Byte]): Option[Any] = {
+    def le = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tpe match {
+      case "int" if bytes.length == 4 => Some(le.getInt)
+      case "long" if bytes.length == 8 => Some(le.getLong)
+      case "boolean" if bytes.length == 1 => Some(bytes(0) != 0)
+      case "date" if bytes.length == 4 => Some(java.time.LocalDate.ofEpochDay(le.getInt.toLong))
+      case "string" => Some(new String(bytes, StandardCharsets.UTF_8))
+      case _ => None // unknown type or malformed width: no bound
+    }
+  }
+
+  /** String-bound truncation (the spec's recommended 16-unit cap, so
+    * long text columns never bloat manifests). Lower bounds truncate
+    * DOWN (a prefix is ≤ every string it prefixes); upper bounds
+    * truncate UP by incrementing the last incrementable code point —
+    * None when no prefix can be incremented (bound omitted). */
+  private[graft] def truncLower(s: String, w: Int = 16): String =
+    if (s.codePointCount(0, s.length) <= w) s
+    else new String(s.codePoints().toArray, 0, w)
+
+  private[graft] def truncUpper(s: String, w: Int = 16): Option[String] =
+    if (s.codePointCount(0, s.length) <= w) Some(s)
+    else {
+      val cps = s.codePoints().toArray.take(w)
+      var i = cps.length - 1
+      while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
+      if (i < 0) None
+      else {
+        // skip the surrogate gap: an isolated D800..DFFF code point
+        // would not survive a UTF-8 round trip
+        val next = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+        Some(new String(cps.take(i) :+ next, 0, i + 1))
+      }
+    }
+
+  /** Conservative file-level predicate evaluation against the manifest
+    * column bounds + null counts (the reference's stats-pruning law:
+    * Pruned | RetainedMayMatch | RetainedConservatively — verified
+    * statistics may skip work but never produce identity-bearing
+    * bytes, crates/cdf-engine/src/statistics_pruning.rs:27-160 and
+    * docs/performance-envelope.md:107). Returns false ONLY when the
+    * predicate PROVABLY matches no row: missing bounds, unknown
+    * columns, undecodable types → keep the file. Sound with truncated
+    * string bounds (lower ≤ true min, upper ≥ true max). */
+  private[graft] def statsMayMatch(f: SFilter, ref: DataFileRef,
+      meta: TableMeta): Boolean = {
+    if (ref.lowerBounds.isEmpty && ref.upperBounds.isEmpty && ref.nullCounts.isEmpty)
+      return true
+    import org.apache.spark.sql.{sources => sf}
+    val idByName: Map[String, Long] = meta.fieldNamesById.map(_.swap)
+    def decode(c: String, m: Map[Int, Array[Byte]]): Option[Any] =
+      for {
+        id <- idByName.get(c)
+        tpe <- meta.fieldTypesById.get(id)
+        bytes <- m.get(id.toInt)
+        v <- deserializeBound(tpe, bytes)
+      } yield v
+    def lower(c: String): Option[Any] = decode(c, ref.lowerBounds)
+    def upper(c: String): Option[Any] = decode(c, ref.upperBounds)
+    def nullsOf(c: String): Option[Long] =
+      idByName.get(c).flatMap(id => ref.nullCounts.get(id.toInt))
+    // every row null → no comparison predicate can match (SQL nulls)
+    def allNull(c: String): Boolean =
+      ref.recordCount > 0 && nullsOf(c).contains(ref.recordCount)
+    def eqNoMatch(c: String, lit: Any): Boolean =
+      lit != null && (allNull(c) ||
+        lower(c).exists(lo => cmpValues(lit, lo).exists(_ < 0)) ||
+        upper(c).exists(hi => cmpValues(lit, hi).exists(_ > 0)))
+    f match {
+      case sf.EqualTo(c, lit) => !eqNoMatch(c, lit)
+      case sf.In(c, vs) => !(vs.nonEmpty && vs.forall(v => eqNoMatch(c, v)))
+      case sf.GreaterThan(c, lit) => !(lit != null && (allNull(c) ||
+        upper(c).exists(hi => cmpValues(hi, lit).exists(_ <= 0))))
+      case sf.GreaterThanOrEqual(c, lit) => !(lit != null && (allNull(c) ||
+        upper(c).exists(hi => cmpValues(hi, lit).exists(_ < 0))))
+      case sf.LessThan(c, lit) => !(lit != null && (allNull(c) ||
+        lower(c).exists(lo => cmpValues(lo, lit).exists(_ >= 0))))
+      case sf.LessThanOrEqual(c, lit) => !(lit != null && (allNull(c) ||
+        lower(c).exists(lo => cmpValues(lo, lit).exists(_ > 0))))
+      case sf.IsNull(c) => !nullsOf(c).contains(0L)
+      case sf.IsNotNull(c) => !allNull(c)
+      case sf.And(l, r) => statsMayMatch(l, ref, meta) && statsMayMatch(r, ref, meta)
+      case sf.Or(l, r) => statsMayMatch(l, ref, meta) || statsMayMatch(r, ref, meta)
+      // ≠ prunes only when every non-null row provably EQUALS lit
+      // (lower == upper == lit, untruncated by construction when
+      // equal) — null rows never satisfy ≠ either, so no null guard
+      case sf.Not(sf.EqualTo(c, lit)) =>
+        !(lit != null && lower(c).isDefined && lower(c) == upper(c) &&
+          lower(c).exists(lo => cmpValues(lo, lit).contains(0)))
+      case _ => true
     }
   }
 
@@ -727,7 +924,8 @@ object IcebergSource {
       }
     }
     val (dataR, delsR) = resolveSeqs(data.result(), dels.result())
-    (dataR.filter(f => filters.forall(fileMayMatch(_, f.partition, meta.spec))), delsR)
+    (dataR.filter(f => filters.forall(fl =>
+      fileMayMatch(fl, f.partition, meta.spec) && statsMayMatch(fl, f, meta))), delsR)
   }
 
   /** Sequence resolution law (delete correctness hinges on it): a file
@@ -804,7 +1002,8 @@ object IcebergSource {
         if e.status == StatusAdded && e.content == 0 &&
           lineageIds.contains(e.snapshotId.getOrElse(m.addedSnapshotId)) => e.ref
     }
-      .filter(f => filters.forall(fileMayMatch(_, f.partition, meta.spec)))
+      .filter(f => filters.forall(fl =>
+        fileMayMatch(fl, f.partition, meta.spec) && statsMayMatch(fl, f, meta)))
   }
 
   /** Snapshot-pinned distributed read (time travel when `snapshotId`
@@ -965,7 +1164,8 @@ object IcebergSource {
       }
     }
     val (dataR, delsR) = resolveSeqs(data.result(), dels.result())
-    val files = dataR.filter(f => filters.forall(fileMayMatch(_, f.partition, meta.spec)))
+    val files = dataR.filter(f => filters.forall(fl =>
+      fileMayMatch(fl, f.partition, meta.spec) && statsMayMatch(fl, f, meta)))
     if (files.isEmpty) spark.emptyDataFrame
     else {
       val plain = spark.read.parquet(files.map(_.path): _*)
@@ -1075,33 +1275,84 @@ object IcebergSource {
   }
 
   /** manifest_entry schema with the spec's partition struct (name r102
-    * per the Iceberg spec's conventional partition record name). */
-  private def entrySchemaFor(partCols: Seq[(String, String)]): Schema =
-    if (partCols.isEmpty) manifestEntrySchema
-    else {
-      val pf = partCols.map { case (n, t) =>
-        s"""{"name":"$n","type":["null","$t"],"default":null}"""
-      }.mkString(",")
-      new Schema.Parser().parse(
-        s"""{"type":"record","name":"manifest_entry","fields":[
-           |{"name":"status","type":"int"},
-           |{"name":"snapshot_id","type":["null","long"],"default":null},
-           |{"name":"sequence_number","type":["null","long"],"default":null},
-           |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
-           |  {"name":"content","type":"int"},
-           |  {"name":"file_path","type":"string"},
-           |  {"name":"file_format","type":"string"},
-           |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$pf]}},
-           |  {"name":"record_count","type":"long"},
-           |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    * per the Iceberg spec's conventional partition record name) and the
+    * column-statistics maps (data_file fields 110/125/128) in the
+    * spec's array<struct<key,value>> encoding — int keys cannot use an
+    * Avro map, so the kv-record names follow the spec's k/v field-id
+    * convention (k121_v122, k126_v127, k129_v130). */
+  private def entrySchemaFor(partCols: Seq[(String, String)]): Schema = {
+    val partField =
+      if (partCols.isEmpty) ""
+      else {
+        val pf = partCols.map { case (n, t) =>
+          s"""{"name":"$n","type":["null","$t"],"default":null}"""
+        }.mkString(",")
+        s"""{"name":"partition","type":{"type":"record","name":"r102","fields":[$pf]}},"""
+      }
+    def kvMap(field: String, kvName: String, valueType: String): String =
+      s"""{"name":"$field","type":["null",{"type":"array","items":
+         |{"type":"record","name":"$kvName","fields":[
+         |{"name":"key","type":"int"},{"name":"value","type":"$valueType"}]}}],
+         |"default":null}""".stripMargin.replace("\n", "")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int"},
+         |{"name":"snapshot_id","type":["null","long"],"default":null},
+         |{"name":"sequence_number","type":["null","long"],"default":null},
+         |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+         |  {"name":"content","type":"int"},
+         |  {"name":"file_path","type":"string"},
+         |  {"name":"file_format","type":"string"},
+         |  $partField
+         |  {"name":"record_count","type":"long"},
+         |  {"name":"file_size_in_bytes","type":"long"},
+         |  ${kvMap("null_value_counts", "k121_v122", "long")},
+         |  ${kvMap("lower_bounds", "k126_v127", "bytes")},
+         |  ${kvMap("upper_bounds", "k129_v130", "bytes")}]}}]}""".stripMargin)
+  }
+
+  /** Hive-style partition path unescape (the %xx escaping Spark's
+    * dynamic-partition writer applies to directory values). */
+  private[graft] def unescapePathValue(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(c); i += 1 }
     }
+    sb.toString
+  }
+
+  /** Parse one `__gp_<name>=<value>` path segment back to the typed
+    * partition value the manifest records. */
+  private def partValueFromPath(path: String, name: String,
+      avroType: String): Any = {
+    val prefix = s"__gp_$name="
+    val seg = path.split('/').find(_.startsWith(prefix)).getOrElse(
+      throw new IllegalStateException(
+        s"partitioned write produced no $prefix segment in $path"))
+    val raw = unescapePathValue(seg.substring(prefix.length))
+    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    else avroType match {
+      case "long" => Long.box(raw.toLong)
+      case "int" => Int.box(raw.toInt)
+      case "double" => Double.box(raw.toDouble)
+      case "boolean" => Boolean.box(raw.toBoolean)
+      case _ => raw
+    }
+  }
 
   /** Distributed data-file write under `spec0` + real per-file stats:
     * the transform values live in layout-only `__gp_*` directory
     * columns (the real source columns stay in the data files, as the
-    * spec requires) and per-file row counts + partition values come
-    * from ONE aggregate job over the written files, recomputed from
-    * the source columns. Shared by append and compaction commits. */
+    * spec requires). Per-file row counts, COLUMN BOUNDS and null
+    * counts come from the parquet FOOTERS (metadata-only, read inside
+    * tasks); partition values parse back from the `__gp_*` path
+    * segments — commit never re-reads a data page (at 100× a second
+    * full scan would double every append/compaction's read I/O).
+    * Shared by append and compaction commits. */
   private def writeDataFiles(spark: SparkSession, df: DataFrame, dataDir: String,
       spec0: Seq[PartField]): Seq[DataFileRef] = {
     // fail fast on unwritable transforms (unknown names, hour over
@@ -1116,23 +1367,43 @@ object IcebergSource {
     }
     // zero part files is legal (a partitioned dynamic write of zero
     // rows — e.g. compaction where deletes covered every rewritten
-    // row — creates only _SUCCESS); reading the dir would throw an
-    // untyped schema-inference error
-    val wrotePart = {
+    // row — creates only _SUCCESS)
+    val partFiles = {
       val s = java.nio.file.Files.walk(Paths.get(dataDir))
-      try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+      try s.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toVector
       finally s.close()
     }
-    if (!wrotePart) return Seq.empty
-    val aggs = count(lit(1)).as("n") +: spec0.map(pf =>
-      first(transformCol(spark, pf, df.schema(pf.source).dataType)).as(s"pv_${pf.name}"))
-    val perFile = spark.read.parquet(dataDir)
-      .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
-      .collect()
-    perFile.toSeq.map { r =>
-      val p = r.getString(0).replaceFirst("^file:/+", "/")
-      val part = spec0.zipWithIndex.map { case (pf, i) => pf.name -> r.get(i + 2) }.toMap
-      DataFileRef(p, r.getLong(1), new File(p).length(), part)
+    if (partFiles.isEmpty) return Seq.empty
+    val partTypes = spec0.map(pf =>
+      pf.name -> avroTransformType(pf, df.schema(pf.source).dataType)).toMap
+    // field ids follow commitAppend's rule: position in the table
+    // schema + 1 (layout-only __gp_* columns never reach the files)
+    val colMeta: Map[String, (Int, String)] = df.schema.fields.zipWithIndex.map {
+      case (fld, i) => fld.name -> ((i + 1, icebergType(fld.dataType)))
+    }.toMap
+    ParquetFooters.readAll(spark, partFiles).map { fs =>
+      val part = spec0.map(pf =>
+        pf.name -> partValueFromPath(fs.path, pf.name, partTypes(pf.name))).toMap
+      val lowers = Map.newBuilder[Int, Array[Byte]]
+      val uppers = Map.newBuilder[Int, Array[Byte]]
+      val nulls = Map.newBuilder[Int, Long]
+      fs.cols.foreach { case (name, cs) =>
+        colMeta.get(name).foreach { case (id, tpe) =>
+          cs.nullCount.foreach(n => nulls += id -> n)
+          cs.lower.foreach { lo =>
+            val v = if (tpe == "string") truncLower(lo.asInstanceOf[String]) else lo
+            serializeBound(tpe, v).foreach(lowers += id -> _)
+          }
+          cs.upper.foreach { hi =>
+            val v: Option[Any] =
+              if (tpe == "string") truncUpper(hi.asInstanceOf[String]) else Some(hi)
+            v.flatMap(serializeBound(tpe, _)).foreach(uppers += id -> _)
+          }
+        }
+      }
+      DataFileRef(fs.path, fs.rowCount, fs.sizeBytes, part,
+        lowerBounds = lowers.result(), upperBounds = uppers.result(),
+        nullCounts = nulls.result())
     }
   }
 
@@ -1153,6 +1424,26 @@ object IcebergSource {
       f.partition.foreach { case (c, v) => pr.put(c, v) }
       d.put("partition", pr)
     }
+    // column stats (sorted keys for deterministic manifests); EXISTING
+    // carried-forward entries re-emit the stats they were read with,
+    // so compaction never drops pruning power
+    def putKv[V](field: String, m: Map[Int, V])(box: V => AnyRef): Unit =
+      if (m.nonEmpty && dfSchema.getField(field) != null) {
+        val arrSchema = dfSchema.getField(field).schema().getTypes.asScala
+          .find(_.getType == Schema.Type.ARRAY).get
+        val elemSchema = arrSchema.getElementType
+        val arr = new GenericData.Array[GenericRecord](m.size, arrSchema)
+        m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val r = new GenericData.Record(elemSchema)
+          r.put("key", Int.box(k))
+          r.put("value", box(v))
+          arr.add(r)
+        }
+        d.put(field, arr)
+      }
+    putKv("null_value_counts", f.nullCounts)(Long.box)
+    putKv("lower_bounds", f.lowerBounds)(java.nio.ByteBuffer.wrap)
+    putKv("upper_bounds", f.upperBounds)(java.nio.ByteBuffer.wrap)
     val e = new GenericData.Record(entrySchema)
     e.put("status", status)
     e.put("snapshot_id", Long.box(f.addedBy.filter(_ => status == StatusExisting)
@@ -1186,6 +1477,7 @@ object IcebergSource {
     val metaDir = s"$tableDir/metadata"
     val haveMeta = Files.exists(Paths.get(metaDir, "version-hint.text"))
     val parent: Option[TableMeta] = if (haveMeta) Some(readMeta(tableDir)) else None
+    parent.foreach(requireV2Plus(_, "append"))
     val spec0: Seq[PartField] =
       if (partitionSpec.nonEmpty) partitionSpec
       else if (partitionBy.nonEmpty) partitionBy.map(c => PartField(c, c, "identity"))
@@ -1239,7 +1531,7 @@ object IcebergSource {
           // windows silently cross the rewrite
           "summary" -> (JObj.of("operation" -> JStr(s.operation)): J))): _*)
 
-    val writtenFormatVersion = parent.map(_.formatVersion).getOrElse(2L) max 2L
+    val writtenFormatVersion = parent.map(_.formatVersion).getOrElse(2L)
     val baseFields = Seq(
       // never downgrade a table a DV commit raised to v3
       "format-version" -> (JInt(writtenFormatVersion): J),
@@ -1300,11 +1592,18 @@ object IcebergSource {
       |  {"name":"content_offset","type":["null","long"],"default":null},
       |  {"name":"content_size_in_bytes","type":["null","long"],"default":null}]}}]}""".stripMargin)
 
-  private def perFileCounts(spark: SparkSession, dir: String): Seq[(String, Long)] =
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => (r.getString(0).replaceFirst("^file:/+", "/"), r.getLong(1))).toSeq
+  /** Per-file row counts from parquet FOOTERS (metadata-only; delete
+    * commits write a handful of files, so driver-side reads suffice —
+    * never a second scan of the data pages just written). */
+  private def perFileCounts(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val _ = spark
+    val files = {
+      val s = java.nio.file.Files.walk(Paths.get(dir))
+      try s.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toVector
+      finally s.close()
+    }
+    files.map { p => val fs = ParquetFooters.read(p); (fs.path, fs.rowCount) }
+  }
 
   /** Commit a DELETE snapshot (merge-on-read, spec v2): position
     * deletes (`file_path` string + `pos` long — positions in DATA
@@ -1332,6 +1631,7 @@ object IcebergSource {
     require(Files.exists(Paths.get(metaDir, "version-hint.text")),
       "delete commit requires an existing table")
     val parent = readMeta(tableDir)
+    requireV2Plus(parent, "commit deletes")
     val parentSnap = parent.currentSnapshotId.map(parent.snapshot)
       .getOrElse(throw new IllegalArgumentException("cannot commit deletes to an empty table"))
     val seq = parent.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
@@ -1476,6 +1776,7 @@ object IcebergSource {
     require(Files.exists(Paths.get(metaDir, "version-hint.text")),
       "compact requires an existing table")
     val parent = readMeta(tableDir)
+    requireV2Plus(parent, "compact")
     val parentSnap = parent.currentSnapshotId.map(parent.snapshot)
       .getOrElse(throw new IllegalArgumentException("cannot compact an empty table"))
     val (files, dels) = planFiles(tableDir)

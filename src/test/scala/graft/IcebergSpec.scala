@@ -70,9 +70,13 @@ class IcebergSpec extends SparkSpec {
     val prunedRead = IcebergSource.read(spark, dir,
       filters = Seq(sqs.EqualTo("region", "eu"))).filter($"region" === "eu")
     assert(prunedRead.count() == 20)
-    // conservative: a predicate on a NON-partition column prunes nothing
-    assert(IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("id", 7L))).size
-      == files.size)
+    // column bounds (footer stats recorded in the manifests) prune
+    // files even on NON-partition columns — and the read stays exact
+    val idFiles = IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("id", 7L)))
+    assert(idFiles.nonEmpty && idFiles.size < files.size,
+      "manifest column bounds must prune non-partition predicates")
+    assert(IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("id", 7L)))
+      .filter($"id" === 7L).count() == 1)
     // In / range / And compose
     assert(IcebergSource.dataFiles(dir,
       filters = Seq(sqs.In("region", Array("us", "ap")))).forall(f =>
@@ -899,10 +903,18 @@ class IcebergSpec extends SparkSpec {
     val pruned = IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("region", "eu")))
     assert(pruned.nonEmpty && pruned.size < all.size)
     assert(pruned.forall(_.partition("region") == "eu"))
-    // range prunes via the interval rule (string order on prefixes)
-    val gt = IcebergSource.dataFiles(dir, filters = Seq(sqs.GreaterThan("region", "eu")))
-    assert(gt.map(_.partition("region")).toSet == Set("eu", "us"),
+    // range prunes via the interval rule (string order on prefixes);
+    // the transform rule alone must keep eu (T(v)=v may straddle) —
+    // pinned directly so column-bounds pruning can't mask a regression
+    val gtTransform = all.filter(f => IcebergSource.fileMayMatch(
+      sqs.GreaterThan("region", "eu"), f.partition, meta.spec))
+    assert(gtTransform.map(_.partition("region")).toSet == Set("eu", "us"),
       "eu may straddle (kept), ap provably below (pruned)")
+    // the full planner ALSO applies column bounds, which prove the eu
+    // file's every row equals 'eu' — so it prunes further, soundly
+    val gt = IcebergSource.dataFiles(dir, filters = Seq(sqs.GreaterThan("region", "eu")))
+    assert(gt.map(_.partition("region")).toSet == Set("us"),
+      "column bounds prove eu has no row > 'eu'")
     // and the read of the pruned plan is exact after the engine filter
     val got = IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("region", "eu")))
       .filter($"region" === "eu")
@@ -927,5 +939,148 @@ class IcebergSpec extends SparkSpec {
     assert(v1.currentSnapshotId.contains(1L) && v1.snapshots.map(_.id) == Seq(1L))
     val v2 = IcebergSource.readMeta(dir, version = 2)
     assert(v2.snapshots.map(_.id) == Seq(1L, 2L))
+  }
+
+  test("manifest column bounds: footer stats prune an UNpartitioned table; " +
+      "missing bounds and nulls stay conservative") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    // 8 files with disjoint id ranges (range partitioner) — pruning on
+    // a selective predicate must drop most of them
+    val df = (0 until 800).map(i => (i.toLong, s"tag${i % 7}",
+      if (i % 5 == 0) null else s"s$i",
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays((i / 100).toLong))))
+      .toDF("id", "tag", "maybe", "d")
+      .repartitionByRange(8, col("id"))
+    IcebergSource.commitAppend(spark, dir, df, 1L, 1L)
+
+    val all = IcebergSource.dataFiles(dir)
+    assert(all.size == 8)
+    // bounds were written for every supported column
+    assert(all.forall(f => f.lowerBounds.nonEmpty && f.upperBounds.nonEmpty))
+    assert(all.forall(_.nullCounts.nonEmpty))
+
+    // long range: id < 100 plans exactly the files whose range overlaps
+    val lt = IcebergSource.dataFiles(dir, filters = Seq(sqs.LessThan("id", 100L)))
+    assert(lt.nonEmpty && lt.size < all.size, s"expected pruning, got ${lt.size}/${all.size}")
+    assert(IcebergSource.read(spark, dir, filters = Seq(sqs.LessThan("id", 100L)))
+      .filter($"id" < 100L).count() == 100)
+    // equality on one id hits exactly one file
+    assert(IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("id", 7L))).size == 1)
+    // In prunes to the union of matching files
+    val inF = IcebergSource.dataFiles(dir,
+      filters = Seq(sqs.In("id", Array(7L, 777L))))
+    assert(inF.size == 2)
+    // date bounds prune too (epoch-day comparison on both sides)
+    val dLt = IcebergSource.dataFiles(dir, filters = Seq(
+      sqs.LessThan("d", java.sql.Date.valueOf("2024-01-02"))))
+    assert(dLt.nonEmpty && dLt.size < all.size, "date bounds must prune")
+    // IsNull keeps files (every file has some nulls in `maybe`); a
+    // column with zero nulls prunes IsNull everywhere
+    assert(IcebergSource.dataFiles(dir, filters = Seq(sqs.IsNull("maybe"))).size == 8)
+    assert(IcebergSource.dataFiles(dir, filters = Seq(sqs.IsNull("id"))).isEmpty,
+      "null-count 0 proves IsNull matches no row")
+    assert(IcebergSource.dataFiles(dir, filters = Seq(sqs.IsNotNull("maybe"))).size == 8)
+    // double column: bounds deliberately absent (NaN soundness) → keep
+    val dbl = (0 until 100).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    val dir2 = s"${tmpDir()}/tbl2"
+    IcebergSource.commitAppend(spark, dir2, dbl, 1L, 1L)
+    assert(IcebergSource.dataFiles(dir2,
+      filters = Seq(sqs.GreaterThan("v", 1e9))).size == 4,
+      "no float/double bounds → conservative keep")
+    // predicates survive the full read path with deletes absent
+    val eqRead = IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("id", 7L)))
+      .filter($"id" === 7L)
+    assert(eqRead.count() == 1)
+  }
+
+  test("bound serde + string truncation: Appendix-D round-trip, truncated " +
+      "bounds stay sound, unknown types decode to no bound") {
+    import IcebergSource.{serializeBound, deserializeBound, truncLower, truncUpper}
+    for ((t, v) <- Seq[(String, Any)]("int" -> 42, "long" -> 42L,
+        "boolean" -> true, "date" -> java.time.LocalDate.of(2024, 3, 1),
+        "string" -> "héllo")) {
+      val b = serializeBound(t, v).get
+      assert(deserializeBound(t, b).contains(v), s"round-trip $t")
+    }
+    // spec widths: int/date 4 LE, long 8 LE
+    assert(serializeBound("int", 1).get.toSeq == Seq[Byte](1, 0, 0, 0))
+    assert(serializeBound("long", 1L).get.length == 8)
+    // mismatched runtime type or unknown type name → no bound
+    assert(serializeBound("long", 1).isEmpty)
+    assert(serializeBound("timestamptz", 1L).isEmpty)
+    assert(deserializeBound("int", Array[Byte](1, 2)).isEmpty)
+    assert(deserializeBound("uuid", Array[Byte](1)).isEmpty)
+    // truncation: lower is a prefix (≤ every extension), upper
+    // increments (≥ every extension); short strings pass untouched
+    val s = "abcdefghijklmnopqrst" // 20 cps
+    assert(truncLower(s) == "abcdefghijklmnop")
+    assert(truncUpper(s).contains("abcdefghijklmnoq"))
+    assert(truncLower("short") == "short" && truncUpper("short").contains("short"))
+    assert(truncLower(s) <= s && truncUpper(s).get > s)
+    // a max-code-point tail walks left; an all-max string yields None
+    val allMax = new String(Array.fill(17)(Character.MAX_CODE_POINT), 0, 17)
+    assert(truncUpper(allMax).isEmpty)
+  }
+
+  test("commit reads no data pages: stats come from footers, input bytes stay " +
+      "metadata-sized") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    // ~1M rows from memory: any regression to a re-read of the written
+    // parquet would record MBs of task input bytes
+    val big = spark.range(1000000L).select(col("id"),
+      (col("id") % 97).as("k"), concat(lit("row"), col("id")).as("tag"))
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      IcebergSource.commitAppend(spark, dir, big.repartition(8), 1L, 1L)
+      Thread.sleep(500) // let straggler task-end events drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val dataBytes = IcebergSource.dataFiles(dir).map(_.sizeBytes).sum
+    assert(dataBytes > (2L << 20), s"fixture too small: $dataBytes")
+    assert(bytesRead.get() < dataBytes / 10,
+      s"commit read ${bytesRead.get()} input bytes against $dataBytes written — " +
+        "stats must come from footers, not a second scan")
+    // and the footer-derived stats are REAL: counts + bounds match
+    val files = IcebergSource.dataFiles(dir)
+    assert(files.map(_.recordCount).sum == 1000000L)
+    val meta = IcebergSource.readMeta(dir)
+    val idId = meta.fieldNamesById.map(_.swap).apply("id").toInt
+    val los = files.flatMap(f => f.lowerBounds.get(idId))
+      .flatMap(IcebergSource.deserializeBound("long", _)).map(_.asInstanceOf[Long])
+    val his = files.flatMap(f => f.upperBounds.get(idId))
+      .flatMap(IcebergSource.deserializeBound("long", _)).map(_.asInstanceOf[Long])
+    assert(los.min == 0L && his.max == 999999L)
+  }
+
+  test("format-version 1 tables: readable, but every commit path refuses typed") {
+    val dir = s"${tmpDir()}/tbl"
+    IcebergSource.commitAppend(spark, dir, nums(0, 20), 1L, 1L)
+    val metaPath = java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json")
+    val json = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    java.nio.file.Files.write(metaPath,
+      json.replace("\"format-version\":2", "\"format-version\":1").getBytes("UTF-8"))
+    assert(IcebergSource.readMeta(dir).formatVersion == 1L)
+    assert(IcebergSource.read(spark, dir).count() == 20, "v1 reads stay supported")
+    val e1 = intercept[graft.core.GraftError.Plan](
+      IcebergSource.commitAppend(spark, dir, nums(20, 30), 2L, 2L))
+    assert(e1.getMessage.contains("format-version 1"))
+    import spark.implicits._
+    val e2 = intercept[graft.core.GraftError.Plan](
+      IcebergSource.commitDeletes(spark, dir,
+        eqDeletes = Some((Seq("row1").toDF("tag"), Seq("tag"))),
+        snapshotId = 2L, timestampMs = 2L))
+    assert(e2.getMessage.contains("format-version 1"))
+    val e3 = intercept[graft.core.GraftError.Plan](
+      IcebergSource.compact(spark, dir, 2L, 2L))
+    assert(e3.getMessage.contains("format-version 1"))
   }
 }
