@@ -1640,6 +1640,10 @@ object IcebergSource {
         format: String = "PARQUET", refFile: Option[String] = None,
         offset: Option[Long] = None, size: Option[Long] = None)
     val written = Seq.newBuilder[Written]
+    // data files whose prior DV entries this commit supersedes (their
+    // positions are merged into the new blobs, and the old entries are
+    // retired from the carried-forward manifests below)
+    var supersededDvRefs: Set[String] = Set.empty
     dvDeletes.foreach { ddf =>
       // DV construction is per referenced data file: positions group
       // by file (each group is one file's deleted rows — bounded by
@@ -1652,19 +1656,62 @@ object IcebergSource {
       // persisted across the probe + collect: the budget gate must not
       // re-execute an expensive upstream plan a second time
       val cached = ddf
-        .select(col("file_path").cast("string").as("f"), col("pos").cast("long").as("p"))
+        .select(normPath(col("file_path").cast("string")).as("f"),
+          col("pos").cast("long").as("p"))
         .persist()
-      val nPos = cached.count()
-      if (nPos > budget) {
+      def refuseBudget(n: Long): Nothing = {
         cached.unpersist()
         throw graft.core.GraftError.Plan(
-          s"iceberg fidelity: DV commit carries $nPos delete positions (> $budget budget) — " +
+          s"iceberg fidelity: DV commit carries $n delete positions (> $budget budget) — " +
             "split the delete set into multiple commits (one DV per data file is rewritten " +
             "wholesale anyway)")
       }
+      val nPos = cached.count()
+      if (nPos > budget) refuseBudget(nPos)
+      // v3 merge law: a data file carries AT MOST ONE deletion vector,
+      // and a DV supersedes position delete FILES for its data file —
+      // so a new DV must FOLD IN every existing position delete
+      // (parquet or earlier DV) for the files it references; writing
+      // it unmerged would let the read-side supersede rule resurrect
+      // the earlier deleted rows.
+      val refs = cached.select("f").distinct().collect().map(_.getString(0)).toSet
+      val (_, liveDels) = planFiles(tableDir)
+      val oldDvs = liveDels.filter(d => d.isDv &&
+        d.referencedFile.exists(r => refs(r.replaceFirst("^file:/+", "/"))))
+      supersededDvRefs = oldDvs.flatMap(_.referencedFile)
+        .map(_.replaceFirst("^file:/+", "/")).toSet
+      // earlier DV blobs decode driver-side here: each is one file's
+      // roaring bitmap (the same bounded shape the budget governs, and
+      // the merged count is re-gated below)
+      import spark.implicits._
+      val oldDvPos: Option[DataFrame] =
+        if (oldDvs.isEmpty) None
+        else Some(oldDvs.flatMap { d =>
+          Puffin.readDeletionVector(d.path, d.contentOffset.get, d.contentSize.get)
+            .map(p => (d.referencedFile.get.replaceFirst("^file:/+", "/"), p))
+        }.toDF("f", "p"))
+      val oldPqFiles = liveDels.filter(d => d.content == 1 && !d.isDv)
+      val oldPqPos: Option[DataFrame] =
+        if (oldPqFiles.isEmpty) None
+        else {
+          val refsDf = refs.toSeq.toDF("__ref")
+          Some(spark.read.parquet(oldPqFiles.map(_.path): _*)
+            .select(normPath(col("file_path")).as("f"), col("pos").cast("long").as("p"))
+            .join(broadcast(refsDf), col("f") === col("__ref"), "left_semi"))
+        }
+      val merged0 = (Seq(cached.toDF()) ++ oldDvPos.toSeq ++ oldPqPos.toSeq)
+        .reduce(_ unionByName _)
+      val mergedCached =
+        if (oldDvPos.isEmpty && oldPqPos.isEmpty) cached
+        else {
+          val m = merged0.distinct().persist()
+          val nAll = m.count()
+          if (nAll > budget) { m.unpersist(); refuseBudget(nAll) }
+          m
+        }
       val rows =
-        try cached.groupBy("f").agg(collect_list("p").as("ps")).collect()
-        finally cached.unpersist()
+        try mergedCached.groupBy("f").agg(collect_list("p").as("ps")).collect()
+        finally { mergedCached.unpersist(); cached.unpersist() }
       val perFile = rows
         .map(r => Puffin.Dv(r.getString(0), r.getSeq[Long](1)))
         .sortBy(_.referencedDataFile)
@@ -1715,10 +1762,42 @@ object IcebergSource {
     }
     val manifestLen = writeAvro(manifestPath, deleteEntrySchema, entryRecs)
 
-    val priorCopies = readAvro(parentSnap.manifestList).map { m =>
+    // carry prior manifests forward — RETIRING any deletion-vector
+    // entry this commit superseded (its positions are already folded
+    // into the new blob; leaving the old entry would both violate the
+    // spec's at-most-one-DV-per-file invariant for foreign readers and
+    // double-apply under our union reader). The rewritten manifest
+    // keeps the ORIGINAL added_snapshot_id so surviving entries'
+    // sequence numbers resolve unchanged.
+    var rewriteIdx = 0
+    val priorCopies = readAvro(parentSnap.manifestList).flatMap { m =>
       val r = new GenericData.Record(manifestFileSchema)
       manifestFileSchema.getFields.asScala.foreach(f => r.put(f.name(), m.get(f.name())))
-      r
+      val isDeleteManifest = longField(m, "content") == 1L
+      if (supersededDvRefs.isEmpty || !isDeleteManifest) Some(r)
+      else {
+        val path = m.get("manifest_path").toString
+        val old = readAvro(path)
+        def superseded(e: GenericRecord): Boolean = {
+          val df0 = e.get("data_file").asInstanceOf[GenericRecord]
+          val fmt = Option(df0.get("file_format")).map(_.toString).getOrElse("")
+          fmt.equalsIgnoreCase("PUFFIN") &&
+            Option(df0.getSchema.getField("referenced_data_file"))
+              .flatMap(_ => Option(df0.get("referenced_data_file"))).map(_.toString)
+              .exists(ref => supersededDvRefs(ref.replaceFirst("^file:/+", "/")))
+        }
+        val kept = old.filterNot(superseded)
+        if (kept.length == old.length) Some(r)
+        else if (kept.isEmpty) None // every entry superseded: drop the manifest
+        else {
+          rewriteIdx += 1
+          val newPath = s"$metaDir/manifest-$snapshotId-retire-$rewriteIdx.avro"
+          val len = writeAvro(newPath, old.head.getSchema, kept)
+          r.put("manifest_path", newPath)
+          r.put("manifest_length", len)
+          Some(r)
+        }
+      }
     }
     val newManifest = new GenericData.Record(manifestFileSchema)
     newManifest.put("manifest_path", manifestPath)
@@ -1853,7 +1932,11 @@ object IcebergSource {
     * EXISTING entries must come from their explicit entry-level
     * sequence_number — [[resolveSeqs]] refuses typed if it cannot
     * (the silent seq=0 default would re-apply every delete). */
-  def expireSnapshots(tableDir: String, keep: Set[Long], timestampMs: Long): TableMeta = {
+  def expireSnapshots(tableDir: String, keep: Set[Long], timestampMs: Long): TableMeta =
+    expireSnapshots(tableDir, keep, timestampMs, gc = false)
+
+  def expireSnapshots(tableDir: String, keep: Set[Long], timestampMs: Long,
+      gc: Boolean): TableMeta = {
     val metaDir = s"$tableDir/metadata"
     val meta = readMeta(tableDir)
     val current = meta.currentSnapshotId.getOrElse(
@@ -1881,7 +1964,66 @@ object IcebergSource {
       CanonicalJson.render(newJson).getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(metaDir, "version-hint.text"),
       version.toString.getBytes(StandardCharsets.UTF_8))
+    // metadata flip FIRST, file deletion second: a crash between the
+    // two steps leaves only unreferenced orphans on disk (cleaned by
+    // any later GC pass), never a dangling reference
+    if (gc) gcUnreachableFiles(tableDir)
     readMeta(tableDir)
+  }
+
+  /** Garbage-collect files unreachable from the CURRENT metadata's
+    * snapshots: expired snapshots' manifest lists, manifests no kept
+    * snapshot references, and data/delete/puffin files no reachable
+    * manifest entry names (status=2 entries count as reachable —
+    * conservative). Real tables reclaim space after [[expireSnapshots]];
+    * the walk is metadata-driven and deletes are idempotent, so a crash
+    * mid-GC is re-runnable. Old vN.metadata.json history files are
+    * KEPT (readers pinned to an old version resolve immutable
+    * metadata; pruning that history is a separate policy decision).
+    * Returns the deleted paths. */
+  def gcUnreachableFiles(tableDir: String): Seq[String] = {
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val meta = readMeta(tableDir)
+    val reachable = scala.collection.mutable.Set.empty[String]
+    meta.snapshots.foreach { s =>
+      reachable += norm(s.manifestList)
+      manifests(s.manifestList, None).foreach { m =>
+        reachable += norm(m.path)
+        entries(m.path).foreach(e => reachable += norm(e.ref.path))
+      }
+    }
+    def walkFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
+      if (!Files.exists(dir)) Seq.empty
+      else {
+        val s = Files.walk(dir)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).toVector
+        finally s.close()
+      }
+    val dataCandidates = walkFiles(Paths.get(tableDir, "data")).filter { p =>
+      val n = p.toString
+      n.endsWith(".parquet") || n.endsWith(".puffin")
+    }
+    val metaCandidates = walkFiles(Paths.get(tableDir, "metadata"))
+      .filter(_.toString.endsWith(".avro"))
+    val doomed = (dataCandidates ++ metaCandidates)
+      .filterNot(p => reachable(norm(p.toString)))
+    doomed.foreach(Files.deleteIfExists(_))
+    // sweep now-empty directories under data/ (cosmetic, best-effort)
+    val dirs = {
+      val d = Paths.get(tableDir, "data")
+      if (!Files.exists(d)) Seq.empty
+      else {
+        val s = Files.walk(d)
+        try s.iterator().asScala.filter(Files.isDirectory(_)).toVector
+        finally s.close()
+      }
+    }
+    dirs.sortBy(-_.getNameCount).foreach { d =>
+      val s = Files.list(d)
+      val empty = try !s.iterator().hasNext finally s.close()
+      if (empty) Files.deleteIfExists(d)
+    }
+    doomed.map(_.toString)
   }
 
   /** Carry the current metadata forward verbatim, bumping only the

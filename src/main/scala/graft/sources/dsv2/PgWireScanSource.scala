@@ -93,12 +93,20 @@ final class PgWireScanBuilder(name: String, entry: PgWireRegistry.Entry)
   private def clause(f: Filter): Option[String] = {
     def p(c: String, op: String, v: Any): Option[String] =
       if (entry.pushable.contains(c)) pgLiteral(v).map(l => s"$c $op $l") else None
+    // string RANGES are not pushable as Exact: PostgreSQL orders text
+    // under the column's collation (en_US puts 'a' < 'B') while Spark
+    // compares binary UTF-8, so a pushed range could return different
+    // rows with no residual re-check. Equality is collation-safe for
+    // PG's deterministic collations (byte equality); ranges on strings
+    // stay Spark-side as residuals.
+    def rangeP(c: String, op: String, v: Any): Option[String] =
+      if (v.isInstanceOf[String]) None else p(c, op, v)
     f match {
       case EqualTo(c, v) => p(c, "=", v)
-      case GreaterThan(c, v) => p(c, ">", v)
-      case GreaterThanOrEqual(c, v) => p(c, ">=", v)
-      case LessThan(c, v) => p(c, "<", v)
-      case LessThanOrEqual(c, v) => p(c, "<=", v)
+      case GreaterThan(c, v) => rangeP(c, ">", v)
+      case GreaterThanOrEqual(c, v) => rangeP(c, ">=", v)
+      case LessThan(c, v) => rangeP(c, "<", v)
+      case LessThanOrEqual(c, v) => rangeP(c, "<=", v)
       case _ => None
     }
   }

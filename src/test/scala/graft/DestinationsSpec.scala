@@ -155,6 +155,25 @@ class DestinationsSpec extends SparkSpec {
       val copySqls = graft.sources.dsv2.PgWireRegistry.issuedSql.values.flatten.toVector
       assert(copySqls.exists(s => s.contains("SELECT k FROM accts") && s.contains("k <= 3")),
         s"pushdown must reach the COPY statement: $copySqls")
+
+      // string RANGES never push (PG collation order ≠ Spark's binary
+      // UTF-8 order, and Exact pushdown skips the residual re-check);
+      // string EQUALITY pushes (byte equality is collation-safe under
+      // PG's deterministic collations)
+      val strScan = PgWire.scanBinary(spark, "127.0.0.1", server.port, "graft", "graft",
+        "accts", schema, wheres = Seq("k % 2 = 0", "k % 2 = 1"), pushable = Set("k", "v"))
+      // 'B2' and 'D2' sort BELOW 'b' in binary UTF-8 but above it
+      // under en_US-style collations — exactly the divergence that
+      // makes a pushed range wrong
+      val gotRange = strScan.where("v > 'b'").collect().map(_.getString(1)).sorted.toSeq
+      assert(gotRange == state().map(_._2).filter(_ > "b").sorted)
+      val sqlsAfterRange = graft.sources.dsv2.PgWireRegistry.issuedSql.values.flatten.toVector
+      assert(!sqlsAfterRange.exists(_.contains("v >")),
+        s"string range must stay a Spark-side residual: $sqlsAfterRange")
+      strScan.where("v = 'c'").collect()
+      val sqlsAfterEq = graft.sources.dsv2.PgWireRegistry.issuedSql.values.flatten.toVector
+      assert(sqlsAfterEq.exists(_.contains("v = 'c'")),
+        s"string equality should push: $sqlsAfterEq")
     } finally server.stop()
   }
 

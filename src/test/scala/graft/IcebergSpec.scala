@@ -603,11 +603,12 @@ class IcebergSpec extends SparkSpec {
       s"DV deletes should broadcast-anti-join:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in DV plan:\n$plan")
 
-    // SUPERSEDE rule (v3 spec): once a data file is covered by a DV,
-    // readers must IGNORE position delete FILES for it — the DV
-    // writer is required to carry previous deletes forward. Fresh
-    // table: a parquet position delete of id 0 (snap 2), then a DV of
-    // id 1 only (snap 3). The spec-conformant read resurrects id 0.
+    // SUPERSEDE + MERGE law (v3 spec): once a data file is covered by
+    // a DV, readers IGNORE position delete FILES for it — so the DV
+    // WRITER must fold every existing position delete for that file
+    // into the new blob. Fresh table: a parquet position delete of
+    // id 0 (snap 2), then a DV of id 1 only (snap 3): the committed
+    // blob must carry BOTH, or id 0 would silently resurrect.
     val dir2 = s"${tmpDir()}/tbl2"
     IcebergSource.commitAppend(spark, dir2, nums(0, 10), 1L, 1L)
     val p2 = IcebergSource.dataFiles(dir2).map(_.path)
@@ -623,8 +624,30 @@ class IcebergSpec extends SparkSpec {
     IcebergSource.commitDeletes(spark, dir2,
       dvDeletes = Some(coords2(_ === 1)), snapshotId = 3L, timestampMs = 3L)
     assert(IcebergSource.read(spark, dir2).select("id").as[Long].collect().toSet ==
-      Set(0L) ++ (2L until 10L).toSet,
-      "DV supersedes the parquet position-delete file for its data file")
+      (2L until 10L).toSet,
+      "DV commit must merge the parquet position-delete file it supersedes")
+    // time travel before the DV still sees only the parquet delete
+    assert(IcebergSource.read(spark, dir2, Some(2L)).select("id").as[Long]
+      .collect().toSet == (1L until 10L).toSet)
+
+    // DV-then-DV: the second commit folds the first blob in and
+    // RETIRES the old entry — at most one live DV per data file
+    IcebergSource.commitDeletes(spark, dir2,
+      dvDeletes = Some(coords2(_ === 2)), snapshotId = 4L, timestampMs = 4L)
+    assert(IcebergSource.read(spark, dir2).select("id").as[Long].collect().toSet ==
+      (3L until 10L).toSet)
+    val (_, liveDels2) = IcebergSource.planFiles(dir2)
+    val dvsPerFile = liveDels2.filter(_.isDv).groupBy(_.referencedFile.get
+      .replaceFirst("^file:/+", "/")).view.mapValues(_.size).toMap
+    assert(dvsPerFile.values.forall(_ == 1),
+      s"at most one live DV per data file, got $dvsPerFile")
+    // ...and the merged blob's cardinality covers all three deletes
+    val totalDvCard = liveDels2.filter(_.isDv).map(d =>
+      Puffin.readDeletionVector(d.path, d.contentOffset.get, d.contentSize.get).size).sum
+    assert(totalDvCard == 3, s"merged DV should hold 3 positions, got $totalDvCard")
+    // time travel to snapshot 3 still sees exactly snap-3's merge state
+    assert(IcebergSource.read(spark, dir2, Some(3L)).select("id").as[Long]
+      .collect().toSet == (2L until 10L).toSet)
   }
 
   test("inheritance-style manifests: null entry snapshot_id falls back to the manifest's adding snapshot in the append-diff") {
@@ -1059,6 +1082,62 @@ class IcebergSpec extends SparkSpec {
     val his = files.flatMap(f => f.upperBounds.get(idId))
       .flatMap(IcebergSource.deserializeBound("long", _)).map(_.asInstanceOf[Long])
     assert(los.min == 0L && his.max == 999999L)
+  }
+
+  test("snapshot-expiry GC: unreachable files deleted, reads exact, and the " +
+      "crash window between metadata flip and deletion stays readable") {
+    import org.apache.spark.sql.functions.expr
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    IcebergSource.commitAppend(spark, dir, nums(0, 50), 1L, 1L)
+    val paths = IcebergSource.dataFiles(dir).map(_.path)
+    val posDf = spark.read.parquet(paths: _*)
+      .select(col("id"), expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+      .filter(col("id") % 5 === 0).select("file_path", "pos")
+    IcebergSource.commitDeletes(spark, dir, posDeletes = Some(posDf),
+      snapshotId = 2L, timestampMs = 2L)
+    // compaction rewrites every file (deletes fold in) → snapshot 1's
+    // data files and snapshot 2's delete files become historical
+    IcebergSource.compact(spark, dir, 3L, 3L)
+    val expect = (0 until 50).filterNot(_ % 5 == 0).map(_.toLong).toSet
+    assert(IcebergSource.read(spark, dir).select("id").as[Long].collect().toSet == expect)
+
+    def allFiles(): Set[String] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.toString).toSet
+      finally s.close()
+    }
+    val beforeExpiry = allFiles()
+
+    // CRASH WINDOW: metadata flips, GC never runs — the table must
+    // read exactly, with every pre-expiry file still on disk (orphans
+    // only, never dangling references)
+    IcebergSource.expireSnapshots(dir, keep = Set(3L), timestampMs = 4L, gc = false)
+    assert(IcebergSource.read(spark, dir).select("id").as[Long].collect().toSet == expect)
+    assert(allFiles().intersect(beforeExpiry) == beforeExpiry,
+      "the flip-only half of expiry must delete nothing")
+    // time travel to the expired snapshot now fails typed
+    intercept[IllegalArgumentException](IcebergSource.read(spark, dir, Some(1L)))
+
+    // GC (the re-runnable second half): orphans removed, reads exact
+    val deleted = IcebergSource.gcUnreachableFiles(dir)
+    assert(deleted.nonEmpty, "expired snapshots must leave something to collect")
+    assert(deleted.exists(_.contains("/data/snap-1/")), "snap-1 data files are orphans")
+    assert(deleted.exists(_.contains("snap-2-pos-deletes")), "old delete files are orphans")
+    assert(deleted.exists(_.endsWith("-manifest-list.avro")),
+      "expired snapshots' manifest lists are orphans")
+    assert(IcebergSource.read(spark, dir).select("id").as[Long].collect().toSet == expect)
+    // live files survive: the current snapshot still plans and reads
+    val live = IcebergSource.dataFiles(dir).map(_.path).toSet
+    assert(live.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    // idempotent: a second pass (crash-rerun shape) finds nothing
+    assert(IcebergSource.gcUnreachableFiles(dir).isEmpty)
+    // old metadata.json history is kept by design (pinned readers)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json")))
   }
 
   test("format-version 1 tables: readable, but every commit path refuses typed") {
