@@ -120,6 +120,17 @@ object Bench {
       val d = program.annotate(li)
       d.write.format("noop").mode("overwrite").save(); liRows
     })
+    // COLUMNAR counts path (contract.ColumnarValidation): rule kernels
+    // run against the scan's ColumnVectors, the scan decodes ONLY the
+    // gated columns, and no row is ever materialized — the shape the
+    // reference's validation-throughput cells measure when the consumer
+    // wants quality counts rather than annotated rows.
+    val liPolicy = graft.catalog.CoreQueries.lineitemPolicy
+    val columnarRps = marked("validate_columnar_rows_per_sec")(timed(6) { _ =>
+      val r = graft.contract.ColumnarValidation.counts(li, liPolicy)
+      require(r.columnar, s"columnar cell fell back: ${r.fallbackReason}")
+      liRows
+    })
     val sinkRps = marked("parquet_sink_rows_per_sec")(timed(6) { i =>
       li.write.parquet(s"$sinkDir/li_$i"); liRows
     })
@@ -242,6 +253,39 @@ object Bench {
     val validateRowGbCore = cellOf(rowBytes, pairWalls.map(_._3))
     val noopRowGbCore = cellOf(rowBytes, pairWalls.map(_._2))
     val scanRowGbCore = cellOf(rowBytes, pairWalls.map(_._1))
+    // per-core COLUMNAR kernel cell: same one-split file, same
+    // inspected-bytes accounting as validate_gb_per_sec_core, but the
+    // counts path — the row cells above pay vectorized-decode of all
+    // 16 columns + ColumnarToRow + sink iteration; this one pays
+    // decode of the 5 gated columns + the kernels. The delta IS the
+    // row-pipeline tax the r9 analysis recorded.
+    val colKernelOnce = () => {
+      val r = graft.contract.ColumnarValidation.counts(li1p, liPolicy)
+      require(r.columnar, s"per-core columnar cell fell back: ${r.fallbackReason}")
+    }
+    colKernelOnce() // warmup (plan + JIT)
+    val colWalls = marked("validate_columnar_gb_per_sec_core")((1 to 8).map { _ =>
+      val t0 = System.nanoTime(); colKernelOnce(); (System.nanoTime() - t0) / 1e9
+    })
+    val columnarGbCore = cellOf(inspectedBytes, colWalls)
+    // KERNEL-ONLY cell: the same kernels over already-DECODED on-heap
+    // vectors (built outside the timed region) — the exact shape of
+    // the reference's 3–7 GB/s/core cells, which never pay a decode
+    // either. validate_columnar minus this = the parquet-decode share.
+    val gatedCols = liPolicy.rules.map(_.column).distinct
+    val (kBatch, kSchema) = graft.tools.KernelFixture.onHeapBatch(li1p, gatedCols)
+    val (kIdxs, kKerns, kRanks) = graft.contract.ColumnarValidation
+      .bindKernels(kSchema, liPolicy).fold(r => sys.error(s"kernel bind: $r"), identity)
+    def kernelOnce(): Unit = {
+      val c = graft.contract.ColumnarValidation
+        .evalBatches(Iterator.single(kBatch), kIdxs, kKerns, kRanks)
+      require(c.totalRows == liRows, s"kernel cell rows ${c.totalRows} != $liRows")
+    }
+    kernelOnce() // warmup
+    val kernelWalls = marked("validate_kernel_only_gb_per_sec_core")((1 to 8).map { _ =>
+      val t0 = System.nanoTime(); kernelOnce(); (System.nanoTime() - t0) / 1e9
+    })
+    val kernelGbCore = cellOf(inspectedBytes, kernelWalls)
     // restore the split policy before the query sweep's parquet reads
     prevMpb.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
       spark.conf.set("spark.sql.files.maxPartitionBytes", _))
@@ -252,6 +296,9 @@ object Bench {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkDir))
     val derivedCells: Seq[(String, Cell, Double => String)] = Seq(
       ("validate_rows_per_sec", validateRps, fRate),
+      ("validate_columnar_rows_per_sec", columnarRps, fRate),
+      ("validate_columnar_gb_per_sec_core", columnarGbCore, fGb),
+      ("validate_kernel_only_gb_per_sec_core", kernelGbCore, fGb),
       ("validate_gb_per_sec_core", validateGbCore, fGb),
       ("validate_row_gb_per_sec_core", validateRowGbCore, fGb),
       ("validate_noop_row_gb_per_sec_core", noopRowGbCore, fGb),
@@ -271,6 +318,9 @@ object Bench {
       "\"validate_stability\":" + f(validateRps.stability),
       "\"sink_stability\":" + f(sinkRps.stability),
       "\"e2e_stability\":" + f(e2eRps.stability),
+      "\"columnar_stability\":" + f(columnarRps.stability),
+      "\"columnar_core_pair_stability\":" + f(columnarGbCore.stability),
+      "\"kernel_core_pair_stability\":" + f(kernelGbCore.stability),
       "\"validate_core_pair_stability\":" + f(validateGbCore.stability),
       "\"scan_core_pair_stability\":" + f(scanRowGbCore.stability),
       "\"noop_core_pair_stability\":" + f(noopRowGbCore.stability)))

@@ -203,6 +203,26 @@ object CoreQueries {
     (s, d) => ValidationProgram.compile(lineitemPolicy).ruleOutcomeCounts(t(s, d, "lineitem"))
   }
 
+  val validationColumnar: QueryDef = QueryDef.sqlBacked(
+    "q_validation_columnar",
+    "SELECT\n" + sqlRulePass.map { case (id, p) =>
+      s"""  CAST(SUM(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS ${id}__pass,
+         |  CAST(SUM(CASE WHEN $p THEN 0 ELSE 1 END) AS BIGINT) AS ${id}__violation""".stripMargin
+    }.mkString(",\n") +
+      s""",
+         |  CAST(SUM(CASE WHEN ${sqlRulePass.map(_._2).mkString(" AND ")} THEN 1 ELSE 0 END) AS BIGINT) AS accept_n,
+         |  CAST(SUM(CASE WHEN ${sqlRulePass.map(_._2).mkString(" AND ")} THEN 0 ELSE 1 END) AS BIGINT) AS quarantine_n
+         |FROM lineitem""".stripMargin,
+    doc = "Rule-outcome + disposition counts via the COLUMNAR kernel — rule " +
+      "predicates evaluate against the parquet scan's ColumnVectors and only " +
+      "counts leave the executor, no row materialization (cdf vector.rs:500-760; " +
+      "the reference's per-core validation cells are kernels of this shape).") {
+    (s, d) =>
+      val r = ColumnarValidation.counts(t(s, d, "lineitem"), lineitemPolicy)
+      require(r.columnar, s"columnar path must run over parquet: ${r.fallbackReason}")
+      ColumnarValidation.toDf(s, lineitemPolicy, r.counts)
+  }
+
   val validationSplit: QueryDef = QueryDef.sqlBacked(
     "q_validation_split",
     s"""SELECT disposition, CAST(COUNT(*) AS BIGINT) AS n
@@ -351,7 +371,7 @@ object CoreQueries {
 
   val all: Seq[QueryDef] = Seq(
     scanProjectFilter, scalarTransform, batchStats, segmentPruning,
-    q1Agg, q3Join, validationVerdicts, validationSplit,
+    q1Agg, q3Join, validationVerdicts, validationColumnar, validationSplit,
     dedupExact, dedupKeyedLast, mergeUpsert, cdcApply, cdcStream,
     lateDataSplit, incrementalCursor)
 }

@@ -1,0 +1,590 @@
+package graft.contract
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnVector
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Columnar validation kernel: evaluates a [[ContractPolicy]] directly
+  * over the parquet scan's `ColumnarBatch`es — rule predicates run
+  * column-at-a-time against the vectorized reader's `ColumnVector`s and
+  * only COUNTS leave the executor, so no `UnsafeRow` is ever
+  * materialized (cdf: crates/cdf-contract/src/vector.rs:500-760 — the
+  * reference's per-core validation cells are columnar kernels of this
+  * shape; the row-pipeline [[ValidationProgram]] remains the path for
+  * consumers that need the annotated rows themselves).
+  *
+  * Execution shape: the plan is pruned to the rules' columns (the
+  * parquet scan then decodes ONLY those), `ColumnarToRow` is never
+  * entered, and each task folds its batches into a fixed-size counts
+  * accumulator — a single map stage, no shuffle, O(rules) driver
+  * state. At 100 TB this is the quality.parquet producer: per-rule
+  * pass/violation counts plus rows-per-verdict, exactly the shapes
+  * `ruleOutcomeCounts` and the disposition split report.
+  *
+  * Honesty: when the source offers no columnar scan (in-memory
+  * relations, non-vectorized formats) or a rule/type combination has
+  * no kernel (Custom SQL predicates, decimals, dates under a
+  * non-UTC session), the evaluation FALLS BACK to the row-based
+  * [[ValidationProgram]] with identical semantics and the result
+  * records which path ran — a caller can assert on it, the numbers
+  * never silently change meaning.
+  */
+object ColumnarValidation {
+
+  /** Per-policy counts: parallel arrays indexed by rule position, plus
+    * rows-per-verdict-rank (ranks contiguous 0..4, asserted in
+    * [[ValidationProgram]]). */
+  final case class Counts(
+      rulePass: Array[Long],
+      ruleViolation: Array[Long],
+      rowsByRank: Array[Long]) extends Serializable {
+    def merge(o: Counts): Counts = Counts(
+      rulePass.zip(o.rulePass).map { case (a, b) => a + b },
+      ruleViolation.zip(o.ruleViolation).map { case (a, b) => a + b },
+      rowsByRank.zip(o.rowsByRank).map { case (a, b) => a + b })
+    def totalRows: Long = rowsByRank.sum
+    def rowsByDisposition: Map[String, Long] =
+      ValidationProgram.dispositionNamesByRank.zip(rowsByRank)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+  }
+  object Counts {
+    def zero(nRules: Int): Counts = Counts(
+      new Array[Long](nRules), new Array[Long](nRules),
+      new Array[Long](Verdict.all.length))
+  }
+
+  final case class Result(counts: Counts, columnar: Boolean, fallbackReason: Option[String])
+
+  // ---------------------------------------------------------- kernels
+
+  /** One rule's pass-test over a column vector. Each concrete class
+    * OWNS its batch loop ([[VecTest.run]]): the per-row calls inside
+    * are then monomorphic receivers the JIT inlines — a single shared
+    * loop calling `pass(v, i)` through the trait was measured
+    * megamorphic (tools/KernelProbe: the same work ran slower than the
+    * sum of its single-rule cells). `pass` remains the semantic spec
+    * and the slow-path; `run` must agree with a pass()-loop exactly.
+    *
+    * Contract of run: count passes; for each failing row i with
+    * failRank > rankArr(i), store failRank. Nulls fail every rule
+    * except NotNull (Kleene null→fail, as the Column pipeline). */
+  sealed trait VecTest extends Serializable {
+    def pass(v: ColumnVector, i: Int): Boolean
+    def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      var passN = 0L; var i = 0
+      while (i < n) {
+        if (pass(v, i)) passN += 1L
+        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        i += 1
+      }
+      passN
+    }
+  }
+  private final class NotNull extends VecTest {
+    def pass(v: ColumnVector, i: Int): Boolean = !v.isNullAt(i)
+    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      if (!v.hasNull) return n.toLong // null-free vector: every row passes
+      var passN = 0L; var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) passN += 1L
+        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        i += 1
+      }
+      passN
+    }
+  }
+  private final class RangeLong(lo: Double, hi: Double) extends VecTest {
+    def pass(v: ColumnVector, i: Int): Boolean =
+      !v.isNullAt(i) && { val x = v.getLong(i); x >= lo && x <= hi }
+    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      if (!v.hasNull) {
+        var passN = 0L; var i = 0
+        while (i < n) {
+          if ({ val x = v.getLong(i); x >= lo && x <= hi }) passN += 1L
+          else if (failRank > rankArr(i)) rankArr(i) = failRank
+          i += 1
+        }
+        return passN
+      }
+      var passN = 0L; var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i) && { val x = v.getLong(i); x >= lo && x <= hi }) passN += 1L
+        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        i += 1
+      }
+      passN
+    }
+  }
+  private final class RangeInt(lo: Double, hi: Double) extends VecTest {
+    def pass(v: ColumnVector, i: Int): Boolean =
+      !v.isNullAt(i) && { val x = v.getInt(i); x >= lo && x <= hi }
+    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      if (!v.hasNull) {
+        var passN = 0L; var i = 0
+        while (i < n) {
+          if ({ val x = v.getInt(i); x >= lo && x <= hi }) passN += 1L
+          else if (failRank > rankArr(i)) rankArr(i) = failRank
+          i += 1
+        }
+        return passN
+      }
+      var passN = 0L; var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i) && { val x = v.getInt(i); x >= lo && x <= hi }) passN += 1L
+        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        i += 1
+      }
+      passN
+    }
+  }
+  private final class RangeDouble(lo: Double, hi: Double) extends VecTest {
+    def pass(v: ColumnVector, i: Int): Boolean =
+      !v.isNullAt(i) && { val x = v.getDouble(i); x >= lo && x <= hi }
+    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      if (!v.hasNull) {
+        var passN = 0L; var i = 0
+        while (i < n) {
+          if ({ val x = v.getDouble(i); x >= lo && x <= hi }) passN += 1L
+          else if (failRank > rankArr(i)) rankArr(i) = failRank
+          i += 1
+        }
+        return passN
+      }
+      var passN = 0L; var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i) && { val x = v.getDouble(i); x >= lo && x <= hi }) passN += 1L
+        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        i += 1
+      }
+      passN
+    }
+  }
+  private final class RangeFloat(lo: Double, hi: Double) extends VecTest {
+    def pass(v: ColumnVector, i: Int): Boolean =
+      !v.isNullAt(i) && { val x = v.getFloat(i).toDouble; x >= lo && x <= hi }
+    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      var passN = 0L; var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i) && { val x = v.getFloat(i).toDouble; x >= lo && x <= hi }) passN += 1L
+        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        i += 1
+      }
+      passN
+    }
+  }
+  /** ts ≥ threshold, micros domain (TIMESTAMP/TIMESTAMP_NTZ vectors
+    * store epoch micros). Threshold is exact for ms-precision rule
+    * instants (asOf/maxAge are epoch-ms longs). */
+  private final class FreshMicros(minMicros: Long) extends VecTest {
+    def pass(v: ColumnVector, i: Int): Boolean =
+      !v.isNullAt(i) && v.getLong(i) >= minMicros
+    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      if (!v.hasNull) {
+        var passN = 0L; var i = 0
+        while (i < n) {
+          if (v.getLong(i) >= minMicros) passN += 1L
+          else if (failRank > rankArr(i)) rankArr(i) = failRank
+          i += 1
+        }
+        return passN
+      }
+      var passN = 0L; var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i) && v.getLong(i) >= minMicros) passN += 1L
+        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        i += 1
+      }
+      passN
+    }
+  }
+  /** DATE column under a UTC session: cast(date as timestamp) =
+    * days·86400e6 micros, so the comparison reduces to whole days. */
+  private final class FreshDays(minDays: Int) extends VecTest {
+    def pass(v: ColumnVector, i: Int): Boolean =
+      !v.isNullAt(i) && v.getInt(i) >= minDays
+    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      if (!v.hasNull) {
+        var passN = 0L; var i = 0
+        while (i < n) {
+          if (v.getInt(i) >= minDays) passN += 1L
+          else if (failRank > rankArr(i)) rankArr(i) = failRank
+          i += 1
+        }
+        return passN
+      }
+      var passN = 0L; var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i) && v.getInt(i) >= minDays) passN += 1L
+        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        i += 1
+      }
+      passN
+    }
+  }
+
+  /** String kernels: the semantic test is `testU` over a UTF8String,
+    * but `run` picks a zero-allocation strategy per BATCH:
+    *
+    *  - plain `WritableColumnVector` (the vectorized parquet reader's
+    *    non-dictionary pages, and [[graft.tools.KernelFixture]]): read
+    *    (offset, length) + child bytes directly — no UTF8String is
+    *    ever constructed (tools/KernelProbe measured the per-row
+    *    `getUTF8String` wrapper at ~25 of the 30ns/row these kernels
+    *    used to cost: 4.8M allocations per pass is GC, not compare);
+    *  - dictionary-encoded pages: evaluate once per distinct dict id
+    *    and memoize — the classic columnar trick, O(dictSize) tests
+    *    per batch instead of O(rows);
+    *  - anything else: the UTF8String row loop.
+    */
+  import org.apache.spark.sql.execution.vectorized.WritableColumnVector
+  private sealed abstract class StringTest extends VecTest {
+    /** semantic test over the decoded value. */
+    def testU(s: UTF8String): Boolean
+    /** same test over child-vector bytes [off, off+len); kernels that
+      * cannot express it byte-wise return false from [[byteable]]. */
+    def testBytes(child: WritableColumnVector, off: Int, len: Int): Boolean
+    def byteable: Boolean = true
+
+    final def pass(v: ColumnVector, i: Int): Boolean =
+      !v.isNullAt(i) && testU(v.getUTF8String(i))
+
+    override final def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long =
+      v match {
+        case w: WritableColumnVector if w.hasDictionary => runDict(w, n, rankArr, failRank)
+        case w: WritableColumnVector if byteable => runBytes(w, n, rankArr, failRank)
+        case _ => runGeneric(v, n, rankArr, failRank)
+      }
+
+    private def runBytes(w: WritableColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      val child = w.arrayData()
+      var passN = 0L; var i = 0
+      while (i < n) {
+        if (!w.isNullAt(i) && testBytes(child, w.getArrayOffset(i), w.getArrayLength(i))) passN += 1L
+        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        i += 1
+      }
+      passN
+    }
+
+    /** memo value: 0 unseen, 1 pass, 2 fail. Dict ids are dense
+      * smallish ints (bounded by the page dictionary's size); the memo
+      * grows to the largest id seen. */
+    private def runDict(w: WritableColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      // dict ids live in the companion ids vector, not the data vector
+      val ids = w.getDictionaryIds
+      if (ids == null) return runGeneric(w, n, rankArr, failRank)
+      var memo = new Array[Byte](256)
+      var passN = 0L; var i = 0
+      while (i < n) {
+        var ok = false
+        if (!w.isNullAt(i)) {
+          val id = ids.getDictId(i)
+          if (id >= memo.length)
+            memo = java.util.Arrays.copyOf(memo, Integer.highestOneBit(id) << 1)
+          var m = memo(id)
+          if (m == 0) {
+            m = if (testU(w.getUTF8String(i))) 1 else 2
+            memo(id) = m
+          }
+          ok = m == 1
+        }
+        if (ok) passN += 1L
+        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        i += 1
+      }
+      passN
+    }
+
+    private def runGeneric(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      var passN = 0L; var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i) && testU(v.getUTF8String(i))) passN += 1L
+        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        i += 1
+      }
+      passN
+    }
+  }
+
+  private def bytesEq(child: WritableColumnVector, off: Int, b: Array[Byte]): Boolean = {
+    var k = 0
+    while (k < b.length) {
+      if (child.getByte(off + k) != b(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  /** allowed-set membership by byte equality (collation-free, same as
+    * Catalyst `In` over strings). Sets are tiny (domains); a linear
+    * scan beats hashing the candidate. */
+  private final class DomainUtf8(allowedBytes: Array[Array[Byte]]) extends StringTest {
+    @transient private lazy val allowed: Array[UTF8String] =
+      allowedBytes.map(UTF8String.fromBytes)
+    def testU(s: UTF8String): Boolean = {
+      var k = 0
+      while (k < allowed.length) {
+        if (s.equals(allowed(k))) return true
+        k += 1
+      }
+      false
+    }
+    def testBytes(child: WritableColumnVector, off: Int, len: Int): Boolean = {
+      var k = 0
+      while (k < allowedBytes.length) {
+        val a = allowedBytes(k)
+        if (a.length == len && bytesEq(child, off, a)) return true
+        k += 1
+      }
+      false
+    }
+  }
+  private final class StartsWithUtf8(prefixBytes: Array[Byte]) extends StringTest {
+    @transient private lazy val p = UTF8String.fromBytes(prefixBytes)
+    def testU(s: UTF8String): Boolean = s.startsWith(p)
+    def testBytes(child: WritableColumnVector, off: Int, len: Int): Boolean =
+      len >= prefixBytes.length && bytesEq(child, off, prefixBytes)
+  }
+  private final class EndsWithUtf8(suffixBytes: Array[Byte]) extends StringTest {
+    @transient private lazy val p = UTF8String.fromBytes(suffixBytes)
+    def testU(s: UTF8String): Boolean = s.endsWith(p)
+    def testBytes(child: WritableColumnVector, off: Int, len: Int): Boolean =
+      len >= suffixBytes.length && bytesEq(child, off + len - suffixBytes.length, suffixBytes)
+  }
+  private final class EqualsUtf8(bytes: Array[Byte]) extends StringTest {
+    @transient private lazy val p = UTF8String.fromBytes(bytes)
+    def testU(s: UTF8String): Boolean = s.equals(p)
+    def testBytes(child: WritableColumnVector, off: Int, len: Int): Boolean =
+      len == bytes.length && bytesEq(child, off, bytes)
+  }
+  private final class ContainsUtf8(bytes: Array[Byte]) extends StringTest {
+    @transient private lazy val p = UTF8String.fromBytes(bytes)
+    def testU(s: UTF8String): Boolean = s.contains(p)
+    def testBytes(child: WritableColumnVector, off: Int, len: Int): Boolean = {
+      if (bytes.length == 0) return true
+      var start = off
+      val last = off + len - bytes.length
+      while (start <= last) {
+        if (bytesEq(child, start, bytes)) return true
+        start += 1
+      }
+      false
+    }
+  }
+  /** general regex, FIND semantics (= Catalyst RLike). Decodes the
+    * value to String per row — the slow lane, but the dictionary memo
+    * still collapses it to once-per-distinct-value on dict pages;
+    * [[ValidationProgram.compileRule]]'s anchored-literal rewrite means
+    * production policies rarely reach it at all. */
+  private final class RegexFind(pattern: String) extends StringTest {
+    @transient private lazy val p = java.util.regex.Pattern.compile(pattern)
+    def testU(s: UTF8String): Boolean = p.matcher(s.toString).find()
+    def testBytes(child: WritableColumnVector, off: Int, len: Int): Boolean = false
+    override def byteable: Boolean = false
+  }
+
+  private def utf8Bytes(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** rule × column type → kernel, or Left(reason) → row fallback.
+    * Mirrors [[ValidationProgram.compileRule]] exactly, including the
+    * anchored-literal regex rewrite and Kleene null→fail. */
+  private def compileKernel(rule: RowRule, dt: DataType, sessionTzUtc: Boolean): Either[String, VecTest] =
+    rule match {
+      case RowRule.Nullability(_, _) => Right(new NotNull)
+      case RowRule.Range(_, c, lo, hi) => dt match {
+        case LongType => Right(new RangeLong(lo, hi))
+        case IntegerType | ShortType | ByteType => Right(new RangeInt(lo, hi))
+        case DoubleType => Right(new RangeDouble(lo, hi))
+        case FloatType => Right(new RangeFloat(lo, hi))
+        case other => Left(s"range rule over $c: no kernel for type $other")
+      }
+      case RowRule.Domain(_, c, allowed) => dt match {
+        case StringType => Right(new DomainUtf8(allowed.map(utf8Bytes).toArray))
+        case other => Left(s"domain rule over $c: no kernel for type $other")
+      }
+      case RowRule.Regex(_, c, p) => dt match {
+        case StringType =>
+          def lit_(s: String): Option[String] =
+            if (s.nonEmpty && !s.exists("\\.[]{}()*+?^$|".contains(_))) Some(s) else None
+          val k = (p.startsWith("^"), p.endsWith("$")) match {
+            case (true, true) => lit_(p.substring(1, p.length - 1)).map(s => new EqualsUtf8(utf8Bytes(s)))
+            case (true, false) => lit_(p.substring(1)).map(s => new StartsWithUtf8(utf8Bytes(s)))
+            case (false, true) => lit_(p.dropRight(1)).map(s => new EndsWithUtf8(utf8Bytes(s)))
+            case (false, false) => lit_(p).map(s => new ContainsUtf8(utf8Bytes(s)))
+          }
+          Right(k.getOrElse(new RegexFind(p)))
+        case other => Left(s"regex rule over $c: no kernel for type $other")
+      }
+      case RowRule.Freshness(_, c, maxAgeMs, asOfMs) =>
+        // identical instant to the Column path: timestamp_seconds((asOf-maxAge)/1000.0)
+        val minMicros = (asOfMs - maxAgeMs) * 1000L
+        dt match {
+          case TimestampType | TimestampNTZType => Right(new FreshMicros(minMicros))
+          case DateType if sessionTzUtc =>
+            // ceil-div: a date passes iff its midnight-UTC instant ≥ threshold
+            val dayMicros = 86400L * 1000000L
+            val minDays = Math.floorDiv(minMicros + dayMicros - 1, dayMicros)
+            Right(new FreshDays(minDays.toInt))
+          case DateType => Left(s"freshness rule over DATE $c: session timezone is not UTC")
+          case other => Left(s"freshness rule over $c: no kernel for type $other")
+        }
+      case RowRule.Custom(id, _, _) => Left(s"custom rule $id: SQL predicates stay on the row path")
+    }
+
+  // ------------------------------------------------------- evaluation
+
+  /** Evaluate the policy's counts over `df`. Columnar when the plan
+    * offers a columnar scan AND every rule compiles to a kernel;
+    * row-path [[ValidationProgram]] otherwise (same numbers). */
+  def counts(df: DataFrame, policy: ContractPolicy): Result = {
+    val spark = df.sparkSession
+    val nRules = policy.rules.length
+    if (nRules == 0) {
+      val n = df.count()
+      val z = Counts.zero(0); z.rowsByRank(Verdict.Pass.rank) = n
+      return Result(z, columnar = false, Some("empty policy"))
+    }
+    // prune to the rules' columns FIRST: the parquet scan then decodes
+    // only these (ReadSchema), which is the whole point of the counts
+    // path — a 5-rule policy over a 16-column table reads 5 columns
+    val ruleCols = policy.rules.map(_.column).distinct
+    val missing = ruleCols.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw graft.core.GraftError.Plan(
+        s"validation kernel: rules over missing columns ${missing.mkString(", ")}")
+    val proj = df.select(ruleCols.map(col): _*)
+    val plan = proj.queryExecution.executedPlan
+    val scanOpt = plan.collectFirst { case p if p.supportsColumnar => p }
+    val sessionTzUtc = spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
+
+    scanOpt match {
+      case None => rowPathCounts(df, policy, "no columnar scan in plan")
+      case Some(scan) =>
+        val scanSchema = StructType(
+          scan.output.map(a => StructField(a.name, a.dataType, a.nullable)))
+        bindKernels(scanSchema, policy, sessionTzUtc) match {
+          case Left(reason) => rowPathCounts(df, policy, reason)
+          case Right((idxs, kernels, ranks)) =>
+            val c = scan.executeColumnar().mapPartitions { batches =>
+              Iterator.single(evalBatches(batches, idxs, kernels, ranks))
+            }.fold(Counts.zero(nRules))(_ merge _)
+            Result(c, columnar = true, None)
+        }
+    }
+  }
+
+  /** The kernel loop itself, over any stream of batches — column-at-a-
+    * time (one monomorphic inner loop per rule), a byte rank array
+    * joined into rows-per-verdict at the end of each batch. Shared by
+    * the distributed path above and kernel-only microbenchmarks. */
+  private[graft] def evalBatches(
+      batches: Iterator[org.apache.spark.sql.vectorized.ColumnarBatch],
+      idxs: Array[Int], kernels: Array[VecTest], ranks: Array[Int]): Counts = {
+    val nRules = kernels.length
+    val acc = Counts.zero(nRules)
+    // rank scratch, reused across batches (capacity grows to the
+    // largest batch; vectorized reader default is 4096)
+    var rankArr = new Array[Byte](4096)
+    batches.foreach { batch =>
+      val n = batch.numRows()
+      if (n > 0) {
+        if (rankArr.length < n) rankArr = new Array[Byte](n)
+        else java.util.Arrays.fill(rankArr, 0, n, 0.toByte)
+        var r = 0
+        while (r < nRules) {
+          val passN = kernels(r).run(batch.column(idxs(r)), n, rankArr, ranks(r).toByte)
+          acc.rulePass(r) += passN
+          acc.ruleViolation(r) += n - passN
+          r += 1
+        }
+        var i = 0
+        while (i < n) { acc.rowsByRank(rankArr(i)) += 1L; i += 1 }
+      }
+    }
+    acc
+  }
+
+  /** Bind a policy against a plain schema (by field position) — the
+    * microbenchmark entry: callers hand batches whose columns are laid
+    * out as `schema` says. Left(reason) when any rule lacks a kernel. */
+  private[graft] def bindKernels(schema: StructType, policy: ContractPolicy,
+      sessionTzUtc: Boolean = true): Either[String, (Array[Int], Array[VecTest], Array[Int])] = {
+    val idxByName = schema.fieldNames.zipWithIndex.toMap
+    val bound = policy.rules.map { r =>
+      idxByName.get(r.column) match {
+        case None => Left(s"rule ${r.id}: column ${r.column} absent")
+        case Some(idx) =>
+          compileKernel(r, schema(idx).dataType, sessionTzUtc).map { k =>
+            val failRank =
+              if (policy.fatalRules.contains(r.id)) Verdict.Fatal.rank
+              else Verdict.Violation.rank
+            (idx, k, failRank)
+          }
+      }
+    }
+    bound.collectFirst { case Left(reason) => reason } match {
+      case Some(reason) => Left(reason)
+      case None => Right((
+        bound.map(_.toOption.get._1).toArray,
+        bound.map(_.toOption.get._2).toArray,
+        bound.map(_.toOption.get._3).toArray))
+    }
+  }
+
+  /** Row-path fallback: same counts via the compiled Column pipeline
+    * (one aggregate pass — per-rule sums plus rows-per-rank). */
+  private def rowPathCounts(df: DataFrame, policy: ContractPolicy, reason: String): Result = {
+    val program = ValidationProgram.compile(policy)
+    val ruleAggs = program.ruleCols.zipWithIndex.flatMap { case ((_, c), i) =>
+      Seq(
+        sum(when(coalesce(c, lit(false)), 1L).otherwise(0L)).as(s"p_$i"),
+        sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)).as(s"v_$i"))
+    }
+    val rankCol = program.ruleCols.map { case (r, c) =>
+      val failRank =
+        if (policy.fatalRules.contains(r.id)) Verdict.Fatal.rank else Verdict.Violation.rank
+      when(coalesce(c, lit(false)), lit(Verdict.Pass.rank)).otherwise(lit(failRank))
+    }.reduce((a, b) => greatest(a, b))
+    val rankAggs = Verdict.all.map(v =>
+      sum(when(rankCol === v.rank, 1L).otherwise(0L)).as(s"r_${v.rank}"))
+    val aggs = ruleAggs ++ rankAggs
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def l(name: String): Long = row.getAs[Any](name) match {
+      case null => 0L; case x: Long => x; case x: Number => x.longValue()
+    }
+    val n = policy.rules.length
+    val c = Counts(
+      Array.tabulate(n)(i => l(s"p_$i")),
+      Array.tabulate(n)(i => l(s"v_$i")),
+      Verdict.all.map(v => l(s"r_${v.rank}")).toArray)
+    Result(c, columnar = false, Some(reason))
+  }
+
+  /** The counts as a one-row DataFrame — the quality.parquet shape:
+    * `<rule>__pass`/`<rule>__violation` per rule plus rows-per-
+    * disposition (`accept_n`, `quarantine_n`). Oracle-comparable. */
+  def countsDf(df: DataFrame, policy: ContractPolicy): DataFrame =
+    toDf(df.sparkSession, policy, counts(df, policy).counts)
+
+  /** Render already-computed [[Counts]] as the one-row DataFrame. */
+  def toDf(spark: SparkSession, policy: ContractPolicy, c: Counts): DataFrame = {
+    val byDisp = c.rowsByDisposition
+    val fields = policy.rules.zipWithIndex.flatMap { case (rule, i) =>
+      Seq(
+        StructField(s"${rule.id}__pass", LongType, nullable = false) ->
+          c.rulePass(i),
+        StructField(s"${rule.id}__violation", LongType, nullable = false) ->
+          c.ruleViolation(i))
+    } ++ Seq(
+      StructField("accept_n", LongType, nullable = false) ->
+        byDisp.getOrElse("accept", 0L),
+      StructField("quarantine_n", LongType, nullable = false) ->
+        byDisp.getOrElse("quarantine", 0L))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(Row.fromSeq(fields.map(_._2))),
+      StructType(fields.map(_._1)))
+  }
+}
