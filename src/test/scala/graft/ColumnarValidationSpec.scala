@@ -169,6 +169,48 @@ class ColumnarValidationSpec extends SparkSpec {
     assert(perRule.nonEmpty)
   }
 
+  test("seeded randomized differential: kernel == row pipeline on adversarial data × random policies") {
+    val strPool = Array("A", "N", "R", "", "O", "Oö", "ÄO", "o", "NA", "AN",
+      "O" * 40, " ", "n", "On", "öÖ漢", " O", "O ")
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("qty", DoubleType),
+        StructField("flag", StringType), StructField("status", StringType),
+        StructField("ts", TimestampType)))
+      val doubles = Array(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+        0.0, -0.0, 1.0, 45.0, 44.9999999, 45.0000001, 1e300, -1e300)
+      val rows = (0 until 2000).map { _ =>
+        def maybeNull[A >: Null](v: A): A = if (rnd.nextInt(10) == 0) null else v
+        Row(
+          maybeNull(Long.box(rnd.nextLong())),
+          maybeNull(Double.box(
+            if (rnd.nextInt(4) == 0) doubles(rnd.nextInt(doubles.length))
+            else rnd.nextDouble() * 60)),
+          maybeNull(strPool(rnd.nextInt(strPool.length))),
+          maybeNull(strPool(rnd.nextInt(strPool.length))),
+          maybeNull(new java.sql.Timestamp(rnd.nextLong() % 4102444800000L)))
+      }
+      val dir = s"${tmpDir()}/rand$seed"
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+        .write.parquet(dir)
+      val lo = rnd.nextDouble() * 50 - 5
+      val hi = if (rnd.nextBoolean()) lo + rnd.nextDouble() * 50 else lo - 1 // inverted bounds too
+      val allowed = Seq.fill(rnd.nextInt(3) + 1)(strPool(rnd.nextInt(strPool.length)))
+      val pattern = Seq("^O", "n$", "^O$", "O", "^O.*n$", "N")(rnd.nextInt(6))
+      val p = ContractPolicy(
+        rules = Seq(
+          RowRule.Nullability("nn", "id"),
+          RowRule.Range("rg", "qty", lo, hi),
+          RowRule.Domain("dom", "flag", allowed),
+          RowRule.Regex("rx", "status", pattern),
+          RowRule.Freshness("fr", "ts",
+            math.abs(rnd.nextLong() % (1000L * 86400 * 3650)), 917827200000L)),
+        fatalRules = if (rnd.nextBoolean()) Set("dom") else Set.empty)
+      assertAgrees(spark.read.parquet(dir), p, expectColumnar = true)
+    }
+  }
+
   test("countsDf is partition-invariant and matches across repartitioning") {
     val dir = s"${tmpDir()}/pi"
     edgeDf().write.parquet(dir)
