@@ -437,6 +437,49 @@ object ExtendedQueries {
         sum(when(col("l_orderkey") % 9 === 0, 1L).otherwise(0L)).as("n_nine"))
   }
 
+  val icebergEvolution: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_evolution",
+    """WITH net AS (
+      |  SELECT l_orderkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+      |    CAST(NULL AS DOUBLE) AS l_tax
+      |  FROM lineitem WHERE l_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty, l_tax
+      |  FROM lineitem WHERE l_orderkey % 2 = 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_notax,
+      |  CAST(SUM(CAST(coalesce(l_tax, 0) AS DECIMAL(12,2))) AS DOUBLE) AS sum_tax,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+      |FROM net""".stripMargin,
+    doc = "Iceberg SCHEMA EVOLUTION read (spec §Schema Evolution; cdf-source-iceberg " +
+      "driver.rs:1035 reads full v2 tables including evolved ones): snapshot 1 commits " +
+      "the even slice under schema 0 (l_orderkey, l_quantity); the schema then evolves " +
+      "(l_quantity RENAMED to qty — same field id — and l_tax ADDED with a fresh id); " +
+      "snapshot 2 commits the odd slice under schema 1. The read resolves every file by " +
+      "FIELD ID: old files surface l_quantity AS qty and null-fill l_tax (n_notax pins " +
+      "exactly the even-slice count inside the hash), new files read as written. The " +
+      "oracle recomputes the union relationally.") { (s, d) =>
+    val li = t(s, d, "lineitem").select(
+      col("l_orderkey"), dec2(col("l_quantity")).as("l_quantity"), col("l_tax"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_evo").toString + "/tbl"
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 2 === 0).select("l_orderkey", "l_quantity"),
+      snapshotId = 1L, timestampMs = 1L)
+    graft.sources.IcebergSource.alterSchema(dir, timestampMs = 2L,
+      renames = Map("l_quantity" -> "qty"), adds = Seq("l_tax" -> "double"))
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_orderkey"), col("l_quantity").as("qty"), col("l_tax")),
+      snapshotId = 2L, timestampMs = 3L)
+    graft.sources.IcebergSource.read(s, dir)
+      .agg(count(lit(1)).cast("long").as("n"),
+        decSum(col("qty")).as("sum_qty"),
+        sum(when(col("l_tax").isNull, 1L).otherwise(0L)).as("n_notax"),
+        decSum(dec2(coalesce(col("l_tax"), lit(0)))).as("sum_tax"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+  }
+
   val icebergIncrementalDeletes: QueryDef = QueryDef.sqlBacked(
     "q_iceberg_incremental_deletes",
     """WITH net AS (
@@ -622,7 +665,7 @@ object ExtendedQueries {
 
   val all: Seq[QueryDef] = Seq(
     icebergIncremental, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
-    icebergDv, icebergStatsPruned,
+    icebergDv, icebergStatsPruned, icebergEvolution,
     glueScan, tier2Python,
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,

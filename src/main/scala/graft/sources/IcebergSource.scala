@@ -125,7 +125,19 @@ object IcebergSource {
         * incremental windows refuse to cross "replace" (compaction)
         * because the compacted manifest list no longer carries the
         * window's add/delete history. */
-      operation: String = "append")
+      operation: String = "append",
+      /** the schema this snapshot was written under (spec
+        * `Snapshot.schema-id`) — time travel reads with it, and files
+        * added by this snapshot resolve their columns through it when
+        * the parquet footer carries no field ids. */
+      schemaId: Option[Long] = None)
+
+  /** One field of an iceberg schema: the SPEC's identity is the field
+    * ID — renames change only the name, adds allocate fresh ids, and
+    * ids are never reused (schema evolution, spec §Schemas). `tpe` is
+    * the iceberg primitive type name ("long", "string",
+    * "decimal(12, 2)", "timestamp", ...). */
+  final case class SchemaField(id: Long, name: String, tpe: String)
 
   /** One field of the default partition spec: the manifest struct's
     * field name, the SOURCE column it derives from, and the transform
@@ -145,7 +157,20 @@ object IcebergSource {
       formatVersion: Long = 2L,
       /** schema field-id → primitive iceberg type name ("long", "int",
         * "string", "date", ...) — decodes the manifest column bounds. */
-      fieldTypesById: Map[Long, String] = Map.empty) {
+      fieldTypesById: Map[Long, String] = Map.empty,
+      /** ALL schemas ever current for this table, by schema-id, fields
+        * in declaration order — id-based column resolution reads old
+        * files through the schema they were written under. */
+      schemasById: Map[Long, Seq[SchemaField]] = Map.empty,
+      /** spec `current-schema-id` (0 for pre-evolution tables). */
+      currentSchemaId: Long = 0L,
+      /** spec `last-column-id` — the high-water mark alterSchema
+        * allocates fresh field ids above (ids are never reused). */
+      lastColumnId: Long = 0L) {
+    def currentSchema: Seq[SchemaField] =
+      schemasById.getOrElse(currentSchemaId, Seq.empty)
+    /** true once more than one schema exists (any rename/add/drop). */
+    def schemaEvolved: Boolean = schemasById.size > 1
     def sequenceOf(snapshotId: Long): Long =
       snapshots.find(_.id == snapshotId).map(_.sequenceNumber).getOrElse(0L)
     /** identity-transform source columns — the subset the WRITER can
@@ -246,35 +271,49 @@ object IcebergSource {
           longOf(sf("timestamp-ms")),
           sf("manifest-list") match { case JStr(v) => v; case o => o.toString },
           sf.get("summary").map(CanonicalJson.objFields).flatMap(_.get("operation"))
-            .collect { case JStr(op) => op }.getOrElse("append"))
+            .collect { case JStr(op) => op }.getOrElse("append"),
+          sf.get("schema-id").collect { case JInt(v) => v })
       }
       case _ => Seq.empty
     }
     val cur = f.get("current-snapshot-id").collect { case JInt(v) if v >= 0 => v }
     val loc = f.get("location").collect { case JStr(v) => v }.getOrElse(tableDir)
-    // schemas: field-id → name, for resolving identity partition sources
-    // (a renamed partition field still points at its source column)
-    val schemaFields: Seq[(Long, String, Option[String])] = f.get("schemas") match {
-      case Some(JArr(ss)) => ss.flatMap { s =>
-        CanonicalJson.objFields(s).get("fields") match {
+    // schemas, each under its schema-id: field identity is the ID
+    // (renames keep it, adds allocate fresh) — id-based resolution
+    // reads files written under any historical schema
+    val schemasById: Map[Long, Seq[SchemaField]] = f.get("schemas") match {
+      case Some(JArr(ss)) => ss.zipWithIndex.map { case (s, i) =>
+        val sf = CanonicalJson.objFields(s)
+        val sid = sf.get("schema-id").collect { case JInt(v) => v }.getOrElse(i.toLong)
+        val fields = sf.get("fields") match {
           case Some(JArr(fs)) => fs.flatMap { fd =>
             val ff = CanonicalJson.objFields(fd)
             (ff.get("id"), ff.get("name")) match {
               case (Some(JInt(id)), Some(JStr(n))) =>
                 // primitive types only — nested types (JObj) carry no
-                // decodable bounds, so record no type for them
-                Seq((id, n, ff.get("type").collect { case JStr(t) => t }))
+                // decodable bounds; record a vestigial name for them
+                Seq(SchemaField(id, n,
+                  ff.get("type").collect { case JStr(t) => t }.getOrElse("struct")))
               case _ => Nil
             }
           }
-          case _ => Nil
+          case _ => Seq.empty
         }
-      }
-      case _ => Seq.empty
+        sid -> fields
+      }.toMap
+      case _ => Map.empty
     }
-    val fieldNameById: Map[Long, String] = schemaFields.map(x => x._1 -> x._2).toMap
+    val currentSchemaId = f.get("current-schema-id").collect { case JInt(v) => v }
+      .getOrElse(schemasById.keys.maxOption.getOrElse(0L))
+    val lastColumnId = f.get("last-column-id").collect { case JInt(v) => v }
+      .getOrElse(schemasById.values.flatten.map(_.id).maxOption.getOrElse(0L))
+    // id maps are scoped to the CURRENT schema: equality-delete ids and
+    // partition sources resolve to the names a reader sees TODAY, and
+    // bounds written under an old name still decode (same id)
+    val curFields = schemasById.getOrElse(currentSchemaId, Seq.empty)
+    val fieldNameById: Map[Long, String] = curFields.map(x => x.id -> x.name).toMap
     val fieldTypeById: Map[Long, String] =
-      schemaFields.collect { case (id, _, Some(t)) => id -> t }.toMap
+      curFields.filterNot(_.tpe == "struct").map(x => x.id -> x.tpe).toMap
     // partition specs: every transform is accepted — transforms decide
     // LAYOUT and how much a predicate can prune, never row content
     // (source columns live in the data files regardless). The typed
@@ -305,7 +344,9 @@ object IcebergSource {
       case _ => Seq.empty
     }
     TableMeta(loc, cur, snaps, version, spec, fieldNameById,
-      formatVersion = fmtVersion, fieldTypesById = fieldTypeById)
+      formatVersion = fmtVersion, fieldTypesById = fieldTypeById,
+      schemasById = schemasById, currentSchemaId = currentSchemaId,
+      lastColumnId = lastColumnId)
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {
@@ -1032,11 +1073,85 @@ object IcebergSource {
   def read(spark: SparkSession, tableDir: String, snapshotId: Option[Long] = None,
       filters: Seq[SFilter] = Nil): DataFrame = {
     val (files, deletes) = planFiles(tableDir, snapshotId, filters)
-    if (files.isEmpty && filters.nonEmpty) return sparkEmpty(spark, tableDir, snapshotId)
+    val meta = readMeta(tableDir)
+    // time travel reads with the SNAPSHOT's schema (spec: a snapshot
+    // records the schema it was written under); table scans use current
+    val targetSid = snapshotId
+      .map(id => meta.snapshot(id).schemaId.getOrElse(meta.currentSchemaId))
+      .getOrElse(meta.currentSchemaId)
+    if (files.isEmpty && filters.nonEmpty) return emptyOf(spark, meta, targetSid, tableDir, snapshotId)
     require(files.nonEmpty, s"no data files at snapshot $snapshotId")
-    val plain = spark.read.parquet(files.map(_.path): _*)
+    val plain = resolvedData(spark, files, meta, targetSid, withPos = false)
     if (deletes.isEmpty) plain
-    else applyDeletes(spark, files, deletes, readMeta(tableDir), plain.columns.toSeq)
+    else applyDeletes(spark, files, deletes, meta, plain.columns.toSeq, targetSid)
+  }
+
+  /** Read `files` AS the target schema, resolving every file's columns
+    * by FIELD ID (spec schema evolution): a file written before a
+    * rename exposes the CURRENT name, a file written before a column
+    * was added null-fills it, a dropped column's bytes are simply not
+    * selected. Resolution sources, in order: the file's parquet footer
+    * field ids (authoritative — foreign writers included), the schema
+    * of the snapshot that added the file, and — only when the table
+    * never evolved — the identity mapping. A file resolvable by none
+    * is refused typed rather than guessed by name. Files group by
+    * their mapping, so the plan stays a handful of scans unioned, not
+    * per-file plans. */
+  private def resolvedData(spark: SparkSession, files: Seq[DataFileRef],
+      meta: TableMeta, targetSchemaId: Long, withPos: Boolean): DataFrame = {
+    def rawRead(paths: Seq[String]): DataFrame = {
+      val d = spark.read.parquet(paths: _*)
+      if (!withPos) d
+      else d.withColumn("__g_file", normPath(col("_metadata.file_path")))
+        .withColumn("__g_pos", col("_metadata.row_index"))
+    }
+    if (!meta.schemaEvolved) return rawRead(files.map(_.path))
+    val target = meta.schemasById.getOrElse(targetSchemaId,
+      throw graft.core.GraftError.Plan(
+        s"iceberg fidelity: schema $targetSchemaId is absent from the metadata's history"))
+    val footerIds = ParquetFooters.fieldIdsAll(spark, files.map(_.path))
+    val schemaIdBySnapshot: Map[Long, Option[Long]] =
+      meta.snapshots.map(s => s.id -> s.schemaId).toMap
+    def mappingOf(f: DataFileRef): Seq[(String, Long)] = {
+      val fromFooter = footerIds.getOrElse(f.path, Map.empty)
+      if (fromFooter.nonEmpty)
+        fromFooter.toSeq.map { case (n, id) => (n, id.toLong) }.sortBy(_._2)
+      else f.addedBy.flatMap(schemaIdBySnapshot.get).flatten
+        .flatMap(meta.schemasById.get) match {
+          case Some(fields) => fields.map(fl => (fl.name, fl.id))
+          case None => throw graft.core.GraftError.Plan(
+            s"iceberg fidelity: cannot resolve columns of ${f.path} — no footer field " +
+              "ids and no resolvable write schema (snapshot expired?); compact the table")
+        }
+    }
+    val groups = files.map(f => (mappingOf(f), f)).groupBy(_._1).toSeq
+      .map { case (m, fs) => (m, fs.map(_._2)) }
+      .sortBy(_._2.head.path) // deterministic union order
+    groups.map { case (mapping, fs) =>
+      val nameById = mapping.map { case (n, id) => id -> n }.toMap
+      val d = rawRead(fs.map(_.path))
+      val cols = target.map { tf =>
+        nameById.get(tf.id) match {
+          case Some(written) => col(written).as(tf.name)
+          case None => lit(null).cast(sparkTypeOf(tf.tpe)).as(tf.name)
+        }
+      } ++ (if (withPos) Seq(col("__g_file"), col("__g_pos")) else Nil)
+      d.select(cols: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** empty frame with the target schema — built from the metadata when
+    * its types resolve, else from a data file (legacy tables). */
+  private def emptyOf(spark: SparkSession, meta: TableMeta, targetSid: Long,
+      tableDir: String, snapshotId: Option[Long]): DataFrame = {
+    val target = meta.schemasById.getOrElse(targetSid, Seq.empty)
+    val resolvable = target.nonEmpty &&
+      target.forall(f => scala.util.Try(sparkTypeOf(f.tpe)).isSuccess)
+    if (resolvable) spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(target.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, sparkTypeOf(f.tpe)))))
+    else sparkEmpty(spark, tableDir, snapshotId)
   }
 
   /** file: URI → plain path, so manifest paths, delete-file `file_path`
@@ -1045,11 +1160,10 @@ object IcebergSource {
     regexp_replace(c, "^file:/+", "/")
 
   private def applyDeletes(spark: SparkSession, files: Seq[DataFileRef],
-      deletes: Seq[DeleteFileRef], meta: TableMeta, dataCols: Seq[String]): DataFrame = {
+      deletes: Seq[DeleteFileRef], meta: TableMeta, dataCols: Seq[String],
+      targetSchemaId: Long): DataFrame = {
     import spark.implicits._
-    val data = spark.read.parquet(files.map(_.path): _*)
-      .withColumn("__g_file", normPath(col("_metadata.file_path")))
-      .withColumn("__g_pos", col("_metadata.row_index"))
+    val data = resolvedData(spark, files, meta, targetSchemaId, withPos = true)
     val seqDf = files.map(f => (f.path.replaceFirst("^file:/+", "/"), f.seq))
       .toDF("__g_seqfile", "__g_dataseq")
     val withSeq = data.join(broadcast(seqDf), data("__g_file") === seqDf("__g_seqfile"))
@@ -1110,8 +1224,29 @@ object IcebergSource {
           s"iceberg fidelity: equality delete references field id $id absent from the " +
             "table schema — cannot resolve the delete key")))
       val del = fs.map { f =>
-        spark.read.parquet(f.path).select(
-          names.map(n => col(n).as(s"__d_$n")) :+ (lit(f.seq).as("__d_seq")): _*)
+        val raw = spark.read.parquet(f.path)
+        // delete files written under an OLD schema carry old column
+        // names: resolve id-wise (footer ids, else the newest schema
+        // whose names for these ids all appear in the file)
+        val writtenOf: Map[Int, String] =
+          if (!meta.schemaEvolved) ids.zip(names).toMap
+          else {
+            val fids = ParquetFooters.fieldIdsOf(f.path)
+            if (fids.nonEmpty) fids.map { case (n, id) => id -> n }
+            else meta.schemasById.toSeq.sortBy(-_._1).iterator.map { case (_, flds) =>
+              val m = flds.filter(fl => ids.contains(fl.id.toInt))
+                .map(fl => fl.id.toInt -> fl.name).toMap
+              if (ids.forall(id => m.get(id).exists(raw.columns.contains))) Some(m) else None
+            }.collectFirst { case Some(m) => m }.getOrElse(
+              throw graft.core.GraftError.Plan(
+                s"iceberg fidelity: cannot resolve equality-delete columns of ${f.path}"))
+          }
+        raw.select(
+          ids.zip(names).map { case (id, n) =>
+            col(writtenOf.getOrElse(id,
+              throw graft.core.GraftError.Plan(
+                s"iceberg fidelity: equality delete ${f.path} lacks field id $id"))).as(s"__d_$n")
+          } :+ (lit(f.seq).as("__d_seq")): _*)
       }.reduce(_ unionByName _)
       // spec null semantics: an equality delete matches null keys, so
       // the join is null-SAFE (<=>), not =
@@ -1168,9 +1303,11 @@ object IcebergSource {
       fileMayMatch(fl, f.partition, meta.spec) && statsMayMatch(fl, f, meta)))
     if (files.isEmpty) spark.emptyDataFrame
     else {
-      val plain = spark.read.parquet(files.map(_.path): _*)
+      // the window's END snapshot names the schema the caller sees
+      val targetSid = snap.schemaId.getOrElse(meta.currentSchemaId)
+      val plain = resolvedData(spark, files, meta, targetSid, withPos = false)
       if (delsR.isEmpty) plain
-      else applyDeletes(spark, files, delsR, meta, plain.columns.toSeq)
+      else applyDeletes(spark, files, delsR, meta, plain.columns.toSeq, targetSid)
     }
   }
 
@@ -1270,7 +1407,34 @@ object IcebergSource {
       case FloatType => "float"
       case DateType => "date"
       case TimestampType => "timestamptz"
+      case TimestampNTZType => "timestamp"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case BinaryType => "binary"
       case _ => "string"
+    }
+  }
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
+  /** iceberg primitive type name → Spark type (the inverse of
+    * [[icebergType]]); schema-evolution reads build missing-column
+    * nulls and empty frames from it. */
+  private def sparkTypeOf(tpe: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    tpe match {
+      case "long" => LongType
+      case "int" => IntegerType
+      case "string" => StringType
+      case "double" => DoubleType
+      case "boolean" => BooleanType
+      case "float" => FloatType
+      case "date" => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp" => TimestampNTZType
+      case "binary" => BinaryType
+      case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+      case other => throw graft.core.GraftError.Plan(
+        s"iceberg fidelity: no Spark type for iceberg type '$other'")
     }
   }
 
@@ -1354,14 +1518,28 @@ object IcebergSource {
     * full scan would double every append/compaction's read I/O).
     * Shared by append and compaction commits. */
   private def writeDataFiles(spark: SparkSession, df: DataFrame, dataDir: String,
-      spec0: Seq[PartField]): Seq[DataFileRef] = {
+      spec0: Seq[PartField],
+      /** column name → (field id, iceberg type) from the TABLE schema —
+        * ids flow into the parquet footers (`parquet.field.id`, which
+        * Spark's writer embeds) so any reader resolves columns by id
+        * across renames, and into the manifest bounds keys. */
+      idByName: Map[String, (Int, String)]): Seq[DataFileRef] = {
     // fail fast on unwritable transforms (unknown names, hour over
     // non-timestamp) BEFORE any data is written
     val layoutCols = spec0.map(pf =>
       s"__gp_${pf.name}" -> transformCol(spark, pf, df.schema(pf.source).dataType))
-    if (spec0.isEmpty) df.write.mode("errorifexists").parquet(dataDir)
+    val withIds = df.select(df.columns.map { n =>
+      idByName.get(n) match {
+        case Some((id, _)) =>
+          val m = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id.toLong).build()
+          col(n).as(n, m)
+        case None => col(n)
+      }
+    }.toSeq: _*)
+    if (spec0.isEmpty) withIds.write.mode("errorifexists").parquet(dataDir)
     else {
-      val dup = layoutCols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      val dup = layoutCols.foldLeft(withIds) { case (d, (n, c)) => d.withColumn(n, c) }
       dup.write.mode("errorifexists")
         .partitionBy(layoutCols.map(_._1): _*).parquet(dataDir)
     }
@@ -1376,11 +1554,9 @@ object IcebergSource {
     if (partFiles.isEmpty) return Seq.empty
     val partTypes = spec0.map(pf =>
       pf.name -> avroTransformType(pf, df.schema(pf.source).dataType)).toMap
-    // field ids follow commitAppend's rule: position in the table
-    // schema + 1 (layout-only __gp_* columns never reach the files)
-    val colMeta: Map[String, (Int, String)] = df.schema.fields.zipWithIndex.map {
-      case (fld, i) => fld.name -> ((i + 1, icebergType(fld.dataType)))
-    }.toMap
+    // bounds keys are the TABLE schema's field ids (stable across
+    // renames; layout-only __gp_* columns never reach the files)
+    val colMeta: Map[String, (Int, String)] = idByName
     ParquetFooters.readAll(spark, partFiles).map { fs =>
       val part = spec0.map(pf =>
         pf.name -> partValueFromPath(fs.path, pf.name, partTypes(pf.name))).toMap
@@ -1484,7 +1660,28 @@ object IcebergSource {
       else parent.map(_.spec).getOrElse(Nil)
     require(spec0.forall(pf => df.columns.contains(pf.source)),
       s"partition source columns ${spec0.map(_.source)} missing from ${df.columns.toSeq}")
-    val files = writeDataFiles(spark, df, s"$tableDir/data/snap-$snapshotId", spec0)
+    // field identity: an existing table's CURRENT schema names the
+    // columns an append must supply (exactly — a stray or missing
+    // column would silently fork the schema); ids come from that
+    // schema so evolution keeps them stable. A new table mints
+    // position-based ids.
+    val tableSchema: Seq[SchemaField] = parent.map(_.currentSchema).filter(_.nonEmpty)
+      .getOrElse(df.schema.fields.zipWithIndex.map { case (fld, i) =>
+        SchemaField(i + 1L, fld.name, icebergType(fld.dataType))
+      }.toSeq)
+    if (parent.exists(_.currentSchema.nonEmpty)) {
+      val want = tableSchema.map(_.name).toSet
+      val have = df.columns.toSet
+      if (want != have)
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: append columns $have do not match the table's current schema " +
+            s"$want — evolve the schema first (alterSchema), appends never fork it")
+    }
+    val idByName: Map[String, (Int, String)] =
+      tableSchema.map(f => f.name -> ((f.id.toInt, f.tpe))).toMap
+    val curSchemaId0 = parent.filter(_.currentSchema.nonEmpty)
+      .map(_.currentSchemaId).getOrElse(0L)
+    val files = writeDataFiles(spark, df, s"$tableDir/data/snap-$snapshotId", spec0, idByName)
 
     val partTypes = spec0.map(pf =>
       pf.name -> avroTransformType(pf, df.schema(pf.source).dataType))
@@ -1515,13 +1712,15 @@ object IcebergSource {
     writeAvro(listPath, manifestFileSchema, priorCopies :+ newManifest)
 
     val seq = parent.map(_.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1).getOrElse(1L)
-    val snap = Snapshot(snapshotId, parent.flatMap(_.currentSnapshotId), seq, timestampMs, listPath)
+    val snap = Snapshot(snapshotId, parent.flatMap(_.currentSnapshotId), seq, timestampMs,
+      listPath, schemaId = Some(curSchemaId0))
     val allSnaps = parent.map(_.snapshots).getOrElse(Seq.empty) :+ snap
     val version = parent.map(_.version + 1).getOrElse(1)
 
     def snapJson(s: Snapshot): J = JObj.of(
       (Seq("snapshot-id" -> (JInt(s.id): J)) ++
         s.parentId.map(p => "parent-snapshot-id" -> (JInt(p): J)).toSeq ++
+        s.schemaId.map(sid => "schema-id" -> (JInt(sid): J)).toSeq ++
         Seq(
           "sequence-number" -> (JInt(s.sequenceNumber): J),
           "timestamp-ms" -> (JInt(s.timestampMs): J),
@@ -1532,6 +1731,15 @@ object IcebergSource {
           "summary" -> (JObj.of("operation" -> JStr(s.operation)): J))): _*)
 
     val writtenFormatVersion = parent.map(_.formatVersion).getOrElse(2L)
+    // ALL schemas carry forward (id-based resolution reads old files
+    // through the schema they were written under); a new table starts
+    // the history at schema-id 0
+    val curSchemaId = curSchemaId0
+    val allSchemas: Seq[(Long, Seq[SchemaField])] = parent.filter(_.currentSchema.nonEmpty)
+      .map(_.schemasById.toSeq.sortBy(_._1))
+      .getOrElse(Seq(0L -> tableSchema))
+    val lastColId = parent.map(_.lastColumnId).filter(_ > 0)
+      .getOrElse(tableSchema.map(_.id).maxOption.getOrElse(0L))
     val baseFields = Seq(
       // never downgrade a table a DV commit raised to v3
       "format-version" -> (JInt(writtenFormatVersion): J),
@@ -1543,15 +1751,10 @@ object IcebergSource {
       "snapshots" -> (JArr(allSnaps.map(snapJson)): J),
       // ALWAYS written: field ids resolve identity partition sources
       // AND equality-delete ids (commitDeletes / read-side apply)
-      "schemas" -> (JArr(Seq(JObj.of(
-        "schema-id" -> JInt(0),
-        "type" -> JStr("struct"),
-        "fields" -> JArr(df.schema.fields.zipWithIndex.map { case (fld, i) =>
-          JObj.of(
-            "id" -> JInt(i + 1L),
-            "name" -> JStr(fld.name),
-            "required" -> JBool(false),
-            "type" -> JStr(icebergType(fld.dataType))): J })))): J))
+      "current-schema-id" -> (JInt(curSchemaId): J),
+      "last-column-id" -> (JInt(lastColId): J),
+      "schemas" -> (JArr(allSchemas.map { case (sid, fields) =>
+        schemaJson(sid, fields) }): J))
     // partition spec with each field's TRANSFORM (source-ids resolve
     // through the schema)
     val specFields = if (spec0.isEmpty) Seq.empty else Seq(
@@ -1570,9 +1773,110 @@ object IcebergSource {
       CanonicalJson.render(metaJson).getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(metaDir, "version-hint.text"),
       version.toString.getBytes(StandardCharsets.UTF_8))
-    TableMeta(tableDir, Some(snapshotId), allSnaps, version, spec0,
-      df.schema.fieldNames.zipWithIndex.map { case (n, i) => (i + 1L) -> n }.toMap,
-      formatVersion = writtenFormatVersion)
+    readMeta(tableDir)
+  }
+
+  /** One schema object per the spec (schema-id, struct fields). */
+  private def schemaJson(sid: Long, fields: Seq[SchemaField]): J = JObj.of(
+    "schema-id" -> JInt(sid),
+    "type" -> JStr("struct"),
+    "fields" -> JArr(fields.map(f =>
+      JObj.of(
+        "id" -> JInt(f.id),
+        "name" -> JStr(f.name),
+        "required" -> JBool(false),
+        "type" -> JStr(f.tpe)): J)))
+
+  /** SCHEMA EVOLUTION (spec §Schema Evolution): rename / add / drop
+    * columns by FIELD ID — renames keep the id, adds allocate fresh
+    * ids above `last-column-id` (never reused), drops remove the field
+    * from the current schema while old files keep their bytes. A new
+    * schema joins the `schemas` history and becomes `current-schema-id`
+    * in a new metadata version; no snapshot is created (metadata-only,
+    * like the reference's catalog operations). Readers resolve every
+    * data/delete file through the schema it was written under
+    * (parquet footer field ids, falling back to the adding snapshot's
+    * schema-id), so rename+append+read round-trips are exact.
+    *
+    * Refusals (typed GraftError.Plan): format-version 1 tables (every
+    * write path refuses them), unknown source columns, name
+    * collisions, dropping a partition-spec source, and dropping a
+    * column a live equality delete still references (the delete could
+    * no longer be applied). `adds` take iceberg primitive type names
+    * ("long", "double", "string", "decimal(12, 2)", ...). */
+  def alterSchema(tableDir: String, timestampMs: Long,
+      renames: Map[String, String] = Map.empty,
+      adds: Seq[(String, String)] = Nil,
+      drops: Seq[String] = Nil): TableMeta = {
+    val metaDir = s"$tableDir/metadata"
+    val meta = readMeta(tableDir)
+    requireV2Plus(meta, "alter the schema of")
+    val cur = meta.currentSchema
+    require(cur.nonEmpty, "alterSchema requires a table with a recorded schema")
+    def refuse(msg: String): Nothing =
+      throw graft.core.GraftError.Plan(s"iceberg fidelity: $msg")
+    val curNames = cur.map(_.name).toSet
+    (renames.keySet ++ drops).foreach(c =>
+      if (!curNames.contains(c)) refuse(s"alterSchema references unknown column '$c'"))
+    adds.foreach { case (_, t) => sparkTypeOf(t) } // validate type names up front
+    drops.foreach { c =>
+      if (meta.spec.exists(_.source == c))
+        refuse(s"cannot drop '$c': it is a partition-spec source column")
+    }
+    // a live equality delete's key ids must stay resolvable
+    if (drops.nonEmpty) {
+      val dropIds = cur.filter(f => drops.contains(f.name)).map(_.id.toInt).toSet
+      val (_, liveDels) = planFiles(tableDir)
+      val referenced = liveDels.filter(_.content == 2).flatMap(_.equalityIds).toSet
+      val clash = dropIds.intersect(referenced)
+      if (clash.nonEmpty)
+        refuse(s"cannot drop columns with field ids $clash: live equality deletes " +
+          "reference them — compact the table first")
+    }
+    val kept = cur.filterNot(f => drops.contains(f.name))
+      .map(f => f.copy(name = renames.getOrElse(f.name, f.name)))
+    val newIds = adds.zipWithIndex.map { case ((n, t), i) =>
+      SchemaField(meta.lastColumnId + 1 + i, n, t)
+    }
+    val next = kept ++ newIds
+    val dup = next.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
+    if (dup.nonEmpty) refuse(s"schema change produces duplicate column names: $dup")
+    val newSid = meta.schemasById.keys.maxOption.getOrElse(0L) + 1
+    val newLastCol = math.max(meta.lastColumnId, next.map(_.id).maxOption.getOrElse(0L))
+    val allSchemas = (meta.schemasById + (newSid -> next)).toSeq.sortBy(_._1)
+
+    val vOld = currentVersion(tableDir)
+    val oldJson = CanonicalJson.parse(new String(
+      Files.readAllBytes(Paths.get(metaDir, s"v$vOld.metadata.json")), StandardCharsets.UTF_8))
+    val replaced = scala.collection.mutable.Set.empty[String]
+    val newFields = (oldJson match {
+      case JObj(fields) => fields.map {
+        case ("schemas", _) =>
+          replaced += "schemas"
+          "schemas" -> (JArr(allSchemas.map { case (sid, fs) => schemaJson(sid, fs) }): J)
+        case ("current-schema-id", _) =>
+          replaced += "current-schema-id"
+          "current-schema-id" -> (JInt(newSid): J)
+        case ("last-column-id", _) =>
+          replaced += "last-column-id"
+          "last-column-id" -> (JInt(newLastCol): J)
+        case ("last-updated-ms", _) => "last-updated-ms" -> (JInt(timestampMs): J)
+        case other => other
+      }
+      case _ => refuse(s"unreadable metadata at version $vOld")
+    }) ++
+      // tables written before these keys existed gain them here
+      (if (replaced.contains("current-schema-id")) Nil
+       else Seq("current-schema-id" -> (JInt(newSid): J))) ++
+      (if (replaced.contains("last-column-id")) Nil
+       else Seq("last-column-id" -> (JInt(newLastCol): J)))
+    require(replaced.contains("schemas"), "metadata carried no schemas array")
+    val version = vOld + 1
+    Files.write(Paths.get(metaDir, s"v$version.metadata.json"),
+      CanonicalJson.render(JObj(newFields)).getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(metaDir, "version-hint.text"),
+      version.toString.getBytes(StandardCharsets.UTF_8))
+    readMeta(tableDir)
   }
 
   /** manifest_entry schema for DELETE files: data_file carries content
@@ -1735,7 +2039,13 @@ object IcebergSource {
       val ids = cols.map(c => nameToId.getOrElse(c, throw graft.core.GraftError.Plan(
         s"iceberg fidelity: equality delete column '$c' has no field id in the table schema")))
       val dir = s"$tableDir/data/snap-$snapshotId-eq-deletes"
-      edf.select(cols.map(col): _*).write.mode("errorifexists").parquet(dir)
+      // embed the key columns' field ids (spec: delete files carry the
+      // ids) — after a rename the read side resolves them footer-first
+      edf.select(cols.zip(ids).map { case (c, id) =>
+        val m = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", id).build()
+        col(c).as(c, m)
+      }: _*).write.mode("errorifexists").parquet(dir)
       perFileCounts(spark, dir).foreach { case (p, n) => written += Written(p, n, 2, ids) }
     }
     val files = written.result()
@@ -1815,6 +2125,7 @@ object IcebergSource {
     val snapJson: J = JObj.of(
       "snapshot-id" -> JInt(snapshotId),
       "parent-snapshot-id" -> JInt(parentSnap.id),
+      "schema-id" -> JInt(parent.currentSchemaId),
       "sequence-number" -> JInt(seq),
       "timestamp-ms" -> JInt(timestampMs),
       "manifest-list" -> JStr(listPath),
@@ -1870,17 +2181,33 @@ object IcebergSource {
       "compact: nothing to do (no deletes, no small files)")
     val seq = parent.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
     val spec0 = parent.spec
+    // column types come from the CURRENT schema when recorded (renamed
+    // columns resolve; rewritten files consolidate onto current names),
+    // falling back to a data file's own schema for legacy tables
+    val curSchema = parent.currentSchema
     val srcSchema = spark.read.parquet(files.head.path).schema
+    def dtOf(name: String): org.apache.spark.sql.types.DataType =
+      curSchema.find(_.name == name).map(f => sparkTypeOf(f.tpe))
+        .getOrElse(srcSchema(name).dataType)
+    val idByName: Map[String, (Int, String)] =
+      if (curSchema.nonEmpty) curSchema.map(f => f.name -> ((f.id.toInt, f.tpe))).toMap
+      else srcSchema.fields.zipWithIndex.map { case (fld, i) =>
+        fld.name -> ((i + 1, icebergType(fld.dataType)))
+      }.toMap
+    val targetCols: Seq[String] =
+      if (curSchema.nonEmpty) curSchema.map(_.name) else srcSchema.fieldNames.toSeq
     val partTypes = spec0.map(pf =>
-      pf.name -> avroTransformType(pf, srcSchema(pf.source).dataType))
+      pf.name -> avroTransformType(pf, dtOf(pf.source)))
     val entrySchema = entrySchemaFor(partTypes)
 
     val newFiles: Seq[DataFileRef] =
       if (rewrite.isEmpty) Seq.empty
       else {
         val resolved =
-          if (dels.isEmpty) spark.read.parquet(rewrite.map(_.path): _*)
-          else applyDeletes(spark, rewrite, dels, parent, srcSchema.fieldNames.toSeq)
+          if (dels.isEmpty) resolvedData(spark, rewrite, parent,
+            parent.currentSchemaId, withPos = false)
+          else applyDeletes(spark, rewrite, dels, parent, targetCols,
+            parent.currentSchemaId)
         // layout: partitioned tables cluster by transform value (each
         // partition's small files collapse together); unpartitioned
         // tables size-target the output file count, never exceeding
@@ -1888,13 +2215,13 @@ object IcebergSource {
         val clustered =
           if (spec0.nonEmpty)
             resolved.repartition(spec0.map(pf =>
-              transformCol(spark, pf, srcSchema(pf.source).dataType)): _*)
+              transformCol(spark, pf, dtOf(pf.source))): _*)
           else {
             val targetN = math.min(rewrite.length.toLong, math.max(1L,
               rewrite.map(_.sizeBytes).sum / math.max(1L, smallFileBytes))).toInt
             resolved.repartition(targetN)
           }
-        writeDataFiles(spark, clustered, s"$tableDir/data/snap-$snapshotId", spec0)
+        writeDataFiles(spark, clustered, s"$tableDir/data/snap-$snapshotId", spec0, idByName)
       }
 
     val manifestPath = s"$metaDir/manifest-$snapshotId-compact.avro"
@@ -1917,6 +2244,7 @@ object IcebergSource {
     val snapJson: J = JObj.of(
       "snapshot-id" -> JInt(snapshotId),
       "parent-snapshot-id" -> JInt(parentSnap.id),
+      "schema-id" -> JInt(parent.currentSchemaId),
       "sequence-number" -> JInt(seq),
       "timestamp-ms" -> JInt(timestampMs),
       "manifest-list" -> JStr(listPath),

@@ -151,4 +151,25 @@ object ParquetFooters {
     else spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, 32)))
       .map(read).collect().toSeq
+
+  /** top-level column name → parquet field id, from the footer schema
+    * (metadata-only). Empty map = the file carries no field ids; a
+    * column without an id is simply absent from the map. Id-based
+    * schema-evolution reads group files by this mapping. */
+  def fieldIdsOf(path: String): Map[String, Int] = {
+    val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try {
+      r.getFooter.getFileMetaData.getSchema.getFields.asScala.flatMap { t =>
+        Option(t.getId).map(id => t.getName -> id.intValue())
+      }.toMap
+    } finally r.close()
+  }
+
+  def fieldIdsAll(spark: SparkSession, paths: Seq[String]): Map[String, Map[String, Int]] =
+    if (paths.isEmpty) Map.empty
+    else if (paths.size <= 4) paths.map(p => p -> fieldIdsOf(p)).toMap
+    else spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+      .map(p => p -> fieldIdsOf(p)).collect().toMap
 }

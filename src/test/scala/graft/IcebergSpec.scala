@@ -1162,4 +1162,123 @@ class IcebergSpec extends SparkSpec {
       IcebergSource.compact(spark, dir, 2L, 2L))
     assert(e3.getMessage.contains("format-version 1"))
   }
+
+  test("schema evolution: rename + add + drop resolve by FIELD ID across old and new files") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    // snapshot 1 under schema 0: (id, tag, v)
+    IcebergSource.commitAppend(spark, dir, nums(0, 10), 1L, 1L)
+    // evolve: rename v -> value, drop tag, add note (string)
+    val m = IcebergSource.alterSchema(dir, timestampMs = 2L,
+      renames = Map("v" -> "value"), adds = Seq("note" -> "string"), drops = Seq("tag"))
+    assert(m.currentSchema.map(_.name) == Seq("id", "value", "note"))
+    assert(m.schemaEvolved && m.currentSchemaId == 1L)
+    // renamed field keeps its id; added field got a FRESH id above all
+    val v0 = m.schemasById(0L).find(_.name == "v").get
+    val valueF = m.currentSchema.find(_.name == "value").get
+    assert(valueF.id == v0.id, "rename must keep the field id")
+    val noteF = m.currentSchema.find(_.name == "note").get
+    assert(noteF.id > m.schemasById(0L).map(_.id).max, "added column needs a fresh id")
+
+    // snapshot 2 under schema 1
+    val df2 = (10 until 20).map(i => (i.toLong, i * 1.5, s"n$i")).toDF("id", "value", "note")
+    IcebergSource.commitAppend(spark, dir, df2, 2L, 3L)
+
+    // full read: current names; old files expose v AS value, note null
+    val all = IcebergSource.read(spark, dir)
+    assert(all.columns.toSeq == Seq("id", "value", "note"))
+    assert(all.count() == 20)
+    assert(all.filter($"id" === 3L).select("value").as[Double].head() == 4.5)
+    assert(all.filter($"id" < 10).filter($"note".isNotNull).count() == 0)
+    assert(all.filter($"id" >= 10).filter($"note".isNull).count() == 0)
+    assert(!all.columns.contains("tag"), "dropped column must not resurface")
+
+    // time travel to snapshot 1 reads with snapshot 1's SCHEMA
+    val old = IcebergSource.read(spark, dir, Some(1L))
+    assert(old.columns.toSeq == Seq("id", "tag", "v"))
+    assert(old.count() == 10)
+
+    // appends must match the CURRENT schema exactly
+    val e = intercept[graft.core.GraftError.Plan](
+      IcebergSource.commitAppend(spark, dir, nums(20, 30), 3L, 4L))
+    assert(e.getMessage.contains("current schema"))
+
+    // incremental window ending at snapshot 2 exposes the new names
+    val inc = IcebergSource.readIncremental(spark, dir, Some(1L), 2L)
+    assert(inc.columns.toSeq == Seq("id", "value", "note"))
+    assert(inc.count() == 10 && inc.agg(min("id")).head().getLong(0) == 10L)
+  }
+
+  test("schema evolution: equality deletes committed under the OLD name still apply; " +
+      "stats pruning works under the NEW name; compaction consolidates") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    // 4 files with disjoint id ranges so bounds pruning is observable
+    val df0 = spark.range(0, 40).select($"id",
+        concat(lit("t"), $"id" % 4).as("tag"), ($"id" * 1.5).as("v"))
+      .repartitionByRange(4, $"id")
+    IcebergSource.commitAppend(spark, dir, df0, 1L, 1L)
+    // equality delete on tag under the OLD schema (ids embedded)
+    IcebergSource.commitDeletes(spark, dir,
+      eqDeletes = Some((Seq("t1").toDF("tag"), Seq("tag"))), snapshotId = 2L, timestampMs = 2L)
+    assert(IcebergSource.read(spark, dir).count() == 30)
+
+    // rename BOTH the delete key column and the bounds column
+    IcebergSource.alterSchema(dir, timestampMs = 3L,
+      renames = Map("tag" -> "label", "id" -> "ident"))
+    val after = IcebergSource.read(spark, dir)
+    assert(after.columns.toSeq == Seq("ident", "label", "v"))
+    assert(after.count() == 30, "eq delete must keep applying across the rename")
+    assert(after.filter($"label" === "t1").count() == 0)
+
+    // stats pruning under the NEW name: bounds were written under the
+    // field id, so a selective predicate still skips disjoint files
+    val pruned = IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("ident", 6L)))
+    assert(pruned.size < IcebergSource.dataFiles(dir).size,
+      "bounds pruning must survive the rename")
+    // id 6 has tag t2 (not deleted); the pruned read must still find it
+    assert(IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("ident", 6L)))
+      .filter($"ident" === 6L).count() == 1)
+
+    // compaction folds the delete in and rewrites under CURRENT names
+    IcebergSource.compact(spark, dir, 4L, 4L)
+    val compacted = IcebergSource.read(spark, dir)
+    assert(compacted.columns.toSeq == Seq("ident", "label", "v"))
+    assert(compacted.count() == 30)
+    assert(compacted.filter($"label" === "t1").count() == 0)
+    // rewritten files physically carry the current names
+    val fids = graft.sources.ParquetFooters
+      .fieldIdsOf(IcebergSource.dataFiles(dir).head.path)
+    assert(fids.contains("ident") && fids.contains("label"), s"got $fids")
+  }
+
+  test("alterSchema refusals: unknown columns, collisions, partition sources, " +
+      "live equality-delete keys, v1 tables") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    IcebergSource.commitAppend(spark, dir, nums(0, 10), 1L, 1L, partitionBy = Seq("tag"))
+    def planErr(f: => Any): String =
+      intercept[graft.core.GraftError.Plan](f).getMessage
+    assert(planErr(IcebergSource.alterSchema(dir, 2L, renames = Map("nope" -> "x")))
+      .contains("unknown column"))
+    assert(planErr(IcebergSource.alterSchema(dir, 2L, renames = Map("v" -> "id")))
+      .contains("duplicate"))
+    assert(planErr(IcebergSource.alterSchema(dir, 2L, drops = Seq("tag")))
+      .contains("partition-spec source"))
+    assert(planErr(IcebergSource.alterSchema(dir, 2L, adds = Seq("x" -> "wibble")))
+      .contains("no Spark type"))
+
+    // live equality delete holds its key column in place
+    val dir2 = s"${tmpDir()}/tbl2"
+    IcebergSource.commitAppend(spark, dir2, nums(0, 10), 1L, 1L)
+    IcebergSource.commitDeletes(spark, dir2,
+      eqDeletes = Some((Seq("row3").toDF("tag"), Seq("tag"))), snapshotId = 2L, timestampMs = 2L)
+    assert(planErr(IcebergSource.alterSchema(dir2, 3L, drops = Seq("tag")))
+      .contains("equality deletes"))
+    // ...but renaming the key is fine, and the delete still applies
+    IcebergSource.alterSchema(dir2, 4L, renames = Map("tag" -> "label"))
+    assert(IcebergSource.read(spark, dir2).filter(col("label") === "row3").count() == 0)
+    assert(IcebergSource.read(spark, dir2).count() == 9)
+  }
 }
