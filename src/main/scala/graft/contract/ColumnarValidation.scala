@@ -139,6 +139,53 @@ object ColumnarValidation {
       passN
     }
   }
+  /** ShortType/ByteType vectors store values in their own typed arrays
+    * (On/OffHeapColumnVector.shortData/byteData) — getInt on them NPEs,
+    * so each width gets its own accessor kernel. */
+  private final class RangeShort(lo: Double, hi: Double) extends VecTest {
+    def pass(v: ColumnVector, i: Int): Boolean =
+      !v.isNullAt(i) && { val x = v.getShort(i); x >= lo && x <= hi }
+    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      if (!v.hasNull) {
+        var passN = 0L; var i = 0
+        while (i < n) {
+          if ({ val x = v.getShort(i); x >= lo && x <= hi }) passN += 1L
+          else if (failRank > rankArr(i)) rankArr(i) = failRank
+          i += 1
+        }
+        return passN
+      }
+      var passN = 0L; var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i) && { val x = v.getShort(i); x >= lo && x <= hi }) passN += 1L
+        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        i += 1
+      }
+      passN
+    }
+  }
+  private final class RangeByte(lo: Double, hi: Double) extends VecTest {
+    def pass(v: ColumnVector, i: Int): Boolean =
+      !v.isNullAt(i) && { val x = v.getByte(i); x >= lo && x <= hi }
+    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      if (!v.hasNull) {
+        var passN = 0L; var i = 0
+        while (i < n) {
+          if ({ val x = v.getByte(i); x >= lo && x <= hi }) passN += 1L
+          else if (failRank > rankArr(i)) rankArr(i) = failRank
+          i += 1
+        }
+        return passN
+      }
+      var passN = 0L; var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i) && { val x = v.getByte(i); x >= lo && x <= hi }) passN += 1L
+        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        i += 1
+      }
+      passN
+    }
+  }
   private final class RangeDouble(lo: Double, hi: Double) extends VecTest {
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getDouble(i); x >= lo && x <= hi }
@@ -396,7 +443,9 @@ object ColumnarValidation {
       case RowRule.Nullability(_, _) => Right(new NotNull)
       case RowRule.Range(_, c, lo, hi) => dt match {
         case LongType => Right(new RangeLong(lo, hi))
-        case IntegerType | ShortType | ByteType => Right(new RangeInt(lo, hi))
+        case IntegerType => Right(new RangeInt(lo, hi))
+        case ShortType => Right(new RangeShort(lo, hi))
+        case ByteType => Right(new RangeByte(lo, hi))
         case DoubleType => Right(new RangeDouble(lo, hi))
         case FloatType => Right(new RangeFloat(lo, hi))
         case other => Left(s"range rule over $c: no kernel for type $other")
@@ -457,12 +506,12 @@ object ColumnarValidation {
         s"validation kernel: rules over missing columns ${missing.mkString(", ")}")
     val proj = df.select(ruleCols.map(col): _*)
     val plan = proj.queryExecution.executedPlan
-    val scanOpt = plan.collectFirst { case p if p.supportsColumnar => p }
+    val scanOpt = passthroughScan(plan)
     val sessionTzUtc = spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
 
     scanOpt match {
-      case None => rowPathCounts(df, policy, "no columnar scan in plan")
-      case Some(scan) =>
+      case Left(reason) => rowPathCounts(df, policy, reason)
+      case Right(scan) =>
         val scanSchema = StructType(
           scan.output.map(a => StructField(a.name, a.dataType, a.nullable)))
         bindKernels(scanSchema, policy, sessionTzUtc) match {
@@ -473,6 +522,33 @@ object ColumnarValidation {
             }.fold(Counts.zero(nRules))(_ merge _)
             Result(c, columnar = true, None)
         }
+    }
+  }
+
+  /** Strict descent from the executed-plan root to the columnar scan:
+    * the kernels may run scan.executeColumnar() ONLY when every node
+    * in between is a pure pass-through (ColumnarToRow / whole-stage
+    * codegen wrappers / an attribute-only Project — a prune/reorder
+    * that changes no row and computes no value). Anything else — a
+    * FilterExec Spark keeps above the scan even for pushed predicates,
+    * a computing Project, an AQE wrapper — means batches at the scan
+    * are NOT the frame's rows, and running kernels there would count
+    * rows the frame filtered out; those plans take the row path. A
+    * blind collectFirst here once counted unfiltered rows for
+    * counts(df.filter(...), policy) while reporting columnar=true. */
+  private def passthroughScan(
+      p: org.apache.spark.sql.execution.SparkPlan): Either[String, org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter, ProjectExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    p match {
+      case c: ColumnarToRowExec => passthroughScan(c.child)
+      case w: WholeStageCodegenExec => passthroughScan(w.child)
+      case a: InputAdapter => passthroughScan(a.child)
+      case pr: ProjectExec if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        passthroughScan(pr.child)
+      case s if s.supportsColumnar => Right(s)
+      case leaf if leaf.children.isEmpty => Left(s"no columnar scan in plan (${leaf.nodeName})")
+      case other => Left(s"non-passthrough ${other.nodeName} above the columnar scan")
     }
   }
 

@@ -211,6 +211,43 @@ class ColumnarValidationSpec extends SparkSpec {
     }
   }
 
+  test("filtered frame falls back (FilterExec is not a pass-through), counts cover ONLY the filtered rows") {
+    val dir = s"${tmpDir()}/filtered"
+    edgeDf().write.parquet(dir)
+    val filtered = spark.read.parquet(dir).filter("qty > 2.0")
+    // row-path fallback with the reason recorded — running kernels at
+    // the scan would count rows the filter removed
+    val r = ColumnarValidation.counts(filtered, policy)
+    assert(!r.columnar, "a filtered plan must not claim the columnar path")
+    assert(r.fallbackReason.exists(_.contains("non-passthrough")), s"reason: ${r.fallbackReason}")
+    assertAgrees(filtered, policy, expectColumnar = false)
+    assert(r.counts.totalRows == filtered.count(),
+      s"counts must cover the FILTERED rows: ${r.counts.totalRows} != ${filtered.count()}")
+    assert(r.counts.totalRows < spark.read.parquet(dir).count())
+  }
+
+  test("short/byte columns use width-exact kernels (columnar, no NPE on plain pages)") {
+    val schema = StructType(Seq(
+      StructField("s", ShortType), StructField("b", ByteType)))
+    val rows = Seq(
+      Row(Short.box(1), Byte.box(1)), Row(Short.box(45), Byte.box(45)),
+      Row(Short.box(0), Byte.box(0)), Row(Short.box(46), Byte.box(46)),
+      Row(Short.box(Short.MinValue), Byte.box(Byte.MinValue)),
+      Row(Short.box(Short.MaxValue), Byte.box(Byte.MaxValue)),
+      Row(null, null), Row(Short.box(22), null))
+    val p = ContractPolicy(Seq(
+      RowRule.Range("rg_s", "s", 1, 45),
+      RowRule.Range("rg_b", "b", 1, 45)))
+    // both page encodings: plain (dictionary off — the lane that NPE'd
+    // under the int kernel) and dictionary-enabled
+    Seq("plain" -> "false", "dict" -> "true").foreach { case (tag, dict) =>
+      val dir = s"${tmpDir()}/narrow_$tag"
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+        .write.option("parquet.enable.dictionary", dict).parquet(dir)
+      assertAgrees(spark.read.parquet(dir), p, expectColumnar = true)
+    }
+  }
+
   test("countsDf is partition-invariant and matches across repartitioning") {
     val dir = s"${tmpDir()}/pi"
     edgeDf().write.parquet(dir)
