@@ -62,8 +62,9 @@ object AnalyticsQueries {
       |  min(event_id) AS min_event, max(event_id) AS max_event
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     doc = "Temporal bucketing: per-day event counts (datetime scalar family, §2.3).") { (s, d) =>
-    t(s, d, "events")
-      .withColumn("day", date_trunc("day", expr("timestamp_micros(ts div 1000)")).cast("date"))
+    val ev = t(s, d, "events")
+    ev
+      .withColumn("day", date_trunc("day", timestamp_micros(graft.core.Tables.tsUs(ev))).cast("date"))
       .groupBy("day")
       .agg(count(lit(1)).as("n"),
         min("event_id").as("min_event"), max("event_id").as("max_event"))
@@ -144,7 +145,7 @@ object AnalyticsQueries {
       |  FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     doc = "Keyed dedup keep=First (first event per user) — the other DedupKeep arm (§2.6).") { (s, d) =>
-    val ev = t(s, d, "events").withColumn("ts_us", expr("ts div 1000")).drop("ts")
+    val ev = graft.core.Tables.eventsUs(s, d)
     Dedup.keyed(ev, Seq("user_id"), Seq("ts_us", "event_id"), Dedup.Keep.First)
       .select("user_id", "event_id", "event_type")
       .orderBy("user_id")
@@ -183,7 +184,7 @@ object AnalyticsQueries {
   }
 
   private def eventsUs(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts_us", expr("ts div 1000")).drop("ts")
+    graft.core.Tables.eventsUs(s, d)
 
   val asofJoin: QueryDef = QueryDef.sqlBacked(
     "q_asof_join",

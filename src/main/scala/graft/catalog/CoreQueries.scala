@@ -26,11 +26,10 @@ object CoreQueries {
   private def sqlTs(iso: String): String =
     s"TIMESTAMP '${iso.stripSuffix("Z").replace("T", " ")}'"
 
-  /** events.ts arrives as BIGINT nanoseconds (see Sessions.local); we
-    * expose explicit micros (`ts_us`) — DuckDB 1.0 also truncates
-    * parquet nanos to micros, so this is the common exact grain. */
+  /** events with `ts` as exact BIGINT micros `ts_us` — grain-adaptive
+    * (nanos-as-long or native µs timestamp testdata; Tables.tsUs). */
   private def events(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts_us", expr("ts div 1000")).drop("ts")
+    Tables.eventsUs(s, d)
 
   /** Exact decimal views of the 2-dp money/rate columns: all decimal
     * arithmetic below is exact in both Spark and DuckDB, so sums are

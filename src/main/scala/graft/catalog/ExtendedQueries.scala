@@ -159,9 +159,11 @@ object ExtendedQueries {
       "cdf resource.rs:404-408, status_freshness.rs; never wall-clock (replay determinism).") { (s, d) =>
     val asOfUs = 1706572800000000L
     val maxAgeUs = 86400000000L
-    t(s, d, "events").agg(
-      max(expr("ts div 1000")).as("max_ts_us"),
-      (max(expr("ts div 1000")) < asOfUs - maxAgeUs).as("is_stale"))
+    val ev = t(s, d, "events")
+    val tsUs = graft.core.Tables.tsUs(ev)
+    ev.agg(
+      max(tsUs).as("max_ts_us"),
+      (max(tsUs) < asOfUs - maxAgeUs).as("is_stale"))
   }
 
   val regionRollup: QueryDef = QueryDef.sqlBacked(

@@ -1,6 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Canonical access to the driver-generated testdata tables
   * (`/root/testdata/sf*`; see /root/repo/TESTDATA.md).
@@ -22,4 +24,35 @@ object Tables {
     * same names DuckDB sees (the `cdf sql` surface, SURVEY §3.2). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Micros-since-epoch view of an event-time column, adaptive to the
+    * physical grain the driver generated it at. The testdata has shipped
+    * `events.ts` both as parquet TIMESTAMP(NANOS) — which Spark reads as
+    * BIGINT under `nanosAsLong` (Sessions.local) — and as TIMESTAMP(µs),
+    * which Spark reads natively (NTZ when not UTC-adjusted). Both grains
+    * land on the same exact BIGINT micros, which is also what DuckDB's
+    * `epoch_us(ts)` yields, so oracles are unchanged. The NTZ branch
+    * relies on the UTC session timezone (Sessions.local) making the
+    * wall-clock→instant cast value-preserving. */
+  def tsUs(df: DataFrame, c: String = "ts"): Column = df.schema(c).dataType match {
+    case LongType         => expr(s"$c div 1000")
+    case TimestampType    => unix_micros(col(c))
+    case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+    case other =>
+      throw new IllegalArgumentException(s"event-time column $c: unsupported type $other")
+  }
+
+  /** `events` with `ts` replaced by exact BIGINT micros `ts_us` — the
+    * common grain every catalog query and oracle agrees on. */
+  def eventsUs(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = apply(spark, sfDir, "events")
+    df.withColumn("ts_us", tsUs(df)).drop("ts")
+  }
+
+  /** `events` with `ts` as a proper TIMESTAMP at the exact µs grain —
+    * the shape streaming operators (watermarks, session windows) want. */
+  def eventsTs(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = apply(spark, sfDir, "events")
+    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(tsUs(df)))
+  }
 }

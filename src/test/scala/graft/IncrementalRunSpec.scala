@@ -16,32 +16,31 @@ class IncrementalRunSpec extends SparkSpec {
   test("two incremental runs with cursor resume converge to the full table") {
     val base = tmpDir()
     val ledger = Ledger.at(base)
-    val ev = graft.core.Tables(spark, sf(), "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .select("event_id", "ts_ns", "user_id", "event_type", "value")
-    val mid = ev.agg(expr("percentile_approx(ts_ns, 0.5)")).head().getLong(0)
+    val ev = graft.core.Tables.eventsUs(spark, sf())
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+    val mid = ev.agg(expr("percentile_approx(ts_us, 0.5)")).head().getLong(0)
 
     val cfg = Runner.RunConfig(
       descriptor = Descriptor.ResourceDescriptor(
         id = "ev_inc", schemaSource = Descriptor.SchemaSource.Discover,
         primaryKey = Seq("event_id"),
         // lag creates a deliberate re-read window; merge dedups it
-        cursor = Some(Descriptor.CursorSpec("ts_ns", lagMs = 60L * 1000_000_000L,
+        cursor = Some(Descriptor.CursorSpec("ts_us", lagMs = 60L * 1000_000L,
           Descriptor.OrderingClaim.Inexact)),
         disposition = Descriptor.Disposition.Merge(Seq("event_id"))),
       policy = ContractPolicy(Seq(RowRule.Nullability("nn", "event_id"))),
-      orderColumns = Seq("ts_ns", "event_id"))
+      orderColumns = Seq("ts_us", "event_id"))
 
     // run 1: everything up to mid
-    val r1 = Runner.run(spark, cfg, ev.filter(col("ts_ns") <= mid),
+    val r1 = Runner.run(spark, cfg, ev.filter(col("ts_us") <= mid),
       s"$base/pkg1", s"$base/dest", ledger)
     assert(r1.committed)
     val pos1 = ledger.resumePosition("ev_inc", "root").get.asInstanceOf[Position.Cursor]
-    assert(pos1.field == "ts_ns")
+    assert(pos1.field == "ts_us")
 
     // run 2: resume from the committed position (typed, from the ledger)
     // — the lag window re-reads some already-loaded rows on purpose
-    val increment = ev.filter(col("ts_ns") > pos1.value)
+    val increment = ev.filter(col("ts_us") > pos1.value)
     assert(increment.count() > 0)
     val r2 = Runner.run(spark, cfg, increment, s"$base/pkg2", s"$base/dest", ledger)
     assert(r2.committed && r2.packageHash != r1.packageHash)

@@ -436,18 +436,17 @@ class LedgerRunnerSpec extends SparkSpec {
   test("runner cursor disposition records window-close position (max - lag)") {
     val base = tmpDir()
     val ledger = Ledger.at(base)
-    val source = graft.core.Tables(spark, sf(), "events")
-      .withColumnRenamed("ts", "ts_ns")
+    val source = graft.core.Tables.eventsUs(spark, sf())
     val cfg = Runner.RunConfig(
       descriptor = Descriptor.ResourceDescriptor(
         id = "events_r", schemaSource = Descriptor.SchemaSource.Discover,
         primaryKey = Seq("event_id"),
-        cursor = Some(Descriptor.CursorSpec("ts_ns", lagMs = 1000, Descriptor.OrderingClaim.Inexact)),
+        cursor = Some(Descriptor.CursorSpec("ts_us", lagMs = 1000, Descriptor.OrderingClaim.Inexact)),
         disposition = Descriptor.Disposition.Append),
       policy = ContractPolicy(Seq(RowRule.Nullability("nn", "event_id"))))
     val r = Runner.run(spark, cfg, source, s"$base/pkg", s"$base/dest", ledger)
-    val maxTs = source.agg(org.apache.spark.sql.functions.max("ts_ns")).head().getLong(0)
-    assert(r.position == Some(Position.Cursor("ts_ns", maxTs - 1000)))
+    val maxTs = source.agg(org.apache.spark.sql.functions.max("ts_us")).head().getLong(0)
+    assert(r.position == Some(Position.Cursor("ts_us", maxTs - 1000)))
     assert(ledger.resumePosition("events_r", "root") == r.position)
   }
 }

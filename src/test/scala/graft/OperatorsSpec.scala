@@ -50,8 +50,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("late-data 3-way split is a partition of the input") {
     val wm = Timestamp.valueOf("2024-01-28 00:00:00")
-    val df = graft.core.Tables(spark, sf(), "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = graft.core.Tables.eventsTs(spark, sf())
     val (a, r, q) = LateData.split(df, "ts", wm, graceMs = 7L * 24 * 3600 * 1000)
     assert(a.count() + r.count() + q.count() == df.count())
     assert(a.intersect(r).count() == 0)

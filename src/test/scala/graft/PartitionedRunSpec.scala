@@ -11,7 +11,7 @@ class PartitionedRunSpec extends SparkSpec {
   test("partition-scoped runs: independent scopes, composite resume position, union completeness") {
     val base = tmpDir()
     val ledger = Ledger.at(base)
-    val ev = graft.core.Tables(spark, sf(), "events").withColumnRenamed("ts", "ts_ns")
+    val ev = graft.core.Tables.eventsUs(spark, sf())
     val parts = (0 until 3).map(i =>
       s"p$i" -> ev.filter(col("user_id") % 3 === i))
 
@@ -19,7 +19,7 @@ class PartitionedRunSpec extends SparkSpec {
       descriptor = Descriptor.ResourceDescriptor(
         id = "ev_r", schemaSource = Descriptor.SchemaSource.Discover,
         primaryKey = Seq("event_id"),
-        cursor = Some(Descriptor.CursorSpec("ts_ns", lagMs = 0, Descriptor.OrderingClaim.Inexact)),
+        cursor = Some(Descriptor.CursorSpec("ts_us", lagMs = 0, Descriptor.OrderingClaim.Inexact)),
         disposition = Descriptor.Disposition.Append),
       policy = ContractPolicy(Seq(RowRule.Nullability("nn", "event_id"))))
 
@@ -33,8 +33,8 @@ class PartitionedRunSpec extends SparkSpec {
     val comp = combined.get.asInstanceOf[Position.Composite]
     assert(comp.parts.keySet == Set("p0", "p1", "p2"))
     for (i <- 0 until 3) {
-      val expected = parts(i)._2.agg(max("ts_ns")).head().getLong(0)
-      assert(comp.parts(s"p$i") == Position.Cursor("ts_ns", expected))
+      val expected = parts(i)._2.agg(max("ts_us")).head().getLong(0)
+      assert(comp.parts(s"p$i") == Position.Cursor("ts_us", expected))
       // each scope independently resumable from the ledger
       assert(ledger.committedHead(s"ev_r/partition:p$i", "root").isDefined)
     }

@@ -19,8 +19,7 @@ class StreamRunnerSpec extends SparkSpec {
 
     // stage the events table as the streaming source (one file = one batch
     // under maxFilesPerTrigger)
-    val events = graft.core.Tables(spark, sf(), "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.core.Tables.eventsTs(spark, sf())
       .select("event_id", "ts", "user_id", "value")
     events.filter(col("event_id") % 2 === 0).coalesce(1)
       .write.parquet(s"$srcDir/f0")
@@ -65,8 +64,7 @@ class StreamRunnerSpec extends SparkSpec {
     // streaming counterpart of q_sessionize: Spark's session_window with
     // the same 1h gap must produce the same number of (user, session)
     // groups as the batch lag/cumsum formulation
-    val events = graft.core.Tables(spark, sf(), "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.core.Tables.eventsTs(spark, sf())
       .select("event_id", "ts", "user_id")
     val srcDir = s"${tmpDir()}/events"
     events.coalesce(1).write.parquet(srcDir)

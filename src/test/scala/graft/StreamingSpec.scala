@@ -12,8 +12,7 @@ class StreamingSpec extends SparkSpec {
   test("drain epochs: 3-way split, carryover re-enters, frontier monotone, ledger-gated") {
     val out = tmpDir()
     val ledger = Ledger.at(out)
-    val events = graft.core.Tables(spark, sf(), "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.core.Tables.eventsTs(spark, sf())
       .select("event_id", "ts", "user_id", "event_type", "value")
 
     // simulate out-of-order delivery: epoch 1 gets the NEWER half,
