@@ -573,7 +573,8 @@ object ExtendedQueries {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
       |  CAST(1 AS BOOLEAN) AS pruned
-      |FROM lineitem WHERE l_orderkey < 3000""".stripMargin,
+      |FROM lineitem
+      |WHERE l_orderkey < (SELECT max(l_orderkey) // 5 FROM lineitem)""".stripMargin,
     doc = "Stats-based file pruning on an UNPARTITIONED Iceberg table (the reference's " +
       "statistics-pruning law — verified statistics may skip work but never produce " +
       "identity-bearing bytes, cdf-engine statistics_pruning.rs:27-160): commit lays out " +
@@ -590,14 +591,53 @@ object ExtendedQueries {
     val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_stats").toString + "/tbl"
     graft.sources.IcebergSource.commitAppend(s, dir, li,
       snapshotId = 1L, timestampMs = 1L)
-    val filters = Seq(sqs.LessThan("l_orderkey", 3000L): sqs.Filter)
+    // scale-relative cutoff (max/5): a fixed literal stops pruning at
+    // smaller scale factors where it exceeds the key range entirely
+    val cut = li.agg(max("l_orderkey")).head().getLong(0) / 5
+    val filters = Seq(sqs.LessThan("l_orderkey", cut): sqs.Filter)
     val planned = graft.sources.IcebergSource.dataFiles(dir, filters = filters)
     val allFiles = graft.sources.IcebergSource.dataFiles(dir)
     val prunedProof = planned.nonEmpty && planned.size < allFiles.size
     graft.sources.IcebergSource.read(s, dir, filters = filters)
-      .filter(col("l_orderkey") < 3000L) // row-level re-check, pushed to parquet
+      .filter(col("l_orderkey") < cut) // row-level re-check, pushed to parquet
       .agg(count(lit(1)).cast("long").as("n"),
         decSum(col("l_quantity")).as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        lit(prunedProof).as("pruned"))
+  }
+
+  val icebergDecimalPruned: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_decimal_pruned",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+      |  CAST(1 AS BOOLEAN) AS pruned
+      |FROM lineitem WHERE CAST(l_extendedprice AS DECIMAL(12,2)) < 5000.00""".stripMargin,
+    doc = "DECIMAL-bound stats pruning on an UNPARTITIONED Iceberg table: manifest entries " +
+      "carry DECIMAL(12,2) lower/upper bounds (Appendix-D minimal big-endian unscaled bytes) " +
+      "harvested from parquet footers at commit — sound because parquet's DECIMAL sort order " +
+      "is signed and parquet-mr suppresses legacy unsigned-ordered binary stats — and a " +
+      "price predicate (the common selective warehouse filter) prunes files before any data " +
+      "I/O, conservative when bounds are absent (cdf statistics_pruning.rs:27-160 consumes " +
+      "typed min/max for all scalar types). `pruned` is computed from the two file plans, " +
+      "so a regression to scan-everything fails the hash.") { (s, d) =>
+    import org.apache.spark.sql.{sources => sqs}
+    val li = t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      dec2(col("l_extendedprice")).as("l_extendedprice"))
+      .repartitionByRange(8, col("l_extendedprice"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_dec").toString + "/tbl"
+    graft.sources.IcebergSource.commitAppend(s, dir, li,
+      snapshotId = 1L, timestampMs = 1L)
+    val lim = new java.math.BigDecimal("5000.00")
+    val filters = Seq(sqs.LessThan("l_extendedprice", lim): sqs.Filter)
+    val planned = graft.sources.IcebergSource.dataFiles(dir, filters = filters)
+    val allFiles = graft.sources.IcebergSource.dataFiles(dir)
+    val prunedProof = planned.nonEmpty && planned.size < allFiles.size
+    graft.sources.IcebergSource.read(s, dir, filters = filters)
+      .filter(col("l_extendedprice") < lim) // row-level re-check, pushed to parquet
+      .agg(count(lit(1)).cast("long").as("n"),
+        decSum(col("l_extendedprice")).as("sum_price"),
         min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
         lit(prunedProof).as("pruned"))
   }
@@ -667,7 +707,7 @@ object ExtendedQueries {
 
   val all: Seq[QueryDef] = Seq(
     icebergIncremental, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
-    icebergDv, icebergStatsPruned, icebergEvolution,
+    icebergDv, icebergStatsPruned, icebergDecimalPruned, icebergEvolution,
     glueScan, tier2Python,
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,

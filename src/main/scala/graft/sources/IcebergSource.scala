@@ -385,18 +385,36 @@ object IcebergSource {
 
   /** identity partition values from the entry's `data_file.partition`
     * struct (reader sees the writer's schema, so the struct is visible
-    * even though our subset schema omits it). Avro Utf8 → String. */
+    * even though our subset schema omits it). Avro Utf8 → String.
+    *
+    * A null STRING-typed partition value is recorded as NO INFO (key
+    * omitted) rather than null: Spark's path layout writes BOTH null
+    * and empty-string values as `__HIVE_DEFAULT_PARTITION__`, so a
+    * string null in a manifest cannot prove the source rows are null —
+    * treating it as null would let the null-preserving rule prune a
+    * file of `""` rows for `EqualTo(c, "")` (silent row loss). The
+    * pruning layer already keeps files whose partition key is absent.
+    * Non-string types have no such collision (no value renders empty),
+    * so their nulls stay exact information. */
   private def partitionOf(df: GenericRecord): Map[String, Any] =
     Option(df.getSchema.getField("partition")).map(_ => df.get("partition")) match {
       case Some(r: GenericRecord) =>
-        r.getSchema.getFields.asScala.map { pf =>
-          pf.name() -> (r.get(pf.name()) match {
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case other => other
-          })
+        r.getSchema.getFields.asScala.flatMap { pf =>
+          r.get(pf.name()) match {
+            case u: org.apache.avro.util.Utf8 => Some(pf.name() -> u.toString)
+            case null if avroFieldIsString(pf) => None // null-or-"" → no info
+            case other => Some(pf.name() -> other)
+          }
         }.toMap
       case _ => Map.empty
     }
+
+  /** Does the (possibly nullable-union) avro field hold strings? */
+  private def avroFieldIsString(pf: Schema.Field): Boolean = {
+    val s = pf.schema()
+    val branches = if (s.getType == Schema.Type.UNION) s.getTypes.asScala.toSeq else Seq(s)
+    branches.exists(_.getType == Schema.Type.STRING)
+  }
 
   /** One manifest entry: status, adding snapshot, file content kind
     * (0 data / 1 position deletes / 2 equality deletes), the file
@@ -668,6 +686,8 @@ object IcebergSource {
       case (a: String, b: String) => Some(cmpCodePoints(a, b))
       case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
       case (a: java.math.BigDecimal, b: java.math.BigDecimal) => Some(a.compareTo(b))
+      case (a: java.math.BigDecimal, b: scala.math.BigDecimal) => Some(a.compareTo(b.bigDecimal))
+      case (a: scala.math.BigDecimal, b: java.math.BigDecimal) => Some(a.bigDecimal.compareTo(b))
       case _ =>
         // dates compare by epoch day — STRICTLY date-typed on both
         // sides (a timestamp literal date-truncated against a date
@@ -695,9 +715,11 @@ object IcebergSource {
   /** Iceberg Appendix-D binary single-value serialization for the
     * primitive types whose parquet footer stats prune soundly:
     * int (4 LE), long (8 LE), boolean (1 byte), date (epoch-day int,
-    * 4 LE), string (UTF-8 bytes). Everything else → None (no bound —
-    * float/double are excluded for NaN soundness, timestamps because
-    * Spark's default INT96 layout records no usable stats). */
+    * 4 LE), string (UTF-8 bytes), decimal (minimal two's-complement
+    * BIG-endian unscaled bytes; the scale lives in the type).
+    * Everything else → None (no bound — float/double are excluded for
+    * NaN soundness, timestamps because Spark's default INT96 layout
+    * records no usable stats). */
   private[graft] def serializeBound(tpe: String, v: Any): Option[Array[Byte]] = {
     def le(n: Int)(put: java.nio.ByteBuffer => Unit): Option[Array[Byte]] = {
       val b = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -709,6 +731,12 @@ object IcebergSource {
       case ("boolean", b: Boolean) => Some(Array[Byte](if (b) 1 else 0))
       case ("date", d: java.time.LocalDate) => le(4)(_.putInt(d.toEpochDay.toInt))
       case ("string", s: String) => Some(s.getBytes(StandardCharsets.UTF_8))
+      case (DecimalRe(_, s), d: java.math.BigDecimal) =>
+        // rescale to the declared scale first: the unscaled integer is
+        // only comparable under ONE scale, and readers reconstruct with
+        // the type's. Precision overflow cannot happen for values that
+        // came out of a column of this very type.
+        Some(d.setScale(s.toInt).unscaledValue().toByteArray)
       case _ => None
     }
   }
@@ -721,6 +749,8 @@ object IcebergSource {
       case "boolean" if bytes.length == 1 => Some(bytes(0) != 0)
       case "date" if bytes.length == 4 => Some(java.time.LocalDate.ofEpochDay(le.getInt.toLong))
       case "string" => Some(new String(bytes, StandardCharsets.UTF_8))
+      case DecimalRe(_, s) if bytes.nonEmpty =>
+        Some(new java.math.BigDecimal(new java.math.BigInteger(bytes), s.toInt))
       case _ => None // unknown type or malformed width: no bound
     }
   }
@@ -1119,9 +1149,23 @@ object IcebergSource {
       else f.addedBy.flatMap(schemaIdBySnapshot.get).flatten
         .flatMap(meta.schemasById.get) match {
           case Some(fields) => fields.map(fl => (fl.name, fl.id))
-          case None => throw graft.core.GraftError.Plan(
-            s"iceberg fidelity: cannot resolve columns of ${f.path} — no footer field " +
-              "ids and no resolvable write schema (snapshot expired?); compact the table")
+          case None =>
+            // File lacks footer field ids AND its snapshot predates
+            // schema-id stamping. Such files can only have been written
+            // by a pre-evolution writer, i.e. under the OLDEST schema in
+            // the history (every later schema exists only because an
+            // alterSchema ran, and every post-evolution commit stamps
+            // both footer ids and snapshot schema-ids) — so the oldest
+            // schema IS the write schema, not a guess. Without this,
+            // the first alterSchema bricked legacy tables: resolvedData
+            // threw, and the error's suggested compaction routed through
+            // the same throw — no recovery path.
+            meta.schemasById.minByOption(_._1).map(_._2) match {
+              case Some(fields) => fields.map(fl => (fl.name, fl.id))
+              case None => throw graft.core.GraftError.Plan(
+                s"iceberg fidelity: cannot resolve columns of ${f.path} — no footer field " +
+                  "ids and no schema history; compact the table")
+            }
         }
     }
     val groups = files.map(f => (mappingOf(f), f)).groupBy(_._1).toSeq
@@ -1490,21 +1534,30 @@ object IcebergSource {
   }
 
   /** Parse one `__gp_<name>=<value>` path segment back to the typed
-    * partition value the manifest records. */
+    * partition value the manifest records. None = NO INFO: Spark's
+    * layout writes both null and `""` string values as
+    * `__HIVE_DEFAULT_PARTITION__`, so for a string-typed field the
+    * token proves nothing — the key is omitted from the partition map
+    * and pruning stays conservative (see [[partitionOf]]). For
+    * non-string types the token can only mean null. */
   private def partValueFromPath(path: String, name: String,
-      avroType: String): Any = {
+      avroType: String): Option[Any] = {
     val prefix = s"__gp_$name="
     val seg = path.split('/').find(_.startsWith(prefix)).getOrElse(
       throw new IllegalStateException(
         s"partitioned write produced no $prefix segment in $path"))
     val raw = unescapePathValue(seg.substring(prefix.length))
-    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    if (raw == "__HIVE_DEFAULT_PARTITION__")
+      avroType match {
+        case "string" => None
+        case _ => Some(null)
+      }
     else avroType match {
-      case "long" => Long.box(raw.toLong)
-      case "int" => Int.box(raw.toInt)
-      case "double" => Double.box(raw.toDouble)
-      case "boolean" => Boolean.box(raw.toBoolean)
-      case _ => raw
+      case "long" => Some(Long.box(raw.toLong))
+      case "int" => Some(Int.box(raw.toInt))
+      case "double" => Some(Double.box(raw.toDouble))
+      case "boolean" => Some(Boolean.box(raw.toBoolean))
+      case _ => Some(raw)
     }
   }
 
@@ -1558,8 +1611,8 @@ object IcebergSource {
     // renames; layout-only __gp_* columns never reach the files)
     val colMeta: Map[String, (Int, String)] = idByName
     ParquetFooters.readAll(spark, partFiles).map { fs =>
-      val part = spec0.map(pf =>
-        pf.name -> partValueFromPath(fs.path, pf.name, partTypes(pf.name))).toMap
+      val part = spec0.flatMap(pf =>
+        partValueFromPath(fs.path, pf.name, partTypes(pf.name)).map(pf.name -> _)).toMap
       val lowers = Map.newBuilder[Int, Array[Byte]]
       val uppers = Map.newBuilder[Int, Array[Byte]]
       val nulls = Map.newBuilder[Int, Long]
@@ -1754,7 +1807,20 @@ object IcebergSource {
       "current-schema-id" -> (JInt(curSchemaId): J),
       "last-column-id" -> (JInt(lastColId): J),
       "schemas" -> (JArr(allSchemas.map { case (sid, fields) =>
-        schemaJson(sid, fields) }): J))
+        schemaJson(sid, fields) }): J),
+      // Recorded fidelity: WHICH columns actually carry manifest bounds
+      // this commit. Footer harvesting takes only top-level (depth-1)
+      // parquet columns and only soundly-ordered types, so a nested or
+      // float column is conservatively unbounded — pruning simply never
+      // fires for it (statsMayMatch keeps files with missing bounds).
+      // The note makes that coverage auditable instead of implicit.
+      "properties" -> (JObj.of(
+        "graft.bounds-coverage" -> (JStr {
+          val bounded = files.flatMap(f => f.lowerBounds.keySet ++ f.upperBounds.keySet).toSet
+          tableSchema.map(f =>
+            s"${f.name}:${if (bounded.contains(f.id.toInt)) "bounded" else "unbounded"}")
+            .mkString(",")
+        }: J)): J))
     // partition spec with each field's TRANSFORM (source-ids resolve
     // through the schema)
     val specFields = if (spec0.isEmpty) Seq.empty else Seq(

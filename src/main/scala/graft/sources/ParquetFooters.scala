@@ -26,11 +26,17 @@ import org.apache.spark.sql.SparkSession
   *    order [[IcebergSource.cmpValues]] uses)
   *  - BOOLEAN → Boolean
   *  - INT32 + date annotation → LocalDate
+  *  - DECIMAL over INT32 / INT64 / FLBA / BINARY → java.math.BigDecimal
+  *    (unscaled + the annotation's scale). Sound: parquet's defined
+  *    sort order for DECIMAL is SIGNED numeric order, and parquet-mr
+  *    refuses to surface binary decimal stats from legacy writers whose
+  *    stats were unsigned-byte-ordered (`shouldIgnoreStatistics`), so
+  *    any stats we are handed compare the way Spark compares decimals.
   * FLOAT/DOUBLE are deliberately EXCLUDED: parquet writers drop NaN
   * from min/max, but Spark orders NaN above every value, so a file of
   * [1.0, 5.0] hiding NaNs would be wrongly pruned by `c > 1e9`.
-  * INT96 timestamps carry no usable stats; decimals and nested columns
-  * are skipped (absent bounds only cost pruning, never rows).
+  * INT96 timestamps carry no usable stats; nested columns are skipped
+  * (absent bounds only cost pruning, never rows).
   */
 object ParquetFooters {
 
@@ -50,6 +56,7 @@ object ParquetFooters {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
     case (x: LocalDate, y: LocalDate) => java.lang.Long.compare(x.toEpochDay, y.toEpochDay)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
     case (x: String, y: String) =>
       var i = 0; var j = 0
       while (i < x.length && j < y.length) {
@@ -79,7 +86,19 @@ object ParquetFooters {
       case (BOOLEAN, _) => Some(v.asInstanceOf[java.lang.Boolean].booleanValue())
       case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
         Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-      case _ => None // float/double (NaN), int96, decimal, unsigned, nested
+      case (INT32, dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        Some(java.math.BigDecimal.valueOf(
+          v.asInstanceOf[java.lang.Integer].longValue(), dec.getScale))
+      case (INT64, dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        Some(java.math.BigDecimal.valueOf(
+          v.asInstanceOf[java.lang.Long].longValue(), dec.getScale))
+      case (FIXED_LEN_BYTE_ARRAY | BINARY, dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        // unscaled two's-complement big-endian bytes (parquet's layout
+        // for binary-backed decimals; same layout Iceberg bounds use)
+        Some(new java.math.BigDecimal(
+          new java.math.BigInteger(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes),
+          dec.getScale))
+      case _ => None // float/double (NaN), int96, unsigned, nested
     }
   }
 

@@ -1048,6 +1048,175 @@ class IcebergSpec extends SparkSpec {
     assert(truncUpper(allMax).isEmpty)
   }
 
+  test("decimal bounds: footer-harvested DECIMAL stats prune signed ranges; " +
+      "absent bounds and nested columns stay conservative; coverage recorded") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    // Appendix-D serde round-trip incl. negatives (two's-complement
+    // big-endian unscaled bytes) and the minimal-width encoding
+    for (v <- Seq("0.00", "12345.67", "-12345.67", "-0.01")) {
+      val d = new java.math.BigDecimal(v)
+      val b = IcebergSource.serializeBound("decimal(12, 2)", d).get
+      assert(IcebergSource.deserializeBound("decimal(12, 2)", b).contains(d), s"round-trip $v")
+    }
+    assert(IcebergSource.serializeBound("decimal(12, 2)",
+      new java.math.BigDecimal("0.01")).get.length == 1, "minimal bytes")
+    // a bound at coarser scale re-scales to the type's before encoding
+    assert(IcebergSource.serializeBound("decimal(12, 2)", new java.math.BigDecimal("5"))
+      .flatMap(IcebergSource.deserializeBound("decimal(12, 2)", _))
+      .contains(new java.math.BigDecimal("5.00")))
+
+    // decimal column spanning negatives, range-clustered into 8 files:
+    // signed ordering must prune BOTH tails correctly
+    val dir = s"${tmpDir()}/tbl"
+    val df = spark.range(0L, 800L).select(col("id"),
+      (col("id") - 400).cast("decimal(12,2)").as("amt"))
+      .repartitionByRange(8, col("amt"))
+    IcebergSource.commitAppend(spark, dir, df, 1L, 1L)
+    val all = IcebergSource.dataFiles(dir)
+    assert(all.size == 8)
+    val lo = IcebergSource.dataFiles(dir,
+      filters = Seq(sqs.LessThan("amt", new java.math.BigDecimal("-300.00"))))
+    assert(lo.nonEmpty && lo.size < all.size, s"low tail must prune: ${lo.size}/${all.size}")
+    val hi = IcebergSource.dataFiles(dir,
+      filters = Seq(sqs.GreaterThan("amt", new java.math.BigDecimal("300.00"))))
+    assert(hi.nonEmpty && hi.size < all.size, s"high tail must prune: ${hi.size}/${all.size}")
+    // unsigned byte order would misplace negatives entirely; prove the
+    // pruned read is still exact on the negative tail
+    assert(IcebergSource.read(spark, dir,
+        filters = Seq(sqs.LessThan("amt", new java.math.BigDecimal("-300.00"))))
+      .filter($"amt" < -300).count() == 100)
+    // equality inside one file's range plans few files, and never zero
+    val eq = IcebergSource.dataFiles(dir,
+      filters = Seq(sqs.EqualTo("amt", new java.math.BigDecimal("0.00"))))
+    assert(eq.nonEmpty && eq.size < all.size)
+
+    // conservative-on-missing: the same predicates against refs with
+    // bounds stripped must keep every file
+    val meta = IcebergSource.readMeta(dir)
+    val stripped = all.map(_.copy(lowerBounds = Map.empty, upperBounds = Map.empty,
+      nullCounts = Map.empty))
+    assert(stripped.forall(r => IcebergSource.statsMayMatch(
+      sqs.LessThan("amt", new java.math.BigDecimal("-1000000.00")), r, meta)),
+      "absent bounds must retain (never prune)")
+    // a NESTED column predicate has no top-level field id → retained
+    assert(all.forall(r => IcebergSource.statsMayMatch(
+      sqs.EqualTo("s.inner", 1), r, meta)),
+      "nested-column predicates must stay conservative")
+
+    // recorded fidelity: the commit notes which columns carry bounds
+    val v = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      dir, "metadata", s"v${IcebergSource.currentVersion(dir)}.metadata.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(v.contains("graft.bounds-coverage"), "coverage note missing")
+    assert(v.contains("amt:bounded") && v.contains("id:bounded"), s"coverage wrong")
+    // a struct column is depth>1 in the footer → recorded unbounded,
+    // and predicates on it never prune (asserted above via s.inner)
+    val dir2 = s"${tmpDir()}/tbl2"
+    val nested = spark.range(0L, 100L).select(col("id"),
+      struct(col("id").as("inner")).as("s"))
+    IcebergSource.commitAppend(spark, dir2, nested, 1L, 1L)
+    val v2 = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      dir2, "metadata", s"v${IcebergSource.currentVersion(dir2)}.metadata.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(v2.contains("s:unbounded"), "nested column must be recorded unbounded")
+    assert(v2.contains("id:bounded"))
+  }
+
+  test("__HIVE_DEFAULT_PARTITION__ is NO-INFO for string partitions: empty-string " +
+      "rows survive pruning; non-string null partitions still prune exactly") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    // Spark's path layout writes BOTH null and "" as the default token,
+    // so a string token must never be read back as a provable null
+    val dir = s"${tmpDir()}/tbl"
+    val df = Seq((1L, "a"), (2L, ""), (3L, null.asInstanceOf[String]), (4L, "b"))
+      .toDF("id", "region")
+    IcebergSource.commitAppend(spark, dir, df, 1L, 1L, partitionBy = Seq("region"))
+    val all = IcebergSource.dataFiles(dir)
+    // the (null|"")-token file is RETAINED for an empty-string equality —
+    // recording null here once pruned it (silent row loss)
+    val eqEmpty = IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("region", "")))
+    assert(eqEmpty.exists(_.path.contains("__HIVE_DEFAULT_PARTITION__")),
+      "token file must survive EqualTo(region, \"\")")
+    val r = IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("region", "")))
+      .filter($"region" === "")
+    assert(r.select("id").as[Long].collect().toSeq == Seq(2L))
+    // null reads stay exact through the same conservatism
+    val rn = IcebergSource.read(spark, dir, filters = Seq(sqs.IsNull("region")))
+      .filter($"region".isNull)
+    assert(rn.select("id").as[Long].collect().toSeq == Seq(3L))
+    // real values still prune ("b" file dropped; token file kept conservatively)
+    val eqA = IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("region", "a")))
+    assert(eqA.size < all.size, s"expected value pruning, got ${eqA.size}/${all.size}")
+    // NON-string partitions have no null/""-collision: their token is
+    // provably null and equality pruning stays exact
+    val dir2 = s"${tmpDir()}/tbl2"
+    val df2 = Seq((1L, java.lang.Long.valueOf(10L)), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "k")
+    IcebergSource.commitAppend(spark, dir2, df2, 1L, 1L, partitionBy = Seq("k"))
+    val eqK = IcebergSource.dataFiles(dir2, filters = Seq(sqs.EqualTo("k", 10L)))
+    assert(eqK.size == 1 && !eqK.head.path.contains("__HIVE_DEFAULT_PARTITION__"),
+      "long null partition must still prune equality exactly")
+  }
+
+  test("legacy tables (no footer ids, no snapshot schema-ids) stay readable " +
+      "after schema evolution via the oldest schema") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = s"${tmpDir()}/tbl"
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+    IcebergSource.commitAppend(spark, dir, df, 1L, 1L)
+    // simulate a PRE-EVOLUTION writer: strip parquet footer field ids
+    // (plain re-write of each data file) and snapshot schema-ids
+    IcebergSource.dataFiles(dir).map(_.path).foreach { p =>
+      val rows = spark.read.parquet(p).collect().toSeq
+      // strip the parquet.field.id column metadata, or the re-write
+      // would re-embed the very footer ids the fixture must lack
+      val schema = org.apache.spark.sql.types.StructType(
+        spark.read.parquet(p).schema.map(_.copy(
+          metadata = org.apache.spark.sql.types.Metadata.empty)))
+      val tmp = p + ".plainw"
+      spark.createDataFrame(rows.asJava, schema).coalesce(1).write.parquet(tmp)
+      val part = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p))
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), java.nio.file.Paths.get(p))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      // drop the stale hadoop checksum sidecar of the replaced file
+      val f = new java.io.File(p)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(f.getParentFile, s".${f.getName}.crc"))
+    }
+    assert(graft.sources.ParquetFooters.fieldIdsOf(
+      IcebergSource.dataFiles(dir).head.path).isEmpty, "fixture must lack footer ids")
+    val metaPath = java.nio.file.Paths.get(dir, "metadata",
+      s"v${IcebergSource.currentVersion(dir)}.metadata.json")
+    val doctored = new String(java.nio.file.Files.readAllBytes(metaPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .replaceAll(""","schema-id":\d+""", "").replaceAll(""""schema-id":\d+,""", "")
+    java.nio.file.Files.write(metaPath, doctored.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    assert(IcebergSource.readMeta(dir).snapshots.forall(_.schemaId.isEmpty),
+      "fixture must lack snapshot schema-ids")
+    // first evolution on the legacy table: rename a column
+    IcebergSource.alterSchema(dir, timestampMs = 2L,
+      renames = Map("name" -> "label"))
+    // the legacy file resolves through the OLDEST schema (the only one
+    // it can have been written under) — this read used to throw with a
+    // suggested fix (compact) that threw identically
+    val got = IcebergSource.read(spark, dir)
+      .orderBy("id").select("id", "label").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "x"), (2L, "y")))
+    // and a post-evolution append composes: new file under the new
+    // schema, legacy file still resolved by id
+    IcebergSource.commitAppend(spark, dir,
+      Seq((3L, "z")).toDF("id", "label"), 2L, 3L)
+    val got2 = IcebergSource.read(spark, dir)
+      .orderBy("id").select("id", "label").as[(Long, String)].collect().toSeq
+    assert(got2 == Seq((1L, "x"), (2L, "y"), (3L, "z")))
+  }
+
   test("commit reads no data pages: stats come from footers, input bytes stay " +
       "metadata-sized") {
     import spark.implicits._
