@@ -3,12 +3,21 @@ package graft
 import java.util.Locale
 
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric","value","unit","queries","sf"}.
+  * prints ONE JSON line {"metric","value","unit","derived","sf"}.
   *
   * Each query is forced through the `noop` sink so the full plan
   * materializes (a bare count() would let Catalyst prune the very
   * work being measured). One untimed warmup of a small query pays the
   * JIT/codegen cost once.
+  *
+  * PHASE ORDER (r11): the query sweep runs FIRST, the sustained
+  * derived cells run AFTER it. r10 ran the derived cells first and
+  * kept a multi-hundred-MB decoded on-heap fixture live through the
+  * sweep; the head of the sweep regressed 4–14× at quiet host load.
+  * Sweep-first makes derived-cell heap/page-cache pressure structurally
+  * unable to pollute query cells, and every fixture is now freed the
+  * moment its cell is measured. The derived cells self-certify via
+  * their own in-run stability ratios, so they do not need to go first.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,9 +33,7 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
 
-    // COMPACT cells: the driver tail-captures the JSON line and two
-    // rounds running truncation left it unparsed ("parsed": null), so
-    // every byte counts — seconds at 2 decimals, rows/s as integers,
+    // COMPACT cells: seconds at 2 decimals, rows/s as integers,
     // GB/s at 3 decimals, host-load as ints ×100.
     def f(d: Double): String = String.format(Locale.ROOT, "%.2f", Double.box(d))
     def fRate(d: Double): String = math.round(d).toString
@@ -59,19 +66,60 @@ object Bench {
       r
     }
 
+    // ------------------------------------------------------ query sweep
+    // SPARK_GRAFT_ONLY=q_a,q_b (or arg 2) restricts the run (local iteration aid)
+    val only = argOnly.orElse(sys.env.get("SPARK_GRAFT_ONLY"))
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = graft.catalog.Catalog.all.filter(q => only.forall(_.contains(q.name)))
+    def once(q: graft.core.QueryDef): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drop persist barriers a query left behind: cached partitions
+      // otherwise accumulate across the suite and steal executor memory
+      // from every later cell
+      spark.catalog.clearCache()
+      if (ok) sec else -1.0
+    }
+    // Three timed runs per cell, headline = min (the engine's steady-state
+    // cost; this shared host lands random multi-second co-tenant/GC spikes
+    // one-sidedly, so min-of-3 is the reproducible estimator — a zero-diff
+    // A/B across rounds showed single measurements swing 3-5x on sub-2.5s
+    // cells). Run 1 additionally pays per-plan codegen, which min discards.
+    // Spread [min, median, max] is emitted per cell so no reading hides.
+    val results = selected.map { q =>
+      val runs = marked(q.name)((1 to 3).map(_ => once(q)).filter(_ >= 0).sorted)
+      val cell =
+        if (runs.isEmpty) (-1.0, -1.0, -1.0)
+        else (runs.head, runs(runs.length / 2), runs.last)
+      q.name -> cell
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v._1) }
+      .mkString("{", ",", "}")
+    val qSpread = results.map { case (k, v) =>
+      "\"" + k + s"""\":[${f(v._1)},${f(v._2)},${f(v._3)}]""" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v._1 >= 0 => v._1 }.sum
+
+    // phase barrier: the sweep leaves GC-able garbage (88 plans × 3
+    // reps of codegen classes, broadcast blocks, temp rows); collect
+    // it before the sustained cells so their steady-state isn't paying
+    // the sweep's debt
+    spark.catalog.clearCache()
+    System.gc()
+
+    // ------------------------------------------------- derived cells
     // BASELINE-comparable sustained-rate cells (rows/s shapes from
     // BASELINE.md: validation throughput, columnar-sink load rate,
     // end-to-end pipeline rate). Six timed runs after one warmup,
     // split into two BACK-TO-BACK HALVES inside this one process, and
     // each cell emits its own stability ratio
     // (min-wall-of-half-1 vs min-wall-of-half-2, whichever larger on
-    // top) — the r8 pair needed two separate runs straddling different
-    // co-tenant windows to adjudicate e2e (7.07M vs 13.33M, 1.9×); the
-    // in-artifact halves make a single run self-certifying: a cell is
-    // adjudicable when its ratio stays within 1.3, and self-flags
-    // otherwise. Measured BEFORE the query sweep: 74 queries of
-    // accumulated heap / page-cache / temp-spill pressure depressed
-    // these cells 30-40% when they ran last.
+    // top) — a cell is adjudicable when its ratio stays within 1.3,
+    // and self-flags otherwise.
     // Every derived cell reports (min, median, max) so a reader can see
     // the spread instead of trusting one number; the HEADLINE is the
     // best rate (min wall) — co-tenant noise on this host is strictly
@@ -272,28 +320,36 @@ object Bench {
     // vectors (built outside the timed region) — the exact shape of
     // the reference's 3–7 GB/s/core cells, which never pay a decode
     // either. validate_columnar minus this = the parquet-decode share.
+    // The fixture (a multi-hundred-MB on-heap batch built via a 4.8M-row
+    // collect) is CLOSED and dropped the moment the cell is measured —
+    // r10 held it live to the end of the run and the heap pressure
+    // polluted everything that ran after it.
     val gatedCols = liPolicy.rules.map(_.column).distinct
-    val (kBatch, kSchema) = graft.tools.KernelFixture.onHeapBatch(li1p, gatedCols)
-    val (kIdxs, kKerns, kRanks) = graft.contract.ColumnarValidation
-      .bindKernels(kSchema, liPolicy).fold(r => sys.error(s"kernel bind: $r"), identity)
-    def kernelOnce(): Unit = {
-      val c = graft.contract.ColumnarValidation
-        .evalBatches(Iterator.single(kBatch), kIdxs, kKerns, kRanks)
-      require(c.totalRows == liRows, s"kernel cell rows ${c.totalRows} != $liRows")
+    val kernelGbCore = {
+      val (kBatch, kSchema) = graft.tools.KernelFixture.onHeapBatch(li1p, gatedCols)
+      val (kIdxs, kKerns, kRanks) = graft.contract.ColumnarValidation
+        .bindKernels(kSchema, liPolicy).fold(r => sys.error(s"kernel bind: $r"), identity)
+      def kernelOnce(): Unit = {
+        val c = graft.contract.ColumnarValidation
+          .evalBatches(Iterator.single(kBatch), kIdxs, kKerns, kRanks)
+        require(c.totalRows == liRows, s"kernel cell rows ${c.totalRows} != $liRows")
+      }
+      kernelOnce() // warmup
+      val kernelWalls = marked("validate_kernel_only_gb_per_sec_core")((1 to 8).map { _ =>
+        val t0 = System.nanoTime(); kernelOnce(); (System.nanoTime() - t0) / 1e9
+      })
+      kBatch.close() // free the decoded vectors NOW, not at process exit
+      cellOf(inspectedBytes, kernelWalls)
     }
-    kernelOnce() // warmup
-    val kernelWalls = marked("validate_kernel_only_gb_per_sec_core")((1 to 8).map { _ =>
-      val t0 = System.nanoTime(); kernelOnce(); (System.nanoTime() - t0) / 1e9
-    })
-    val kernelGbCore = cellOf(inspectedBytes, kernelWalls)
-    // restore the split policy before the query sweep's parquet reads
+    System.gc() // return the fixture + staged droppings before anything else runs
+    // restore the split policy
     prevMpb.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
       spark.conf.set("spark.sql.files.maxPartitionBytes", _))
     prevMpn.fold(spark.conf.unset("spark.sql.files.minPartitionNum"))(
       spark.conf.set("spark.sql.files.minPartitionNum", _))
-
-    // free the ram-backed sink output before the sweep
+    // free the ram-backed sink output
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkDir))
+
     val derivedCells: Seq[(String, Cell, Double => String)] = Seq(
       ("validate_rows_per_sec", validateRps, fRate),
       ("validate_columnar_rows_per_sec", columnarRps, fRate),
@@ -326,56 +382,20 @@ object Bench {
       "\"noop_core_pair_stability\":" + f(noopRowGbCore.stability)))
       .mkString("{", ",", "}")
 
-    // SPARK_GRAFT_ONLY=q_a,q_b (or arg 2) restricts the run (local iteration aid)
-    val only = argOnly.orElse(sys.env.get("SPARK_GRAFT_ONLY"))
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = graft.catalog.Catalog.all.filter(q => only.forall(_.contains(q.name)))
-    def once(q: graft.core.QueryDef): Double = {
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // drop persist barriers a query left behind: cached partitions
-      // otherwise accumulate across the suite and steal executor memory
-      // from every later cell
-      spark.catalog.clearCache()
-      if (ok) sec else -1.0
-    }
-    // Three timed runs per cell, headline = min (the engine's steady-state
-    // cost; this shared host lands random multi-second co-tenant/GC spikes
-    // one-sidedly, so min-of-3 is the reproducible estimator — a zero-diff
-    // A/B across rounds showed single measurements swing 3-5x on sub-2.5s
-    // cells). Run 1 additionally pays per-plan codegen, which min discards.
-    // Spread [min, median, max] is emitted per cell so no reading hides.
-    val results = selected.map { q =>
-      val runs = marked(q.name)((1 to 3).map(_ => once(q)).filter(_ >= 0).sorted)
-      val cell =
-        if (runs.isEmpty) (-1.0, -1.0, -1.0)
-        else (runs.head, runs(runs.length / 2), runs.last)
-      q.name -> cell
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v._1) }
-      .mkString("{", ",", "}")
-    val qSpread = results.map { case (k, v) =>
-      "\"" + k + s"""\":[${f(v._1)},${f(v._2)},${f(v._3)}]""" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v._1 >= 0 => v._1 }.sum
-
     def l100(d: Double): String = math.round(d * 100).toString
     val loadJson = loadMarks.map { case (k, (a, b, c2, d)) =>
       "\"" + k + s"""":[${l100(a)},${l100(b)},${l100(c2)},${l100(d)}]"""
     }.mkString("{", ",", "}")
 
-    // the stdout line is the driver contract and its capture has
-    // tail-truncated two rounds running ("parsed": null) — so the line
-    // is SLIMMED to {total, queries, derived, derived_spread, sf} and
-    // the bulky diagnostics (per-query spread, host-load markers) live
-    // ONLY in the BENCH_LOCAL.json sidecar, which carries the full
-    // artifact regardless of what the capture does to stdout
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"derived":$derived,"derived_spread":$derivedSpread,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"queries_spread":$qSpread,"derived":$derived,"derived_spread":$derivedSpread,"host_load":$loadJson,"sf":"$sfDir"}"""
+    // the stdout line is the driver contract and its capture
+    // tail-truncated THREE rounds running ("parsed": null) — r10's
+    // slimming kept the 88-entry queries map and the line still blew
+    // the capture window. r11: stdout carries ONLY total + derived +
+    // sf (~400 bytes); the per-query map, spreads, and host-load live
+    // in the BENCH_LOCAL.json sidecar, which carries the full artifact
+    // regardless of what the capture does to stdout.
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","derived":$derived,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","order":"sweep_then_derived","queries":$qs,"queries_spread":$qSpread,"derived":$derived,"derived_spread":$derivedSpread,"host_load":$loadJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
