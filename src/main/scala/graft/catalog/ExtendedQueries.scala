@@ -642,6 +642,49 @@ object ExtendedQueries {
         lit(prunedProof).as("pruned"))
   }
 
+  val icebergTsPruned: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_ts_pruned",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+      |  CAST(1 AS BOOLEAN) AS pruned
+      |FROM events
+      |WHERE epoch_us(ts) < (SELECT min(epoch_us(ts)) +
+      |  (max(epoch_us(ts)) - min(epoch_us(ts))) // 5 FROM events)""".stripMargin,
+    doc = "TIMESTAMP-bound stats pruning on an UNPARTITIONED Iceberg table over the real " +
+      "events stream: the event-time column commits as TIMESTAMP_NTZ (INT64 micros — the " +
+      "only layout whose footer stats are usable; INT96 yields no bound and stays " +
+      "conservative), manifest entries carry Appendix-D long-micros bounds, and a " +
+      "time-window predicate — the canonical incremental-load filter — prunes files " +
+      "before any data I/O. Wall-clock bounds only compare against wall-clock literals " +
+      "(never across instant/NTZ domains). `pruned` is computed from the two file plans, " +
+      "so a regression to scan-everything fails the hash.") { (s, d) =>
+    import org.apache.spark.sql.{sources => sqs}
+    val evUs = graft.core.Tables.eventsUs(s, d)
+    val ev = evUs.select(col("event_id"),
+      expr("CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ)").as("ts"))
+      .repartitionByRange(8, col("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_ts").toString + "/tbl"
+    graft.sources.IcebergSource.commitAppend(s, dir, ev,
+      snapshotId = 1L, timestampMs = 1L)
+    // scale-relative cutoff at 1/5 of the time range (the same window
+    // shape an incremental load filters on)
+    val Row2 = evUs.agg(min("ts_us"), max("ts_us")).head()
+    val (lo, hi) = (Row2.getLong(0), Row2.getLong(1))
+    val cutUs = lo + (hi - lo) / 5
+    val cut = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(cutUs, 1000000L), (Math.floorMod(cutUs, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val filters = Seq(sqs.LessThan("ts", cut): sqs.Filter)
+    val planned = graft.sources.IcebergSource.dataFiles(dir, filters = filters)
+    val allFiles = graft.sources.IcebergSource.dataFiles(dir)
+    val prunedProof = planned.nonEmpty && planned.size < allFiles.size
+    graft.sources.IcebergSource.read(s, dir, filters = filters)
+      .filter(col("ts") < lit(cut)) // row-level re-check, pushed to parquet
+      .agg(count(lit(1)).cast("long").as("n"),
+        min("event_id").as("min_ev"), max("event_id").as("max_ev"),
+        lit(prunedProof).as("pruned"))
+  }
+
   val glueScan: QueryDef = QueryDef.sqlBacked(
     "q_glue_scan",
     """SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -707,7 +750,7 @@ object ExtendedQueries {
 
   val all: Seq[QueryDef] = Seq(
     icebergIncremental, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
-    icebergDv, icebergStatsPruned, icebergDecimalPruned, icebergEvolution,
+    icebergDv, icebergStatsPruned, icebergDecimalPruned, icebergTsPruned, icebergEvolution,
     glueScan, tier2Python,
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,

@@ -688,6 +688,13 @@ object IcebergSource {
       case (a: java.math.BigDecimal, b: java.math.BigDecimal) => Some(a.compareTo(b))
       case (a: java.math.BigDecimal, b: scala.math.BigDecimal) => Some(a.compareTo(b.bigDecimal))
       case (a: scala.math.BigDecimal, b: java.math.BigDecimal) => Some(a.bigDecimal.compareTo(b))
+      // instant-semantics timestamps: bound is Instant; Spark's pushed
+      // literal is java.sql.Timestamp (default) or Instant (java8 API).
+      // Wall-clock (NTZ) bounds are LocalDateTime and only compare
+      // against LocalDateTime literals — never across the two domains.
+      case (a: java.time.Instant, b: java.time.Instant) => Some(a.compareTo(b))
+      case (a: java.time.Instant, b: java.sql.Timestamp) => Some(a.compareTo(b.toInstant))
+      case (a: java.time.LocalDateTime, b: java.time.LocalDateTime) => Some(a.compareTo(b))
       case _ =>
         // dates compare by epoch day — STRICTLY date-typed on both
         // sides (a timestamp literal date-truncated against a date
@@ -716,10 +723,11 @@ object IcebergSource {
     * primitive types whose parquet footer stats prune soundly:
     * int (4 LE), long (8 LE), boolean (1 byte), date (epoch-day int,
     * 4 LE), string (UTF-8 bytes), decimal (minimal two's-complement
-    * BIG-endian unscaled bytes; the scale lives in the type).
-    * Everything else → None (no bound — float/double are excluded for
-    * NaN soundness, timestamps because Spark's default INT96 layout
-    * records no usable stats). */
+    * BIG-endian unscaled bytes; the scale lives in the type),
+    * timestamp/timestamptz (long micros, 8 LE — footers yield these
+    * only for INT64 layouts; INT96 records no usable stats and simply
+    * produces no bound). Everything else → None (no bound —
+    * float/double are excluded for NaN soundness). */
   private[graft] def serializeBound(tpe: String, v: Any): Option[Array[Byte]] = {
     def le(n: Int)(put: java.nio.ByteBuffer => Unit): Option[Array[Byte]] = {
       val b = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -737,6 +745,15 @@ object IcebergSource {
         // the type's. Precision overflow cannot happen for values that
         // came out of a column of this very type.
         Some(d.setScale(s.toInt).unscaledValue().toByteArray)
+      // timestamps: Appendix-D long micros (8 LE). The VALUE domain
+      // keeps instant vs wall-clock distinct (Instant for timestamptz,
+      // LocalDateTime for timestamp) so a bound can never compare
+      // against the wrong kind of literal.
+      case ("timestamptz", i: java.time.Instant) =>
+        le(8)(_.putLong(i.getEpochSecond * 1000000L + i.getNano / 1000L))
+      case ("timestamp", l: java.time.LocalDateTime) =>
+        le(8)(_.putLong(
+          l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L))
       case _ => None
     }
   }
@@ -751,6 +768,15 @@ object IcebergSource {
       case "string" => Some(new String(bytes, StandardCharsets.UTF_8))
       case DecimalRe(_, s) if bytes.nonEmpty =>
         Some(new java.math.BigDecimal(new java.math.BigInteger(bytes), s.toInt))
+      case "timestamptz" if bytes.length == 8 =>
+        val us = le.getLong
+        Some(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case "timestamp" if bytes.length == 8 =>
+        val us = le.getLong
+        Some(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
       case _ => None // unknown type or malformed width: no bound
     }
   }

@@ -32,6 +32,11 @@ import org.apache.spark.sql.SparkSession
   *    refuses to surface binary decimal stats from legacy writers whose
   *    stats were unsigned-byte-ordered (`shouldIgnoreStatistics`), so
   *    any stats we are handed compare the way Spark compares decimals.
+  *  - INT64 TIMESTAMP (MICROS / MILLIS) → java.time.Instant when
+  *    UTC-adjusted, java.time.LocalDateTime (wall-clock) when not —
+  *    the two are distinct bound domains and never compare across.
+  *    NANOS is skipped: converting a max to micros truncates DOWN,
+  *    which is unsound for an upper bound.
   * FLOAT/DOUBLE are deliberately EXCLUDED: parquet writers drop NaN
   * from min/max, but Spark orders NaN above every value, so a file of
   * [1.0, 5.0] hiding NaNs would be wrongly pruned by `c > 1e9`.
@@ -57,6 +62,8 @@ object ParquetFooters {
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
     case (x: LocalDate, y: LocalDate) => java.lang.Long.compare(x.toEpochDay, y.toEpochDay)
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: java.time.Instant, y: java.time.Instant) => x.compareTo(y)
+    case (x: java.time.LocalDateTime, y: java.time.LocalDateTime) => x.compareTo(y)
     case (x: String, y: String) =>
       var i = 0; var j = 0
       while (i < x.length && j < y.length) {
@@ -98,6 +105,20 @@ object ParquetFooters {
         Some(new java.math.BigDecimal(
           new java.math.BigInteger(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes),
           dec.getScale))
+      case (INT64, ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+        import LogicalTypeAnnotation.TimeUnit
+        val l = v.asInstanceOf[java.lang.Long].longValue()
+        val micros: Option[Long] = ts.getUnit match {
+          case TimeUnit.MICROS => Some(l)
+          case TimeUnit.MILLIS => Some(Math.multiplyExact(l, 1000L))
+          case _ => None // NANOS: micros truncation is unsound for an upper bound
+        }
+        micros.map { us =>
+          val sec = Math.floorDiv(us, 1000000L)
+          val nano = Math.floorMod(us, 1000000L) * 1000L
+          if (ts.isAdjustedToUTC) java.time.Instant.ofEpochSecond(sec, nano)
+          else java.time.LocalDateTime.ofEpochSecond(sec, nano.toInt, java.time.ZoneOffset.UTC)
+        }
       case _ => None // float/double (NaN), int96, unsigned, nested
     }
   }

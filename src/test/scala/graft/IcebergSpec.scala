@@ -1217,6 +1217,57 @@ class IcebergSpec extends SparkSpec {
     assert(got2 == Seq((1L, "x"), (2L, "y"), (3L, "z")))
   }
 
+  test("timestamp bounds: INT64-micros footers prune instant and wall-clock " +
+      "columns; INT96 layouts yield no bound and stay conservative") {
+    import org.apache.spark.sql.{sources => sqs}
+    // WALL-CLOCK (NTZ) column — Spark always lays NTZ out as INT64
+    // micros (isAdjustedToUTC=false), so bounds exist with any conf
+    val dir = s"${tmpDir()}/ntz"
+    val hourlyNtz = spark.range(0L, 800L).select(col("id"),
+      expr("CAST(timestamp_micros(id * 3600000000) AS TIMESTAMP_NTZ)").as("ts"))
+      .repartitionByRange(8, col("ts"))
+    IcebergSource.commitAppend(spark, dir, hourlyNtz, 1L, 1L)
+    val all = IcebergSource.dataFiles(dir)
+    val cut = java.time.LocalDateTime.ofEpochSecond(400L * 3600, 0, java.time.ZoneOffset.UTC)
+    val lt = IcebergSource.dataFiles(dir, filters = Seq(sqs.LessThan("ts", cut)))
+    assert(lt.nonEmpty && lt.size < all.size, s"NTZ bounds must prune: ${lt.size}/${all.size}")
+    assert(IcebergSource.read(spark, dir, filters = Seq(sqs.LessThan("ts", cut)))
+      .filter(col("ts") < lit(cut)).count() == 400)
+    // INSTANT column under INT64-micros output: prunes against both
+    // java.sql.Timestamp and java.time.Instant literals
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val dir2 = s"${tmpDir()}/tz64"
+      val hourlyTz = spark.range(0L, 800L).select(col("id"),
+        expr("timestamp_micros(id * 3600000000)").as("ts"))
+        .repartitionByRange(8, col("ts"))
+      IcebergSource.commitAppend(spark, dir2, hourlyTz, 1L, 1L)
+      val all2 = IcebergSource.dataFiles(dir2)
+      val tsLit = new java.sql.Timestamp(400L * 3600 * 1000)
+      val lt2 = IcebergSource.dataFiles(dir2, filters = Seq(sqs.LessThan("ts", tsLit)))
+      assert(lt2.nonEmpty && lt2.size < all2.size, s"tz bounds must prune: ${lt2.size}/${all2.size}")
+      val lt2i = IcebergSource.dataFiles(dir2, filters = Seq(
+        sqs.LessThan("ts", java.time.Instant.ofEpochSecond(400L * 3600))))
+      assert(lt2i.size == lt2.size, "Instant literal must prune like Timestamp")
+      assert(IcebergSource.read(spark, dir2, filters = Seq(sqs.LessThan("ts", tsLit)))
+        .filter(col("ts") < lit(tsLit)).count() == 400)
+      // INT96 layout records no usable stats → no bounds → every file kept
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      val dir3 = s"${tmpDir()}/tz96"
+      IcebergSource.commitAppend(spark, dir3, hourlyTz, 1L, 1L)
+      val kept = IcebergSource.dataFiles(dir3, filters = Seq(sqs.LessThan("ts", tsLit)))
+      assert(kept.size == IcebergSource.dataFiles(dir3).size,
+        "INT96 must stay conservative (no bounds, no pruning)")
+    } finally prev.fold(spark.conf.unset("spark.sql.parquet.outputTimestampType"))(
+      spark.conf.set("spark.sql.parquet.outputTimestampType", _))
+    // wall-clock bounds never compare against instant literals
+    val crossed = IcebergSource.dataFiles(dir, filters = Seq(
+      sqs.LessThan("ts", new java.sql.Timestamp(0L))))
+    assert(crossed.size == all.size,
+      "NTZ bound vs instant literal must be no-info, not a prune")
+  }
+
   test("commit reads no data pages: stats come from footers, input bytes stay " +
       "metadata-sized") {
     import spark.implicits._
