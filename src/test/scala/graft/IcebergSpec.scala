@@ -1268,6 +1268,45 @@ class IcebergSpec extends SparkSpec {
       "NTZ bound vs instant literal must be no-info, not a prune")
   }
 
+  test("footer stats merge across row groups: decimal/timestamp/long bounds " +
+      "equal the true file min/max on a multi-row-group file") {
+    import scala.jdk.CollectionConverters._
+    val dir = s"${tmpDir()}/mrg"
+    // force many small row groups so the per-column accumulator's
+    // cmpSame merge actually runs for every bound type
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      spark.range(0L, 200000L).select(
+        col("id"),
+        (col("id") - 100000L).cast("decimal(12,2)").as("amt"),
+        expr("timestamp_micros(id * 1000000)").as("ts"),
+        expr("CAST(timestamp_micros(id * 1000000) AS TIMESTAMP_NTZ)").as("tsn"))
+        .coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024).parquet(dir)
+      val file = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file), new org.apache.hadoop.conf.Configuration()))
+      val nGroups = try reader.getFooter.getBlocks.size finally reader.close()
+      assert(nGroups > 1, s"fixture must span row groups, got $nGroups")
+      val fs = graft.sources.ParquetFooters.read(file)
+      assert(fs.rowCount == 200000L)
+      assert(fs.cols("id").lower.contains(0L) && fs.cols("id").upper.contains(199999L))
+      assert(fs.cols("amt").lower.contains(new java.math.BigDecimal("-100000.00")))
+      assert(fs.cols("amt").upper.contains(new java.math.BigDecimal("99999.00")))
+      assert(fs.cols("ts").lower.contains(java.time.Instant.ofEpochSecond(0L)))
+      assert(fs.cols("ts").upper.contains(java.time.Instant.ofEpochSecond(199999L)))
+      assert(fs.cols("tsn").lower.contains(
+        java.time.LocalDateTime.ofEpochSecond(0L, 0, java.time.ZoneOffset.UTC)))
+      assert(fs.cols("tsn").upper.contains(
+        java.time.LocalDateTime.ofEpochSecond(199999L, 0, java.time.ZoneOffset.UTC)))
+      assert(fs.cols("id").nullCount.contains(0L))
+    } finally prev.fold(spark.conf.unset("spark.sql.parquet.outputTimestampType"))(
+      spark.conf.set("spark.sql.parquet.outputTimestampType", _))
+  }
+
   test("commit reads no data pages: stats come from footers, input bytes stay " +
       "metadata-sized") {
     import spark.implicits._
