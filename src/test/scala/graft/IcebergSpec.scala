@@ -1307,6 +1307,71 @@ class IcebergSpec extends SparkSpec {
       spark.conf.set("spark.sql.parquet.outputTimestampType", _))
   }
 
+  test("seeded pruning-soundness fuzz: random decimal/timestamp data + random " +
+      "predicates never lose a matching row to bounds pruning") {
+    import org.apache.spark.sql.{sources => sqs}
+    val rnd = new scala.util.Random(42)
+    var prunedAtLeastOnce = false
+    (1 to 3).foreach { round =>
+      val dir = s"${tmpDir()}/fuzz$round"
+      // values cluster around distinct centers so range files get
+      // real, sometimes-overlapping bounds; ~5% nulls in each column
+      val rows = (0 until 400).map { i =>
+        val center = (i % 4) * 1000 - 2000
+        val amt =
+          if (rnd.nextInt(20) == 0) null
+          else new java.math.BigDecimal(center + rnd.nextInt(500)).setScale(2)
+        val ts =
+          if (rnd.nextInt(20) == 0) null
+          else java.time.LocalDateTime.ofEpochSecond(
+            86400L * (center + 3000) + rnd.nextInt(40000), 0, java.time.ZoneOffset.UTC)
+        org.apache.spark.sql.Row(i.toLong, amt, ts)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("amt", org.apache.spark.sql.types.DecimalType(12, 2)),
+        org.apache.spark.sql.types.StructField("tsn", org.apache.spark.sql.types.TimestampNTZType)))
+      // cluster by a different column each round: the clustered column
+      // gets tight bounds (pruning fires), the others get overlapping
+      // bounds (soundness under bound overlap is exercised too)
+      val clusterCol = round match { case 1 => "amt"; case 2 => "tsn"; case _ => "id" }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+        .repartitionByRange(4 + rnd.nextInt(4), col(clusterCol))
+      IcebergSource.commitAppend(spark, dir, df, 1L, 1L)
+      val full = IcebergSource.read(spark, dir)
+      val nAll = IcebergSource.dataFiles(dir).size
+      (1 to 12).foreach { _ =>
+        val (f, rowPred) = rnd.nextInt(5) match {
+          case 0 =>
+            val lit = new java.math.BigDecimal(rnd.nextInt(6000) - 3000).setScale(2)
+            (sqs.LessThan("amt", lit): sqs.Filter, col("amt") < lit)
+          case 1 =>
+            val lit = new java.math.BigDecimal(rnd.nextInt(6000) - 3000).setScale(2)
+            (sqs.GreaterThan("amt", lit): sqs.Filter, col("amt") > lit)
+          case 2 =>
+            val lit = new java.math.BigDecimal((rnd.nextInt(4) * 1000 - 2000) + rnd.nextInt(500)).setScale(2)
+            (sqs.EqualTo("amt", lit): sqs.Filter, col("amt") === lit)
+          case 3 =>
+            val lit = java.time.LocalDateTime.ofEpochSecond(
+              86400L * (rnd.nextInt(6000)), 0, java.time.ZoneOffset.UTC)
+            (sqs.LessThan("tsn", lit): sqs.Filter, col("tsn") < lit)
+          case _ =>
+            val lit = java.time.LocalDateTime.ofEpochSecond(
+              86400L * (rnd.nextInt(6000)), 0, java.time.ZoneOffset.UTC)
+            (sqs.GreaterThanOrEqual("tsn", lit): sqs.Filter, col("tsn") >= lit)
+        }
+        val expect = full.filter(rowPred).count()
+        val planned = IcebergSource.dataFiles(dir, filters = Seq(f))
+        if (planned.size < nAll) prunedAtLeastOnce = true
+        val got = IcebergSource.read(spark, dir, filters = Seq(f)).filter(rowPred).count()
+        assert(got == expect,
+          s"pruning lost rows for $f: got $got expect $expect (planned ${planned.size}/$nAll)")
+      }
+    }
+    assert(prunedAtLeastOnce, "fuzz must exercise at least one actual prune (non-vacuous)")
+  }
+
   test("commit reads no data pages: stats come from footers, input bytes stay " +
       "metadata-sized") {
     import spark.implicits._
