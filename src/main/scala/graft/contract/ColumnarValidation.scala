@@ -186,6 +186,32 @@ object ColumnarValidation {
       passN
     }
   }
+  /** DECIMAL range: the row pipeline's `col.between(lo, hi)` coerces a
+    * decimal column against double literals by promoting BOTH to
+    * double, so the kernel compares `getDecimal(..).toDouble` — the
+    * identical-semantics contract, not a tighter decimal compare. */
+  private final class RangeDecimal(lo: Double, hi: Double, p: Int, s: Int) extends VecTest {
+    def pass(v: ColumnVector, i: Int): Boolean =
+      !v.isNullAt(i) && { val x = v.getDecimal(i, p, s).toDouble; x >= lo && x <= hi }
+    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      if (!v.hasNull) {
+        var passN = 0L; var i = 0
+        while (i < n) {
+          if ({ val x = v.getDecimal(i, p, s).toDouble; x >= lo && x <= hi }) passN += 1L
+          else if (failRank > rankArr(i)) rankArr(i) = failRank
+          i += 1
+        }
+        return passN
+      }
+      var passN = 0L; var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i) && { val x = v.getDecimal(i, p, s).toDouble; x >= lo && x <= hi }) passN += 1L
+        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        i += 1
+      }
+      passN
+    }
+  }
   private final class RangeDouble(lo: Double, hi: Double) extends VecTest {
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getDouble(i); x >= lo && x <= hi }
@@ -448,6 +474,7 @@ object ColumnarValidation {
         case ByteType => Right(new RangeByte(lo, hi))
         case DoubleType => Right(new RangeDouble(lo, hi))
         case FloatType => Right(new RangeFloat(lo, hi))
+        case d: DecimalType => Right(new RangeDecimal(lo, hi, d.precision, d.scale))
         case other => Left(s"range rule over $c: no kernel for type $other")
       }
       case RowRule.Domain(_, c, allowed) => dt match {

@@ -248,6 +248,26 @@ class ColumnarValidationSpec extends SparkSpec {
     }
   }
 
+  test("decimal range kernel: int32/int64/binary-backed decimals agree with the " +
+      "row pipeline across encodings, nulls included") {
+    // parquet physical layout varies by precision: (5,2) packs into
+    // INT32, (12,2) into INT64, (25,2) into FLBA — one kernel must
+    // read all three through getDecimal, under both page encodings
+    for ((p, s) <- Seq((5, 2), (12, 2), (25, 2)); dict <- Seq("false", "true")) {
+      val dir = s"${tmpDir()}/dec_${p}_$dict"
+      val rows = Seq[Any](null, "0.00", "1.00", "45.00", "45.01", "-1.00", "999.99", "44.999")
+        .map {
+          case null => Row(null)
+          case v: String => Row(new java.math.BigDecimal(v).setScale(s, java.math.RoundingMode.HALF_UP))
+        }
+      val schema = StructType(Seq(StructField("d", DecimalType(p, s))))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+        .write.option("parquet.enable.dictionary", dict).parquet(dir)
+      val policy = ContractPolicy(Seq(RowRule.Range("rg_d", "d", 1, 45)))
+      assertAgrees(spark.read.parquet(dir), policy, expectColumnar = true)
+    }
+  }
+
   test("countsDf is partition-invariant and matches across repartitioning") {
     val dir = s"${tmpDir()}/pi"
     edgeDf().write.parquet(dir)
