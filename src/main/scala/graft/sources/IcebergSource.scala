@@ -805,6 +805,22 @@ object IcebergSource {
       }
     }
 
+  /** Smallest string strictly greater than EVERY string with prefix
+    * `p`: increment p's last incrementable code point (skipping the
+    * surrogate gap), dropping anything after it. None when p is all
+    * MAX_CODE_POINT (no such string — the caller skips that clause).
+    * Every p-prefixed s satisfies p ≤ s < succPrefix(p). */
+  private[graft] def succPrefix(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
+    if (i < 0) None
+    else {
+      val next = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+      Some(new String(cps.take(i) :+ next, 0, i + 1))
+    }
+  }
+
   /** Conservative file-level predicate evaluation against the manifest
     * column bounds + null counts (the reference's stats-pruning law:
     * Pruned | RetainedMayMatch | RetainedConservatively — verified
@@ -851,6 +867,14 @@ object IcebergSource {
         lower(c).exists(lo => cmpValues(lo, lit).exists(_ > 0))))
       case sf.IsNull(c) => !nullsOf(c).contains(0L)
       case sf.IsNotNull(c) => !allNull(c)
+      // LIKE 'p%': every p-prefixed s satisfies p ≤ s < succPrefix(p),
+      // so the file provably has no match when max < p or min ≥ succ(p).
+      // Sound under bound truncation (lower ≤ true min, upper ≥ true
+      // max only ever WEAKENS both clauses).
+      case sf.StringStartsWith(c, p) => !(p != null && (allNull(c) ||
+        upper(c).exists(hi => cmpValues(hi, p).exists(_ < 0)) ||
+        succPrefix(p).exists(sp =>
+          lower(c).exists(lo => cmpValues(lo, sp).exists(_ >= 0)))))
       case sf.And(l, r) => statsMayMatch(l, ref, meta) && statsMayMatch(r, ref, meta)
       case sf.Or(l, r) => statsMayMatch(l, ref, meta) || statsMayMatch(r, ref, meta)
       // ≠ prunes only when every non-null row provably EQUALS lit
@@ -894,6 +918,14 @@ object IcebergSource {
       }
       case sf.IsNull(c) => part.get(c).forall(_ == null)
       case sf.IsNotNull(c) => part.get(c).forall(_ != null)
+      // identity partition: every row holds pv exactly, so LIKE 'p%'
+      // is decidable per file (null rows never satisfy LIKE)
+      case sf.StringStartsWith(c, p) if p != null => part.get(c) match {
+        case None => true
+        case Some(null) => false
+        case Some(pv: String) => pv.startsWith(p)
+        case Some(_) => true // non-string partition value: no info
+      }
       case sf.And(l, r) => mayMatch(l, part) && mayMatch(r, part)
       case sf.Or(l, r) => mayMatch(l, part) || mayMatch(r, part)
       // Not cannot be derived from !mayMatch (both sides conservative);
@@ -971,6 +1003,26 @@ object IcebergSource {
       case sf.Not(sf.EqualTo(c, lit)) => !fieldsOf(c).exists { case (pf, pv) =>
         // only identity proves ≠: every row equals pv exactly
         pf.transform == "identity" && pv != null && lit != null && cmp(pv, lit).contains(0) }
+      // LIKE 'p%' under identity (rows hold pv exactly) and truncate
+      // (rows share the w-cp prefix pv): null rows never satisfy LIKE,
+      // so all-null null-preserving fields prove no-match too
+      case sf.StringStartsWith(c, p) if p != null => !fieldsOf(c).exists { case (pf, pv) =>
+        if (pv == null) nullPreserving(pf.transform)
+        else pf.transform match {
+          case "identity" => pv match {
+            case s: String => !s.startsWith(p)
+            case _ => false
+          }
+          case t if t.startsWith("truncate[") => (pv, transformLit(t, p)) match {
+            case (s: String, Some(tl: String)) =>
+              // p fits the width → s startsWith p ⟺ trunc(s) startsWith p;
+              // p longer than the width → s startsWith p ⟹ trunc(s) == trunc(p)
+              if (tl == p) !s.startsWith(p) else s != tl
+            case _ => false
+          }
+          case _ => false
+        }
+      }
       case _ => true
     }
   }

@@ -1372,6 +1372,61 @@ class IcebergSpec extends SparkSpec {
     assert(prunedAtLeastOnce, "fuzz must exercise at least one actual prune (non-vacuous)")
   }
 
+  test("StringStartsWith pruning: bounds, identity partitions and truncate " +
+      "transforms prune LIKE 'p%' soundly") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    // succPrefix algebra: p <= s < succ(p) for every p-prefixed s
+    assert(IcebergSource.succPrefix("ab").contains("ac"))
+    assert(IcebergSource.succPrefix("a􏿿").contains("b")) // max cp tail walks left
+    assert(IcebergSource.succPrefix(
+      new String(Array(Character.MAX_CODE_POINT), 0, 1)).isEmpty)
+    // UNPARTITIONED + bounds: tags cluster by leading letter
+    val dir = s"${tmpDir()}/bounds"
+    val prefixes = Seq("apple", "berry", "cherry", "damson")
+    val df = (0 until 400).map(i => (i.toLong, s"${prefixes(i % 4)}_$i"))
+      .toDF("id", "tag").repartitionByRange(4, col("tag"))
+    IcebergSource.commitAppend(spark, dir, df, 1L, 1L)
+    val all = IcebergSource.dataFiles(dir)
+    val sw = IcebergSource.dataFiles(dir, filters = Seq(sqs.StringStartsWith("tag", "cherry")))
+    assert(sw.nonEmpty && sw.size < all.size, s"bounds must prune LIKE: ${sw.size}/${all.size}")
+    assert(IcebergSource.read(spark, dir,
+        filters = Seq(sqs.StringStartsWith("tag", "cherry")))
+      .filter($"tag".startsWith("cherry")).count() == 100)
+    // prefix beyond the 16-cp bound truncation stays sound (kept files
+    // still contain every match)
+    val longDir = s"${tmpDir()}/long"
+    val longTags = (0 until 200).map(i =>
+      (i.toLong, s"${"x" * 20}${i % 2}_tail$i")) // shared 20-cp prefix
+      .toDF("id", "tag").repartitionByRange(2, col("tag"))
+    IcebergSource.commitAppend(spark, longDir, longTags, 1L, 1L)
+    val p21 = "x" * 20 + "1"
+    assert(IcebergSource.read(spark, longDir,
+        filters = Seq(sqs.StringStartsWith("tag", p21)))
+      .filter($"tag".startsWith(p21)).count() == 100)
+    // IDENTITY partitions: LIKE decides per partition value
+    val pdir = s"${tmpDir()}/part"
+    val pdf = (0 until 300).map(i => (i.toLong, prefixes(i % 3))).toDF("id", "cat")
+    IcebergSource.commitAppend(spark, pdir, pdf, 1L, 1L, partitionBy = Seq("cat"))
+    val pAll = IcebergSource.dataFiles(pdir)
+    val pSw = IcebergSource.dataFiles(pdir, filters = Seq(sqs.StringStartsWith("cat", "ap")))
+    assert(pSw.nonEmpty && pSw.size < pAll.size)
+    assert(IcebergSource.read(spark, pdir, filters = Seq(sqs.StringStartsWith("cat", "ap")))
+      .filter($"cat".startsWith("ap")).count() == 100)
+    // TRUNCATE[2] transform: short prefix decides via startsWith, long
+    // prefix via equality with the truncated literal
+    val tdir = s"${tmpDir()}/trunc"
+    IcebergSource.commitAppend(spark, tdir, pdf, 1L, 1L,
+      partitionSpec = Seq(IcebergSource.PartField("cat_t", "cat", "truncate[2]")))
+    val tAll = IcebergSource.dataFiles(tdir)
+    val tShort = IcebergSource.dataFiles(tdir, filters = Seq(sqs.StringStartsWith("cat", "b")))
+    assert(tShort.nonEmpty && tShort.size < tAll.size, s"truncate short-prefix: ${tShort.size}/${tAll.size}")
+    val tLong = IcebergSource.dataFiles(tdir, filters = Seq(sqs.StringStartsWith("cat", "apple")))
+    assert(tLong.nonEmpty && tLong.size < tAll.size, s"truncate long-prefix: ${tLong.size}/${tAll.size}")
+    assert(IcebergSource.read(spark, tdir, filters = Seq(sqs.StringStartsWith("cat", "apple")))
+      .filter($"cat".startsWith("apple")).count() == 100)
+  }
+
   test("commit reads no data pages: stats come from footers, input bytes stay " +
       "metadata-sized") {
     import spark.implicits._
