@@ -1325,24 +1325,28 @@ class IcebergSpec extends SparkSpec {
           if (rnd.nextInt(20) == 0) null
           else java.time.LocalDateTime.ofEpochSecond(
             86400L * (center + 3000) + rnd.nextInt(40000), 0, java.time.ZoneOffset.UTC)
-        org.apache.spark.sql.Row(i.toLong, amt, ts)
+        val tag =
+          if (rnd.nextInt(20) == 0) null
+          else s"${('a' + rnd.nextInt(6)).toChar}${('a' + rnd.nextInt(3)).toChar}_${rnd.nextInt(100)}"
+        org.apache.spark.sql.Row(i.toLong, amt, ts, tag)
       }
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("amt", org.apache.spark.sql.types.DecimalType(12, 2)),
-        org.apache.spark.sql.types.StructField("tsn", org.apache.spark.sql.types.TimestampNTZType)))
+        org.apache.spark.sql.types.StructField("tsn", org.apache.spark.sql.types.TimestampNTZType),
+        org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType)))
       // cluster by a different column each round: the clustered column
       // gets tight bounds (pruning fires), the others get overlapping
       // bounds (soundness under bound overlap is exercised too)
-      val clusterCol = round match { case 1 => "amt"; case 2 => "tsn"; case _ => "id" }
+      val clusterCol = round match { case 1 => "amt"; case 2 => "tsn"; case _ => "tag" }
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 2), schema)
         .repartitionByRange(4 + rnd.nextInt(4), col(clusterCol))
       IcebergSource.commitAppend(spark, dir, df, 1L, 1L)
       val full = IcebergSource.read(spark, dir)
       val nAll = IcebergSource.dataFiles(dir).size
-      (1 to 12).foreach { _ =>
-        val (f, rowPred) = rnd.nextInt(5) match {
+      (1 to 16).foreach { _ =>
+        val (f, rowPred) = rnd.nextInt(7) match {
           case 0 =>
             val lit = new java.math.BigDecimal(rnd.nextInt(6000) - 3000).setScale(2)
             (sqs.LessThan("amt", lit): sqs.Filter, col("amt") < lit)
@@ -1356,10 +1360,16 @@ class IcebergSpec extends SparkSpec {
             val lit = java.time.LocalDateTime.ofEpochSecond(
               86400L * (rnd.nextInt(6000)), 0, java.time.ZoneOffset.UTC)
             (sqs.LessThan("tsn", lit): sqs.Filter, col("tsn") < lit)
-          case _ =>
+          case 4 =>
             val lit = java.time.LocalDateTime.ofEpochSecond(
               86400L * (rnd.nextInt(6000)), 0, java.time.ZoneOffset.UTC)
             (sqs.GreaterThanOrEqual("tsn", lit): sqs.Filter, col("tsn") >= lit)
+          case 5 =>
+            val p = s"${('a' + rnd.nextInt(7)).toChar}" // sometimes 'g': zero matches
+            (sqs.StringStartsWith("tag", p): sqs.Filter, col("tag").startsWith(p))
+          case _ =>
+            val p = s"${('a' + rnd.nextInt(6)).toChar}${('a' + rnd.nextInt(4)).toChar}"
+            (sqs.StringStartsWith("tag", p): sqs.Filter, col("tag").startsWith(p))
         }
         val expect = full.filter(rowPred).count()
         val planned = IcebergSource.dataFiles(dir, filters = Seq(f))
