@@ -821,6 +821,57 @@ object IcebergSource {
     }
   }
 
+  /** Push NOT through a pushed-filter tree into positive forms the
+    * pruning evaluators can decide. Every rewrite is truth-set-EXACT
+    * under SQL's Kleene 3VL (a row survives a filter iff it evaluates
+    * TRUE, never NULL): De Morgan holds exactly in Kleene logic,
+    * NOT(c > v) is TRUE iff c <= v (a null c satisfies neither side),
+    * `<=>` is two-valued so its negation splits into IS NULL OR ≠, and
+    * NOT(c IN (v..)) with no null element is exactly the conjunction
+    * of the ≠s. A null literal inside a comparison, or a null element
+    * inside a negated IN, makes the predicate unsatisfiable-or-null —
+    * those stay wrapped (evaluators retain conservatively). The
+    * rewrite itself never prunes; it only exposes structure. */
+  private[graft] def normalizeNot(f: SFilter): SFilter = {
+    import org.apache.spark.sql.{sources => sf}
+    f match {
+      case sf.And(l, r) => sf.And(normalizeNot(l), normalizeNot(r))
+      case sf.Or(l, r) => sf.Or(normalizeNot(l), normalizeNot(r))
+      // c <=> null ⟺ c IS NULL; c <=> v ⟺ c = v for filtering (null c
+      // fails both — FALSE vs NULL is the same survivorship)
+      case sf.EqualNullSafe(c, null) => sf.IsNull(c)
+      case sf.EqualNullSafe(c, v) => sf.EqualTo(c, v)
+      case sf.Not(g) => g match {
+        case sf.Not(h) => normalizeNot(h)
+        case sf.And(l, r) => sf.Or(normalizeNot(sf.Not(l)), normalizeNot(sf.Not(r)))
+        case sf.Or(l, r) => sf.And(normalizeNot(sf.Not(l)), normalizeNot(sf.Not(r)))
+        case sf.GreaterThan(c, v) if v != null => sf.LessThanOrEqual(c, v)
+        case sf.GreaterThanOrEqual(c, v) if v != null => sf.LessThan(c, v)
+        case sf.LessThan(c, v) if v != null => sf.GreaterThanOrEqual(c, v)
+        case sf.LessThanOrEqual(c, v) if v != null => sf.GreaterThan(c, v)
+        case sf.IsNull(c) => sf.IsNotNull(c)
+        case sf.IsNotNull(c) => sf.IsNull(c)
+        case sf.EqualNullSafe(c, null) => sf.IsNotNull(c)
+        case sf.EqualNullSafe(c, v) => sf.Or(sf.IsNull(c), sf.Not(sf.EqualTo(c, v)))
+        case sf.In(c, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+          vs.map(v => sf.Not(sf.EqualTo(c, v)): SFilter).reduce(sf.And(_, _))
+        case other => sf.Not(other)
+      }
+      case other => other
+    }
+  }
+
+  /** The one gate every scan path applies per (pushed filter, data
+    * file): normalize NOT first, then both the transform-aware
+    * partition rules and the manifest bounds/null-count rules must
+    * agree the file may match. */
+  private def fileSurvives(filters: Seq[SFilter], f: DataFileRef,
+      meta: TableMeta): Boolean =
+    filters.forall { fl0 =>
+      val fl = normalizeNot(fl0)
+      fileMayMatch(fl, f.partition, meta.spec) && statsMayMatch(fl, f, meta)
+    }
+
   /** Conservative file-level predicate evaluation against the manifest
     * column bounds + null counts (the reference's stats-pruning law:
     * Pruned | RetainedMayMatch | RetainedConservatively — verified
@@ -883,6 +934,17 @@ object IcebergSource {
       case sf.Not(sf.EqualTo(c, lit)) =>
         !(lit != null && lower(c).isDefined && lower(c) == upper(c) &&
           lower(c).exists(lo => cmpValues(lo, lit).contains(0)))
+      // NOT LIKE 'p%' is satisfied only by non-null non-p-prefixed
+      // rows; provably none when every row is null, or both bounds are
+      // themselves p-prefixed — any s with lo ≤ s ≤ hi where lo and hi
+      // share the prefix p must share it too (a first differing
+      // codepoint below |p| would push s outside [lo, hi]). Truncation
+      // only widens [lo, hi], so p-prefixed TRUNCATED bounds still pin
+      // every true value inside the prefix interval.
+      case sf.Not(sf.StringStartsWith(c, p)) =>
+        !(p != null && (allNull(c) ||
+          (lower(c).exists { case lo: String => lo.startsWith(p); case _ => false } &&
+            upper(c).exists { case hi: String => hi.startsWith(p); case _ => false })))
       case _ => true
     }
   }
@@ -935,6 +997,14 @@ object IcebergSource {
         case None => true
         case Some(null) => false
         case Some(pv) => !cmp(pv, lit).contains(0)
+      }
+      // identity: every row holds pv exactly, so NOT LIKE 'p%' is
+      // decidable per file (null rows satisfy neither side)
+      case sf.Not(sf.StringStartsWith(c, p)) if p != null => part.get(c) match {
+        case None => true
+        case Some(null) => false
+        case Some(pv: String) => !pv.startsWith(p)
+        case Some(_) => true
       }
       case _ => true
     }
@@ -1003,6 +1073,19 @@ object IcebergSource {
       case sf.Not(sf.EqualTo(c, lit)) => !fieldsOf(c).exists { case (pf, pv) =>
         // only identity proves ≠: every row equals pv exactly
         pf.transform == "identity" && pv != null && lit != null && cmp(pv, lit).contains(0) }
+      // NOT LIKE 'p%': provably no match when every row is null
+      // (null-preserving fields) or provably p-prefixed — identity rows
+      // equal pv; truncate[W] rows all start with their prefix pv, so a
+      // p-prefixed pv (only possible when |p| ≤ W) covers them too
+      case sf.Not(sf.StringStartsWith(c, p)) if p != null =>
+        !fieldsOf(c).exists { case (pf, pv) =>
+          if (pv == null) nullPreserving(pf.transform)
+          else (pf.transform, pv) match {
+            case ("identity", s: String) => s.startsWith(p)
+            case (t, s: String) if t.startsWith("truncate[") => s.startsWith(p)
+            case _ => false
+          }
+        }
       // LIKE 'p%' under identity (rows hold pv exactly) and truncate
       // (rows share the w-cp prefix pv): null rows never satisfy LIKE,
       // so all-null null-preserving fields prove no-match too
@@ -1073,8 +1156,7 @@ object IcebergSource {
       }
     }
     val (dataR, delsR) = resolveSeqs(data.result(), dels.result())
-    (dataR.filter(f => filters.forall(fl =>
-      fileMayMatch(fl, f.partition, meta.spec) && statsMayMatch(fl, f, meta))), delsR)
+    (dataR.filter(f => fileSurvives(filters, f, meta)), delsR)
   }
 
   /** Sequence resolution law (delete correctness hinges on it): a file
@@ -1151,8 +1233,7 @@ object IcebergSource {
         if e.status == StatusAdded && e.content == 0 &&
           lineageIds.contains(e.snapshotId.getOrElse(m.addedSnapshotId)) => e.ref
     }
-      .filter(f => filters.forall(fl =>
-        fileMayMatch(fl, f.partition, meta.spec) && statsMayMatch(fl, f, meta)))
+      .filter(f => fileSurvives(filters, f, meta))
   }
 
   /** Snapshot-pinned distributed read (time travel when `snapshotId`
@@ -1421,8 +1502,7 @@ object IcebergSource {
       }
     }
     val (dataR, delsR) = resolveSeqs(data.result(), dels.result())
-    val files = dataR.filter(f => filters.forall(fl =>
-      fileMayMatch(fl, f.partition, meta.spec) && statsMayMatch(fl, f, meta)))
+    val files = dataR.filter(f => fileSurvives(filters, f, meta))
     if (files.isEmpty) spark.emptyDataFrame
     else {
       // the window's END snapshot names the schema the caller sees

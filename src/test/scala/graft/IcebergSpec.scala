@@ -1345,8 +1345,8 @@ class IcebergSpec extends SparkSpec {
       IcebergSource.commitAppend(spark, dir, df, 1L, 1L)
       val full = IcebergSource.read(spark, dir)
       val nAll = IcebergSource.dataFiles(dir).size
-      (1 to 16).foreach { _ =>
-        val (f, rowPred) = rnd.nextInt(7) match {
+      (1 to 24).foreach { _ =>
+        def basePred(): (sqs.Filter, org.apache.spark.sql.Column) = rnd.nextInt(10) match {
           case 0 =>
             val lit = new java.math.BigDecimal(rnd.nextInt(6000) - 3000).setScale(2)
             (sqs.LessThan("amt", lit): sqs.Filter, col("amt") < lit)
@@ -1367,9 +1367,37 @@ class IcebergSpec extends SparkSpec {
           case 5 =>
             val p = s"${('a' + rnd.nextInt(7)).toChar}" // sometimes 'g': zero matches
             (sqs.StringStartsWith("tag", p): sqs.Filter, col("tag").startsWith(p))
-          case _ =>
+          case 6 =>
             val p = s"${('a' + rnd.nextInt(6)).toChar}${('a' + rnd.nextInt(4)).toChar}"
             (sqs.StringStartsWith("tag", p): sqs.Filter, col("tag").startsWith(p))
+          case 7 =>
+            val lit = new java.math.BigDecimal((rnd.nextInt(4) * 1000 - 2000) + rnd.nextInt(500)).setScale(2)
+            (sqs.EqualNullSafe("amt", lit): sqs.Filter, col("amt") <=> lit)
+          case 8 =>
+            val c = Seq("amt", "tsn", "tag")(rnd.nextInt(3))
+            (sqs.IsNull(c): sqs.Filter, col(c).isNull)
+          case _ =>
+            val c = Seq("amt", "tsn", "tag")(rnd.nextInt(3))
+            (sqs.IsNotNull(c): sqs.Filter, col(c).isNotNull)
+        }
+        // combinator layer: plain, NOT, AND/OR, and the De Morgan
+        // shapes the normalizer rewrites — each paired with the exact
+        // Column predicate (Column ! / && / || are Kleene too)
+        val (f, rowPred) = rnd.nextInt(6) match {
+          case 0 => basePred()
+          case 1 => val (a, pa) = basePred(); (sqs.Not(a): sqs.Filter, !pa)
+          case 2 =>
+            val (a, pa) = basePred(); val (b, pb) = basePred()
+            (sqs.And(a, b): sqs.Filter, pa && pb)
+          case 3 =>
+            val (a, pa) = basePred(); val (b, pb) = basePred()
+            (sqs.Or(a, b): sqs.Filter, pa || pb)
+          case 4 =>
+            val (a, pa) = basePred(); val (b, pb) = basePred()
+            (sqs.Not(sqs.And(a, b)): sqs.Filter, !(pa && pb))
+          case _ =>
+            val (a, pa) = basePred(); val (b, pb) = basePred()
+            (sqs.Not(sqs.Or(a, b)): sqs.Filter, !(pa || pb))
         }
         val expect = full.filter(rowPred).count()
         val planned = IcebergSource.dataFiles(dir, filters = Seq(f))
@@ -1435,6 +1463,83 @@ class IcebergSpec extends SparkSpec {
     assert(tLong.nonEmpty && tLong.size < tAll.size, s"truncate long-prefix: ${tLong.size}/${tAll.size}")
     assert(IcebergSource.read(spark, tdir, filters = Seq(sqs.StringStartsWith("cat", "apple")))
       .filter($"cat".startsWith("apple")).count() == 100)
+  }
+
+  test("NOT normalization: negated comparisons, De Morgan shapes, <=> and NOT LIKE " +
+      "actually prune files; undecidable negations stay wrapped") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    // rewrite algebra: every rewrite is truth-set-exact under Kleene 3VL
+    val n = IcebergSource.normalizeNot _
+    assert(n(sqs.Not(sqs.GreaterThan("a", 5))) == sqs.LessThanOrEqual("a", 5))
+    assert(n(sqs.Not(sqs.Not(sqs.LessThan("a", 5)))) == sqs.LessThan("a", 5))
+    assert(n(sqs.Not(sqs.And(sqs.GreaterThan("a", 5), sqs.IsNull("b")))) ==
+      sqs.Or(sqs.LessThanOrEqual("a", 5), sqs.IsNotNull("b")))
+    assert(n(sqs.EqualNullSafe("a", null)) == sqs.IsNull("a"))
+    assert(n(sqs.EqualNullSafe("a", 5)) == sqs.EqualTo("a", 5))
+    assert(n(sqs.Not(sqs.EqualNullSafe("a", null))) == sqs.IsNotNull("a"))
+    assert(n(sqs.Not(sqs.EqualNullSafe("a", 5))) ==
+      sqs.Or(sqs.IsNull("a"), sqs.Not(sqs.EqualTo("a", 5))))
+    n(sqs.Not(sqs.In("a", Array(1, 2)))) match {
+      case sqs.And(sqs.Not(sqs.EqualTo("a", 1)), sqs.Not(sqs.EqualTo("a", 2))) =>
+      case other => fail(s"NOT IN must rewrite to a ≠ conjunction, got $other")
+    }
+    // a null IN element makes NOT IN unsatisfiable-or-null: stays
+    // wrapped (conservative retention, never a wrong prune)
+    n(sqs.Not(sqs.In("a", Array(1, null)))) match {
+      case sqs.Not(sqs.In("a", _)) =>
+      case other => fail(s"NOT IN with null element must stay wrapped, got $other")
+    }
+    // a null comparison literal satisfies no row either way: stays wrapped
+    n(sqs.Not(sqs.GreaterThan("a", null))) match {
+      case sqs.Not(sqs.GreaterThan("a", _)) =>
+      case other => fail(s"NOT > null must stay wrapped, got $other")
+    }
+
+    // UNPARTITIONED bounds: 4 range files over id [0,99]..[300,399],
+    // each file's tags share one prefix
+    val dir = s"${tmpDir()}/notbounds"
+    val prefixes = Seq("apple", "berry", "cherry", "damson")
+    val df = (0 until 400).map(i => (i.toLong, s"${prefixes(i / 100)}_$i"))
+      .toDF("id", "tag").repartitionByRange(4, col("id"))
+    IcebergSource.commitAppend(spark, dir, df, 1L, 1L)
+    val nAll = IcebergSource.dataFiles(dir).size
+    assert(nAll >= 3, s"fixture needs multiple range files, got $nAll")
+    def planned(f: sqs.Filter): Int = IcebergSource.dataFiles(dir, filters = Seq(f)).size
+    def readCount(f: sqs.Filter, p: org.apache.spark.sql.Column): Long =
+      IcebergSource.read(spark, dir, filters = Seq(f)).filter(p).count()
+    // NOT(id < 200) → id >= 200: low-range files pruned, rows exact
+    val notLt = sqs.Not(sqs.LessThan("id", 200L))
+    assert(planned(notLt) < nAll, "NOT(<) must prune via the >= dual")
+    assert(readCount(notLt, !($"id" < 200L)) == 200L)
+    // De Morgan: NOT(id < 100 OR id >= 300) → 100 <= id < 300
+    val dm = sqs.Not(sqs.Or(sqs.LessThan("id", 100L), sqs.GreaterThanOrEqual("id", 300L)))
+    assert(planned(dm) < nAll - 1, "NOT(OR) must prune both outer range files")
+    assert(readCount(dm, !($"id" < 100L || $"id" >= 300L)) == 200L)
+    // NOT LIKE 'apple%': the file whose bounds are both apple-prefixed is pruned
+    val notLike = sqs.Not(sqs.StringStartsWith("tag", "apple"))
+    assert(planned(notLike) < nAll, "NOT LIKE must prune an all-prefix file")
+    assert(readCount(notLike, !$"tag".startsWith("apple")) == 300L)
+    // <=> literal prunes like equality; <=> null prunes ALL files (no nulls)
+    assert(planned(sqs.EqualNullSafe("id", 250L)) < nAll)
+    assert(planned(sqs.EqualNullSafe("tag", null)) == 0,
+      "tag <=> NULL over null-free files must prune everything")
+    assert(readCount(sqs.EqualNullSafe("tag", null), $"tag".isNull) == 0L)
+
+    // IDENTITY partitions: NOT IN and NOT LIKE decide per partition value
+    val pdir = s"${tmpDir()}/notpart"
+    val pdf = (0 until 400).map(i => (i.toLong, prefixes(i % 4))).toDF("id", "cat")
+    IcebergSource.commitAppend(spark, pdir, pdf, 1L, 1L, partitionBy = Seq("cat"))
+    val pAll = IcebergSource.dataFiles(pdir).size
+    val notIn = sqs.Not(sqs.In("cat", Array("apple", "berry", "cherry")))
+    val pNotIn = IcebergSource.dataFiles(pdir, filters = Seq(notIn))
+    assert(pNotIn.size < pAll && pNotIn.nonEmpty,
+      s"NOT IN must keep only the damson partition: ${pNotIn.size}/$pAll")
+    assert(IcebergSource.read(spark, pdir, filters = Seq(notIn))
+      .filter(!$"cat".isin("apple", "berry", "cherry")).count() == 100L)
+    val pNotLike = IcebergSource.dataFiles(pdir,
+      filters = Seq(sqs.Not(sqs.StringStartsWith("cat", "ap"))))
+    assert(pNotLike.size < pAll, "identity NOT LIKE must prune the apple partition")
   }
 
   test("commit reads no data pages: stats come from footers, input bytes stay " +
