@@ -46,6 +46,19 @@ object LlmQueries {
     """SELECT doc_id, text FROM documents
       |UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0""".stripMargin
 
+  /** ∪ TWO copies of every 50th doc (+100000, +200000) — 3-member dup
+    * clusters, so transitive grouping has something to merge. */
+  private def corpusWithDups3(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val every50 = docs.filter(col("doc_id") % 50 === 0)
+    docs.unionByName(every50.withColumn("doc_id", col("doc_id") + 100000))
+      .unionByName(every50.withColumn("doc_id", col("doc_id") + 200000))
+  }
+  private val corpus3Sql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+      |UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0""".stripMargin
+
   /** ∪ perturbed copies (suffix padding) — near- but not exact dups. */
   private def corpusWithNearDups(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select("doc_id", "text")
@@ -312,6 +325,54 @@ object LlmQueries {
     TextDedup.minhashLshPairs(corpusWithDups(s, d), "doc_id", "text",
       n = 5, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
+  }
+
+  val dupClusters: QueryDef = QueryDef.sqlBacked(
+    "q_dup_clusters",
+    s"""WITH RECURSIVE corpus AS ($corpus3Sql),
+       |toks AS (SELECT doc_id, $wsSplitSql AS w FROM corpus),
+       |ngr AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' ')))) AS ng
+       |  FROM toks WHERE len(w) >= 5),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS sz FROM ngr GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM ngr a JOIN ngr b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+       |  UNION
+       |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON r.node = e.u),
+       |cc AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+       |sized AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM cc GROUP BY component)
+       |SELECT CAST(cc.node AS BIGINT) AS doc_id,
+       |  CAST(cc.component AS BIGINT) AS cluster_id,
+       |  sized.cluster_size, cc.node = cc.component AS is_canonical
+       |FROM cc JOIN sized ON cc.component = sized.component
+       |ORDER BY doc_id""".stripMargin,
+    doc = "Near-dup CLUSTER ASSIGNMENT: transitive closure of the exact-Jaccard-verified " +
+      "LSH pair set via distributed min-label propagation (hash-to-min connected " +
+      "components, Rastogi et al. ICDE'13) — the canonical-doc selection step every " +
+      "dedup pipeline runs after pair generation. O(diameter) rounds, each shuffling " +
+      "only (long, long) labels; lineage truncated per round. Oracle recomputes the " +
+      "same components with a recursive CTE over the same pair set.") { (s, d) =>
+    val pairs = TextDedup.minhashLshPairs(corpusWithDups3(s, d), "doc_id", "text",
+      n = 5, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+    val cc = TextDedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val sized = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sized, "component")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"), (col("node") === col("component")).as("is_canonical"))
+      .orderBy("doc_id")
   }
 
   val simhash: QueryDef = QueryDef.sqlBacked(
@@ -753,7 +814,7 @@ object LlmQueries {
     textFingerprint, dedupContentHash, tokenStats, textQuality, langIdQ,
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
     repetitionSignals, prefixDedup, decontaminate, seqPack,
-    ngramJaccard, minhashLsh, simhash,
+    ngramJaccard, minhashLsh, dupClusters, simhash,
     cosineTopK, annLsh, annIvf, embedNearDup, embedQuantize,
     multimodalMeta, multimodalFeatures)
 }

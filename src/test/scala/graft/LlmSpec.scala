@@ -235,4 +235,37 @@ class LlmSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
+
+  test("connected components: chain transitivity, component = min id, singletons " +
+      "omitted, convergence independent of partitioning") {
+    // path graph 1-2-3-4 (diameter 3: needs >1 propagation round),
+    // triangle 10-11-12, isolated pair 20-21; node 99 appears nowhere
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),   // path, mixed edge orientation
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("doc_a", "doc_b")
+    val cc = TextDedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // determinism under a different partitioning of the same edges
+    val cc2 = TextDedup.connectedComponents(pairs.repartition(7), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc2 == cc)
+  }
+
+  test("connected components: a long path exceeding maxIters fails typed, " +
+      "not silently wrong") {
+    val longPath = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // min-label propagation needs ~diameter rounds; cap below that
+    val e = intercept[graft.core.GraftError.Plan] {
+      TextDedup.connectedComponents(longPath, "doc_a", "doc_b", maxIters = 2)
+    }
+    assert(e.getMessage.contains("converge"))
+    // and with the default cap the same graph settles to one component
+    val cc = TextDedup.connectedComponents(longPath, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L) && cc.size == 12)
+  }
 }
