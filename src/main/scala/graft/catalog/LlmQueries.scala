@@ -375,6 +375,31 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  val winnow: QueryDef = QueryDef.sqlBacked(
+    "q_winnow_dedup",
+    s"""WITH corpus AS ($nearCorpusSql),
+       |toks AS (SELECT doc_id, $wsSplitSql AS w FROM corpus),
+       |hs AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 4), i ->
+       |    CAST(concat('0x', substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15)) AS BIGINT)) AS h
+       |  FROM toks WHERE len(w) >= 8),
+       |fps AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(h) - 3), i -> list_min(h[i:i+3])))) AS fp FROM hs),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin,
+    doc = "PASSAGE-level near-dup pairs via winnowing fingerprints (Schleimer et al. " +
+      "SIGMOD'03): k=5 word-gram hashes, window-4 minima — any shared passage of " +
+      "≥8 words shares a fingerprint (coverage theorem) at ~2/(w+1) the gram volume. " +
+      "Portable md5-prefix hash, so the oracle reproduces the identical window " +
+      "minima; join shuffles 8-byte fingerprints, never text.") { (s, d) =>
+    TextDedup.winnowPassagePairs(corpusWithNearDups(s, d), "doc_id", "text",
+      k = 5, window = 4, minShared = 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val simhash: QueryDef = QueryDef.sqlBacked(
     "q_simhash",
     s"""WITH corpus AS ($corpusSql),
@@ -814,7 +839,7 @@ object LlmQueries {
     textFingerprint, dedupContentHash, tokenStats, textQuality, langIdQ,
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
     repetitionSignals, prefixDedup, decontaminate, seqPack,
-    ngramJaccard, minhashLsh, dupClusters, simhash,
+    ngramJaccard, minhashLsh, dupClusters, winnow, simhash,
     cosineTopK, annLsh, annIvf, embedNearDup, embedQuantize,
     multimodalMeta, multimodalFeatures)
 }

@@ -268,4 +268,30 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(cc.values.toSet == Set(1L) && cc.size == 12)
   }
+
+  test("winnowing: shared passage of >= k+w-1 words guarantees a shared " +
+      "fingerprint; short docs and disjoint docs emit none") {
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, s"unrelated lead in words here $passage trailing content one two"),
+      (2L, s"different opening entirely $passage other tail tokens"),
+      (3L, "completely disjoint vocabulary nothing matching anything else at all here now"),
+      (4L, "tiny doc") // below k+w-1 words: no fingerprints
+    ).toDF("doc_id", "text")
+    val fps = TextDedup.winnowFingerprints(docs, "doc_id", "text")
+    assert(fps.filter(col("doc_id") === 4L).isEmpty, "short doc must emit no fingerprints")
+    // coverage theorem: docs 1 and 2 share a 10-word passage (>= 8)
+    val shared = fps.filter(col("doc_id") === 1L).select("fp").intersect(
+      fps.filter(col("doc_id") === 2L).select("fp"))
+    assert(!shared.isEmpty, "shared passage must yield a shared fingerprint")
+    val pairs = TextDedup.winnowPassagePairs(docs, "doc_id", "text", minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "disjoint doc pairs with nobody")
+    // compression: fingerprints are a strict subset of the gram hashes
+    val nGrams1 = docs.filter(col("doc_id") === 1L)
+      .select(size(split(trim(col("text")), "\\s+"))).as[Int].head() - 4
+    val nFps1 = fps.filter(col("doc_id") === 1L).count()
+    assert(nFps1 < nGrams1, s"winnowing must compress: $nFps1 fps vs $nGrams1 grams")
+  }
 }
