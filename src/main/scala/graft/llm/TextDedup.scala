@@ -256,7 +256,11 @@ object TextDedup {
     * monotone map, independent of partitioning or iteration order. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
+    // barrier first: the union scans `e` twice, and pair generators are
+    // typically the expensive stage (LSH + verification) — without it
+    // the whole pair pipeline runs twice inside one job
     val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .persist()
     // symmetric closure; distinct so parallel edges don't multiply the
     // propagation join (pair generators can emit dup pairs)
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
@@ -264,6 +268,15 @@ object TextDedup {
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    // convergence via monotonicity: each round takes a per-node MIN
+    // over a set containing the old label, so labels never increase —
+    // the label SUM (exact decimal: long sums overflow) is strictly
+    // decreasing until the fixpoint, and one cheap aggregate over the
+    // just-checkpointed round replaces a full old-vs-new anti-join
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty graph: converges round 1
+    var prevSum = lblSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -272,14 +285,14 @@ object TextDedup {
       val next = labels.union(prop)
         .groupBy("node").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") < col("o.lbl"))
-        .isEmpty
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       it += 1
     }
     sym.unpersist()
+    e.unpersist()
     if (!converged)
       throw graft.core.GraftError.Plan(
         s"connectedComponents did not converge in $maxIters rounds — " +
@@ -302,7 +315,11 @@ object TextDedup {
     * emits (doc_id, fp) longs — ~12 bytes/fingerprint downstream. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, window: Int = 4): DataFrame = {
+    // hash pipeline is CPU-bound: fan out across cores (corpus often
+    // arrives as few large splits; at scale the reader supplies real
+    // splits and this is a no-op repartition decision like docsFanout)
     val base = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
       // below k+window-1 words there is no full window; the guard also
       // keeps both `sequence` calls ascending (Spark counts DOWN when
@@ -324,7 +341,9 @@ object TextDedup {
     * text, and the pair space is the fingerprint-collision fan-out. */
   def winnowPassagePairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, window: Int = 4, minShared: Int = 2): DataFrame = {
-    val fps = winnowFingerprints(df, idCol, textCol, k, window)
+    // the fingerprint table feeds BOTH sides of the self-join — without
+    // a barrier the split/md5/winnow pipeline runs twice
+    val fps = winnowFingerprints(df, idCol, textCol, k, window).persist()
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
