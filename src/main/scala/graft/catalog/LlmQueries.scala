@@ -141,6 +141,41 @@ object LlmQueries {
       staged.select(col("doc_id") +: cols: _*).orderBy("doc_id")
   }
 
+  val qualityFilter: QueryDef = QueryDef.sqlBacked(
+    "q_quality_filter",
+    """SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_distinct, uniq_ratio,
+      |  CASE WHEN n_words < 20 OR n_words > 100000 THEN 'word_count'
+      |       WHEN mean_word_len < 2.0 OR mean_word_len > 10.0 THEN 'word_length'
+      |       WHEN alpha_ratio < 0.8 THEN 'alpha_ratio'
+      |       WHEN stop_distinct < 2 THEN 'stopwords'
+      |       WHEN uniq_ratio < 0.3 THEN 'repetition'
+      |       ELSE 'keep' END AS verdict
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS INTEGER) AS n_words,
+      |    round(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws), 4) AS mean_word_len,
+      |    round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws), 4) AS alpha_ratio,
+      |    CAST(len(list_intersect(list_distinct(ws),
+      |      ['the','be','to','of','and','that','have','with','a','in'])) AS INTEGER) AS stop_distinct,
+      |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS uniq_ratio
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents))
+      |ORDER BY doc_id""".stripMargin,
+    doc = "Gopher-style quality FILTER (Rae et al. 2021 §A1.1): length / mean-word-length / " +
+      "alphabetic-ratio / stopword-presence / lexical-diversity rules with a first-failing-rule " +
+      "verdict — the keep/drop decision a corpus pipeline actually executes, beside " +
+      "q_text_quality's scalar score. One narrow codegen'd pass over the staged token array; " +
+      "signals rounded to 4 decimals so the threshold comparisons replay in any engine.") {
+    (s, d) =>
+      val staged = docsFanout(s, d).select(col("doc_id"),
+        TextAnalysis.wsTokens(col("text")).as("_w"))
+      val sigs = TextAnalysis.gopherSignals(col("_w"))
+      val sigDf = staged.select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      sigDf.withColumn("verdict", TextAnalysis.gopherVerdict(
+          col("n_words"), col("mean_word_len"), col("alpha_ratio"),
+          col("stop_distinct"), col("uniq_ratio")))
+        .orderBy("doc_id")
+  }
+
   private val langFilterSql: Map[String, String] = TextAnalysis.langProfiles.toMap.map {
     case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -598,6 +633,60 @@ object LlmQueries {
       queryId = 0L, kClusters = 16, nProbe = 4, k = 10, iters = 0)
   }
 
+  val semDedup: QueryDef = QueryDef.sqlBacked(
+    "q_semdedup",
+    """WITH e0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      |e AS (
+      |  SELECT * FROM e0
+      |  UNION ALL SELECT vec_id + 100000, emb FROM e0 WHERE vec_id % 50 = 0),
+      |ranked AS (
+      |  SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e),
+      |smp AS (SELECT rn, emb FROM ranked WHERE rn < 256),
+      |n AS (SELECT count(*) AS L FROM smp),
+      |cent AS (
+      |  SELECT gs.c AS c, s.emb AS cemb
+      |  FROM generate_series(0, 7) AS gs(c)
+      |  CROSS JOIN n
+      |  JOIN smp s ON s.rn = (gs.c * n.L) // 8),
+      |assign AS (
+      |  SELECT vec_id, emb, c, cemb,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
+      |  FROM (
+      |    SELECT e.vec_id, e.emb, cent.c, cent.cemb,
+      |      list_sum(list_transform(generate_series(1, len(e.emb)), i ->
+      |        (e.emb[i] - cent.cemb[i]) * (e.emb[i] - cent.cemb[i]))) AS dist
+      |    FROM e CROSS JOIN cent)),
+      |a AS (
+      |  SELECT vec_id, emb, CAST(c AS INTEGER) AS cluster,
+      |    round(list_dot_product(emb, cemb) /
+      |      (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cemb, cemb))), 4) AS cent_cos
+      |  FROM assign WHERE rk = 1),
+      |dup AS (
+      |  SELECT DISTINCT x.vec_id
+      |  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+      |  WHERE (y.cent_cos < x.cent_cos
+      |         OR (y.cent_cos = x.cent_cos AND y.vec_id < x.vec_id))
+      |    AND round(list_dot_product(x.emb, y.emb) /
+      |      (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))), 4) >= 0.99)
+      |SELECT a.vec_id, a.cluster, a.cent_cos,
+      |  CAST(CASE WHEN a.vec_id IN (SELECT vec_id FROM dup) THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+      |FROM a ORDER BY a.vec_id""".stripMargin,
+    doc = "SemDeDup (Abbas et al. 2023): cluster-restricted semantic dedup over corpus ∪ exact " +
+      "copies — broadcast codebook assignment, within-cluster cosine ≥ 0.99 pairs only " +
+      "(Σ|cluster|², never n²), keep-lowest-centroid-cosine dominance with id tie-break. FULL " +
+      "oracle via the iters=0 codebook parameterization (evenly-spaced deterministic sample " +
+      "rows), same contract as q_ann_ivf; the operator default (10 Lloyd rounds) keeps its " +
+      "LlmSpec pins.") { (s, d) =>
+    val e = t(s, d, "embeddings").select("vec_id", "embedding")
+    val withDups = e.unionByName(
+      e.filter(col("vec_id") % 50 === 0).withColumn("vec_id", col("vec_id") + 100000))
+    Similarity.semDedup(withDups, "vec_id", "embedding",
+        kClusters = 8, threshold = 0.99, iters = 0)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+  }
+
   val embedNearDup: QueryDef = QueryDef.sqlBacked(
     "q_embed_neardup",
     """WITH v AS (
@@ -836,10 +925,10 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    textFingerprint, dedupContentHash, tokenStats, textQuality, langIdQ,
+    textFingerprint, dedupContentHash, tokenStats, textQuality, qualityFilter, langIdQ,
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
     repetitionSignals, prefixDedup, decontaminate, seqPack,
     ngramJaccard, minhashLsh, dupClusters, winnow, simhash,
-    cosineTopK, annLsh, annIvf, embedNearDup, embedQuantize,
+    cosineTopK, annLsh, annIvf, semDedup, embedNearDup, embedQuantize,
     multimodalMeta, multimodalFeatures)
 }

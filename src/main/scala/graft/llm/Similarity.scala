@@ -244,6 +244,70 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * restricted to coarse clusters. Every vector is assigned to its
+    * nearest centroid; candidate pairs are generated ONLY within a
+    * cluster; a vector is a duplicate when some same-cluster neighbor
+    * at cosine ≥ `threshold` DOMINATES it under the paper's keep rule —
+    * keep the member with the LOWEST cosine to its centroid (preserve
+    * the cluster's diverse tail), ties broken to the smaller id.
+    *
+    * 100 TB shape: centroids are a plan-time broadcast codebook (k·d
+    * doubles), assignment is one codegen-adjacent kernel pass, and the
+    * pair join shuffles on `cluster` so its cost is Σ_c |c|² — bounded
+    * by the largest cluster, never n² (k grows with the corpus to hold
+    * cluster sizes roughly constant, exactly how the paper runs at
+    * LAION scale). Comparisons use cosine ROUNDED to 4 decimals so the
+    * dominance relation is stable across engines (same contract as
+    * [[cosineNearDupPairs]]).
+    *
+    * `iters` = 0 keeps the codebook at the deterministic evenly-spaced
+    * sample rows (fully SQL-replayable — the catalog entry's full
+    * oracle); the operator default trains 10 Lloyd rounds.
+    *
+    * Returns (id, cluster, cent_cos, is_dup) — survivors are the
+    * `is_dup = 0` rows. */
+  def semDedup(df: DataFrame, idCol: String, embCol: String,
+      kClusters: Int, threshold: Double, iters: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val centroids = trainCentroids(df, idCol, embCol, kClusters, iters)
+    val centRows = centroids.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq) }
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_c",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_cemb",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = false)))
+    val centDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(centRows: _*)), centSchema)
+    // one narrow pass: cluster assignment + norm, then the tiny
+    // codebook joins back in (broadcast) for the cosine-to-centroid
+    val a = ivfAssign(df.select(col(idCol).as("id"), col(embCol).as("emb")), "emb", centroids)
+      .join(broadcast(centDf), col("_ivf_cluster") === col("_c"))
+      .select(col("id"), col("emb"), col("_ivf_cluster").as("cluster"),
+        norm(col("emb")).as("nrm"),
+        round(dot(col("emb"), col("_cemb")) /
+          (norm(col("emb")) * norm(col("_cemb"))), 4).as("cent_cos"))
+      .persist()
+    // within-cluster dominance pairs: shuffle on cluster, never all-pairs
+    val l = a.select(col("id").as("id_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"), col("cluster"), col("cent_cos").as("cc_a"))
+    val r = a.select(col("id").as("id_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"), col("cluster"), col("cent_cos").as("cc_b"))
+    val dominated = l.join(r, Seq("cluster"))
+      .filter(col("id_a") =!= col("id_b") &&
+        (col("cc_b") < col("cc_a") ||
+         (col("cc_b") === col("cc_a") && col("id_b") < col("id_a"))))
+      .filter(round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 4)
+        >= threshold)
+      .select(col("id_a").as("id")).distinct()
+    a.join(dominated.withColumn("_dup", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("cent_cos"),
+        coalesce(col("_dup"), lit(0)).as("is_dup"))
+  }
+
   /** Candidate-pair count for the banded LSH near-dup path — the
     * scale-audit hook (spec asserts candidates ≪ n²/2). */
   def cosineNearDupCandidateCount(df: DataFrame, idCol: String, embCol: String,

@@ -97,4 +97,48 @@ object TextAnalysis {
       "punct_n" -> punct,
       "quality_score" -> score)
   }
+
+  /** Gopher-rule stop list (Rae et al. 2021 §A1.1: a document must
+    * contain at least 2 of a small closed-class list — the cheapest
+    * "is this prose" test there is). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+  /** Gopher-style quality-FILTER signals (Rae et al. 2021 §A1.1,
+    * adapted to whitespace words): document length, mean word length,
+    * alphabetic-word ratio, distinct-stopword presence, lexical
+    * diversity. All pure codegen'd HOFs over the staged token array —
+    * one narrow map pass, no shuffle, any-engine-reproducible (ratios
+    * rounded to 4 decimals so threshold comparisons are stable). */
+  def gopherSignals(w: Column): Seq[(String, Column)] = {
+    val nWords = size(w)
+    val meanLen = aggregate(transform(w, x => length(x)), lit(0), (a, x) => a + x)
+      .cast("double") / nWords.cast("double")
+    val alphaRatio = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") /
+      nWords.cast("double")
+    val stopDistinct = size(array_intersect(array_distinct(w),
+      array(gopherStopwords.map(lit): _*)))
+    val uniqRatio = size(array_distinct(w)).cast("double") / nWords.cast("double")
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> round(meanLen, 4),
+      "alpha_ratio" -> round(alphaRatio, 4),
+      "stop_distinct" -> stopDistinct,
+      "uniq_ratio" -> round(uniqRatio, 4))
+  }
+
+  /** First-failing-rule verdict over the (ROUNDED) signal columns —
+    * fixed priority order, so the reason is deterministic and the
+    * filter's drop set decomposes per rule. Thresholds are the Gopher
+    * paper's, word-granular: length ∈ [20, 100000], mean word length
+    * ∈ [2, 10], ≥80% alphabetic words, ≥2 distinct stopwords, ≥30%
+    * distinct words. */
+  def gopherVerdict(nWords: Column, meanLen: Column, alphaRatio: Column,
+      stopDistinct: Column, uniqRatio: Column): Column =
+    when(nWords < 20 || nWords > 100000, "word_count")
+      .when(meanLen < 2.0 || meanLen > 10.0, "word_length")
+      .when(alphaRatio < 0.8, "alpha_ratio")
+      .when(stopDistinct < 2, "stopwords")
+      .when(uniqRatio < 0.3, "repetition")
+      .otherwise("keep")
 }
