@@ -144,7 +144,12 @@ object IcebergSource {
     * ("identity", "bucket[N]", "truncate[W]", "year", "month", "day",
     * "hour", "void", or anything future — unknown transforms read
     * fine, they just never prune). */
-  final case class PartField(name: String, source: String, transform: String)
+  final case class PartField(name: String, source: String, transform: String,
+      /** schema field id of the source column, when known (parsed from
+        * metadata, or resolved at commit). Serialization uses it so a
+        * spec written under an evolved schema round-trips exactly even
+        * after renames — positional fallbacks break there. */
+      sourceId: Option[Long] = None)
 
   final case class TableMeta(location: String, currentSnapshotId: Option[Long],
       snapshots: Seq[Snapshot], version: Int,
@@ -166,9 +171,20 @@ object IcebergSource {
       currentSchemaId: Long = 0L,
       /** spec `last-column-id` — the high-water mark alterSchema
         * allocates fresh field ids above (ids are never reused). */
-      lastColumnId: Long = 0L) {
+      lastColumnId: Long = 0L,
+      /** ALL partition specs ever default for this table, by spec-id —
+        * partition EVOLUTION: files written under an old spec keep
+        * their layout, and pruning interprets each file's partition
+        * tuple under the spec its manifest names. */
+      specsById: Map[Long, Seq[PartField]] = Map.empty,
+      /** spec `default-spec-id` (0 for single-spec tables). */
+      defaultSpecId: Long = 0L) {
     def currentSchema: Seq[SchemaField] =
       schemasById.getOrElse(currentSchemaId, Seq.empty)
+    /** The spec a manifest's partition_spec_id names; unknown ids fall
+      * back to the default spec (single-spec tables wrote id 0 before
+      * evolution support — their only spec IS the default). */
+    def specFor(id: Long): Seq[PartField] = specsById.getOrElse(id, spec)
     /** true once more than one schema exists (any rename/add/drop). */
     def schemaEvolved: Boolean = schemasById.size > 1
     def sequenceOf(snapshotId: Long): Long =
@@ -176,7 +192,7 @@ object IcebergSource {
     /** identity-transform source columns — the subset the WRITER can
       * lay out (commitAppend inherits these). */
     def partitionFields: Seq[String] =
-      spec.collect { case PartField(_, s, "identity") => s }
+      spec.collect { case PartField(_, s, "identity", _) => s }
     def snapshot(id: Long): Snapshot = snapshots.find(_.id == id)
       .getOrElse(throw new IllegalArgumentException(s"unknown snapshot $id"))
     /** parent-chain from `to` (inclusive) down to `fromExclusive`
@@ -220,7 +236,11 @@ object IcebergSource {
         * nothing (conservative-on-missing). */
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
-      nullCounts: Map[Int, Long] = Map.empty)
+      nullCounts: Map[Int, Long] = Map.empty,
+      /** partition_spec_id of the manifest that listed this file —
+        * pruning interprets `partition` under THAT spec (partition
+        * evolution: different files, different layouts). */
+      specId: Long = 0L)
 
   /** A delete file from a v2/v3 merge-on-read table. content 1 =
     * position deletes (parquet `file_path`+`pos`, or a v3 puffin
@@ -319,9 +339,9 @@ object IcebergSource {
     // (source columns live in the data files regardless). The typed
     // spec drives per-transform pruning in fileMayMatch.
     val defaultSpecId = f.get("default-spec-id").collect { case JInt(v) => v }
-    val spec: Seq[PartField] = f.get("partition-specs") match {
+    val allSpecs: Seq[(Long, Seq[PartField])] = f.get("partition-specs") match {
       case Some(JArr(specs)) if specs.nonEmpty =>
-        val parsed = specs.map { s =>
+        specs.map { s =>
           val sf = CanonicalJson.objFields(s)
           val specId = sf.get("spec-id").collect { case JInt(v) => v }.getOrElse(0L)
           val fields = sf.get("fields") match {
@@ -333,20 +353,23 @@ object IcebergSource {
               val source = srcId.flatMap(fieldNameById.get).orElse(name)
                 .getOrElse(throw graft.core.GraftError.Plan(
                   "iceberg fidelity: partition field without a resolvable name"))
-              PartField(name.getOrElse(source), source, transform)
+              PartField(name.getOrElse(source), source, transform, sourceId = srcId)
             }
             case _ => Seq.empty
           }
           specId -> fields
         }
-        parsed.find(p => defaultSpecId.contains(p._1))
-          .orElse(parsed.lastOption).map(_._2).getOrElse(Seq.empty)
       case _ => Seq.empty
     }
+    val chosenDefault = allSpecs.find(p => defaultSpecId.contains(p._1))
+      .orElse(allSpecs.lastOption)
+    val spec: Seq[PartField] = chosenDefault.map(_._2).getOrElse(Seq.empty)
     TableMeta(loc, cur, snaps, version, spec, fieldNameById,
       formatVersion = fmtVersion, fieldTypesById = fieldTypeById,
       schemasById = schemasById, currentSchemaId = currentSchemaId,
-      lastColumnId = lastColumnId)
+      lastColumnId = lastColumnId,
+      specsById = allSpecs.toMap,
+      defaultSpecId = chosenDefault.map(_._1).getOrElse(0L))
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {
@@ -369,7 +392,8 @@ object IcebergSource {
 
   /** One manifest as listed by the manifest list: its path, its
     * content (0 = data, 1 = deletes) and the snapshot that added it. */
-  private final case class ManifestRef(path: String, content: Int, addedSnapshotId: Long)
+  private final case class ManifestRef(path: String, content: Int, addedSnapshotId: Long,
+      specId: Long = 0L)
 
   /** manifest-list → manifests, optionally restricted to those added
     * by `addedBy`. Delete manifests (content=1) are RETURNED, not
@@ -381,7 +405,8 @@ object IcebergSource {
       .filter(m => addedBy.forall(_.contains(m.get("added_snapshot_id").asInstanceOf[Long])))
       .map(m => ManifestRef(m.get("manifest_path").toString,
         longField(m, "content").toInt,
-        m.get("added_snapshot_id").asInstanceOf[Long]))
+        m.get("added_snapshot_id").asInstanceOf[Long],
+        specId = longField(m, "partition_spec_id")))
 
   /** identity partition values from the entry's `data_file.partition`
     * struct (reader sees the writer's schema, so the struct is visible
@@ -869,7 +894,7 @@ object IcebergSource {
       meta: TableMeta): Boolean =
     filters.forall { fl0 =>
       val fl = normalizeNot(fl0)
-      fileMayMatch(fl, f.partition, meta.spec) && statsMayMatch(fl, f, meta)
+      fileMayMatch(fl, f.partition, meta.specFor(f.specId)) && statsMayMatch(fl, f, meta)
     }
 
   /** Conservative file-level predicate evaluation against the manifest
@@ -1149,7 +1174,8 @@ object IcebergSource {
                 s"file with content=${e.content} — inconsistent metadata")
           e.content match {
             case 0 => data += ((e.ref.copy(
-              addedBy = e.snapshotId.orElse(Some(m.addedSnapshotId))), entrySeq(e, m, meta)))
+              addedBy = e.snapshotId.orElse(Some(m.addedSnapshotId)),
+              specId = m.specId), entrySeq(e, m, meta)))
             case _ => dels += ((deleteRefOf(e, m.path), entrySeq(e, m, meta)))
           }
         }
@@ -1231,7 +1257,8 @@ object IcebergSource {
     es.collect {
       case (m, e)
         if e.status == StatusAdded && e.content == 0 &&
-          lineageIds.contains(e.snapshotId.getOrElse(m.addedSnapshotId)) => e.ref
+          lineageIds.contains(e.snapshotId.getOrElse(m.addedSnapshotId)) =>
+        e.ref.copy(specId = m.specId)
     }
       .filter(f => fileSurvives(filters, f, meta))
   }
@@ -1496,7 +1523,7 @@ object IcebergSource {
         val addedInWindow = e.status == StatusAdded &&
           lineageIds.contains(e.snapshotId.getOrElse(m.addedSnapshotId))
         if (addedInWindow) e.content match {
-          case 0 => data += ((e.ref, entrySeq(e, m, meta)))
+          case 0 => data += ((e.ref.copy(specId = m.specId), entrySeq(e, m, meta)))
           case _ => dels += ((deleteRefOf(e, m.path), entrySeq(e, m, meta)))
         }
       }
@@ -1871,6 +1898,20 @@ object IcebergSource {
       else parent.map(_.spec).getOrElse(Nil)
     require(spec0.forall(pf => df.columns.contains(pf.source)),
       s"partition source columns ${spec0.map(_.source)} missing from ${df.columns.toSeq}")
+    // partition EVOLUTION: an append whose layout differs from every
+    // spec the table has seen allocates a NEW spec-id and becomes the
+    // default; a layout matching an existing spec (same
+    // name/source/transform triples) REUSES its id, so repeated
+    // appends never proliferate specs. Files committed earlier keep
+    // their manifests' spec ids — the read side resolves each
+    // manifest's own spec, so pruning stays exact per layout era.
+    val parentSpecs: Map[Long, Seq[PartField]] = parent.map(_.specsById).getOrElse(Map.empty)
+    def specKey(s: Seq[PartField]) = s.map(p => (p.name, p.source, p.transform))
+    val specId0: Long = parentSpecs
+      .collectFirst { case (sid, flds) if specKey(flds) == specKey(spec0) => sid }
+      .getOrElse(if (parentSpecs.isEmpty) 0L else parentSpecs.keys.max + 1L)
+    val allSpecsOut: Seq[(Long, Seq[PartField])] =
+      (parentSpecs + (specId0 -> spec0)).toSeq.sortBy(_._1)
     // field identity: an existing table's CURRENT schema names the
     // columns an append must supply (exactly — a stray or missing
     // column would silently fork the schema); ids come from that
@@ -1908,7 +1949,7 @@ object IcebergSource {
     val newManifest = new GenericData.Record(manifestFileSchema)
     newManifest.put("manifest_path", manifestPath)
     newManifest.put("manifest_length", manifestLen)
-    newManifest.put("partition_spec_id", 0)
+    newManifest.put("partition_spec_id", specId0.toInt)
     newManifest.put("content", 0)
     newManifest.put("added_snapshot_id", snapshotId)
     newManifest.put("added_files_count", files.length)
@@ -1979,18 +2020,29 @@ object IcebergSource {
             s"${f.name}:${if (bounded.contains(f.id.toInt)) "bounded" else "unbounded"}")
             .mkString(",")
         }: J)): J))
-    // partition spec with each field's TRANSFORM (source-ids resolve
-    // through the schema)
-    val specFields = if (spec0.isEmpty) Seq.empty else Seq(
-      "default-spec-id" -> (JInt(0): J),
-      "partition-specs" -> (JArr(Seq(JObj.of(
-        "spec-id" -> JInt(0),
-        "fields" -> JArr(spec0.zipWithIndex.map { case (pf, i) =>
-          JObj.of(
-            "name" -> JStr(pf.name),
-            "transform" -> JStr(pf.transform),
-            "source-id" -> JInt(df.schema.fieldIndex(pf.source) + 1L),
-            "field-id" -> JInt(1000L + i)): J })))): J))
+    // ALL partition specs carry forward (files written under an old
+    // spec resolve their layout through it forever); each field's
+    // source-id comes from the SCHEMA's field id (never a positional
+    // index — after evolution position and id diverge). Partition
+    // field-ids are 1000 + specId·100 + ordinal: unique across specs
+    // as v2 requires, and identical to the old single-spec encoding
+    // (1000+i) for spec 0, so existing tables round-trip byte-stable.
+    def sourceIdOf(pf: PartField): Long =
+      pf.sourceId.getOrElse(idByName.get(pf.source).map(_._1.toLong).getOrElse(
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: partition source column ${pf.source} has no field id " +
+            "in the table schema — cannot serialize the partition spec")))
+    val specFields = if (allSpecsOut.forall(_._2.isEmpty)) Seq.empty else Seq(
+      "default-spec-id" -> (JInt(specId0): J),
+      "partition-specs" -> (JArr(allSpecsOut.map { case (sid, flds) =>
+        JObj.of(
+          "spec-id" -> JInt(sid),
+          "fields" -> JArr(flds.zipWithIndex.map { case (pf, i) =>
+            JObj.of(
+              "name" -> JStr(pf.name),
+              "transform" -> JStr(pf.transform),
+              "source-id" -> JInt(sourceIdOf(pf)),
+              "field-id" -> JInt(1000L + sid * 100L + i)): J })): J }): J))
     val metaJson = JObj.of((baseFields ++ specFields): _*)
     Files.createDirectories(Paths.get(metaDir))
     Files.write(Paths.get(metaDir, s"v$version.metadata.json"),
@@ -2044,7 +2096,10 @@ object IcebergSource {
       if (!curNames.contains(c)) refuse(s"alterSchema references unknown column '$c'"))
     adds.foreach { case (_, t) => sparkTypeOf(t) } // validate type names up front
     drops.foreach { c =>
-      if (meta.spec.exists(_.source == c))
+      // ANY spec, not just the default: files written under an old
+      // spec still resolve their pruning layout through it
+      if (meta.spec.exists(_.source == c) ||
+          meta.specsById.values.exists(_.exists(_.source == c)))
         refuse(s"cannot drop '$c': it is a partition-spec source column")
     }
     // a live equality delete's key ids must stay resolvable
@@ -2449,6 +2504,10 @@ object IcebergSource {
       }
 
     val manifestPath = s"$metaDir/manifest-$snapshotId-compact.avro"
+    // carried EXISTING entries re-encode into the DEFAULT spec's
+    // partition struct: keys a pre-evolution spec laid out under other
+    // names drop out, which only WEAKENS pruning for those files
+    // (missing keys are conservative), never their rows
     val entryRecs =
       newFiles.map(dataEntryRec(entrySchema, _, StatusAdded, snapshotId, None)) ++
         carry.map(f =>
@@ -2457,7 +2516,7 @@ object IcebergSource {
     val newManifest = new GenericData.Record(manifestFileSchema)
     newManifest.put("manifest_path", manifestPath)
     newManifest.put("manifest_length", manifestLen)
-    newManifest.put("partition_spec_id", 0)
+    newManifest.put("partition_spec_id", parent.defaultSpecId.toInt)
     newManifest.put("content", 0)
     newManifest.put("added_snapshot_id", snapshotId)
     newManifest.put("added_files_count", newFiles.length)

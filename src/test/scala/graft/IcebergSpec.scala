@@ -252,7 +252,7 @@ class IcebergSpec extends SparkSpec {
     val meta3 = IcebergSource.readMeta(dir3)
     // source-id 1 resolves through the (always-written) schema to the
     // real source column `id`
-    assert(meta3.spec == Seq(IcebergSource.PartField("id_bucket", "id", "bucket[16]")))
+    assert(meta3.spec == Seq(IcebergSource.PartField("id_bucket", "id", "bucket[16]", Some(1L))))
     assert(IcebergSource.read(spark, dir3).count() == 10)
     // inherit-and-append: the new snapshot lays out spec buckets
     IcebergSource.commitAppend(spark, dir3, nums(10, 20), 2L, 2L)
@@ -317,9 +317,12 @@ class IcebergSpec extends SparkSpec {
     val spec = Seq(PartField("id_bucket", "id", "bucket[4]"), PartField("d_day", "d", "day"))
     IcebergSource.commitAppend(spark, dir, df, 1L, 1L, partitionSpec = spec)
 
-    // spec round-trips through the metadata
+    // spec round-trips through the metadata (source-ids resolved from
+    // the schema on the way out)
     val meta = IcebergSource.readMeta(dir)
-    assert(meta.spec == spec)
+    assert(meta.spec.map(p => (p.name, p.source, p.transform)) ==
+      spec.map(p => (p.name, p.source, p.transform)))
+    assert(meta.spec.map(_.sourceId) == Seq(Some(1L), Some(2L)))
 
     // data files carry the REAL columns; the read is exact
     val back = IcebergSource.read(spark, dir)
@@ -358,7 +361,8 @@ class IcebergSpec extends SparkSpec {
     }.toDF("id", "d", "tag")
     IcebergSource.commitAppend(spark, dir, df2, 2L, 2L)
     assert(IcebergSource.read(spark, dir).count() == 80)
-    assert(IcebergSource.readMeta(dir).spec == spec)
+    assert(IcebergSource.readMeta(dir).spec.map(p => (p.name, p.source, p.transform)) ==
+      spec.map(p => (p.name, p.source, p.transform)))
   }
 
   test("merge-on-read deletes: position + equality files, sequence rules, time travel, incremental refusal") {
@@ -1774,5 +1778,78 @@ class IcebergSpec extends SparkSpec {
     IcebergSource.alterSchema(dir2, 4L, renames = Map("tag" -> "label"))
     assert(IcebergSource.read(spark, dir2).filter(col("label") === "row3").count() == 0)
     assert(IcebergSource.read(spark, dir2).count() == 9)
+  }
+
+  test("partition-spec evolution: new layout mints a new spec id, old files keep " +
+      "pruning under their own spec, matching layouts reuse ids") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    // era 1: identity-partitioned by region
+    val df1 = Seq((1L, "eu", 10L), (2L, "us", 20L)).toDF("id", "region", "k")
+    IcebergSource.commitAppend(spark, dir, df1, 1L, 1L, partitionBy = Seq("region"))
+    // era 2: re-laid-out by k — a NEW spec id becomes the default
+    val df2 = Seq((3L, "eu", 30L), (4L, "us", 40L)).toDF("id", "region", "k")
+    val m2 = IcebergSource.commitAppend(spark, dir, df2, 2L, 2L, partitionBy = Seq("k"))
+    assert(m2.specsById.keySet == Set(0L, 1L), "both specs recorded")
+    assert(m2.defaultSpecId == 1L && m2.spec.map(_.source) == Seq("k"))
+    // every row still reads
+    assert(IcebergSource.read(spark, dir).count() == 4)
+    // files carry their manifest's spec id
+    val all = IcebergSource.dataFiles(dir)
+    assert(all.filter(_.specId == 0L).forall(_.partition.contains("region")))
+    assert(all.filter(_.specId == 1L).forall(_.partition.contains("k")))
+    // a region predicate prunes era-1 files by PARTITION (exactly),
+    // and the read stays row-exact across both eras
+    val regFiles = IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("region", "eu")))
+    val era1 = regFiles.filter(_.specId == 0L)
+    assert(era1.nonEmpty && era1.forall(_.partition("region") == "eu"),
+      "era-1 us-partition file must be partition-pruned")
+    assert(IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("region", "eu")))
+      .filter($"region" === "eu").select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // a k predicate prunes era-2 files by partition; era-1 rows exact
+    val kFiles = IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("k", 40L)))
+    val era2k = kFiles.filter(_.specId == 1L)
+    assert(era2k.nonEmpty && era2k.forall(_.partition("k") == 40L))
+    assert(IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("k", 40L)))
+      .filter($"k" === 40L).select("id").as[Long].collect().toSet == Set(4L))
+    // era 3: the SAME layout as era 1 REUSES spec id 0 (no
+    // proliferation) and flips the default back
+    val df3 = Seq((5L, "de", 50L)).toDF("id", "region", "k")
+    val m3 = IcebergSource.commitAppend(spark, dir, df3, 3L, 3L, partitionBy = Seq("region"))
+    assert(m3.specsById.keySet == Set(0L, 1L), "matching layout must not mint a new spec")
+    assert(m3.defaultSpecId == 0L)
+    // era 4: no partitionBy inherits the DEFAULT (region again)
+    val df4 = Seq((6L, "fr", 60L)).toDF("id", "region", "k")
+    IcebergSource.commitAppend(spark, dir, df4, 4L, 4L)
+    val m4 = IcebergSource.readMeta(dir)
+    assert(m4.defaultSpecId == 0L && m4.specsById.keySet == Set(0L, 1L))
+    assert(IcebergSource.read(spark, dir).count() == 6)
+    // incremental windows resolve each manifest's own spec too
+    val added = IcebergSource.addedFiles(dir, Some(2L), 4L,
+      filters = Seq(sqs.EqualTo("region", "de")))
+    assert(added.forall(f => f.specId == 0L && f.partition("region") == "de"))
+  }
+
+  test("partition-spec evolution: same source under a different transform — " +
+      "per-file spec resolution keeps transform pruning sound") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    val df1 = Seq((1L, "europe"), (2L, "usa")).toDF("id", "region")
+    IcebergSource.commitAppend(spark, dir, df1, 1L, 1L, partitionBy = Seq("region"))
+    // evolve: truncate[1] on the SAME source column, different field name
+    val df2 = Seq((3L, "emea"), (4L, "uk")).toDF("id", "region")
+    IcebergSource.commitAppend(spark, dir, df2, 2L, 2L,
+      partitionSpec = Seq(IcebergSource.PartField("region_trunc", "region", "truncate[1]")))
+    assert(IcebergSource.read(spark, dir).count() == 4)
+    // region = 'emea': era-1 prunes by identity ('europe'/'usa' both
+    // mismatch), era-2 prunes by the truncate interval rule ('u*' out)
+    val fs = IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("region", "emea")))
+    assert(fs.filter(_.specId == 0L).isEmpty, "identity-era files must prune exactly")
+    assert(fs.filter(_.specId == 1L).forall(_.partition("region_trunc") == "e"),
+      "truncate-era u-prefixed file must prune")
+    assert(IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("region", "emea")))
+      .filter($"region" === "emea").select("id").as[Long].collect().toSet == Set(3L))
   }
 }
