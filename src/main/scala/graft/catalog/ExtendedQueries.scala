@@ -606,6 +606,49 @@ object ExtendedQueries {
         lit(prunedProof).as("pruned"))
   }
 
+  val icebergSpecEvolution: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_spec_evolution",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+      |  CAST(1 AS BOOLEAN) AS pruned, CAST(1 AS BOOLEAN) AS specs_ok
+      |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+    doc = "Iceberg PARTITION-SPEC EVOLUTION read (spec §Partition Evolution): snapshot 1 " +
+      "commits the even slice identity-partitioned by l_returnflag (spec 0); snapshot 2 " +
+      "commits the odd slice re-laid-out by l_linestatus — a NEW spec id that becomes the " +
+      "default while spec 0 stays recorded. A returnflag predicate prunes era-1 files " +
+      "EXACTLY under their own spec (the `pruned` proof requires every surviving spec-0 " +
+      "file's partition to be 'R' and the plan to be strictly smaller than the full list); " +
+      "era-2 files resolve through spec 1, where returnflag is not laid out, and are kept " +
+      "conservatively. `specs_ok` pins both specs in metadata with default flipped — a " +
+      "regression that rewrites history or mis-IDs manifests fails the hash. The oracle " +
+      "recomputes the union relationally.") { (s, d) =>
+    import org.apache.spark.sql.{sources => sqs}
+    val li = t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+      dec2(col("l_quantity")).as("l_quantity"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_specevo").toString + "/tbl"
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 2 === 0), snapshotId = 1L, timestampMs = 1L,
+      partitionBy = Seq("l_returnflag"))
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 2 === 1), snapshotId = 2L, timestampMs = 2L,
+      partitionBy = Seq("l_linestatus"))
+    val meta = graft.sources.IcebergSource.readMeta(dir)
+    val specsOk = meta.specsById.keySet == Set(0L, 1L) && meta.defaultSpecId == 1L
+    val filters = Seq(sqs.EqualTo("l_returnflag", "R"): sqs.Filter)
+    val planned = graft.sources.IcebergSource.dataFiles(dir, filters = filters)
+    val allFiles = graft.sources.IcebergSource.dataFiles(dir)
+    val prunedProof = planned.nonEmpty && planned.size < allFiles.size &&
+      planned.filter(_.specId == 0L).forall(_.partition.get("l_returnflag").contains("R"))
+    graft.sources.IcebergSource.read(s, dir, filters = filters)
+      .filter(col("l_returnflag") === "R") // row-level re-check, pushed to parquet
+      .agg(count(lit(1)).cast("long").as("n"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        lit(prunedProof).as("pruned"), lit(specsOk).as("specs_ok"))
+  }
+
   val icebergDecimalPruned: QueryDef = QueryDef.sqlBacked(
     "q_iceberg_decimal_pruned",
     """SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -751,6 +794,7 @@ object ExtendedQueries {
   val all: Seq[QueryDef] = Seq(
     icebergIncremental, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
     icebergDv, icebergStatsPruned, icebergDecimalPruned, icebergTsPruned, icebergEvolution,
+    icebergSpecEvolution,
     glueScan, tier2Python,
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,
