@@ -646,9 +646,9 @@ object LlmQueries {
       |n AS (SELECT count(*) AS L FROM smp),
       |cent AS (
       |  SELECT gs.c AS c, s.emb AS cemb
-      |  FROM generate_series(0, 7) AS gs(c)
+      |  FROM generate_series(0, 15) AS gs(c)
       |  CROSS JOIN n
-      |  JOIN smp s ON s.rn = (gs.c * n.L) // 8),
+      |  JOIN smp s ON s.rn = (gs.c * n.L) // 16),
       |assign AS (
       |  SELECT vec_id, emb, c, cemb,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
@@ -682,7 +682,7 @@ object LlmQueries {
     val withDups = e.unionByName(
       e.filter(col("vec_id") % 50 === 0).withColumn("vec_id", col("vec_id") + 100000))
     Similarity.semDedup(withDups, "vec_id", "embedding",
-        kClusters = 8, threshold = 0.99, iters = 0)
+        kClusters = 16, threshold = 0.99, iters = 0)
       .withColumnRenamed("id", "vec_id")
       .orderBy("vec_id")
   }

@@ -1831,6 +1831,94 @@ class IcebergSpec extends SparkSpec {
     assert(added.forall(f => f.specId == 0L && f.partition("region") == "de"))
   }
 
+  test("partition-spec evolution fuzz: three layout eras + random predicates " +
+      "never lose a matching row to per-spec pruning") {
+    import org.apache.spark.sql.{sources => sqs}
+    val rnd = new scala.util.Random(1234)
+    val dir = s"${tmpDir()}/evofuzz"
+    // 3 eras of 150 rows each under three DIFFERENT specs over the
+    // same columns: identity(tag) with ~5% nulls (the no-info token
+    // path under evolution), truncate[1](tag) (interval rule), and
+    // bucket[4](id) (hash equality rule)
+    def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val amt =
+        if (rnd.nextInt(20) == 0) null
+        else new java.math.BigDecimal((i % 4) * 1000 + rnd.nextInt(500)).setScale(2)
+      val tag =
+        if (rnd.nextInt(20) == 0) null
+        else s"${('a' + rnd.nextInt(5)).toChar}${('a' + rnd.nextInt(3)).toChar}_$i"
+      org.apache.spark.sql.Row(i.toLong, amt, tag)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("amt", org.apache.spark.sql.types.DecimalType(12, 2)),
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType)))
+    def frame(lo: Int, hi: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows(lo, hi), 2), schema)
+    IcebergSource.commitAppend(spark, dir, frame(0, 150), 1L, 1L,
+      partitionBy = Seq("tag"))
+    IcebergSource.commitAppend(spark, dir, frame(150, 300), 2L, 2L,
+      partitionSpec = Seq(IcebergSource.PartField("tag_trunc", "tag", "truncate[1]")))
+    IcebergSource.commitAppend(spark, dir, frame(300, 450), 3L, 3L,
+      partitionSpec = Seq(IcebergSource.PartField("id_bucket", "id", "bucket[4]")))
+    val meta = IcebergSource.readMeta(dir)
+    assert(meta.specsById.keySet == Set(0L, 1L, 2L))
+    val full = IcebergSource.read(spark, dir).persist()
+    assert(full.count() == 450)
+    val nAll = IcebergSource.dataFiles(dir).size
+    var prunedAtLeastOnce = false
+    (1 to 30).foreach { _ =>
+      def basePred(): (sqs.Filter, org.apache.spark.sql.Column) = rnd.nextInt(8) match {
+        case 0 =>
+          val lit = new java.math.BigDecimal(rnd.nextInt(4000)).setScale(2)
+          (sqs.LessThan("amt", lit): sqs.Filter, col("amt") < lit)
+        case 1 =>
+          val lit = new java.math.BigDecimal(rnd.nextInt(4000)).setScale(2)
+          (sqs.GreaterThan("amt", lit): sqs.Filter, col("amt") > lit)
+        case 2 =>
+          val p = s"${('a' + rnd.nextInt(6)).toChar}"
+          (sqs.StringStartsWith("tag", p): sqs.Filter, col("tag").startsWith(p))
+        case 3 =>
+          val p = s"${('a' + rnd.nextInt(5)).toChar}${('a' + rnd.nextInt(3)).toChar}_${rnd.nextInt(450)}"
+          (sqs.EqualTo("tag", p): sqs.Filter, col("tag") === p)
+        case 4 =>
+          val v = rnd.nextInt(460).toLong
+          (sqs.EqualTo("id", v): sqs.Filter, col("id") === v)
+        case 5 =>
+          val c = Seq("amt", "tag")(rnd.nextInt(2))
+          (sqs.IsNull(c): sqs.Filter, col(c).isNull)
+        case 6 =>
+          val c = Seq("amt", "tag")(rnd.nextInt(2))
+          (sqs.IsNotNull(c): sqs.Filter, col(c).isNotNull)
+        case _ =>
+          val v = rnd.nextInt(460).toLong
+          (sqs.LessThan("id", v): sqs.Filter, col("id") < v)
+      }
+      val (f, rowPred) = rnd.nextInt(5) match {
+        case 0 => basePred()
+        case 1 => val (a, pa) = basePred(); (sqs.Not(a): sqs.Filter, !pa)
+        case 2 =>
+          val (a, pa) = basePred(); val (b, pb) = basePred()
+          (sqs.And(a, b): sqs.Filter, pa && pb)
+        case 3 =>
+          val (a, pa) = basePred(); val (b, pb) = basePred()
+          (sqs.Or(a, b): sqs.Filter, pa || pb)
+        case _ =>
+          val (a, pa) = basePred(); val (b, pb) = basePred()
+          (sqs.Not(sqs.And(a, b)): sqs.Filter, !(pa && pb))
+      }
+      val expect = full.filter(rowPred).count()
+      val planned = IcebergSource.dataFiles(dir, filters = Seq(f))
+      if (planned.size < nAll) prunedAtLeastOnce = true
+      val got = IcebergSource.read(spark, dir, filters = Seq(f)).filter(rowPred).count()
+      assert(got == expect,
+        s"evolved-spec pruning lost rows for $f: got $got expect $expect " +
+          s"(planned ${planned.size}/$nAll)")
+    }
+    full.unpersist()
+    assert(prunedAtLeastOnce, "fuzz must exercise at least one actual prune (non-vacuous)")
+  }
+
   test("partition-spec evolution: same source under a different transform — " +
       "per-file spec resolution keeps transform pruning sound") {
     import org.apache.spark.sql.{sources => sqs}
