@@ -139,6 +139,10 @@ object IcebergSource {
     * "decimal(12, 2)", "timestamp", ...). */
   final case class SchemaField(id: Long, name: String, tpe: String)
 
+  /** One named ref (spec `refs`): the snapshot it names and its kind —
+    * "tag" (immutable) or "branch" (movable head). */
+  final case class SnapshotRef(snapshotId: Long, refType: String)
+
   /** One field of the default partition spec: the manifest struct's
     * field name, the SOURCE column it derives from, and the transform
     * ("identity", "bucket[N]", "truncate[W]", "year", "month", "day",
@@ -178,13 +182,25 @@ object IcebergSource {
         * tuple under the spec its manifest names. */
       specsById: Map[Long, Seq[PartField]] = Map.empty,
       /** spec `default-spec-id` (0 for single-spec tables). */
-      defaultSpecId: Long = 0L) {
+      defaultSpecId: Long = 0L,
+      /** named refs (spec `refs` map): TAGS pin a snapshot immutably,
+        * BRANCHES are movable heads with their own lineage beside
+        * `main` (= current-snapshot-id). Refs also pin retention:
+        * expiry refuses to drop a snapshot a ref names. */
+      refs: Map[String, SnapshotRef] = Map.empty) {
     def currentSchema: Seq[SchemaField] =
       schemasById.getOrElse(currentSchemaId, Seq.empty)
     /** The spec a manifest's partition_spec_id names; unknown ids fall
       * back to the default spec (single-spec tables wrote id 0 before
       * evolution support — their only spec IS the default). */
     def specFor(id: Long): Seq[PartField] = specsById.getOrElse(id, spec)
+    /** Snapshot id a named ref points at — typed refusal on unknown
+      * names (a guessed head would silently read the wrong lineage). */
+    def resolveRef(name: String): Long =
+      refs.get(name).map(_.snapshotId).getOrElse(
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: unknown ref '$name' — known refs: " +
+            (if (refs.isEmpty) "(none)" else refs.keys.toSeq.sorted.mkString(", "))))
     /** true once more than one schema exists (any rename/add/drop). */
     def schemaEvolved: Boolean = schemasById.size > 1
     def sequenceOf(snapshotId: Long): Long =
@@ -364,12 +380,23 @@ object IcebergSource {
     val chosenDefault = allSpecs.find(p => defaultSpecId.contains(p._1))
       .orElse(allSpecs.lastOption)
     val spec: Seq[PartField] = chosenDefault.map(_._2).getOrElse(Seq.empty)
+    val refs: Map[String, SnapshotRef] = f.get("refs") match {
+      case Some(JObj(rs)) => rs.flatMap { case (name, v) =>
+        val rf = CanonicalJson.objFields(v)
+        rf.get("snapshot-id").collect { case JInt(sid) =>
+          name -> SnapshotRef(sid,
+            rf.get("type").collect { case JStr(t) => t }.getOrElse("branch"))
+        }
+      }.toMap
+      case _ => Map.empty
+    }
     TableMeta(loc, cur, snaps, version, spec, fieldNameById,
       formatVersion = fmtVersion, fieldTypesById = fieldTypeById,
       schemasById = schemasById, currentSchemaId = currentSchemaId,
       lastColumnId = lastColumnId,
       specsById = allSpecs.toMap,
-      defaultSpecId = chosenDefault.map(_._1).getOrElse(0L))
+      defaultSpecId = chosenDefault.map(_._1).getOrElse(0L),
+      refs = refs)
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {
@@ -1887,11 +1914,34 @@ object IcebergSource {
   def commitAppend(spark: SparkSession, tableDir: String, df: DataFrame,
       snapshotId: Long, timestampMs: Long,
       partitionBy: Seq[String] = Nil,
-      partitionSpec: Seq[PartField] = Nil): TableMeta = {
+      partitionSpec: Seq[PartField] = Nil,
+      /** append onto a named BRANCH instead of main: the new snapshot's
+        * parent is the branch head (the branch is created at the
+        * current snapshot if absent), the ref advances, and
+        * current-snapshot-id — main — stays where it was. Tags refuse
+        * (immutable by definition). */
+      toBranch: Option[String] = None): TableMeta = {
     val metaDir = s"$tableDir/metadata"
     val haveMeta = Files.exists(Paths.get(metaDir, "version-hint.text"))
     val parent: Option[TableMeta] = if (haveMeta) Some(readMeta(tableDir)) else None
     parent.foreach(requireV2Plus(_, "append"))
+    toBranch.foreach { b =>
+      if (parent.isEmpty)
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: branch commit to '$b' requires an existing table — " +
+            "create the table on main first")
+      parent.flatMap(_.refs.get(b)).filter(_.refType == "tag").foreach(_ =>
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: '$b' is a TAG — tags are immutable; commit to a branch"))
+    }
+    // the snapshot this commit descends from: the branch head for a
+    // branch commit (falling back to current when the branch is being
+    // created here), main's current otherwise
+    val baseSnapId: Option[Long] = toBranch match {
+      case Some(b) => parent.flatMap(m =>
+        m.refs.get(b).map(_.snapshotId).orElse(m.currentSnapshotId))
+      case None => parent.flatMap(_.currentSnapshotId)
+    }
     val spec0: Seq[PartField] =
       if (partitionSpec.nonEmpty) partitionSpec
       else if (partitionBy.nonEmpty) partitionBy.map(c => PartField(c, c, "identity"))
@@ -1943,7 +1993,7 @@ object IcebergSource {
       dataEntryRec(entrySchema, f, StatusAdded, snapshotId, explicitSeq = None))
     val manifestLen = writeAvro(manifestPath, entrySchema, entryRecs.toSeq)
 
-    val parentSnap = parent.flatMap(m => m.currentSnapshotId.map(m.snapshot))
+    val parentSnap = parent.flatMap(m => baseSnapId.map(m.snapshot))
     val priorManifests: Seq[GenericRecord] =
       parentSnap.map(s => readAvro(s.manifestList)).getOrElse(Seq.empty)
     val newManifest = new GenericData.Record(manifestFileSchema)
@@ -1964,7 +2014,7 @@ object IcebergSource {
     writeAvro(listPath, manifestFileSchema, priorCopies :+ newManifest)
 
     val seq = parent.map(_.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1).getOrElse(1L)
-    val snap = Snapshot(snapshotId, parent.flatMap(_.currentSnapshotId), seq, timestampMs,
+    val snap = Snapshot(snapshotId, baseSnapId, seq, timestampMs,
       listPath, schemaId = Some(curSchemaId0))
     val allSnaps = parent.map(_.snapshots).getOrElse(Seq.empty) :+ snap
     val version = parent.map(_.version + 1).getOrElse(1)
@@ -1992,6 +2042,20 @@ object IcebergSource {
       .getOrElse(Seq(0L -> tableSchema))
     val lastColId = parent.map(_.lastColumnId).filter(_ > 0)
       .getOrElse(tableSchema.map(_.id).maxOption.getOrElse(0L))
+    // a BRANCH commit advances only its ref; main's head stays put.
+    // Refs carry forward on every commit (a main append must not
+    // silently drop tags/branches), with the committed branch advanced.
+    val mainHead: Long =
+      if (toBranch.isEmpty) snapshotId
+      else parent.flatMap(_.currentSnapshotId).getOrElse(snapshotId)
+    val refsOut: Map[String, SnapshotRef] =
+      parent.map(_.refs).getOrElse(Map.empty) ++
+        toBranch.map(b => b -> SnapshotRef(snapshotId, "branch"))
+    val refFields = if (refsOut.isEmpty) Seq.empty else Seq(
+      "refs" -> (JObj(refsOut.toSeq.sortBy(_._1).map { case (n, r) =>
+        n -> (JObj.of(
+          "snapshot-id" -> JInt(r.snapshotId),
+          "type" -> JStr(r.refType)): J) }): J))
     val baseFields = Seq(
       // never downgrade a table a DV commit raised to v3
       "format-version" -> (JInt(writtenFormatVersion): J),
@@ -1999,7 +2063,7 @@ object IcebergSource {
       "location" -> (JStr(tableDir): J),
       "last-sequence-number" -> (JInt(seq): J),
       "last-updated-ms" -> (JInt(timestampMs): J),
-      "current-snapshot-id" -> (JInt(snapshotId): J),
+      "current-snapshot-id" -> (JInt(mainHead): J),
       "snapshots" -> (JArr(allSnaps.map(snapJson)): J),
       // ALWAYS written: field ids resolve identity partition sources
       // AND equality-delete ids (commitDeletes / read-side apply)
@@ -2043,7 +2107,7 @@ object IcebergSource {
               "transform" -> JStr(pf.transform),
               "source-id" -> JInt(sourceIdOf(pf)),
               "field-id" -> JInt(1000L + sid * 100L + i)): J })): J }): J))
-    val metaJson = JObj.of((baseFields ++ specFields): _*)
+    val metaJson = JObj.of((baseFields ++ specFields ++ refFields): _*)
     Files.createDirectories(Paths.get(metaDir))
     Files.write(Paths.get(metaDir, s"v$version.metadata.json"),
       CanonicalJson.render(metaJson).getBytes(StandardCharsets.UTF_8))
@@ -2536,6 +2600,88 @@ object IcebergSource {
     readMeta(tableDir)
   }
 
+  // ------------------------------------------------- refs (tags/branches)
+
+  /** Pin `snapshotId` under an immutable TAG. Idempotent when the tag
+    * already names this snapshot; any other collision refuses typed
+    * (retagging would silently move every reader of the name). */
+  def tagSnapshot(tableDir: String, name: String, snapshotId: Long,
+      timestampMs: Long): TableMeta =
+    updateRefs(tableDir, timestampMs) { (meta, refs) =>
+      meta.snapshot(snapshotId) // unknown id refuses here
+      refs.get(name) match {
+        case Some(SnapshotRef(`snapshotId`, "tag")) => refs // idempotent
+        case Some(r) => throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: ref '$name' already exists (${r.refType} at " +
+            s"${r.snapshotId}) — refs never silently move; drop it first")
+        case None => refs + (name -> SnapshotRef(snapshotId, "tag"))
+      }
+    }
+
+  /** Create a BRANCH at `fromSnapshotId` (current head when omitted).
+    * Branch heads advance via `commitAppend(..., toBranch = Some(name))`. */
+  def createBranch(tableDir: String, name: String,
+      fromSnapshotId: Option[Long] = None, timestampMs: Long = 0L): TableMeta =
+    updateRefs(tableDir, timestampMs) { (meta, refs) =>
+      val base = fromSnapshotId.orElse(meta.currentSnapshotId).getOrElse(
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: cannot branch '$name' off an empty table"))
+      meta.snapshot(base)
+      if (refs.contains(name))
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: ref '$name' already exists — refs never silently move")
+      refs + (name -> SnapshotRef(base, "branch"))
+    }
+
+  /** Remove a ref (its snapshot becomes expirable again). Unknown
+    * names refuse — a silent no-op would mask a typo'd cleanup. */
+  def dropRef(tableDir: String, name: String, timestampMs: Long): TableMeta =
+    updateRefs(tableDir, timestampMs) { (_, refs) =>
+      if (!refs.contains(name))
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: no ref named '$name' to drop")
+      refs - name
+    }
+
+  /** Snapshot-pinned read at a named ref (tag or branch head). */
+  def readRef(spark: SparkSession, tableDir: String, ref: String,
+      filters: Seq[SFilter] = Nil): DataFrame =
+    read(spark, tableDir, Some(readMeta(tableDir).resolveRef(ref)), filters)
+
+  /** Metadata-patch commit for ref changes: same crash-safe
+    * version-bump + hint-flip as every other writer; only the `refs`
+    * field (and last-updated-ms) changes. */
+  private def updateRefs(tableDir: String, timestampMs: Long)(
+      f: (TableMeta, Map[String, SnapshotRef]) => Map[String, SnapshotRef]): TableMeta = {
+    val metaDir = s"$tableDir/metadata"
+    val meta = readMeta(tableDir)
+    val newRefs = f(meta, meta.refs)
+    if (newRefs == meta.refs) return meta // idempotent: no version churn
+    val refsJson: J = JObj(newRefs.toSeq.sortBy(_._1).map { case (n, r) =>
+      n -> (JObj.of(
+        "snapshot-id" -> JInt(r.snapshotId),
+        "type" -> JStr(r.refType)): J) })
+    val vOld = currentVersion(tableDir)
+    val oldJson = CanonicalJson.parse(new String(
+      Files.readAllBytes(Paths.get(metaDir, s"v$vOld.metadata.json")), StandardCharsets.UTF_8))
+    val newJson = oldJson match {
+      case JObj(fields) =>
+        val without = fields.filterNot(kv => kv._1 == "refs")
+        val patched = without.map {
+          case ("last-updated-ms", _) => "last-updated-ms" -> (JInt(timestampMs): J)
+          case other => other
+        }
+        JObj(if (newRefs.isEmpty) patched else patched :+ ("refs" -> refsJson))
+      case other => other
+    }
+    val version = vOld + 1
+    Files.write(Paths.get(metaDir, s"v$version.metadata.json"),
+      CanonicalJson.render(newJson).getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(metaDir, "version-hint.text"),
+      version.toString.getBytes(StandardCharsets.UTF_8))
+    readMeta(tableDir)
+  }
+
   /** Snapshot EXPIRATION (maintenance): drop snapshots outside `keep`
     * from the metadata, without touching any data or manifest file.
     * The current snapshot must be kept. After expiry, time travel to
@@ -2553,6 +2699,17 @@ object IcebergSource {
     val current = meta.currentSnapshotId.getOrElse(
       throw new IllegalArgumentException("cannot expire snapshots of an empty table"))
     require(keep.contains(current), s"expireSnapshots must keep the current snapshot $current")
+    // refs PIN retention (the spec's retention semantics): expiring a
+    // snapshot a tag or branch head names would silently break every
+    // reader of that ref — refuse typed; the caller drops the ref
+    // first or keeps its snapshot
+    val pinned = meta.refs.collect {
+      case (n, r) if !keep.contains(r.snapshotId) => s"$n (${r.refType}) → ${r.snapshotId}"
+    }
+    if (pinned.nonEmpty)
+      throw graft.core.GraftError.Plan(
+        "iceberg fidelity: cannot expire snapshots pinned by refs: " +
+          pinned.toSeq.sorted.mkString(", ") + " — drop the refs first or keep their snapshots")
     val vOld = currentVersion(tableDir)
     val oldJson = CanonicalJson.parse(new String(
       Files.readAllBytes(Paths.get(metaDir, s"v$vOld.metadata.json")), StandardCharsets.UTF_8))

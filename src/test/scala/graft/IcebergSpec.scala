@@ -1831,6 +1831,58 @@ class IcebergSpec extends SparkSpec {
     assert(added.forall(f => f.specId == 0L && f.partition("region") == "de"))
   }
 
+  test("refs: tags pin snapshots immutably, branches fork and advance beside " +
+      "main, expiry refuses to drop pinned snapshots") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    IcebergSource.commitAppend(spark, dir, nums(0, 10), 1L, 1L)
+    IcebergSource.commitAppend(spark, dir, nums(10, 20), 2L, 2L)
+    // TAG snapshot 1: reads at the tag stay pinned as main moves on
+    IcebergSource.tagSnapshot(dir, "v1", 1L, 3L)
+    assert(IcebergSource.readRef(spark, dir, "v1").count() == 10)
+    assert(IcebergSource.read(spark, dir).count() == 20)
+    // tags are immutable: same-id retag is an idempotent no-op (no
+    // version churn), moving it refuses typed
+    val vBefore = IcebergSource.currentVersion(dir)
+    IcebergSource.tagSnapshot(dir, "v1", 1L, 4L)
+    assert(IcebergSource.currentVersion(dir) == vBefore)
+    assert(intercept[graft.core.GraftError.Plan](
+      IcebergSource.tagSnapshot(dir, "v1", 2L, 5L)).getMessage.contains("never silently move"))
+    // BRANCH from snapshot 1; a branch commit advances dev, not main
+    IcebergSource.createBranch(dir, "dev", Some(1L), 6L)
+    IcebergSource.commitAppend(spark, dir, nums(100, 105), 31L, 7L,
+      toBranch = Some("dev"))
+    assert(IcebergSource.readRef(spark, dir, "dev").count() == 15,
+      "dev = snapshot 1's 10 rows + the branch commit's 5")
+    assert(IcebergSource.read(spark, dir).count() == 20, "main untouched")
+    val m = IcebergSource.readMeta(dir)
+    assert(m.currentSnapshotId.contains(2L))
+    assert(m.refs("dev") == IcebergSource.SnapshotRef(31L, "branch"))
+    assert(m.snapshot(31L).parentId.contains(1L), "branch lineage forks at the base")
+    // a MAIN commit carries the refs forward and leaves dev alone
+    IcebergSource.commitAppend(spark, dir, nums(20, 25), 4L, 8L)
+    val m2 = IcebergSource.readMeta(dir)
+    assert(m2.currentSnapshotId.contains(4L) && m2.refs.keySet == Set("v1", "dev"))
+    assert(IcebergSource.readRef(spark, dir, "dev").count() == 15)
+    // committing to a TAG refuses; unknown refs refuse on read
+    assert(intercept[graft.core.GraftError.Plan](
+      IcebergSource.commitAppend(spark, dir, nums(0, 1), 5L, 9L, toBranch = Some("v1")))
+      .getMessage.contains("TAG"))
+    assert(intercept[graft.core.GraftError.Plan](
+      IcebergSource.readRef(spark, dir, "nope")).getMessage.contains("unknown ref"))
+    // EXPIRY: dropping snapshot 1 while v1/dev lineage pins it refuses;
+    // after dropping the refs (and the branch head), it succeeds
+    assert(intercept[graft.core.GraftError.Plan](
+      IcebergSource.expireSnapshots(dir, Set(2L, 4L, 31L), 10L))
+      .getMessage.contains("pinned by refs"))
+    IcebergSource.dropRef(dir, "v1", 11L)
+    IcebergSource.dropRef(dir, "dev", 12L)
+    assert(intercept[graft.core.GraftError.Plan](
+      IcebergSource.dropRef(dir, "v1", 13L)).getMessage.contains("no ref"))
+    IcebergSource.expireSnapshots(dir, Set(2L, 4L), 14L)
+    assert(IcebergSource.read(spark, dir).count() == 25)
+  }
+
   test("partition-spec evolution fuzz: three layout eras + random predicates " +
       "never lose a matching row to per-spec pruning") {
     import org.apache.spark.sql.{sources => sqs}
