@@ -2648,6 +2648,38 @@ object IcebergSource {
       filters: Seq[SFilter] = Nil): DataFrame =
     read(spark, tableDir, Some(readMeta(tableDir).resolveRef(ref)), filters)
 
+  /** Timestamp time travel (`AS OF TIMESTAMP`): read the table as of
+    * the NEWEST main-lineage snapshot committed at or before
+    * `timestampMs`. Branch-only snapshots are not on main's history
+    * and never resolve here (read their ref instead). Typed refusal
+    * when the instant predates the table — silently returning empty
+    * would be indistinguishable from a truncated table. */
+  def readAsOf(spark: SparkSession, tableDir: String, timestampMs: Long,
+      filters: Seq[SFilter] = Nil): DataFrame = {
+    val meta = readMeta(tableDir)
+    val head = meta.currentSnapshotId.getOrElse(
+      throw graft.core.GraftError.Plan(
+        "iceberg fidelity: cannot time-travel an empty table"))
+    // main lineage via a tolerant parent walk: an EXPIRED parent ends
+    // the history (the retained suffix is still valid to travel in)
+    // rather than refusing — expiry legitimately truncates time travel
+    val mainLineage = {
+      val out = Seq.newBuilder[Snapshot]
+      var cur: Option[Snapshot] = Some(meta.snapshot(head))
+      while (cur.isDefined) {
+        out += cur.get
+        cur = cur.get.parentId.flatMap(p => meta.snapshots.find(_.id == p))
+      }
+      out.result()
+    }
+    val snap = mainLineage.filter(_.timestampMs <= timestampMs)
+      .sortBy(s => (s.timestampMs, s.sequenceNumber)).lastOption.getOrElse(
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: no snapshot at or before $timestampMs — the oldest " +
+            s"retained main snapshot is at ${mainLineage.map(_.timestampMs).min}"))
+    read(spark, tableDir, Some(snap.id), filters)
+  }
+
   /** Metadata-patch commit for ref changes: same crash-safe
     * version-bump + hint-flip as every other writer; only the `refs`
     * field (and last-updated-ms) changes. */

@@ -1883,6 +1883,31 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergSource.read(spark, dir).count() == 25)
   }
 
+  test("readAsOf: timestamp time travel resolves the newest main snapshot at or " +
+      "before the instant; branch snapshots are invisible; pre-table instants refuse") {
+    val dir = s"${tmpDir()}/tbl"
+    IcebergSource.commitAppend(spark, dir, nums(0, 10), 1L, 1000L)
+    IcebergSource.commitAppend(spark, dir, nums(10, 30), 2L, 2000L)
+    // a branch snapshot between the two main commits must NOT resolve
+    IcebergSource.createBranch(dir, "dev", Some(1L), 2100L)
+    IcebergSource.commitAppend(spark, dir, nums(100, 200), 31L, 2200L,
+      toBranch = Some("dev"))
+    IcebergSource.commitAppend(spark, dir, nums(30, 35), 3L, 3000L)
+    assert(IcebergSource.readAsOf(spark, dir, 1000L).count() == 10) // exact instant
+    assert(IcebergSource.readAsOf(spark, dir, 1500L).count() == 10)
+    assert(IcebergSource.readAsOf(spark, dir, 2500L).count() == 30,
+      "the 2200ms branch commit is not main history")
+    assert(IcebergSource.readAsOf(spark, dir, 99999L).count() == 35)
+    assert(intercept[graft.core.GraftError.Plan](
+      IcebergSource.readAsOf(spark, dir, 999L)).getMessage.contains("no snapshot"))
+    // expiry truncates travel but leaves the retained suffix navigable
+    IcebergSource.dropRef(dir, "dev", 4000L)
+    IcebergSource.expireSnapshots(dir, Set(2L, 3L), 5000L)
+    assert(IcebergSource.readAsOf(spark, dir, 2500L).count() == 30)
+    assert(intercept[graft.core.GraftError.Plan](
+      IcebergSource.readAsOf(spark, dir, 1500L)).getMessage.contains("no snapshot"))
+  }
+
   test("partition-spec evolution fuzz: three layout eras + random predicates " +
       "never lose a matching row to per-spec pruning") {
     import org.apache.spark.sql.{sources => sqs}
