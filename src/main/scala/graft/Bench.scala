@@ -388,7 +388,13 @@ object Bench {
       "\"kernel_core_pair_stability\":" + f(kernelGbCore.stability),
       "\"validate_core_pair_stability\":" + f(validateGbCore.stability),
       "\"scan_core_pair_stability\":" + f(scanRowGbCore.stability),
-      "\"noop_core_pair_stability\":" + f(noopRowGbCore.stability)))
+      "\"noop_core_pair_stability\":" + f(noopRowGbCore.stability),
+      // byte accounting for the per-core cells: GB/s comparisons across
+      // rounds are only meaningful at the same logical payload, and the
+      // driver regenerates testdata between rounds — record the
+      // denominator so a floor shift is attributable to data vs engine
+      "\"row_gb\":" + fGb(rowBytes / 1e9),
+      "\"inspected_gb\":" + fGb(inspectedBytes / 1e9)))
       .mkString("{", ",", "}")
 
     def l100(d: Double): String = math.round(d * 100).toString

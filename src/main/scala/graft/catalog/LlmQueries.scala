@@ -687,6 +687,44 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  val embedDecontaminate: QueryDef = QueryDef.sqlBacked(
+    "q_embed_decontaminate",
+    """WITH e0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      |ev AS (SELECT vec_id, emb FROM e0 WHERE vec_id % 20 = 0),
+      |train AS (
+      |  SELECT vec_id, emb FROM e0 WHERE vec_id % 20 <> 0
+      |  UNION ALL SELECT vec_id + 100000, emb FROM ev),
+      |scored AS (
+      |  SELECT t.vec_id,
+      |    max(round(list_dot_product(t.emb, ev.emb) /
+      |      (sqrt(list_dot_product(t.emb, t.emb)) * sqrt(list_dot_product(ev.emb, ev.emb))), 4))
+      |      AS max_eval_cos
+      |  FROM train t CROSS JOIN ev GROUP BY t.vec_id)
+      |SELECT vec_id, max_eval_cos,
+      |  CAST(CASE WHEN max_eval_cos >= 0.99 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+      |FROM scored ORDER BY vec_id""".stripMargin,
+    doc = "SEMANTIC decontamination (the embedding-space complement of q_decontaminate's " +
+      "n-gram overlap): every training vector scores its max cosine against the BROADCAST " +
+      "eval suite (train = corpus-minus-eval ∪ planted eval copies, so contamination " +
+      "provably exists and exactness is hash-checked); >= 0.99 flags the leak. 100 TB " +
+      "shape: eval suites are small by construction — the score is a broadcast nested-loop " +
+      "map stage plus an (id, double) groupBy, never a corpus x corpus join.") { (s, d) =>
+    val e = t(s, d, "embeddings").select("vec_id", "embedding")
+    val ev = e.filter(col("vec_id") % 20 === 0)
+    val train = e.filter(col("vec_id") % 20 =!= 0).unionByName(
+      ev.withColumn("vec_id", col("vec_id") + 100000))
+    val scored = train.select(col("vec_id"), col("embedding").as("emb_t"))
+      .crossJoin(broadcast(ev.select(col("embedding").as("emb_e"))))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("emb_t"), col("emb_e")) /
+          (Similarity.norm(col("emb_t")) * Similarity.norm(col("emb_e"))), 4).as("cos"))
+      .groupBy("vec_id").agg(max(col("cos")).as("max_eval_cos"))
+    scored.select(col("vec_id"), col("max_eval_cos"),
+        when(col("max_eval_cos") >= 0.99, 1).otherwise(0).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   val embedNearDup: QueryDef = QueryDef.sqlBacked(
     "q_embed_neardup",
     """WITH v AS (
@@ -929,6 +967,6 @@ object LlmQueries {
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
     repetitionSignals, prefixDedup, decontaminate, seqPack,
     ngramJaccard, minhashLsh, dupClusters, winnow, simhash,
-    cosineTopK, annLsh, annIvf, semDedup, embedNearDup, embedQuantize,
+    cosineTopK, annLsh, annIvf, semDedup, embedDecontaminate, embedNearDup, embedQuantize,
     multimodalMeta, multimodalFeatures)
 }
