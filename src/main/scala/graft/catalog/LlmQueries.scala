@@ -176,6 +176,51 @@ object LlmQueries {
         .orderBy("doc_id")
   }
 
+  val lmCoverage: QueryDef = QueryDef.sqlBacked(
+    "q_lm_coverage",
+    """WITH ref AS (SELECT lower(text) AS t FROM documents WHERE doc_id % 10 = 0),
+      |rt AS (SELECT unnest(list_transform(generate_series(1, len(t)-2), i -> substr(t, i, 3))) AS g
+      |  FROM ref WHERE len(t) >= 3),
+      |model AS (SELECT g FROM rt GROUP BY g HAVING count(*) >= 5),
+      |doc AS (SELECT doc_id, lower(text) AS t FROM documents),
+      |dt AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2), i -> substr(t, i, 3))) AS g
+      |  FROM doc WHERE len(t) >= 3),
+      |sc AS (
+      |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tri,
+      |    CAST(sum(CASE WHEN g IN (SELECT g FROM model) THEN 1 ELSE 0 END) AS INTEGER) AS n_known
+      |  FROM dt GROUP BY doc_id)
+      |SELECT doc_id, n_tri, n_known,
+      |  round(CAST(n_known AS DOUBLE) / n_tri, 4) AS coverage,
+      |  CAST(CASE WHEN round(CAST(n_known AS DOUBLE) / n_tri, 4) >= 0.98 THEN 1 ELSE 0 END
+      |    AS INTEGER) AS keep
+      |FROM sc ORDER BY doc_id""".stripMargin,
+    doc = "LM-coverage quality filter (the integer-exact proxy for CCNet's reference-corpus " +
+      "perplexity filter): a char-trigram model is the >= 5-count trigrams of a reference " +
+      "slice; every document scores the fraction of its trigram OCCURRENCES the model " +
+      "knows, and low-coverage (out-of-distribution) documents are dropped. 100 TB shape: " +
+      "the model is a bounded broadcast vocabulary; scoring is explode + broadcast " +
+      "semi-probe + per-doc partial counts — no corpus self-join, all-integer counts so " +
+      "the score is bit-identical in any engine.") { (s, d) =>
+    def tris(c: org.apache.spark.sql.Column) =
+      when(length(c) >= 3,
+        transform(sequence(lit(1), length(c) - lit(2)), i => c.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+    val doc = docsFanout(s, d).select(col("doc_id"), lower(col("text")).as("t"))
+    val dt = doc.select(col("doc_id"), explode(tris(col("t"))).as("g"))
+    val model = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+      .select(explode(tris(lower(col("text")))).as("g"))
+      .groupBy("g").count().filter(col("count") >= 5).select("g")
+    val sc = dt.join(broadcast(model.withColumn("_known", lit(1))), Seq("g"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_tri"),
+        sum(coalesce(col("_known"), lit(0))).cast("int").as("n_known"))
+    sc.select(col("doc_id"), col("n_tri"), col("n_known"),
+        round(col("n_known").cast("double") / col("n_tri"), 4).as("coverage"))
+      .withColumn("keep",
+        when(col("coverage") >= 0.98, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
   private val langFilterSql: Map[String, String] = TextAnalysis.langProfiles.toMap.map {
     case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -963,7 +1008,7 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    textFingerprint, dedupContentHash, tokenStats, textQuality, qualityFilter, langIdQ,
+    textFingerprint, dedupContentHash, tokenStats, textQuality, qualityFilter, lmCoverage, langIdQ,
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
     repetitionSignals, prefixDedup, decontaminate, seqPack,
     ngramJaccard, minhashLsh, dupClusters, winnow, simhash,
