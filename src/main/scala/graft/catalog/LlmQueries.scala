@@ -797,6 +797,54 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  val pqQuantize: QueryDef = QueryDef.sqlBacked(
+    "q_pq_quantize",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      |ranked AS (
+      |  SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e),
+      |smp AS (SELECT rn, emb FROM ranked WHERE rn < 256),
+      |n AS (SELECT count(*) AS L FROM smp),
+      |cent AS (
+      |  SELECT gs.c AS c, s.emb AS cemb
+      |  FROM generate_series(0, 15) AS gs(c)
+      |  CROSS JOIN n
+      |  JOIN smp s ON s.rn = (gs.c * n.L) // 16),
+      |assign AS (
+      |  SELECT e.vec_id, sub.m AS sub, cent.c,
+      |    list_sum(list_transform(generate_series(1, 8), i ->
+      |      (e.emb[sub.m * 8 + i] - cent.cemb[sub.m * 8 + i])
+      |      * (e.emb[sub.m * 8 + i] - cent.cemb[sub.m * 8 + i]))) AS dist
+      |  FROM e CROSS JOIN generate_series(0, 7) AS sub(m) CROSS JOIN cent),
+      |best AS (
+      |  SELECT vec_id, sub, c,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, c) AS rk
+      |  FROM assign)
+      |SELECT vec_id,
+      |  CAST(max(CASE WHEN sub = 0 THEN c END) AS INTEGER) AS c0,
+      |  CAST(max(CASE WHEN sub = 1 THEN c END) AS INTEGER) AS c1,
+      |  CAST(max(CASE WHEN sub = 2 THEN c END) AS INTEGER) AS c2,
+      |  CAST(max(CASE WHEN sub = 3 THEN c END) AS INTEGER) AS c3,
+      |  CAST(max(CASE WHEN sub = 4 THEN c END) AS INTEGER) AS c4,
+      |  CAST(max(CASE WHEN sub = 5 THEN c END) AS INTEGER) AS c5,
+      |  CAST(max(CASE WHEN sub = 6 THEN c END) AS INTEGER) AS c6,
+      |  CAST(max(CASE WHEN sub = 7 THEN c END) AS INTEGER) AS c7
+      |FROM best WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    doc = "PRODUCT QUANTIZATION encode (the PQ half of faiss-style IVF-PQ): 8 subspaces x " +
+      "16 codes per subspace, codes assigned by a single plan-time-constant-codebook kernel " +
+      "pass (PqEncodeExpr — one tight loop per row, no HOF interpretation). FULL oracle via " +
+      "the iters=0 parameterization (per-subspace codebooks are the evenly-spaced sample " +
+      "rows' subvectors — DuckDB replays codebook selection and every argmin, ties to the " +
+      "lower code); the trained default keeps its LlmSpec pins. 8 int codes replace 256 " +
+      "float bytes per vector — the ANN storage-compression path.") { (s, d) =>
+    val e = t(s, d, "embeddings").select("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 8, k = 16, iters = 0)
+    Similarity.pqEncode(e, "embedding", books)
+      .select(col("vec_id") +: (0 until 8).map(i =>
+        col("_pq_codes").getItem(i).as(s"c$i")): _*)
+      .orderBy("vec_id")
+  }
+
   val embedQuantize: QueryDef = QueryDef.sqlBacked(
     "q_embed_quantize",
     """SELECT vec_id,
@@ -1013,5 +1061,6 @@ object LlmQueries {
     repetitionSignals, prefixDedup, decontaminate, seqPack,
     ngramJaccard, minhashLsh, dupClusters, winnow, simhash,
     cosineTopK, annLsh, annIvf, semDedup, embedDecontaminate, embedNearDup, embedQuantize,
+    pqQuantize,
     multimodalMeta, multimodalFeatures)
 }

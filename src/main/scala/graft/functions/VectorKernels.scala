@@ -54,6 +54,59 @@ case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]
     copy(child = newChild)
 }
 
+/** PRODUCT-QUANTIZATION encode: the vector splits into `m` contiguous
+  * subspaces and each subvector maps to its nearest per-subspace code
+  * (squared L2, ties to the lower index) — one tight loop per row over
+  * a plan-time-constant codebook `codebooks(sub)(code)(dim)`, the PQ
+  * half of a faiss-style IVF-PQ index. Returns array<int> of length m. */
+case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"PqEncodeExpr over $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var sub = 0
+    var off = 0
+    while (sub < m) {
+      val codes = codebooks(sub)
+      val dSub = if (codes.isEmpty) 0 else codes(0).length
+      var best = -1
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < codes.length) {
+        val code = codes(c)
+        var dist = 0.0
+        var i = 0
+        val n = math.min(dSub, math.max(0, arr.numElements() - off))
+        while (i < n) {
+          val x = if (elemIsFloat) arr.getFloat(off + i).toDouble else arr.getDouble(off + i)
+          val diff = x - code(i)
+          dist += diff * diff
+          i += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = c }
+        c += 1
+      }
+      out(sub) = best
+      off += dSub
+      sub += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
 object VectorKernels {
   /** Registers `graft_nearest_centroid` bound to THIS centroid table
     * (plan-time constant), then builds the call — the same temp-function
@@ -64,5 +117,15 @@ object VectorKernels {
       "graft_nearest_centroid",
       exprs => NearestCentroidExpr(exprs.head, centroids), "scala_udf")
     org.apache.spark.sql.functions.call_function("graft_nearest_centroid", emb)
+  }
+
+  /** Registers `graft_pq_encode` bound to THIS codebook (plan-time
+    * constant — m·k·dSub doubles, a broadcast-codebook analogue). */
+  def pqEncode(spark: org.apache.spark.sql.SparkSession,
+      emb: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_encode",
+      exprs => PqEncodeExpr(exprs.head, codebooks), "scala_udf")
+    org.apache.spark.sql.functions.call_function("graft_pq_encode", emb)
   }
 }

@@ -139,11 +139,27 @@ object Similarity {
     * (k·d·n ops on ≤4096 rows — microseconds). */
   def trainCentroids(df: DataFrame, idCol: String, embCol: String,
       k: Int, iters: Int = 10): Array[Array[Double]] = {
+    val sample = codebookSample(df, idCol, embCol, k)
+    lloyd(sample, k, iters)
+  }
+
+  /** The deterministic training sample every codebook shares: the
+    * `min(4096, max(16k, 256))` lowest-id vectors (no RNG — replay
+    * identity, and at `iters = 0` the evenly-spaced init rows are
+    * exactly reproducible in portable SQL). */
+  private def codebookSample(df: DataFrame, idCol: String, embCol: String,
+      k: Int): Array[Array[Double]] = {
     val sampleN = math.min(4096, math.max(16 * k, 256))
     val sample = df.orderBy(col(idCol)).limit(sampleN)
       .select(col(embCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.length >= k, s"need at least $k vectors to train $k centroids")
+    sample
+  }
+
+  /** Damped Lloyd rounds over an in-driver sample; init = evenly-spaced
+    * sample rows; empty clusters keep their previous centroid. */
+  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val d = sample.head.length
     var centroids = Array.tabulate(k)(i => sample((i * sample.length) / k).clone())
     for (_ <- 1 to iters) {
@@ -167,6 +183,35 @@ object Similarity {
     }
     centroids
   }
+
+  /** PRODUCT-QUANTIZATION codebooks (the PQ half of faiss-style
+    * IVF-PQ): the vector splits into `m` contiguous subspaces of
+    * d/m dims, each trained independently over the shared sample —
+    * `codebooks(sub)(code)(dim)`. At `iters = 0` every per-subspace
+    * codebook is the evenly-spaced sample rows' subvectors, fully
+    * SQL-replayable (the catalog oracle's parameterization). */
+  def pqCodebooks(df: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, iters: Int = 10): Array[Array[Array[Double]]] = {
+    val sample = codebookSample(df, idCol, embCol, k)
+    val d = sample.head.length
+    require(d % m == 0, s"embedding dims $d not divisible into $m subspaces")
+    val dSub = d / m
+    Array.tabulate(m) { sub =>
+      val subSample = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, sub * dSub, (sub + 1) * dSub))
+      lloyd(subSample, k, iters)
+    }
+  }
+
+  /** Corpus + its PQ codes (array<int> of length m) — one kernel pass
+    * per row over the plan-time-constant codebook. 100 TB shape: the
+    * codes column is m bytes-ish per vector versus 4·d for the raw
+    * floats — the ANN storage-compression path; encode is a narrow
+    * map stage, no shuffle. */
+  def pqEncode(df: DataFrame, embCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    df.withColumn("_pq_codes",
+      graft.functions.VectorKernels.pqEncode(df.sparkSession, col(embCol), codebooks))
 
   /** Corpus + its IVF cluster assignment — a narrow map stage (the
     * native kernel runs one tight loop per row). Persist or bucket the

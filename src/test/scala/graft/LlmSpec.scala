@@ -316,6 +316,41 @@ class LlmSpec extends SparkSpec {
     assert(out(4L) == "repetition", s"got ${out(4L)}")
   }
 
+  test("product quantization: codes bounded by the codebook, identical vectors code " +
+      "identically, and the kernel agrees with a naive rebuild") {
+    val e = graft.core.Tables(spark, sf(), "embeddings").select("vec_id", "embedding")
+    val m = 8; val k = 16
+    val books = Similarity.pqCodebooks(e, "vec_id", "embedding", m, k) // trained default
+    assert(books.length == m && books.forall(_.length == k))
+    val coded = Similarity.pqEncode(e, "embedding", books)
+      .select("vec_id", "embedding", "_pq_codes").collect()
+    coded.foreach { r =>
+      val codes = r.getSeq[Int](2)
+      assert(codes.length == m && codes.forall(c => c >= 0 && c < k))
+    }
+    // kernel ≡ naive argmin per subspace (spot-check a deterministic slice)
+    coded.take(25).foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val codes = r.getSeq[Int](2)
+      val dSub = v.length / m
+      (0 until m).foreach { sub =>
+        val subv = v.slice(sub * dSub, (sub + 1) * dSub)
+        val naive = books(sub).zipWithIndex.map { case (code, c) =>
+          (subv.zip(code).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+        }.minBy(x => (x._1, x._2))._2
+        assert(codes(sub) == naive, s"vec ${r.getLong(0)} sub $sub: kernel ${codes(sub)} != $naive")
+      }
+    }
+    // identical vectors → identical codes (copies quantize together)
+    val copyCodes = Similarity.pqEncode(
+      e.orderBy("vec_id").limit(5).withColumn("vec_id", col("vec_id") + 7000),
+      "embedding", books)
+      .orderBy("vec_id").select("_pq_codes").collect().map(_.getSeq[Int](0))
+    val origCodes = Similarity.pqEncode(e.orderBy("vec_id").limit(5), "embedding", books)
+      .orderBy("vec_id").select("_pq_codes").collect().map(_.getSeq[Int](0))
+    assert(copyCodes.toSeq == origCodes.toSeq)
+  }
+
   test("semdedup: planted copies land in the original's cluster and are the dropped " +
       "side of the dominance rule; assignment is total") {
     val e = graft.core.Tables(spark, sf(), "embeddings").select("vec_id", "embedding")
