@@ -770,6 +770,81 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  val annIvfPq: QueryDef = QueryDef.sqlBacked(
+    "q_ann_ivfpq",
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      |ranked AS (
+      |  SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e),
+      |smp AS (SELECT rn, emb FROM ranked WHERE rn < 256),
+      |n AS (SELECT count(*) AS L FROM smp),
+      |cent AS (
+      |  SELECT gs.c AS c, s.emb AS cemb
+      |  FROM generate_series(0, 15) AS gs(c)
+      |  CROSS JOIN n
+      |  JOIN smp s ON s.rn = (gs.c * n.L) // 16),
+      |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+      |qp AS (
+      |  SELECT c FROM (
+      |    SELECT cent.c,
+      |      row_number() OVER (ORDER BY list_sum(list_transform(
+      |        generate_series(1, len(cent.cemb)), i ->
+      |        (q.qe[i] - cent.cemb[i]) * (q.qe[i] - cent.cemb[i]))), cent.c) AS rk
+      |    FROM cent, q) WHERE rk <= 4),
+      |assign AS (
+      |  SELECT vec_id, emb, c,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
+      |  FROM (
+      |    SELECT e.vec_id, e.emb, cent.c,
+      |      list_sum(list_transform(generate_series(1, len(e.emb)), i ->
+      |        (e.emb[i] - cent.cemb[i]) * (e.emb[i] - cent.cemb[i]))) AS dist
+      |    FROM e CROSS JOIN cent)),
+      |pqa AS (
+      |  SELECT e.vec_id, sub.m AS sub, cent.c,
+      |    row_number() OVER (PARTITION BY e.vec_id, sub.m ORDER BY
+      |      list_sum(list_transform(generate_series(1, 8), i ->
+      |        (e.emb[sub.m * 8 + i] - cent.cemb[sub.m * 8 + i])
+      |        * (e.emb[sub.m * 8 + i] - cent.cemb[sub.m * 8 + i]))), cent.c) AS rk
+      |  FROM e CROSS JOIN generate_series(0, 7) AS sub(m) CROSS JOIN cent),
+      |pvt AS (
+      |  SELECT vec_id,
+      |    max(CASE WHEN sub = 0 THEN c END) AS c0, max(CASE WHEN sub = 1 THEN c END) AS c1,
+      |    max(CASE WHEN sub = 2 THEN c END) AS c2, max(CASE WHEN sub = 3 THEN c END) AS c3,
+      |    max(CASE WHEN sub = 4 THEN c END) AS c4, max(CASE WHEN sub = 5 THEN c END) AS c5,
+      |    max(CASE WHEN sub = 6 THEN c END) AS c6, max(CASE WHEN sub = 7 THEN c END) AS c7
+      |  FROM pqa WHERE rk = 1 GROUP BY vec_id),
+      |adctab AS (
+      |  SELECT sub.m AS sub, cent.c AS c,
+      |    list_sum(list_transform(generate_series(1, 8), i ->
+      |      (q.qe[sub.m * 8 + i] - cent.cemb[sub.m * 8 + i])
+      |      * (q.qe[sub.m * 8 + i] - cent.cemb[sub.m * 8 + i]))) AS dd
+      |  FROM generate_series(0, 7) AS sub(m) CROSS JOIN cent CROSS JOIN q)
+      |SELECT a.vec_id,
+      |  round(t0.dd + t1.dd + t2.dd + t3.dd + t4.dd + t5.dd + t6.dd + t7.dd, 4) AS adist
+      |FROM assign a
+      |JOIN pvt p ON p.vec_id = a.vec_id
+      |JOIN adctab t0 ON t0.sub = 0 AND t0.c = p.c0
+      |JOIN adctab t1 ON t1.sub = 1 AND t1.c = p.c1
+      |JOIN adctab t2 ON t2.sub = 2 AND t2.c = p.c2
+      |JOIN adctab t3 ON t3.sub = 3 AND t3.c = p.c3
+      |JOIN adctab t4 ON t4.sub = 4 AND t4.c = p.c4
+      |JOIN adctab t5 ON t5.sub = 5 AND t5.c = p.c5
+      |JOIN adctab t6 ON t6.sub = 6 AND t6.c = p.c6
+      |JOIN adctab t7 ON t7.sub = 7 AND t7.c = p.c7
+      |WHERE a.rk = 1 AND a.c IN (SELECT c FROM qp) AND a.vec_id <> 0
+      |ORDER BY adist, a.vec_id LIMIT 10""".stripMargin,
+    doc = "IVF-PQ ANN end-to-end (the faiss index structure): 4-probe coarse IVF restricts " +
+      "candidates, ASYMMETRIC DISTANCE ranks them — the query precomputes an 8x16 table of " +
+      "exact subspace distances to every PQ code and each candidate costs 8 table lookups; " +
+      "no candidate embedding is touched after encode (m ints/vector scan, the " +
+      "billion-vector bandwidth shape). FULL oracle at iters=0 (both codebooks are the " +
+      "evenly-spaced sample rows): DuckDB replays coarse codebook, probes, PQ argmins, the " +
+      "ADC table AND the left-associated 8-term distance sum. Trained default pinned in " +
+      "LlmSpec.") { (s, d) =>
+    Similarity.ivfPqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, kClusters = 16, nProbe = 4, m = 8, kCodes = 16, k = 10, iters = 0)
+  }
+
   val embedNearDup: QueryDef = QueryDef.sqlBacked(
     "q_embed_neardup",
     """WITH v AS (
@@ -1060,7 +1135,7 @@ object LlmQueries {
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
     repetitionSignals, prefixDedup, decontaminate, seqPack,
     ngramJaccard, minhashLsh, dupClusters, winnow, simhash,
-    cosineTopK, annLsh, annIvf, semDedup, embedDecontaminate, embedNearDup, embedQuantize,
-    pqQuantize,
+    cosineTopK, annLsh, annIvf, annIvfPq, semDedup, embedDecontaminate, embedNearDup,
+    embedQuantize, pqQuantize,
     multimodalMeta, multimodalFeatures)
 }

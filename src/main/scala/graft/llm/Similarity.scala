@@ -255,6 +255,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ ANN top-k (the faiss structure end-to-end): coarse IVF
+    * probes restrict candidates to `nProbe` clusters, then candidates
+    * rank by ASYMMETRIC DISTANCE (ADC) — the query precomputes one
+    * m×kCodes table of exact subspace distances to every PQ code, and
+    * each candidate's distance is the sum of m table lookups at its
+    * codes. No candidate embedding is touched after encode: the scan
+    * reads (id, cluster, codes) — m ints per vector instead of d
+    * floats, the bandwidth shape that makes billion-vector ANN work.
+    *
+    * `iters = 0` keeps both codebooks at the deterministic
+    * evenly-spaced sample rows (the catalog oracle's fully
+    * SQL-replayable parameterization); the trained default keeps its
+    * spec pins. The ADC sum folds subspaces in ascending order (a
+    * left-associated 8-term add — engine-reproducible), rounded to 4. */
+  def ivfPqTopK(df: DataFrame, idCol: String, embCol: String, queryId: Long,
+      kClusters: Int, nProbe: Int, m: Int, kCodes: Int, k: Int,
+      iters: Int = 10): DataFrame = {
+    val centroids = trainCentroids(df, idCol, embCol, kClusters, iters)
+    val books = pqCodebooks(df, idCol, embCol, m, kCodes, iters)
+    val qEmb = df.filter(col(idCol) === queryId).select(col(embCol)).head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val probed = centroids.zipWithIndex.map { case (c, i) =>
+      var dist = 0.0; var j = 0
+      while (j < qEmb.length) { val diff = qEmb(j) - c(j); dist += diff * diff; j += 1 }
+      (dist, i)
+    }.sortBy(x => (x._1, x._2)).take(nProbe).map(_._2)
+    val dSub = qEmb.length / m
+    // the ADC table: adc(sub)(code) = ‖q_sub − code‖² exactly
+    val adcFlat: Array[Double] = Array.tabulate(m * kCodes) { idx =>
+      val sub = idx / kCodes; val c = idx % kCodes
+      val code = books(sub)(c)
+      var dist = 0.0; var i = 0
+      while (i < dSub) { val diff = qEmb(sub * dSub + i) - code(i); dist += diff * diff; i += 1 }
+      dist
+    }
+    val tableLit = array(adcFlat.map(lit): _*)
+    val coded = pqEncode(
+      ivfAssign(df.select(col(idCol).as("id"), col(embCol).as("emb")), "emb", centroids),
+      "emb", books)
+    coded
+      .filter(col("_ivf_cluster").isin(probed.map(Int.box): _*) && col("id") =!= queryId)
+      .select(col("id").as(idCol),
+        round(aggregate(
+          zip_with(col("_pq_codes"), sequence(lit(0), lit(m - 1)),
+            (c, s) => element_at(tableLit, s * kCodes + c + 1)),
+          lit(0.0), (acc, x) => acc + x), 4).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs near-neighbor edges above a cosine threshold, candidate
     * generation by banded hyperplane LSH (the embedding-cosine near-dup
     * path for corpus dedup).

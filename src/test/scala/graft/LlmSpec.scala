@@ -351,6 +351,40 @@ class LlmSpec extends SparkSpec {
     assert(copyCodes.toSeq == origCodes.toSeq)
   }
 
+  test("ivf-pq: ADC distances equal a naive driver recompute; a planted exact copy " +
+      "of the query ranks first at adist 0") {
+    val e = graft.core.Tables(spark, sf(), "embeddings").select("vec_id", "embedding")
+    // plant an exact copy of vec 0 so the metric has a known optimum:
+    // the copy codes identically to the query, every ADC lookup is the
+    // query-to-own-code distance, and no other vector can beat it
+    val q0 = e.filter(col("vec_id") === 0L).withColumn("vec_id", lit(900000L))
+    val corpus = e.unionByName(q0)
+    val top = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      queryId = 0L, kClusters = 16, nProbe = 4, m = 8, kCodes = 16, k = 10)
+      .collect()
+    assert(top.head.getLong(0) == 900000L, s"exact copy must rank first, got ${top.head}")
+    // naive recompute of the winner's adist: encode the copy, sum the
+    // exact subspace distances from the query to its codes
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding", 8, 16)
+    val qv = e.filter(col("vec_id") === 0L).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val copyCodes = Similarity.pqEncode(q0, "embedding", books)
+      .select("_pq_codes").head().getSeq[Int](0)
+    val dSub = qv.length / 8
+    var naive = 0.0
+    (0 until 8).foreach { sub =>
+      val code = books(sub)(copyCodes(sub))
+      var i = 0
+      while (i < dSub) { val diff = qv(sub * dSub + i) - code(i); naive += diff * diff; i += 1 }
+    }
+    val naiveR = BigDecimal(naive).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(top.head.getDouble(1) - naiveR) < 1e-9,
+      s"ADC ${top.head.getDouble(1)} != naive $naive")
+    // distances are non-decreasing down the list
+    val ds = top.map(_.getDouble(1)).toSeq
+    assert(ds == ds.sorted)
+  }
+
   test("semdedup: planted copies land in the original's cluster and are the dropped " +
       "side of the dominance rule; assignment is total") {
     val e = graft.core.Tables(spark, sf(), "embeddings").select("vec_id", "embedding")
