@@ -649,6 +649,41 @@ object ExtendedQueries {
         lit(prunedProof).as("pruned"), lit(specsOk).as("specs_ok"))
   }
 
+  val icebergMerge: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_merge",
+    """WITH merged AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(l_quantity AS DECIMAL(12,2))
+      |      + CASE WHEN l_orderkey % 10 = 6 THEN 100.00 ELSE 0.00 END AS qty
+      |  FROM lineitem)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+      |  CAST(SUM(CASE WHEN l_orderkey % 10 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_upd
+      |FROM merged""".stripMargin,
+    doc = "Iceberg MERGE (upsert) by key — the merge-on-read row-level update: an " +
+      "equality-delete snapshot retires the matched keys' old versions and an append " +
+      "snapshot writes the new ones; the sequence gate keeps the appended rows alive " +
+      "through their own keys' deletes and unmatched rows untouched. The upsert adds " +
+      "100 to every l_orderkey%10=6 row's quantity; n_upd pins exactly the matched-row " +
+      "count inside the hash. Oracle recomputes the merged state relationally.") { (s, d) =>
+    val li = t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      dec2(col("l_quantity")).as("l_quantity"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_merge").toString + "/tbl"
+    graft.sources.IcebergSource.commitAppend(s, dir, li, snapshotId = 1L, timestampMs = 1L)
+    val up = li.filter(col("l_orderkey") % 10 === 6)
+      .withColumn("l_quantity", dec2(col("l_quantity") + lit(100)))
+    graft.sources.IcebergSource.mergeUpsert(s, dir, up,
+      Seq("l_orderkey", "l_linenumber"), deleteSnapshotId = 2L,
+      appendSnapshotId = 3L, timestampMs = 2L)
+    graft.sources.IcebergSource.read(s, dir)
+      .agg(count(lit(1)).cast("long").as("n"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        sum(when(col("l_orderkey") % 10 === 6, 1L).otherwise(0L)).as("n_upd"))
+  }
+
   val icebergDecimalPruned: QueryDef = QueryDef.sqlBacked(
     "q_iceberg_decimal_pruned",
     """SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -794,7 +829,7 @@ object ExtendedQueries {
   val all: Seq[QueryDef] = Seq(
     icebergIncremental, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
     icebergDv, icebergStatsPruned, icebergDecimalPruned, icebergTsPruned, icebergEvolution,
-    icebergSpecEvolution,
+    icebergSpecEvolution, icebergMerge,
     glueScan, tier2Python,
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,

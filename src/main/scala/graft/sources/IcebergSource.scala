@@ -2600,6 +2600,27 @@ object IcebergSource {
     readMeta(tableDir)
   }
 
+  /** MERGE (upsert) by key — the merge-on-read row-level update: one
+    * EQUALITY-DELETE snapshot retires every existing row whose key
+    * appears in `source`, then an APPEND snapshot writes the new
+    * versions. The spec's sequence gate makes the pair atomic in
+    * effect: the delete applies only to rows with dataSeq < deleteSeq,
+    * so the appended rows (higher seq) survive their own keys'
+    * deletes, and unmatched existing rows are untouched. Key tuples —
+    * never payloads — travel into the delete file; compaction folds
+    * the pair away later. */
+  def mergeUpsert(spark: SparkSession, tableDir: String, source: DataFrame,
+      keyCols: Seq[String], deleteSnapshotId: Long, appendSnapshotId: Long,
+      timestampMs: Long): TableMeta = {
+    require(keyCols.nonEmpty, "mergeUpsert requires at least one key column")
+    require(keyCols.forall(source.columns.contains),
+      s"key columns $keyCols missing from source ${source.columns.toSeq}")
+    val keys = source.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    commitDeletes(spark, tableDir, eqDeletes = Some((keys, keyCols)),
+      snapshotId = deleteSnapshotId, timestampMs = timestampMs)
+    commitAppend(spark, tableDir, source, appendSnapshotId, timestampMs + 1)
+  }
+
   // ------------------------------------------------- refs (tags/branches)
 
   /** Pin `snapshotId` under an immutable TAG. Idempotent when the tag

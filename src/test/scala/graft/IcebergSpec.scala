@@ -1883,6 +1883,35 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergSource.read(spark, dir).count() == 25)
   }
 
+  test("mergeUpsert: matched keys take the new version, unmatched survive, " +
+      "re-upserts stack, and compaction folds the delete pair away") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "tag", "v")
+    IcebergSource.commitAppend(spark, dir, base, 1L, 1L)
+    // upsert: id 2 changes, id 4 is new
+    val up = Seq((2L, "B", 200.0), (4L, "d", 40.0)).toDF("id", "tag", "v")
+    IcebergSource.mergeUpsert(spark, dir, up, Seq("id"), 2L, 3L, 2L)
+    val r1 = IcebergSource.read(spark, dir).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(r1 == Seq((1L, "a", 10.0), (2L, "B", 200.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // a second upsert of the SAME key beats the first (sequence order)
+    IcebergSource.mergeUpsert(spark, dir,
+      Seq((2L, "BB", 2000.0)).toDF("id", "tag", "v"), Seq("id"), 4L, 5L, 3L)
+    val r2 = IcebergSource.read(spark, dir).filter($"id" === 2L)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(r2 == Seq((2L, "BB", 2000.0)))
+    assert(IcebergSource.read(spark, dir).count() == 4)
+    // compaction folds the merge-on-read pairs into plain data files
+    IcebergSource.compact(spark, dir, 6L, 4L)
+    val (files, dels) = IcebergSource.planFiles(dir)
+    assert(dels.isEmpty, "compaction must retire the delete files")
+    assert(IcebergSource.read(spark, dir).count() == 4)
+    assert(IcebergSource.read(spark, dir).filter($"id" === 2L)
+      .select("tag").as[String].head() == "BB")
+  }
+
   test("readAsOf: timestamp time travel resolves the newest main snapshot at or " +
       "before the instant; branch snapshots are invisible; pre-table instants refuse") {
     val dir = s"${tmpDir()}/tbl"
