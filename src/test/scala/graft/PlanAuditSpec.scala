@@ -40,6 +40,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("semdedup broadcasts the codebook and joins pairs inside clusters only") {
+    val p = planOf("q_semdedup")
+    assert(p.contains("BroadcastHashJoin"), "centroid table must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "the pair join must key on cluster, never all-pairs")
+  }
+
+  test("semantic decontamination broadcasts the eval embeddings (never a corpus self-join)") {
+    val p = planOf("q_embed_decontaminate")
+    // the eval side is keyless by design → broadcast NESTED LOOP is the
+    // intended shape (small side broadcast); a cartesian would mean the
+    // broadcast was lost
+    assert(p.contains("BroadcastNestedLoopJoin"), "eval suite must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LM coverage broadcasts the trigram model into the probe") {
+    val p = planOf("q_lm_coverage")
+    assert(p.contains("BroadcastHashJoin"), "model vocabulary must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("pq/ivf-pq encode stays a narrow kernel pass (no shuffle before the take)") {
+    val p = planOf("q_pq_quantize")
+    assert(p.contains("pqencodeexpr"), "encode must run the kernel expression")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val p2 = planOf("q_ann_ivfpq")
+    assert(p2.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+  }
+
   test("prefix dedup and repetition shuffle keys, with map-side partial aggregation") {
     assert("HashAggregate".r.findAllIn(planOf("q_prefix_dedup")).size >= 2)
     assert("HashAggregate".r.findAllIn(planOf("q_repetition")).size >= 2)
