@@ -2568,25 +2568,49 @@ object IcebergSource {
       }
 
     val manifestPath = s"$metaDir/manifest-$snapshotId-compact.avro"
-    // carried EXISTING entries re-encode into the DEFAULT spec's
-    // partition struct: keys a pre-evolution spec laid out under other
-    // names drop out, which only WEAKENS pruning for those files
-    // (missing keys are conservative), never their rows
+    // MANIFESTS ARE PER-SPEC (the spec's own shape): a carried file
+    // written under a NON-default spec keeps its own manifest with its
+    // own partition_spec_id. Re-encoding its partition tuple into the
+    // default spec's struct would null-fill foreign fields, and a null
+    // non-string partition value reads back as exact "partition IS
+    // null" information — an unsound prune, i.e. silent row loss.
+    val defaultSid = parent.defaultSpecId
+    val (carryDefault, carryOther) = carry.partition(_.specId == defaultSid)
     val entryRecs =
       newFiles.map(dataEntryRec(entrySchema, _, StatusAdded, snapshotId, None)) ++
-        carry.map(f =>
+        carryDefault.map(f =>
           dataEntryRec(entrySchema, f, StatusExisting, snapshotId, Some(f.seq)))
     val manifestLen = writeAvro(manifestPath, entrySchema, entryRecs)
     val newManifest = new GenericData.Record(manifestFileSchema)
     newManifest.put("manifest_path", manifestPath)
     newManifest.put("manifest_length", manifestLen)
-    newManifest.put("partition_spec_id", parent.defaultSpecId.toInt)
+    newManifest.put("partition_spec_id", defaultSid.toInt)
     newManifest.put("content", 0)
     newManifest.put("added_snapshot_id", snapshotId)
     newManifest.put("added_files_count", newFiles.length)
     newManifest.put("added_rows_count", newFiles.map(_.recordCount).sum)
+    val otherManifests = carryOther.groupBy(_.specId).toSeq.sortBy(_._1).map {
+      case (sid, fs) =>
+        // unknown spec ids (legacy metadata) carry NO partition struct —
+        // no-info is conservative, null info is not
+        val sSpec = parent.specsById.getOrElse(sid, Seq.empty)
+        val sTypes = sSpec.map(pf => pf.name -> avroTransformType(pf, dtOf(pf.source)))
+        val sSchema = entrySchemaFor(sTypes)
+        val p = s"$metaDir/manifest-$snapshotId-compact-spec$sid.avro"
+        val len = writeAvro(p, sSchema, fs.map(f =>
+          dataEntryRec(sSchema, f, StatusExisting, snapshotId, Some(f.seq))))
+        val r = new GenericData.Record(manifestFileSchema)
+        r.put("manifest_path", p)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", sid.toInt)
+        r.put("content", 0)
+        r.put("added_snapshot_id", snapshotId)
+        r.put("added_files_count", 0)
+        r.put("added_rows_count", 0L)
+        r
+    }
     val listPath = s"$metaDir/snap-$snapshotId-manifest-list.avro"
-    writeAvro(listPath, manifestFileSchema, Seq(newManifest))
+    writeAvro(listPath, manifestFileSchema, newManifest +: otherManifests)
 
     val snapJson: J = JObj.of(
       "snapshot-id" -> JInt(snapshotId),

@@ -1912,6 +1912,39 @@ class IcebergSpec extends SparkSpec {
       .select("tag").as[String].head() == "BB")
   }
 
+  test("compaction across partition-spec eras: carried files keep their OWN spec's " +
+      "manifest — no null-filled foreign partition fields, no silent row loss") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    // era A (spec 0): 2000 rows partitioned by region — two ~big files
+    val a = (0 until 2000).map(i =>
+      (i.toLong, if (i % 2 == 0) "eu" else "us", i.toLong)).toDF("id", "region", "k")
+    IcebergSource.commitAppend(spark, dir, a, 1L, 1L, partitionBy = Seq("region"))
+    // era B (spec 1, new default): tiny files partitioned by k
+    val b = Seq((10000L, "de", 10000L), (10001L, "de", 10001L)).toDF("id", "region", "k")
+    IcebergSource.commitAppend(spark, dir, b, 2L, 2L, partitionBy = Seq("k"))
+    // compact: only era B's tiny files rewrite; era A's files (non-default
+    // spec 0) are CARRIED — the path that once re-encoded them into the
+    // default spec's struct with k=null (read back as provable null → a
+    // k-predicate pruned real rows)
+    IcebergSource.compact(spark, dir, 3L, 3L, smallFileBytes = 2048)
+    assert(IcebergSource.read(spark, dir).count() == 2002)
+    val files = IcebergSource.dataFiles(dir)
+    assert(files.exists(_.specId == 0L), "era-A files carried under their own spec id")
+    // the bug probe: a default-spec-source predicate must NOT prune the
+    // carried era-A files (their spec never laid k out — no info)
+    assert(IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("k", 1500L)))
+      .filter($"k" === 1500L).count() == 1,
+      "carried old-spec file wrongly pruned by a new-spec predicate")
+    // and the carried files still prune EXACTLY under their own spec
+    val eu = IcebergSource.dataFiles(dir, filters = Seq(sqs.EqualTo("region", "eu")))
+    assert(eu.filter(_.specId == 0L).forall(_.partition("region") == "eu"),
+      "era-A us-partition file must still prune by its own spec after compaction")
+    assert(IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("region", "eu")))
+      .filter($"region" === "eu").count() == 1000)
+  }
+
   test("readAsOf: timestamp time travel resolves the newest main snapshot at or " +
       "before the instant; branch snapshots are invisible; pre-table instants refuse") {
     val dir = s"${tmpDir()}/tbl"
