@@ -1912,6 +1912,39 @@ class IcebergSpec extends SparkSpec {
       .select("tag").as[String].head() == "BB")
   }
 
+  test("branch commits interoperate with partition-spec evolution and incremental " +
+      "windows: branch-side spec allocation is table-wide, lineage windows resolve") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    val df1 = Seq((1L, "eu", 10L), (2L, "us", 20L)).toDF("id", "region", "k")
+    IcebergSource.commitAppend(spark, dir, df1, 1L, 1L, partitionBy = Seq("region"))
+    IcebergSource.createBranch(dir, "dev", Some(1L), 2L)
+    // a BRANCH commit under a NEW layout mints a table-wide spec id
+    val df2 = Seq((3L, "de", 30L), (4L, "fr", 40L)).toDF("id", "region", "k")
+    IcebergSource.commitAppend(spark, dir, df2, 21L, 3L,
+      partitionBy = Seq("k"), toBranch = Some("dev"))
+    val m = IcebergSource.readMeta(dir)
+    assert(m.specsById.keySet == Set(0L, 1L) && m.defaultSpecId == 1L)
+    assert(m.currentSnapshotId.contains(1L), "main head unmoved")
+    // branch read prunes branch-era files under the branch's spec
+    val fs = IcebergSource.dataFiles(dir, snapshotId = Some(21L),
+      filters = Seq(sqs.EqualTo("k", 30L)))
+    assert(fs.filter(_.specId == 1L).forall(_.partition("k") == 30L))
+    assert(IcebergSource.readRef(spark, dir, "dev").count() == 4)
+    // incremental window along the branch lineage
+    val added = IcebergSource.addedFiles(dir, Some(1L), 21L)
+    assert(added.nonEmpty && added.forall(_.specId == 1L))
+    // a MAIN commit after the branch keeps both specs; main inherits
+    // the (now-default) k layout when no partitionBy is given
+    val df3 = Seq((5L, "it", 50L)).toDF("id", "region", "k")
+    IcebergSource.commitAppend(spark, dir, df3, 3L, 4L)
+    val m2 = IcebergSource.readMeta(dir)
+    assert(m2.specsById.keySet == Set(0L, 1L) && m2.refs.keySet == Set("dev"))
+    assert(IcebergSource.read(spark, dir).count() == 3)
+    assert(IcebergSource.readRef(spark, dir, "dev").count() == 4)
+  }
+
   test("compaction across partition-spec eras: carried files keep their OWN spec's " +
       "manifest — no null-filled foreign partition fields, no silent row loss") {
     import org.apache.spark.sql.{sources => sqs}
