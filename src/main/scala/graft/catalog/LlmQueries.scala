@@ -221,6 +221,39 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  val docChunks: QueryDef = QueryDef.sqlBacked(
+    "q_doc_chunks",
+    s"""WITH toks AS (SELECT doc_id, $wsSplitSql AS w FROM documents),
+       |starts AS (
+       |  SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 24)) AS i FROM toks),
+       |chunks AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |    w[i * 24 + 1 : least(i * 24 + 32, len(w))] AS cw
+       |  FROM starts WHERE i * 24 < len(w))
+       |SELECT doc_id, chunk_idx,
+       |  CAST(len(cw) AS INTEGER) AS n_chunk_words,
+       |  array_to_string(cw, ' ') AS chunk_text
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    doc = "Document CHUNKING: sliding word windows (32-word chunks, stride 24 — 8-word " +
+      "overlap), the long-document-to-training-sample splitter that runs before " +
+      "tokenization/packing. One narrow generator pass per document (sequence + slice + " +
+      "join-free explode), chunk boundaries deterministic in both engines.") { (s, d) =>
+    val staged = docsFanout(s, d).select(col("doc_id"),
+      TextAnalysis.wsTokens(col("text")).as("w"))
+    val stride = 24; val width = 32
+    staged
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0),
+          ((size(col("w")) - 1) / stride).cast("int"))).as("chunk_idx"))
+      .filter(col("chunk_idx") * stride < size(col("w")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        slice(col("w"), col("chunk_idx") * stride + 1, lit(width)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).as("n_chunk_words"),
+        concat_ws(" ", col("cw")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   private val langFilterSql: Map[String, String] = TextAnalysis.langProfiles.toMap.map {
     case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1133,7 +1166,7 @@ object LlmQueries {
   val all: Seq[QueryDef] = Seq(
     textFingerprint, dedupContentHash, tokenStats, textQuality, qualityFilter, lmCoverage, langIdQ,
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
-    repetitionSignals, prefixDedup, decontaminate, seqPack,
+    repetitionSignals, prefixDedup, decontaminate, seqPack, docChunks,
     ngramJaccard, minhashLsh, dupClusters, winnow, simhash,
     cosineTopK, annLsh, annIvf, annIvfPq, semDedup, embedDecontaminate, embedNearDup,
     embedQuantize, pqQuantize,
