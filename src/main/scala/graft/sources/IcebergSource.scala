@@ -187,7 +187,11 @@ object IcebergSource {
         * BRANCHES are movable heads with their own lineage beside
         * `main` (= current-snapshot-id). Refs also pin retention:
         * expiry refuses to drop a snapshot a ref names. */
-      refs: Map[String, SnapshotRef] = Map.empty) {
+      refs: Map[String, SnapshotRef] = Map.empty,
+      /** the default WRITE SORT ORDER's identity source columns (spec
+        * `sort-orders`) — advisory for writers; sorted commits give
+        * tight per-file bounds for range pruning. */
+      sortOrder: Seq[String] = Nil) {
     def currentSchema: Seq[SchemaField] =
       schemasById.getOrElse(currentSchemaId, Seq.empty)
     /** The spec a manifest's partition_spec_id names; unknown ids fall
@@ -390,13 +394,29 @@ object IcebergSource {
       }.toMap
       case _ => Map.empty
     }
+    val sortOrder: Seq[String] = f.get("sort-orders") match {
+      case Some(JArr(sos)) =>
+        val defaultOid = f.get("default-sort-order-id").collect { case JInt(v) => v }
+        sos.map(CanonicalJson.objFields)
+          .find(so => defaultOid.forall(oid =>
+            so.get("order-id").collect { case JInt(v) => v }.contains(oid)))
+          .flatMap(_.get("fields")).collect { case JArr(fs) =>
+            fs.flatMap { fd =>
+              val ff = CanonicalJson.objFields(fd)
+              ff.get("source-id").collect { case JInt(sid) => sid }
+                .flatMap(fieldNameById.get)
+            }
+          }.getOrElse(Seq.empty)
+      case _ => Seq.empty
+    }
     TableMeta(loc, cur, snaps, version, spec, fieldNameById,
       formatVersion = fmtVersion, fieldTypesById = fieldTypeById,
       schemasById = schemasById, currentSchemaId = currentSchemaId,
       lastColumnId = lastColumnId,
       specsById = allSpecs.toMap,
       defaultSpecId = chosenDefault.map(_._1).getOrElse(0L),
-      refs = refs)
+      refs = refs,
+      sortOrder = sortOrder)
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {
@@ -1920,7 +1940,15 @@ object IcebergSource {
         * current snapshot if absent), the ref advances, and
         * current-snapshot-id — main — stays where it was. Tags refuse
         * (immutable by definition). */
-      toBranch: Option[String] = None): TableMeta = {
+      toBranch: Option[String] = None,
+      /** WRITE SORT ORDER (spec `sort-orders`): range-cluster the
+        * snapshot's rows across files and sort within each, so parquet
+        * footers — and therefore the manifest column bounds — carry
+        * TIGHT disjoint ranges on these columns and a range predicate
+        * prunes most files instead of none. Recorded in metadata as
+        * the default sort order. Composes with any partition spec
+        * (sorting happens inside each partition's files). */
+      sortBy: Seq[String] = Nil): TableMeta = {
     val metaDir = s"$tableDir/metadata"
     val haveMeta = Files.exists(Paths.get(metaDir, "version-hint.text"))
     val parent: Option[TableMeta] = if (haveMeta) Some(readMeta(tableDir)) else None
@@ -1983,7 +2011,17 @@ object IcebergSource {
       tableSchema.map(f => f.name -> ((f.id.toInt, f.tpe))).toMap
     val curSchemaId0 = parent.filter(_.currentSchema.nonEmpty)
       .map(_.currentSchemaId).getOrElse(0L)
-    val files = writeDataFiles(spark, df, s"$tableDir/data/snap-$snapshotId", spec0, idByName)
+    require(sortBy.forall(df.columns.contains),
+      s"sort columns $sortBy missing from ${df.columns.toSeq}")
+    val laidOut =
+      if (sortBy.isEmpty) df
+      // explicit partition count (the input's) — an unconstrained range
+      // shuffle lets AQE coalesce everything into one file, which
+      // defeats the point of range-clustering for pruning
+      else df.repartitionByRange(math.max(1, df.rdd.getNumPartitions),
+          sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    val files = writeDataFiles(spark, laidOut, s"$tableDir/data/snap-$snapshotId", spec0, idByName)
 
     val partTypes = spec0.map(pf =>
       pf.name -> avroTransformType(pf, df.schema(pf.source).dataType))
@@ -2107,7 +2145,23 @@ object IcebergSource {
               "transform" -> JStr(pf.transform),
               "source-id" -> JInt(sourceIdOf(pf)),
               "field-id" -> JInt(1000L + sid * 100L + i)): J })): J }): J))
-    val metaJson = JObj.of((baseFields ++ specFields ++ refFields): _*)
+    // sort order: this commit's sortBy becomes the default order;
+    // otherwise the parent's recorded order carries forward (advisory —
+    // unsorted appends are allowed, their bounds just aren't tight)
+    val sortOut: Seq[String] =
+      if (sortBy.nonEmpty) sortBy else parent.map(_.sortOrder).getOrElse(Nil)
+    val sortFields = if (sortOut.isEmpty) Seq.empty else Seq(
+      "default-sort-order-id" -> (JInt(1): J),
+      "sort-orders" -> (JArr(Seq(JObj.of(
+        "order-id" -> JInt(1),
+        "fields" -> JArr(sortOut.map(c => JObj.of(
+          "transform" -> JStr("identity"),
+          "source-id" -> JInt(idByName.get(c).map(_._1.toLong).getOrElse(
+            throw graft.core.GraftError.Plan(
+              s"iceberg fidelity: sort column $c has no field id in the table schema"))),
+          "direction" -> JStr("asc"),
+          "null-order" -> JStr("nulls-first")): J))))): J))
+    val metaJson = JObj.of((baseFields ++ specFields ++ refFields ++ sortFields): _*)
     Files.createDirectories(Paths.get(metaDir))
     Files.write(Paths.get(metaDir, s"v$version.metadata.json"),
       CanonicalJson.render(metaJson).getBytes(StandardCharsets.UTF_8))

@@ -1912,6 +1912,37 @@ class IcebergSpec extends SparkSpec {
       .select("tag").as[String].head() == "BB")
   }
 
+  test("write sort order: sortBy range-clusters files so range predicates prune; " +
+      "the order records in metadata and carries forward") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    // shuffled ids: without sortBy every file's bounds span the whole
+    // range and nothing prunes
+    val rows = new scala.util.Random(7).shuffle((0 until 4000).toList)
+      .map(i => (i.toLong, s"row$i"))
+    val dfShuffled = rows.toDF("id", "tag").repartition(8)
+    val dirU = s"${tmpDir()}/unsorted"
+    IcebergSource.commitAppend(spark, dirU, dfShuffled, 1L, 1L)
+    val dirS = s"${tmpDir()}/sorted"
+    IcebergSource.commitAppend(spark, dirS, dfShuffled, 1L, 1L, sortBy = Seq("id"))
+    val f = Seq(sqs.LessThan("id", 500L): sqs.Filter)
+    val unsortedPlanned = IcebergSource.dataFiles(dirU, filters = f).size
+    val unsortedAll = IcebergSource.dataFiles(dirU).size
+    val sortedPlanned = IcebergSource.dataFiles(dirS, filters = f).size
+    val sortedAll = IcebergSource.dataFiles(dirS).size
+    assert(unsortedPlanned == unsortedAll, "shuffled layout cannot prune (sanity)")
+    assert(sortedPlanned < sortedAll, "sorted layout must prune most files")
+    // rows stay exact either way
+    assert(IcebergSource.read(spark, dirS, filters = f)
+      .filter($"id" < 500L).count() == 500)
+    // metadata records the order; an unsorted follow-up append carries
+    // it forward (advisory), and readMeta surfaces the column
+    assert(IcebergSource.readMeta(dirS).sortOrder == Seq("id"))
+    IcebergSource.commitAppend(spark, dirS,
+      Seq((9000L, "x")).toDF("id", "tag"), 2L, 2L)
+    assert(IcebergSource.readMeta(dirS).sortOrder == Seq("id"))
+  }
+
   test("branch commits interoperate with partition-spec evolution and incremental " +
       "windows: branch-side spec allocation is table-wide, lineage windows resolve") {
     import org.apache.spark.sql.{sources => sqs}
