@@ -1948,7 +1948,15 @@ object IcebergSource {
         * prunes most files instead of none. Recorded in metadata as
         * the default sort order. Composes with any partition spec
         * (sorting happens inside each partition's files). */
-      sortBy: Seq[String] = Nil): TableMeta = {
+      sortBy: Seq[String] = Nil,
+      /** Z-ORDER clustering: rows cluster by the interleaved
+        * rank-bucket bits of SEVERAL columns, so every listed column's
+        * per-file bounds become blocky sub-ranges and predicates on ANY
+        * of them prune — the multi-column companion to `sortBy` (which
+        * prunes perfectly on its first column and not at all on
+        * others). Rank buckets come from per-column quantiles of this
+        * snapshot (deterministic); mutually exclusive with sortBy. */
+      zorderBy: Seq[String] = Nil): TableMeta = {
     val metaDir = s"$tableDir/metadata"
     val haveMeta = Files.exists(Paths.get(metaDir, "version-hint.text"))
     val parent: Option[TableMeta] = if (haveMeta) Some(readMeta(tableDir)) else None
@@ -2013,14 +2021,40 @@ object IcebergSource {
       .map(_.currentSchemaId).getOrElse(0L)
     require(sortBy.forall(df.columns.contains),
       s"sort columns $sortBy missing from ${df.columns.toSeq}")
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy and zorderBy are mutually exclusive layouts")
+    require(zorderBy.forall(df.columns.contains),
+      s"zorder columns $zorderBy missing from ${df.columns.toSeq}")
     val laidOut =
-      if (sortBy.isEmpty) df
-      // explicit partition count (the input's) — an unconstrained range
-      // shuffle lets AQE coalesce everything into one file, which
-      // defeats the point of range-clustering for pruning
-      else df.repartitionByRange(math.max(1, df.rdd.getNumPartitions),
-          sortBy.map(col): _*)
-        .sortWithinPartitions(sortBy.map(col): _*)
+      if (sortBy.nonEmpty)
+        // explicit partition count (the input's) — an unconstrained range
+        // shuffle lets AQE coalesce everything into one file, which
+        // defeats the point of range-clustering for pruning
+        df.repartitionByRange(math.max(1, df.rdd.getNumPartitions),
+            sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else if (zorderBy.nonEmpty) {
+        // z-value = interleaved bits of per-column quantile-rank
+        // buckets (16 buckets → 4 bits per column). Each file then
+        // covers a z-range whose projection onto EVERY listed column
+        // is a blocky sub-range — footer bounds tighten on all of
+        // them, where a lexicographic sort only tightens its first.
+        val nBuckets = 16
+        val qs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+        val bucketCols = zorderBy.map { c =>
+          val bounds = df.stat.approxQuantile(c, qs, 0.01)
+          bounds.distinct.map(b => when(col(c) > b, 1).otherwise(0))
+            .reduceOption(_ + _).getOrElse(lit(0))
+        }
+        val k = zorderBy.length
+        val z = (0 until 4).flatMap(j => bucketCols.zipWithIndex.map { case (bc, i) =>
+          shiftleft(shiftright(bc, j).bitwiseAND(lit(1)), j * k + i)
+        }).reduce(_ + _) // disjoint bit positions: + ≡ bitwise OR
+        df.withColumn("__gz", z)
+          .repartitionByRange(math.max(1, df.rdd.getNumPartitions), col("__gz"))
+          .sortWithinPartitions(col("__gz"))
+          .drop("__gz")
+      } else df
     val files = writeDataFiles(spark, laidOut, s"$tableDir/data/snap-$snapshotId", spec0, idByName)
 
     val partTypes = spec0.map(pf =>

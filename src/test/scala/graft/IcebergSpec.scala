@@ -1943,6 +1943,38 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergSource.readMeta(dirS).sortOrder == Seq("id"))
   }
 
+  test("z-order clustering: predicates on EVERY z column prune files; a plain sort " +
+      "prunes only its first column") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    // x and y independent → lexicographic sort on x leaves y bounds
+    // full-range in every file; z-order tightens both
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4000).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+    val df = rnd.shuffle(rows).toDF("x", "y").repartition(8)
+    val dirZ = s"${tmpDir()}/z"
+    IcebergSource.commitAppend(spark, dirZ, df, 1L, 1L, zorderBy = Seq("x", "y"))
+    val dirX = s"${tmpDir()}/x"
+    IcebergSource.commitAppend(spark, dirX, df, 1L, 1L, sortBy = Seq("x"))
+    val fx = Seq(sqs.LessThan("x", 400L): sqs.Filter)
+    val fy = Seq(sqs.LessThan("y", 1000L): sqs.Filter)
+    val zAll = IcebergSource.dataFiles(dirZ).size
+    assert(IcebergSource.dataFiles(dirZ, filters = fx).size < zAll,
+      "z-order must prune on x")
+    assert(IcebergSource.dataFiles(dirZ, filters = fy).size < zAll,
+      "z-order must prune on y")
+    val xAll = IcebergSource.dataFiles(dirX).size
+    assert(IcebergSource.dataFiles(dirX, filters = fx).size < xAll,
+      "sort prunes its own column (sanity)")
+    assert(IcebergSource.dataFiles(dirX, filters = fy).size == xAll,
+      "sort cannot prune an uncorrelated second column (the gap z-order closes)")
+    // rows stay exact under both layouts
+    val expX = df.filter($"x" < 400L).count()
+    val expY = df.filter($"y" < 1000L).count()
+    assert(IcebergSource.read(spark, dirZ, filters = fx).filter($"x" < 400L).count() == expX)
+    assert(IcebergSource.read(spark, dirZ, filters = fy).filter($"y" < 1000L).count() == expY)
+  }
+
   test("branch commits interoperate with partition-spec evolution and incremental " +
       "windows: branch-side spec allocation is table-wide, lineage windows resolve") {
     import org.apache.spark.sql.{sources => sqs}
