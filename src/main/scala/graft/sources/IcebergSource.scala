@@ -2643,14 +2643,23 @@ object IcebergSource {
         // partition's small files collapse together); unpartitioned
         // tables size-target the output file count, never exceeding
         // the input count
+        // compaction is where the table's recorded SORT ORDER actually
+        // lands: rewritten files range-cluster + sort by it (the
+        // OPTIMIZE shape), so a table whose appends arrived unsorted
+        // gains tight bounds at its next compaction. Partitioned
+        // tables keep transform clustering and sort within partitions.
+        val sortCols = parent.sortOrder.filter(resolved.columns.contains)
         val clustered =
-          if (spec0.nonEmpty)
-            resolved.repartition(spec0.map(pf =>
+          if (spec0.nonEmpty) {
+            val p = resolved.repartition(spec0.map(pf =>
               transformCol(spark, pf, dtOf(pf.source))): _*)
-          else {
+            if (sortCols.isEmpty) p else p.sortWithinPartitions(sortCols.map(col): _*)
+          } else {
             val targetN = math.min(rewrite.length.toLong, math.max(1L,
               rewrite.map(_.sizeBytes).sum / math.max(1L, smallFileBytes))).toInt
-            resolved.repartition(targetN)
+            if (sortCols.isEmpty) resolved.repartition(targetN)
+            else resolved.repartitionByRange(targetN, sortCols.map(col): _*)
+              .sortWithinPartitions(sortCols.map(col): _*)
           }
         writeDataFiles(spark, clustered, s"$tableDir/data/snap-$snapshotId", spec0, idByName)
       }

@@ -1941,6 +1941,19 @@ class IcebergSpec extends SparkSpec {
     IcebergSource.commitAppend(spark, dirS,
       Seq((9000L, "x")).toDF("id", "tag"), 2L, 2L)
     assert(IcebergSource.readMeta(dirS).sortOrder == Seq("id"))
+    // compaction APPLIES the recorded order to an unsorted table: the
+    // shuffled twin gains pruning after declaring the order + compacting
+    IcebergSource.commitAppend(spark, dirU,
+      Seq((9000L, "x")).toDF("id", "tag"), 2L, 2L, sortBy = Seq("id"))
+    // ~6.5KB per 500-row file → every file rewrites, total ~52KB / 12KB
+    // size target → 4 sorted output files
+    IcebergSource.compact(spark, dirU, 3L, 3L, smallFileBytes = 12288L)
+    val compactedPlanned = IcebergSource.dataFiles(dirU, filters = f).size
+    val compactedAll = IcebergSource.dataFiles(dirU).size
+    assert(compactedAll > 1 && compactedPlanned < compactedAll,
+      s"compaction must lay rewritten files out by the table sort order " +
+        s"($compactedPlanned/$compactedAll)")
+    assert(IcebergSource.read(spark, dirU, filters = f).filter($"id" < 500L).count() == 500)
   }
 
   test("z-order clustering: predicates on EVERY z column prune files; a plain sort " +
