@@ -792,11 +792,15 @@ object LlmQueries {
     val ev = e.filter(col("vec_id") % 20 === 0)
     val train = e.filter(col("vec_id") % 20 =!= 0).unionByName(
       ev.withColumn("vec_id", col("vec_id") + 100000))
-    val scored = train.select(col("vec_id"), col("embedding").as("emb_t"))
-      .crossJoin(broadcast(ev.select(col("embedding").as("emb_e"))))
+    // norms staged ONCE per side — recomputing them per pair tripled
+    // the interpreted-HOF work inside the broadcast nested loop
+    val scored = train.select(col("vec_id"), col("embedding").as("emb_t"),
+        Similarity.norm(col("embedding")).as("nrm_t"))
+      .crossJoin(broadcast(ev.select(col("embedding").as("emb_e"),
+        Similarity.norm(col("embedding")).as("nrm_e"))))
       .select(col("vec_id"),
         round(Similarity.dot(col("emb_t"), col("emb_e")) /
-          (Similarity.norm(col("emb_t")) * Similarity.norm(col("emb_e"))), 4).as("cos"))
+          (col("nrm_t") * col("nrm_e")), 4).as("cos"))
       .groupBy("vec_id").agg(max(col("cos")).as("max_eval_cos"))
     scored.select(col("vec_id"), col("max_eval_cos"),
         when(col("max_eval_cos") >= 0.99, 1).otherwise(0).as("contaminated"))
