@@ -1167,10 +1167,96 @@ object LlmQueries {
     SeqPacking.sequenceFill(packed).orderBy("shard", "seq")
   }
 
+  val paragraphDedup: QueryDef = QueryDef.sqlBacked(
+    "q_paragraph_dedup",
+    s"""WITH toks AS (SELECT doc_id, $wsSplitSql AS w FROM documents),
+       |starts AS (
+       |  SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 6)) AS i FROM toks),
+       |chunks AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |    array_to_string(w[i * 6 + 1 : least(i * 6 + 6, len(w))], ' ') AS chunk
+       |  FROM starts WHERE i * 6 < len(w)),
+       |freq AS (
+       |  SELECT chunk FROM chunks GROUP BY chunk HAVING count(DISTINCT doc_id) >= 3),
+       |marked AS (
+       |  SELECT c.doc_id, c.chunk_idx, c.chunk, f.chunk IS NOT NULL AS dropped
+       |  FROM chunks c LEFT JOIN freq f ON c.chunk = f.chunk)
+       |SELECT doc_id,
+       |  CAST(count(*) AS INTEGER) AS n_chunks,
+       |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS INTEGER) AS n_dropped,
+       |  string_agg(CASE WHEN NOT dropped THEN chunk END, ' ' ORDER BY chunk_idx) AS clean_text
+       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    doc = "Corpus-wide PARAGRAPH DEDUP (CCNet/Dolma boilerplate removal): 6-word windows " +
+      "stand in for paragraphs; any chunk appearing in >= 3 distinct documents is " +
+      "boilerplate and is cut from every document, which is then reassembled in chunk " +
+      "order. 100 TB shape: the frequency pass shuffles (8-byte chunk hash, doc_id) " +
+      "pairs only, the boilerplate set (small by construction — each member occurs >= 3 " +
+      "times) broadcasts back as bare hashes, and the rebuild sorts each doc's own " +
+      "chunks — document text never crosses the wire.") { (s, d) =>
+    CorpusOps.paragraphDedup(docsFanout(s, d), "doc_id", "text",
+        width = 6, minDocs = 3)
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedup: QueryDef = QueryDef.sqlBacked(
+    "q_incremental_dedup",
+    """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+      |inc AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 3 <> 0 AND doc_id % 50 = 0)
+      |SELECT doc_id, md5(text) AS content_key FROM inc
+      |WHERE text NOT IN (SELECT text FROM corpus)
+      |ORDER BY doc_id""".stripMargin,
+    doc = "INCREMENTAL-ingest dedup: a new crawl batch (every-3rd doc + injected copies " +
+      "of corpus docs) is admitted only where its content does not already exist in the " +
+      "corpus. Two-tier: a broadcast Bloom filter over corpus xxhash64 content hashes " +
+      "admits the novel majority with ZERO shuffle; only sketch-positive candidates pay " +
+      "the exact anti-join on the 16-byte key, so Bloom false positives cost a join row, " +
+      "never a wrong answer — the oracle checks the exact result. The membership gate is " +
+      "Spark's own codegen'd BloomFilterMightContain, not a UDF.") { (s, d) =>
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val corpus = base.filter(col("doc_id") % 3 =!= 0)
+    val incoming = base.filter(col("doc_id") % 3 === 0).unionByName(
+      corpus.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+    CorpusOps.incrementalDedup(corpus, incoming, "text",
+        expectedItems = 1L << 18, fpp = 0.03)
+      .select(col("doc_id"), md5(col("text")).as("content_key"))
+      .orderBy("doc_id")
+  }
+
+  val temperatureMix: QueryDef = QueryDef.sqlBacked(
+    "q_temperature_mix",
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n,
+      |  CAST(round(sqrt(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS wt FROM c),
+      |t AS (SELECT sum(n) AS total, sum(wt) AS sumw FROM w),
+      |r AS (SELECT lang, n,
+      |  CAST(least(10000.0, floor(10000.0
+      |    * (0.5 * CAST(total AS DOUBLE) * CAST(wt AS DOUBLE) / CAST(sumw AS DOUBLE))
+      |    / CAST(n AS DOUBLE))) AS INTEGER) AS thr
+      |  FROM w, t)
+      |SELECT d.lang, CAST(r.n AS BIGINT) AS n_docs, r.thr AS thr,
+      |  CAST(sum(CASE WHEN d.doc_id % 10000 < r.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM documents d JOIN r ON d.lang = r.lang
+      |GROUP BY d.lang, r.n, r.thr ORDER BY d.lang""".stripMargin,
+    doc = "TEMPERATURE mixture resampling (alpha = 0.5): per-language sampling weight " +
+      "proportional to sqrt(count) — the multilingual rebalancing rule that up-weights " +
+      "low-resource slices — applied by a deterministic id-derived coin against a " +
+      "floor'd per-10000 threshold. Weights round to 6 decimals and accumulate as exact " +
+      "DECIMAL so the threshold is bit-identical in any engine; the rate table is " +
+      "bounded (one row per language) and broadcasts.") { (s, d) =>
+    CorpusOps.temperatureMix(docs(s, d), "lang", "doc_id", targetFrac = 0.5)
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     textFingerprint, dedupContentHash, tokenStats, textQuality, qualityFilter, lmCoverage, langIdQ,
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
     repetitionSignals, prefixDedup, decontaminate, seqPack, docChunks,
+    paragraphDedup, incrementalDedup, temperatureMix,
     ngramJaccard, minhashLsh, dupClusters, winnow, simhash,
     cosineTopK, annLsh, annIvf, annIvfPq, semDedup, embedDecontaminate, embedNearDup,
     embedQuantize, pqQuantize,
