@@ -826,10 +826,50 @@ object ExtendedQueries {
     graft.sources.PythonResource.run(s, script.toString).df.orderBy("id")
   }
 
+  val icebergMetaTables: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_meta",
+    """SELECT 'l_returnflag=' || l_returnflag AS partition,
+      |  CAST(COUNT(*) AS BIGINT) AS record_count,
+      |  CAST(2 AS BIGINT) AS file_count,
+      |  CAST(2 AS BIGINT) AS n_snapshots,
+      |  CAST(2 AS BIGINT) AS main_head
+      |FROM lineitem GROUP BY l_returnflag ORDER BY partition""".stripMargin,
+    doc = "Iceberg METADATA TABLES (the spec's `tbl.snapshots`/`.partitions`/`.refs` " +
+      "introspection surface, planned from json + avro metadata alone — zero data files " +
+      "opened): two identity-partitioned snapshots (even then odd orderkeys, one file " +
+      "per partition per commit by construction), then the `partitions` metadata table's " +
+      "per-partition record/file counts are hash-checked against the relational recount, " +
+      "and the `snapshots` + `refs` tables contribute the lineage length and the main " +
+      "branch head — a metadata-table miscount of rows, files, snapshots, or the main " +
+      "ref fails the hash.") { (s, d) =>
+    val li = t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        dec2(col("l_quantity")).as("l_quantity"))
+      .repartition(8, col("l_returnflag")) // each flag → exactly one task file
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_meta").toString + "/tbl"
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 2 === 0), snapshotId = 1L, timestampMs = 1L,
+      partitionBy = Seq("l_returnflag"))
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 2 === 1), snapshotId = 2L, timestampMs = 2L,
+      partitionBy = Seq("l_returnflag"))
+    val snaps = graft.sources.IcebergSource.metaTable(s, dir, "snapshots")
+    val refs = graft.sources.IcebergSource.metaTable(s, dir, "refs")
+    val nSnapshots = snaps.count()
+    val mainHead = refs.filter(col("name") === "main")
+      .select("snapshot_id").head().getLong(0)
+    graft.sources.IcebergSource.metaTable(s, dir, "partitions")
+      .groupBy(col("partition"))
+      .agg(sum("record_count").as("record_count"), sum("file_count").as("file_count"))
+      .select(col("partition"), col("record_count"), col("file_count"),
+        lit(nSnapshots).as("n_snapshots"), lit(mainHead).as("main_head"))
+      .orderBy("partition")
+  }
+
   val all: Seq[QueryDef] = Seq(
     icebergIncremental, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
     icebergDv, icebergStatsPruned, icebergDecimalPruned, icebergTsPruned, icebergEvolution,
-    icebergSpecEvolution, icebergMerge,
+    icebergSpecEvolution, icebergMerge, icebergMetaTables,
     glueScan, tier2Python,
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,

@@ -1333,6 +1333,85 @@ object IcebergSource {
     * At 100 TB every stage stays distributed: delete files scan as
     * ordinary parquet, both anti-joins shuffle only (path, pos) /
     * key-column tuples, and Catalyst broadcasts small delete sides. */
+  /** Iceberg METADATA TABLES (`tbl.snapshots` / `.history` / `.refs` /
+    * `.files` / `.delete_files` / `.manifests` / `.partitions`): the
+    * introspection surface the spec's "Metadata tables" section (and
+    * every engine's `SELECT * FROM tbl$snapshots`) exposes. Planned
+    * entirely from table metadata — json + avro manifests, KB-scale by
+    * construction — exactly like Iceberg's own metadata-table scans;
+    * zero data files are opened. Partition tuples render as the
+    * familiar `k=v/k=v` path form (keys in spec order) so the column
+    * is engine-portable. Unknown names refuse typed with the menu. */
+  def metaTable(spark: SparkSession, tableDir: String, name: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val meta = readMeta(tableDir)
+    def partPath(f: DataFileRef): String = {
+      val fields = meta.specFor(f.specId).map(_.name)
+      val named = fields.flatMap(n => f.partition.get(n).map(v => s"$n=$v"))
+      // values for spec fields absent from the tuple (e.g. string null
+      // recorded as no-info) render as the hive default token — honest
+      // "no exact value" rather than a fabricated null
+      val withDefaults = fields.map(n =>
+        f.partition.get(n).map(v => s"$n=$v").getOrElse(s"$n=__HIVE_DEFAULT_PARTITION__"))
+      if (named.isEmpty && fields.isEmpty) "" else withDefaults.mkString("/")
+    }
+    name match {
+      case "snapshots" =>
+        meta.snapshots.map(s => (s.timestampMs, s.id, s.parentId, s.operation,
+            s.sequenceNumber, s.schemaId, s.manifestList))
+          .toDF("committed_at_ms", "snapshot_id", "parent_id", "operation",
+            "sequence_number", "schema_id", "manifest_list")
+      case "history" =>
+        val ancestors = meta.currentSnapshotId.map { cur =>
+          Iterator.iterate(Option(cur))(_.flatMap(id =>
+              meta.snapshots.find(_.id == id).flatMap(_.parentId)))
+            .takeWhile(_.isDefined).flatten.toSet
+        }.getOrElse(Set.empty[Long])
+        meta.snapshots.map(s => (s.timestampMs, s.id, s.parentId,
+            ancestors.contains(s.id)))
+          .toDF("made_current_at_ms", "snapshot_id", "parent_id",
+            "is_current_ancestor")
+      case "refs" =>
+        // `main` is the implicit branch every table has (spec: the
+        // current-snapshot-id IS the main head)
+        val main = meta.currentSnapshotId
+          .map(id => ("main", "branch", id)).toSeq
+        (main ++ meta.refs.toSeq.sortBy(_._1)
+            .map { case (n, r) => (n, r.refType, r.snapshotId) })
+          .toDF("name", "type", "snapshot_id")
+      case "files" =>
+        dataFiles(tableDir, snapshotId).map(f => (0, f.path, "PARQUET",
+            f.specId, partPath(f), f.recordCount, f.sizeBytes, f.seq,
+            f.lowerBounds.size, f.nullCounts.values.sum))
+          .toDF("content", "file_path", "file_format", "spec_id", "partition",
+            "record_count", "file_size_in_bytes", "sequence_number",
+            "bounded_columns", "null_value_count")
+      case "delete_files" =>
+        planFiles(tableDir, snapshotId)._2.map(d => (d.content, d.path,
+            d.format, d.seq, d.equalityIds.map(_.toLong),
+            d.referencedFile))
+          .toDF("content", "file_path", "file_format", "sequence_number",
+            "equality_ids", "referenced_data_file")
+      case "manifests" =>
+        val snap = snapshotId.orElse(meta.currentSnapshotId).map(meta.snapshot)
+        snap.map(s => manifests(s.manifestList, None)).getOrElse(Seq.empty)
+          .map(m => (m.path, m.content, m.specId, m.addedSnapshotId))
+          .toDF("path", "content", "partition_spec_id", "added_snapshot_id")
+      case "partitions" =>
+        val fs = dataFiles(tableDir, snapshotId)
+        fs.groupBy(f => (partPath(f), f.specId)).toSeq
+          .map { case ((p, specId), group) =>
+            (p, specId, group.map(_.recordCount).sum, group.size.toLong)
+          }
+          .toDF("partition", "spec_id", "record_count", "file_count")
+      case other =>
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: unknown metadata table '$other' — known: snapshots, " +
+            "history, refs, files, delete_files, manifests, partitions")
+    }
+  }
+
   def read(spark: SparkSession, tableDir: String, snapshotId: Option[Long] = None,
       filters: Seq[SFilter] = Nil): DataFrame = {
     val (files, deletes) = planFiles(tableDir, snapshotId, filters)

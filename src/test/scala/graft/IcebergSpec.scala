@@ -2188,4 +2188,64 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergSource.read(spark, dir, filters = Seq(sqs.EqualTo("region", "emea")))
       .filter($"region" === "emea").select("id").as[Long].collect().toSet == Set(3L))
   }
+
+  test("metadata tables: snapshots/history/refs/files/delete_files/manifests/" +
+      "partitions plan from metadata alone; unknown names refuse typed") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    IcebergSource.commitAppend(spark, dir, nums(0, 100).repartition(2), 1L, 1000L)
+    IcebergSource.commitAppend(spark, dir, nums(100, 130).repartition(1), 2L, 2000L)
+    IcebergSource.tagSnapshot(dir, "v1", 1L, 2500L)
+    val del = spark.read.parquet(
+        IcebergSource.dataFiles(dir).map(_.path): _*)
+      .select(expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"), col("id"))
+      .filter($"id" % 10 === 0).select("file_path", "pos")
+    IcebergSource.commitDeletes(spark, dir, posDeletes = Some(del),
+      eqDeletes = None, snapshotId = 3L, timestampMs = 3000L)
+
+    val snaps = IcebergSource.metaTable(spark, dir, "snapshots")
+      .orderBy("snapshot_id").collect()
+    assert(snaps.map(_.getAs[Long]("snapshot_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(snaps.map(_.getAs[String]("operation")).toSeq ==
+      Seq("append", "append", "delete"))
+    assert(snaps.map(_.getAs[Long]("committed_at_ms")).toSeq ==
+      Seq(1000L, 2000L, 3000L))
+    assert(snaps(1).getAs[Long]("parent_id") == 1L)
+
+    val hist = IcebergSource.metaTable(spark, dir, "history")
+    assert(hist.filter($"is_current_ancestor").count() == 3,
+      "all three snapshots are main-lineage ancestors")
+
+    val refs = IcebergSource.metaTable(spark, dir, "refs").collect()
+      .map(r => r.getAs[String]("name") ->
+        ((r.getAs[String]("type"), r.getAs[Long]("snapshot_id")))).toMap
+    assert(refs("main") == (("branch", 3L)))
+    assert(refs("v1") == (("tag", 1L)))
+
+    val files = IcebergSource.metaTable(spark, dir, "files")
+    assert(files.count() == 3, "2 files from snapshot 1 + 1 from snapshot 2")
+    assert(files.agg(sum("record_count")).head().getLong(0) == 130L,
+      "files-table record counts sum to the pre-delete row count")
+    // time travel: the files table at snapshot 1 sees only its 2 files
+    assert(IcebergSource.metaTable(spark, dir, "files", Some(1L)).count() == 2)
+
+    val dels = IcebergSource.metaTable(spark, dir, "delete_files").collect()
+    assert(dels.nonEmpty && dels.forall(_.getAs[Int]("content") == 1),
+      "position-delete files listed (one per write task)")
+    assert(dels.forall(_.getAs[Long]("sequence_number") == 3L))
+
+    val mans = IcebergSource.metaTable(spark, dir, "manifests")
+    assert(mans.count() >= 2, "data + delete manifests listed")
+    assert(mans.filter($"content" === 1).count() == 1)
+
+    val parts = IcebergSource.metaTable(spark, dir, "partitions").collect()
+    assert(parts.length == 1 && parts(0).getAs[String]("partition") == "",
+      "unpartitioned table = one empty-tuple partition row")
+    assert(parts(0).getAs[Long]("record_count") == 130L &&
+      parts(0).getAs[Long]("file_count") == 3L)
+
+    assert(intercept[graft.core.GraftError.Plan](
+      IcebergSource.metaTable(spark, dir, "entries")).getMessage.contains("unknown metadata table"))
+  }
 }
