@@ -77,6 +77,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("batchevalpython"))
   }
 
+  test("paragraph dedup reassembly law: below threshold, clean_text IS the " +
+      "whitespace-normalized original for every real document") {
+    // chunks partition the token stream, so rejoining all of them with
+    // single spaces must reproduce the ws-normalized text exactly —
+    // any slicing/ordering bug in the rebuild breaks this identity
+    val docs = graft.core.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val rebuilt = CorpusOps.paragraphDedup(docs, "doc_id", "text",
+        width = 7, minDocs = Int.MaxValue)
+      .join(docs, Seq("doc_id"))
+      .withColumn("norm", concat_ws(" ",
+        graft.llm.TextAnalysis.wsTokens(col("text"))))
+    assert(rebuilt.filter(col("clean_text") =!= col("norm")).count() == 0)
+    assert(rebuilt.filter(col("n_dropped") =!= 0).count() == 0)
+  }
+
   test("temperature mix up-weights low-resource groups and bounds thresholds") {
     val df = ((1 to 900).map(i => (i.toLong, "big")) ++
       (1 to 100).map(i => (i.toLong + 1000, "small"))).toDF("doc_id", "lang")
