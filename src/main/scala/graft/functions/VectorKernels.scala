@@ -107,7 +107,56 @@ case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]
     copy(child = newChild)
 }
 
+/** Σ aᵢ·bᵢ in ONE tight loop per row — bit-identical to the HOF
+  * formulation `aggregate(zip_with(a,b,_*_), 0.0, _+_)` (same in-order
+  * f64 adds, floats widened before the product), but without
+  * interpreting 3 lambda nodes and allocating a product array per row.
+  * Null law mirrors the HOF exactly: null array → null, any null
+  * element → null, length mismatch → null (zip_with pads with null and
+  * the fold absorbs it). */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"DotProductExpr over $other")
+  }
+  private lazy val leftFloat = isFloat(left)
+  private lazy val rightFloat = isFloat(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProductExpr = copy(left = newLeft, right = newRight)
+}
+
 object VectorKernels {
+  /** Registers `graft_dot` (idempotent) and builds the call. */
+  def dot(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+  }
+
   /** Registers `graft_nearest_centroid` bound to THIS centroid table
     * (plan-time constant), then builds the call — the same temp-function
     * pattern as TextHashFunctions. */

@@ -63,6 +63,37 @@ class LlmSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native dot-product kernel is bit-identical to the HOF fold, nulls and all") {
+    // every embedding query's cosine routes through Similarity.dot, and
+    // the DuckDB oracles replay the HOF math — the kernel must agree on
+    // EVERY pair bit for bit (same in-order f64 adds)
+    val e = graft.core.Tables(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.limit(40).crossJoin(
+      e.limit(40).select(col("embedding").as("emb_b")))
+    val diff = pairs.select(
+        Similarity.hofDot(col("embedding"), col("emb_b")).as("hof"),
+        graft.functions.VectorKernels.dot(spark, col("embedding"), col("emb_b")).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diff == 0)
+    // null law mirrors the HOF: null array, null element, length mismatch
+    val odd = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, null, Seq[java.lang.Double](3.0, 4.0)),
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (4L, Seq[java.lang.Double](1.0), Seq[java.lang.Double](3.0, 4.0))
+    ).toDF("id", "a", "b")
+    val got = odd.select(col("id"),
+        Similarity.hofDot(col("a"), col("b")).as("hof"),
+        graft.functions.VectorKernels.dot(spark, col("a"), col("b")).as("native"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+    got.foreach { case (id, hofNull, natNull, v) =>
+      assert(hofNull == natNull, s"null-law divergence at id=$id")
+      if (id == 1) assert(!natNull && v == 11.0)
+    }
+  }
+
   test("native minhash signature: one pass, k mins, stable under array order") {
     graft.functions.TextHashFunctions.register(spark)
     val df = Seq(
