@@ -783,26 +783,27 @@ object LlmQueries {
       |  CAST(CASE WHEN max_eval_cos >= 0.99 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
       |FROM scored ORDER BY vec_id""".stripMargin,
     doc = "SEMANTIC decontamination (the embedding-space complement of q_decontaminate's " +
-      "n-gram overlap): every training vector scores its max cosine against the BROADCAST " +
-      "eval suite (train = corpus-minus-eval ∪ planted eval copies, so contamination " +
+      "n-gram overlap): every training vector scores its max cosine against the eval " +
+      "suite (train = corpus-minus-eval ∪ planted eval copies, so contamination " +
       "provably exists and exactness is hash-checked); >= 0.99 flags the leak. 100 TB " +
-      "shape: eval suites are small by construction — the score is a broadcast nested-loop " +
-      "map stage plus an (id, double) groupBy, never a corpus x corpus join.") { (s, d) =>
+      "shape: eval suites are small by construction, so the whole suite ships as a " +
+      "plan-time-constant kernel (MaxCosineExpr, the broadcast-codebook pattern) and " +
+      "the score is ONE narrow map pass — no crossJoin row explosion, no groupBy " +
+      "shuffle, never a corpus x corpus join. The kernel is bit-identical to the " +
+      "crossJoin + round + max formulation (differential-tested in LlmSpec).") { (s, d) =>
     val e = t(s, d, "embeddings").select("vec_id", "embedding")
     val ev = e.filter(col("vec_id") % 20 === 0)
     val train = e.filter(col("vec_id") % 20 =!= 0).unionByName(
       ev.withColumn("vec_id", col("vec_id") + 100000))
-    // norms staged ONCE per side — recomputing them per pair tripled
-    // the interpreted-HOF work inside the broadcast nested loop
-    val scored = train.select(col("vec_id"), col("embedding").as("emb_t"),
-        Similarity.norm(col("embedding")).as("nrm_t"))
-      .crossJoin(broadcast(ev.select(col("embedding").as("emb_e"),
-        Similarity.norm(col("embedding")).as("nrm_e"))))
-      .select(col("vec_id"),
-        round(Similarity.dot(col("emb_t"), col("emb_e")) /
-          (col("nrm_t") * col("nrm_e")), 4).as("cos"))
-      .groupBy("vec_id").agg(max(col("cos")).as("max_eval_cos"))
-    scored.select(col("vec_id"), col("max_eval_cos"),
+    // the eval suite is collected ONCE (bounded by construction — an
+    // eval benchmark is KBs of vectors) and rides the plan as an
+    // expression constant, exactly like the IVF codebook
+    val evalVecs = ev.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    train.select(col("vec_id"),
+        graft.functions.VectorKernels.maxCosine(s, col("embedding"), evalVecs)
+          .as("max_eval_cos"))
+      .select(col("vec_id"), col("max_eval_cos"),
         when(col("max_eval_cos") >= 0.99, 1).otherwise(0).as("contaminated"))
       .orderBy("vec_id")
   }

@@ -149,12 +149,168 @@ case class DotProductExpr(left: Expression, right: Expression)
       newRight: Expression): DotProductExpr = copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket in ONE loop per row — bit-identical to
+  * the HOF formulation in `Similarity.lshBucket` / `lshBucketLcg`
+  * (differential-tested): bit j = sign of the in-order f64 fold of
+  * xᵢ · plane(j, i), planes derived per `scheme`:
+  *  - "xxh": Spark's own chained xxhash64 over the INT pair
+  *    (j + offset, i), low 20 bits mapped into (−0.5, 0.5) — matches
+  *    `xxhash64(j + planeOffset, i) & 1048575 / 1048576.0 − 0.5`.
+  *  - "lcg": exact integer Weyl/LCG recurrence on (j·D + i + 1) —
+  *    the engine-portable plane family the DuckDB oracles replay.
+  * Null law mirrors the HOF: a null element nulls that plane's fold,
+  * and `when(proj > 0, …)` maps a null projection to bit 0. */
+case class LshBucketExpr(emb: Expression, planeOffset: Expression,
+    numPlanes: Int, scheme: String)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  require(scheme == "xxh" || scheme == "lcg", s"unknown plane scheme $scheme")
+
+  override def left: Expression = emb
+  override def right: Expression = planeOffset
+  override def dataType: DataType = LongType
+  override def prettyName: String = s"graft_lsh_bucket_$scheme"
+
+  private lazy val elemIsFloat: Boolean = emb.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"LshBucketExpr over $other")
+  }
+
+  override def nullSafeEval(e: Any, off: Any): Any = {
+    val arr = e.asInstanceOf[ArrayData]
+    val offset: Long = off match {
+      case i: java.lang.Integer => i.intValue.toLong
+      case l: java.lang.Long => l.longValue
+    }
+    val d = arr.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < numPlanes) {
+      var proj = 0.0
+      var nullProj = false
+      var i = 0
+      while (i < d && !nullProj) {
+        if (arr.isNullAt(i)) nullProj = true
+        else {
+          val x = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          val plane =
+            if (scheme == "xxh") {
+              val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i,
+                org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(
+                  (j + offset).toInt, 42L))
+              (h & 1048575L).toDouble / 1048576.0 - 0.5
+            } else {
+              val h = ((j.toLong * d + i + 1L) * 2654435761L) % 2147483648L
+              h.toDouble / 2147483648.0 - 0.5
+            }
+          proj += x * plane
+          i += 1
+        }
+      }
+      if (!nullProj && proj > 0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LshBucketExpr = copy(emb = newLeft, planeOffset = newRight)
+}
+
+/** max over a plan-time-constant reference suite of
+  * round(cos(v, refᵢ), 4) — the semantic-decontamination score in ONE
+  * pass per row. Bit-identical to the crossJoin + round + groupBy.max
+  * formulation: the same in-order dot folds, the same association
+  * `dot / (nrm_v * nrm_ref)`, the same HALF_UP 4-decimal round per
+  * reference, then max. The suite (refs + their norms) ships in the
+  * serialized expression like a broadcast codebook; the operator
+  * becomes a narrow map stage — no row explosion, no shuffle. */
+case class MaxCosineExpr(child: Expression, refs: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_max_cosine"
+
+  private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"MaxCosineExpr over $other")
+  }
+  private lazy val refNorms: Array[Double] = refs.map { r =>
+    var acc = 0.0; var i = 0
+    while (i < r.length) { acc += r(i) * r(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      v(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var selfDot = 0.0
+    i = 0
+    while (i < d) { selfDot += v(i) * v(i); i += 1 }
+    val nrmV = math.sqrt(selfDot)
+    var best = Double.NegativeInfinity
+    var r = 0
+    while (r < refs.length) {
+      val ref = refs(r)
+      var dot = 0.0
+      var j = 0
+      val n = math.min(d, ref.length)
+      while (j < n) { dot += v(j) * ref(j); j += 1 }
+      val cos = dot / (nrmV * refNorms(r))
+      // Spark round(_, 4): BigDecimal HALF_UP — replicated exactly
+      val rounded = java.math.BigDecimal.valueOf(cos)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (rounded > best) best = rounded
+      r += 1
+    }
+    if (refs.isEmpty) null else best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MaxCosineExpr =
+    copy(child = newChild)
+}
+
 object VectorKernels {
+  /** Registers `graft_max_cosine` bound to THIS reference suite
+    * (plan-time constant — the broadcast-eval-suite analogue). */
+  def maxCosine(spark: org.apache.spark.sql.SparkSession,
+      emb: Column, refs: Array[Array[Double]]): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_max_cosine", exprs => MaxCosineExpr(exprs.head, refs), "scala_udf")
+    org.apache.spark.sql.functions.call_function("graft_max_cosine", emb)
+  }
+
   /** Registers `graft_dot` (idempotent) and builds the call. */
   def dot(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+  }
+
+  /** Registers + calls the xxhash64-plane bucket kernel. */
+  def lshBucketXxh(spark: org.apache.spark.sql.SparkSession,
+      emb: Column, numPlanes: Int, planeOffset: Column): Column = {
+    val fn = s"graft_lsh_bucket_xxh_$numPlanes"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fn, exprs => LshBucketExpr(exprs(0), exprs(1), numPlanes, "xxh"), "scala_udf")
+    org.apache.spark.sql.functions.call_function(fn, emb, planeOffset)
+  }
+
+  /** Registers + calls the LCG-plane (oracle-portable) bucket kernel. */
+  def lshBucketLcg(spark: org.apache.spark.sql.SparkSession,
+      emb: Column, numPlanes: Int): Column = {
+    val fn = s"graft_lsh_bucket_lcg_$numPlanes"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fn, exprs => LshBucketExpr(exprs(0), exprs(1), numPlanes, "lcg"), "scala_udf")
+    org.apache.spark.sql.functions.call_function(fn, emb,
+      org.apache.spark.sql.functions.lit(0L))
   }
 
   /** Registers `graft_nearest_centroid` bound to THIS centroid table

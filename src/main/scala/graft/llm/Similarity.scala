@@ -61,8 +61,10 @@ object Similarity {
   /** Random-hyperplane LSH bucket id: bit j = sign of ⟨v, Hⱼ₊ₒ⟩ where
     * plane component Hⱼ[i] is a deterministic pseudo-random value in
     * (−0.5, 0.5) derived from xxhash64(j, i). No stored codebook.
-    * `planeOffset` selects a disjoint plane family per band. */
-  def lshBucket(emb: Column, numPlanes: Int, planeOffset: Column = lit(0)): Column = {
+    * `planeOffset` selects a disjoint plane family per band.
+    * HOF reference semantics — production calls route through the
+    * kernel in [[lshBucket]]. */
+  def hofLshBucket(emb: Column, numPlanes: Int, planeOffset: Column = lit(0)): Column = {
     val dims = size(emb)
     val bits = transform(sequence(lit(0), lit(numPlanes - 1)), j => {
       val proj = aggregate(
@@ -75,6 +77,18 @@ object Similarity {
         (bit, j) => call_function("shiftleft", bit, j)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
+
+  /** [[hofLshBucket]], kernel-backed when a session is active: the
+    * signature is planes × dims interpreted lambda evals per row in the
+    * HOF form; `LshBucketExpr` runs the same math (chained xxhash64
+    * ints, same fold order, same null-plane law) in one loop —
+    * bit-identical, differential-tested in LlmSpec. */
+  def lshBucket(emb: Column, numPlanes: Int, planeOffset: Column = lit(0)): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.VectorKernels.lshBucketXxh(s, emb, numPlanes, planeOffset)
+      case None => hofLshBucket(emb, numPlanes, planeOffset)
+    }
 
   /** Banded hyperplane keys — OR-composition across `numBands` disjoint
     * plane families of `planesPerBand` planes each (same shape as
@@ -101,8 +115,9 @@ object Similarity {
       .cast("double") / 2147483648.0 - 0.5
 
   /** LSH bucket with LCG-derived planes (engine-reproducible — see
-    * [[lcgPlane]]); same banding math as [[lshBucket]]. */
-  def lshBucketLcg(emb: Column, numPlanes: Int): Column = {
+    * [[lcgPlane]]); same banding math as [[lshBucket]]. HOF reference
+    * semantics — production calls route through [[lshBucketLcg]]. */
+  def hofLshBucketLcg(emb: Column, numPlanes: Int): Column = {
     val dims = size(emb).cast("long")
     val bits = transform(sequence(lit(0L), lit(numPlanes - 1L)), j => {
       val proj = aggregate(
@@ -115,6 +130,15 @@ object Similarity {
         (bit, j) => call_function("shiftleft", bit, j.cast("int"))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
+
+  /** [[hofLshBucketLcg]], kernel-backed when a session is active —
+    * bit-identical (the DuckDB oracles replay the same LCG plane
+    * recurrence, so the kernel is hash-gated by q_ann_lsh itself). */
+  def lshBucketLcg(emb: Column, numPlanes: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => graft.functions.VectorKernels.lshBucketLcg(s, emb, numPlanes)
+      case None => hofLshBucketLcg(emb, numPlanes)
+    }
 
   /** Bucketed ANN: exact cosine re-rank restricted to the query's LSH
     * bucket. Recall < 1 by construction; bucket width (numPlanes)

@@ -94,6 +94,50 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("max-cosine kernel is bit-identical to the crossJoin + round + max formulation") {
+    val e = graft.core.Tables(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val ev = e.filter(col("vec_id") % 20 === 0)
+    val evalVecs = ev.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val viaJoin = e.select(col("vec_id"), col("embedding").as("emb_t"),
+        Similarity.norm(col("embedding")).as("nrm_t"))
+      .crossJoin(broadcast(ev.select(col("embedding").as("emb_e"),
+        Similarity.norm(col("embedding")).as("nrm_e"))))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("emb_t"), col("emb_e")) /
+          (col("nrm_t") * col("nrm_e")), 4).as("cos"))
+      .groupBy("vec_id").agg(max(col("cos")).as("join_max"))
+    val viaKernel = e.select(col("vec_id"),
+      graft.functions.VectorKernels.maxCosine(spark, col("embedding"), evalVecs)
+        .as("kernel_max"))
+    val diff = viaJoin.join(viaKernel, Seq("vec_id"))
+      .filter(col("join_max") =!= col("kernel_max")).count()
+    assert(diff == 0)
+  }
+
+  test("native lsh bucket kernels are bit-identical to both HOF plane schemes") {
+    val e = graft.core.Tables(spark, sf(), "embeddings")
+    val diff = e.select(
+        Similarity.hofLshBucket(col("embedding"), 8, lit(3)).as("h_xxh"),
+        graft.functions.VectorKernels.lshBucketXxh(spark, col("embedding"), 8, lit(3)).as("n_xxh"),
+        Similarity.hofLshBucketLcg(col("embedding"), 6).as("h_lcg"),
+        graft.functions.VectorKernels.lshBucketLcg(spark, col("embedding"), 6).as("n_lcg"))
+      .filter(col("h_xxh") =!= col("n_xxh") || col("h_lcg") =!= col("n_lcg"))
+      .count()
+    assert(diff == 0)
+    // banded composition (kernel inside the transform lambda, offset =
+    // the lambda variable) agrees with the banded HOF end to end
+    val bandDiff = e.select(
+        Similarity.lshBandKeys(col("embedding"), 4, 8).as("native"),
+        transform(sequence(lit(0), lit(3)), b =>
+          concat_ws(":", b.cast("string"),
+            Similarity.hofLshBucket(col("embedding"), 8, b * lit(8)).cast("string")))
+          .as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bandDiff == 0)
+  }
+
   test("native minhash signature: one pass, k mins, stable under array order") {
     graft.functions.TextHashFunctions.register(spark)
     val df = Seq(
