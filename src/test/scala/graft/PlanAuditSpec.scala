@@ -47,13 +47,16 @@ class PlanAuditSpec extends SparkSpec {
       "the pair join must key on cluster, never all-pairs")
   }
 
-  test("semantic decontamination broadcasts the eval embeddings (never a corpus self-join)") {
+  test("semantic decontamination is one narrow kernel pass (no join, no pair explosion)") {
     val p = planOf("q_embed_decontaminate")
-    // the eval side is keyless by design → broadcast NESTED LOOP is the
-    // intended shape (small side broadcast); a cartesian would mean the
-    // broadcast was lost
-    assert(p.contains("BroadcastNestedLoopJoin"), "eval suite must broadcast")
-    assert(!p.contains("CartesianProduct"))
+    // r11: the eval suite rides the plan as a MaxCosineExpr constant
+    // (broadcast-codebook pattern) — the scoring stage has NO join of
+    // any kind and no shuffle before the final orderBy
+    assert(p.contains("graft_max_cosine"), "eval suite must ride the kernel")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "scoring must not join at all")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"only the final orderBy may exchange:\n$p")
   }
 
   test("LM coverage broadcasts the trigram model into the probe") {
