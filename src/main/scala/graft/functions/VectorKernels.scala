@@ -175,6 +175,16 @@ case class LshBucketExpr(emb: Expression, planeOffset: Expression,
     case ArrayType(DoubleType, _) => false
     case other => throw new IllegalArgumentException(s"LshBucketExpr over $other")
   }
+  /** The HOF chain `xxhash64(j + planeOffset, i)` hashes its first arg
+    * with hashInt when planeOffset is INT-typed but hashLong when it is
+    * LONG-typed (j + offset widens) — the kernel must branch the same
+    * way or the bit-identical claim silently breaks for long offsets. */
+  private lazy val offsetIsLong: Boolean = planeOffset.dataType match {
+    case IntegerType => false
+    case LongType => true
+    case other => throw new IllegalArgumentException(
+      s"LshBucketExpr planeOffset must be INT or BIGINT, got $other")
+  }
 
   override def nullSafeEval(e: Any, off: Any): Any = {
     val arr = e.asInstanceOf[ArrayData]
@@ -195,9 +205,11 @@ case class LshBucketExpr(emb: Expression, planeOffset: Expression,
           val x = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
           val plane =
             if (scheme == "xxh") {
-              val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i,
-                org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(
-                  (j + offset).toInt, 42L))
+              import org.apache.spark.sql.catalyst.expressions.XXH64
+              val h1 =
+                if (offsetIsLong) XXH64.hashLong(j + offset, 42L)
+                else XXH64.hashInt((j + offset).toInt, 42L)
+              val h = XXH64.hashInt(i, h1)
               (h & 1048575L).toDouble / 1048576.0 - 0.5
             } else {
               val h = ((j.toLong * d + i + 1L) * 2654435761L) % 2147483648L
@@ -248,6 +260,9 @@ case class MaxCosineExpr(child: Expression, refs: Array[Array[Double]])
     val v = new Array[Double](d)
     var i = 0
     while (i < d) {
+      // a null element nulls EVERY ref's dot (the HOF fold absorbs it),
+      // so max over all-null cosines is null — same as the join path
+      if (arr.isNullAt(i)) return null
       v(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }
@@ -255,22 +270,38 @@ case class MaxCosineExpr(child: Expression, refs: Array[Array[Double]])
     i = 0
     while (i < d) { selfDot += v(i) * v(i); i += 1 }
     val nrmV = math.sqrt(selfDot)
-    var best = Double.NegativeInfinity
+    var best = 0.0
+    var any = false
     var r = 0
     while (r < refs.length) {
       val ref = refs(r)
-      var dot = 0.0
-      var j = 0
-      val n = math.min(d, ref.length)
-      while (j < n) { dot += v(j) * ref(j); j += 1 }
-      val cos = dot / (nrmV * refNorms(r))
-      // Spark round(_, 4): BigDecimal HALF_UP — replicated exactly
-      val rounded = java.math.BigDecimal.valueOf(cos)
-        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-      if (rounded > best) best = rounded
+      // dimension mismatch → zip_with pads with null → null dot → null
+      // cos, which max() skips (exactly the join formulation's law)
+      val denom = nrmV * refNorms(r)
+      // Spark's (non-ANSI) Divide and DuckDB both return NULL on a
+      // zero divisor — a zero-norm vector or ref contributes a null
+      // cosine that max() skips, it neither NaNs nor throws
+      if (ref.length == d && denom != 0.0) {
+        var dot = 0.0
+        var j = 0
+        while (j < d) { dot += v(j) * ref(j); j += 1 }
+        val cos = dot / denom
+        // Spark round(_, 4): BigDecimal HALF_UP on finite values; NaN
+        // and ±Infinity pass through untouched (Round special-cases
+        // them — BigDecimal.valueOf(NaN) would throw)
+        val rounded =
+          if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
+          else java.math.BigDecimal.valueOf(cos)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        // max() orders doubles Spark-style (NaN greatest, -0.0 < 0.0)
+        // = java.lang.Double.compare — a bare `>` would drop NaN
+        if (!any || java.lang.Double.compare(rounded, best) > 0) {
+          best = rounded; any = true
+        }
+      }
       r += 1
     }
-    if (refs.isEmpty) null else best
+    if (!any) null else best
   }
 
   override protected def withNewChildInternal(newChild: Expression): MaxCosineExpr =

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * batch.
   *
   * Scale design (the 100 TB story):
-  *  - paragraph dedup: chunks shuffle as 8-byte hashes for the
+  *  - paragraph dedup: chunks shuffle as 16-byte digests for the
   *    frequency count; the "frequent" (boilerplate) set is small by
   *    construction (bounded by corpus_chunks / min_docs) and ships
   *    back as a BROADCAST of hashes — document text crosses the wire
@@ -49,16 +49,22 @@ object CorpusOps {
       .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
         concat_ws(" ", slice(col("w"), col("chunk_idx") * width + 1, lit(width)))
           .as("chunk"))
-    // Frequency pass shuffles ONLY (8-byte chunk hash, doc id); the
+    // Frequency pass shuffles ONLY (16-byte chunk digest, doc id); the
     // resulting boilerplate set is small (>= minDocs occurrences each)
-    // and broadcasts back as bare hashes.
+    // and broadcasts back as bare digests. The key is the FULL 128-bit
+    // md5 — digest equality stands in for chunk identity, and at the
+    // 128-bit width the birthday bound keeps the collision probability
+    // negligible even at trillion-chunk scale (~10^-15 at 10^12 chunks),
+    // where the previous 64-bit xxhash64 key made a collision (and thus
+    // a silently dropped non-boilerplate chunk) plausible.
+    val ck = unhex(md5(col("chunk")))
     val frequent = chunks
-      .groupBy(xxhash64(col("chunk")).as("ck"))
+      .groupBy(ck.as("ck"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("ck"), lit(1).as("_rep"))
     chunks
-      .join(broadcast(frequent), xxhash64(col("chunk")) === col("ck"), "left")
+      .join(broadcast(frequent), ck === col("ck"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast("int").as("n_chunks"),
@@ -77,8 +83,12 @@ object CorpusOps {
     * Two-tier shape: a broadcast Bloom filter over the corpus's 64-bit
     * content hashes admits the novel majority with zero shuffle; only
     * sketch-positive candidates are confirmed by an exact anti-join on
-    * the 16-byte content key, so false positives cost a join row, never
-    * a wrong answer. Result is exact regardless of `fpp`.
+    * the TEXT ITSELF (the hash stays the shuffle/sketch key, the text
+    * is the equality key), so a false positive — or even a full hash
+    * collision — costs a join row, never a wrong answer. Result is
+    * exact regardless of `fpp`. Candidates are the minority by
+    * construction (true dups + fpp), so shipping their text through
+    * the confirm join is bounded.
     */
   def incrementalDedup(corpus: DataFrame, incoming: DataFrame,
       textCol: String, expectedItems: Long, fpp: Double = 0.03): DataFrame = {
@@ -94,9 +104,8 @@ object CorpusOps {
         xxhash64(col(textCol))))
     val novelFast = flagged.filter(!col("_cand")) // sketch-negative: proven novel
     val confirmed = flagged.filter(col("_cand"))  // candidates: exact re-check
-      .join(corpus.select(md5(col(textCol)).as("_ck")).distinct()
-          .withColumnRenamed("_ck", "_corpus_key"),
-        md5(col(textCol)) === col("_corpus_key"), "left_anti")
+      .join(corpus.select(col(textCol).as("_corpus_text")).distinct(),
+        col(textCol) === col("_corpus_text"), "left_anti")
     novelFast.unionByName(confirmed).drop("_cand")
   }
 

@@ -1374,9 +1374,12 @@ object IcebergSource {
             "is_current_ancestor")
       case "refs" =>
         // `main` is the implicit branch every table has (spec: the
-        // current-snapshot-id IS the main head)
-        val main = meta.currentSnapshotId
-          .map(id => ("main", "branch", id)).toSeq
+        // current-snapshot-id IS the main head) — but if the refs map
+        // carries an explicit 'main' (other writers may persist one),
+        // that row wins; emitting both would be two conflicting rows
+        val main =
+          if (meta.refs.contains("main")) Seq.empty
+          else meta.currentSnapshotId.map(id => ("main", "branch", id)).toSeq
         (main ++ meta.refs.toSeq.sortBy(_._1)
             .map { case (n, r) => (n, r.refType, r.snapshotId) })
           .toDF("name", "type", "snapshot_id")

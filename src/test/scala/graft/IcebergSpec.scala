@@ -2222,6 +2222,13 @@ class IcebergSpec extends SparkSpec {
         ((r.getAs[String]("type"), r.getAs[Long]("snapshot_id")))).toMap
     assert(refs("main") == (("branch", 3L)))
     assert(refs("v1") == (("tag", 1L)))
+    // an EXPLICIT ref named 'main' suppresses the implicit head row —
+    // never two conflicting 'main' rows in the refs table
+    IcebergSource.createBranch(dir, "main", timestampMs = 3500L)
+    val mainRows = IcebergSource.metaTable(spark, dir, "refs")
+      .filter($"name" === "main").collect()
+    assert(mainRows.length == 1, mainRows.mkString(", "))
+    assert(mainRows(0).getAs[Long]("snapshot_id") == 3L)
 
     val files = IcebergSource.metaTable(spark, dir, "files")
     assert(files.count() == 3, "2 files from snapshot 1 + 1 from snapshot 2")

@@ -116,6 +116,56 @@ class LlmSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("max-cosine edge law: zero vector, null element, dim mismatch, zero-norm ref") {
+    // the join+round+max formulation's law (non-ANSI Spark = DuckDB:
+    // x/0 is NULL; under ANSI Spark's own double/0 CRASHES, so the
+    // well-defined reference semantics is the non-ANSI one): zero-norm
+    // divisor → null cosine; null element / dim mismatch → null dot →
+    // null cosine; max skips nulls, all-null → null. The kernel must
+    // mirror each case, not throw
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+    val refs = Array(Array(1.0, 2.0), Array(0.0, 0.0)) // 2nd ref: zero norm
+    val odd = Seq(
+      (1L, Seq[java.lang.Double](1.0, 1.0)),     // plain row (zero-norm ref skipped)
+      (2L, Seq[java.lang.Double](0.0, 0.0)),     // zero vector → all-null cosines → null
+      (3L, Seq[java.lang.Double](1.0, null)),    // null element → null
+      (4L, Seq[java.lang.Double](1.0, 2.0, 3.0)) // dim mismatch vs every ref → null
+    ).toDF("id", "emb")
+    val refDf = Seq(Tuple1(Seq(1.0, 2.0)), Tuple1(Seq(0.0, 0.0))).toDF("emb_e")
+      .select(col("emb_e"), Similarity.norm(col("emb_e")).as("nrm_e"))
+    val viaJoin = odd.select(col("id"), col("emb").as("emb_t"),
+        Similarity.norm(col("emb")).as("nrm_t"))
+      .crossJoin(broadcast(refDf))
+      .select(col("id"), round(Similarity.dot(col("emb_t"), col("emb_e")) /
+        (col("nrm_t") * col("nrm_e")), 4).as("cos"))
+      .groupBy("id").agg(max(col("cos")).as("join_max"))
+    val viaKernel = odd.select(col("id"),
+      graft.functions.VectorKernels.maxCosine(spark, col("emb"), refs).as("kernel_max"))
+    val rows = viaJoin.join(viaKernel, Seq("id"))
+      // null-safe compare: =!= hides null-vs-value divergence
+      .filter(!(col("join_max") <=> col("kernel_max"))).collect()
+    assert(rows.isEmpty, rows.mkString(", "))
+    // and pin the expectations themselves, not just agreement
+    val k = viaKernel.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(k(1L) != null)
+    assert(k(2L) == null && k(3L) == null && k(4L) == null)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
+  test("lsh bucket kernel matches the HOF chain for a LONG-typed plane offset") {
+    // xxhash64(j + planeOffset, i) hashes its first arg with hashLong
+    // when the offset widens to BIGINT — the kernel must branch the same
+    val e = graft.core.Tables(spark, sf(), "embeddings")
+    val diff = e.select(
+        Similarity.hofLshBucket(col("embedding"), 8, lit(3L)).as("h"),
+        graft.functions.VectorKernels.lshBucketXxh(spark, col("embedding"), 8, lit(3L)).as("n"))
+      .filter(col("h") =!= col("n")).count()
+    assert(diff == 0)
+  }
+
   test("native lsh bucket kernels are bit-identical to both HOF plane schemes") {
     val e = graft.core.Tables(spark, sf(), "embeddings")
     val diff = e.select(

@@ -11,6 +11,7 @@ than the artifact at HEAD.
 """
 import json
 import re
+import sys
 
 ART = "BENCH_LOCAL.json"
 README = "README.md"
@@ -20,6 +21,25 @@ END = "<!-- BENCH_RESULTS_END -->"
 art = json.load(open(ART))
 d = art["derived"]
 ds = art["derived_spread"]
+
+# Refuse to publish an UNCERTIFIED artifact: a load-collapsed driver
+# window can leave a BENCH_LOCAL.json in the tree whose cells self-flag
+# (stability > 1.3), and regenerating README from it would quote
+# inadjudicable numbers as if they were the shipped result. --force
+# overrides for deliberate what-if previews only.
+STAB_LIMIT = 1.3
+bad = {k: v for k, v in ds.items()
+       if k.endswith("_stability") and isinstance(v, (int, float))
+       and v > STAB_LIMIT}
+if bad and "--force" not in sys.argv[1:]:
+    for k, v in sorted(bad.items()):
+        print(f"UNCERTIFIED cell: {k} = {v:.2f} (> {STAB_LIMIT})",
+              file=sys.stderr)
+    raise SystemExit(
+        f"{ART} is not a certified artifact ({len(bad)} cell(s) exceed "
+        f"stability {STAB_LIMIT}); refusing to regenerate README.md. "
+        "Re-run the bench in a quiet window, or pass --force to "
+        "override deliberately.")
 
 
 def m(v):  # rows/s -> M rows/s
