@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The SIMD validation kernels (graft.simd.SimdKernels) use the JDK
+// incubator Vector API. Compile-time: javac needs the module added
+// (incubator modules are not in the default root set). Runtime: the
+// forked JVMs add it too; when a caller's JVM lacks the flag the
+// kernels record the absence and fall back to scalar lanes — never an
+// error (see graft.contract.FastLanes).
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -24,6 +31,7 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules", "jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // Measured on THIS host: 8g beats a 24g pinned heap by 2-6x on the

@@ -409,8 +409,12 @@ object Bench {
     // sf (~400 bytes); the per-query map, spreads, and host-load live
     // in the BENCH_LOCAL.json sidecar, which carries the full artifact
     // regardless of what the capture does to stdout.
+    // kernel-lane provenance: which fast lanes ran (vector api on, or
+    // the recorded fallback reason) — GB/s cells are only comparable
+    // across rounds at the same lane configuration
+    val laneJson = "\"" + graft.contract.FastLanes.describe.replace("\"", "'") + "\""
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","derived":$derived,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","order":"sweep_then_derived","queries":$qs,"queries_spread":$qSpread,"derived":$derived,"derived_spread":$derivedSpread,"host_load":$loadJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","order":"sweep_then_derived","queries":$qs,"queries_spread":$qSpread,"derived":$derived,"derived_spread":$derivedSpread,"host_load":$loadJson,"kernel_lanes":$laneJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)

@@ -86,6 +86,8 @@ object ColumnarValidation {
     def pass(v: ColumnVector, i: Int): Boolean = !v.isNullAt(i)
     override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
       if (!v.hasNull) return n.toLong // null-free vector: every row passes
+      val fast = FastLanes.notNull(v, n, rankArr, failRank)
+      if (fast >= 0) return fast
       var passN = 0L; var i = 0
       while (i < n) {
         if (!v.isNullAt(i)) passN += 1L
@@ -99,6 +101,8 @@ object ColumnarValidation {
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getLong(i); x >= lo && x <= hi }
     override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      val fast = FastLanes.rangeLong(v, n, lo, hi, rankArr, failRank)
+      if (fast >= 0) return fast
       if (!v.hasNull) {
         var passN = 0L; var i = 0
         while (i < n) {
@@ -121,6 +125,8 @@ object ColumnarValidation {
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getInt(i); x >= lo && x <= hi }
     override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      val fast = FastLanes.rangeInt(v, n, lo, hi, rankArr, failRank)
+      if (fast >= 0) return fast
       if (!v.hasNull) {
         var passN = 0L; var i = 0
         while (i < n) {
@@ -146,6 +152,8 @@ object ColumnarValidation {
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getShort(i); x >= lo && x <= hi }
     override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      val fast = FastLanes.rangeShort(v, n, lo, hi, rankArr, failRank)
+      if (fast >= 0) return fast
       if (!v.hasNull) {
         var passN = 0L; var i = 0
         while (i < n) {
@@ -168,6 +176,8 @@ object ColumnarValidation {
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getByte(i); x >= lo && x <= hi }
     override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      val fast = FastLanes.rangeByte(v, n, lo, hi, rankArr, failRank)
+      if (fast >= 0) return fast
       if (!v.hasNull) {
         var passN = 0L; var i = 0
         while (i < n) {
@@ -216,6 +226,8 @@ object ColumnarValidation {
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getDouble(i); x >= lo && x <= hi }
     override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      val fast = FastLanes.rangeDouble(v, n, lo, hi, rankArr, failRank)
+      if (fast >= 0) return fast
       if (!v.hasNull) {
         var passN = 0L; var i = 0
         while (i < n) {
@@ -238,6 +250,8 @@ object ColumnarValidation {
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getFloat(i).toDouble; x >= lo && x <= hi }
     override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      val fast = FastLanes.rangeFloat(v, n, lo, hi, rankArr, failRank)
+      if (fast >= 0) return fast
       var passN = 0L; var i = 0
       while (i < n) {
         if (!v.isNullAt(i) && { val x = v.getFloat(i).toDouble; x >= lo && x <= hi }) passN += 1L
@@ -254,6 +268,8 @@ object ColumnarValidation {
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && v.getLong(i) >= minMicros
     override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      val fast = FastLanes.geLong(v, n, minMicros, rankArr, failRank)
+      if (fast >= 0) return fast
       if (!v.hasNull) {
         var passN = 0L; var i = 0
         while (i < n) {
@@ -278,6 +294,8 @@ object ColumnarValidation {
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && v.getInt(i) >= minDays
     override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+      val fast = FastLanes.geInt(v, n, minDays, rankArr, failRank)
+      if (fast >= 0) return fast
       if (!v.hasNull) {
         var passN = 0L; var i = 0
         while (i < n) {
@@ -319,6 +337,11 @@ object ColumnarValidation {
       * cannot express it byte-wise return false from [[byteable]]. */
     def testBytes(child: WritableColumnVector, off: Int, len: Int): Boolean
     def byteable: Boolean = true
+    /** same test over the RAW backing arrays (plain on-heap vectors) —
+      * one intrinsified-memcmp loop, no virtual getter per byte. -1 =
+      * no fast kernel for this test; caller keeps [[runBytes]]. */
+    def runFast(sa: FastLanes.StringArrays, n: Int,
+        rankArr: Array[Byte], failRank: Byte): Long = -1L
 
     final def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && testU(v.getUTF8String(i))
@@ -326,7 +349,13 @@ object ColumnarValidation {
     override final def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long =
       v match {
         case w: WritableColumnVector if w.hasDictionary => runDict(w, n, rankArr, failRank)
-        case w: WritableColumnVector if byteable => runBytes(w, n, rankArr, failRank)
+        case w: WritableColumnVector if byteable =>
+          val sa = FastLanes.strings(w, n)
+          if (sa != null) {
+            val fast = runFast(sa, n, rankArr, failRank)
+            if (fast >= 0) return fast
+          }
+          runBytes(w, n, rankArr, failRank)
         case _ => runGeneric(v, n, rankArr, failRank)
       }
 
@@ -413,24 +442,36 @@ object ColumnarValidation {
       }
       false
     }
+    override def runFast(sa: FastLanes.StringArrays, n: Int,
+        rankArr: Array[Byte], failRank: Byte): Long =
+      FastLanes.stringDomain(sa, n, allowedBytes, rankArr, failRank)
   }
   private final class StartsWithUtf8(prefixBytes: Array[Byte]) extends StringTest {
     @transient private lazy val p = UTF8String.fromBytes(prefixBytes)
     def testU(s: UTF8String): Boolean = s.startsWith(p)
     def testBytes(child: WritableColumnVector, off: Int, len: Int): Boolean =
       len >= prefixBytes.length && bytesEq(child, off, prefixBytes)
+    override def runFast(sa: FastLanes.StringArrays, n: Int,
+        rankArr: Array[Byte], failRank: Byte): Long =
+      FastLanes.stringStartsWith(sa, n, prefixBytes, rankArr, failRank)
   }
   private final class EndsWithUtf8(suffixBytes: Array[Byte]) extends StringTest {
     @transient private lazy val p = UTF8String.fromBytes(suffixBytes)
     def testU(s: UTF8String): Boolean = s.endsWith(p)
     def testBytes(child: WritableColumnVector, off: Int, len: Int): Boolean =
       len >= suffixBytes.length && bytesEq(child, off + len - suffixBytes.length, suffixBytes)
+    override def runFast(sa: FastLanes.StringArrays, n: Int,
+        rankArr: Array[Byte], failRank: Byte): Long =
+      FastLanes.stringEndsWith(sa, n, suffixBytes, rankArr, failRank)
   }
   private final class EqualsUtf8(bytes: Array[Byte]) extends StringTest {
     @transient private lazy val p = UTF8String.fromBytes(bytes)
     def testU(s: UTF8String): Boolean = s.equals(p)
     def testBytes(child: WritableColumnVector, off: Int, len: Int): Boolean =
       len == bytes.length && bytesEq(child, off, bytes)
+    override def runFast(sa: FastLanes.StringArrays, n: Int,
+        rankArr: Array[Byte], failRank: Byte): Long =
+      FastLanes.stringEquals(sa, n, bytes, rankArr, failRank)
   }
   private final class ContainsUtf8(bytes: Array[Byte]) extends StringTest {
     @transient private lazy val p = UTF8String.fromBytes(bytes)
@@ -445,6 +486,9 @@ object ColumnarValidation {
       }
       false
     }
+    override def runFast(sa: FastLanes.StringArrays, n: Int,
+        rankArr: Array[Byte], failRank: Byte): Long =
+      FastLanes.stringContains(sa, n, bytes, rankArr, failRank)
   }
   /** general regex, FIND semantics (= Catalyst RLike). Decodes the
     * value to String per row — the slow lane, but the dictionary memo

@@ -1,0 +1,258 @@
+package graft.contract
+
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.vectorized.ColumnVector
+
+/** Fast kernel lanes over the decoded backing arrays of
+  * [[OnHeapColumnVector]] — the bridge between the semantic kernels in
+  * [[ColumnarValidation]] and the primitive/SIMD loops in
+  * `graft.simd.{SimdKernels, ByteKernels}`.
+  *
+  * Dispatch is MEASUREMENT-driven (tools/SimdProbe), not
+  * architecture-romantic:
+  *
+  *  1. Numeric range/threshold rules and all string rules route to the
+  *     BRANCHLESS primitive loops in `ByteKernels` — C2's SuperWord
+  *     pass auto-vectorizes them end to end (compare + cmov rank merge
+  *     ≈ 1.1-1.7 ns/row on this host), and they beat the explicit
+  *     Vector API formulation 3-5x on mixed pass/fail blocks, where
+  *     every data-mask→byte-rank bridge (fromLong, cross-size mask
+  *     cast, masked byte store) is un-intrinsified on JDK 17.
+  *  2. The explicit Vector API (`SimdKernels`, needs `--add-modules
+  *     jdk.incubator.vector` — wired in build.sbt/.jvmopts) is used
+  *     where the mask and the rank share the byte species, so the
+  *     blend is native: the NotNull kernel (64 rows per 512-bit op).
+  *     Module absence is RECORDED ([[FastLanes.simdStatus]]), not an
+  *     error.
+  *  3. Anything that doesn't expose plain on-heap arrays — off-heap
+  *     vectors, dictionary pages (memoized upstream), reflection
+  *     unavailable — keeps the caller's original `ColumnVector` loop
+  *     (every entry point returns -1; semantics identical on all
+  *     rungs, pinned by the seeded differential tests on both
+  *     `forceOff` settings).
+  *
+  * The backing arrays are private fields; this is deliberate use of
+  * reflection against a classpath (unnamed-module) Spark, cached as
+  * `Field` handles once. If any field lookup fails (a Spark upgrade
+  * renames them), [[reflective]] is false and EVERY lane reports
+  * not-applicable — semantics never change, only speed.
+  */
+private[graft] object FastLanes {
+
+  // ------------------------------------------------ availability probes
+
+  /** Right(laneInfo) when the Vector API is loadable, Left(reason)
+    * otherwise (module absent → NoClassDefFoundError at first touch). */
+  val simdStatus: Either[String, String] =
+    try Right(graft.simd.SimdKernels.laneInfo())
+    catch {
+      case e: Throwable =>
+        Left(e.getClass.getName + Option(e.getMessage).map(": " + _).getOrElse(""))
+    }
+
+  /** Test hook: `-Dgraft.simd.disabled=true` (or setting this var)
+    * forces the scalar lanes so differential tests can pin
+    * SIMD ≡ scalar ≡ row pipeline. */
+  @volatile private[graft] var forceOff: Boolean =
+    java.lang.Boolean.getBoolean("graft.simd.disabled")
+
+  def simdOn: Boolean = simdStatus.isRight && !forceOff
+
+  /** One-line status for bench artifacts / logs. */
+  def describe: String = simdStatus match {
+    case Right(lanes) if !forceOff => s"vector-api on ($lanes)"
+    case Right(_) => "vector-api available but disabled (graft.simd.disabled)"
+    case Left(reason) => s"vector-api absent, scalar fallback ($reason)"
+  }
+
+  private val fields: Option[Map[String, java.lang.reflect.Field]] =
+    try {
+      val names = Seq("nulls", "byteData", "shortData", "intData", "longData",
+        "floatData", "doubleData", "arrayLengths", "arrayOffsets")
+      Some(names.map { n =>
+        val f = classOf[OnHeapColumnVector].getDeclaredField(n)
+        f.setAccessible(true)
+        n -> f
+      }.toMap)
+    } catch { case _: Throwable => None }
+
+  def reflective: Boolean = fields.isDefined
+
+  private def arr[T <: AnyRef](v: AnyRef, name: String): T =
+    fields.get(name).get(v).asInstanceOf[T]
+
+  /** The usable on-heap shape: plain decoded vector, no dictionary
+    * (dictionary pages are memoized upstream and their data arrays are
+    * ids, not values). */
+  private def usable(v: ColumnVector): OnHeapColumnVector = v match {
+    case oh: OnHeapColumnVector if fields.isDefined && !oh.hasDictionary => oh
+    case _ => null
+  }
+
+  private def nullsOf(oh: OnHeapColumnVector): Array[Byte] =
+    if (oh.hasNull) arr[Array[Byte]](oh, "nulls") else null
+
+  // ------------------------------------------------------ numeric lanes
+
+  def rangeLong(v: ColumnVector, n: Int, lo: Double, hi: Double,
+      rank: Array[Byte], failRank: Byte): Long = {
+    val oh = usable(v)
+    if (oh == null) return -1L
+    val data = arr[Array[Long]](oh, "longData")
+    if (data == null || data.length < n) return -1L
+    graft.simd.ByteKernels.rangeLong(data, nullsOf(oh), n, lo, hi, rank, failRank)
+  }
+
+  def rangeInt(v: ColumnVector, n: Int, lo: Double, hi: Double,
+      rank: Array[Byte], failRank: Byte): Long = {
+    val oh = usable(v)
+    if (oh == null) return -1L
+    val data = arr[Array[Int]](oh, "intData")
+    if (data == null || data.length < n) return -1L
+    graft.simd.ByteKernels.rangeInt(data, nullsOf(oh), n, lo, hi, rank, failRank)
+  }
+
+  def rangeShort(v: ColumnVector, n: Int, lo: Double, hi: Double,
+      rank: Array[Byte], failRank: Byte): Long = {
+    val oh = usable(v)
+    if (oh == null) return -1L
+    val data = arr[Array[Short]](oh, "shortData")
+    if (data == null || data.length < n) return -1L
+    graft.simd.ByteKernels.rangeShort(data, nullsOf(oh), n, lo, hi, rank, failRank)
+  }
+
+  def rangeByte(v: ColumnVector, n: Int, lo: Double, hi: Double,
+      rank: Array[Byte], failRank: Byte): Long = {
+    val oh = usable(v)
+    if (oh == null) return -1L
+    val data = arr[Array[Byte]](oh, "byteData")
+    if (data == null || data.length < n) return -1L
+    graft.simd.ByteKernels.rangeByte(data, nullsOf(oh), n, lo, hi, rank, failRank)
+  }
+
+  def rangeDouble(v: ColumnVector, n: Int, lo: Double, hi: Double,
+      rank: Array[Byte], failRank: Byte): Long = {
+    val oh = usable(v)
+    if (oh == null) return -1L
+    val data = arr[Array[Double]](oh, "doubleData")
+    if (data == null || data.length < n) return -1L
+    graft.simd.ByteKernels.rangeDouble(data, nullsOf(oh), n, lo, hi, rank, failRank)
+  }
+
+  def rangeFloat(v: ColumnVector, n: Int, lo: Double, hi: Double,
+      rank: Array[Byte], failRank: Byte): Long = {
+    val oh = usable(v)
+    if (oh == null) return -1L
+    val data = arr[Array[Float]](oh, "floatData")
+    if (data == null || data.length < n) return -1L
+    graft.simd.ByteKernels.rangeFloat(data, nullsOf(oh), n, lo, hi, rank, failRank)
+  }
+
+  def geLong(v: ColumnVector, n: Int, min: Long,
+      rank: Array[Byte], failRank: Byte): Long = {
+    val oh = usable(v)
+    if (oh == null) return -1L
+    val data = arr[Array[Long]](oh, "longData")
+    if (data == null || data.length < n) return -1L
+    graft.simd.ByteKernels.geLong(data, nullsOf(oh), n, min, rank, failRank)
+  }
+
+  def geInt(v: ColumnVector, n: Int, min: Int,
+      rank: Array[Byte], failRank: Byte): Long = {
+    val oh = usable(v)
+    if (oh == null) return -1L
+    val data = arr[Array[Int]](oh, "intData")
+    if (data == null || data.length < n) return -1L
+    graft.simd.ByteKernels.geInt(data, nullsOf(oh), n, min, rank, failRank)
+  }
+
+  /** NotNull over a vector KNOWN to contain nulls (the hasNull()==false
+    * all-pass shortcut lives in the caller). */
+  def notNull(v: ColumnVector, n: Int, rank: Array[Byte], failRank: Byte): Long = {
+    val oh = usable(v)
+    if (oh == null) return -1L
+    val nulls = arr[Array[Byte]](oh, "nulls")
+    if (nulls == null || nulls.length < n) return -1L
+    if (simdOn) graft.simd.SimdKernels.notNull(nulls, n, rank, failRank)
+    else graft.simd.ByteKernels.notNull(nulls, n, rank, failRank)
+  }
+
+  // ------------------------------------------------------- string lanes
+
+  /** Decoded string layout: (offsets, lengths, contiguous UTF-8 child
+    * bytes, nulls-or-null). Null when the vector isn't a plain on-heap
+    * string vector. */
+  final class StringArrays(
+      val offs: Array[Int], val lens: Array[Int],
+      val child: Array[Byte], val nulls: Array[Byte])
+
+  /** Verified contiguous 1-byte-row layout (flag columns): unlocks the
+    * native byte-set kernel — checked, never assumed. */
+  private def unitLayout(sa: StringArrays, n: Int): Boolean =
+    simdOn && n > 0 &&
+      graft.simd.SimdKernels.unitStrings(sa.offs, sa.lens, n) &&
+      sa.offs(0) >= 0 && sa.offs(0).toLong + n <= sa.child.length
+
+  private def set4(sa: StringArrays, n: Int, c0: Byte, c1: Byte, c2: Byte,
+      c3: Byte, rank: Array[Byte], failRank: Byte): Long =
+    graft.simd.SimdKernels.byteSetContig(sa.child, sa.offs(0), n,
+      c0, c1, c2, c3, sa.nulls, rank, failRank)
+
+  def stringDomain(sa: StringArrays, n: Int, cands: Array[Array[Byte]],
+      rank: Array[Byte], failRank: Byte): Long =
+    if (cands.nonEmpty && cands.length <= 4 && cands.forall(_.length == 1)
+        && unitLayout(sa, n)) {
+      val c0 = cands(0)(0)
+      val c1 = if (cands.length > 1) cands(1)(0) else c0
+      val c2 = if (cands.length > 2) cands(2)(0) else c0
+      val c3 = if (cands.length > 3) cands(3)(0) else c0
+      set4(sa, n, c0, c1, c2, c3, rank, failRank)
+    } else graft.simd.ByteKernels.domain(
+      sa.offs, sa.lens, sa.child, sa.nulls, n, cands, rank, failRank)
+
+  // On length-1 rows, a 1-byte Equals/StartsWith/EndsWith/Contains all
+  // reduce to byte equality — the same native set kernel.
+  def stringEquals(sa: StringArrays, n: Int, pat: Array[Byte],
+      rank: Array[Byte], failRank: Byte): Long =
+    if (pat.length == 1 && unitLayout(sa, n))
+      set4(sa, n, pat(0), pat(0), pat(0), pat(0), rank, failRank)
+    else graft.simd.ByteKernels.equalsLit(
+      sa.offs, sa.lens, sa.child, sa.nulls, n, pat, rank, failRank)
+
+  def stringStartsWith(sa: StringArrays, n: Int, pat: Array[Byte],
+      rank: Array[Byte], failRank: Byte): Long =
+    if (pat.length == 1 && unitLayout(sa, n))
+      set4(sa, n, pat(0), pat(0), pat(0), pat(0), rank, failRank)
+    else graft.simd.ByteKernels.startsWith(
+      sa.offs, sa.lens, sa.child, sa.nulls, n, pat, rank, failRank)
+
+  def stringEndsWith(sa: StringArrays, n: Int, pat: Array[Byte],
+      rank: Array[Byte], failRank: Byte): Long =
+    if (pat.length == 1 && unitLayout(sa, n))
+      set4(sa, n, pat(0), pat(0), pat(0), pat(0), rank, failRank)
+    else graft.simd.ByteKernels.endsWith(
+      sa.offs, sa.lens, sa.child, sa.nulls, n, pat, rank, failRank)
+
+  def stringContains(sa: StringArrays, n: Int, pat: Array[Byte],
+      rank: Array[Byte], failRank: Byte): Long =
+    if (pat.length == 1 && unitLayout(sa, n))
+      set4(sa, n, pat(0), pat(0), pat(0), pat(0), rank, failRank)
+    else graft.simd.ByteKernels.containsLit(
+      sa.offs, sa.lens, sa.child, sa.nulls, n, pat, rank, failRank)
+
+  def strings(v: ColumnVector, n: Int): StringArrays = {
+    val oh = usable(v)
+    if (oh == null) return null
+    val offs = arr[Array[Int]](oh, "arrayOffsets")
+    val lens = arr[Array[Int]](oh, "arrayLengths")
+    if (offs == null || lens == null || offs.length < n || lens.length < n)
+      return null
+    oh.arrayData() match {
+      case child: OnHeapColumnVector =>
+        val bytes = arr[Array[Byte]](child, "byteData")
+        if (bytes == null) null
+        else new StringArrays(offs, lens, bytes, nullsOf(oh))
+      case _ => null
+    }
+  }
+}

@@ -34,8 +34,14 @@ object KernelProbe {
       walls.min * 1e9 / n // ns per row
     }
 
+    println(s"[kernel-probe] lanes: ${graft.contract.FastLanes.describe}, " +
+      s"reflective=${graft.contract.FastLanes.reflective}")
     val cells = policy.rules.map(r => r.id -> time(policy.copy(rules = Seq(r)))) :+
-      ("all5" -> time(policy))
+      ("all5" -> time(policy)) :+
+      ("all5_scalar" -> {
+        graft.contract.FastLanes.forceOff = true
+        try time(policy) finally graft.contract.FastLanes.forceOff = false
+      })
     def f(d: Double): String = String.format(Locale.ROOT, "%.2f", Double.box(d))
     println(cells.map { case (k, v) => s""""$k":${f(v)}""" }
       .mkString(s"""{"rows":$n,"unit":"ns_per_row",""", ",", "}"))

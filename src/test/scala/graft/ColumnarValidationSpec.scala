@@ -207,7 +207,11 @@ class ColumnarValidationSpec extends SparkSpec {
           RowRule.Freshness("fr", "ts",
             math.abs(rnd.nextLong() % (1000L * 86400 * 3650)), 917827200000L)),
         fatalRules = if (rnd.nextBoolean()) Set("dom") else Set.empty)
-      assertAgrees(spark.read.parquet(dir), p, expectColumnar = true)
+      // alternate the SIMD and forced-scalar lanes across seeds so the
+      // differential pins BOTH fast paths to the row pipeline
+      graft.contract.FastLanes.forceOff = seed % 2 == 0
+      try assertAgrees(spark.read.parquet(dir), p, expectColumnar = true)
+      finally graft.contract.FastLanes.forceOff = false
     }
   }
 
@@ -265,6 +269,59 @@ class ColumnarValidationSpec extends SparkSpec {
         .write.option("parquet.enable.dictionary", dict).parquet(dir)
       val policy = ContractPolicy(Seq(RowRule.Range("rg_d", "d", 1, 45)))
       assertAgrees(spark.read.parquet(dir), policy, expectColumnar = true)
+    }
+  }
+
+  test("SIMD lanes: vector api loads in this JVM; forced-scalar lanes agree bit-for-bit") {
+    import graft.contract.FastLanes
+    // the sbt forks add --add-modules jdk.incubator.vector — if this
+    // trips, the SIMD rung silently degraded to scalar everywhere
+    assert(FastLanes.simdStatus.isRight,
+      s"vector api should load under the sbt fork: ${FastLanes.simdStatus}")
+    assert(FastLanes.reflective, "OnHeapColumnVector backing-array reflection broke")
+    val dir = s"${tmpDir()}/simd"
+    edgeDf().write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    val withSimd = ColumnarValidation.counts(df, policy)
+    assert(withSimd.columnar)
+    FastLanes.forceOff = true
+    try {
+      val scalar = ColumnarValidation.counts(df, policy)
+      assert(scalar.columnar)
+      assert(withSimd.counts.rulePass.toSeq == scalar.counts.rulePass.toSeq)
+      assert(withSimd.counts.ruleViolation.toSeq == scalar.counts.ruleViolation.toSeq)
+      assert(withSimd.counts.rowsByRank.toSeq == scalar.counts.rowsByRank.toSeq)
+      assertAgrees(df, policy, expectColumnar = true) // scalar lanes vs row truth
+    } finally FastLanes.forceOff = false
+    assertAgrees(df, policy, expectColumnar = true)   // SIMD lanes vs row truth
+  }
+
+  test("SIMD int/long range: exact integer bounds and the long→double lanewise round") {
+    val schema = StructType(Seq(StructField("i", IntegerType), StructField("l", LongType)))
+    val rows = Seq(
+      Row(Int.box(Int.MinValue), Long.box(Long.MinValue)),
+      Row(Int.box(Int.MaxValue), Long.box(Long.MaxValue)),
+      Row(Int.box(0), Long.box(0L)), Row(Int.box(-1), Long.box(-1L)),
+      Row(Int.box(1), Long.box(1L)), Row(Int.box(45), Long.box(45L)),
+      Row(Int.box(46), Long.box(46L)),
+      // 2^53 ± 1: (double) x rounds — the SIMD L2D lane and the row
+      // pipeline's implicit promotion must agree here
+      Row(Int.box(44), Long.box(9007199254740993L)),
+      Row(Int.box(2), Long.box(9007199254740992L)),
+      Row(null, null))
+    val dir = s"${tmpDir()}/simd_il"
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.option("parquet.enable.dictionary", "false").parquet(dir)
+    val bounds = Seq(
+      (0.5, 45.5),                  // fractional bounds → exact int ceil/floor
+      (45.0, 44.0),                 // inverted → everything fails
+      (-1e300, 1e300),              // clamps to full int range
+      (9.007199254740992e15, 9.007199254740994e15), // the 2^53 window
+      (2147483646.5, 2.5e18))       // lo above Int.MaxValue-0.5, hi beyond long-exact
+    bounds.foreach { case (lo, hi) =>
+      val p = ContractPolicy(Seq(
+        RowRule.Range("rg_i", "i", lo, hi), RowRule.Range("rg_l", "l", lo, hi)))
+      assertAgrees(spark.read.parquet(dir), p, expectColumnar = true)
     }
   }
 
