@@ -1046,6 +1046,31 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  val imageFeaturesQ: QueryDef = QueryDef.sqlBacked(
+    "q_image_features",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  16 AS width, 12 AS height, 3 AS channels,
+      |  CAST(SUM((doc_id * 7 + 3 * x.x + 5 * y.y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((doc_id * 11 + x.x + 2 * y.y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((doc_id * 13 + 4 * x.x + y.y) % 256) AS BIGINT) AS sum_b
+      |FROM documents, generate_series(0, 15) AS x(x), generate_series(0, 11) AS y(y)
+      |GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    doc = "REAL image decode over binary payloads (JDK ImageIO, no external jars): " +
+      "each document id becomes a deterministic 16x12 RGB PNG (encoded via ImageIO's " +
+      "writer in the same narrow map stage), then Multimodal.imageFeatures DECODES the " +
+      "PNG back to pixels and reports width/height/channels + exact per-channel sums. " +
+      "The oracle replays the closed-form pixel rule with generate_series, so a hash " +
+      "match proves the full encode->PNG->decode->pixel-stats round trip, not a fold " +
+      "over the raw bytes. Payloads never shuffle; only (id, stats) leave the stage.") { (s, d) =>
+    val ids = t(s, d, "documents").select(col("doc_id").cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      org.apache.spark.sql.Row(id, Multimodal.syntheticPng(id, 16, 12), "image")
+    })
+    Multimodal.imageFeatures(s.createDataFrame(rdd, Multimodal.mediaSchema))
+      .orderBy("media_id")
+  }
+
   val repetitionSignals: QueryDef = QueryDef.sqlBacked(
     "q_repetition",
     """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -1261,5 +1286,5 @@ object LlmQueries {
     ngramJaccard, minhashLsh, dupClusters, winnow, simhash,
     cosineTopK, annLsh, annIvf, annIvfPq, semDedup, embedDecontaminate, embedNearDup,
     embedQuantize, pqQuantize,
-    multimodalMeta, multimodalFeatures)
+    multimodalMeta, multimodalFeatures, imageFeaturesQ)
 }

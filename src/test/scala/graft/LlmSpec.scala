@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.llm._
@@ -153,6 +154,34 @@ class LlmSpec extends SparkSpec {
     assert(k(1L) != null)
     assert(k(2L) == null && k(3L) == null && k(4L) == null)
     } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
+  test("real image decode: PNG round trip matches the closed-form pixel rule; " +
+      "corrupt bytes yield null stats, not a crash") {
+    import graft.llm.Multimodal
+    val rows = Seq(
+      Row(1L, Multimodal.syntheticPng(1L, 16, 12), "image"),
+      Row(2L, Multimodal.syntheticPng(2L, 7, 9), "image"),   // non-default size
+      Row(3L, "definitely not a png".getBytes("UTF-8"), "image"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val got = Multimodal.imageFeatures(df).collect().map(r => r.getLong(0) -> r).toMap
+    def sums(id: Long, w: Int, h: Int): (Long, Long, Long) = {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.syntheticRgb(id, x, y)
+        sr += r; sg += g; sb += b
+      }
+      (sr, sg, sb)
+    }
+    val r1 = got(1L)
+    assert((r1.getInt(1), r1.getInt(2), r1.getInt(3)) == ((16, 12, 3)))
+    assert((r1.getLong(4), r1.getLong(5), r1.getLong(6)) == sums(1L, 16, 12))
+    val r2 = got(2L) // width/height come from the DECODED image
+    assert((r2.getInt(1), r2.getInt(2)) == ((7, 9)))
+    assert((r2.getLong(4), r2.getLong(5), r2.getLong(6)) == sums(2L, 7, 9))
+    val r3 = got(3L)
+    assert(r3.isNullAt(1) && r3.isNullAt(4), "undecodable payload must yield null stats")
   }
 
   test("lsh bucket kernel matches the HOF chain for a LONG-typed plane offset") {
