@@ -2803,6 +2803,90 @@ object IcebergSource {
     readMeta(tableDir)
   }
 
+  /** Metadata-only MANIFEST consolidation (the `rewrite_manifests`
+    * maintenance action): fold the current snapshot's LIVE data files
+    * into ONE manifest per partition-spec id — EXISTING entries with
+    * explicit sequence numbers and their stats re-emitted — without
+    * touching a single data file. Every `commitAppend` adds a manifest,
+    * so a 10k-commit table otherwise pays O(commits) manifest opens at
+    * EVERY plan; after a rewrite, plan-time metadata reads drop to
+    * O(live specs) + the delete manifests, which carry by REFERENCE
+    * (manifests are immutable, and keeping their original
+    * added_snapshot_id leaves incremental windows untouched). Pruning
+    * power is unchanged (bounds/null-counts re-emitted verbatim, each
+    * spec keeps its OWN partition struct — never null-filled into a
+    * foreign spec). The snapshot commits as `replace`, so the
+    * incremental-window guards treat it exactly like [[compact]],
+    * minus the data rewrite. */
+  def rewriteManifests(spark: SparkSession, tableDir: String, snapshotId: Long,
+      timestampMs: Long): TableMeta = {
+    val metaDir = s"$tableDir/metadata"
+    require(Files.exists(Paths.get(metaDir, "version-hint.text")),
+      "rewriteManifests requires an existing table")
+    val parent = readMeta(tableDir)
+    requireV2Plus(parent, "rewriteManifests")
+    val parentSnap = parent.currentSnapshotId.map(parent.snapshot)
+      .getOrElse(throw new IllegalArgumentException(
+        "cannot rewrite manifests of an empty table"))
+    val (files, _) = planFiles(tableDir)
+    require(files.nonEmpty, "cannot rewrite manifests of a table with no data files")
+    val seq = parent.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
+    val curSchema = parent.currentSchema
+    lazy val srcSchema = spark.read.parquet(files.head.path).schema
+    def dtOf(name: String): org.apache.spark.sql.types.DataType =
+      curSchema.find(_.name == name).map(f => sparkTypeOf(f.tpe))
+        .getOrElse(srcSchema(name).dataType)
+    val dataManifests = files.groupBy(_.specId).toSeq.sortBy(_._1).flatMap {
+      case (sid, fs) =>
+        val sSpec = parent.specsById.getOrElse(sid, Seq.empty)
+        // a file may share this spec id yet predate the spec's layout
+        // (a table that started unpartitioned reuses id 0): only files
+        // whose manifests carried EVERY spec field get the partition
+        // struct; the rest go to a no-partition-struct manifest, which
+        // reads back as NO INFO — writing them into the spec's struct
+        // would null-fill foreign fields, and a null non-string
+        // partition value reads as exact information (unsound prune)
+        val (covered, bare) =
+          if (sSpec.isEmpty) (Seq.empty[DataFileRef], fs)
+          else fs.partition(f => sSpec.forall(pf => f.partition.contains(pf.name)))
+        def manifestOf(entryFs: Seq[DataFileRef],
+            types: Seq[(String, String)], suffix: String): Option[GenericRecord] =
+          if (entryFs.isEmpty) None
+          else {
+            val sSchema = entrySchemaFor(types)
+            val p = s"$metaDir/manifest-$snapshotId-rewrite-$suffix.avro"
+            val len = writeAvro(p, sSchema, entryFs.map(f =>
+              dataEntryRec(sSchema, f, StatusExisting, snapshotId, Some(f.seq))))
+            val r = new GenericData.Record(manifestFileSchema)
+            r.put("manifest_path", p)
+            r.put("manifest_length", len)
+            r.put("partition_spec_id", sid.toInt)
+            r.put("content", 0)
+            r.put("added_snapshot_id", snapshotId)
+            r.put("added_files_count", 0)
+            r.put("added_rows_count", 0L)
+            Some(r)
+          }
+        val sTypes = sSpec.map(pf => pf.name -> avroTransformType(pf, dtOf(pf.source)))
+        manifestOf(covered, sTypes, s"spec$sid").toSeq ++
+          manifestOf(bare, Seq.empty, s"spec$sid-bare").toSeq
+    }
+    val deleteManifests =
+      readAvro(parentSnap.manifestList).filter(m => longField(m, "content") == 1L)
+    val listPath = s"$metaDir/snap-$snapshotId-manifest-list.avro"
+    writeAvro(listPath, manifestFileSchema, dataManifests ++ deleteManifests)
+    val snapJson: J = JObj.of(
+      "snapshot-id" -> JInt(snapshotId),
+      "parent-snapshot-id" -> JInt(parentSnap.id),
+      "schema-id" -> JInt(parent.currentSchemaId),
+      "sequence-number" -> JInt(seq),
+      "timestamp-ms" -> JInt(timestampMs),
+      "manifest-list" -> JStr(listPath),
+      "summary" -> JObj.of("operation" -> JStr("replace")))
+    bumpMetadata(metaDir, timestampMs, seq, snapshotId, addSnap = Some(snapJson))
+    readMeta(tableDir)
+  }
+
   /** MERGE (upsert) by key — the merge-on-read row-level update: one
     * EQUALITY-DELETE snapshot retires every existing row whose key
     * appears in `source`, then an APPEND snapshot writes the new

@@ -2189,6 +2189,76 @@ class IcebergSpec extends SparkSpec {
       .filter($"region" === "emea").select("id").as[Long].collect().toSet == Set(3L))
   }
 
+  test("rewriteManifests: plan-time manifest opens drop to one per live spec; " +
+      "reads, pruning, deletes, and incremental-window guards unchanged") {
+    import org.apache.spark.sql.{sources => sqs}
+    import spark.implicits._
+    val dir = s"${tmpDir()}/rwm"
+    // six appends under the identity spec = six manifests at plan time,
+    // then a spec evolution (truncate[1] on tag) for a seventh
+    (1 to 6).foreach { i =>
+      IcebergSource.commitAppend(spark, dir, nums(i * 100, i * 100 + 50),
+        i.toLong, i * 1000L)
+    }
+    IcebergSource.commitAppend(spark, dir, nums(700, 750), 7L, 7000L,
+      partitionSpec = Seq(IcebergSource.PartField("tag_trunc", "tag", "truncate[1]")))
+    // a row-level delete so a delete manifest must be carried by reference
+    val del = spark.read.parquet(IcebergSource.dataFiles(dir).map(_.path): _*)
+      .select(expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"), col("id"))
+      .filter($"id" % 100 === 0).select("file_path", "pos")
+    IcebergSource.commitDeletes(spark, dir, posDeletes = Some(del),
+      eqDeletes = None, snapshotId = 8L, timestampMs = 8000L)
+    val manifestsBefore = IcebergSource.metaTable(spark, dir, "manifests")
+    assert(manifestsBefore.filter($"content" === 0).count() == 7L,
+      "one data manifest per append before the rewrite")
+    // the table started unpartitioned, so the evolved truncate layout
+    // reuses spec id 0 — the rewrite must still keep pre-evolution
+    // files OUT of the spec's partition struct (no-info, not null-info)
+    val beforeRows = IcebergSource.read(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq
+
+    IcebergSource.rewriteManifests(spark, dir, 9L, 9000L)
+
+    // seven data manifests fold to TWO: the truncate-covered files
+    // under the spec's struct, the pre-evolution files under a
+    // no-partition-struct (no-info) manifest; the delete manifest
+    // carries by reference with its ORIGINAL added_snapshot_id
+    // (immutable file, incremental windows untouched)
+    val manifestsAfter = IcebergSource.metaTable(spark, dir, "manifests").collect()
+    assert(manifestsAfter.count(_.getAs[Int]("content") == 0) == 2,
+      manifestsAfter.mkString(", "))
+    assert(manifestsAfter.count(_.getAs[Int]("content") == 1) == 1)
+    val afterRows = IcebergSource.read(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(afterRows == beforeRows, "a metadata-only rewrite must not change one row")
+
+    // stats pruning unchanged: bounds were re-emitted on the EXISTING entries
+    val pruned = IcebergSource.dataFiles(dir,
+      filters = Seq(sqs.EqualTo("id", 120L)))
+    assert(pruned.length == 1,
+      s"id bounds must still prune to the one covering file: ${pruned.map(_.path)}")
+    // the truncate-era files kept their partition values through the rewrite
+    val truncEra = IcebergSource.dataFiles(dir)
+      .filter(_.path.contains("snap-7"))
+    assert(truncEra.nonEmpty &&
+      truncEra.forall(_.partition.get("tag_trunc").contains("r")),
+      truncEra.map(f => (f.path, f.partition)).toString)
+
+    // the rewrite is a replace snapshot: incremental windows refuse to
+    // cross it, exactly like compaction
+    val err = intercept[graft.core.GraftError.Plan](
+      IcebergSource.readIncremental(spark, dir, Some(6L), 9L))
+    assert(err.getMessage.contains("replace"), err.getMessage)
+
+    // life goes on: appends after the rewrite add exactly one manifest
+    IcebergSource.commitAppend(spark, dir, nums(900, 950), 10L, 10000L)
+    assert(IcebergSource.metaTable(spark, dir, "manifests")
+      .filter($"content" === 0).count() == 3L)
+    assert(IcebergSource.read(spark, dir).count() == beforeRows.length + 50L)
+    assert(IcebergSource.readIncremental(spark, dir, Some(9L), 10L).count() == 50L)
+  }
+
   test("metadata tables: snapshots/history/refs/files/delete_files/manifests/" +
       "partitions plan from metadata alone; unknown names refuse typed") {
     import spark.implicits._
