@@ -572,6 +572,89 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  private val streamNearDupSink = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val streamNearDup: QueryDef = QueryDef.sqlBacked(
+    "q_stream_neardup",
+    s"""WITH corpus AS ($corpusSql),
+       |toks AS (SELECT doc_id, unnest($wsSplitSql) AS tok FROM corpus),
+       |th AS (SELECT doc_id,
+       |  CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+       |  CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo FROM toks),
+       |bitsum AS (
+       |  SELECT doc_id, gb.b AS b,
+       |    SUM(CASE WHEN (CASE WHEN gb.b < 32 THEN (lo // (1::BIGINT << gb.b)) % 2
+       |                        ELSE (hi // (1::BIGINT << (gb.b - 32))) % 2 END) = 1
+       |             THEN 1 ELSE -1 END) AS s
+       |  FROM th CROSS JOIN generate_series(0, 63) AS gb(b)
+       |  GROUP BY doc_id, gb.b),
+       |sig AS (SELECT doc_id, b, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM bitsum),
+       |bands AS (
+       |  SELECT doc_id, b // 16 AS band_idx,
+       |    CAST(SUM(bit << (b % 16)) AS BIGINT) AS band_val
+       |  FROM sig GROUP BY doc_id, b // 16),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id),
+       |ham AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(SUM(CASE WHEN sa.bit <> sb.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.b = sa.b
+       |  GROUP BY c.doc_a, c.doc_b
+       |  HAVING SUM(CASE WHEN sa.bit <> sb.bit THEN 1 ELSE 0 END) <= 3)
+       |SELECT doc_a, doc_b, hamming FROM ham ORDER BY doc_a, doc_b""".stripMargin,
+    doc = "STREAMING cross-epoch near-dup detection, oracle-gated: the dup corpus " +
+      "arrives as three deterministic micro-batches (epoch = doc_id mod 3, which " +
+      "separates each +100000 copy from its original) through a real Structured " +
+      "Streaming query — banded simhash keyed state (flatMapGroupsWithState), " +
+      "memory sink — and the emitted candidate pairs must hash-match the BATCH " +
+      "band-join formulation (q_simhash's CTE chain, hamming <= 3): with an " +
+      "unevictable ring the cross-epoch state is exactly as complete as a corpus-" +
+      "wide batch pass, which is the operator's correctness claim. Portable md5 " +
+      "token hash so DuckDB replays the signatures; production default remains " +
+      "the xxhash64 kernel behind the same interface.") { (s, d) =>
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = corpusWithDups(s, d).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    // 3 epochs: 100000 % 3 != 0, so every duplicate lands in a
+    // DIFFERENT epoch than its original — the cross-epoch path is
+    // what's under test, not within-batch pairing
+    val epochs = (0 until 3).map(e => rows.filter(_._1 % 3 == e).toSeq)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val banded = graft.streaming.StreamingNearDup.bandedOf(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", portableHash = true)
+    // maxPerBand far above any band's population: no eviction, so the
+    // streamed pair set equals the batch band join exactly
+    val pairs = graft.streaming.StreamingNearDup(banded, maxHamming = 3,
+      maxPerBand = 1 << 20)
+    val sink = s"stream_neardup_${streamNearDupSink.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_neardup").toString
+    val q = pairs.writeStream.format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val collected =
+      try {
+        epochs.foreach { ep => input.addData(ep); q.processAllAvailable() }
+        s.table(sink)
+          .select(col("docA").as("doc_a"), col("docB").as("doc_b"), col("hamming"))
+          .distinct().orderBy("doc_a", "doc_b").collect().toSeq
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sink)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      collected.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("hamming", org.apache.spark.sql.types.IntegerType))))
+  }
+
   val datasetMix: QueryDef = QueryDef.sqlBacked(
     "q_dataset_mix",
     """SELECT source,
@@ -1286,5 +1369,5 @@ object LlmQueries {
     ngramJaccard, minhashLsh, dupClusters, winnow, simhash,
     cosineTopK, annLsh, annIvf, annIvfPq, semDedup, embedDecontaminate, embedNearDup,
     embedQuantize, pqQuantize,
-    multimodalMeta, multimodalFeatures, imageFeaturesQ)
+    multimodalMeta, multimodalFeatures, imageFeaturesQ, streamNearDup)
 }

@@ -38,11 +38,16 @@ object StreamingNearDup {
   implicit private val stateEnc: Encoder[BandState] = Encoders.product[BandState]
   implicit private val strEnc: Encoder[String] = Encoders.STRING
 
-  /** 16-bit band keys of a 64-bit simhash: "b:chunk". */
-  def bandedOf(df: DataFrame, idCol: String, textCol: String): Dataset[Banded] = {
+  /** 16-bit band keys of a 64-bit simhash: "b:chunk". `portableHash`
+    * swaps the token hash for the md5-derived one (exactly as
+    * `TextDedup.simhashPairs`) so a SQL oracle can replay the
+    * signatures; banding and state semantics are identical. */
+  def bandedOf(df: DataFrame, idCol: String, textCol: String,
+      portableHash: Boolean = false): Dataset[Banded] = {
     graft.functions.TextHashFunctions.register(df.sparkSession)
+    val fn = if (portableHash) "graft_portable_simhash64" else "graft_simhash64"
     df.select(col(idCol).cast("long").as("docId"),
-        call_function("graft_simhash64", col(textCol)).as("sig"))
+        call_function(fn, col(textCol)).as("sig"))
       .select(col("docId"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .select(
