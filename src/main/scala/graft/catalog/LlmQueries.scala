@@ -644,6 +644,10 @@ object LlmQueries {
       } finally {
         q.stop()
         s.catalog.dropTempView(sink)
+        // unload state-store providers AND their maintenance pool now —
+        // a lingering maintenance thread would leak into whatever the
+        // caller times next (bench derived cells follow this query)
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
     import scala.jdk.CollectionConverters._
