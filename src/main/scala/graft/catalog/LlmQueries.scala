@@ -1158,6 +1158,115 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  val urlDedupQ: QueryDef = QueryDef.sqlBacked(
+    "q_url_dedup",
+    """WITH u AS (SELECT doc_id,
+      |  concat('https://news.example.com/', lang, '/art-', doc_id % 100,
+      |         '?ref=', source) AS canon_url
+      |FROM documents)
+      |SELECT canon_url, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+      |  CAST(COUNT(*) AS BIGINT) AS n_urls
+      |FROM u GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+    doc = "URL-level dedup, the crawl pipeline's first rung (CCNet/Dolma: group by " +
+      "canonical URL before any payload is read): each doc gets a deliberately MESSY " +
+      "url (uppercase scheme+host, www., :443, utm_* params around a real one, a " +
+      "fragment) and UrlOps.canonicalUrl must normalize every spelling — lowercase " +
+      "scheme/host with path case preserved, default port and www. stripped, fragment " +
+      "dropped, tracking params dropped with separator repair. The ORACLE constructs " +
+      "the ground-truth canonical form directly from the synthesis rule, so it checks " +
+      "the canonicalizer against truth rather than a second copy of the same regexes. " +
+      "Dedup groups on ~80 B canonical strings — payloads never move.") { (s, d) =>
+    val messy = docs(s, d).select(col("doc_id"),
+      concat(lit("HTTPS://WWW.News.Example.com:443/"), col("lang"),
+        lit("/art-"), (col("doc_id") % 100).cast("string"),
+        lit("?utm_source=feed&ref="), col("source"),
+        lit("&utm_medium=rss#frag")).as("url"))
+    UrlOps.urlDedup(messy, "doc_id", "url")
+      .select(col("canon_url"), col("keeper"), col("n_urls"))
+      .orderBy("canon_url")
+  }
+
+  val hashClassifierQ: QueryDef = QueryDef.sqlBacked(
+    "q_hash_classifier",
+    s"""WITH b AS (SELECT doc_id,
+       |  list_transform($wsSplitSql, t ->
+       |    ((CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 1024)
+       |      * 2654435761) % 2048 - 1024) AS ws
+       |FROM documents)
+       |SELECT doc_id, CAST(list_sum(ws) AS BIGINT) AS score,
+       |  CAST(len(ws) AS BIGINT) AS n_tokens,
+       |  list_sum(ws) > 0 AS keep
+       |FROM b ORDER BY doc_id""".stripMargin,
+    doc = "Hashing-trick linear classifier inference (the fastText/VW shape every " +
+      "learned quality filter deploys as): token → md5-prefix hash → weight bucket → " +
+      "exact integer fold, one narrow codegen'd pass per document, no UDF and no " +
+      "feature matrix. The weight table is a deterministic closed form standing in " +
+      "for trained weights (a real model broadcasts its table into the same plan); " +
+      "the oracle replays hash, bucketing, weights and fold end to end.") { (s, d) =>
+    docsFanout(s, d).select(col("doc_id"),
+        TextAnalysis.hashedLinearScore(col("text")).as("score"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("keep", col("score") > 0)
+      .orderBy("doc_id")
+  }
+
+  val knnClassifyQ: QueryDef = QueryDef.sqlBacked(
+    "q_knn_classify",
+    """WITH e AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+      |r AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+      |s AS (SELECT q.vec_id AS qid, r.vec_id AS rid, r.label,
+      |  round(list_dot_product(q.emb, r.emb) /
+      |    (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(r.emb, r.emb))), 4) AS cos
+      |  FROM q, r),
+      |t AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, rid) AS rn FROM s),
+      |v AS (SELECT qid, label, CAST(COUNT(*) AS BIGINT) AS c FROM t WHERE rn <= 5 GROUP BY 1, 2),
+      |p AS (SELECT qid, label, c,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) AS vr FROM v)
+      |SELECT CAST(qid AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS predicted,
+      |  c AS votes
+      |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    doc = "k-NN label prediction over the embedding corpus (the classify-by-neighbors " +
+      "primitive behind dataset auto-labeling and weak supervision): every 25th vector " +
+      "plays the unlabeled probe, votes its 5 nearest labeled neighbors (rounded " +
+      "cosine, deterministic ties), majority label wins. The probe side broadcasts " +
+      "against the corpus — kernel-dot scoring, per-query window rank, embeddings " +
+      "never shuffle; the ANN indexes feed the same vote at probe-batch scale. Oracle " +
+      "replays scoring, ranking and voting end to end.") { (s, d) =>
+    Similarity.knnClassify(t(s, d, "embeddings"), "vec_id", "embedding", "label",
+        isQuery = col("vec_id") % 25 === 0, k = 5)
+      .orderBy("vec_id")
+  }
+
+  val audioFeaturesQ: QueryDef = QueryDef.sqlBacked(
+    "q_audio_features",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(256 AS BIGINT) AS n_samples, 8000 AS sample_rate, 1 AS channels,
+      |  CAST(SUM(s) AS BIGINT) AS sum_amp,
+      |  CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+      |  CAST(MAX(ABS(s)) AS INTEGER) AS max_abs
+      |FROM (SELECT doc_id, ((doc_id * 31 + 17 * i.i) % 65536) - 32768 AS s
+      |      FROM documents, generate_series(0, 255) AS i(i)) t
+      |GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    doc = "REAL audio decode over binary payloads (JDK javax.sound, no external jars): " +
+      "each document id becomes a deterministic 256-sample 16-bit PCM WAV (encoded via " +
+      "AudioSystem's own writer in the same narrow map stage), then " +
+      "Multimodal.audioFeatures DECODES the container back to frames and reports " +
+      "sample count / rate / channels + exact integer amplitude sums (the loudness/" +
+      "clipping signals an audio-corpus filter keys on). The oracle replays the " +
+      "closed-form sample rule with generate_series, so a hash match proves the full " +
+      "encode->WAV->decode->stats round trip. Payloads never shuffle; only (id, stats) " +
+      "leave the stage. Video decode remains the honest stub (no codec in the JDK).") { (s, d) =>
+    val ids = t(s, d, "documents").select(col("doc_id").cast("long").as("media_id"))
+    val rdd = ids.rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      org.apache.spark.sql.Row(id, Multimodal.syntheticWav(id, 256), "audio")
+    })
+    Multimodal.audioFeatures(s.createDataFrame(rdd, Multimodal.mediaSchema))
+      .orderBy("media_id")
+  }
+
   val repetitionSignals: QueryDef = QueryDef.sqlBacked(
     "q_repetition",
     """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -1373,5 +1482,6 @@ object LlmQueries {
     ngramJaccard, minhashLsh, dupClusters, winnow, simhash,
     cosineTopK, annLsh, annIvf, annIvfPq, semDedup, embedDecontaminate, embedNearDup,
     embedQuantize, pqQuantize,
-    multimodalMeta, multimodalFeatures, imageFeaturesQ, streamNearDup)
+    multimodalMeta, multimodalFeatures, imageFeaturesQ, audioFeaturesQ,
+    urlDedupQ, hashClassifierQ, knnClassifyQ, streamNearDup)
 }

@@ -183,4 +183,99 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, imageStatsSchema)
   }
+
+  // ------------------------------------------------ real audio decode
+
+  /** Deterministic 16-bit PCM sample: s(id, i) = ((id·31 + i·17) mod
+    * 65536) − 32768 — closed-form integer arithmetic a SQL oracle
+    * replays, same discipline as [[syntheticRgb]]. */
+  def syntheticPcm(id: Long, i: Int): Int =
+    (((id * 31 + 17L * i) % 65536) - 32768).toInt
+
+  /** Encode the synthetic signal as a WAV container via the JDK's own
+    * javax.sound stack (PCM_SIGNED 16-bit little-endian mono) — audio
+    * fixtures need no external jar either. */
+  def syntheticWav(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = syntheticPcm(id, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sum_amp", LongType, nullable = true),
+    StructField("sum_abs", LongType, nullable = true),
+    StructField("max_abs", IntegerType, nullable = true)))
+
+  /** REAL audio decode stats over a WAV payload (JDK javax.sound):
+    * sample count, rate, channels, and exact integer amplitude sums —
+    * the loudness/clipping signals an audio-corpus filter keys on.
+    * Supports the PCM_SIGNED 16-bit frames the container declares
+    * (any channel count; frames interleave). None when the bytes are
+    * not a decodable audio container or not 16-bit PCM. */
+  def decodeAudioStats(payload: Array[Byte]): Option[(Long, Int, Int, Long, Long, Int)] = {
+    if (payload == null) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => return None
+        case _: java.io.IOException => return None
+      }
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          || fmt.getSampleSizeInBits != 16) return None
+      val channels = fmt.getChannels
+      val bigEndian = fmt.isBigEndian
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      var sum = 0L; var sumAbs = 0L; var maxAbs = 0
+      var i = 0
+      while (i < n) {
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1) & 0xff
+        val s = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+        sum += s
+        val a = math.abs(s)
+        sumAbs += a
+        if (a > maxAbs) maxAbs = a
+        i += 1
+      }
+      Some((n.toLong / channels, fmt.getSampleRate.toInt, channels, sum, sumAbs, maxAbs))
+    } finally ais.close()
+  }
+
+  /** Partition-parallel REAL audio decode — same seam and same
+    * null-on-undecodable law as [[imageFeatures]]. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        decodeAudioStats(r.getAs[Array[Byte]](1)) match {
+          case Some((ns, sr, ch, sum, sabs, mx)) => Row(id, ns, sr, ch, sum, sabs, mx)
+          case None => Row(id, null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioStatsSchema)
+  }
 }

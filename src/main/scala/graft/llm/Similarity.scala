@@ -58,6 +58,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** k-NN LABEL PREDICTION: each query vector votes its k nearest
+    * labeled neighbors (cosine rounded to 4 dp, ties to the lower ref
+    * id); the majority label wins, ties to the smaller label — fully
+    * deterministic, so the prediction is oracle-replayable.
+    *
+    * Scale shape: the QUERY side is the small one (a probe batch), so
+    * it BROADCASTS against the labeled corpus — per-partition
+    * kernel-dot scoring + a per-query window rank, no corpus self-join
+    * and no shuffle of embeddings (only (qid, rid, label, cos) rows
+    * reach the rank exchange). When the probe batch is itself huge,
+    * the ANN indexes ([[annLshTopK]]/[[ivfTopK]]/[[ivfPqTopK]]) feed
+    * the same vote with candidate lists instead of the full corpus. */
+  def knnClassify(df: DataFrame, idCol: String, embCol: String,
+      labelCol: String, isQuery: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = df.filter(isQuery)
+      .select(col(idCol).as("qid"), col(embCol).as("q_emb"))
+    val r = df.filter(!isQuery)
+      .select(col(idCol).as("rid"), col(embCol).as("r_emb"),
+        col(labelCol).as("label"))
+    val scored = r.crossJoin(broadcast(q))
+      .select(col("qid"), col("rid"), col("label"),
+        round(dot(col("q_emb"), col("r_emb")) /
+          (norm(col("q_emb")) * norm(col("r_emb"))), 4).as("cos"))
+    val nn = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
+    val votes = scored.withColumn("rn", row_number().over(nn))
+      .filter(col("rn") <= k)
+      .groupBy("qid", "label").agg(count(lit(1)).as("c"))
+    val vw = Window.partitionBy("qid").orderBy(col("c").desc, col("label").asc)
+    votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+      .select(col("qid").as(idCol), col("label").as("predicted"),
+        col("c").cast("long").as("votes"))
+  }
+
   /** Random-hyperplane LSH bucket id: bit j = sign of ⟨v, Hⱼ₊ₒ⟩ where
     * plane component Hⱼ[i] is a deterministic pseudo-random value in
     * (−0.5, 0.5) derived from xxhash64(j, i). No stored codebook.

@@ -27,6 +27,26 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def wsTokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Hashing-trick linear scorer (the fastText/Vowpal-Wabbit inference
+    * shape): each whitespace token hashes into one of `buckets` weight
+    * slots via the portable md5-prefix hash, and the document's score
+    * is the EXACT INTEGER sum of its tokens' weights — the
+    * order-independent fold that keeps the result hash-checkable. The
+    * weight table here is a deterministic closed form
+    * (w(b) = (b·2654435761) mod 2B − B, mean-zero over the buckets); a
+    * trained model would broadcast its real table into the same plan —
+    * the INFERENCE shape (hash → bucket → weight → fold) is the
+    * operator, exactly how a trained fastText-style quality classifier
+    * runs over a 100 TB corpus (one narrow codegen'd pass, no UDF, no
+    * feature matrix materialized). */
+  def hashedLinearScore(textCol: Column, buckets: Int = 1024): Column =
+    aggregate(
+      transform(wsTokens(textCol), t => {
+        val b = pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets))
+        (b * lit(2654435761L)) % lit(2L * buckets) - lit(buckets.toLong)
+      }),
+      lit(0L), (acc, x) => acc + x)
+
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols. */
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpeTokenPattern), lit(0))

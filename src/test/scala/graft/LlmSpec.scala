@@ -184,6 +184,75 @@ class LlmSpec extends SparkSpec {
     assert(r3.isNullAt(1) && r3.isNullAt(4), "undecodable payload must yield null stats")
   }
 
+  test("real audio decode: WAV round trip matches the closed-form sample rule; " +
+      "non-audio bytes yield null stats") {
+    import graft.llm.Multimodal
+    val rows = Seq(
+      Row(5L, Multimodal.syntheticWav(5L, 256), "audio"),
+      Row(6L, Multimodal.syntheticWav(6L, 100, sampleRate = 16000), "audio"),
+      Row(7L, "not a wav at all".getBytes("UTF-8"), "audio"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val got = Multimodal.audioFeatures(df).collect().map(r => r.getLong(0) -> r).toMap
+    def stats(id: Long, n: Int): (Long, Long, Int) = {
+      var sum = 0L; var sabs = 0L; var mx = 0
+      (0 until n).foreach { i =>
+        val s = Multimodal.syntheticPcm(id, i)
+        sum += s; sabs += math.abs(s); mx = math.max(mx, math.abs(s))
+      }
+      (sum, sabs, mx)
+    }
+    val r5 = got(5L)
+    assert(r5.getLong(1) == 256L && r5.getInt(2) == 8000 && r5.getInt(3) == 1)
+    assert((r5.getLong(4), r5.getLong(5), r5.getInt(6)) == stats(5L, 256))
+    val r6 = got(6L) // decoded header drives the reported rate/length
+    assert(r6.getLong(1) == 100L && r6.getInt(2) == 16000)
+    assert((r6.getLong(4), r6.getLong(5), r6.getInt(6)) == stats(6L, 100))
+    assert(got(7L).isNullAt(1), "undecodable payload must yield null stats")
+  }
+
+  test("url canonicalization: case/port/www/fragment/tracking rules, path case preserved") {
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM:443/A/B?x=1#top", "https://example.com/A/B?x=1"),
+      ("http://Example.com:80/path", "http://example.com/path"),
+      ("https://example.com/p?utm_source=a&x=1&utm_medium=b", "https://example.com/p?x=1"),
+      ("https://example.com/p?utm_source=a", "https://example.com/p"),
+      ("https://example.com/p?utm_a=1&utm_b=2&c=3", "https://example.com/p?c=3"),
+      ("https://example.com/p?gclid=z&fbclid=y&keep=1", "https://example.com/p?keep=1"),
+      ("https://sub.example.com:8080/q", "https://sub.example.com:8080/q"), // non-default port kept
+      ("https://example.com", "https://example.com"))                      // no path at all
+    val df = cases.map(_._1).toDF("url")
+      .select(col("url"), UrlOps.canonicalUrl(col("url")).as("canon"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"canonical($in) = ${got(in)}, want $want")
+    }
+  }
+
+  test("knn classify: planted geometry votes deterministically, ties to the smaller label") {
+    // three clusters on axes; probes sit exactly on each axis
+    def vec(axis: Int, mag: Double): Seq[Double] =
+      Seq.tabulate(4)(i => if (i == axis) mag else 0.01 * (i + 1))
+    val rows =
+      (1 to 5).map(i => (100L + i, vec(0, 1.0 + i * 0.1), 7)) ++   // label 7 cluster on axis 0
+      (1 to 5).map(i => (200L + i, vec(1, 1.0 + i * 0.1), 3)) ++   // label 3 cluster on axis 1
+      Seq((0L, vec(0, 2.0), -1), (25L, vec(1, 2.0), -1))           // probes (id % 25 == 0)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(df, "vec_id", "embedding", "label",
+        isQuery = col("vec_id") % 25 === 0, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(0L) == 7 && got(25L) == 3, got.toString)
+    // exact 2-2 vote tie at k=4 resolves to the SMALLER label
+    val tieRows =
+      Seq((0L, vec(0, 1.0), -1),
+        (1L, vec(0, 1.1), 9), (2L, vec(0, 1.2), 9),
+        (3L, vec(0, 1.3), 4), (4L, vec(0, 1.4), 4))
+    val tie = Similarity.knnClassify(tieRows.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", isQuery = col("vec_id") === 0L, k = 4)
+      .head()
+    assert(tie.getInt(1) == 4, s"tie must resolve to the smaller label, got $tie")
+  }
+
   test("lsh bucket kernel matches the HOF chain for a LONG-typed plane offset") {
     // xxhash64(j + planeOffset, i) hashes its first arg with hashLong
     // when the offset widens to BIGINT — the kernel must branch the same
