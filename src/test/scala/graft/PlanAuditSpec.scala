@@ -65,6 +65,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("knn classify broadcasts the PROBE side; the labeled corpus never shuffles embeddings") {
+    val p = planOf("q_knn_classify")
+    // the probe batch rides a broadcast into a per-partition score pass
+    // (a nested-loop against a broadcast probe IS the intended shape —
+    // scoring is all-pairs by definition); what must never happen is a
+    // corpus-side cartesian or an exchange of the embedding column
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "corpus must never self-join all-pairs")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).toSeq
+    assert(exchanges.forall(!_.contains("emb")),
+      "only (qid, rid, label, cos) rows may reach the rank exchange")
+  }
+
+  test("url dedup and hash classifier stay narrow: no joins, partial aggregation") {
+    val pu = planOf("q_url_dedup")
+    assert(!pu.contains("Join"), "canonicalize+group must not join")
+    assert(pu.contains("partial_"), "url dedup must combine map-side")
+    val ph = planOf("q_hash_classifier")
+    assert(!ph.contains("Join") && !ph.contains("CartesianProduct"),
+      "hashed inference is one narrow pass")
+  }
+
   test("pq/ivf-pq encode stays a narrow kernel pass (no shuffle before the take)") {
     val p = planOf("q_pq_quantize")
     assert(p.contains("pqencodeexpr"), "encode must run the kernel expression")
