@@ -232,6 +232,79 @@ object AnalyticsQueries {
       .orderBy("user_id", "session_seq")
   }
 
+  private val streamSessionizeSink = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val streamSessionize: QueryDef = QueryDef.sqlBacked(
+    "q_stream_sessionize",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+      |l AS (SELECT user_id, ts_us, event_id,
+      |        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+      |m AS (SELECT user_id, ts_us, event_id,
+      |        CASE WHEN prev IS NULL OR ts_us - prev > 3600000000 THEN 1 ELSE 0 END AS ns FROM l),
+      |s AS (SELECT user_id, ts_us,
+      |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      |SELECT user_id, min(ts_us) AS session_start, max(ts_us) AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  max(ts_us) - min(ts_us) AS duration_us
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    doc = "STREAMING sessionization, oracle-gated: the events fixture arrives as three " +
+      "time-ordered micro-batches through a real Structured Streaming query — native " +
+      "session_window(ts, 1h) + watermark, append mode, memory sink — and the emitted " +
+      "closed sessions must hash-match the batch lag+running-sum formulation. Spark's " +
+      "merge law is pinned by StreamingSessionizeSpec (exact-gap merges, >gap splits — " +
+      "identical to the batch split), so the two agree row-for-row with no offset fudge; " +
+      "state is per OPEN session, watermark-evicted (streaming/StreamingSessionize).") { (s, d) =>
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = graft.core.Tables.eventsUs(s, d).select("user_id", "ts_us")
+      .as[(Long, Long)].collect().toSeq.sortBy(_._2)
+    // three time-ordered epochs: sessions routinely SPAN the epoch cut,
+    // so the cross-batch state path is what's under test
+    val epochs = rows.grouped((rows.size + 2) / 3).toSeq
+    val maxTs = rows.last._2
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select("user_id", "ts")
+    val sessions = graft.streaming.StreamingSessionize.sessions(
+      stream, Seq("user_id"), "ts", gap = "3600 seconds")
+    val sink = s"stream_sessionize_${streamSessionizeSink.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_sessionize").toString
+    val q = sessions.writeStream.format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val collected =
+      try {
+        epochs.foreach { ep => input.addData(ep); q.processAllAvailable() }
+        // two sentinel batches (user -1, far future): the first advances
+        // max(event time), the second runs under the advanced watermark
+        // and closes every real session; sentinels never emit (filtered,
+        // and their own session stays open)
+        input.addData(Seq((-1L, maxTs + 36000000000L))); q.processAllAvailable()
+        input.addData(Seq((-1L, maxTs + 72000000000L))); q.processAllAvailable()
+        s.table(sink).filter(col("user_id") =!= -1L)
+          .select("user_id", "session_start", "session_end", "n_events", "duration_us")
+          .orderBy("user_id", "session_start")
+          .collect().toSeq
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sink)
+        // stop state-store providers + maintenance pool so nothing leaks
+        // into whatever the caller times next
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      collected.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("session_start", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("session_end", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("duration_us", org.apache.spark.sql.types.LongType))))
+  }
+
   val rangeJoin: QueryDef = QueryDef.sqlBacked(
     "q_range_join",
     """WITH clicks AS (
@@ -416,5 +489,6 @@ object AnalyticsQueries {
     exactMedian, modeAgg, outerJoin, histogram, cubeAgg, stringAgg,
     semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
-    asofJoin, sessionize, rangeJoin, topKAgg, dedupFailEvidence, approxDistinct)
+    asofJoin, sessionize, streamSessionize, rangeJoin, topKAgg, dedupFailEvidence,
+    approxDistinct)
 }
