@@ -330,6 +330,77 @@ object AnalyticsQueries {
       .orderBy("event_id", "purchase_id")
   }
 
+  private val streamIntervalSink = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val streamIntervalJoin: QueryDef = QueryDef.sqlBacked(
+    "q_stream_interval_join",
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT user_id, epoch_us(ts) AS p_ts, event_id AS purchase_id
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.event_id AS click_id, p.purchase_id, p.p_ts - c.ts_us AS delta_us
+      |FROM clicks c JOIN purch p
+      |  ON c.user_id = p.user_id AND p.p_ts >= c.ts_us AND p.p_ts <= c.ts_us + 3600000000
+      |ORDER BY click_id, purchase_id""".stripMargin,
+    doc = "STREAM-STREAM interval join, oracle-gated: clicks and purchases arrive as separate " +
+      "real streams in three time-ordered micro-batches each; Catalyst's symmetric hash join " +
+      "buffers left rows window+lateness and right rows lateness in keyed state (watermark-" +
+      "evicted, RocksDB-backable), the interval bound rides the JOIN CONDITION so state is " +
+      "bounded by construction, and inner matches emit the moment the later row arrives — " +
+      "cross-epoch pairs included. Must hash-match the batch bucketed RangeJoin oracle " +
+      "(streaming/StreamingIntervalJoin).") { (s, d) =>
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = eventsUs(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts_us", "event_id").as[(Long, Long, Long)]
+      .collect().toSeq.sortBy(e => (e._2, e._3))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "event_id").as[(Long, Long, Long)]
+      .collect().toSeq.sortBy(e => (e._2, e._3))
+    val lIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val rIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val l = lIn.toDF().toDF("user_id", "lts_us", "click_id")
+      .withColumn("lts", timestamp_micros(col("lts_us")))
+    val r = rIn.toDF().toDF("user_id", "rts_us", "purchase_id")
+      .withColumn("rts", timestamp_micros(col("rts_us")))
+    val joined = graft.streaming.StreamingIntervalJoin.joinWithin(
+        l, r, Seq("user_id"), "lts", "rts", window = "1 hour")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("rts_us") - col("lts_us")).as("delta_us"))
+    val sink = s"stream_interval_join_${streamIntervalSink.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ij").toString
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val collected =
+      try {
+        // three epochs per side: pairs routinely complete ACROSS epochs
+        // (click buffered in state until its purchase arrives), so the
+        // cross-batch state path is what's under test
+        val lEp = clicks.grouped((clicks.size + 2) / 3).toSeq.map(Some(_))
+        val rEp = purch.grouped((purch.size + 2) / 3).toSeq.map(Some(_))
+        lEp.zipAll(rEp, None, None).foreach { case (le, re) =>
+          le.foreach(lIn.addData(_)); re.foreach(rIn.addData(_))
+          q.processAllAvailable()
+        }
+        s.table(sink).orderBy("click_id", "purchase_id").collect().toSeq
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sink)
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      collected.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("click_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("purchase_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("delta_us", org.apache.spark.sql.types.LongType))))
+  }
+
   val topKAgg: QueryDef = QueryDef.sqlBacked(
     "q_topk_agg",
     """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
@@ -489,6 +560,7 @@ object AnalyticsQueries {
     exactMedian, modeAgg, outerJoin, histogram, cubeAgg, stringAgg,
     semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
-    asofJoin, sessionize, streamSessionize, rangeJoin, topKAgg, dedupFailEvidence,
+    asofJoin, sessionize, streamSessionize, rangeJoin, streamIntervalJoin,
+    topKAgg, dedupFailEvidence,
     approxDistinct)
 }
