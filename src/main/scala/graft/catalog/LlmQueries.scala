@@ -1474,6 +1474,110 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  val substringDedup: QueryDef = QueryDef.sqlBacked(
+    "q_substring_dedup",
+    """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+      |w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |        md5(array_to_string(list_slice(ts, i, i+19), ' ')) AS h
+      |      FROM tok, UNNEST(range(1, len(ts)-18)) AS t(i) WHERE len(ts) >= 20),
+      |nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM w GROUP BY 1),
+      |c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n, min(doc_id*1000000+pos) AS ck
+      |      FROM w GROUP BY 1),
+      |d AS (SELECT w.doc_id, w.pos FROM w JOIN c ON w.h = c.h
+      |      WHERE c.n >= 2 AND w.doc_id*1000000+w.pos > c.ck),
+      |sp AS (SELECT doc_id, pos AS s, pos+19 AS e FROM d),
+      |fl AS (SELECT doc_id, s, e,
+      |        CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |          OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |        THEN 1 ELSE 0 END AS f FROM sp),
+      |g AS (SELECT doc_id, s, e, SUM(f) OVER (PARTITION BY doc_id ORDER BY s, e
+      |        ROWS UNBOUNDED PRECEDING) AS grp FROM fl),
+      |isl AS (SELECT doc_id, grp, min(s) AS st, max(e) AS en,
+      |        CAST(COUNT(*) AS BIGINT) AS nsp FROM g GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(SUM(nsp) AS BIGINT) AS n_dup_spans,
+      |        CAST(SUM(en-st+1) AS BIGINT) AS dup_token_coverage FROM isl GROUP BY 1)
+      |SELECT nw.doc_id, nw.n_windows, agg.n_dup_spans, agg.dup_token_coverage
+      |FROM nw JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    doc = "SUBSTRING-level dedup (Lee et al. ACL'22): every 20-token window whose text recurs " +
+      "corpus-wide is a duplicate span; one canonical occurrence (global min (doc,pos)) " +
+      "survives, the rest are marked and their per-doc union coverage measured by " +
+      "gaps-and-islands. Windowing is a pure map stage — only (16B hash, doc, pos) triples " +
+      "shuffle, never text; marking is an aggregate + co-partitioned join on the hash key " +
+      "(llm/SubstringDedup; the cut itself is spec-gated — token-count conservation law).") {
+    (s, d) =>
+      val w = SubstringDedup.windows(docsFanout(s, d), 20).persist()
+      val nw = w.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      val cov = SubstringDedup.dupCoverage(SubstringDedup.duplicateSpans(w), 20)
+      nw.join(cov, "doc_id")
+        .select("doc_id", "n_windows", "n_dup_spans", "dup_token_coverage")
+        .orderBy("doc_id")
+  }
+
+  val bm25: QueryDef = QueryDef.sqlBacked(
+    "q_bm25",
+    """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |            FROM documents),
+      |len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS total FROM len),
+      |tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+      |       WHERE w IN ('data', 'join', 'spark') GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+      |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |  round(ln(1 + ((SELECT n FROM n) - df.df + 0.5) / (df.df + 0.5))
+      |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * len.dl
+      |        / (CAST((SELECT total FROM n) AS DOUBLE) / (SELECT n FROM n)))), 6) AS bm25
+      |FROM tf JOIN len USING (doc_id) JOIN df USING (term)
+      |ORDER BY doc_id, term""".stripMargin,
+    doc = "BM25 relevance per (doc, query term), k1=1.2 b=0.75: corpus stats (N, avgdl) derive " +
+      "from EXACT integer aggregates so the only floats are per-row (no cross-row FP sums — " +
+      "the determinism law); df table and the 1-row stats frame broadcast into the probe. " +
+      "One tokenize pass feeds lengths and term frequencies.") { (s, d) =>
+    val terms = Seq("data", "join", "spark")
+    val tok = docsFanout(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.wsTokens(trim(lower(col("text"))))).as("w"))
+      .persist()
+    val len = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = len.agg(count(lit(1)).as("__n"), sum("dl").as("__total"))
+    val tf = tok.filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w").as("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("__total").cast("double") / col("__n")
+    tf.join(len, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(
+          log(lit(1) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)),
+          6).as("bm25"))
+      .orderBy("doc_id", "term")
+  }
+
+  val stratifiedSample: QueryDef = QueryDef.sqlBacked(
+    "q_stratified_sample",
+    """SELECT source, doc_id, rn FROM (
+      |  SELECT source, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+    doc = "Stratified fixed-k sample (10 docs/source): hash-rank selection — order each stratum " +
+      "by md5(id) and keep the k smallest — is the DETERMINISTIC distributed equivalent of " +
+      "reservoir sampling (uniform over the stratum, replayable, no rand()); one shuffle on " +
+      "the stratum key, and the bounded k-buffer UDAF (functions/TopKAgg) is the rung that " +
+      "replaces the per-stratum sort when strata get huge.") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id")))
+    docs(s, d)
+      .select(col("source"), col("doc_id"), rn.as("rn"))
+      .filter(col("rn") <= 10)
+      .orderBy("source", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     textFingerprint, dedupContentHash, tokenStats, textQuality, qualityFilter, lmCoverage, langIdQ,
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
@@ -1483,5 +1587,6 @@ object LlmQueries {
     cosineTopK, annLsh, annIvf, annIvfPq, semDedup, embedDecontaminate, embedNearDup,
     embedQuantize, pqQuantize,
     multimodalMeta, multimodalFeatures, imageFeaturesQ, audioFeaturesQ,
-    urlDedupQ, hashClassifierQ, knnClassifyQ, streamNearDup)
+    urlDedupQ, hashClassifierQ, knnClassifyQ, streamNearDup,
+    substringDedup, bm25, stratifiedSample)
 }
