@@ -27,14 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object StreamingIntervalJoin {
 
-  /** Inner-join two STREAMING frames on `keys` plus
+  /** Join two STREAMING frames on `keys` plus
     * `right.rightTs ∈ [left.leftTs, left.leftTs + window]`.
     * `leftTs`/`rightTs` are TIMESTAMP columns (must be distinctly
     * named); `window` and `lateness` are interval strings.
+    *
+    * `joinType` "inner": matches emit as soon as the later row
+    * arrives. "left_outer": additionally, a left row with NO match
+    * emits null-padded — but only once BOTH watermarks pass
+    * `leftTs + window` (the earliest moment absence is provable;
+    * Spark holds the row in state exactly that long, then emits and
+    * evicts in one step — the streaming twin of a left range join).
     */
   def joinWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, window: String,
-      lateness: String = "1 second"): DataFrame = {
+      lateness: String = "1 second", joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer", joinType)
     val l = left.withWatermark(leftTs, lateness)
     // key columns live on both sides; alias the right copies so the
     // equi-join condition is unambiguous and the output keeps one copy
@@ -44,6 +52,6 @@ object StreamingIntervalJoin {
     val cond = keyEq &&
       col(rightTs) >= col(leftTs) &&
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window")
-    l.join(r, cond, "inner").drop(keys.map(k => s"_r_$k"): _*)
+    l.join(r, cond, joinType).drop(keys.map(k => s"_r_$k"): _*)
   }
 }

@@ -39,6 +39,51 @@ class StreamingIntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("left_outer: unmatched left emits null-padded once the watermark proves absence") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val lIn = MemoryStream[(Long, Long, Long)]
+    val rIn = MemoryStream[(Long, Long, Long)]
+    val l = lIn.toDF().toDF("user_id", "lts_us", "left_id")
+      .withColumn("lts", timestamp_micros(col("lts_us"))).drop("lts_us")
+    val r = rIn.toDF().toDF("user_id", "rts_us", "right_id")
+      .withColumn("rts", timestamp_micros(col("rts_us"))).drop("rts_us")
+    val joined = StreamingIntervalJoin.joinWithin(
+        l, r, Seq("user_id"), "lts", "rts", "1 hour", joinType = "left_outer")
+      .select(col("user_id"), col("left_id"), col("right_id"))
+    val sink = s"stream_ij_outer_${System.nanoTime()}"
+    val ckpt = tmpDir()
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // left 100 matches; left 200 never will
+      lIn.addData(Seq((1L, t0, 100L), (2L, t0, 200L)))
+      rIn.addData(Seq((1L, t0 + 60000000L, 901L)))
+      q.processAllAvailable()
+      val early = spark.table(sink).as[(Long, Long, Option[Long])].collect().toSeq
+      assert(early === Seq((1L, 100L, Some(901L))),
+        "unmatched left must NOT emit before the watermark passes lts+window")
+      // advance BOTH watermarks far past t0+window: absence is provable,
+      // (2, 200) emits null-padded. Two rounds: the first advances event
+      // time, the second runs state cleanup under the new watermark.
+      lIn.addData(Seq((9L, t0 + 7200000000L, 1L)))
+      rIn.addData(Seq((9L, t0 + 7200000000L, 2L)))
+      q.processAllAvailable()
+      lIn.addData(Seq((9L, t0 + 10800000000L, 3L)))
+      rIn.addData(Seq((9L, t0 + 10800000000L, 4L)))
+      q.processAllAvailable()
+      val out = spark.table(sink).as[(Long, Long, Option[Long])].collect().toSeq
+        .filter(_._1 == 2L)
+      assert(out === Seq((2L, 200L, None)))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(sink)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("cross-epoch match: right row in a later batch pairs with a buffered left row") {
     val t0 = 1700000000000000L
     val out = run(
