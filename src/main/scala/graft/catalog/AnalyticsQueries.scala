@@ -556,11 +556,66 @@ object AnalyticsQueries {
       .orderBy("o_orderstatus")
   }
 
+  val madOutliers: QueryDef = QueryDef.sqlBacked(
+    "q_mad_outliers",
+    """WITH base AS (SELECT l_returnflag AS flag, CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+      |                     l_orderkey, l_linenumber FROM lineitem),
+      |m1 AS (SELECT flag, v AS med FROM (
+      |  SELECT flag, v, row_number() OVER (PARTITION BY flag
+      |           ORDER BY v, l_orderkey, l_linenumber) AS rn,
+      |         COUNT(*) OVER (PARTITION BY flag) AS n FROM base) t
+      |  WHERE rn = (n+1)//2),
+      |dev AS (SELECT b.flag, b.v, abs(b.v - m1.med) AS d, b.l_orderkey, b.l_linenumber
+      |        FROM base b JOIN m1 USING (flag)),
+      |m2 AS (SELECT flag, d AS mad FROM (
+      |  SELECT flag, d, row_number() OVER (PARTITION BY flag
+      |           ORDER BY d, l_orderkey, l_linenumber) AS rn,
+      |         COUNT(*) OVER (PARTITION BY flag) AS n FROM dev) t
+      |  WHERE rn = (n+1)//2)
+      |SELECT dev.flag AS l_returnflag, m2.mad,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN dev.d > 3*m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  min(CASE WHEN dev.d > 3*m2.mad THEN dev.v END) AS min_outlier,
+      |  max(CASE WHEN dev.d > 3*m2.mad THEN dev.v END) AS max_outlier
+      |FROM dev JOIN m2 USING (flag) GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    doc = "Robust outlier detection per group: median absolute deviation (|v - median| > 3·MAD), " +
+      "both medians by exact rank selection over DECIMAL values — no float accumulation " +
+      "anywhere, so the verdict is engine-portable. Two windowed passes on the SAME group " +
+      "key (one shuffle, reused partitioning), medians broadcast back into the probe.") {
+    (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+      val base = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").cast(dec).as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+      def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+        val w = Window.partitionBy("flag")
+          .orderBy(col(valueCol), col("l_orderkey"), col("l_linenumber"))
+        val n = Window.partitionBy("flag")
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(n))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("flag"), col(valueCol).as(out))
+      }
+      val m1 = lowerMedian(base, "v", "med")
+      val dev = base.join(broadcast(m1), "flag")
+        .withColumn("d", abs(col("v") - col("med")))
+      val m2 = lowerMedian(dev, "d", "mad")
+      val isOut = col("d") > lit(3) * col("mad")
+      dev.join(broadcast(m2), "flag")
+        .groupBy(col("flag").as("l_returnflag"), col("mad"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+          min(when(isOut, col("v"))).as("min_outlier"),
+          max(when(isOut, col("v"))).as("max_outlier"))
+        .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     exactMedian, modeAgg, outerJoin, histogram, cubeAgg, stringAgg,
     semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
     asofJoin, sessionize, streamSessionize, rangeJoin, streamIntervalJoin,
-    topKAgg, dedupFailEvidence,
+    topKAgg, dedupFailEvidence, madOutliers,
     approxDistinct)
 }

@@ -1578,6 +1578,56 @@ object LlmQueries {
       .orderBy("source", "rn")
   }
 
+  val heavyHitters: QueryDef = QueryDef.sqlBacked(
+    "q_heavy_hitters",
+    """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |            FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok)
+      |SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM tok GROUP BY 1 HAVING COUNT(*) * 200 > (SELECT total FROM n)
+      |ORDER BY term""".stripMargin,
+    doc = "Heavy hitters (tokens with freq > n/200) by SKETCH-PRUNE-CONFIRM: a Misra-Gries " +
+      "Aggregator (capacity 400 ≥ 200 ⇒ every true heavy hitter is guaranteed present) " +
+      "finds candidates in ONE pass with ≤400 counters per map partition — the exact " +
+      "groupBy the oracle runs shuffles one row per distinct token, mostly singletons, " +
+      "at corpus scale — then an exact count pass over only the candidates confirms, so " +
+      "the answer is exact regardless of sketch error (functions/MisraGries).") { (s, d) =>
+    val tok = docsFanout(s, d)
+      .select(explode(TextAnalysis.wsTokens(trim(lower(col("text"))))).as("w"))
+      .persist()
+    val mg = udaf(new graft.functions.MisraGries(400))
+    val head = tok.agg(count(lit(1)).as("total"), mg(col("w")).as("sketch")).head
+    val total = head.getLong(0)
+    val cands = head.getMap[String, Long](1).keys.toSeq.sorted
+    tok.filter(col("w").isin(cands: _*))
+      .groupBy(col("w").as("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 200 > total)
+      .orderBy("term")
+  }
+
+  val invertedIndex: QueryDef = QueryDef.sqlBacked(
+    "q_inverted_index",
+    """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |            FROM documents),
+      |d AS (SELECT w AS term, doc_id FROM tok GROUP BY 1, 2)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+      |FROM d GROUP BY term ORDER BY term""".stripMargin,
+    doc = "Inverted index build: term → sorted doc-id posting list. One tokenize pass, " +
+      "distinct (term, doc) then list-aggregate on the term key — posting lists stay " +
+      "sorted for merge-joins/delta-encoding downstream; the term key shuffles 8-byte " +
+      "ids, never text.") { (s, d) =>
+    val postings = docsFanout(s, d)
+      .select(col("doc_id"),
+        explode(TextAnalysis.wsTokens(trim(lower(col("text"))))).as("term"))
+      .distinct()
+    postings.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          sort_array(collect_list(col("doc_id"))).cast("array<string>")).as("postings"))
+      .orderBy("term")
+  }
+
   val all: Seq[QueryDef] = Seq(
     textFingerprint, dedupContentHash, tokenStats, textQuality, qualityFilter, lmCoverage, langIdQ,
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
@@ -1588,5 +1638,5 @@ object LlmQueries {
     embedQuantize, pqQuantize,
     multimodalMeta, multimodalFeatures, imageFeaturesQ, audioFeaturesQ,
     urlDedupQ, hashClassifierQ, knnClassifyQ, streamNearDup,
-    substringDedup, bm25, stratifiedSample)
+    substringDedup, bm25, stratifiedSample, heavyHitters, invertedIndex)
 }
