@@ -101,6 +101,32 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(planOf("q_repetition")).size >= 2)
   }
 
+  test("substring dedup: span marking joins on the hash key, never all-pairs") {
+    val p = planOf("q_substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // windowing + canonical aggregate both partial-aggregate before the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("bm25: df table and corpus stats broadcast into the probe") {
+    val p = planOf("q_bm25")
+    assert(p.contains("BroadcastHashJoin"), "df join must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "no wide join anywhere in bm25")
+  }
+
+  test("heavy hitters: the confirm pass aggregates partially (sketch already pruned)") {
+    val p = planOf("q_heavy_hitters")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("Join"), "confirm is a filtered aggregate, not a join")
+  }
+
+  test("mad outliers: medians broadcast back; one shuffle granularity on the group key") {
+    val p = planOf("q_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), "median frames must broadcast into the probe")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("aggregations are partial (map-side combine before the exchange)") {
     val p = planOf("q1_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
