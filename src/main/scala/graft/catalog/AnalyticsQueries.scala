@@ -611,11 +611,88 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
   }
 
+  val ntileBucket: QueryDef = QueryDef.sqlBacked(
+    "q_ntile_bucket",
+    """SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |  min(v) AS min_price, max(v) AS max_price
+      |FROM (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+      |        CAST(ntile(4) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      |             AS INTEGER) AS bucket
+      |      FROM lineitem) t
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "Equi-depth quartile bucketing with EXACT SQL NTILE semantics, computed DISTRIBUTED: " +
+      "ntile() OVER (ORDER BY ...) with no partition collapses 100 TB into one task; " +
+      "operators/GlobalRank instead range-partitions + sorts (the distributed ORDER BY " +
+      "shape), prefix-sums per-partition counts into broadcast rank offsets, and stamps " +
+      "ranks in one order-preserving pass — TeraSort ranking, partition-count invariant " +
+      "under the total order.") { (s, d) =>
+    val base = t(s, d, "lineitem")
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("v"))
+    graft.operators.GlobalRank.ntile(base,
+        Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), 4)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("v").as("min_price"), max("v").as("max_price"))
+      .orderBy("bucket")
+  }
+
+  val slidingWindow: QueryDef = QueryDef.sqlBacked(
+    "q_sliding_window",
+    """WITH e AS (SELECT epoch_us(ts) AS ts_us, user_id FROM events),
+      |w AS (SELECT (ts_us // 900000000 - k) * 900000000 AS ws, user_id
+      |      FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t)
+      |SELECT ws AS window_start_us, ws + 3600000000 AS window_end_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM w GROUP BY ws ORDER BY ws""".stripMargin,
+    doc = "Sliding-window aggregation (1h window, 15min slide) on Spark's NATIVE window() " +
+      "generator — each event fans out to exactly window/slide = 4 epoch-aligned windows " +
+      "before the aggregate, so the shuffle carries (window, key) pairs with map-side " +
+      "combine; the same plan runs unchanged under readStream + watermark.") { (s, d) =>
+    eventsUs(s, d)
+      .groupBy(window(timestamp_micros(col("ts_us")), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        unix_micros(col("w.end")).as("window_end_us"),
+        col("n_events"), col("n_users"))
+      .orderBy("window_start_us")
+  }
+
+  val incrementalAgg: QueryDef = QueryDef.sqlBacked(
+    "q_incremental_agg",
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    doc = "Incremental aggregate-state maintenance: the history half is aggregated into a " +
+      "per-key STATE frame (count/sum/min/max partials), the new batch into another, and " +
+      "the answer is the re-aggregated union of partials — the 100 TB shape where history " +
+      "is never rescanned, only its state merged. The oracle is the monolithic full " +
+      "recompute, so the hash proves partial-merge associativity end-to-end; DECIMAL " +
+      "accumulation keeps the sums bit-identical either way.") { (s, d) =>
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val ev = eventsUs(s, d)
+      .select(col("user_id"), col("ts_us"), col("value").cast(dec).as("v"))
+    val cutoff = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2")).head.getLong(0)
+    def partial(df: DataFrame): DataFrame = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        min("ts_us").as("f"), max("ts_us").as("l"))
+    partial(ev.filter(col("ts_us") < cutoff))
+      .unionByName(partial(ev.filter(col("ts_us") >= cutoff)))
+      .groupBy("user_id")
+      .agg(sum("n").as("n_events"),
+        sum("sv").cast("double").as("total_value"),
+        min("f").as("first_ts_us"), max("l").as("last_ts_us"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     exactMedian, modeAgg, outerJoin, histogram, cubeAgg, stringAgg,
     semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
     asofJoin, sessionize, streamSessionize, rangeJoin, streamIntervalJoin,
-    topKAgg, dedupFailEvidence, madOutliers,
+    topKAgg, dedupFailEvidence, madOutliers, ntileBucket, slidingWindow,
+    incrementalAgg,
     approxDistinct)
 }
