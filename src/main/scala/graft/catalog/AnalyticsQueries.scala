@@ -659,6 +659,65 @@ object AnalyticsQueries {
       .orderBy("window_start_us")
   }
 
+  private val streamSlidingSink = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val streamSliding: QueryDef = QueryDef.sqlBacked(
+    "q_stream_sliding",
+    """WITH e AS (SELECT epoch_us(ts) AS ts_us, user_id FROM events),
+      |w AS (SELECT (ts_us // 900000000 - k) * 900000000 AS ws, user_id
+      |      FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t)
+      |SELECT ws AS window_start_us, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM w GROUP BY ws ORDER BY ws""".stripMargin,
+    doc = "STREAMING sliding-window aggregation, oracle-gated: the events fixture arrives as " +
+      "three time-ordered micro-batches; native window(ts, 1h, 15min) + watermark in append " +
+      "mode emits each window once it CLOSES (watermark past window end), state is per open " +
+      "window and watermark-evicted. Two far-future sentinel batches close the tail windows; " +
+      "the emitted set must hash-match the batch 4-windows-per-event fan-out oracle — the " +
+      "same plan, batch or stream (streaming twin of q_sliding_window).") { (s, d) =>
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = eventsUs(s, d).select("ts_us", "user_id")
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val epochs = rows.grouped((rows.size + 2) / 3).toSeq
+    val maxTs = rows.last._1
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val agg = input.toDF().toDF("ts_us", "user_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("n_events"))
+    val sink = s"stream_sliding_${streamSlidingSink.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_sliding").toString
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val collected =
+      try {
+        epochs.foreach { ep => input.addData(ep); q.processAllAvailable() }
+        // sentinels: advance the watermark far past every real window so
+        // the tail emits; the sentinel's own windows stay open and are
+        // filtered by the cutoff below
+        val cutoff = maxTs + 3600000000L
+        input.addData(Seq((maxTs + 36000000000L, -1L))); q.processAllAvailable()
+        input.addData(Seq((maxTs + 72000000000L, -1L))); q.processAllAvailable()
+        s.table(sink).filter(col("window_start_us") < cutoff)
+          .orderBy("window_start_us").collect().toSeq
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sink)
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      collected.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("window_start_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_events",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   val incrementalAgg: QueryDef = QueryDef.sqlBacked(
     "q_incremental_agg",
     """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -693,6 +752,6 @@ object AnalyticsQueries {
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
     asofJoin, sessionize, streamSessionize, rangeJoin, streamIntervalJoin,
     topKAgg, dedupFailEvidence, madOutliers, ntileBucket, slidingWindow,
-    incrementalAgg,
+    streamSliding, incrementalAgg,
     approxDistinct)
 }
