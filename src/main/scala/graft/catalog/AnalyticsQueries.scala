@@ -186,6 +186,9 @@ object AnalyticsQueries {
   private def eventsUs(s: SparkSession, d: String): DataFrame =
     graft.core.Tables.eventsUs(s, d)
 
+  private def withStreamingShuffle[T](s: SparkSession)(body: => T): T =
+    graft.core.Sessions.withStreamingShuffle(s)(body)
+
   val asofJoin: QueryDef = QueryDef.sqlBacked(
     "q_asof_join",
     """WITH clicks AS (
@@ -255,6 +258,7 @@ object AnalyticsQueries {
       "merge law is pinned by StreamingSessionizeSpec (exact-gap merges, >gap splits — " +
       "identical to the batch split), so the two agree row-for-row with no offset fudge; " +
       "state is per OPEN session, watermark-evicted (streaming/StreamingSessionize).") { (s, d) =>
+    withStreamingShuffle(s) {
     import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = graft.core.Tables.eventsUs(s, d).select("user_id", "ts_us")
@@ -303,6 +307,7 @@ object AnalyticsQueries {
         org.apache.spark.sql.types.StructField("session_end", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("duration_us", org.apache.spark.sql.types.LongType))))
+    }
   }
 
   val rangeJoin: QueryDef = QueryDef.sqlBacked(
@@ -350,6 +355,7 @@ object AnalyticsQueries {
       "bounded by construction, and inner matches emit the moment the later row arrives — " +
       "cross-epoch pairs included. Must hash-match the batch bucketed RangeJoin oracle " +
       "(streaming/StreamingIntervalJoin).") { (s, d) =>
+    withStreamingShuffle(s) {
     import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
     val ev = eventsUs(s, d)
@@ -399,6 +405,7 @@ object AnalyticsQueries {
         org.apache.spark.sql.types.StructField("click_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("purchase_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("delta_us", org.apache.spark.sql.types.LongType))))
+    }
   }
 
   val topKAgg: QueryDef = QueryDef.sqlBacked(
@@ -674,6 +681,7 @@ object AnalyticsQueries {
       "window and watermark-evicted. Two far-future sentinel batches close the tail windows; " +
       "the emitted set must hash-match the batch 4-windows-per-event fan-out oracle — the " +
       "same plan, batch or stream (streaming twin of q_sliding_window).") { (s, d) =>
+    withStreamingShuffle(s) {
     import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = eventsUs(s, d).select("ts_us", "user_id")
@@ -716,6 +724,7 @@ object AnalyticsQueries {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("n_events",
           org.apache.spark.sql.types.LongType))))
+    }
   }
 
   val incrementalAgg: QueryDef = QueryDef.sqlBacked(

@@ -616,6 +616,7 @@ object LlmQueries {
       "wide batch pass, which is the operator's correctness claim. Portable md5 " +
       "token hash so DuckDB replays the signatures; production default remains " +
       "the xxhash64 kernel behind the same interface.") { (s, d) =>
+    graft.core.Sessions.withStreamingShuffle(s) {
     import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = corpusWithDups(s, d).select("doc_id", "text")
@@ -657,6 +658,7 @@ object LlmQueries {
         org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("hamming", org.apache.spark.sql.types.IntegerType))))
+    }
   }
 
   val datasetMix: QueryDef = QueryDef.sqlBacked(

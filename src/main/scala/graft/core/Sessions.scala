@@ -30,4 +30,19 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Run `body` with streaming-sized shuffle parallelism. Stateful
+    * streaming queries pay per-micro-batch fixed cost PER STATE
+    * PARTITION (store open/commit/snapshot × partitions × batches);
+    * the catalog's drain fixtures are driver-fed MemoryStreams, so 32
+    * state partitions buy nothing and quadruple the fixed cost. 8
+    * keeps state genuinely distributed (and the results are partition-
+    * count invariant — only the wall changes). On a real cluster,
+    * size state partitions to executor count through this same conf. */
+  def withStreamingShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
 }
