@@ -474,15 +474,14 @@ object AnalyticsQueries {
       |  FROM lineitem) t
       |WHERE rn = (n + 1) // 2
       |ORDER BY l_returnflag""".stripMargin,
-    doc = "Exact (lower) median via rank selection — engine-portable, unlike interpolating " +
-      "percentile built-ins whose algorithms differ.") { (s, d) =>
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-    t(s, d, "lineitem")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-      .filter(col("rn") === expr("(n + 1) div 2"))
-      .select(col("l_returnflag"), col("l_quantity").as("median_qty"))
+    doc = "Exact (lower) median — engine-portable, unlike interpolating percentile built-ins " +
+      "whose algorithms differ. Computed DISTRIBUTED (operators/DistributedSelect: sample → " +
+      "bracket → count → narrow extract, every pass a parallel aggregate) — the window " +
+      "rank-selection the oracle runs sorts each whole group in ONE task, which is the " +
+      "per-group skew killer at 100 TB.") { (s, d) =>
+    graft.operators.DistributedSelect.lowerMedianByGroup(
+        t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+        Seq("l_returnflag"), "l_quantity", out = "median_qty")
       .orderBy("l_returnflag")
   }
 
@@ -586,28 +585,21 @@ object AnalyticsQueries {
       |  max(CASE WHEN dev.d > 3*m2.mad THEN dev.v END) AS max_outlier
       |FROM dev JOIN m2 USING (flag) GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     doc = "Robust outlier detection per group: median absolute deviation (|v - median| > 3·MAD), " +
-      "both medians by exact rank selection over DECIMAL values — no float accumulation " +
-      "anywhere, so the verdict is engine-portable. Two windowed passes on the SAME group " +
-      "key (one shuffle, reused partitioning), medians broadcast back into the probe.") {
+      "both medians EXACT over DECIMAL values — no float accumulation anywhere, so the " +
+      "verdict is engine-portable. Medians come from operators/DistributedSelect (sample → " +
+      "bracket → count → narrow extract — never the oracle's one-task-per-group window " +
+      "sort); the two tiny (group, median) frames broadcast back into the probe.") {
     (s, d) =>
       val dec = org.apache.spark.sql.types.DecimalType(12, 2)
       val base = t(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"),
-          col("l_extendedprice").cast(dec).as("v"),
-          col("l_orderkey"), col("l_linenumber"))
-      def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
-        val w = Window.partitionBy("flag")
-          .orderBy(col(valueCol), col("l_orderkey"), col("l_linenumber"))
-        val n = Window.partitionBy("flag")
-        df.withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(n))
-          .filter(col("rn") === expr("(n + 1) div 2"))
-          .select(col("flag"), col(valueCol).as(out))
-      }
-      val m1 = lowerMedian(base, "v", "med")
+          col("l_extendedprice").cast(dec).as("v"))
+      val m1 = graft.operators.DistributedSelect.lowerMedianByGroup(
+        base, Seq("flag"), "v", out = "med")
       val dev = base.join(broadcast(m1), "flag")
         .withColumn("d", abs(col("v") - col("med")))
-      val m2 = lowerMedian(dev, "d", "mad")
+      val m2 = graft.operators.DistributedSelect.lowerMedianByGroup(
+        dev, Seq("flag"), "d", out = "mad")
       val isOut = col("d") > lit(3) * col("mad")
       dev.join(broadcast(m2), "flag")
         .groupBy(col("flag").as("l_returnflag"), col("mad"))

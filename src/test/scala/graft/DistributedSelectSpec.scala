@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.DistributedSelect
+
+class DistributedSelectSpec extends SparkSpec {
+
+  private def lineitem = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+
+  test("lower median per group equals the window rank-selection formulation") {
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val base = lineitem.select(col("l_returnflag").as("flag"),
+      col("l_extendedprice").cast(dec).as("v"),
+      col("l_orderkey"), col("l_linenumber"))
+    val ref = {
+      val w = Window.partitionBy("flag")
+        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+      base.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("flag"), col("v").as("median"))
+    }
+    val got = DistributedSelect.lowerMedianByGroup(base, Seq("flag"), "v")
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  test("small sample targets force the extract path and still select exactly") {
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val base = lineitem.select(col("l_returnflag").as("flag"),
+      col("l_extendedprice").cast(dec).as("v"))
+    // sampleTarget 16 on thousands of rows: brackets are coarse, the
+    // in-bracket extraction pass must do the exact work
+    val tiny = DistributedSelect.lowerMedianByGroup(base, Seq("flag"), "v", sampleTarget = 16)
+    val full = DistributedSelect.lowerMedianByGroup(base, Seq("flag"), "v")
+    assert(tiny.exceptAll(full).isEmpty && full.exceptAll(tiny).isEmpty)
+  }
+
+  test("all-ties groups and k-th percentiles resolve without a group sort") {
+    import spark.implicits._
+    val ties = Seq.fill(1000)(("g1", BigDecimal(5))) ++
+      (1 to 100).map(i => ("g2", BigDecimal(i)))
+    val df = ties.toDF("flag", "v")
+    val med = DistributedSelect.lowerMedianByGroup(df, Seq("flag"), "v")
+      .as[(String, BigDecimal)].collect().toMap
+    assert(med("g1") === BigDecimal(5))
+    assert(med("g2") === BigDecimal(50)) // lower median of 1..100
+    // P90 via the kExpr hook: ceil(n * 0.9)-th smallest
+    val p90 = DistributedSelect.kthByGroup(df, Seq("flag"), "v",
+        expr("cast(ceil(__n * 0.9) as bigint)"), out = "p90")
+      .as[(String, BigDecimal)].collect().toMap
+    assert(p90("g2") === BigDecimal(90))
+    assert(p90("g1") === BigDecimal(5))
+  }
+
+  test("partition-count invariance") {
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val base = lineitem.select(col("l_returnflag").as("flag"),
+      col("l_extendedprice").cast(dec).as("v"))
+    val a = DistributedSelect.lowerMedianByGroup(base.repartition(3), Seq("flag"), "v")
+    val b = DistributedSelect.lowerMedianByGroup(base.repartition(17), Seq("flag"), "v")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
