@@ -485,6 +485,27 @@ object AnalyticsQueries {
       .orderBy("l_returnflag")
   }
 
+  val exactP99: QueryDef = QueryDef.sqlBacked(
+    "q_exact_p99",
+    """SELECT event_type, val AS p99 FROM (
+      |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS val,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(value AS DECIMAL(12,2)), event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events) t
+      |WHERE rn = CAST(ceil(n * 0.99) AS BIGINT)
+      |ORDER BY event_type""".stripMargin,
+    doc = "Exact P99 per group (ceil(n·0.99)-th smallest, DECIMAL values): the same " +
+      "DistributedSelect machinery as the median, parameterized by rank expression — " +
+      "tail latencies at 100 TB without a one-task-per-group sort.") { (s, d) =>
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    graft.operators.DistributedSelect.kthByGroup(
+        t(s, d, "events").select(col("event_type"), col("value").cast(dec).as("val")),
+        Seq("event_type"), "val",
+        expr("cast(ceil(__n * 0.99) as bigint)"), out = "p99")
+      .orderBy("event_type")
+  }
+
   val modeAgg: QueryDef = QueryDef.sqlBacked(
     "q_mode",
     """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (
@@ -753,6 +774,6 @@ object AnalyticsQueries {
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
     asofJoin, sessionize, streamSessionize, rangeJoin, streamIntervalJoin,
     topKAgg, dedupFailEvidence, madOutliers, ntileBucket, slidingWindow,
-    streamSliding, incrementalAgg,
+    streamSliding, incrementalAgg, exactP99,
     approxDistinct)
 }
