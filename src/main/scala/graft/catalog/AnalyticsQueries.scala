@@ -485,6 +485,64 @@ object AnalyticsQueries {
       .orderBy("l_returnflag")
   }
 
+  val saltedJoin: QueryDef = QueryDef.sqlBacked(
+    "q_salted_join",
+    """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "Skew-salted equi-join (operators/Salting): the fact side gets a deterministic " +
+      "xxhash64 salt in [0,8), the dim side replicates 8 ways, and the join keys on " +
+      "(key, salt) so one hot key spreads over 8 partitions — the mitigation for " +
+      "hash-partition paths AQE's skew split can't touch. The oracle is the plain " +
+      "join: salting must be RESULT-INVISIBLE, which this hash-gate proves.") { (s, d) =>
+    val l = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("qty"))
+    val o = t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
+      col("o_orderpriority"))
+    graft.operators.Salting.saltedJoin(l, o, "l_orderkey", salts = 8,
+        saltSource = Seq("l_orderkey", "l_linenumber"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("qty").cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val funnel: QueryDef = QueryDef.sqlBacked(
+    "q_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |c AS (SELECT user_id, min(ts_us) AS first_click FROM e
+      |      WHERE event_type = 'click' GROUP BY 1),
+      |p AS (SELECT c.user_id, min(e.ts_us) AS first_purchase
+      |      FROM c JOIN e ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts_us >= c.first_click
+      |      GROUP BY 1)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clickers,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_converted,
+      |  (SELECT CAST(SUM(p.first_purchase - c.first_click) AS BIGINT)
+      |     FROM p JOIN c ON p.user_id = c.user_id) AS total_lag_us""".stripMargin,
+    doc = "Conversion funnel (click → later purchase per user): two min-aggregates on the " +
+      "user key + one join — never a per-user event sort; at 100 TB both aggregates and " +
+      "the join share the user-key shuffle (co-partitioned under AQE), and the integer " +
+      "lag sum is exact.") { (s, d) =>
+    import s.implicits._
+    val e = eventsUs(s, d).select("user_id", "event_type", "ts_us")
+    val c = e.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts_us").as("first_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts_us") >= col("first_click"))
+      .groupBy("user_id").agg(min("ts_us").as("first_purchase"),
+        first("first_click").as("first_click"))
+    val nClickers = c.count()
+    val row = p.agg(count(lit(1)).as("n_converted"),
+      sum(col("first_purchase") - col("first_click")).as("total_lag_us")).head
+    Seq((nClickers, row.getLong(0), row.getLong(1)))
+      .toDF("n_clickers", "n_converted", "total_lag_us")
+  }
+
   val exactP99: QueryDef = QueryDef.sqlBacked(
     "q_exact_p99",
     """SELECT event_type, val AS p99 FROM (
@@ -774,6 +832,6 @@ object AnalyticsQueries {
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
     asofJoin, sessionize, streamSessionize, rangeJoin, streamIntervalJoin,
     topKAgg, dedupFailEvidence, madOutliers, ntileBucket, slidingWindow,
-    streamSliding, incrementalAgg, exactP99,
+    streamSliding, incrementalAgg, exactP99, saltedJoin, funnel,
     approxDistinct)
 }
