@@ -564,6 +564,34 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  val quantileProfile: QueryDef = QueryDef.sqlBacked(
+    "q_quantile_profile",
+    """WITH b AS (SELECT l_returnflag AS flag, CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+      |                  l_orderkey, l_linenumber FROM lineitem),
+      |r AS (SELECT flag, v,
+      |        row_number() OVER (PARTITION BY flag ORDER BY v, l_orderkey, l_linenumber) AS rn,
+      |        COUNT(*) OVER (PARTITION BY flag) AS n FROM b)
+      |SELECT flag AS l_returnflag,
+      |  min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.25)) AS BIGINT) THEN v END) AS p25,
+      |  min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.50)) AS BIGINT) THEN v END) AS p50,
+      |  min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.75)) AS BIGINT) THEN v END) AS p75,
+      |  min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.90)) AS BIGINT) THEN v END) AS p90,
+      |  min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.99)) AS BIGINT) THEN v END) AS p99
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "Five exact quantiles per group in ONE shared pass set (percentile_disc semantics): " +
+      "DistributedSelect.quantilesByGroup computes sizes, sample, brackets and endpoint " +
+      "counts once for all five fractions; only the tiny in-bracket extracts are " +
+      "per-quantile. The oracle sorts every group in one window — exactly the plan this " +
+      "operator exists to avoid.") { (s, d) =>
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    graft.operators.DistributedSelect.quantilesByGroup(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          col("l_extendedprice").cast(dec).as("v")),
+        Seq("l_returnflag"), "v",
+        Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75, "p90" -> 0.90, "p99" -> 0.99))
+      .orderBy("l_returnflag")
+  }
+
   val modeAgg: QueryDef = QueryDef.sqlBacked(
     "q_mode",
     """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (
@@ -832,6 +860,6 @@ object AnalyticsQueries {
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
     asofJoin, sessionize, streamSessionize, rangeJoin, streamIntervalJoin,
     topKAgg, dedupFailEvidence, madOutliers, ntileBucket, slidingWindow,
-    streamSliding, incrementalAgg, exactP99, saltedJoin, funnel,
+    streamSliding, incrementalAgg, exactP99, saltedJoin, funnel, quantileProfile,
     approxDistinct)
 }

@@ -126,4 +126,88 @@ object DistributedSelect {
 
     hits.unionByName(extracted)
   }
+
+  /** Several exact quantiles per group in ONE shared pass set (sizes,
+    * sample, brackets, endpoint counts are all computed once for every
+    * quantile; only the tiny in-bracket extracts are per-quantile).
+    * `qs` maps output column name → quantile fraction; semantics are
+    * percentile_disc: the smallest v with count(≤v) ≥ ⌈q·n⌉.
+    * Returns one row per group: (groupCols..., q1, q2, ...). */
+  def quantilesByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      qs: Seq[(String, Double)], sampleTarget: Int = 4096): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0 && q <= 1 })
+    val g = groupCols.map(col)
+    val base = df.select(g :+ col(valueCol).as("__v"): _*)
+      .filter(col("__v").isNotNull).persist()
+
+    val sizes0 = base.groupBy(g: _*).agg(count(lit(1)).as("__n"))
+    val sizes = qs.zipWithIndex.foldLeft(sizes0) { case (acc, ((_, q), i)) =>
+      acc.withColumn(s"__k$i",
+        greatest(lit(1L), ceil(col("__n") * q).cast("long")))
+    }
+
+    val withRate = base.join(sizes, groupCols)
+      .withColumn("__f", greatest(lit(1L), (col("__n") / sampleTarget).cast("long")))
+    val sample = withRate.filter(
+      pmod(xxhash64((col("__v") +: g): _*), col("__f")) === 0)
+
+    val sw = Window.partitionBy(g: _*).orderBy(col("__v"))
+    val sampled0 = sample
+      .withColumn("__sr", row_number().over(sw))
+      .withColumn("__sn", count(lit(1)).over(Window.partitionBy(g: _*)))
+    val margin = greatest(lit(64.0), col("__sn") / 32)
+    val sampled = qs.zipWithIndex.foldLeft(sampled0) { case (acc, (_, i)) =>
+      val target = (col(s"__k$i").cast("double") / col("__n")) * col("__sn")
+      acc
+        .withColumn(s"__isLow$i",
+          col("__sr") === greatest(lit(1L), floor(target - margin).cast("long")))
+        .withColumn(s"__isHigh$i",
+          col("__sr") === least(col("__sn"), ceil(target + margin).cast("long")))
+    }
+    val anyMark = qs.indices.map(i => col(s"__isLow$i") || col(s"__isHigh$i")).reduce(_ || _)
+    val bracketAggs = qs.indices.flatMap(i => Seq(
+      min(when(col(s"__isLow$i"), col("__v"))).as(s"__a$i"),
+      max(when(col(s"__isHigh$i"), col("__v"))).as(s"__b$i")))
+    val brackets = sampled.filter(anyMark)
+      .groupBy(g: _*)
+      .agg(bracketAggs.head, bracketAggs.tail: _*)
+
+    val counted = base.join(brackets, groupCols, "left")
+      .groupBy(g: _*)
+      .agg(
+        min("__v").as("__min"),
+        (Seq(max("__v").as("__max")) ++ qs.indices.flatMap(i => Seq(
+          sum(when(col("__v") < col(s"__a$i"), 1L).otherwise(0L)).as(s"__nlt_a$i"),
+          sum(when(col("__v") <= col(s"__a$i"), 1L).otherwise(0L)).as(s"__nle_a$i"),
+          sum(when(col("__v") <= col(s"__b$i"), 1L).otherwise(0L)).as(s"__nle_b$i"),
+          first(s"__a$i").as(s"__a$i"), first(s"__b$i").as(s"__b$i")))): _*)
+      .join(sizes, groupCols)
+      .persist()
+
+    // per-quantile: endpoint hit, or rank inside the verified bracket
+    val perQ = qs.zipWithIndex.map { case ((out, _), i) =>
+      val k = col(s"__k$i")
+      val hitA = col(s"__nlt_a$i") < k && k <= col(s"__nle_a$i")
+      val bracketOk = col(s"__nle_a$i") < k && k <= col(s"__nle_b$i")
+      val resolved = counted
+        .withColumn("__hit", when(hitA, col(s"__a$i")).otherwise(lit(null)))
+        .withColumn("__lo", when(bracketOk, col(s"__a$i")).otherwise(lit(null)))
+        .withColumn("__hi", when(bracketOk, col(s"__b$i")).otherwise(col("__max")))
+        .withColumn("__base", when(bracketOk, col(s"__nle_a$i")).otherwise(lit(0L)))
+      val hits = resolved.filter(col("__hit").isNotNull)
+        .select(g :+ col("__hit").as(out): _*)
+      val misses = resolved.filter(col("__hit").isNull)
+        .select(g ++ Seq(col("__lo"), col("__hi"), col("__base"), k.as("__k")): _*)
+      val inBracket = base.join(misses, groupCols)
+        .filter((col("__lo").isNull || col("__v") > col("__lo")) &&
+          col("__v") <= col("__hi"))
+      val bw = Window.partitionBy(g: _*).orderBy(col("__v"))
+      val extracted = inBracket
+        .withColumn("__r", row_number().over(bw) + col("__base"))
+        .filter(col("__r") === col("__k"))
+        .select(g :+ col("__v").as(out): _*)
+      hits.unionByName(extracted)
+    }
+    perQ.reduce((a, b) => a.join(b, groupCols))
+  }
 }

@@ -54,6 +54,21 @@ class DistributedSelectSpec extends SparkSpec {
     assert(p90("g1") === BigDecimal(5))
   }
 
+  test("multi-quantile shares one pass set and matches per-quantile selections") {
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val base = lineitem.select(col("l_returnflag").as("flag"),
+      col("l_extendedprice").cast(dec).as("v"))
+    val profile = DistributedSelect.quantilesByGroup(base, Seq("flag"), "v",
+      Seq("p25" -> 0.25, "p50" -> 0.50, "p99" -> 0.99))
+    // each quantile column must equal the standalone kthByGroup answer
+    for ((name, q) <- Seq("p25" -> 0.25, "p50" -> 0.50, "p99" -> 0.99)) {
+      val solo = DistributedSelect.kthByGroup(base, Seq("flag"), "v",
+        expr(s"greatest(1L, cast(ceil(__n * $q) as bigint))"), out = name)
+      val a = profile.select("flag", name)
+      assert(a.exceptAll(solo).isEmpty && solo.exceptAll(a).isEmpty, s"$name diverged")
+    }
+  }
+
   test("partition-count invariance") {
     val dec = org.apache.spark.sql.types.DecimalType(12, 2)
     val base = lineitem.select(col("l_returnflag").as("flag"),
