@@ -14,6 +14,17 @@ import graft.core.{QueryDef, Tables}
   */
 object ExtendedQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Wipe-and-recreate a codec staging dir. Part files are named by
+    * partition id, and the partition COUNT varies with cpu count and
+    * scale factor — a later run with fewer partitions would otherwise
+    * leave stale higher-pid files behind for the read glob to double
+    * count (caught by the sf0.1 cross-run oracle sweep). */
+  private def freshDir(dir: String): String = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    dir
+  }
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
   private def fac2(c: Column): Column = c.cast(DecimalType(4, 2))
   private def decSum(c: Column): Column =
@@ -205,7 +216,7 @@ object ExtendedQueries {
     doc = s"$name: decode-path losslessness proven against the parquet-side oracle.") { (s, d) =>
     val slice = t(s, d, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-    val dir = s"/tmp/graft_roundtrip/${name}_${Integer.toHexString(d.hashCode)}"
+    val dir = freshDir(s"/tmp/graft_roundtrip/${name}_${Integer.toHexString(d.hashCode)}")
     writer(slice, dir)
     val files = graft.sources.FileSource.discover(dir, "part-*").files.map(_.path)
     val back = graft.sources.FileSource.read(s, fmt(dir), files, Some(slice.schema))
@@ -250,7 +261,7 @@ object ExtendedQueries {
       "distributed read.") { (s, d) =>
     val slice = t(s, d, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-    val dir = s"/tmp/graft_roundtrip/arrow_${Integer.toHexString(d.hashCode)}"
+    val dir = freshDir(s"/tmp/graft_roundtrip/arrow_${Integer.toHexString(d.hashCode)}")
     graft.sources.ArrowIpcSource.write(slice, dir)
     roundtripAgg(graft.sources.ArrowIpcSource.read(s, s"$dir/part-*.arrow"))
   }
@@ -264,7 +275,7 @@ object ExtendedQueries {
     val slice = t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         dec2(col("l_quantity")).as("l_quantity"), col("l_returnflag"))
-    val dir = s"/tmp/graft_roundtrip/pgcopy_${Integer.toHexString(d.hashCode)}"
+    val dir = freshDir(s"/tmp/graft_roundtrip/pgcopy_${Integer.toHexString(d.hashCode)}")
     graft.sources.PgCopyBinary.write(slice, dir)
     roundtripAgg(graft.sources.PgCopyBinary.read(s, s"$dir/part-*.pgcopy", slice.schema))
   }
@@ -276,7 +287,7 @@ object ExtendedQueries {
       "distributed read, typed lattice incl. nullable unions.") { (s, d) =>
     val slice = t(s, d, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-    val dir = s"/tmp/graft_roundtrip/avro_${Integer.toHexString(d.hashCode)}"
+    val dir = freshDir(s"/tmp/graft_roundtrip/avro_${Integer.toHexString(d.hashCode)}")
     graft.sources.AvroSource.write(slice, dir)
     roundtripAgg(graft.sources.AvroSource.read(s, s"$dir/part-*.avro"))
   }
@@ -295,7 +306,7 @@ object ExtendedQueries {
     val slice = t(s, d, "lineitem").select(
       col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
       col("l_quantity").cast("double"), col("l_returnflag"))
-    val dir = s"/tmp/graft_roundtrip/pb_${Integer.toHexString(d.hashCode)}"
+    val dir = freshDir(s"/tmp/graft_roundtrip/pb_${Integer.toHexString(d.hashCode)}")
     write(slice, spec, dir)
     roundtripAgg(read(s, s"$dir/part-*.pb", spec))
   }
@@ -313,7 +324,7 @@ object ExtendedQueries {
       col("l_linenumber").cast("int").as("l_linenumber"),
       col("l_quantity").cast(DecimalType(12, 2)).as("l_quantity"),
       col("l_returnflag"))
-    val dir = s"/tmp/graft_roundtrip/xz_${Integer.toHexString(d.hashCode)}"
+    val dir = freshDir(s"/tmp/graft_roundtrip/xz_${Integer.toHexString(d.hashCode)}")
     // 32 archives: xz is not splittable, so archive count IS the read
     // parallelism (at scale: many medium archives, never one giant one).
     // Repartition BEFORE formatting so format+compress fan out together.

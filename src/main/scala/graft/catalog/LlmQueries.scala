@@ -429,14 +429,16 @@ object LlmQueries {
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin,
-    doc = "MinHash(16 hashes)+LSH(4 bands) near-dup pairs verified by exact Jaccard. " +
-      "The minhash itself is xxhash64 (engine-specific) but the EMITTED set is " +
+    doc = "MinHash(32 hashes)+LSH(16 bands × 2 rows) near-dup pairs verified by exact " +
+      "Jaccard. The minhash itself is xxhash64 (engine-specific) but the EMITTED set is " +
       "exact-Jaccard-verified, so the oracle is the brute-force exact-Jaccard pair " +
       "set: hash-equality holds iff LSH candidate recall is 1.0 at this threshold " +
-      "on this corpus — the oracle now falsifies missed candidates, not just " +
-      "wrong verification.") { (s, d) =>
+      "on this corpus — the oracle falsifies missed candidates, not just wrong " +
+      "verification. 16×2 banding (not 4×4): a j=0.97 pair has miss probability " +
+      "~1e-19 (vs 2e-4 at 4×4 — which materialized once at the sf0.1 corpus size), " +
+      "and the fixture's weakest organic pair (j=0.75) still sits at ~2e-6.") { (s, d) =>
     TextDedup.minhashLshPairs(corpusWithDups(s, d), "doc_id", "text",
-      n = 5, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      n = 5, numHashes = 32, rowsPerBand = 2, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -479,7 +481,7 @@ object LlmQueries {
       "only (long, long) labels; lineage truncated per round. Oracle recomputes the " +
       "same components with a recursive CTE over the same pair set.") { (s, d) =>
     val pairs = TextDedup.minhashLshPairs(corpusWithDups3(s, d), "doc_id", "text",
-      n = 5, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      n = 5, numHashes = 32, rowsPerBand = 2, threshold = 0.5)
     val cc = TextDedup.connectedComponents(pairs, "doc_a", "doc_b")
     val sized = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     cc.join(sized, "component")
