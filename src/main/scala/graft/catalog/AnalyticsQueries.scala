@@ -826,6 +826,76 @@ object AnalyticsQueries {
     }
   }
 
+  private val streamEnrichSink = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val streamEnrich: QueryDef = QueryDef.sqlBacked(
+    "q_stream_enrich",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |cut AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS c FROM e),
+      |profile AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS hist_n
+      |            FROM e WHERE ts_us < (SELECT c FROM cut) GROUP BY 1)
+      |SELECT s.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(COALESCE(p.hist_n, 0)) AS BIGINT) AS hist_total,
+      |  CAST(SUM(CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cold
+      |FROM e s LEFT JOIN profile p ON s.user_id = p.user_id
+      |WHERE s.ts_us >= (SELECT c FROM cut)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "STREAM-STATIC enrichment join, oracle-gated: the live half of the events fixture " +
+      "arrives as three micro-batches and each event is enriched with a STATIC per-user " +
+      "history profile (built from the first half) via a broadcast left join — no state, " +
+      "no watermark, the static side broadcast once per micro-batch; cold-start users " +
+      "null-join and are counted. The emitted aggregate must hash-match the batch " +
+      "formulation over the same cutoff.") { (s, d) =>
+    graft.core.Sessions.withStreamingShuffle(s) {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val e = eventsUs(s, d).select("user_id", "event_type", "ts_us")
+    val cut = e.agg(expr("(min(ts_us) + max(ts_us)) div 2")).head.getLong(0)
+    val profile = e.filter(col("ts_us") < cut)
+      .groupBy("user_id").agg(count(lit(1)).as("hist_n"))
+    val live = e.filter(col("ts_us") >= cut)
+      .select("user_id", "event_type", "ts_us")
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._3)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val enriched = input.toDF().toDF("user_id", "event_type", "ts_us")
+      .join(broadcast(profile), Seq("user_id"), "left")
+    val sink = s"stream_enrich_${streamEnrichSink.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_enrich").toString
+    val q = enriched.writeStream.format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val collected =
+      try {
+        live.grouped((live.size + 2) / 3).foreach { ep =>
+          input.addData(ep); q.processAllAvailable()
+        }
+        s.table(sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(coalesce(col("hist_n"), lit(0L))).as("hist_total"),
+            sum(when(col("hist_n").isNull, 1L).otherwise(0L)).as("n_cold"))
+          .orderBy("event_type")
+          .collect().toSeq
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sink)
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      collected.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_events",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("hist_total",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_cold",
+          org.apache.spark.sql.types.LongType))))
+    }
+  }
+
   val incrementalAgg: QueryDef = QueryDef.sqlBacked(
     "q_incremental_agg",
     """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -860,6 +930,6 @@ object AnalyticsQueries {
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
     asofJoin, sessionize, streamSessionize, rangeJoin, streamIntervalJoin,
     topKAgg, dedupFailEvidence, madOutliers, ntileBucket, slidingWindow,
-    streamSliding, incrementalAgg, exactP99, saltedJoin, funnel, quantileProfile,
+    streamSliding, streamEnrich, incrementalAgg, exactP99, saltedJoin, funnel, quantileProfile,
     approxDistinct)
 }
