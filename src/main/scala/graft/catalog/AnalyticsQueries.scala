@@ -543,6 +543,39 @@ object AnalyticsQueries {
       .toDF("n_clickers", "n_converted", "total_lag_us")
   }
 
+  val scd2: QueryDef = QueryDef.sqlBacked(
+    "q_scd2_history",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+      |o AS (SELECT user_id, event_type, ts_us,
+      |        lag(event_type) OVER w AS prev_type
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |chg AS (SELECT user_id, event_type, ts_us FROM o
+      |        WHERE prev_type IS NULL OR prev_type <> event_type),
+      |v AS (SELECT user_id, event_type, ts_us AS valid_from_us,
+      |        lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us
+      |      FROM chg)
+      |SELECT user_id, event_type, valid_from_us,
+      |  COALESCE(valid_to_us, 0) AS valid_to_us,
+      |  CAST(valid_to_us IS NULL AS BOOLEAN) AS is_current
+      |FROM v ORDER BY user_id, valid_from_us""".stripMargin,
+    doc = "SCD Type-2 history build from a change stream: consecutive-duplicate suppression " +
+      "(lag change detection) then validity intervals (lead), both windows sharing ONE " +
+      "shuffle on the dimension key; the open-ended current row is flagged. The standard " +
+      "warehouse versioned-dimension shape, derived rather than mutated — at 100 TB the " +
+      "history is append-only and this plan rebuilds or extends it incrementally.") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val chg = eventsUs(s, d).select("user_id", "event_type", "ts_us", "event_id")
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val v = Window.partitionBy("user_id").orderBy("valid_from_us")
+    chg.select(col("user_id"), col("event_type"), col("ts_us").as("valid_from_us"))
+      .withColumn("valid_to_us", lead("valid_from_us", 1).over(v))
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        coalesce(col("valid_to_us"), lit(0L)).as("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
   val exactP99: QueryDef = QueryDef.sqlBacked(
     "q_exact_p99",
     """SELECT event_type, val AS p99 FROM (
@@ -930,6 +963,6 @@ object AnalyticsQueries {
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
     asofJoin, sessionize, streamSessionize, rangeJoin, streamIntervalJoin,
     topKAgg, dedupFailEvidence, madOutliers, ntileBucket, slidingWindow,
-    streamSliding, streamEnrich, incrementalAgg, exactP99, saltedJoin, funnel, quantileProfile,
+    streamSliding, streamEnrich, incrementalAgg, exactP99, saltedJoin, funnel, quantileProfile, scd2,
     approxDistinct)
 }
