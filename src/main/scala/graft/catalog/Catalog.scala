@@ -7,7 +7,8 @@ import graft.core.QueryDef
   * never drift apart. */
 object Catalog {
   def all: Seq[QueryDef] =
-    CoreQueries.all ++ ExtendedQueries.all ++ AnalyticsQueries.all ++ LlmQueries.all
+    CoreQueries.all ++ ExtendedQueries.all ++ AnalyticsQueries.all ++
+      WarehouseQueries.all ++ LlmQueries.all
 
   def byName: Map[String, QueryDef] = {
     val defs = all

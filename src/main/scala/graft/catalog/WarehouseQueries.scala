@@ -1,0 +1,321 @@
+package graft.catalog
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.core.{QueryDef, Tables}
+
+/** Warehouse-operations surface: multi-set grouping, pivot/unpivot
+  * reshaping, value-range window frames, exact-rational rank statistics,
+  * time-series gap fill, cohort retention, event-transition matrices,
+  * order-independent table fingerprints, and snapshot diffing — the
+  * reconciliation / reshaping layer a 100 TB warehouse runs daily on top
+  * of the relational core (cdf: crates/cdf-kernel/src/sql_analysis.rs
+  * admits these as Aggregate/Window/Join shapes; the reference exposes
+  * them through `cdf sql`, SURVEY §2.9/§3.2). Every query is
+  * hash-checked against DuckDB; doubles only ever appear after exact
+  * DECIMAL or integer accumulation.
+  */
+object WarehouseQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def decSum(c: Column): Column = sum(c).cast(DoubleType)
+
+  /** GROUPING SETS with explicit set list — finer than cube/rollup (both
+    * already verified): the caller names exactly the aggregation levels
+    * wanted, Spark expands them in ONE shuffle (Expand + partial agg),
+    * not one pass per set. grouping() flags disambiguate data NULLs from
+    * set-placeholder NULLs. */
+  val groupingSets: QueryDef = QueryDef.sqlBacked(
+    "q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    doc = "Explicit GROUPING SETS in one Expand pass, grouping() flags disambiguating placeholder NULLs.") {
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"),
+          decSum(dec2(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** PIVOT: long→wide reshaping with a declared value list (no second
+    * pass to discover values — the 100 TB form; Spark's value-less pivot
+    * collects distinct values to the driver first). */
+  val pivotWide: QueryDef = QueryDef.sqlBacked(
+    "q_pivot",
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS ls_f,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS ls_o,
+      |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
+      |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    doc = "Pivot with explicit value list = single-shuffle conditional aggregation. " +
+      "(DataFrame .pivot lowers to TWO aggregation phases — groupBy(rf,ls) then " +
+      "pivotfirst(rf) — i.e. two exchanges; with the value list declared the " +
+      "fused FILTER-agg form needs exactly one, so that is what we emit.)") { (s, d) =>
+    def when_(ls: String, c: Column): Column = when(col("l_linestatus") === ls, c)
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when_("F", dec2(col("l_extendedprice")))).cast(DoubleType).as("ls_f"),
+        sum(when_("O", dec2(col("l_extendedprice")))).cast(DoubleType).as("ls_o"),
+        count(when_("F", lit(1))).as("n_f"),
+        count(when_("O", lit(1))).as("n_o"))
+      .orderBy("l_returnflag")
+  }
+
+  /** UNPIVOT (melt): wide→long without a generator join — Spark's
+    * Unpivot node is a zero-shuffle map-side expansion. */
+  val unpivotLong: QueryDef = QueryDef.sqlBacked(
+    "q_unpivot",
+    """SELECT o_orderkey, m AS metric, v AS value FROM (
+      |  SELECT o_orderkey, 'cust' AS m, o_custkey AS v FROM orders WHERE o_orderkey % 500 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'price_cents' AS m, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 500 = 0) t
+      |ORDER BY o_orderkey, metric""".stripMargin,
+    doc = "Unpivot/melt as a map-side Expand — no UNION-of-scans re-read of the table.") { (s, d) =>
+    t(s, d, "orders")
+      .filter(col("o_orderkey") % 500 === 0)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey").as("cust"),
+        floor(col("o_totalprice") * 100).cast(LongType).as("price_cents"))
+      .unpivot(
+        Array(col("o_orderkey")),
+        Array(col("cust"), col("price_cents")),
+        "metric", "value")
+      .orderBy("o_orderkey", "metric")
+  }
+
+  /** Value-based window frame (RANGE BETWEEN): every order aggregated
+    * with all orders priced within $100 below it — peers included by
+    * VALUE, not row position, so the result is deterministic under ties
+    * without a tiebreaker. */
+  val rangeFrame: QueryDef = QueryDef.sqlBacked(
+    "q_range_frame",
+    """SELECT o_orderkey, n_win, s_win FROM (
+      |  SELECT o_orderkey,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS s_win
+      |  FROM (SELECT o_orderkey, o_totalprice,
+      |          CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c FROM orders) o
+      |  WINDOW w AS (ORDER BY price_c RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)) t
+      |WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin,
+    doc = "RANGE frame over a value domain (all rows within $100 below) — frame computed on the full set, output filtered after.") {
+    (s, d) =>
+      val o = t(s, d, "orders")
+        .withColumn("price_c", floor(col("o_totalprice") * 100).cast(LongType))
+      val w = Window.orderBy("price_c").rangeBetween(-10000L, 0L)
+      o.select(
+        col("o_orderkey"),
+        count(lit(1)).over(w).as("n_win"),
+        sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType).as("s_win"))
+        .filter(col("o_orderkey") % 97 === 0)
+        .orderBy("o_orderkey")
+  }
+
+  /** Rank statistics per segment: percent_rank / cume_dist as the exact
+    * rational (rank-1)/(n-1) and rows_le/n — both engines evaluate the
+    * same small-integer IEEE division, so the doubles are bit-identical;
+    * the integer numerators ride along as the audit trail. */
+  val percentRank: QueryDef = QueryDef.sqlBacked(
+    "q_percent_rank",
+    """SELECT c_custkey, c_mktsegment, rnk, pr, cd FROM (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(rank() OVER w AS BIGINT) AS rnk,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)) t
+      |WHERE c_custkey % 101 = 0 ORDER BY c_custkey""".stripMargin,
+    doc = "percent_rank/cume_dist per segment — exact-rational window statistics, partition-parallel.") {
+    (s, d) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          rank().over(w).cast(LongType).as("rnk"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .filter(col("c_custkey") % 101 === 0)
+        .orderBy("c_custkey")
+  }
+
+  /** Time-series gap fill: the day spine is generated with sequence()
+    * from the observed min/max (one tiny aggregate), then left-joined to
+    * the per-day counts — missing days land as explicit zeros. At 100 TB
+    * the spine is O(days), broadcast to the counts side. */
+  val gapFill: QueryDef = QueryDef.sqlBacked(
+    "q_gap_fill",
+    """WITH bounds AS (
+      |  SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS lo,
+      |         CAST(date_trunc('day', max(ts)) AS DATE) AS hi FROM events),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+      |counts AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1)
+      |SELECT d.day, CAST(COALESCE(c.c, 0) AS BIGINT) AS n
+      |FROM days d LEFT JOIN counts c USING (day) ORDER BY d.day""".stripMargin,
+    doc = "Gap-filled daily series: sequence() spine broadcast-joined to per-day counts, zeros explicit.") {
+    (s, d) =>
+      val ev = Tables.eventsTs(s, d)
+      val byDay = ev.groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      val bounds = ev.agg(to_date(min("ts")).as("lo"), to_date(max("ts")).as("hi"))
+      val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine.join(byDay, Seq("day"), "left")
+        .select(col("day"), coalesce(col("c"), lit(0L)).as("n"))
+        .orderBy("day")
+  }
+
+  /** Cohort retention: users bucketed by first-seen day, then distinct
+    * users counted per (cohort_day, day_offset). Two shuffles — min-day
+    * per user, then the cohort×offset count — both keyed on user_id
+    * first, so the second reuses the first's partitioning. */
+  val retentionCohort: QueryDef = QueryDef.sqlBacked(
+    "q_retention_cohort",
+    """WITH firstseen AS (
+      |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+      |  FROM events GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events)
+      |SELECT f.cohort_day, CAST(date_diff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+      |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users
+      |FROM activity a JOIN firstseen f USING (user_id)
+      |WHERE date_diff('day', f.cohort_day, a.day) <= 14
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    doc = "Cohort retention matrix: first-seen-day cohorts × day offset, distinct-user counts.") {
+    (s, d) =>
+      val ev = Tables.eventsTs(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val activity = ev.distinct()
+      activity.join(first, Seq("user_id"))
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("int"))
+        .filter(col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").as("users"))
+        .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Event-transition matrix (first-order Markov counts): lag() per user
+    * over the total (ts, event_id) order, then counts per (prev → next)
+    * pair. The window partitions by user, so it parallelizes across the
+    * user dimension with one shuffle. */
+  val markovTransitions: QueryDef = QueryDef.sqlBacked(
+    "q_markov_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM seq WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin,
+    doc = "First-order Markov transition counts over per-user event sequences (lag window, user-parallel).") {
+    (s, d) =>
+      val ev = Tables.eventsUs(s, d)
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      ev.select(col("user_id"), col("event_type"), lag("event_type", 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+  }
+
+  /** Order-independent table fingerprint: md5 of each row's canonical
+    * string (integers only — doubles enter as exact cents, timestamps as
+    * epoch micros, so no float formatting crosses the engine boundary),
+    * folded with SUM mod 2^61-1. Commutative fold ⇒ partition- and
+    * order-invariant; one map stage + a scalar aggregate at any scale.
+    * The DuckDB side reads the digest's low 8 bytes via
+    * md5_number_lower (little-endian uint64); the Spark side rebuilds
+    * the identical value from the hex digest. */
+  val tableChecksum: QueryDef = QueryDef.sqlBacked(
+    "q_table_checksum",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(md5_number_lower(
+      |    concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+      |              CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+      |              epoch_us(o_orderdate), o_orderpriority)) AS HUGEINT))
+      |    % 2305843009213693951 AS BIGINT) AS checksum
+      |FROM orders""".stripMargin,
+    doc = "Order-independent content fingerprint: md5-low64 per row, SUM mod 2^61-1 — migration/replication integrity probe.") {
+    (s, d) =>
+      val o = t(s, d, "orders")
+      val canonical = concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast(LongType),
+        unix_micros(col("o_orderdate").cast(org.apache.spark.sql.types.TimestampType)),
+        col("o_orderpriority"))
+      val hexDigest = md5(canonical)
+      // digest bytes 8..15, little-endian, as DECIMAL(20,0) — exactly
+      // DuckDB's md5_number_lower. byte j lives at hex chars 2j+1..2j+2.
+      val low64 = (0 until 8).map { j =>
+        conv(substring(hexDigest, 2 * (8 + j) + 1, 2), 16, 10)
+          .cast(DecimalType(20, 0)) * lit(BigDecimal(2).pow(8 * j).bigDecimal)
+      }.reduce(_ + _)
+      o.agg(
+        count(lit(1)).as("n_rows"),
+        pmod(sum(low64), lit(BigDecimal(2305843009213693951L).bigDecimal))
+          .cast(LongType).as("checksum"))
+  }
+
+  /** Snapshot diff: two table versions full-outer-joined on the key,
+    * each row classified added / removed / changed / unchanged. The
+    * compare key is exact (cents), the join is the one shuffle. The
+    * operational shape behind receipt reconciliation and CDC audits. */
+  val datasetDiff: QueryDef = QueryDef.sqlBacked(
+    "q_dataset_diff",
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS pc
+      |  FROM orders WHERE o_orderkey % 11 <> 0),
+      |b AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(FLOOR(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END * 100) AS BIGINT) AS pc
+      |  FROM orders WHERE o_orderkey % 13 <> 0)
+      |SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT CASE WHEN a.k IS NULL THEN 'added'
+      |              WHEN b.k IS NULL THEN 'removed'
+      |              WHEN a.pc <> b.pc THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.k = b.k) t
+      |GROUP BY status ORDER BY status""".stripMargin,
+    doc = "Snapshot diff: full-outer join on key → added/removed/changed/unchanged counts (CDC audit shape).") {
+    (s, d) =>
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast(LongType).as("pc"))
+      val b = o.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          floor(when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")) * 100).cast(LongType).as("pc"))
+      a.as("a").join(b.as("b"), col("a.k") === col("b.k"), "full_outer")
+        .select(
+          when(col("a.k").isNull, "added")
+            .when(col("b.k").isNull, "removed")
+            .when(col("a.pc") =!= col("b.pc"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    groupingSets, pivotWide, unpivotLong, rangeFrame, percentRank,
+    gapFill, retentionCohort, markovTransitions, tableChecksum, datasetDiff)
+}

@@ -127,6 +127,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("grouping sets expand once and combine map-side (one shuffle for all sets)") {
+    val p = planOf("q_grouping_sets")
+    assert(p.contains("Expand"), "GROUPING SETS must compile to a single Expand")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial + final aggregation")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"all grouping sets must share ONE aggregation shuffle:\n$p")
+  }
+
+  test("pivot with a declared value list is one conditional-aggregation shuffle, no join") {
+    val p = planOf("q_pivot")
+    assert(!p.contains("Join"), "pivot must not join per pivot value")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"pivot must aggregate in one shuffle:\n$p")
+  }
+
+  test("unpivot is a map-side Expand: no join, no aggregation shuffle") {
+    val p = planOf("q_unpivot")
+    assert(p.contains("Expand"), "unpivot compiles to Expand")
+    assert(!p.contains("Join"), "unpivot must not re-read the table per metric")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"only the final sort may exchange:\n$p")
+  }
+
+  test("gap fill broadcasts the day spine join; no cartesian") {
+    val p = planOf("q_gap_fill")
+    assert(p.contains("BroadcastHashJoin"), s"spine/counts join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("markov transitions: user-partitioned window, partial-aggregated counts, no join") {
+    val p = planOf("q_markov_transitions")
+    assert(!p.contains("Join"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "transition counts combine map-side")
+  }
+
+  test("table checksum is one narrow pass: no join, no wide shuffle, partial agg") {
+    val p = planOf("q_table_checksum")
+    assert(!p.contains("Join"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a commutative fold needs only the final single-partition gather:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("dataset diff and retention cohort never degenerate to nested loops") {
+    for (q <- Seq("q_dataset_diff", "q_retention_cohort")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q nested loop")
+    }
+  }
+
   test("aggregations are partial (map-side combine before the exchange)") {
     val p = planOf("q1_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
