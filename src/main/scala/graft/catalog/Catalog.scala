@@ -8,7 +8,7 @@ import graft.core.QueryDef
 object Catalog {
   def all: Seq[QueryDef] =
     CoreQueries.all ++ ExtendedQueries.all ++ AnalyticsQueries.all ++
-      WarehouseQueries.all ++ LlmQueries.all
+      WarehouseQueries.all ++ GraphQueries.all ++ LlmQueries.all
 
   def byName: Map[String, QueryDef] = {
     val defs = all

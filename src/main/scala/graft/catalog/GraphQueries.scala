@@ -1,0 +1,143 @@
+package graft.catalog
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.core.{QueryDef, Tables}
+
+/** Graph / entity-linkage surface: link analysis over an event-derived
+  * transition graph and similarity joins over near-identical strings —
+  * the relationship layer on top of the relational core (cdf admits
+  * these through `cdf sql` recursion-free shapes; the iterate-to-
+  * convergence variants live in graft.llm.TextDedup.connectedComponents,
+  * which shares the localCheckpoint-per-round loop discipline).
+  *
+  * Determinism discipline: PageRank runs in integer fixed-point
+  * (micro-units, floor division) so both engines compute identical
+  * bits without any floating-point summation-order hazard.
+  */
+object GraphQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Weighted PageRank over the event-property transition graph, 3
+    * rounds, exact integer fixed-point.
+    *
+    * Graph: nodes are the `props.k` values; a directed edge (u → v)
+    * with weight w means "k=u was immediately followed by k=v in some
+    * user's timeline w times". Ranks live in micro-units (node mass
+    * 1,000,000); one round is
+    *   R'(v) = 150000 + (85 * Σ_{(u,v)} (R(u)·w_uv div W_u)) div 100
+    * — the standard 0.15/0.85 damping in integer arithmetic (floor
+    * division, all values non-negative, so Spark `div` ≡ DuckDB `//`).
+    * Dangling-node mass is absorbed (not redistributed), as in the
+    * original formulation.
+    *
+    * Scale shape: edges/outdegree are one shuffle each; every round is
+    * one join keyed on src + one aggregate keyed on dst over (node,
+    * rank) longs — never the event rows. A fixed 3-round unroll keeps
+    * the oracle SQL-expressible; the iterate-until-converged loop with
+    * lineage truncation is proven in connectedComponents
+    * (llm/TextDedup.scala), which this would reuse at depth. */
+  val pagerank: QueryDef = QueryDef.sqlBacked(
+    "q_pagerank",
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |  FROM events),
+      |seq AS (
+      |  SELECT k AS dst,
+      |         lag(k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS src
+      |  FROM ev),
+      |edges AS (
+      |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS wgt
+      |  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+      |outd AS (SELECT src, CAST(SUM(wgt) AS BIGINT) AS outw FROM edges GROUP BY 1),
+      |ew AS (SELECT e.src, e.dst, e.wgt, o.outw FROM edges e JOIN outd o USING (src)),
+      |nodes AS (SELECT DISTINCT k AS node FROM ev),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      |s1 AS (SELECT dst, CAST(SUM((r * wgt) // outw) AS BIGINT) AS s
+      |       FROM ew JOIN r0 ON r0.node = ew.src GROUP BY dst),
+      |r1 AS (SELECT node, CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
+      |       FROM nodes LEFT JOIN s1 ON s1.dst = node),
+      |s2 AS (SELECT dst, CAST(SUM((r * wgt) // outw) AS BIGINT) AS s
+      |       FROM ew JOIN r1 ON r1.node = ew.src GROUP BY dst),
+      |r2 AS (SELECT node, CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
+      |       FROM nodes LEFT JOIN s2 ON s2.dst = node),
+      |s3 AS (SELECT dst, CAST(SUM((r * wgt) // outw) AS BIGINT) AS s
+      |       FROM ew JOIN r2 ON r2.node = ew.src GROUP BY dst),
+      |r3 AS (SELECT node, CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
+      |       FROM nodes LEFT JOIN s3 ON s3.dst = node)
+      |SELECT node AS k, r AS pagerank FROM r3 ORDER BY k""".stripMargin,
+    doc = "Weighted PageRank (3 rounds, 0.85 damping) in integer fixed-point over the " +
+      "props.k transition graph — per-round cost is one src-keyed join + one dst-keyed " +
+      "aggregate over (node, rank) longs, never the event rows.") { (s, d) =>
+    val ev = Tables.eventsUs(s, d).select(
+      col("user_id"), col("event_id"), col("ts_us"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val edges = ev
+      .select(col("k").as("dst"), lag("k", 1).over(w).as("src"))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("wgt"))
+    val outd = edges.groupBy("src").agg(sum("wgt").as("outw"))
+    val ew = edges.join(outd, "src")
+    val nodes = ev.select(col("k").as("node")).distinct()
+    var rank = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val sums = ew.join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("(r * wgt) div outw").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      rank = nodes.join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+    }
+    rank.select(col("node").as("k"), col("r").as("pagerank")).orderBy("k")
+  }
+
+  /** Edit-distance-≤1 similarity join by deletion neighborhoods
+    * (FastSS, Bocek et al. 2007): two strings are within edit distance
+    * 1 iff their 1-deletion neighborhoods (string itself + every
+    * 1-char-deleted variant) intersect — so the candidate join keys on
+    * a GENERATED VARIANT, never compares all pairs. Candidates are then
+    * confirmed with an exact levenshtein ≤ 1 filter, so neighborhood
+    * collisions cost a candidate row, never a wrong answer.
+    *
+    * Probe set: every 40th part's name with its 4th character deleted
+    * (a deterministic typo). Scale shape: the corpus side explodes each
+    * name into len+1 variants map-side; the probe side (small here)
+    * broadcasts — with a large probe set the same plan hash-partitions
+    * on the variant instead. The oracle cross-joins probes × part with
+    * a levenshtein filter: exactly the O(n·m) plan this operator
+    * exists to avoid. */
+  val fuzzyJoin: QueryDef = QueryDef.sqlBacked(
+    "q_fuzzy_join",
+    """WITH probes AS (
+      |  SELECT p_partkey AS probe_key,
+      |         concat(substr(p_name, 1, 3), substr(p_name, 5)) AS typo
+      |  FROM part WHERE p_partkey % 40 = 0)
+      |SELECT pr.probe_key, p.p_partkey AS match_key, pr.typo, p.p_name
+      |FROM probes pr JOIN part p ON levenshtein(pr.typo, p.p_name) <= 1
+      |ORDER BY probe_key, match_key""".stripMargin,
+    doc = "FastSS deletion-neighborhood similarity join (edit distance <= 1): variant keys " +
+      "generated map-side, candidates confirmed by exact levenshtein — never all-pairs.") {
+    (s, d) =>
+      def variants(c: String): String =
+        s"array_union(array($c), transform(sequence(1, length($c)), " +
+          s"i -> concat(substring($c, 1, i - 1), substring($c, i + 1))))"
+      val part = t(s, d, "part")
+      val probes = part.filter(col("p_partkey") % 40 === 0)
+        .select(col("p_partkey").as("probe_key"),
+          concat(substring(col("p_name"), 1, 3), expr("substring(p_name, 5)")).as("typo"))
+      val nameVars = part.select(col("p_partkey").as("match_key"), col("p_name"),
+        explode(expr(variants("p_name"))).as("v"))
+      val probeVars = probes.select(col("probe_key"), col("typo"),
+        explode(expr(variants("typo"))).as("v"))
+      nameVars.join(broadcast(probeVars), "v")
+        .select("probe_key", "match_key", "typo", "p_name").distinct()
+        .filter(levenshtein(col("typo"), col("p_name")) <= 1)
+        .orderBy("probe_key", "match_key")
+  }
+
+  val all: Seq[QueryDef] = Seq(pagerank, fuzzyJoin)
+}

@@ -315,7 +315,195 @@ object WarehouseQueries {
         .orderBy("status")
   }
 
+  /** Bloom-gated semi-join reduction: the classic 100 TB join
+    * optimization. A selective dim-side predicate leaves few join keys;
+    * a driver-built Bloom filter over them rides into the fact scan as
+    * Spark's own codegen'd `BloomFilterMightContain` predicate, so the
+    * overwhelming majority of fact rows is dropped MAP-SIDE, before any
+    * shuffle or join build. False positives cost a join-probe row,
+    * never a wrong answer — the exact equi-join after the gate removes
+    * them, so the result is independent of fpp. This is the manual,
+    * any-shape form of what InjectRuntimeFilter plants automatically
+    * under shuffle joins. */
+  val bloomJoin: QueryDef = QueryDef.sqlBacked(
+    "q_bloom_join",
+    """SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_name LIKE 'red %'
+      |GROUP BY p_name ORDER BY p_name""".stripMargin,
+    doc = "Bloom semi-join reduction: dim keys sketched into the fact scan (codegen'd " +
+      "might_contain), fact rows dropped map-side before the join; exact join makes " +
+      "the result fpp-independent.") { (s, d) =>
+    graft.functions.BloomFunctions.register(s)
+    val dim = t(s, d, "part").filter(col("p_name").startsWith("red "))
+      .select(col("p_partkey"), col("p_name"))
+    val bf = dim.select(col("p_partkey")).stat.bloomFilter("p_partkey", 10000L, 0.01)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray }
+    t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"))
+      .filter(call_function("graft_bloom_might_contain", lit(bytes), col("l_partkey")))
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_name")
+      .agg(count(lit(1)).as("n"), decSum(dec2(col("l_extendedprice"))).as("revenue"))
+      .orderBy("p_name")
+  }
+
+  /** Exponentially weighted moving average with alpha = 1/2, truncated
+    * at 8 terms — per-user time-series smoothing. Every weight is a
+    * power of two, so each term `x·2^-(j+1)` is an EXACT exponent
+    * shift, and both engines evaluate the identical left-associated
+    * 8-term sum — bit-identical doubles with no DECIMAL detour. The
+    * window is one shuffle on user_id; lags are computed in one pass. */
+  val ewma: QueryDef = QueryDef.sqlBacked(
+    "q_ewma",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events),
+      |l AS (
+      |  SELECT event_id, user_id,
+      |    value / 2 + coalesce(lag(value, 1) OVER w, 0.0) / 4
+      |              + coalesce(lag(value, 2) OVER w, 0.0) / 8
+      |              + coalesce(lag(value, 3) OVER w, 0.0) / 16
+      |              + coalesce(lag(value, 4) OVER w, 0.0) / 32
+      |              + coalesce(lag(value, 5) OVER w, 0.0) / 64
+      |              + coalesce(lag(value, 6) OVER w, 0.0) / 128
+      |              + coalesce(lag(value, 7) OVER w, 0.0) / 256 AS ewma
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT event_id, user_id, ewma FROM l
+      |WHERE event_id % 37 = 0 ORDER BY event_id""".stripMargin,
+    doc = "EWMA (alpha = 1/2, 8 terms): power-of-two weights make every term an exact " +
+      "exponent shift, so the fixed-shape sum is bit-identical across engines.") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val terms = (0 until 8).map { j =>
+      val term = if (j == 0) col("value") else coalesce(lag(col("value"), j).over(w), lit(0.0))
+      term / lit(math.pow(2.0, j + 1.0))
+    }.reduce(_ + _)
+    Tables.eventsUs(s, d)
+      .select(col("event_id"), col("user_id"), terms.as("ewma"))
+      .filter(col("event_id") % 37 === 0)
+      .orderBy("event_id")
+  }
+
+  /** Incremental maintenance of a JOIN view: V = A ⋈ B aggregated.
+    * With deltas on BOTH sides, ΔV = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB; the view
+    * is refreshed by MERGING aggregate partials, never re-reading the
+    * old inputs' join. The oracle recomputes the view from scratch on
+    * the full inputs — merge-of-partials ≡ full recompute is the law
+    * under test (the join-view analogue of q_incremental_agg). Counts
+    * and DECIMAL sums are the mergeable state; at 100 TB each partial
+    * join is bounded by its delta's size. */
+  val incrementalJoin: QueryDef = QueryDef.sqlBacked(
+    "q_incremental_join",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "Join-view delta maintenance: dV = dA×B0 + A0×dB + dA×dB as mergeable aggregate " +
+      "partials; merged result hash-matches the from-scratch recompute.") { (s, d) =>
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), dec2(col("l_extendedprice")).as("price"))
+    val a0 = o.filter(col("o_orderkey") % 5 =!= 0)
+    val dA = o.filter(col("o_orderkey") % 5 === 0)
+    val b0 = li.filter(col("l_suppkey") % 7 =!= 0)
+    val dB = li.filter(col("l_suppkey") % 7 === 0)
+    def partial(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, a("o_orderkey") === b("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("pn"), sum(col("price")).as("prev"))
+    partial(a0, b0).unionByName(partial(dA, b0))
+      .unionByName(partial(a0, dB)).unionByName(partial(dA, dB))
+      .groupBy("o_orderpriority")
+      .agg(sum("pn").as("n"), sum("prev").cast(DoubleType).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Key-skew diagnostics: per-column key-frequency profile (rows,
+    * distinct keys, heaviest key's count, skew factor = heaviest/mean
+    * in milli-units, and the heaviest key itself) — the probe a 100 TB
+    * operator runs BEFORE choosing a join/agg strategy (salting, AQE
+    * skew hints, broadcast). One map-side Expand puts all profiled
+    * columns in a single pass; integer-only outputs. */
+  val skewProfile: QueryDef = QueryDef.sqlBacked(
+    "q_skew_profile",
+    """WITH longt AS (
+      |  SELECT 'l_partkey' AS col_name, CAST(l_partkey AS VARCHAR) AS val FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+      |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem),
+      |counts AS (
+      |  SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS cnt FROM longt GROUP BY 1, 2),
+      |c2 AS (SELECT *, MAX(cnt) OVER (PARTITION BY col_name) AS mx FROM counts)
+      |SELECT col_name,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+      |  CAST((MAX(cnt) * COUNT(*) * 1000) // SUM(cnt) AS BIGINT) AS skew_x1000,
+      |  MAX(CASE WHEN cnt = mx THEN val END) AS top_val
+      |FROM c2 GROUP BY col_name ORDER BY col_name""".stripMargin,
+    doc = "Per-column key-skew profile (distinct keys, heaviest key, skew factor x1000) in " +
+      "one Expand pass — the pre-flight probe behind salting / skew-join decisions.") { (s, d) =>
+    val li = t(s, d, "lineitem").select(
+      col("l_partkey").cast("string").as("l_partkey"),
+      col("l_suppkey").cast("string").as("l_suppkey"),
+      col("l_returnflag"))
+    val long = li.unpivot(Array.empty[Column],
+      Array(col("l_partkey"), col("l_suppkey"), col("l_returnflag")), "col_name", "val")
+    val counts = long.groupBy("col_name", "val").agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("mx", max("cnt").over(Window.partitionBy("col_name")))
+      .groupBy("col_name")
+      .agg(
+        sum("cnt").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("max_cnt"),
+        max(when(col("cnt") === col("mx"), col("val"))).as("top_val"))
+      .withColumn("skew_x1000", expr("(max_cnt * n_distinct * 1000) div n_rows"))
+      .select("col_name", "n_rows", "n_distinct", "max_cnt", "skew_x1000", "top_val")
+      .orderBy("col_name")
+  }
+
+  /** Winsorization (percentile clipping) for robust feature stats:
+    * per-segment exact P05/P95 via DistributedSelect's shared pass set
+    * (no per-group sort), values clipped to [p05, p95], then an exact
+    * DECIMAL sum of the clipped column. The oracle computes the same
+    * percentiles by sorting every group in a window — the plan this
+    * operator avoids at scale. */
+  val winsorize: QueryDef = QueryDef.sqlBacked(
+    "q_winsorize",
+    """WITH b AS (SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS v, c_custkey
+      |           FROM customer),
+      |r AS (SELECT c_mktsegment, v,
+      |        row_number() OVER (PARTITION BY c_mktsegment ORDER BY v, c_custkey) AS rn,
+      |        COUNT(*) OVER (PARTITION BY c_mktsegment) AS n FROM b),
+      |q AS (SELECT c_mktsegment,
+      |        min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.05)) AS BIGINT) THEN v END) AS p05,
+      |        min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.95)) AS BIGINT) THEN v END) AS p95
+      |      FROM r GROUP BY 1)
+      |SELECT b.c_mktsegment, q.p05, q.p95, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN b.v < q.p05 THEN q.p05
+      |                WHEN b.v > q.p95 THEN q.p95 ELSE b.v END) AS DOUBLE) AS sum_clipped
+      |FROM b JOIN q USING (c_mktsegment)
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    doc = "Winsorized per-segment stats: exact P05/P95 from DistributedSelect (shared pass " +
+      "set, no group sort), clip, DECIMAL-exact sum.") { (s, d) =>
+    val dec = DecimalType(12, 2)
+    val cust = t(s, d, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal").cast(dec).as("v"))
+    val qs = graft.operators.DistributedSelect.quantilesByGroup(
+      cust, Seq("c_mktsegment"), "v", Seq("p05" -> 0.05, "p95" -> 0.95))
+    cust.join(qs, "c_mktsegment")
+      .withColumn("clipped", least(greatest(col("v"), col("p05")), col("p95")))
+      .groupBy("c_mktsegment")
+      .agg(
+        max("p05").as("p05"), max("p95").as("p95"),
+        count(lit(1)).as("n"),
+        sum("clipped").cast(DoubleType).as("sum_clipped"))
+      .select("c_mktsegment", "p05", "p95", "n", "sum_clipped")
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[QueryDef] = Seq(
     groupingSets, pivotWide, unpivotLong, rangeFrame, percentRank,
-    gapFill, retentionCohort, markovTransitions, tableChecksum, datasetDiff)
+    gapFill, retentionCohort, markovTransitions, tableChecksum, datasetDiff,
+    bloomJoin, ewma, incrementalJoin, skewProfile, winsorize)
 }

@@ -178,6 +178,53 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pagerank rounds join on src/dst keys over (node, rank) longs — no cartesian, partial aggs") {
+    val p = planOf("q_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "edge weights must combine map-side")
+  }
+
+  test("fuzzy join keys on deletion-neighborhood variants with the probe side broadcast") {
+    val p = planOf("q_fuzzy_join")
+    assert(p.contains("BroadcastHashJoin"), s"probe variants must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation must never be all-pairs (that's the oracle's plan)")
+  }
+
+  test("bloom join gates the fact scan with the codegen'd might_contain BEFORE the join") {
+    val p = planOf("q_bloom_join")
+    assert(p.contains("might_contain"), s"bloom gate missing from the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "filtered dim must broadcast")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val gateIdx = p.lastIndexOf("might_contain")
+    assert(gateIdx > joinIdx,
+      "the bloom gate must sit BELOW the join (later in the plan dump = deeper)")
+  }
+
+  test("ewma is one user-keyed window pass: no join, one hash exchange") {
+    val p = planOf("q_ewma")
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"all 8 lags must share the one window shuffle:\n$p")
+  }
+
+  test("incremental join view: the four delta partials merge without a cartesian") {
+    val p = planOf("q_incremental_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("skew profile expands all columns in one pass, no join") {
+    val p = planOf("q_skew_profile")
+    assert(p.contains("Expand"), "multi-column profile must be one Expand pass")
+    assert(!p.contains("Join"))
+  }
+
+  test("winsorize never degenerates: quantile brackets join back without a cartesian") {
+    val p = planOf("q_winsorize")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("aggregations are partial (map-side combine before the exchange)") {
     val p = planOf("q1_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
