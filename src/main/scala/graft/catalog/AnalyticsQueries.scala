@@ -929,6 +929,70 @@ object AnalyticsQueries {
     }
   }
 
+  private val streamDedupSink = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** STREAMING at-least-once → effectively-once dedup on the native
+    * `dropDuplicatesWithinWatermark` operator: the event stream is
+    * replayed with every third event delivered TWICE (the at-least-once
+    * source shape), and the keyed watermark state drops the redelivery
+    * — state is bounded by the watermark horizon, not the stream
+    * length, which is what makes this the 100 TB shape (the unbounded
+    * `dropDuplicates` would hold every key forever). The emitted rows
+    * must reconstruct the original stream exactly: the oracle is the
+    * plain batch aggregate over the UN-duplicated table. */
+  val streamDedup: QueryDef = QueryDef.sqlBacked(
+    "q_stream_dedup",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "Streaming watermark-bounded dedup (dropDuplicatesWithinWatermark): every third " +
+      "event redelivered, 3 micro-batches; emitted rows hash-match the undoubled input — " +
+      "keyed state bounded by the watermark horizon, not stream length.") { (s, d) =>
+    graft.core.Sessions.withStreamingShuffle(s) {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = eventsUs(s, d).select("event_id", "user_id", "event_type", "ts_us")
+      .as[(Long, Long, String, Long)].collect().toSeq.sortBy(r => (r._4, r._1))
+    // at-least-once delivery: every third event arrives twice, back-to-back
+    val dupped = rows.flatMap(r => if (r._1 % 3 == 0) Seq(r, r) else Seq(r))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Long)]
+    val deduped = input.toDF().toDF("event_id", "user_id", "event_type", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val sink = s"stream_dedup_${streamDedupSink.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val collected =
+      try {
+        dupped.grouped((dupped.size + 2) / 3).foreach { ep =>
+          input.addData(ep); q.processAllAvailable()
+        }
+        s.table(sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("event_id").as("sum_ids"))
+          .orderBy("event_type")
+          .collect().toSeq
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sink)
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      collected.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_ids",
+          org.apache.spark.sql.types.LongType))))
+    }
+  }
+
   val incrementalAgg: QueryDef = QueryDef.sqlBacked(
     "q_incremental_agg",
     """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -963,6 +1027,6 @@ object AnalyticsQueries {
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
     asofJoin, sessionize, streamSessionize, rangeJoin, streamIntervalJoin,
     topKAgg, dedupFailEvidence, madOutliers, ntileBucket, slidingWindow,
-    streamSliding, streamEnrich, incrementalAgg, exactP99, saltedJoin, funnel, quantileProfile, scd2,
-    approxDistinct)
+    streamSliding, streamEnrich, streamDedup, incrementalAgg, exactP99, saltedJoin, funnel,
+    quantileProfile, scd2, approxDistinct)
 }

@@ -502,8 +502,73 @@ object WarehouseQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Star-schema multi-way join (TPC-H Q5 shape): two fact tables
+    * (orders, lineitem) against four dimensions (customer, supplier,
+    * nation, region) with a region filter and the Q5 "local supplier"
+    * condition (c_nationkey = s_nationkey). The plan this exists to
+    * pin: region/nation/supplier/customer all BROADCAST (the region
+    * filter transitively prunes them), so the only wide work is the
+    * orders⋈lineitem fact join — Catalyst's join reorder + AQE pick
+    * that automatically from a declarative 6-table join. */
+  val starJoin: QueryDef = QueryDef.sqlBacked(
+    "q_star_join",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    doc = "TPC-H Q5 star join: 4 dims broadcast behind the region filter; the only wide " +
+      "exchange is the orders-lineitem fact join.") { (s, d) =>
+    val rev = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1) - col("l_discount")).cast(DecimalType(4, 2)))
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(rev).cast(DoubleType).as("revenue"), count(lit(1)).as("n"))
+      .orderBy("n_name")
+  }
+
+  /** Share-of-total (ratio_to_report) in exact parts-per-million:
+    * revenue per segment as integer cents, then share = cents·10⁶ div
+    * total — integer arithmetic end-to-end, so the ratio is bit-exact
+    * with no double division. One aggregation shuffle; the total rides
+    * a single-partition window over the 5-row aggregate, not the fact
+    * rows. */
+  val shareOfTotal: QueryDef = QueryDef.sqlBacked(
+    "q_share_of_total",
+    """WITH seg AS (
+      |  SELECT c_mktsegment,
+      |         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+      |SELECT c_mktsegment, cents,
+      |  CAST((cents * 1000000) // SUM(cents) OVER () AS BIGINT) AS share_ppm
+      |FROM seg ORDER BY c_mktsegment""".stripMargin,
+    doc = "Ratio-to-report per segment in exact integer ppm — the total is a window over " +
+      "the tiny aggregate, never a second pass over the facts.") { (s, d) =>
+    t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(floor(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+      .withColumn("share_ppm",
+        expr("(cents * 1000000) div sum(cents) over ()"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[QueryDef] = Seq(
     groupingSets, pivotWide, unpivotLong, rangeFrame, percentRank,
     gapFill, retentionCohort, markovTransitions, tableChecksum, datasetDiff,
-    bloomJoin, ewma, incrementalJoin, skewProfile, winsorize)
+    bloomJoin, ewma, incrementalJoin, skewProfile, winsorize,
+    starJoin, shareOfTotal)
 }

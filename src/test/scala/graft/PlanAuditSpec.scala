@@ -225,6 +225,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("star join: every dimension broadcasts behind the region filter; no cartesian") {
+    val p = planOf("q_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"region/nation/supplier (at least) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("share-of-total: one aggregation shuffle; the total windows over the tiny aggregate") {
+    val p = planOf("q_share_of_total")
+    assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the segment aggregate may hash-exchange (the total is a 5-row window):\n$p")
+  }
+
   test("aggregations are partial (map-side combine before the exchange)") {
     val p = planOf("q1_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
