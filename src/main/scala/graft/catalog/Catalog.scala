@@ -8,7 +8,8 @@ import graft.core.QueryDef
 object Catalog {
   def all: Seq[QueryDef] =
     CoreQueries.all ++ ExtendedQueries.all ++ AnalyticsQueries.all ++
-      WarehouseQueries.all ++ GraphQueries.all ++ LlmQueries.all
+      WarehouseQueries.all ++ GraphQueries.all ++ TokenizerQueries.all ++
+      LlmQueries.all
 
   def byName: Map[String, QueryDef] = {
     val defs = all

@@ -1,0 +1,114 @@
+package graft.catalog
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{QueryDef, Tables}
+
+/** Tokenizer-vocabulary induction over the corpus — the step a training
+  * pipeline runs between curation and tokenization (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units"). The algorithm is re-derived from the paper; the reference
+  * engine has no tokenizer surface (this is builder-brief scope).
+  */
+object TokenizerQueries {
+
+  /** Distributed BPE merge induction, 3 rounds.
+    *
+    * THE scale trick (from the paper's own implementation): merges are
+    * computed over the WORD-FREQUENCY table (O(vocab) rows), never the
+    * corpus. The corpus is exploded once into (word, freq); each round
+    * then costs one pair-count aggregate over a few thousand rows plus
+    * a 1-row argmax, so 100 TB of text and 100 MB of text pay the same
+    * per-round price after the first word count.
+    *
+    * Determinism: symbol sequences are space-joined with sentinel
+    * spaces; a merge rewrites ` a b ` → ` ab ` with the engine's
+    * left-to-right non-overlapping `replace` — Spark's UTF8String
+    * .replace and DuckDB's replace agree on this semantics (probed:
+    * ' a a a ' → ' aa a ' in both). Argmax tie-break is (count DESC,
+    * pair ASC) — total, since pairs are distinct.
+    *
+    * Output: one row per round — (it, pair, merged, cnt). */
+  val bpeMerges: QueryDef = QueryDef.sqlBacked(
+    "q_bpe_merges",
+    """WITH words AS (
+      |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY 1),
+      |w0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sym, freq FROM words),
+      |p1 AS (
+      |  SELECT a[i] || ' ' || a[i+1] AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT string_split(trim(sym), ' ') AS a, freq FROM w0),
+      |       UNNEST(generate_series(1, len(a) - 1)) AS g(i)
+      |  GROUP BY 1),
+      |m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+      |w1 AS (SELECT replace(sym, ' ' || (SELECT pair FROM m1) || ' ',
+      |                      ' ' || replace((SELECT pair FROM m1), ' ', '') || ' ') AS sym,
+      |              freq FROM w0),
+      |p2 AS (
+      |  SELECT a[i] || ' ' || a[i+1] AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT string_split(trim(sym), ' ') AS a, freq FROM w1),
+      |       UNNEST(generate_series(1, len(a) - 1)) AS g(i)
+      |  GROUP BY 1),
+      |m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+      |w2 AS (SELECT replace(sym, ' ' || (SELECT pair FROM m2) || ' ',
+      |                      ' ' || replace((SELECT pair FROM m2), ' ', '') || ' ') AS sym,
+      |              freq FROM w1),
+      |p3 AS (
+      |  SELECT a[i] || ' ' || a[i+1] AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT string_split(trim(sym), ' ') AS a, freq FROM w2),
+      |       UNNEST(generate_series(1, len(a) - 1)) AS g(i)
+      |  GROUP BY 1),
+      |m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+      |SELECT 1 AS it, pair, replace(pair, ' ', '') AS merged, cnt FROM m1
+      |UNION ALL SELECT 2, pair, replace(pair, ' ', ''), cnt FROM m2
+      |UNION ALL SELECT 3, pair, replace(pair, ' ', ''), cnt FROM m3
+      |ORDER BY it""".stripMargin,
+    doc = "BPE tokenizer-vocabulary induction (3 merge rounds) over the word-frequency " +
+      "table — corpus exploded ONCE, each round is a pair-count aggregate over O(vocab) " +
+      "rows + a 1-row argmax; merges applied via the engines' agreeing L2R replace.") {
+    (s, d) =>
+      val words = Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .persist() // the ONLY corpus-wide pass; every round below is O(vocab)
+      try {
+        var w = words.select(
+          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("sym"),
+          col("freq"))
+        val merges = mutable.Buffer.empty[(Int, String, String, Long)]
+        for (it <- 1 to 3) {
+          val top = w
+            .withColumn("a", split(trim(col("sym")), " "))
+            .filter(size(col("a")) >= 2)
+            .select(explode(expr(
+              "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))"))
+              .as("pair"), col("freq"))
+            .groupBy("pair").agg(sum("freq").as("cnt"))
+            .orderBy(desc("cnt"), asc("pair"))
+            .limit(1).head() // 1 row to the driver per round, by construction
+          val (pair, cnt) = (top.getString(0), top.getLong(1))
+          val merged = pair.replace(" ", "")
+          merges += ((it, pair, merged, cnt))
+          w = w.select(
+            call_function("replace", col("sym"),
+              lit(s" $pair "), lit(s" $merged ")).as("sym"),
+            col("freq"))
+        }
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          merges.map(m => org.apache.spark.sql.Row(m._1, m._2, m._3, m._4)).asJava,
+          StructType(Seq(
+            StructField("it", IntegerType), StructField("pair", StringType),
+            StructField("merged", StringType), StructField("cnt", LongType))))
+          .orderBy("it")
+      } finally words.unpersist()
+  }
+
+  val all: Seq[QueryDef] = Seq(bpeMerges)
+}
