@@ -110,5 +110,70 @@ object TokenizerQueries {
       } finally words.unpersist()
   }
 
-  val all: Seq[QueryDef] = Seq(bpeMerges)
+  private val shhSink = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** STREAMING heavy hitters: the batch q_heavy_hitters sketch-prune-
+    * confirm shape with the Misra-Gries summary maintained as KEYED
+    * STREAMING STATE across micro-batches
+    * (`streaming/StreamingHeavyHitters`). Terms shard by hash; each
+    * shard's state is one MG buffer (≤256 counters — O(shards ×
+    * capacity) total, independent of vocabulary and stream length);
+    * every epoch emits the shard's current sketch under a sequence
+    * number, the reader takes each shard's newest snapshot, and an
+    * exact batch confirm pass removes sketch false positives — so the
+    * result is exact and must hash-match the batch oracle. */
+  val streamHeavyHitters: QueryDef = QueryDef.sqlBacked(
+    "q_stream_heavy_hitters",
+    """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |            FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok)
+      |SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM tok GROUP BY 1 HAVING COUNT(*) * 200 > (SELECT total FROM n)
+      |ORDER BY term""".stripMargin,
+    doc = "Streaming Misra-Gries heavy hitters: per-shard MG state folded across 3 " +
+      "micro-batches (state O(shards×capacity), not O(vocab)), newest snapshots unioned, " +
+      "exact confirm — hash-matches the batch heavy-hitter oracle.") { (s, d) =>
+    graft.core.Sessions.withStreamingShuffle(s) {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.streaming.StreamingHeavyHitters._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val tokExpr = explode(graft.llm.TextAnalysis.wsTokens(trim(lower(col("text"))))).as("term")
+    val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val snaps = input.toDF().toDF("doc_id", "text")
+      .select(tokExpr)
+      .select(pmod(xxhash64(col("term")), lit(8)).cast("int").as("shard"), col("term"))
+      .as[Tok]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[MgState, Snapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update(256) _)
+    val sink = s"stream_hh_${shhSink.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_hh").toString
+    val q = snaps.writeStream.format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val cands =
+      try {
+        docs.grouped((docs.size + 2) / 3).foreach { ep =>
+          input.addData(ep); q.processAllAvailable()
+        }
+        latestCandidates(s.table(sink).as[Snapshot]).collect().toSeq.sorted
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sink)
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+    // exact confirm over candidates only (sketch-prune-confirm)
+    val tok = Tables(s, d, "documents").select(tokExpr.as("w"))
+    val total = tok.count()
+    tok.filter(col("w").isin(cands: _*))
+      .groupBy(col("w").as("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 200 > total)
+      .orderBy("term")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(bpeMerges, streamHeavyHitters)
 }
