@@ -566,9 +566,66 @@ object WarehouseQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Functional-dependency / candidate-key discovery: A → B holds iff
+    * |distinct(A)| = |distinct(A,B)|, and A is a candidate key iff
+    * |distinct(A)| = |rows| — the schema-governance probe behind merge
+    * key selection and dedup policy. All eight distinct counts + the
+    * row count ride ONE aggregate (Spark expands multi-distinct into a
+    * single shared pass), then a map-side `stack` melts the scalar row
+    * into the per-pair verdicts — one shuffle total, integer-exact.
+    * Columns tested are non-null in this schema; the count(DISTINCT
+    * (a,b)) null conventions differ across engines otherwise. */
+  val fdDiscovery: QueryDef = QueryDef.sqlBacked(
+    "q_fd_discovery",
+    """WITH s AS (SELECT
+      |  count(DISTINCT o_orderkey) AS d_ok,
+      |  count(DISTINCT (o_orderkey, o_custkey)) AS p_ok_ck,
+      |  count(DISTINCT (o_orderkey, o_orderstatus)) AS p_ok_st,
+      |  count(DISTINCT o_custkey) AS d_ck,
+      |  count(DISTINCT (o_custkey, o_orderpriority)) AS p_ck_pr,
+      |  count(DISTINCT o_orderstatus) AS d_st,
+      |  count(DISTINCT (o_orderstatus, o_orderpriority)) AS p_st_pr,
+      |  count(*) AS n FROM orders)
+      |SELECT det, dep, n_det, n_pair, n_det = n_pair AS holds,
+      |       n_det = n_rows AS det_unique FROM (
+      |  SELECT 'o_orderkey' AS det, 'o_custkey' AS dep,
+      |         CAST(d_ok AS BIGINT) AS n_det, CAST(p_ok_ck AS BIGINT) AS n_pair,
+      |         CAST(n AS BIGINT) AS n_rows FROM s
+      |  UNION ALL SELECT 'o_orderkey', 'o_orderstatus',
+      |         CAST(d_ok AS BIGINT), CAST(p_ok_st AS BIGINT), CAST(n AS BIGINT) FROM s
+      |  UNION ALL SELECT 'o_custkey', 'o_orderpriority',
+      |         CAST(d_ck AS BIGINT), CAST(p_ck_pr AS BIGINT), CAST(n AS BIGINT) FROM s
+      |  UNION ALL SELECT 'o_orderstatus', 'o_orderpriority',
+      |         CAST(d_st AS BIGINT), CAST(p_st_pr AS BIGINT), CAST(n AS BIGINT) FROM s)
+      |ORDER BY det, dep""".stripMargin,
+    doc = "Functional-dependency + candidate-key discovery: |distinct(A)| vs " +
+      "|distinct(A,B)| vs |rows|, eight distinct counts in ONE shared aggregate pass, " +
+      "melted map-side to per-pair verdicts.") { (s, d) =>
+    val agg = t(s, d, "orders").agg(
+      countDistinct(col("o_orderkey")).as("d_ok"),
+      countDistinct(col("o_orderkey"), col("o_custkey")).as("p_ok_ck"),
+      countDistinct(col("o_orderkey"), col("o_orderstatus")).as("p_ok_st"),
+      countDistinct(col("o_custkey")).as("d_ck"),
+      countDistinct(col("o_custkey"), col("o_orderpriority")).as("p_ck_pr"),
+      countDistinct(col("o_orderstatus")).as("d_st"),
+      countDistinct(col("o_orderstatus"), col("o_orderpriority")).as("p_st_pr"),
+      count(lit(1)).as("n"))
+    agg.selectExpr(
+      """stack(4,
+        |  'o_orderkey', 'o_custkey', d_ok, p_ok_ck,
+        |  'o_orderkey', 'o_orderstatus', d_ok, p_ok_st,
+        |  'o_custkey', 'o_orderpriority', d_ck, p_ck_pr,
+        |  'o_orderstatus', 'o_orderpriority', d_st, p_st_pr) AS (det, dep, n_det, n_pair)""".stripMargin,
+      "n")
+      .select(col("det"), col("dep"), col("n_det"), col("n_pair"),
+        (col("n_det") === col("n_pair")).as("holds"),
+        (col("n_det") === col("n")).as("det_unique"))
+      .orderBy("det", "dep")
+  }
+
   val all: Seq[QueryDef] = Seq(
     groupingSets, pivotWide, unpivotLong, rangeFrame, percentRank,
     gapFill, retentionCohort, markovTransitions, tableChecksum, datasetDiff,
     bloomJoin, ewma, incrementalJoin, skewProfile, winsorize,
-    starJoin, shareOfTotal)
+    starJoin, shareOfTotal, fdDiscovery)
 }
