@@ -7,9 +7,9 @@ import graft.core.QueryDef
   * never drift apart. */
 object Catalog {
   def all: Seq[QueryDef] =
-    CoreQueries.all ++ ExtendedQueries.all ++ AnalyticsQueries.all ++
-      WarehouseQueries.all ++ GraphQueries.all ++ TokenizerQueries.all ++
-      LlmQueries.all
+    CoreQueries.all ++ ExtendedQueries.all ++ DeltaQueries.all ++
+      AnalyticsQueries.all ++ WarehouseQueries.all ++ GraphQueries.all ++
+      TokenizerQueries.all ++ LlmQueries.all
 
   def byName: Map[String, QueryDef] = {
     val defs = all

@@ -1,0 +1,788 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{Filter => SFilter}
+import org.apache.spark.sql.types._
+
+import graft.core.CanonicalJson
+import graft.core.CanonicalJson._
+import graft.core.GraftError
+
+/** Delta Lake table source + sink implemented directly against the
+  * PUBLIC Delta transaction-log protocol (delta.io PROTOCOL.md): an
+  * ordered log of JSON commit files under `_delta_log/`, periodically
+  * compacted into parquet checkpoints, whose replay yields the set of
+  * live data files. No delta jars — the log is small structured
+  * metadata, exactly like the Iceberg implementation beside it
+  * ([[IcebergSource]]); the reference's lakehouse driver
+  * (cdf-builtin-drivers, driver.rs:1035) motivates the same
+  * metadata-plane/data-plane split.
+  *
+  * Protocol surface implemented (reader version 1, writer version 2
+  * semantics):
+  *  - commit files `_delta_log/%020d.json`, one action per line:
+  *    `protocol`, `metaData`, `add`, `remove`, `commitInfo`
+  *  - OPTIMISTIC CONCURRENCY: a commit claims its version by an
+  *    atomic create of the next numbered file — two writers racing on
+  *    the same version, one loses with a typed conflict, never a
+  *    corrupt log (PROTOCOL.md "Delta log entries"; local-FS
+  *    `Files.move` without REPLACE is the atomic put-if-absent)
+  *  - parquet CHECKPOINTS (`%020d.checkpoint.parquet` + the
+  *    `_last_checkpoint` pointer): snapshot replay reads ONE parquet
+  *    file plus the commits after it — O(tail), not O(commits); the
+  *    JSON files at or before the checkpoint are no longer needed
+  *    (spec'd by reading a table whose pre-checkpoint commits were
+  *    deleted)
+  *  - add/remove RECONCILIATION by relative path, last action wins
+  *  - Hive-style partitioned layout with `partitionValues` carried in
+  *    the LOG (data files do NOT contain partition columns — the
+  *    reader injects them, per the protocol's column-metadata rule)
+  *  - per-file STATS (`numRecords`/`minValues`/`maxValues`/
+  *    `nullCount`) harvested from the parquet FOOTERS at commit time
+  *    (never a second data scan) for the soundly-ordered subset of
+  *    types [[ParquetFooters]] vouches for; file skipping follows the
+  *    same conservative-on-missing law as the Iceberg/package pruners
+  *  - TIME TRAVEL by version and by timestamp (`commitInfo.timestamp`)
+  *  - incremental append-diff between versions, refusing (typed) a
+  *    window containing data-changing removes, and SKIPPING
+  *    `dataChange=false` housekeeping (compaction) — the protocol's
+  *    reason that flag exists
+  *  - a PROTOCOL GATE: a log demanding `minReaderVersion > 1` (column
+  *    mapping, deletion vectors, ...) is refused typed, never
+  *    silently misread.
+  *
+  * Scale shape: the log is KB-per-commit driver-side metadata (same
+  * plane as Iceberg manifests); the data read is a single
+  * filter-pruned multi-file parquet scan, with partition columns
+  * injected via a BROADCAST join keyed on `_metadata.file_path` — no
+  * per-partition plan explosion, no shuffle of data rows.
+  */
+object DeltaLog {
+
+  /** One live data file in a snapshot. `path` is RELATIVE to the table
+    * root (protocol rule); `partitionValues` are the protocol's string
+    * serialization, None = null. */
+  final case class AddFile(
+      path: String,
+      partitionValues: Map[String, Option[String]],
+      size: Long,
+      modificationTime: Long,
+      dataChange: Boolean,
+      stats: Option[String])
+
+  final case class RemoveFile(path: String, deletionTimestamp: Long, dataChange: Boolean)
+
+  final case class Meta(
+      id: String,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      createdTime: Long)
+
+  final case class Snapshot(
+      version: Long,
+      meta: Meta,
+      protocolMinReader: Int,
+      files: Seq[AddFile],
+      timestampMs: Long)
+
+  private def logDir(tableDir: String): Path = Paths.get(tableDir, "_delta_log")
+  private def commitPath(tableDir: String, v: Long): Path =
+    logDir(tableDir).resolve(f"$v%020d.json")
+  private def checkpointPath(tableDir: String, v: Long): Path =
+    logDir(tableDir).resolve(f"$v%020d.checkpoint.parquet")
+
+  // ------------------------------------------------------------ log IO
+
+  /** Claim version `v` and publish `lines` as its commit file in one
+    * atomic step: the content is staged beside the log and MOVED to
+    * the numbered name without REPLACE — on a local/posix store the
+    * rename is the put-if-absent the protocol's optimistic-concurrency
+    * rule needs, so a racing writer gets [[GraftError.Plan]], and a
+    * reader never observes a partial commit file. */
+  private[graft] def publishCommit(tableDir: String, v: Long, lines: Seq[String]): Unit = {
+    val dir = logDir(tableDir)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, s".commit-$v-", ".json.tmp")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, commitPath(tableDir, v))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw GraftError.Plan(
+          s"delta fidelity: version $v was committed concurrently — " +
+            "re-read the table and retry the commit (optimistic concurrency)")
+    }
+  }
+
+  private def listCommitVersions(tableDir: String): Seq[Long] = {
+    val dir = logDir(tableDir)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.endsWith(".tmp"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+      .toVector.sorted
+    finally s.close()
+  }
+
+  /** Latest committed version, from the log listing. */
+  def currentVersion(tableDir: String): Long = {
+    val vs = listCommitVersions(tableDir)
+    val cp = lastCheckpointVersion(tableDir)
+    (vs ++ cp).maxOption.getOrElse(
+      throw GraftError.Plan(s"delta fidelity: no _delta_log at $tableDir"))
+  }
+
+  private def lastCheckpointVersion(tableDir: String): Option[Long] = {
+    val p = logDir(tableDir).resolve("_last_checkpoint")
+    if (!Files.exists(p)) None
+    else CanonicalJson.objFields(
+      CanonicalJson.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+      .get("version").collect { case JInt(v) => v }
+  }
+
+  // ------------------------------------------------------- replay
+
+  private def parseActions(tableDir: String, v: Long): Seq[Map[String, J]] = {
+    val bytes = Files.readAllBytes(commitPath(tableDir, v))
+    new String(bytes, StandardCharsets.UTF_8).split('\n').toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .map(l => CanonicalJson.objFields(CanonicalJson.parse(l)))
+  }
+
+  private def jStr(j: J): String = j match {
+    case JStr(s) => s
+    case other => throw GraftError.Plan(s"delta fidelity: expected string, got $other")
+  }
+  private def jLong(j: J): Long = j match {
+    case JInt(v) => v
+    case JNum(v) => v.toLong
+    case other => throw GraftError.Plan(s"delta fidelity: expected number, got $other")
+  }
+
+  private def parseAdd(f: Map[String, J]): AddFile = AddFile(
+    path = jStr(f("path")),
+    partitionValues = f.get("partitionValues").map(CanonicalJson.objFields)
+      .getOrElse(Map.empty)
+      .map { case (k, v) => k -> (v match { case JNull => None; case s => Some(jStr(s)) }) },
+    size = f.get("size").map(jLong).getOrElse(0L),
+    modificationTime = f.get("modificationTime").map(jLong).getOrElse(0L),
+    dataChange = f.get("dataChange").forall { case JBool(b) => b; case _ => true },
+    stats = f.get("stats").collect { case JStr(s) => s })
+
+  private def parseMeta(f: Map[String, J]): Meta = Meta(
+    id = f.get("id").map(jStr).getOrElse(""),
+    schema = DataType.fromJson(jStr(f("schemaString"))).asInstanceOf[StructType],
+    partitionColumns = f.get("partitionColumns").collect {
+      case JArr(vs) => vs.map(jStr)
+    }.getOrElse(Seq.empty),
+    createdTime = f.get("createdTime").map(jLong).getOrElse(0L))
+
+  /** Replay the log to `version` (default: latest): start from the
+    * newest checkpoint at or below the target, then apply the JSON
+    * tail in order. Add/remove reconcile by path, last wins; the
+    * latest metaData/protocol win. Commits at or before the
+    * checkpoint are never opened — and may have been deleted. */
+  def snapshot(spark: SparkSession, tableDir: String,
+      version: Option[Long] = None): Snapshot = {
+    val target = version.getOrElse(currentVersion(tableDir))
+    val cpv: Option[Long] = {
+      // prefer the pointer; fall back to listing (pointer may be ahead
+      // of a time-travel target)
+      val listed = {
+        val dir = logDir(tableDir)
+        if (!Files.isDirectory(dir)) Seq.empty[Long]
+        else {
+          val s = Files.list(dir)
+          try s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".checkpoint.parquet"))
+            .flatMap(n => scala.util.Try(
+              n.stripSuffix(".checkpoint.parquet").toLong).toOption)
+            .toVector
+          finally s.close()
+        }
+      }
+      (lastCheckpointVersion(tableDir).toSeq ++ listed).filter(_ <= target).maxOption
+    }
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    var meta: Option[Meta] = None
+    var minReader = 1
+    var ts = 0L
+    cpv.foreach { v =>
+      val cp = spark.read.parquet(checkpointPath(tableDir, v).toString)
+      // one action per row; struct columns mirror the JSON actions
+      cp.collect().foreach { r =>
+        def struct(name: String): Option[Row] =
+          if (!r.schema.fieldNames.contains(name)) None
+          else Option(r.getAs[Row](name))
+        struct("protocol").foreach(p => minReader = p.getAs[Int]("minReaderVersion"))
+        struct("metaData").foreach { m =>
+          meta = Some(Meta(
+            id = m.getAs[String]("id"),
+            schema = DataType.fromJson(m.getAs[String]("schemaString"))
+              .asInstanceOf[StructType],
+            partitionColumns =
+              m.getSeq[String](m.fieldIndex("partitionColumns")).toVector,
+            createdTime = m.getAs[Long]("createdTime")))
+        }
+        struct("add").foreach { a =>
+          val pv = Option(a.getAs[Map[String, String]]("partitionValues"))
+            .getOrElse(Map.empty)
+            .map { case (k, v) => k -> Option(v) }
+          val af = AddFile(a.getAs[String]("path"), pv, a.getAs[Long]("size"),
+            a.getAs[Long]("modificationTime"), a.getAs[Boolean]("dataChange"),
+            Option(a.getAs[String]("stats")))
+          files -= af.path; files(af.path) = af
+        }
+        struct("remove").foreach(rm => files -= rm.getAs[String]("path"))
+      }
+    }
+    val from = cpv.map(_ + 1).getOrElse(0L)
+    (from to target).foreach { v =>
+      if (!Files.exists(commitPath(tableDir, v)))
+        throw GraftError.Plan(
+          s"delta fidelity: commit $v is missing from the log (have checkpoint " +
+            s"$cpv, target $target) — the log is torn, refuse rather than skip")
+      parseActions(tableDir, v).foreach { action =>
+        action.get("protocol").map(CanonicalJson.objFields).foreach(p =>
+          minReader = p.get("minReaderVersion").map(jLong(_).toInt).getOrElse(1))
+        action.get("metaData").map(CanonicalJson.objFields).foreach(m =>
+          meta = Some(parseMeta(m)))
+        action.get("add").map(CanonicalJson.objFields).foreach { a =>
+          val af = parseAdd(a)
+          files -= af.path; files(af.path) = af
+        }
+        action.get("remove").map(CanonicalJson.objFields).foreach(rm =>
+          files -= jStr(rm("path")))
+        action.get("commitInfo").map(CanonicalJson.objFields).foreach(ci =>
+          ci.get("timestamp").foreach(t => ts = jLong(t)))
+      }
+    }
+    if (minReader > 1)
+      throw GraftError.Plan(
+        s"delta fidelity: log requires reader version $minReader (column mapping / " +
+          "deletion vectors / ...); this reader implements protocol version 1 — " +
+          "refusing rather than misreading")
+    val m = meta.getOrElse(throw GraftError.Plan(
+      s"delta fidelity: no metaData action found replaying $tableDir to $target"))
+    Snapshot(target, m, minReader, files.values.toVector.sortBy(_.path), ts)
+  }
+
+  /** Commit timestamps (version → commitInfo.timestamp), for
+    * timestamp time travel. Only the JSON tail carries commitInfo; a
+    * timestamp older than the oldest retained commit refuses. */
+  private def commitTimestamps(tableDir: String): Seq[(Long, Long)] =
+    listCommitVersions(tableDir).flatMap { v =>
+      parseActions(tableDir, v).flatMap(_.get("commitInfo"))
+        .map(CanonicalJson.objFields)
+        .flatMap(_.get("timestamp")).map(jLong).headOption.map(v -> _)
+    }
+
+  /** Highest version whose commit timestamp is ≤ `tsMs` (Delta's
+    * `timestampAsOf` rule). */
+  def versionAsOf(tableDir: String, tsMs: Long): Long = {
+    val cts = commitTimestamps(tableDir)
+    cts.filter(_._2 <= tsMs).map(_._1).maxOption.getOrElse(
+      throw GraftError.Plan(
+        s"delta fidelity: no commit at or before timestamp $tsMs " +
+          s"(earliest retained: ${cts.headOption})"))
+  }
+
+  // ------------------------------------------------------- pruning
+
+  /** Typed partition value per the protocol's string serialization:
+    * the reader casts the log's string by the TABLE schema's type.
+    * Unsupported types stay strings only for same-type comparisons
+    * (conservative either way). */
+  private def typedPartValue(v: Option[String], dt: DataType): Any = v match {
+    case None => null
+    case Some(s) => dt match {
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case BooleanType => s.toBoolean
+      case DateType => java.time.LocalDate.parse(s)
+      case d: DecimalType => new java.math.BigDecimal(s).setScale(d.scale)
+      case _ => s
+    }
+  }
+
+  private def statsBound(j: J, dt: DataType): Option[Any] = (j, dt) match {
+    case (JNull, _) => None
+    case (JInt(v), IntegerType) => Some(v.toInt)
+    case (JInt(v), LongType) => Some(v)
+    case (JNum(v), IntegerType) => Some(v.toInt)
+    case (JNum(v), LongType) => Some(v.toLong)
+    case (JBool(b), BooleanType) => Some(b)
+    case (JStr(s), StringType) => Some(s)
+    case (JStr(s), DateType) => Some(java.time.LocalDate.parse(s))
+    // decimals are serialized as plain strings (lossless; a JSON
+    // double would corrupt > 2^53 unscaled values)
+    case (JStr(s), d: DecimalType) => Some(new java.math.BigDecimal(s).setScale(d.scale))
+    case (JInt(v), d: DecimalType) =>
+      Some(java.math.BigDecimal.valueOf(v).setScale(d.scale))
+    case _ => None
+  }
+
+  /** Conservative stats evaluation over the add action's JSON stats —
+    * the same Pruned | RetainedMayMatch | RetainedConservatively law
+    * as [[IcebergSource.statsMayMatch]] (verified statistics may skip
+    * work but never produce identity-bearing bytes): false ONLY when
+    * the predicate provably matches no row of the file. String upper
+    * bounds are truncation-widened at write, so the usual soundness
+    * argument holds. */
+  private[graft] def statsMayMatch(f: SFilter, add: AddFile, schema: StructType): Boolean = {
+    val parsed: Option[Map[String, J]] =
+      add.stats.map(s => CanonicalJson.objFields(CanonicalJson.parse(s)))
+    if (parsed.isEmpty) return true
+    val st = parsed.get
+    val numRecords = st.get("numRecords").map(jLong).getOrElse(-1L)
+    def boundOf(section: String, c: String): Option[Any] =
+      st.get(section).map(CanonicalJson.objFields).flatMap(_.get(c)).flatMap { j =>
+        schema.fields.find(_.name == c).flatMap(fl => statsBound(j, fl.dataType))
+      }
+    def lower(c: String) = boundOf("minValues", c)
+    def upper(c: String) = boundOf("maxValues", c)
+    def nullsOf(c: String): Option[Long] =
+      st.get("nullCount").map(CanonicalJson.objFields).flatMap(_.get(c)).map(jLong)
+    def allNull(c: String): Boolean =
+      numRecords > 0 && nullsOf(c).contains(numRecords)
+    import org.apache.spark.sql.{sources => sf}
+    import IcebergSource.cmpValues
+    def eqNoMatch(c: String, lit: Any): Boolean =
+      lit != null && (allNull(c) ||
+        lower(c).exists(lo => cmpValues(lit, lo).exists(_ < 0)) ||
+        upper(c).exists(hi => cmpValues(lit, hi).exists(_ > 0)))
+    f match {
+      case sf.EqualTo(c, lit) => !eqNoMatch(c, lit)
+      case sf.In(c, vs) => !(vs.nonEmpty && vs.forall(v => eqNoMatch(c, v)))
+      case sf.GreaterThan(c, lit) => !(lit != null && (allNull(c) ||
+        upper(c).exists(hi => cmpValues(hi, lit).exists(_ <= 0))))
+      case sf.GreaterThanOrEqual(c, lit) => !(lit != null && (allNull(c) ||
+        upper(c).exists(hi => cmpValues(hi, lit).exists(_ < 0))))
+      case sf.LessThan(c, lit) => !(lit != null && (allNull(c) ||
+        lower(c).exists(lo => cmpValues(lo, lit).exists(_ >= 0))))
+      case sf.LessThanOrEqual(c, lit) => !(lit != null && (allNull(c) ||
+        lower(c).exists(lo => cmpValues(lo, lit).exists(_ > 0))))
+      case sf.IsNull(c) => !nullsOf(c).contains(0L)
+      case sf.IsNotNull(c) => !allNull(c)
+      case sf.And(l, r) => statsMayMatch(l, add, schema) && statsMayMatch(r, add, schema)
+      case sf.Or(l, r) => statsMayMatch(l, add, schema) || statsMayMatch(r, add, schema)
+      case sf.Not(sf.EqualTo(c, lit)) =>
+        !(lit != null && lower(c).isDefined && lower(c) == upper(c) &&
+          lower(c).exists(lo => cmpValues(lo, lit).contains(0)))
+      case _ => true
+    }
+  }
+
+  /** The file plan for a read: snapshot files surviving partition AND
+    * stats pruning, both conservative-on-missing. Public so specs can
+    * assert pruning counts. */
+  def planFiles(spark: SparkSession, tableDir: String, version: Option[Long] = None,
+      filters: Seq[SFilter] = Nil): (Snapshot, Seq[AddFile]) = {
+    val snap = snapshot(spark, tableDir, version)
+    val byName = snap.meta.schema.fields.map(f => f.name -> f.dataType).toMap
+    val surviving = snap.files.filter { add =>
+      val part: Map[String, Any] = add.partitionValues.map { case (k, v) =>
+        k -> byName.get(k).map(typedPartValue(v, _)).getOrElse(v.orNull)
+      }
+      filters.forall { f0 =>
+        val f = IcebergSource.normalizeNot(f0)
+        IcebergSource.mayMatch(f, part) && statsMayMatch(f, add, snap.meta.schema)
+      }
+    }
+    (snap, surviving)
+  }
+
+  // ------------------------------------------------------- reading
+
+  /** Read the table (optionally at a past `version`), with pushed
+    * `filters` pruning files by partition values and stats. Partition
+    * columns are injected from the LOG via a broadcast join on
+    * `_metadata.file_path` — one parquet scan regardless of partition
+    * count, no data shuffle. */
+  def read(spark: SparkSession, tableDir: String, version: Option[Long] = None,
+      filters: Seq[SFilter] = Nil): DataFrame = {
+    val (snap, files) = planFiles(spark, tableDir, version, filters)
+    assemble(spark, tableDir, snap, files)
+  }
+
+  /** Read as of a commit timestamp (`timestampAsOf`). */
+  def readAsOf(spark: SparkSession, tableDir: String, tsMs: Long,
+      filters: Seq[SFilter] = Nil): DataFrame =
+    read(spark, tableDir, Some(versionAsOf(tableDir, tsMs)), filters)
+
+  /** Append-diff of versions (`fromVersion`, `toVersion`]: the rows of
+    * add actions with `dataChange=true` in that window. Housekeeping
+    * commits (compaction: `dataChange=false`) contribute nothing —
+    * the protocol's reason the flag exists. A data-changing REMOVE in
+    * the window means the diff is not an append feed; refused typed
+    * rather than silently dropping the deletes. */
+  def readIncremental(spark: SparkSession, tableDir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val snap = snapshot(spark, tableDir, Some(toVersion))
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      parseActions(tableDir, v).foreach { action =>
+        action.get("remove").map(CanonicalJson.objFields).foreach { rm =>
+          val changes = rm.get("dataChange").forall { case JBool(b) => b; case _ => true }
+          if (changes)
+            throw GraftError.Plan(
+              s"delta fidelity: version $v removes data inside the requested window " +
+                s"($fromVersion, $toVersion] — an append-diff would silently resurrect " +
+                "deleted rows; read full snapshots instead")
+          // dataChange=false (compaction housekeeping) is entirely
+          // invisible to the feed: earlier adds stay (their files are
+          // immutable and retained until vacuum), the rewrite's own
+          // adds never enter (also dataChange=false below)
+        }
+        action.get("add").map(CanonicalJson.objFields).map(parseAdd).foreach { af =>
+          if (af.dataChange) { adds -= af.path; adds(af.path) = af }
+        }
+      }
+    }
+    assemble(spark, tableDir, snap, adds.values.toVector.sortBy(_.path))
+  }
+
+  private def dataSchemaOf(meta: Meta): StructType =
+    StructType(meta.schema.fields.filterNot(f => meta.partitionColumns.contains(f.name)))
+
+  /** One multi-file parquet scan over `files` + broadcast injection of
+    * the log's partition values, projected to the table schema's
+    * column order with the schema's exact types. */
+  private def assemble(spark: SparkSession, tableDir: String, snap: Snapshot,
+      files: Seq[AddFile]): DataFrame = {
+    val meta = snap.meta
+    val dataSchema = dataSchemaOf(meta)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], meta.schema)
+    val abs = files.map(f => Paths.get(tableDir, f.path).toString)
+    val scan = spark.read.schema(dataSchema).parquet(abs: _*)
+    if (meta.partitionColumns.isEmpty)
+      return scan.select(meta.schema.fieldNames.map(col).toSeq: _*)
+    // (file_path, partition values...) — KB-scale, from the log
+    val byName = meta.schema.fields.map(f => f.name -> f.dataType).toMap
+    val partRows = files.map { f =>
+      Row.fromSeq(normAbs(tableDir, f.path) +: meta.partitionColumns.map { c =>
+        typedPartValue(f.partitionValues.getOrElse(c, None), byName(c)) match {
+          case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+          case v => v
+        }
+      })
+    }
+    val partSchema = StructType(
+      StructField("__g_path", StringType) +:
+        meta.partitionColumns.map(c => StructField(c, byName(c))).toArray.toSeq)
+    val partDf = spark.createDataFrame(partRows.asJava, partSchema)
+    scan
+      .withColumn("__g_path", regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .join(broadcast(partDf), "__g_path")
+      .select(meta.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Undo Hive path escaping (%XX hex escapes ONLY — java's URLDecoder
+    * would additionally turn a literal '+' into a space, which Spark's
+    * writer never escapes). */
+  private def unescapePathValue(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def normAbs(tableDir: String, rel: String): String = {
+    val p = Paths.get(tableDir, rel).toAbsolutePath.normalize.toString
+    if (p.startsWith("/")) p else "/" + p
+  }
+
+  // ------------------------------------------------------- writing
+
+  private def schemaJson(schema: StructType): String = schema.json
+
+  private def statsJson(fs: ParquetFooters.FileStats, dataSchema: StructType): String = {
+    def ser(v: Any): Option[J] = v match {
+      case i: Int => Some(JInt(i.toLong))
+      case l: Long => Some(JInt(l))
+      case b: Boolean => Some(JBool(b))
+      case s: String => Some(JStr(s))
+      case d: java.time.LocalDate => Some(JStr(d.toString))
+      case d: java.math.BigDecimal => Some(JStr(d.toPlainString))
+      case _ => None // timestamps & floats: recorded unbounded (sound)
+    }
+    val names = dataSchema.fieldNames.toSeq
+    val mins = names.flatMap(n => fs.cols.get(n).flatMap(_.lower).flatMap {
+      case s: String => ser(IcebergSource.truncLower(s))
+      case v => ser(v)
+    }.map(n -> _))
+    val maxs = names.flatMap(n => fs.cols.get(n).flatMap(_.upper).flatMap {
+      case s: String => IcebergSource.truncUpper(s).flatMap(ser)
+      case v => ser(v)
+    }.map(n -> _))
+    val nulls = names.flatMap(n =>
+      fs.cols.get(n).flatMap(_.nullCount).map(c => n -> (JInt(c): J)))
+    CanonicalJson.render(JObj.of(
+      "numRecords" -> (JInt(fs.rowCount): J),
+      "minValues" -> (JObj(mins.toVector): J),
+      "maxValues" -> (JObj(maxs.toVector): J),
+      "nullCount" -> (JObj(nulls.toVector): J)))
+  }
+
+  private def addJson(a: AddFile): J = {
+    val base: Vector[(String, J)] = Vector(
+      "path" -> JStr(a.path),
+      "partitionValues" -> JObj(a.partitionValues.toVector.sortBy(_._1).map {
+        case (k, v) => k -> (v.map(JStr.apply).getOrElse(JNull): J)
+      }),
+      "size" -> JInt(a.size),
+      "modificationTime" -> JInt(a.modificationTime),
+      "dataChange" -> JBool(a.dataChange))
+    val withStats = a.stats.map(s => base :+ ("stats" -> (JStr(s): J))).getOrElse(base)
+    JObj.of("add" -> (JObj(withStats): J))
+  }
+
+  private def removeJson(r: RemoveFile): J = JObj.of(
+    "remove" -> (JObj.of(
+      "path" -> (JStr(r.path): J),
+      "deletionTimestamp" -> (JInt(r.deletionTimestamp): J),
+      "dataChange" -> (JBool(r.dataChange): J)): J))
+
+  private def commitInfoJson(tsMs: Long, op: String): J = JObj.of(
+    "commitInfo" -> (JObj.of(
+      "timestamp" -> (JInt(tsMs): J),
+      "operation" -> (JStr(op): J)): J))
+
+  /** Write `df`'s rows as parquet files under the table root (Hive
+    * layout when partitioned), harvest per-file stats from the footers,
+    * and return the add actions. Files are staged then MOVED into
+    * place — a failed write leaves no files the log could name. */
+  private def writeFiles(spark: SparkSession, tableDir: String, df: DataFrame,
+      partitionColumns: Seq[String], tsMs: Long, dataChange: Boolean,
+      dataSchema: StructType): Seq[AddFile] = {
+    val staging = Files.createTempDirectory(Paths.get(tableDir), ".stage-").toString
+    try {
+      val w = df.write.mode("errorifexists")
+      (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
+        .parquet(s"$staging/out")
+      val root = Paths.get(staging, "out")
+      val parts = {
+        val s = Files.walk(root)
+        try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toVector
+        finally s.close()
+      }
+      parts.sortBy(_.toString).map { p =>
+        val rel = root.relativize(p).toString
+        val dest = Paths.get(tableDir, rel)
+        Files.createDirectories(dest.getParent)
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+        val fs = ParquetFooters.read(dest.toString)
+        val pv: Map[String, Option[String]] = rel.split('/').dropRight(1).toSeq
+          .map { seg =>
+            val i = seg.indexOf('=')
+            val k = seg.substring(0, i)
+            val raw = unescapePathValue(seg.substring(i + 1))
+            k -> (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
+          }.toMap
+        AddFile(rel, pv, fs.sizeBytes, tsMs, dataChange,
+          Some(statsJson(fs, dataSchema)))
+      }
+    } finally {
+      // remove whatever staging debris remains (moved files are gone)
+      val s = Files.walk(Paths.get(staging))
+      try s.iterator().asScala.toVector.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
+  /** Append `df` as a new commit. Version 0 creates the table
+    * (protocol + metaData); later appends must match the table schema
+    * exactly (appends never fork a schema — same rule as the Iceberg
+    * writer). Returns the committed version. */
+  def commitAppend(spark: SparkSession, tableDir: String, df: DataFrame,
+      timestampMs: Long, partitionBy: Seq[String] = Nil): Long = {
+    Files.createDirectories(Paths.get(tableDir))
+    val exists = Files.isDirectory(logDir(tableDir)) &&
+      listCommitVersions(tableDir).nonEmpty
+    if (!exists) {
+      require(partitionBy.forall(df.columns.contains),
+        s"partition columns $partitionBy missing from ${df.columns.toSeq}")
+      val meta = Meta(f"graft-delta-${tableDir.hashCode}%08x", df.schema,
+        partitionBy, timestampMs)
+      val dataSchema = dataSchemaOf(meta)
+      val adds = writeFiles(spark, tableDir, df, partitionBy, timestampMs,
+        dataChange = true, dataSchema)
+      val lines = Seq(
+        JObj.of("protocol" -> (JObj.of(
+          "minReaderVersion" -> (JInt(1L): J),
+          "minWriterVersion" -> (JInt(2L): J)): J)),
+        JObj.of("metaData" -> (JObj.of(
+          "id" -> (JStr(meta.id): J),
+          "format" -> (JObj.of("provider" -> (JStr("parquet"): J),
+            "options" -> (JObj(Vector.empty): J)): J),
+          "schemaString" -> (JStr(schemaJson(meta.schema)): J),
+          "partitionColumns" -> (JArr(meta.partitionColumns.map(c => JStr(c): J)): J),
+          "configuration" -> (JObj(Vector.empty): J),
+          "createdTime" -> (JInt(meta.createdTime): J)): J))) ++
+        adds.map(addJson) :+ commitInfoJson(timestampMs, "WRITE")
+      publishCommit(tableDir, 0L, lines.map(CanonicalJson.render))
+      0L
+    } else {
+      val snap = snapshot(spark, tableDir)
+      val want = snap.meta.schema.fieldNames.toSet
+      val have = df.columns.toSet
+      if (want != have)
+        throw GraftError.Plan(
+          s"delta fidelity: append columns $have do not match the table schema $want — " +
+            "appends never fork the schema")
+      val ordered = df.select(snap.meta.schema.fieldNames.map(col).toSeq: _*)
+      val adds = writeFiles(spark, tableDir, ordered, snap.meta.partitionColumns,
+        timestampMs, dataChange = true, dataSchemaOf(snap.meta))
+      val v = snap.version + 1
+      publishCommit(tableDir, v,
+        (adds.map(addJson) :+ commitInfoJson(timestampMs, "WRITE"))
+          .map(CanonicalJson.render))
+      v
+    }
+  }
+
+  /** Copy-on-write DELETE: files containing a matching row are removed
+    * and their SURVIVING rows rewritten; untouched files are not
+    * opened twice. One pruned scan finds the touched files, one scan
+    * restricted to exactly those files rewrites them. */
+  def deleteWhere(spark: SparkSession, tableDir: String, cond: Column,
+      timestampMs: Long): Long = {
+    val snap = snapshot(spark, tableDir)
+    val full = assembleWithPath(spark, tableDir, snap, snap.files)
+    val touchedAbs = full.filter(cond).select("__g_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    val relByAbs = snap.files.map(f => normAbs(tableDir, f.path) -> f.path).toMap
+    val touched = snap.files.filter(f => touchedAbs.contains(normAbs(tableDir, f.path)))
+    if (touched.isEmpty) return snap.version // nothing to do; no empty commit
+    // DELETE removes rows where cond is TRUE; a NULL condition keeps
+    // the row (SQL three-valued semantics) — `!cond` alone would drop it
+    val survivors = assembleWithPath(spark, tableDir, snap, touched)
+      .filter(not(coalesce(cond, lit(false)))).drop("__g_path")
+    val adds = writeFiles(spark, tableDir, survivors, snap.meta.partitionColumns,
+      timestampMs, dataChange = true, dataSchemaOf(snap.meta))
+    val removes = touched.map(f => RemoveFile(f.path, timestampMs, dataChange = true))
+    val v = snap.version + 1
+    publishCommit(tableDir, v,
+      (removes.map(removeJson) ++ adds.map(addJson) :+
+        commitInfoJson(timestampMs, "DELETE")).map(CanonicalJson.render))
+    v
+  }
+
+  private def assembleWithPath(spark: SparkSession, tableDir: String, snap: Snapshot,
+      files: Seq[AddFile]): DataFrame = {
+    val meta = snap.meta
+    val dataSchema = dataSchemaOf(meta)
+    val abs = files.map(f => Paths.get(tableDir, f.path).toString)
+    val scan = spark.read.schema(dataSchema).parquet(abs: _*)
+      .withColumn("__g_path", regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    if (meta.partitionColumns.isEmpty)
+      scan.select((meta.schema.fieldNames.map(col) :+ col("__g_path")).toSeq: _*)
+    else {
+      val byName = meta.schema.fields.map(f => f.name -> f.dataType).toMap
+      val partRows = files.map { f =>
+        Row.fromSeq(normAbs(tableDir, f.path) +: meta.partitionColumns.map { c =>
+          typedPartValue(f.partitionValues.getOrElse(c, None), byName(c)) match {
+            case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+            case v => v
+          }
+        })
+      }
+      val partSchema = StructType(
+        StructField("__g_path", StringType) +:
+          meta.partitionColumns.map(c => StructField(c, byName(c))).toArray.toSeq)
+      scan.join(broadcast(spark.createDataFrame(partRows.asJava, partSchema)), "__g_path")
+        .select((meta.schema.fieldNames.map(col) :+ col("__g_path")).toSeq: _*)
+    }
+  }
+
+  /** Housekeeping compaction: rewrite the current live files into
+    * `targetFiles` larger ones, committed with `dataChange=false` on
+    * both sides — a logical no-op the incremental feed skips. */
+  def compact(spark: SparkSession, tableDir: String, timestampMs: Long,
+      targetFiles: Int = 1): Long = {
+    val snap = snapshot(spark, tableDir)
+    val data = assemble(spark, tableDir, snap, snap.files).coalesce(targetFiles)
+    val adds = writeFiles(spark, tableDir, data, snap.meta.partitionColumns,
+      timestampMs, dataChange = false, dataSchemaOf(snap.meta))
+    val removes = snap.files.map(f => RemoveFile(f.path, timestampMs, dataChange = false))
+    val v = snap.version + 1
+    publishCommit(tableDir, v,
+      (removes.map(removeJson) ++ adds.map(addJson) :+
+        commitInfoJson(timestampMs, "OPTIMIZE")).map(CanonicalJson.render))
+    v
+  }
+
+  /** Write the parquet checkpoint for the CURRENT version and point
+    * `_last_checkpoint` at it. After this, commits at or before the
+    * checkpoint may be vacuumed — replay opens one parquet file plus
+    * the tail. */
+  def checkpoint(spark: SparkSession, tableDir: String): Long = {
+    val snap = snapshot(spark, tableDir)
+    val rows: Seq[Row] =
+      Row(Row(snap.protocolMinReader, 2), null, null, null) +:
+      Row(null, Row(snap.meta.id, schemaJson(snap.meta.schema),
+        snap.meta.partitionColumns, snap.meta.createdTime), null, null) +:
+      snap.files.map(f => Row(null, null,
+        Row(f.path, f.partitionValues.map { case (k, v) => k -> v.orNull },
+          f.size, f.modificationTime, f.dataChange, f.stats.orNull), null))
+    val schema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType))))))
+    val tmp = Files.createTempDirectory(logDir(tableDir), ".cp-").toString
+    spark.createDataFrame(rows.asJava, schema).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/out")
+    val part = {
+      val s = Files.walk(Paths.get(tmp, "out"))
+      try s.iterator().asScala.find(_.toString.endsWith(".parquet")).getOrElse(
+        throw GraftError.Plan("delta fidelity: checkpoint write produced no file"))
+      finally s.close()
+    }
+    Files.move(part, checkpointPath(tableDir, snap.version),
+      StandardCopyOption.ATOMIC_MOVE)
+    val s2 = Files.walk(Paths.get(tmp))
+    try s2.iterator().asScala.toVector.sortBy(-_.getNameCount)
+      .foreach(p => Files.deleteIfExists(p))
+    finally s2.close()
+    Files.write(logDir(tableDir).resolve("_last_checkpoint"),
+      CanonicalJson.render(JObj.of(
+        "version" -> (JInt(snap.version): J),
+        "size" -> (JInt(rows.size.toLong): J))).getBytes(StandardCharsets.UTF_8))
+    snap.version
+  }
+}

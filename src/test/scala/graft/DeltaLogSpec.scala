@@ -1,0 +1,208 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{sources => flt}
+
+import graft.core.GraftError
+import graft.sources.DeltaLog
+
+/** Delta-protocol conformance: log replay, add/remove reconciliation,
+  * checkpoint equivalence + vacuumed-tail reads, time travel, stats and
+  * partition pruning, incremental append-diff semantics, and the
+  * protocol/concurrency refusal gates (delta.io PROTOCOL.md). */
+class DeltaLogSpec extends SparkSpec {
+
+  private def nums(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"row$i", i % 7)).toDF("id", "tag", "bucket")
+  }
+
+  test("append commits replay to a snapshot; version pins time travel") {
+    val dir = s"${tmpDir()}/tbl"
+    assert(DeltaLog.commitAppend(spark, dir, nums(0, 100), timestampMs = 1000L) == 0L)
+    assert(DeltaLog.commitAppend(spark, dir, nums(100, 130), timestampMs = 2000L) == 1L)
+    assert(DeltaLog.read(spark, dir).count() == 130)
+    assert(DeltaLog.read(spark, dir, version = Some(0L)).count() == 100)
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.version == 1L && snap.files.nonEmpty)
+    // schema round-trips through the log's schemaString
+    assert(DeltaLog.read(spark, dir).schema.fieldNames.toSeq == Seq("id", "tag", "bucket"))
+  }
+
+  test("delete is copy-on-write: removes reconcile away, survivors rewritten, null cond keeps rows") {
+    val dir = s"${tmpDir()}/tbl"
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]), (4L, "d"))
+      .toDF("id", "tag")
+    DeltaLog.commitAppend(spark, dir, df, timestampMs = 1000L)
+    DeltaLog.deleteWhere(spark, dir, col("tag") === "b", timestampMs = 2000L)
+    val after = DeltaLog.read(spark, dir).orderBy("id").collect()
+    // id=3's condition is NULL — SQL semantics keep it
+    assert(after.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    // the time-travel read still shows the pre-delete table
+    assert(DeltaLog.read(spark, dir, version = Some(0L)).count() == 4)
+  }
+
+  test("checkpoint: replay from parquet equals full JSON replay, and survives vacuumed commits") {
+    val dir = s"${tmpDir()}/tbl"
+    (0 until 6).foreach(i =>
+      DeltaLog.commitAppend(spark, dir, nums(i * 10, i * 10 + 10),
+        timestampMs = 1000L + i))
+    val full = DeltaLog.read(spark, dir).agg(sum("id"), count(lit(1))).head()
+    val cpv = DeltaLog.checkpoint(spark, dir)
+    assert(cpv == 5L)
+    DeltaLog.commitAppend(spark, dir, nums(60, 70), timestampMs = 2000L)
+    // vacuum every commit at or before the checkpoint: replay must not
+    // need them (the checkpoint IS their compaction)
+    (0L to 5L).foreach(v =>
+      Files.delete(Paths.get(dir, "_delta_log", f"$v%020d.json")))
+    val after = DeltaLog.read(spark, dir)
+    assert(after.count() == 70)
+    val head60 = DeltaLog.read(spark, dir, version = Some(5L))
+      .agg(sum("id"), count(lit(1))).head()
+    assert(head60 == full, "checkpoint-based snapshot equals the JSON replay it compacted")
+  }
+
+  test("a torn log (missing commit below target, no checkpoint) refuses typed") {
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 10), timestampMs = 1000L)
+    DeltaLog.commitAppend(spark, dir, nums(10, 20), timestampMs = 2000L)
+    Files.delete(Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    val e = intercept[GraftError.Plan](DeltaLog.read(spark, dir).count())
+    assert(e.getMessage.contains("torn"))
+  }
+
+  test("timestamp time travel picks the newest commit at or before ts") {
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 10), timestampMs = 1000L)
+    DeltaLog.commitAppend(spark, dir, nums(10, 30), timestampMs = 5000L)
+    assert(DeltaLog.versionAsOf(dir, 1000L) == 0L)
+    assert(DeltaLog.versionAsOf(dir, 4999L) == 0L)
+    assert(DeltaLog.versionAsOf(dir, 5000L) == 1L)
+    assert(DeltaLog.readAsOf(spark, dir, 4999L).count() == 10)
+    intercept[GraftError.Plan](DeltaLog.versionAsOf(dir, 999L))
+  }
+
+  test("partitioned layout: values live in the log, files do not carry the column, reads inject it") {
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 70), timestampMs = 1000L,
+      partitionBy = Seq("bucket"))
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.meta.partitionColumns == Seq("bucket"))
+    assert(snap.files.forall(_.partitionValues.contains("bucket")))
+    // physical files must NOT contain the partition column (protocol rule)
+    val physical = spark.read.parquet(
+      Paths.get(dir, snap.files.head.path).toString)
+    assert(!physical.schema.fieldNames.contains("bucket"))
+    val back = DeltaLog.read(spark, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag", "bucket"))
+    assert(back.groupBy("bucket").count().count() == 7)
+    assert(back.agg(sum("id")).head().getLong(0) == (0L until 70L).sum)
+  }
+
+  test("partition pruning: an equality filter keeps only that partition's files") {
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 70), timestampMs = 1000L,
+      partitionBy = Seq("bucket"))
+    val (_, all) = DeltaLog.planFiles(spark, dir)
+    val (_, pruned) = DeltaLog.planFiles(spark, dir,
+      filters = Seq(flt.EqualTo("bucket", 3)))
+    assert(pruned.nonEmpty && pruned.size < all.size)
+    assert(pruned.forall(_.partitionValues("bucket").contains("3")))
+    val rows = DeltaLog.read(spark, dir, filters = Seq(flt.EqualTo("bucket", 3)))
+    assert(rows.select("bucket").distinct().collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
+  test("stats pruning: range predicates skip files by footer bounds, conservative without stats") {
+    val dir = s"${tmpDir()}/tbl"
+    val clustered = nums(0, 1000).repartitionByRange(8, col("id"))
+    DeltaLog.commitAppend(spark, dir, clustered, timestampMs = 1000L)
+    val (_, all) = DeltaLog.planFiles(spark, dir)
+    assert(all.size >= 4, s"expected multiple files, got ${all.size}")
+    val (_, pruned) = DeltaLog.planFiles(spark, dir,
+      filters = Seq(flt.LessThan("id", 100L)))
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"stats pruning fired: ${pruned.size}/${all.size}")
+    // pruned read is still exact
+    assert(DeltaLog.read(spark, dir, filters = Seq(flt.LessThan("id", 100L)))
+      .filter(col("id") < 100).count() == 100)
+    // a file whose stats were stripped is conservatively KEPT
+    val snap = DeltaLog.snapshot(spark, dir)
+    val noStats = snap.files.map(_.copy(stats = None))
+    assert(noStats.forall(a =>
+      DeltaLog.statsMayMatch(flt.LessThan("id", -1L), a, snap.meta.schema)))
+  }
+
+  test("incremental append-diff: (v0, v2] sees only the appends, compaction is invisible, removes refuse") {
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 50), timestampMs = 1000L)   // v0
+    DeltaLog.commitAppend(spark, dir, nums(50, 80), timestampMs = 2000L)  // v1
+    DeltaLog.compact(spark, dir, timestampMs = 3000L)                     // v2: dataChange=false
+    val inc = DeltaLog.readIncremental(spark, dir, fromVersion = 0L, toVersion = 2L)
+    assert(inc.count() == 30, "compaction housekeeping contributes no incremental rows")
+    assert(inc.agg(min("id"), max("id")).head().toSeq == Seq(50L, 79L))
+    // full read after compaction is unchanged
+    assert(DeltaLog.read(spark, dir).count() == 80)
+    DeltaLog.deleteWhere(spark, dir, col("id") < 10, timestampMs = 4000L) // v3
+    val e = intercept[GraftError.Plan](
+      DeltaLog.readIncremental(spark, dir, fromVersion = 2L, toVersion = 3L))
+    assert(e.getMessage.contains("removes data"))
+  }
+
+  test("protocol gate: minReaderVersion > 1 refuses typed") {
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 10), timestampMs = 1000L)
+    val p = Paths.get(dir, "_delta_log", f"${0L}%020d.json")
+    val patched = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .replace("\"minReaderVersion\":1", "\"minReaderVersion\":3")
+    Files.write(p, patched.getBytes(StandardCharsets.UTF_8))
+    val e = intercept[GraftError.Plan](DeltaLog.read(spark, dir).count())
+    assert(e.getMessage.contains("reader version 3"))
+  }
+
+  test("optimistic concurrency: the loser of a version race gets a typed conflict") {
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 10), timestampMs = 1000L)
+    val line = "{\"commitInfo\":{\"timestamp\":1500,\"operation\":\"WRITE\"}}"
+    // two writers race the same next version: the first atomic claim
+    // wins, the second gets the typed conflict
+    DeltaLog.publishCommit(dir, 1L, Seq(line))
+    val e = intercept[GraftError.Plan](DeltaLog.publishCommit(dir, 1L, Seq(line)))
+    assert(e.getMessage.contains("concurrently"))
+    // a writer that instead RE-READS the log builds on the new head
+    assert(DeltaLog.commitAppend(spark, dir, nums(10, 20), timestampMs = 2000L) == 2L)
+    assert(DeltaLog.read(spark, dir).count() == 20)
+  }
+
+  test("appends never fork the schema") {
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 10), timestampMs = 1000L)
+    import spark.implicits._
+    val other = Seq((1L, "x")).toDF("id", "other")
+    val e = intercept[GraftError.Plan](
+      DeltaLog.commitAppend(spark, dir, other, timestampMs = 2000L))
+    assert(e.getMessage.contains("schema"))
+  }
+
+  test("null partition values round-trip through the hive default marker") {
+    val dir = s"${tmpDir()}/tbl"
+    import spark.implicits._
+    val df = Seq((1L, Some("us")), (2L, None), (3L, Some("eu")))
+      .toDF("id", "region")
+    DeltaLog.commitAppend(spark, dir, df, timestampMs = 1000L,
+      partitionBy = Seq("region"))
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.exists(_.partitionValues("region").isEmpty),
+      "null partition recorded as JSON null in the log")
+    val back = DeltaLog.read(spark, dir).orderBy("id").collect()
+    assert(back.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("us"), None, Some("eu")))
+    // IsNull filter plans exactly the null partition's files
+    val (_, nullFiles) = DeltaLog.planFiles(spark, dir,
+      filters = Seq(flt.IsNull("region")))
+    assert(nullFiles.forall(_.partitionValues("region").isEmpty))
+  }
+}
