@@ -1021,7 +1021,86 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(
+  /** Per-group closed-form OLS regression with EXACT sufficient
+    * statistics: x/y become integer cents, the five sums (n, Σx, Σy,
+    * Σxy, Σx²) run in BIGINT/DECIMAL(38,0) — no floating-point
+    * summation-order hazard between engines — and only the FINAL
+    * slope/intercept/r² divisions happen in doubles, on scale-0
+    * decimals whose double conversion is a single correctly-rounded
+    * step in both engines (a scale>0 decimal would round twice in
+    * DuckDB: unscaled→double then ÷10^s). Same exact-arithmetic
+    * discipline as q_pagerank's fixed-point.
+    *
+    * Scale shape: one partial-aggregated groupBy over the fact table —
+    * the sufficient statistics ARE the shuffle, five longs per group;
+    * the solve is a per-group scalar epilogue. This is how any
+    * closed-form fit (OLS, Welford moments, covariance matrices)
+    * should run at 100 TB: map-side combine into tiny algebraic
+    * summaries, never a second pass. */
+  val linearFit: QueryDef = QueryDef.sqlBacked(
+    "q_linear_fit",
+    """WITH pts AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+      |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+      |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+      |    CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+      |    CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+      |  FROM pts GROUP BY l_returnflag),
+      |d AS (
+      |  SELECT l_returnflag,
+      |    CAST(n AS BIGINT) AS n_pts,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+      |    CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+      |    CAST(n AS DOUBLE) AS nd
+      |  FROM s)
+      |SELECT l_returnflag, n_pts,
+      |  num / denx AS slope,
+      |  (syd - (num / denx) * sxd) / nd / 100 AS intercept,
+      |  (num * num) / (denx * deny) AS r2
+      |FROM d ORDER BY l_returnflag""".stripMargin,
+    doc = "Per-group OLS fit (extendedprice ~ quantity by returnflag) from exact integer " +
+      "sufficient statistics — one map-combined groupBy carries five longs per group; " +
+      "doubles appear only in the final per-group solve, bit-identically in both " +
+      "engines.") { (s, d) =>
+    val pts = t(s, d, "lineitem").select(
+      col("l_returnflag"),
+      (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long").as("x"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long").as("y"))
+    val dec38 = DecimalType(38, 0)
+    val sums = pts.groupBy("l_returnflag").agg(
+      count(lit(1)).cast(dec38).as("n"),
+      sum(col("x")).cast(dec38).as("sx"),
+      sum(col("y")).cast(dec38).as("sy"),
+      sum(col("x") * col("y")).cast(dec38).as("sxy"),
+      sum(col("x") * col("x")).cast(dec38).as("sxx"),
+      sum(col("y") * col("y")).cast(dec38).as("syy"))
+    val dd = sums.select(
+      col("l_returnflag"),
+      col("n").cast("long").as("n_pts"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double").as("num"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double").as("denx"),
+      (col("n") * col("syy") - col("sy") * col("sy")).cast("double").as("deny"),
+      col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+      col("n").cast("double").as("nd"))
+    dd.select(
+      col("l_returnflag"), col("n_pts"),
+      (col("num") / col("denx")).as("slope"),
+      (((col("syd") - (col("num") / col("denx")) * col("sxd")) / col("nd")) / 100)
+        .as("intercept"),
+      ((col("num") * col("num")) / (col("denx") * col("deny"))).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[QueryDef] = Seq(linearFit,
     exactMedian, modeAgg, outerJoin, histogram, cubeAgg, stringAgg,
     semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,

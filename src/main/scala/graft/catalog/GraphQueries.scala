@@ -139,5 +139,79 @@ object GraphQueries {
         .orderBy("probe_key", "match_key")
   }
 
-  val all: Seq[QueryDef] = Seq(pagerank, fuzzyJoin)
+  /** Triangle counting over the thresholded co-transition graph.
+    *
+    * Graph: undirected edges (u < v) between `props.k` values that
+    * appear consecutively in some user's timeline at least twice
+    * (the threshold keeps the graph scale-sensitive instead of
+    * saturating to the complete graph). Count by the ORIENTED wedge
+    * join: every edge is stored once with u < v, so each triangle
+    * a<b<c is found exactly once as e(a,b) ⋈ e(b,c) ⋈ e(a,c) — no
+    * ÷6 correction, no symmetric blow-up.
+    *
+    * Scale shape: orientation is the standard degeneracy trick — the
+    * wedge join fans out only from each edge's LOW endpoint, so a
+    * celebrity node of degree d costs O(d²) once, not per neighbor
+    * (at true scale the orientation key becomes degree-then-id, same
+    * plan shape). Three shuffles total (edge agg + two joins on int
+    * keys); event rows are never joined. */
+  val triangleCount: QueryDef = QueryDef.sqlBacked(
+    "q_triangle_count",
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |  FROM events),
+      |seq AS (
+      |  SELECT k AS dst,
+      |         lag(k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS src
+      |  FROM ev),
+      |p AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+      |             CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM seq WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+      |e AS (SELECT u, v FROM p WHERE c >= 2),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+      |          (SELECT a FROM tri UNION SELECT b FROM tri UNION SELECT c FROM tri) t)
+      |         AS n_tri_nodes""".stripMargin,
+    doc = "Triangle counting by oriented wedge join (u<v storage, each triangle found " +
+      "once) over the thresholded props.k co-transition graph — the degeneracy-" +
+      "orientation shape that keeps celebrity nodes O(d^2)-once at scale.") { (s, d) =>
+    val ev = Tables.eventsUs(s, d).select(
+      col("user_id"), col("event_id"), col("ts_us"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val e = ev
+      .select(col("k").as("dst"), lag("k", 1).over(w).as("src"))
+      .filter(col("src").isNotNull && col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("u", "v")
+      .persist()
+    val e1 = e.select(col("u").as("a"), col("v").as("b"))
+    val e2 = e.select(col("u").as("b2"), col("v").as("c"))
+    val e3 = e.select(col("u").as("a3"), col("v").as("c3"))
+    val tri = e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select("a", "b", "c")
+      .persist() // wedge join runs once; three aggregates read it
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    val triNodes = tri.select(col("a").as("n"))
+      .union(tri.select(col("b").as("n")))
+      .union(tri.select(col("c").as("n")))
+      .distinct().agg(count(lit(1)).as("n_tri_nodes"))
+    val out = nEdges.crossJoin(nTri).crossJoin(triNodes)
+      .select("n_edges", "n_triangles", "n_tri_nodes")
+    val materialized = out.cache()
+    materialized.count() // force before unpersisting the intermediates
+    e.unpersist(); tri.unpersist()
+    materialized
+  }
+
+  val all: Seq[QueryDef] = Seq(pagerank, fuzzyJoin, triangleCount)
 }
