@@ -1049,9 +1049,9 @@ object AnalyticsQueries {
       |    CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
       |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
       |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
-      |    CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
-      |    CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
-      |    CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+      |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
       |  FROM pts GROUP BY l_returnflag),
       |d AS (
       |  SELECT l_returnflag,
@@ -1076,13 +1076,15 @@ object AnalyticsQueries {
       (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long").as("x"),
       (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long").as("y"))
     val dec38 = DecimalType(38, 0)
+    // products accumulate in DECIMAL(38,0): cents² is ~1.2e14 per row,
+    // so a BIGINT Σy² overflows past ~75k rows (sf0.1 lineitem)
     val sums = pts.groupBy("l_returnflag").agg(
       count(lit(1)).cast(dec38).as("n"),
       sum(col("x")).cast(dec38).as("sx"),
       sum(col("y")).cast(dec38).as("sy"),
-      sum(col("x") * col("y")).cast(dec38).as("sxy"),
-      sum(col("x") * col("x")).cast(dec38).as("sxx"),
-      sum(col("y") * col("y")).cast(dec38).as("syy"))
+      sum(col("x").cast(dec38) * col("y")).cast(dec38).as("sxy"),
+      sum(col("x").cast(dec38) * col("x")).cast(dec38).as("sxx"),
+      sum(col("y").cast(dec38) * col("y")).cast(dec38).as("syy"))
     val dd = sums.select(
       col("l_returnflag"),
       col("n").cast("long").as("n_pts"),

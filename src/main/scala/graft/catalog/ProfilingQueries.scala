@@ -1,0 +1,319 @@
+package graft.catalog
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.core.{QueryDef, Tables}
+
+/** Data-profiling operators: the statistics a warehouse runs over an
+  * unfamiliar 100 TB table before trusting it — correlation structure,
+  * key/foreign-key discovery, digit-distribution fraud signals,
+  * independence tests, and time-series anomaly flags. Every query keeps
+  * the catalog's exact-arithmetic discipline: sufficient statistics
+  * accumulate in BIGINT/DECIMAL(38,0) (engine-portable, order-free) and
+  * doubles appear only in per-row epilogue expressions whose IEEE
+  * operation sequence is written identically in Spark and DuckDB.
+  */
+object ProfilingQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+  private val dec38 = DecimalType(38, 0)
+
+  /** Pearson correlation matrix over the four 2-dp lineitem measures in
+    * ONE aggregate pass: all 14 sufficient statistics (n, four Σx, four
+    * Σx², six Σxy) come out of a single map-combined aggregation over
+    * integer cents, so the fact table is read once no matter how many
+    * column pairs are profiled — the shape that matters at 100 TB, where
+    * a per-pair `corr()` would re-scan the table 6 times. The per-pair
+    * solve r = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) runs on the
+    * 1-row summary: exact DECIMAL(38,0) differences, then one
+    * correctly-rounded cast to double per term (same discipline as
+    * q_linear_fit).
+    */
+  val corrMatrix: QueryDef = {
+    val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+      "l_discount" -> "d", "l_tax" -> "x")
+    val pairs = for {
+      (i, a) <- cols.zipWithIndex
+      j <- cols.drop(a + 1)
+    } yield (i, j)
+    val pairSql = pairs.map { case ((xn, xa), (yn, ya)) =>
+      s"""SELECT '$xn' AS x_col, '$yn' AS y_col, CAST(n AS BIGINT) AS n_rows,
+         |  CAST(n * c_$xa$ya - s_$xa * s_$ya AS DOUBLE) /
+         |    NULLIF(sqrt(CAST(n * ss_$xa - s_$xa * s_$xa AS DOUBLE) *
+         |                CAST(n * ss_$ya - s_$ya * s_$ya AS DOUBLE)), 0) AS corr
+         |FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    // products are accumulated in DECIMAL(38,0), not BIGINT: price
+    // cents squared is ~1.2e14 per row, so a BIGINT Σx² overflows past
+    // ~75k rows (it did, at sf0.1) — and DuckDB's checked BIGINT
+    // multiply would error the same way
+    val sumsSql = cols.map { case (n, a) =>
+      s"CAST(SUM($a) AS DECIMAL(38,0)) AS s_$a, " +
+        s"CAST(SUM(CAST($a AS DECIMAL(38,0)) * $a) AS DECIMAL(38,0)) AS ss_$a"
+    }.mkString(",\n    ") + ",\n    " + pairs.map { case ((_, xa), (_, ya)) =>
+      s"CAST(SUM(CAST($xa AS DECIMAL(38,0)) * $ya) AS DECIMAL(38,0)) AS c_$xa$ya"
+    }.mkString(",\n    ")
+    QueryDef.sqlBacked(
+      "q_corr_matrix",
+      s"""WITH pts AS (
+         |  SELECT ${cols.map { case (n, a) =>
+             s"CAST(CAST($n AS DECIMAL(12,2)) * 100 AS BIGINT) AS $a" }.mkString(", ")}
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         |    $sumsSql
+         |  FROM pts)
+         |SELECT * FROM (
+         |$pairSql
+         |) ORDER BY x_col, y_col""".stripMargin,
+      doc = "Pearson correlation matrix (6 pairs over 4 measures) from ONE pass of exact " +
+        "integer sufficient statistics — the table is scanned once regardless of pair " +
+        "count; doubles appear only in the per-pair closed-form solve.") { (s, d) =>
+      val pts = t(s, d, "lineitem").select(cols.map { case (n, a) =>
+        (col(n).cast(DecimalType(12, 2)) * 100).cast("long").as(a)
+      }: _*)
+      val aggs =
+        Seq(count(lit(1)).cast(dec38).as("n")) ++
+          cols.flatMap { case (_, a) =>
+            Seq(sum(col(a)).cast(dec38).as(s"s_$a"),
+              sum(col(a).cast(dec38) * col(a)).cast(dec38).as(s"ss_$a"))
+          } ++
+          pairs.map { case ((_, xa), (_, ya)) =>
+            sum(col(xa).cast(dec38) * col(ya)).cast(dec38).as(s"c_$xa$ya")
+          }
+      val summary = pts.agg(aggs.head, aggs.tail: _*)
+      def pairRow(xn: String, xa: String, yn: String, ya: String): Column = {
+        val num = (col("n") * col(s"c_$xa$ya") - col(s"s_$xa") * col(s"s_$ya"))
+          .cast("double")
+        val dx = (col("n") * col(s"ss_$xa") - col(s"s_$xa") * col(s"s_$xa"))
+          .cast("double")
+        val dy = (col("n") * col(s"ss_$ya") - col(s"s_$ya") * col(s"s_$ya"))
+          .cast("double")
+        val den = sqrt(dx * dy)
+        struct(lit(xn).as("x_col"), lit(yn).as("y_col"),
+          col("n").cast("long").as("n_rows"),
+          (num / when(den =!= 0.0, den)).as("corr"))
+      }
+      summary
+        .select(explode(array(pairs.map { case ((xn, xa), (yn, ya)) =>
+          pairRow(xn, xa, yn, ya)
+        }: _*)).as("p"))
+        .select("p.*")
+        .orderBy("x_col", "y_col")
+    }
+  }
+
+  /** Unary inclusion-dependency (foreign-key) discovery over a fixed
+    * candidate list spanning all TPC-H key relationships plus a
+    * deliberately-false reverse pair. Each candidate is decided by
+    * DISTINCT-then-anti-join: project the fk column, distinct it (the
+    * only shuffle, and it collapses the fact table to its key
+    * cardinality BEFORE any join), then left-anti against the distinct
+    * pk side — which Spark broadcasts when the referenced table is a
+    * dimension. Violations are counted, not just boolean-ized, so the
+    * result doubles as a referential-integrity audit. Nulls are
+    * excluded on both sides per SQL FK semantics.
+    */
+  val inclusionDeps: QueryDef = {
+    val cands: Seq[(String, String, String, String)] = Seq(
+      ("customer", "c_custkey", "orders", "o_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("part", "p_partkey", "lineitem", "l_partkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"))
+    val sql = cands.map { case (ft, fc, pt, pc) =>
+      s"""SELECT '$ft' AS fk_table, '$fc' AS fk_col, '$pt' AS pk_table, '$pc' AS pk_col,
+         |  (SELECT CAST(COUNT(DISTINCT $fc) AS BIGINT) FROM $ft
+         |     WHERE $fc IS NOT NULL) AS n_fk_distinct,
+         |  (SELECT CAST(COUNT(*) AS BIGINT)
+         |     FROM (SELECT DISTINCT $fc AS v FROM $ft WHERE $fc IS NOT NULL) f
+         |     WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pc = f.v)) AS n_missing""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef.sqlBacked(
+      "q_inclusion_deps",
+      s"""SELECT *, n_missing = 0 AS holds FROM (
+         |$sql
+         |) ORDER BY fk_table, fk_col, pk_table""".stripMargin,
+      doc = "Inclusion-dependency (FK) discovery: 8 candidate column pairs decided by " +
+        "distinct-then-anti-join (fact collapses to key cardinality before the join, " +
+        "dimension side broadcasts); violation counts make it a referential audit.") {
+      (s, d) =>
+        import s.implicits._
+        val rows = cands.map { case (ft, fc, pt, pc) =>
+          val fk = t(s, d, ft).filter(col(fc).isNotNull)
+            .select(col(fc).as("v")).distinct()
+          val pk = t(s, d, pt).filter(col(pc).isNotNull)
+            .select(col(pc).as("v")).distinct()
+          val nFk = fk.count()
+          val nMissing = fk.join(pk, Seq("v"), "left_anti").count()
+          (ft, fc, pt, pc, nFk, nMissing, nMissing == 0L)
+        }
+        rows.toDF("fk_table", "fk_col", "pk_table", "pk_col",
+          "n_fk_distinct", "n_missing", "holds")
+          .orderBy("fk_table", "fk_col", "pk_table")
+    }
+  }
+
+  /** Benford first-significant-digit profile of l_extendedprice. The
+    * leading digit is taken from the STRING form of the exact cents
+    * BIGINT (×100 shifts the decimal point without changing the leading
+    * significant digit) — no log10/pow round-trip, so the bucketing is
+    * bit-free and engine-portable. Observed shares are exact integer
+    * ppm (cnt·10⁶ floor-div total); the Benford expectation
+    * round(log10(1+1/d)·10⁶) ships as a 9-entry literal lookup (the
+    * nine values sum to exactly 1 000 000). One groupBy on a 1-byte
+    * key; the total rides a broadcast 1-row cross join.
+    */
+  val benford: QueryDef = {
+    val benfordPpm = Seq(1 -> 301030, 2 -> 176091, 3 -> 124939, 4 -> 96910,
+      5 -> 79181, 6 -> 66947, 7 -> 57992, 8 -> 51153, 9 -> 45757)
+    val caseSql = "CASE digit " +
+      benfordPpm.map { case (k, v) => s"WHEN $k THEN $v" }.mkString(" ") +
+      " END"
+    QueryDef.sqlBacked(
+      "q_benford",
+      s"""WITH d AS (
+         |  SELECT CAST(SUBSTRING(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+         |           AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |  FROM lineitem WHERE l_extendedprice > 0),
+         |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY digit)
+         |SELECT digit, cnt,
+         |  CAST(cnt * 1000000 // (SELECT CAST(SUM(cnt) AS BIGINT) FROM c) AS BIGINT) AS obs_ppm,
+         |  CAST($caseSql AS BIGINT) AS benford_ppm
+         |FROM c ORDER BY digit""".stripMargin,
+      doc = "Benford first-digit profile of extendedprice: leading digit via the exact " +
+        "cents string (no log10), observed shares in exact integer ppm vs the 9-entry " +
+        "Benford expectation table.") { (s, d) =>
+      val digits = t(s, d, "lineitem")
+        .filter(col("l_extendedprice") > 0)
+        .select(substring(
+          (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+            .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      val counts = digits.groupBy("digit").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").cast("long").as("total"))
+      val lookup = benfordPpm.foldLeft(lit(null).cast("long")) { case (acc, (k, v)) =>
+        when(col("digit") === k, lit(v.toLong)).otherwise(acc)
+      }
+      counts.crossJoin(broadcast(total))
+        .select(col("digit"), col("cnt"),
+          expr("cnt * 1000000 div total").as("obs_ppm"),
+          lookup.as("benford_ppm"))
+        .orderBy("digit")
+    }
+  }
+
+  /** Chi-square independence table for returnflag × linestatus. The
+    * contingency counts and their row/column/grand marginals are exact
+    * BIGINTs (marginals via whole-partition window sums over the tiny
+    * grouped result — the fact table is aggregated ONCE and never
+    * re-scanned per marginal). `expected` and the per-cell chi² term
+    * are per-row double epilogues written as the identical IEEE
+    * operation sequence in both engines; the cross-cell Σ is left to
+    * the reader because a floating sum's value depends on engine
+    * iteration order — the per-cell terms are the deterministic part.
+    */
+  val contingency: QueryDef = QueryDef.sqlBacked(
+    "q_contingency",
+    """WITH c AS (
+      |  SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS observed
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l_returnflag, l_linestatus, observed,
+      |    CAST(SUM(observed) OVER (PARTITION BY l_returnflag) AS BIGINT) AS row_total,
+      |    CAST(SUM(observed) OVER (PARTITION BY l_linestatus) AS BIGINT) AS col_total,
+      |    CAST(SUM(observed) OVER () AS BIGINT) AS grand_total
+      |  FROM c),
+      |e AS (
+      |  SELECT *, CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+      |              / CAST(grand_total AS DOUBLE) AS expected
+      |  FROM m)
+      |SELECT l_returnflag, l_linestatus, observed, row_total, col_total, grand_total,
+      |  expected,
+      |  (CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected)
+      |    / expected AS chi2_term
+      |FROM e ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    doc = "Contingency table with exact integer marginals (window sums over the grouped " +
+      "result — one fact-table pass) and per-cell expected / chi-square terms as " +
+      "deterministic per-row double epilogues.") { (s, d) =>
+    val c = t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("observed"))
+    val m = c.select(col("l_returnflag"), col("l_linestatus"), col("observed"),
+      sum("observed").over(Window.partitionBy("l_returnflag")).as("row_total"),
+      sum("observed").over(Window.partitionBy("l_linestatus")).as("col_total"),
+      sum("observed").over(Window.partitionBy()).as("grand_total"))
+    val e = m.withColumn("expected",
+      col("row_total").cast("double") * col("col_total").cast("double")
+        / col("grand_total").cast("double"))
+    e.select(col("l_returnflag"), col("l_linestatus"), col("observed"),
+      col("row_total"), col("col_total"), col("grand_total"), col("expected"),
+      ((col("observed").cast("double") - col("expected"))
+        * (col("observed").cast("double") - col("expected"))
+        / col("expected")).as("chi2_term"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Trailing-window z-score anomaly detection on the hourly event-count
+    * series, decided ENTIRELY in integer arithmetic: the window carries
+    * (n, Σx, Σx²) over the previous 24 buckets and the flag tests
+    * (x·n − Σx)² > k²·(n·Σx² − (Σx)²) — the z² > k² inequality with both
+    * sides multiplied through by n², so there is no division, no sqrt,
+    * and no float anywhere in the decision. At 100 TB the hourly
+    * pre-aggregation is the only fact-table shuffle; the window runs
+    * over the tiny bucket series (partitioned by event_type so the
+    * series keys distribute).
+    */
+  val anomalyZscore: QueryDef = QueryDef.sqlBacked(
+    "q_anomaly_zscore",
+    """WITH b AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, hour_bucket, cnt,
+      |    CAST(COUNT(cnt) OVER win AS BIGINT) AS win_n,
+      |    CAST(SUM(cnt) OVER win AS BIGINT) AS win_sum,
+      |    CAST(SUM(cnt * cnt) OVER win AS BIGINT) AS win_sumsq
+      |  FROM b
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY hour_bucket
+      |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, hour_bucket, cnt, win_n, win_sum,
+      |  (cnt * win_n - win_sum) * (cnt * win_n - win_sum) AS dev_sq_n2,
+      |  9 * (win_n * win_sumsq - win_sum * win_sum) AS bound_sq_n2
+      |FROM w
+      |WHERE win_n >= 12
+      |  AND (cnt * win_n - win_sum) * (cnt * win_n - win_sum)
+      |        > 9 * (win_n * win_sumsq - win_sum * win_sum)
+      |ORDER BY event_type, hour_bucket""".stripMargin,
+    doc = "Hourly-count anomaly flags per event_type: trailing-24h z-score test run as " +
+      "a pure integer inequality (z^2 > 3^2 multiplied through by n^2) — no division, " +
+      "sqrt, or float in the decision; the fact table shuffles once into hour buckets.") {
+    (s, d) =>
+      val b = Tables.eventsUs(s, d)
+        .groupBy(col("event_type"),
+          expr("ts_us div 3600000000").as("hour_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val win = Window.partitionBy("event_type").orderBy("hour_bucket")
+        .rowsBetween(-24, -1)
+      val w = b.select(col("event_type"), col("hour_bucket"), col("cnt"),
+        count("cnt").over(win).as("win_n"),
+        sum("cnt").over(win).as("win_sum"),
+        sum(col("cnt") * col("cnt")).over(win).as("win_sumsq"))
+      val dev = col("cnt") * col("win_n") - col("win_sum")
+      val bound = lit(9L) * (col("win_n") * col("win_sumsq")
+        - col("win_sum") * col("win_sum"))
+      w.filter(col("win_n") >= 12 && dev * dev > bound)
+        .select(col("event_type"), col("hour_bucket"), col("cnt"),
+          col("win_n"), col("win_sum"),
+          (dev * dev).as("dev_sq_n2"), bound.as("bound_sq_n2"))
+        .orderBy("event_type", "hour_bucket")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(corrMatrix, inclusionDeps, benford, contingency, anomalyZscore)
+}
