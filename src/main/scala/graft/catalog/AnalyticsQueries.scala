@@ -408,6 +408,102 @@ object AnalyticsQueries {
     }
   }
 
+  private val streamOuterSink = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** STREAM-STREAM LEFT-OUTER interval join — the semantics
+    * q_stream_interval_join cannot show: a click with NO purchase in
+    * its hour must still emit (null-padded), and it may only do so once
+    * BOTH watermarks have passed `click_ts + window` — the earliest
+    * moment absence is provable. Spark holds the unmatched left row in
+    * keyed state exactly that long, then emits and evicts in one step.
+    *
+    * The final epochs' unmatched clicks need the watermark to move PAST
+    * them after the data ends, so the feed appends a sentinel row far
+    * beyond max(ts) on both streams (filtered back out of the result) —
+    * the streaming equivalent of an end-of-stream flush marker. Two
+    * sentinel rounds run because a watermark advance lands one
+    * micro-batch after the data that produced it.
+    *
+    * Scale shape: identical to the inner form — one shuffle per side,
+    * state bounded by window+lateness, RocksDB-backable; null emission
+    * adds no state, it rides eviction. */
+  val streamOuterJoin: QueryDef = QueryDef.sqlBacked(
+    "q_stream_outer_join",
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT user_id, epoch_us(ts) AS p_ts, event_id AS purchase_id
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.event_id AS click_id, p.purchase_id, p.p_ts - c.ts_us AS delta_us
+      |FROM clicks c LEFT JOIN purch p
+      |  ON c.user_id = p.user_id AND p.p_ts >= c.ts_us AND p.p_ts <= c.ts_us + 3600000000
+      |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+    doc = "STREAM-STREAM LEFT-OUTER interval join: unmatched clicks emit null-padded only " +
+      "when both watermarks prove absence; end-of-stream flush via sentinel rows. " +
+      "Hash-matches the batch LEFT JOIN oracle.") { (s, d) =>
+    withStreamingShuffle(s) {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = eventsUs(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts_us", "event_id").as[(Long, Long, Long)]
+      .collect().toSeq.sortBy(e => (e._2, e._3))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "event_id").as[(Long, Long, Long)]
+      .collect().toSeq.sortBy(e => (e._2, e._3))
+    val maxTs = (clicks.map(_._2) ++ purch.map(_._2)).max
+    val lIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val rIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val l = lIn.toDF().toDF("user_id", "lts_us", "click_id")
+      .withColumn("lts", timestamp_micros(col("lts_us")))
+    val r = rIn.toDF().toDF("user_id", "rts_us", "purchase_id")
+      .withColumn("rts", timestamp_micros(col("rts_us")))
+    val joined = graft.streaming.StreamingIntervalJoin.joinWithin(
+        l, r, Seq("user_id"), "lts", "rts", window = "1 hour",
+        joinType = "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("rts_us") - col("lts_us")).as("delta_us"))
+    val sink = s"stream_outer_join_${streamOuterSink.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_oj").toString
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val collected =
+      try {
+        val lEp = clicks.grouped((clicks.size + 2) / 3).toSeq.map(Some(_))
+        val rEp = purch.grouped((purch.size + 2) / 3).toSeq.map(Some(_))
+        lEp.zipAll(rEp, None, None).foreach { case (le, re) =>
+          le.foreach(lIn.addData(_)); re.foreach(rIn.addData(_))
+          q.processAllAvailable()
+        }
+        // end-of-stream flush: two sentinel rounds (watermark computed
+        // from batch N applies in batch N+1) push both watermarks past
+        // maxTs + window so every trailing unmatched click emits
+        Seq(10L, 20L).foreach { days =>
+          val sentinelTs = maxTs + days * 86400L * 1000000L
+          lIn.addData((-1L, sentinelTs, -1L))
+          rIn.addData((-1L, sentinelTs, -1L))
+          q.processAllAvailable()
+        }
+        s.table(sink).filter(col("click_id") =!= -1L)
+          .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+          .collect().toSeq
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sink)
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      collected.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("click_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("purchase_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("delta_us", org.apache.spark.sql.types.LongType))))
+    }
+  }
+
   val topKAgg: QueryDef = QueryDef.sqlBacked(
     "q_topk_agg",
     """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
@@ -1107,6 +1203,7 @@ object AnalyticsQueries {
     semiAntiJoin, setOps, dateTruncAgg, stringFuncs, windowLag,
     rollupAgg, dedupKeyedFirst, nullLogic, variantCapture,
     asofJoin, sessionize, streamSessionize, rangeJoin, streamIntervalJoin,
+    streamOuterJoin,
     topKAgg, dedupFailEvidence, madOutliers, ntileBucket, slidingWindow,
     streamSliding, streamEnrich, streamDedup, incrementalAgg, exactP99, saltedJoin, funnel,
     quantileProfile, scd2, approxDistinct)
