@@ -239,6 +239,24 @@ object ExtendedQueries {
     (df, dir) => df.write.mode("overwrite").orc(dir),
     _ => graft.sources.FileSource.Format.Orc)
 
+  val xmlRoundtrip: QueryDef = roundtrip("q_xml_decode",
+    (df, dir) => df.write.mode("overwrite").format("xml")
+      .option("rowTag", "row").save(dir),
+    _ => graft.sources.FileSource.Format.Xml("row"))
+
+  val fixedWidthRoundtrip: QueryDef = roundtrip("q_fixedwidth_decode",
+    (df, dir) => {
+      // classic copybook layout: numerics left-padded, strings
+      // right-padded; widths match the FixedWidth declaration below
+      val line = concat(
+        lpad(col("l_orderkey").cast("string"), 12, " "),
+        lpad(col("l_linenumber").cast("string"), 4, " "),
+        lpad(col("l_quantity").cast("string"), 8, " "),
+        rpad(col("l_returnflag"), 2, " "))
+      df.select(line.as("value")).write.mode("overwrite").text(dir)
+    },
+    _ => graft.sources.FileSource.Format.FixedWidth(Seq(12, 4, 8, 2)))
+
   private val roundtripOracle =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -884,6 +902,6 @@ object ExtendedQueries {
     glueScan, tier2Python,
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,
-    csvRoundtrip, ndjsonRoundtrip, orcRoundtrip,
+    csvRoundtrip, ndjsonRoundtrip, orcRoundtrip, xmlRoundtrip, fixedWidthRoundtrip,
     arrowRoundtrip, pgcopyRoundtrip, avroRoundtrip, protobufRoundtrip, xzCsvRoundtrip)
 }

@@ -314,6 +314,51 @@ object ProfilingQueries {
         .orderBy("event_type", "hour_bucket")
   }
 
+  /** Exact rolling median over a 7-day trailing frame — an operator
+    * Spark has no native window form for (percentile_approx is
+    * approximate; median is aggregate-only). Composed as
+    * `element_at(sort_array(collect_list(x) OVER frame), 4)`: the frame
+    * is bounded (7 rows), so the per-row cost is O(k log k) on a
+    * constant k and the whole thing stays inside codegen'd window exec
+    * — no UDF, no shuffle beyond the one windowing exchange. Emitted
+    * only for full frames, where the 0-based middle index (n−1)/2 = 3
+    * is exact and integer-valued, which is also precisely DuckDB's
+    * `quantile_disc(0.5)` position — so both engines name the same
+    * element and the result stays BIGINT-exact, no interpolation.
+    * Series are keyed by order priority so the window partitions
+    * distribute at scale.
+    */
+  val rollingMedian: QueryDef = QueryDef.sqlBacked(
+    "q_rolling_median",
+    """WITH daily AS (
+      |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT * FROM (
+      |  SELECT o_orderpriority, day, cnt,
+      |    CAST(COUNT(cnt) OVER win AS BIGINT) AS win_n,
+      |    quantile_disc(cnt, 0.5) OVER win AS med7
+      |  FROM daily
+      |  WINDOW win AS (PARTITION BY o_orderpriority ORDER BY day
+      |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |WHERE win_n = 7 ORDER BY o_orderpriority, day""".stripMargin,
+    doc = "Exact 7-day rolling median of daily order counts per priority: " +
+      "sort_array(collect_list) over a bounded frame picks the same discrete middle " +
+      "element as DuckDB's quantile_disc(0.5) — integer-exact, no interpolation.") {
+    (s, d) =>
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val win = Window.partitionBy("o_orderpriority").orderBy("day")
+        .rowsBetween(-6, 0)
+      daily.select(col("o_orderpriority"), col("day"), col("cnt"),
+          count("cnt").over(win).as("win_n"),
+          element_at(sort_array(collect_list("cnt").over(win)), 4).as("med7"))
+        .filter(col("win_n") === 7)
+        .orderBy("o_orderpriority", "day")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(corrMatrix, inclusionDeps, benford, contingency, anomalyZscore)
+    Seq(corrMatrix, inclusionDeps, benford, contingency, anomalyZscore,
+      rollingMedian)
 }

@@ -32,6 +32,17 @@ object FileSource {
       * spark-protobuf connector jars, absent from this container — the
       * Format seam is where they plug in. */
     case object Orc extends Format
+    /** XML rows under `rowTag` via Spark 4's built-in XML datasource
+      * (spark-xml merged upstream); line-splittable like NDJSON when
+      * each row element is self-contained. */
+    final case class Xml(rowTag: String = "row") extends Format
+    /** Fixed-width (COBOL-copybook-shaped) text: each field is a
+      * byte-offset slice of the line, decoded by codegen'd substring +
+      * cast + trim — a map-only pass over `spark.read.text` lines, so
+      * it splits and scales like any line format. Widths are declared
+      * per field in schema order; values are right-padded with spaces
+      * (strings) or left-padded (numerics), the classic layout. */
+    final case class FixedWidth(widths: Seq[Int]) extends Format
   }
 
   final case class Discovery(files: Seq[Position.FileEntry])
@@ -90,6 +101,29 @@ object FileSource {
           case None => spark.read.json(files: _*)
         }
       case Format.Orc => spark.read.orc(files: _*)
+      case Format.Xml(rowTag) =>
+        val r = spark.read.format("xml").option("rowTag", rowTag)
+        declared match {
+          case Some(s) => r.schema(s).load(files: _*)
+          case None => r.load(files: _*)
+        }
+      case Format.FixedWidth(widths) =>
+        val s = declared.getOrElse(throw new IllegalArgumentException(
+          "FixedWidth requires a declared schema (one width per field)"))
+        require(widths.length == s.fields.length,
+          s"FixedWidth: ${widths.length} widths for ${s.fields.length} fields")
+        import org.apache.spark.sql.functions.{col, substring, trim}
+        val lines = spark.read.text(files: _*)
+        val offsets = widths.scanLeft(1)(_ + _)
+        val cols = s.fields.zip(widths).zip(offsets).map { case ((f, w), off) =>
+          // trim both pad directions, then cast through Spark's string
+          // coercion — empty slice ⇒ null (the fixed-width NULL idiom)
+          val raw = trim(substring(col("value"), off, w))
+          org.apache.spark.sql.functions
+            .when(raw === "", null).otherwise(raw)
+            .cast(f.dataType).as(f.name)
+        }
+        lines.select(cols.toSeq: _*)
     }
   }
 

@@ -132,4 +132,46 @@ class FormatsSpec extends SparkSpec {
     assert(back.orderBy("n").select("s").collect().map(_.getString(0)).toSeq
       == Seq("café", "naïve señor", "plain"))
   }
+
+  test("fixed-width decode: offset slicing, pad-trim, empty-slice null idiom") {
+    import graft.sources.FileSource
+    val dir = tmpDir() + "/fw"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", DoubleType),
+      StructField("flag", StringType)))
+    // widths 6/8/3; row 2 has an all-blank qty slice → null; flag is
+    // right-padded, numerics left-padded (copybook layout)
+    val lines = Seq(
+      "    42    3.25A  ",
+      "     7        B  ",
+      "123456    -0.5C  ")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-0.txt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val back = FileSource.read(spark, FileSource.Format.FixedWidth(Seq(6, 8, 3)),
+      Seq(s"$dir/part-0.txt"), Some(schema)).orderBy("id").collect()
+    assert(back.map(r => (r.get(0), r.get(1), r.get(2))).toSeq == Seq(
+      (7L, null, "B"), (42L, 3.25, "A"), (123456L, -0.5, "C")))
+    // declared widths must cover every field
+    intercept[IllegalArgumentException] {
+      FileSource.read(spark, FileSource.Format.FixedWidth(Seq(6, 8)),
+        Seq(s"$dir/part-0.txt"), Some(schema))
+    }
+  }
+
+  test("xml decode: rowTag rows round-trip through Spark 4's built-in datasource") {
+    import graft.sources.FileSource
+    val dir = tmpDir() + "/xml"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "héllo <&> world"), Row(2L, null)), 1),
+      schema)
+    df.write.mode("overwrite").format("xml").option("rowTag", "row").save(dir)
+    val files = FileSource.discover(dir, "part-*").files.map(_.path)
+    val back = FileSource.read(spark, FileSource.Format.Xml("row"), files, Some(schema))
+      .orderBy("id").collect()
+    assert(back.map(r => (r.get(0), r.get(1))).toSeq ==
+      Seq((1L, "héllo <&> world"), (2L, null)))
+  }
 }
