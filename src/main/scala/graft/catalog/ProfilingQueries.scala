@@ -358,7 +358,172 @@ object ProfilingQueries {
         .orderBy("o_orderpriority", "day")
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch, fully
+    * oracle-replayable: keys hash through a Lehmer LCG (x·48271 mod
+    * 2³¹−1 — pure integer arithmetic both engines evaluate
+    * identically), the k smallest DISTINCT hash values form the
+    * sketch, and the estimate is (k−1)·M ÷ h₍ₖ₎ in exact integer
+    * division. The plan is the scale story: Spark executes the
+    * k-smallest as TakeOrderedAndProject — each partition keeps a
+    * k-bounded heap and only k rows per partition ever move, which is
+    * exactly how the sketch merges on a 1000-executor cluster (KMV
+    * union = min-k of the unioned sketches). Falls back to the exact
+    * count when the domain has fewer than k values (the KMV rule).
+    */
+  val kmvDistinct: QueryDef = {
+    val k = 256
+    val m = 2147483647L // 2^31 - 1 (Lehmer modulus)
+    QueryDef.sqlBacked(
+      "q_kmv_distinct",
+      s"""WITH h AS (
+         |  SELECT DISTINCT (o_custkey * 48271) % $m AS h FROM orders),
+         |mins AS (SELECT h FROM h ORDER BY h LIMIT $k),
+         |s AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS k_held, CAST(MAX(h) AS BIGINT) AS kth,
+         |    (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders) AS exact_distinct
+         |  FROM mins)
+         |SELECT k_held, kth, exact_distinct,
+         |  CASE WHEN k_held < $k THEN k_held
+         |       ELSE CAST((k_held - 1) * $m // kth AS BIGINT) END AS est_distinct
+         |FROM s""".stripMargin,
+      doc = s"KMV distinct-count sketch (k=$k, Lehmer hash - both engines replay it " +
+        "bit-exactly): k smallest distinct hashes via TakeOrderedAndProject (k rows per " +
+        "partition move, the mergeable-sketch shape), estimate (k-1)*M/h_k in exact " +
+        "integer division.") { (s, d) =>
+      import s.implicits._
+      val orders = t(s, d, "orders")
+      val mins = orders
+        .select(((col("o_custkey") * 48271L) % m).as("h")).distinct()
+        .orderBy("h").limit(k)
+      val row = mins.agg(count(lit(1)).as("k_held"), max("h").as("kth"))
+        .crossJoin(broadcast(
+          orders.agg(countDistinct("o_custkey").as("exact_distinct"))))
+        .select(col("k_held"), col("kth"), col("exact_distinct"),
+          when(col("k_held") < k, col("k_held"))
+            .otherwise(expr(s"(k_held - 1) * ${m}L div kth")).as("est_distinct"))
+      row
+    }
+  }
+
+  /** Maximum concurrency by sweep line: every order contributes a +1
+    * boundary at its order date and a −1 at date+30d; the running sum
+    * over boundaries sorted by (ts, delta) is the instantaneous load,
+    * and its max is the answer. The default RANGE window frame makes
+    * tie groups share their end-of-group value, so per-row loads are
+    * deterministic under any engine's tie ordering (and −1 sorts
+    * before +1, the end-exclusive convention). One shuffle to sort
+    * boundaries per priority partition — 2 rows per fact row, no join,
+    * no self-cross; the 100 TB form of "peak simultaneous sessions".
+    */
+  val maxConcurrency: QueryDef = QueryDef.sqlBacked(
+    "q_max_concurrency",
+    """WITH b AS (
+      |  SELECT o_orderpriority, epoch_us(o_orderdate) AS ts, 1 AS delta FROM orders
+      |  UNION ALL
+      |  SELECT o_orderpriority, epoch_us(o_orderdate) + 2592000000000, -1 FROM orders),
+      |r AS (
+      |  SELECT o_orderpriority, ts,
+      |    CAST(SUM(delta) OVER (PARTITION BY o_orderpriority ORDER BY ts, delta)
+      |      AS BIGINT) AS load
+      |  FROM b),
+      |x AS (
+      |  SELECT *, MAX(load) OVER (PARTITION BY o_orderpriority) AS mx FROM r)
+      |SELECT o_orderpriority, CAST(MAX(mx) AS BIGINT) AS max_concurrent,
+      |  CAST(MIN(CASE WHEN load = mx THEN ts END) AS BIGINT) AS first_peak_ts_us
+      |FROM x GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    doc = "Peak concurrent 30-day order windows per priority via sweep line: +1/-1 " +
+      "boundaries, running sum with the RANGE default frame (tie groups share the " +
+      "end-of-group value - deterministic under any tie order), then max + first peak " +
+      "time. Two rows per fact row, one sort shuffle, no self-join.") { (s, d) =>
+    val o = t(s, d, "orders")
+    val startB = o.select(col("o_orderpriority"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ts"), lit(1).as("delta"))
+    val endB = o.select(col("o_orderpriority"),
+      (unix_micros(col("o_orderdate").cast("timestamp")) + 2592000000000L).as("ts"),
+      lit(-1).as("delta"))
+    val win = Window.partitionBy("o_orderpriority").orderBy("ts", "delta")
+    val r = startB.union(endB)
+      .select(col("o_orderpriority"), col("ts"),
+        sum("delta").over(win).cast("long").as("load"))
+    val x = r.withColumn("mx",
+      max("load").over(Window.partitionBy("o_orderpriority")))
+    x.groupBy("o_orderpriority")
+      .agg(max("mx").cast("long").as("max_concurrent"),
+        min(when(col("load") === col("mx"), col("ts"))).cast("long")
+          .as("first_peak_ts_us"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Welch's two-sample t statistic for quantity between every pair of
+    * return flags, from the SAME one-pass sufficient statistics as
+    * q_corr_matrix: per-group (n, Σx, Σx²) in exact decimals, then the
+    * per-pair epilogue t = (m₁−m₂)/√(s₁²/n₁ + s₂²/n₂) and the
+    * Welch–Satterthwaite df — written as the identical IEEE operation
+    * sequence in both engines. One map-combined groupBy over the fact
+    * table no matter how many pairs are tested.
+    */
+  val ttestWelch: QueryDef = QueryDef.sqlBacked(
+    "q_ttest_welch",
+    """WITH pts AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT g, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+      |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+      |  FROM pts GROUP BY g),
+      |d AS (
+      |  SELECT g, CAST(n AS BIGINT) AS n_i, CAST(n AS DOUBLE) AS nd,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100 AS mean_qty,
+      |    CAST(n * sxx - sx * sx AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000 AS var_qty
+      |  FROM s),
+      |p AS (
+      |  SELECT a.g AS g1, b.g AS g2, a.n_i AS n1, b.n_i AS n2,
+      |    a.mean_qty AS mean1, b.mean_qty AS mean2,
+      |    a.var_qty / a.nd + b.var_qty / b.nd AS se2,
+      |    a.var_qty / a.nd AS va, b.var_qty / b.nd AS vb,
+      |    a.nd AS nda, b.nd AS ndb
+      |  FROM d a JOIN d b ON a.g < b.g)
+      |SELECT g1, g2, n1, n2, mean1, mean2,
+      |  (mean1 - mean2) / sqrt(se2) AS t_stat,
+      |  (se2 * se2) / (va * va / (nda - 1) + vb * vb / (ndb - 1)) AS df_welch
+      |FROM p ORDER BY g1, g2""".stripMargin,
+    doc = "Welch two-sample t between return-flag groups from one pass of exact " +
+      "sufficient statistics; t and the Welch-Satterthwaite df are per-pair double " +
+      "epilogues with an engine-identical IEEE sequence.") { (s, d) =>
+    val pts = t(s, d, "lineitem").select(col("l_returnflag").as("g"),
+      (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long").as("x"))
+    val sums = pts.groupBy("g").agg(
+      count(lit(1)).cast(dec38).as("n"),
+      sum(col("x")).cast(dec38).as("sx"),
+      sum(col("x").cast(dec38) * col("x")).cast(dec38).as("sxx"))
+    val dd = sums.select(col("g"),
+      col("n").cast("long").as("n_i"), col("n").cast("double").as("nd"),
+      (col("sx").cast("double") / col("n").cast("double") / 100).as("mean_qty"),
+      ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        / (col("n").cast("double") * (col("n") - 1).cast("double")) / 10000)
+        .as("var_qty"))
+    val a = dd.select(col("g").as("g1"), col("n_i").as("n1"), col("nd").as("nda"),
+      col("mean_qty").as("mean1"), col("var_qty").as("var1"))
+    val b = dd.select(col("g").as("g2"), col("n_i").as("n2"), col("nd").as("ndb"),
+      col("mean_qty").as("mean2"), col("var_qty").as("var2"))
+    val p = a.join(b, col("g1") < col("g2"))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        col("mean1"), col("mean2"),
+        (col("var1") / col("nda") + col("var2") / col("ndb")).as("se2"),
+        (col("var1") / col("nda")).as("va"), (col("var2") / col("ndb")).as("vb"),
+        col("nda"), col("ndb"))
+    p.select(col("g1"), col("g2"), col("n1"), col("n2"), col("mean1"), col("mean2"),
+        ((col("mean1") - col("mean2")) / sqrt(col("se2"))).as("t_stat"),
+        ((col("se2") * col("se2"))
+          / (col("va") * col("va") / (col("nda") - 1)
+            + col("vb") * col("vb") / (col("ndb") - 1))).as("df_welch"))
+      .orderBy("g1", "g2")
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMatrix, inclusionDeps, benford, contingency, anomalyZscore,
-      rollingMedian)
+      rollingMedian, kmvDistinct, maxConcurrency, ttestWelch)
 }
