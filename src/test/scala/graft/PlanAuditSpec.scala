@@ -244,6 +244,53 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
   }
 
+  test("correlation matrix: ONE fact-table pass for all 14 sufficient statistics, no join") {
+    val p = planOf("q_corr_matrix")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"lineitem must be scanned exactly once for the whole matrix:\n$p")
+    assert(!p.contains("Join"), "the matrix is an explode over one summary row")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "sums must map-side combine")
+  }
+
+  test("welch t-test: one fact pass; the pair join runs over the 3-row group summary") {
+    val p = planOf("q_ttest_welch")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "per-group sufficient statistics must come from a single scan")
+    assert(!p.contains("CartesianProduct"),
+      "g1 < g2 pairing over 3 rows must not plan as a fact-side product")
+  }
+
+  test("KMV sketch: min-k plans as TakeOrderedAndProject (k rows per partition move)") {
+    val p = planOf("q_kmv_distinct")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the k smallest hashes must use the bounded-heap operator, not a global sort:\n$p")
+  }
+
+  test("max concurrency: sweep line has no join and exactly one wide exchange per window") {
+    val p = planOf("q_max_concurrency")
+    assert(!p.contains("Join"), "boundary union + windows — never a self-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("contingency: marginals window over the grouped result — one fact scan only") {
+    val p = planOf("q_contingency")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "row/col/grand totals must not re-scan lineitem")
+  }
+
+  test("triangle count: wedge joins key on endpoints; no cartesian, no nested loop") {
+    val p = planOf("q_triangle_count")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"oriented wedge join must stay an equi-join:\n$p")
+  }
+
+  test("rolling median and anomaly z-score are single-window passes, no join") {
+    for (q <- Seq("q_rolling_median", "q_anomaly_zscore")) {
+      val p = planOf(q)
+      assert(!p.contains("Join"), s"$q must be window-only")
+    }
+  }
+
   test("delivery guarantee derives from plan facts") {
     import Descriptor._
     assert(deriveGuarantee(sourceReplayable = true,
