@@ -1632,7 +1632,62 @@ object LlmQueries {
       .orderBy("term")
   }
 
-  val all: Seq[QueryDef] = Seq(
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    * score every raw document by how much its token distribution looks
+    * like a TARGET corpus (here lang='de' docs), using hashed-n-gram
+    * surrogate importance — this implementation uses the additive
+    * unigram form score = Σ target_freq / Σ raw_freq in EXACT integer
+    * ppm, so both engines agree to the bit. One tokenize pass: the
+    * (doc, word, cnt) tf aggregate persists once and supplies the
+    * target vocabulary, the raw vocabulary AND the per-doc sums; the
+    * vocab tables are aggregate-sized (broadcastable at 100 TB, where
+    * the doc side is the fact). Selection = top-k by score, planned as
+    * TakeOrderedAndProject.
+    */
+  val dsirScore: QueryDef = QueryDef.sqlBacked(
+    "q_dsir_score",
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM tok GROUP BY 1, 2, 3),
+      |tcnt AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS tc FROM tf
+      |         WHERE lang = 'de' GROUP BY w),
+      |rcnt AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS rc FROM tf GROUP BY w),
+      |ds AS (
+      |  SELECT tf.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+      |    CAST(SUM(cnt * COALESCE(tc, 0)) AS BIGINT) AS sum_t,
+      |    CAST(SUM(cnt * rc) AS BIGINT) AS sum_r
+      |  FROM tf LEFT JOIN tcnt ON tf.w = tcnt.w
+      |          JOIN rcnt ON tf.w = rcnt.w
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, n_words, CAST(sum_t * 1000000 // sum_r AS BIGINT) AS score_ppm
+      |FROM ds ORDER BY score_ppm DESC, doc_id LIMIT 50""".stripMargin,
+    doc = "DSIR-style importance scoring vs a target corpus (lang='de'): per-doc " +
+      "Σ target-freq / Σ raw-freq in exact integer ppm from ONE persisted tokenize " +
+      "pass; vocab tables broadcast; top-k selection as TakeOrderedAndProject.") {
+    (s, d) =>
+      val tok = docsFanout(s, d).select(col("doc_id"), col("lang"),
+        explode(graft.llm.TextAnalysis.wsTokens(lower(col("text")))).as("w"))
+      val tf = tok.groupBy("doc_id", "lang", "w")
+        .agg(count(lit(1)).as("cnt")).persist()
+      val tcnt = tf.filter(col("lang") === "de")
+        .groupBy("w").agg(sum("cnt").as("tc"))
+      val rcnt = tf.groupBy("w").agg(sum("cnt").as("rc"))
+      val ds = tf
+        .join(broadcast(tcnt), Seq("w"), "left")
+        .join(broadcast(rcnt), Seq("w"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_words"),
+          sum(col("cnt") * coalesce(col("tc"), lit(0L))).as("sum_t"),
+          sum(col("cnt") * col("rc")).as("sum_r"))
+      ds.select(col("doc_id"), col("n_words"),
+          expr("sum_t * 1000000L div sum_r").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .limit(50)
+  }
+
+  val all: Seq[QueryDef] = Seq(dsirScore,
     textFingerprint, dedupContentHash, tokenStats, textQuality, qualityFilter, lmCoverage, langIdQ,
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
     repetitionSignals, prefixDedup, decontaminate, seqPack, docChunks,
