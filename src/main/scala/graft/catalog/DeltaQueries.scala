@@ -143,6 +143,45 @@ object DeltaQueries {
       .withColumn("pruned", lit(prunedProof))
   }
 
+  val deltaZorder: QueryDef = QueryDef.sqlBacked(
+    "q_delta_zorder",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(1 AS BOOLEAN) AS pruned_orderkey, CAST(1 AS BOOLEAN) AS pruned_partkey
+      |FROM lineitem
+      |WHERE l_orderkey < (SELECT max(l_orderkey) // 5 FROM lineitem)""".stripMargin,
+    doc = "Delta OPTIMIZE ZORDER BY (operators/ZOrderLayout, shared with Iceberg): the " +
+      "table starts hash-scattered (no file prunable on either key), the rewrite " +
+      "re-clusters on the Morton curve over (l_orderkey, l_partkey), and the plan " +
+      "proof requires range predicates on BOTH columns to skip files — a lexicographic " +
+      "sort would only prune its first key. Both pruned flags gate inside the hash.") {
+    (s, d) =>
+      val data = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          dec2(col("l_quantity")).as("l_quantity"))
+        .repartition(8, col("l_orderkey") * 2654435761L % 1048576)
+      val dir = tbl("graft_delta_z")
+      DeltaLog.commitAppend(s, dir, data, timestampMs = 1000L)
+      DeltaLog.compact(s, dir, timestampMs = 2000L, targetFiles = 8,
+        zorderBy = Seq("l_orderkey", "l_partkey"))
+      val cuts = data.agg(max("l_orderkey"), max("l_partkey")).head()
+      val cutOk = cuts.getLong(0) / 5
+      val cutPk = cuts.getLong(1) / 5
+      val fOk = Seq(flt.LessThan("l_orderkey", cutOk): flt.Filter)
+      val fPk = Seq(flt.LessThan("l_partkey", cutPk): flt.Filter)
+      val (_, allFiles) = DeltaLog.planFiles(s, dir)
+      val (_, pOk) = DeltaLog.planFiles(s, dir, filters = fOk)
+      val (_, pPk) = DeltaLog.planFiles(s, dir, filters = fPk)
+      val prunedOk = pOk.nonEmpty && pOk.size < allFiles.size
+      val prunedPk = pPk.nonEmpty && pPk.size < allFiles.size
+      DeltaLog.read(s, dir, filters = fOk)
+        .filter(col("l_orderkey") < cutOk)
+        .agg(count(lit(1)).cast("long").as("n"),
+          decSum(col("l_quantity")).as("sum_qty"))
+        .withColumn("pruned_orderkey", lit(prunedOk))
+        .withColumn("pruned_partkey", lit(prunedPk))
+  }
+
   val deltaPartitioned: QueryDef = QueryDef.sqlBacked(
     "q_delta_partitioned",
     """SELECT l_returnflag,
@@ -200,5 +239,5 @@ object DeltaQueries {
 
   val all: Seq[QueryDef] = Seq(
     deltaSnapshot, deltaTimeTravel, deltaIncremental,
-    deltaStatsPruned, deltaPartitioned, deltaCheckpoint)
+    deltaStatsPruned, deltaPartitioned, deltaZorder, deltaCheckpoint)
 }

@@ -716,11 +716,18 @@ object DeltaLog {
 
   /** Housekeeping compaction: rewrite the current live files into
     * `targetFiles` larger ones, committed with `dataChange=false` on
-    * both sides — a logical no-op the incremental feed skips. */
+    * both sides — a logical no-op the incremental feed skips.
+    * `zorderBy` makes it OPTIMIZE ZORDER BY: files come out clustered
+    * on the Morton curve over the listed columns, so the stats-pruner
+    * skips files for predicates on EVERY z column (shared layout
+    * engine: operators/ZOrderLayout, same as the Iceberg write path). */
   def compact(spark: SparkSession, tableDir: String, timestampMs: Long,
-      targetFiles: Int = 1): Long = {
+      targetFiles: Int = 1, zorderBy: Seq[String] = Nil): Long = {
     val snap = snapshot(spark, tableDir)
-    val data = assemble(spark, tableDir, snap, snap.files).coalesce(targetFiles)
+    val live = assemble(spark, tableDir, snap, snap.files)
+    val data =
+      if (zorderBy.nonEmpty) graft.operators.ZOrderLayout(live, zorderBy, targetFiles)
+      else live.coalesce(targetFiles)
     val adds = writeFiles(spark, tableDir, data, snap.meta.partitionColumns,
       timestampMs, dataChange = false, dataSchemaOf(snap.meta))
     val removes = snap.files.map(f => RemoveFile(f.path, timestampMs, dataChange = false))

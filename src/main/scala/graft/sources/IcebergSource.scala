@@ -2115,28 +2115,12 @@ object IcebergSource {
         df.repartitionByRange(math.max(1, df.rdd.getNumPartitions),
             sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
-      else if (zorderBy.nonEmpty) {
-        // z-value = interleaved bits of per-column quantile-rank
-        // buckets (16 buckets → 4 bits per column). Each file then
-        // covers a z-range whose projection onto EVERY listed column
-        // is a blocky sub-range — footer bounds tighten on all of
-        // them, where a lexicographic sort only tightens its first.
-        val nBuckets = 16
-        val qs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-        val bucketCols = zorderBy.map { c =>
-          val bounds = df.stat.approxQuantile(c, qs, 0.01)
-          bounds.distinct.map(b => when(col(c) > b, 1).otherwise(0))
-            .reduceOption(_ + _).getOrElse(lit(0))
-        }
-        val k = zorderBy.length
-        val z = (0 until 4).flatMap(j => bucketCols.zipWithIndex.map { case (bc, i) =>
-          shiftleft(shiftright(bc, j).bitwiseAND(lit(1)), j * k + i)
-        }).reduce(_ + _) // disjoint bit positions: + ≡ bitwise OR
-        df.withColumn("__gz", z)
-          .repartitionByRange(math.max(1, df.rdd.getNumPartitions), col("__gz"))
-          .sortWithinPartitions(col("__gz"))
-          .drop("__gz")
-      } else df
+      else if (zorderBy.nonEmpty)
+        // interleaved quantile-rank bits — every z column's footer
+        // bounds tighten (operators/ZOrderLayout, shared with the
+        // Delta OPTIMIZE path)
+        graft.operators.ZOrderLayout(df, zorderBy, df.rdd.getNumPartitions)
+      else df
     val files = writeDataFiles(spark, laidOut, s"$tableDir/data/snap-$snapshotId", spec0, idByName)
 
     val partTypes = spec0.map(pf =>

@@ -136,6 +136,34 @@ class DeltaLogSpec extends SparkSpec {
       DeltaLog.statsMayMatch(flt.LessThan("id", -1L), a, snap.meta.schema)))
   }
 
+  test("OPTIMIZE ZORDER BY: range predicates prune on EVERY z column; content and incremental unchanged") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/tbl"
+    // two independent dimensions, hash-scattered so that before the
+    // z-order rewrite every file spans both full domains (no pruning)
+    val data = (0 until 2000)
+      .map(i => (i.toLong, ((i * 48271) % 2000).toLong, s"r$i"))
+      .toDF("x", "y", "tag").repartition(8, col("tag"))
+    DeltaLog.commitAppend(spark, dir, data, timestampMs = 1000L)
+    val fX = Seq(flt.LessThan("x", 250L): flt.Filter)
+    val fY = Seq(flt.LessThan("y", 250L): flt.Filter)
+    val (_, before) = DeltaLog.planFiles(spark, dir)
+    assert(DeltaLog.planFiles(spark, dir, filters = fX)._2.size == before.size,
+      "hash-scattered layout must NOT prune (the baseline the rewrite beats)")
+    DeltaLog.compact(spark, dir, timestampMs = 2000L, targetFiles = 8,
+      zorderBy = Seq("x", "y"))
+    val (_, all) = DeltaLog.planFiles(spark, dir)
+    val (_, px) = DeltaLog.planFiles(spark, dir, filters = fX)
+    val (_, py) = DeltaLog.planFiles(spark, dir, filters = fY)
+    assert(px.nonEmpty && px.size < all.size, s"x pruning: ${px.size}/${all.size}")
+    assert(py.nonEmpty && py.size < all.size, s"y pruning: ${py.size}/${all.size}")
+    // the rewrite is a logical no-op: same rows, invisible to incremental
+    assert(DeltaLog.read(spark, dir).count() == 2000)
+    assert(DeltaLog.read(spark, dir, filters = fX).filter(col("x") < 250).count() == 250)
+    assert(DeltaLog.readIncremental(spark, dir, fromVersion = 0L, toVersion = 1L)
+      .count() == 0, "OPTIMIZE ZORDER commits dataChange=false on both sides")
+  }
+
   test("incremental append-diff: (v0, v2] sees only the appends, compaction is invisible, removes refuse") {
     val dir = s"${tmpDir()}/tbl"
     DeltaLog.commitAppend(spark, dir, nums(0, 50), timestampMs = 1000L)   // v0
