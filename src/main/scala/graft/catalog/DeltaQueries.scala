@@ -143,6 +143,33 @@ object DeltaQueries {
       .withColumn("pruned", lit(prunedProof))
   }
 
+  val deltaDv: QueryDef = QueryDef.sqlBacked(
+    "q_delta_dv",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+      |  CAST(1 AS BOOLEAN) AS merge_on_read
+      |FROM lineitem
+      |WHERE NOT (l_orderkey % 7 = 2) AND NOT (l_orderkey % 7 = 5 AND l_returnflag = 'A')
+      |""".stripMargin,
+    doc = "Delta DELETION VECTORS (reader v3 feature, PROTOCOL.md): two merge-on-read " +
+      "DELETEs record row indexes in roaring bitmap files instead of rewriting data — " +
+      "the second SUPERSEDES the first (old ∪ new per file); the read anti-joins the " +
+      "broadcast (file,row_index) set against parquet row-index metadata. The " +
+      "merge_on_read flag gates that NO physical data file changed across both " +
+      "deletes, so a regression to copy-on-write fails the hash.") { (s, d) =>
+    val data = li(s, d)
+    val dir = tbl("graft_delta_dv")
+    DeltaLog.commitAppend(s, dir, data.repartition(6, col("l_orderkey")),
+      timestampMs = 1000L)
+    val before = DeltaLog.snapshot(s, dir).files.map(_.path).toSet
+    DeltaLog.deleteWhereDv(s, dir, col("l_orderkey") % 7 === 2, timestampMs = 2000L)
+    DeltaLog.deleteWhereDv(s, dir,
+      col("l_orderkey") % 7 === 5 && col("l_returnflag") === "A", timestampMs = 3000L)
+    val after = DeltaLog.snapshot(s, dir).files.map(_.path).toSet
+    netAgg(DeltaLog.read(s, dir)).withColumn("merge_on_read", lit(before == after))
+  }
+
   val deltaZorder: QueryDef = QueryDef.sqlBacked(
     "q_delta_zorder",
     """SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -239,5 +266,5 @@ object DeltaQueries {
 
   val all: Seq[QueryDef] = Seq(
     deltaSnapshot, deltaTimeTravel, deltaIncremental,
-    deltaStatsPruned, deltaPartitioned, deltaZorder, deltaCheckpoint)
+    deltaStatsPruned, deltaPartitioned, deltaZorder, deltaDv, deltaCheckpoint)
 }

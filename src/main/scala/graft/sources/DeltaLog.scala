@@ -65,6 +65,16 @@ import graft.core.GraftError
   */
 object DeltaLog {
 
+  /** Deletion-vector descriptor on an add action (reader feature
+    * `deletionVectors`, minReaderVersion 3): which rows of the file
+    * are logically deleted, stored per [[DeltaDv]]. */
+  final case class DvDescriptor(
+      storageType: String,
+      pathOrInlineDv: String,
+      offset: Option[Long],
+      sizeInBytes: Long,
+      cardinality: Long)
+
   /** One live data file in a snapshot. `path` is RELATIVE to the table
     * root (protocol rule); `partitionValues` are the protocol's string
     * serialization, None = null. */
@@ -74,7 +84,8 @@ object DeltaLog {
       size: Long,
       modificationTime: Long,
       dataChange: Boolean,
-      stats: Option[String])
+      stats: Option[String],
+      deletionVector: Option[DvDescriptor] = None)
 
   final case class RemoveFile(path: String, deletionTimestamp: Long, dataChange: Boolean)
 
@@ -89,7 +100,8 @@ object DeltaLog {
       meta: Meta,
       protocolMinReader: Int,
       files: Seq[AddFile],
-      timestampMs: Long)
+      timestampMs: Long,
+      readerFeatures: Set[String] = Set.empty)
 
   private def logDir(tableDir: String): Path = Paths.get(tableDir, "_delta_log")
   private def commitPath(tableDir: String, v: Long): Path =
@@ -174,7 +186,15 @@ object DeltaLog {
     size = f.get("size").map(jLong).getOrElse(0L),
     modificationTime = f.get("modificationTime").map(jLong).getOrElse(0L),
     dataChange = f.get("dataChange").forall { case JBool(b) => b; case _ => true },
-    stats = f.get("stats").collect { case JStr(s) => s })
+    stats = f.get("stats").collect { case JStr(s) => s },
+    deletionVector = f.get("deletionVector").map(CanonicalJson.objFields).map { dv =>
+      DvDescriptor(
+        storageType = jStr(dv("storageType")),
+        pathOrInlineDv = jStr(dv("pathOrInlineDv")),
+        offset = dv.get("offset").map(jLong),
+        sizeInBytes = jLong(dv("sizeInBytes")),
+        cardinality = jLong(dv("cardinality")))
+    })
 
   private def parseMeta(f: Map[String, J]): Meta = Meta(
     id = f.get("id").map(jStr).getOrElse(""),
@@ -213,6 +233,7 @@ object DeltaLog {
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     var meta: Option[Meta] = None
     var minReader = 1
+    var readerFeatures = Set.empty[String]
     var ts = 0L
     cpv.foreach { v =>
       val cp = spark.read.parquet(checkpointPath(tableDir, v).toString)
@@ -221,7 +242,12 @@ object DeltaLog {
         def struct(name: String): Option[Row] =
           if (!r.schema.fieldNames.contains(name)) None
           else Option(r.getAs[Row](name))
-        struct("protocol").foreach(p => minReader = p.getAs[Int]("minReaderVersion"))
+        struct("protocol").foreach { p =>
+          minReader = p.getAs[Int]("minReaderVersion")
+          if (p.schema.fieldNames.contains("readerFeatures"))
+            readerFeatures = Option(p.getSeq[String](p.fieldIndex("readerFeatures")))
+              .map(_.toSet).getOrElse(Set.empty)
+        }
         struct("metaData").foreach { m =>
           meta = Some(Meta(
             id = m.getAs[String]("id"),
@@ -235,9 +261,15 @@ object DeltaLog {
           val pv = Option(a.getAs[Map[String, String]]("partitionValues"))
             .getOrElse(Map.empty)
             .map { case (k, v) => k -> Option(v) }
+          val dv =
+            if (!a.schema.fieldNames.contains("deletionVector")) None
+            else Option(a.getAs[Row]("deletionVector")).map(d => DvDescriptor(
+              d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
+              Option(d.getAs[java.lang.Long]("offset")).map(_.longValue),
+              d.getAs[Long]("sizeInBytes"), d.getAs[Long]("cardinality")))
           val af = AddFile(a.getAs[String]("path"), pv, a.getAs[Long]("size"),
             a.getAs[Long]("modificationTime"), a.getAs[Boolean]("dataChange"),
-            Option(a.getAs[String]("stats")))
+            Option(a.getAs[String]("stats")), dv)
           files -= af.path; files(af.path) = af
         }
         struct("remove").foreach(rm => files -= rm.getAs[String]("path"))
@@ -250,8 +282,12 @@ object DeltaLog {
           s"delta fidelity: commit $v is missing from the log (have checkpoint " +
             s"$cpv, target $target) — the log is torn, refuse rather than skip")
       parseActions(tableDir, v).foreach { action =>
-        action.get("protocol").map(CanonicalJson.objFields).foreach(p =>
-          minReader = p.get("minReaderVersion").map(jLong(_).toInt).getOrElse(1))
+        action.get("protocol").map(CanonicalJson.objFields).foreach { p =>
+          minReader = p.get("minReaderVersion").map(jLong(_).toInt).getOrElse(1)
+          readerFeatures = p.get("readerFeatures").collect {
+            case JArr(vs) => vs.map(jStr).toSet
+          }.getOrElse(Set.empty)
+        }
         action.get("metaData").map(CanonicalJson.objFields).foreach(m =>
           meta = Some(parseMeta(m)))
         action.get("add").map(CanonicalJson.objFields).foreach { a =>
@@ -264,14 +300,24 @@ object DeltaLog {
           ci.get("timestamp").foreach(t => ts = jLong(t)))
       }
     }
-    if (minReader > 1)
+    // protocol gate: v1 always readable; v3 readable iff the log
+    // DECLARES its reader features (v3 without them is malformed) and
+    // every one is implemented here (deletionVectors). Anything else
+    // (v2 column mapping, unknown v3 features) refuses typed rather
+    // than misreading.
+    val supportedFeatures = Set("deletionVectors")
+    val unsupported = readerFeatures -- supportedFeatures
+    if (minReader == 2 || (minReader > 1 && minReader != 3) ||
+        (minReader == 3 && (readerFeatures.isEmpty || unsupported.nonEmpty)))
       throw GraftError.Plan(
-        s"delta fidelity: log requires reader version $minReader (column mapping / " +
-          "deletion vectors / ...); this reader implements protocol version 1 — " +
+        s"delta fidelity: log requires reader version $minReader with features " +
+          s"${readerFeatures.toSeq.sorted.mkString("[", ",", "]")}; this reader " +
+          s"implements version 1 and version 3 with $supportedFeatures — " +
           "refusing rather than misreading")
     val m = meta.getOrElse(throw GraftError.Plan(
       s"delta fidelity: no metaData action found replaying $tableDir to $target"))
-    Snapshot(target, m, minReader, files.values.toVector.sortBy(_.path), ts)
+    Snapshot(target, m, minReader, files.values.toVector.sortBy(_.path), ts,
+      readerFeatures)
   }
 
   /** Commit timestamps (version → commitInfo.timestamp), for
@@ -457,6 +503,33 @@ object DeltaLog {
   /** One multi-file parquet scan over `files` + broadcast injection of
     * the log's partition values, projected to the table schema's
     * column order with the schema's exact types. */
+  /** Drop deletion-vector rows from a scan: every touched file's
+    * vector decodes on the driver (metadata-plane, bounded by the
+    * delete cardinality the log records) into a broadcast
+    * (file, row_index) set, and the scan left-anti joins it on Spark's
+    * parquet row-index metadata column — merge-on-read with zero data
+    * rewritten and no shuffle of the fact side. Files without a DV
+    * contribute no rows to the set and pass through the same plan.
+    * Expects `__g_path` already materialized from `_metadata`. */
+  private def applyDeletionVectors(spark: SparkSession, tableDir: String,
+      files: Seq[AddFile], scanWithPath: DataFrame): DataFrame = {
+    val dvFiles = files.filter(_.deletionVector.nonEmpty)
+    if (dvFiles.isEmpty) return scanWithPath
+    val rows: Seq[Row] = dvFiles.flatMap { f =>
+      val d = f.deletionVector.get
+      DeltaDv.readDv(tableDir, d.storageType, d.pathOrInlineDv,
+          d.offset.getOrElse(1L), d.sizeInBytes)
+        .map(pos => Row(normAbs(tableDir, f.path), pos))
+    }
+    val delSchema = StructType(Seq(
+      StructField("__g_path", StringType), StructField("__g_pos", LongType)))
+    val del = spark.createDataFrame(rows.asJava, delSchema)
+    scanWithPath
+      .withColumn("__g_pos", col("_metadata.row_index"))
+      .join(broadcast(del), Seq("__g_path", "__g_pos"), "left_anti")
+      .drop("__g_pos")
+  }
+
   private def assemble(spark: SparkSession, tableDir: String, snap: Snapshot,
       files: Seq[AddFile]): DataFrame = {
     val meta = snap.meta
@@ -465,7 +538,10 @@ object DeltaLog {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], meta.schema)
     val abs = files.map(f => Paths.get(tableDir, f.path).toString)
-    val scan = spark.read.schema(dataSchema).parquet(abs: _*)
+    val scan = applyDeletionVectors(spark, tableDir, files,
+      spark.read.schema(dataSchema).parquet(abs: _*)
+        .withColumn("__g_path",
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")))
     if (meta.partitionColumns.isEmpty)
       return scan.select(meta.schema.fieldNames.map(col).toSeq: _*)
     // (file_path, partition values...) — KB-scale, from the log
@@ -483,7 +559,6 @@ object DeltaLog {
         meta.partitionColumns.map(c => StructField(c, byName(c))).toArray.toSeq)
     val partDf = spark.createDataFrame(partRows.asJava, partSchema)
     scan
-      .withColumn("__g_path", regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
       .join(broadcast(partDf), "__g_path")
       .select(meta.schema.fieldNames.map(col).toSeq: _*)
   }
@@ -552,7 +627,15 @@ object DeltaLog {
       "modificationTime" -> JInt(a.modificationTime),
       "dataChange" -> JBool(a.dataChange))
     val withStats = a.stats.map(s => base :+ ("stats" -> (JStr(s): J))).getOrElse(base)
-    JObj.of("add" -> (JObj(withStats): J))
+    val withDv = a.deletionVector.map { dv =>
+      withStats :+ ("deletionVector" -> (JObj(Vector(
+        "storageType" -> (JStr(dv.storageType): J),
+        "pathOrInlineDv" -> (JStr(dv.pathOrInlineDv): J)) ++
+        dv.offset.map(o => "offset" -> (JInt(o): J)).toVector ++ Vector(
+        "sizeInBytes" -> (JInt(dv.sizeInBytes): J),
+        "cardinality" -> (JInt(dv.cardinality): J))): J))
+    }.getOrElse(withStats)
+    JObj.of("add" -> (JObj(withDv): J))
   }
 
   private def removeJson(r: RemoveFile): J = JObj.of(
@@ -687,13 +770,82 @@ object DeltaLog {
     v
   }
 
+  /** Merge-on-read DELETE: rows matching `cond` are recorded in a
+    * deletion vector instead of rewriting their files — the write cost
+    * is one bitmap file plus a log commit, independent of file sizes
+    * (delta.io PROTOCOL.md "Deletion Vectors"; the lakehouse twin of
+    * the Iceberg v3 DV write). A file that already carries a vector is
+    * SUPERSEDED: the new vector merges old ∪ new positions, because a
+    * descriptor replaces, never stacks. The commit upgrades the table
+    * to reader v3 / writer v7 with the `deletionVectors` feature on
+    * first use. Matched positions are collected on the driver — bounded
+    * by the delete's cardinality (which the log records per file); a
+    * petabyte-scale writer would build bitmaps executor-side per file,
+    * recorded here as the scale path.
+    *
+    * Copy-on-write [[deleteWhere]] remains the choice when deletes are
+    * large (rewrite amortizes) — DV when they are point-ish. */
+  def deleteWhereDv(spark: SparkSession, tableDir: String, cond: Column,
+      timestampMs: Long): Long = {
+    val snap = snapshot(spark, tableDir)
+    if (snap.meta.partitionColumns.nonEmpty)
+      throw GraftError.Plan(
+        "delta fidelity: DV delete on a partitioned table is not implemented — " +
+          "use deleteWhere (copy-on-write), which handles partitioned layouts")
+    val dataSchema = dataSchemaOf(snap.meta)
+    if (snap.files.isEmpty) return snap.version
+    val abs = snap.files.map(f => Paths.get(tableDir, f.path).toString)
+    val scan = spark.read.schema(dataSchema).parquet(abs: _*)
+      .withColumn("__g_path",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("__g_pos", col("_metadata.row_index"))
+    // NULL condition keeps the row (SQL DELETE three-valued semantics)
+    val matched = scan.filter(coalesce(cond, lit(false)))
+      .select(col("__g_path"), col("__g_pos")).collect()
+    if (matched.isEmpty) return snap.version
+    val byAbs: Map[String, Array[Long]] = matched.groupBy(_.getString(0))
+      .map { case (p, rs) => p -> rs.map(_.getLong(1)) }
+    val fByAbs = snap.files.map(f => normAbs(tableDir, f.path) -> f).toMap
+    val touched: Seq[(AddFile, Array[Long])] =
+      byAbs.toSeq.sortBy(_._1).map { case (absP, ps) =>
+        val f = fByAbs(absP)
+        val old = f.deletionVector.map(d => DeltaDv.readDv(tableDir, d.storageType,
+          d.pathOrInlineDv, d.offset.getOrElse(1L), d.sizeInBytes))
+          .getOrElse(Array.empty[Long])
+        (f, (old ++ ps).distinct.sorted)
+      }
+    val (dvRef, stored) = DeltaDv.writeDvFile(tableDir, touched.map(_._2))
+    val adds = touched.zip(stored).map { case ((f, _), s) =>
+      f.copy(dataChange = true, deletionVector = Some(DvDescriptor(
+        "u", dvRef, Some(s.offset), s.sizeInBytes, s.cardinality)))
+    }
+    val removes = touched.map { case (f, _) =>
+      RemoveFile(f.path, timestampMs, dataChange = true)
+    }
+    val protocolLine: Seq[J] =
+      if (snap.protocolMinReader >= 3 && snap.readerFeatures.contains("deletionVectors"))
+        Seq.empty
+      else Seq(JObj.of("protocol" -> (JObj.of(
+        "minReaderVersion" -> (JInt(3L): J),
+        "minWriterVersion" -> (JInt(7L): J),
+        "readerFeatures" -> (JArr(Vector(JStr("deletionVectors"): J)): J),
+        "writerFeatures" -> (JArr(Vector(JStr("deletionVectors"): J)): J)): J)))
+    val v = snap.version + 1
+    publishCommit(tableDir, v,
+      (protocolLine ++ removes.map(removeJson) ++ adds.map(addJson) :+
+        commitInfoJson(timestampMs, "DELETE")).map(CanonicalJson.render))
+    v
+  }
+
   private def assembleWithPath(spark: SparkSession, tableDir: String, snap: Snapshot,
       files: Seq[AddFile]): DataFrame = {
     val meta = snap.meta
     val dataSchema = dataSchemaOf(meta)
     val abs = files.map(f => Paths.get(tableDir, f.path).toString)
-    val scan = spark.read.schema(dataSchema).parquet(abs: _*)
-      .withColumn("__g_path", regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    val scan = applyDeletionVectors(spark, tableDir, files,
+      spark.read.schema(dataSchema).parquet(abs: _*)
+        .withColumn("__g_path",
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")))
     if (meta.partitionColumns.isEmpty)
       scan.select((meta.schema.fieldNames.map(col) :+ col("__g_path")).toSeq: _*)
     else {
@@ -744,17 +896,24 @@ object DeltaLog {
     * the tail. */
   def checkpoint(spark: SparkSession, tableDir: String): Long = {
     val snap = snapshot(spark, tableDir)
+    val features: Seq[String] =
+      if (snap.readerFeatures.nonEmpty) snap.readerFeatures.toSeq.sorted else null
     val rows: Seq[Row] =
-      Row(Row(snap.protocolMinReader, 2), null, null, null) +:
+      Row(Row(snap.protocolMinReader,
+        if (snap.protocolMinReader >= 3) 7 else 2, features), null, null, null) +:
       Row(null, Row(snap.meta.id, schemaJson(snap.meta.schema),
         snap.meta.partitionColumns, snap.meta.createdTime), null, null) +:
       snap.files.map(f => Row(null, null,
         Row(f.path, f.partitionValues.map { case (k, v) => k -> v.orNull },
-          f.size, f.modificationTime, f.dataChange, f.stats.orNull), null))
+          f.size, f.modificationTime, f.dataChange, f.stats.orNull,
+          f.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Long.box).orNull, d.sizeInBytes, d.cardinality)).orNull),
+        null))
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("schemaString", StringType),
@@ -766,7 +925,13 @@ object DeltaLog {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("stats", StringType)))),
+        StructField("stats", StringType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", LongType),
+          StructField("sizeInBytes", LongType),
+          StructField("cardinality", LongType))))))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),

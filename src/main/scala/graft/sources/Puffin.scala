@@ -228,7 +228,7 @@ object Puffin {
     * optional offset header, then array / bitset / run containers.
     * Header parses EAGERLY; containers decode one at a time as the
     * iterator is consumed (each ≤64k values). */
-  private def deserializeRoaring32(bb: ByteBuffer, where: String): Iterator[Int] = {
+  private[sources] def deserializeRoaring32(bb: ByteBuffer, where: String): Iterator[Int] = {
     val cookie = bb.getInt()
     val hasRun = (cookie & 0xFFFF) == SerialCookie
     val n =
@@ -375,7 +375,7 @@ object Puffin {
     bb.array()
   }
 
-  private def serializeRoaring32(lows: Array[Int]): Array[Byte] = {
+  private[sources] def serializeRoaring32(lows: Array[Int]): Array[Byte] = {
     val byKey = lows.toSeq.groupBy(v => (v >>> 16) & 0xFFFF).toSeq.sortBy(_._1)
     val containers = byKey.map { case (key, vs) =>
       val vals = vs.map(_ & 0xFFFF).distinct.sorted

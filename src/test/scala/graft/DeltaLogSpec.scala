@@ -180,6 +180,78 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("removes data"))
   }
 
+  test("deletion vectors: merge-on-read delete, superseding re-delete, OPTIMIZE purge, checkpoint round-trip") {
+    import graft.sources.DeltaDv
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 1000).repartition(4), timestampMs = 1000L)
+    val pathsBefore = DeltaLog.snapshot(spark, dir).files.map(_.path).toSet
+    DeltaLog.deleteWhereDv(spark, dir, col("id") % 10 === 3, timestampMs = 2000L)
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.protocolMinReader == 3 &&
+      snap.readerFeatures == Set("deletionVectors"))
+    // merge-on-read: the SAME physical files stay live, vectors on top
+    assert(snap.files.map(_.path).toSet == pathsBefore)
+    assert(snap.files.map(_.deletionVector.map(_.cardinality).getOrElse(0L)).sum == 100)
+    assert(DeltaLog.read(spark, dir).count() == 900)
+    assert(DeltaLog.read(spark, dir).filter(col("id") % 10 === 3).count() == 0)
+    // a second DV delete SUPERSEDES: one vector per file, old ∪ new
+    DeltaLog.deleteWhereDv(spark, dir, col("id") % 10 === 7, timestampMs = 3000L)
+    val snap2 = DeltaLog.snapshot(spark, dir)
+    assert(snap2.files.map(_.deletionVector.map(_.cardinality).getOrElse(0L)).sum == 200)
+    assert(DeltaLog.read(spark, dir).count() == 800)
+    // checkpoint round-trips descriptors and the v3 feature protocol
+    DeltaLog.checkpoint(spark, dir)
+    val viaCp = DeltaLog.snapshot(spark, dir)
+    assert(viaCp.protocolMinReader == 3 &&
+      viaCp.files.map(_.deletionVector.map(_.cardinality).getOrElse(0L)).sum == 200)
+    assert(DeltaLog.read(spark, dir).count() == 800)
+    // copy-on-write OPTIMIZE materializes survivors and purges vectors
+    DeltaLog.compact(spark, dir, timestampMs = 4000L, targetFiles = 2)
+    val snap3 = DeltaLog.snapshot(spark, dir)
+    assert(snap3.files.forall(_.deletionVector.isEmpty))
+    assert(DeltaLog.read(spark, dir).count() == 800)
+    // codec laws: z85 uuid round-trip; CRC refuses a torn vector
+    val u = java.util.UUID.fromString("12345678-9abc-def0-1234-56789abcdef0")
+    assert(DeltaDv.decodeUuid(DeltaDv.encodeUuid(u)) == u)
+    val dvDir = s"${tmpDir()}/dv"
+    Files.createDirectories(Paths.get(dvDir))
+    val positions = (0L until 5000L).map(_ * 3).toArray // bitmap-container card
+    val (ref, stored) = DeltaDv.writeDvFile(dvDir, Seq(positions, Array(1L, 2L)))
+    assert(stored.head.cardinality == 5000 && stored(1).cardinality == 2)
+    val back = DeltaDv.readDv(dvDir, "u", ref, stored.head.offset, stored.head.sizeInBytes)
+    assert(back.toSeq == positions.toSeq)
+    val dvPath = DeltaDv.dvFilePath(dvDir, ref)
+    val bytes = Files.readAllBytes(dvPath)
+    bytes(stored.head.offset.toInt + 10) = (bytes(stored.head.offset.toInt + 10) ^ 0x7).toByte
+    Files.write(dvPath, bytes)
+    val torn = intercept[GraftError.Plan](
+      DeltaDv.readDv(dvDir, "u", ref, stored.head.offset, stored.head.sizeInBytes))
+    assert(torn.getMessage.contains("CRC") || torn.getMessage.contains("magic"))
+    // inline / absolute storage types refuse typed
+    val st = intercept[GraftError.Plan](DeltaDv.readDv(dvDir, "i", ref, 1L, 4L))
+    assert(st.getMessage.contains("storageType"))
+  }
+
+  test("deletion vectors: incremental windows refuse, partitioned tables route to copy-on-write") {
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 100), timestampMs = 1000L)   // v0
+    DeltaLog.commitAppend(spark, dir, nums(100, 200), timestampMs = 2000L) // v1
+    DeltaLog.deleteWhereDv(spark, dir, col("id") === 5L, timestampMs = 3000L) // v2
+    // the DV commit removes data from the window — append-diff refuses
+    val e = intercept[GraftError.Plan](
+      DeltaLog.readIncremental(spark, dir, fromVersion = 0L, toVersion = 2L).count())
+    assert(e.getMessage.contains("removes data"))
+    // windows before the delete still work
+    assert(DeltaLog.readIncremental(spark, dir, fromVersion = 0L, toVersion = 1L)
+      .count() == 100)
+    val pdir = s"${tmpDir()}/ptbl"
+    DeltaLog.commitAppend(spark, pdir, nums(0, 50), timestampMs = 1000L,
+      partitionBy = Seq("bucket"))
+    val p = intercept[GraftError.Plan](
+      DeltaLog.deleteWhereDv(spark, pdir, col("id") === 1L, timestampMs = 2000L))
+    assert(p.getMessage.contains("partitioned"))
+  }
+
   test("protocol gate: minReaderVersion > 1 refuses typed") {
     val dir = s"${tmpDir()}/tbl"
     DeltaLog.commitAppend(spark, dir, nums(0, 10), timestampMs = 1000L)
