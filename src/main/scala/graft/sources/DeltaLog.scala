@@ -890,6 +890,61 @@ object DeltaLog {
     v
   }
 
+  /** VACUUM: physically delete data files removed from the table long
+    * enough ago, plus deletion-vector files no live add references —
+    * the storage-reclamation half of the protocol's remove/tombstone
+    * story. A file is deletable when some remove action stamped it
+    * `deletionTimestamp ≤ asOfMs − retentionMs` AND the current
+    * snapshot does not list it (a re-added path stays). Time travel to
+    * versions that needed a vacuumed file stops working — that is the
+    * documented vacuum trade, and the torn-read failure mode is an
+    * explicit file-not-found, never silent rows. Returns the deleted
+    * relative paths. `asOfMs` is an explicit clock (replay
+    * determinism — same rule as the rest of the catalog: never
+    * wall-clock). */
+  def vacuum(spark: SparkSession, tableDir: String, asOfMs: Long,
+      retentionMs: Long): Seq[String] = {
+    require(retentionMs >= 0, "vacuum retention must be non-negative")
+    val snap = snapshot(spark, tableDir)
+    val cutoff = asOfMs - retentionMs
+    val live: Set[String] = snap.files.map(_.path).toSet
+    val liveDv: Set[String] = snap.files.flatMap(_.deletionVector)
+      .filter(_.storageType == "u")
+      .map(d => Paths.get(tableDir).relativize(
+        DeltaDv.dvFilePath(tableDir, d.pathOrInlineDv)).toString).toSet
+    // tombstones from every retained commit
+    val removed = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    listCommitVersions(tableDir).sorted.foreach { v =>
+      parseActions(tableDir, v).foreach { action =>
+        action.get("remove").map(CanonicalJson.objFields).foreach { rm =>
+          val p = jStr(rm("path"))
+          val ts = rm.get("deletionTimestamp").map(jLong).getOrElse(Long.MaxValue)
+          removed(p) = ts
+        }
+      }
+    }
+    val dataVictims = removed.collect {
+      case (p, ts) if ts <= cutoff && !live.contains(p) &&
+        Files.exists(Paths.get(tableDir, p)) => p
+    }.toVector
+    // superseded DV files: present on disk, unreferenced by the current
+    // snapshot, last modified at or before the cutoff
+    val dvVictims = {
+      val s = Files.list(Paths.get(tableDir))
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("deletion_vector_") &&
+          p.getFileName.toString.endsWith(".bin"))
+        .map(p => Paths.get(tableDir).relativize(p).toString)
+        .filterNot(liveDv.contains)
+        .filter(rel => Files.getLastModifiedTime(
+          Paths.get(tableDir, rel)).toMillis <= cutoff)
+        .toVector
+      finally s.close()
+    }
+    (dataVictims ++ dvVictims).foreach(p => Files.deleteIfExists(Paths.get(tableDir, p)))
+    dataVictims ++ dvVictims
+  }
+
   /** Write the parquet checkpoint for the CURRENT version and point
     * `_last_checkpoint` at it. After this, commits at or before the
     * checkpoint may be vacuumed — replay opens one parquet file plus

@@ -252,6 +252,40 @@ class DeltaLogSpec extends SparkSpec {
     assert(p.getMessage.contains("partitioned"))
   }
 
+  test("vacuum: retention-gated tombstone deletion, re-added paths survive, superseded DVs reclaimed") {
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 200).repartition(2), timestampMs = 1000L)
+    val v0Files = DeltaLog.snapshot(spark, dir).files.map(_.path)
+    // copy-on-write delete rewrites every touched file (tombstones at ts=2000)
+    DeltaLog.deleteWhere(spark, dir, col("id") < 50, timestampMs = 2000L)
+    // inside retention: nothing deleted
+    assert(DeltaLog.vacuum(spark, dir, asOfMs = 2500L, retentionMs = 1000L).isEmpty)
+    assert(v0Files.forall(p => Files.exists(Paths.get(dir, p))))
+    // past retention: the rewritten originals go, the live set is untouched
+    val gone = DeltaLog.vacuum(spark, dir, asOfMs = 10000L, retentionMs = 1000L)
+    assert(gone.nonEmpty && gone.forall(v0Files.contains))
+    assert(DeltaLog.read(spark, dir).count() == 150)
+    // time travel that needs a vacuumed file now fails loudly, never silently
+    intercept[Exception](DeltaLog.read(spark, dir, version = Some(0L)).count())
+    // superseded DV file: first DV delete's bin is unreferenced after the second
+    val dvDir = s"${tmpDir()}/dvtbl"
+    DeltaLog.commitAppend(spark, dvDir, nums(0, 100), timestampMs = 1000L)
+    DeltaLog.deleteWhereDv(spark, dvDir, col("id") === 1L, timestampMs = 2000L)
+    DeltaLog.deleteWhereDv(spark, dvDir, col("id") === 2L, timestampMs = 3000L)
+    def dvBins = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(dvDir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("deletion_vector_")).toVector
+      finally s.close()
+    }
+    assert(dvBins.size == 2)
+    val reclaimed = DeltaLog.vacuum(spark, dvDir,
+      asOfMs = System.currentTimeMillis() + 1000000L, retentionMs = 0L)
+    assert(dvBins.size == 1, s"superseded DV reclaimed, got $reclaimed")
+    assert(DeltaLog.read(spark, dvDir).count() == 98)
+  }
+
   test("protocol gate: minReaderVersion > 1 refuses typed") {
     val dir = s"${tmpDir()}/tbl"
     DeltaLog.commitAppend(spark, dir, nums(0, 10), timestampMs = 1000L)
