@@ -143,6 +143,31 @@ object DeltaQueries {
       .withColumn("pruned", lit(prunedProof))
   }
 
+  val deltaColumnMapping: QueryDef = QueryDef.sqlBacked(
+    "q_delta_column_mapping",
+    """SELECT l_returnflag AS flag,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(1 AS BOOLEAN) AS metadata_only
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "Delta COLUMN MAPPING (reader v2, mode 'name'): the table's parquet files " +
+      "carry stable physical names (col-<id>), so renaming l_returnflag to 'flag' is " +
+      "ONE metaData commit touching zero data files; the read translates physical to " +
+      "logical and groups by the NEW name. The metadata_only flag gates that no file " +
+      "changed across the rename.") { (s, d) =>
+    val data = li(s, d)
+    val dir = tbl("graft_delta_cm")
+    DeltaLog.commitAppend(s, dir, data, timestampMs = 1000L, columnMapping = true)
+    val before = DeltaLog.snapshot(s, dir).files.map(_.path).toSet
+    DeltaLog.renameColumn(s, dir, "l_returnflag", "flag", timestampMs = 2000L)
+    val after = DeltaLog.snapshot(s, dir).files.map(_.path).toSet
+    DeltaLog.read(s, dir)
+      .groupBy("flag")
+      .agg(count(lit(1)).cast("long").as("n"), decSum(col("l_quantity")).as("sum_qty"))
+      .withColumn("metadata_only", lit(before == after))
+      .orderBy("flag")
+  }
+
   val deltaDv: QueryDef = QueryDef.sqlBacked(
     "q_delta_dv",
     """SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -266,5 +291,6 @@ object DeltaQueries {
 
   val all: Seq[QueryDef] = Seq(
     deltaSnapshot, deltaTimeTravel, deltaIncremental,
-    deltaStatsPruned, deltaPartitioned, deltaZorder, deltaDv, deltaCheckpoint)
+    deltaStatsPruned, deltaPartitioned, deltaZorder, deltaDv,
+    deltaColumnMapping, deltaCheckpoint)
 }

@@ -93,7 +93,21 @@ object DeltaLog {
       id: String,
       schema: StructType,
       partitionColumns: Seq[String],
-      createdTime: Long)
+      createdTime: Long,
+      configuration: Map[String, String] = Map.empty)
+
+  /** COLUMN MAPPING (reader v2, mode "name"): logical field name →
+    * physical parquet column name, from each field's
+    * `delta.columnMapping.physicalName` metadata. Empty when the table
+    * does not use mapping — every name lookup falls through to
+    * identity. */
+  private[graft] def physicalNames(meta: Meta): Map[String, String] =
+    if (!meta.configuration.get("delta.columnMapping.mode").contains("name")) Map.empty
+    else meta.schema.fields.flatMap { f =>
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        Some(f.name -> f.metadata.getString("delta.columnMapping.physicalName"))
+      else None
+    }.toMap
 
   final case class Snapshot(
       version: Long,
@@ -202,7 +216,10 @@ object DeltaLog {
     partitionColumns = f.get("partitionColumns").collect {
       case JArr(vs) => vs.map(jStr)
     }.getOrElse(Seq.empty),
-    createdTime = f.get("createdTime").map(jLong).getOrElse(0L))
+    createdTime = f.get("createdTime").map(jLong).getOrElse(0L),
+    configuration = f.get("configuration").map(CanonicalJson.objFields)
+      .getOrElse(Map.empty)
+      .collect { case (k, JStr(v)) => k -> v })
 
   /** Replay the log to `version` (default: latest): start from the
     * newest checkpoint at or below the target, then apply the JSON
@@ -255,7 +272,11 @@ object DeltaLog {
               .asInstanceOf[StructType],
             partitionColumns =
               m.getSeq[String](m.fieldIndex("partitionColumns")).toVector,
-            createdTime = m.getAs[Long]("createdTime")))
+            createdTime = m.getAs[Long]("createdTime"),
+            configuration =
+              if (!m.schema.fieldNames.contains("configuration")) Map.empty
+              else Option(m.getAs[Map[String, String]]("configuration"))
+                .getOrElse(Map.empty)))
         }
         struct("add").foreach { a =>
           val pv = Option(a.getAs[Map[String, String]]("partitionValues"))
@@ -300,20 +321,25 @@ object DeltaLog {
           ci.get("timestamp").foreach(t => ts = jLong(t)))
       }
     }
-    // protocol gate: v1 always readable; v3 readable iff the log
-    // DECLARES its reader features (v3 without them is malformed) and
-    // every one is implemented here (deletionVectors). Anything else
-    // (v2 column mapping, unknown v3 features) refuses typed rather
-    // than misreading.
-    val supportedFeatures = Set("deletionVectors")
+    // protocol gate: v1 always readable; v2 readable iff the table's
+    // column-mapping mode is one implemented here ("name"); v3
+    // readable iff the log DECLARES its reader features (v3 without
+    // them is malformed) and every one is implemented
+    // (deletionVectors, columnMapping). Anything else refuses typed
+    // rather than misreading.
+    val supportedFeatures = Set("deletionVectors", "columnMapping")
     val unsupported = readerFeatures -- supportedFeatures
-    if (minReader == 2 || (minReader > 1 && minReader != 3) ||
-        (minReader == 3 && (readerFeatures.isEmpty || unsupported.nonEmpty)))
+    val mappingMode = meta.flatMap(_.configuration.get("delta.columnMapping.mode"))
+    val v2Ok = mappingMode.forall(_ == "name") // "id" mode unimplemented
+    if ((minReader == 2 && !v2Ok) || (minReader > 3) ||
+        (minReader == 3 && (readerFeatures.isEmpty || unsupported.nonEmpty)) ||
+        mappingMode.exists(_ != "name"))
       throw GraftError.Plan(
         s"delta fidelity: log requires reader version $minReader with features " +
-          s"${readerFeatures.toSeq.sorted.mkString("[", ",", "]")}; this reader " +
-          s"implements version 1 and version 3 with $supportedFeatures — " +
-          "refusing rather than misreading")
+          s"${readerFeatures.toSeq.sorted.mkString("[", ",", "]")} " +
+          s"(column mapping mode ${mappingMode.getOrElse("none")}); this reader " +
+          s"implements v1, v2 with name-mode column mapping, and v3 with " +
+          s"$supportedFeatures — refusing rather than misreading")
     val m = meta.getOrElse(throw GraftError.Plan(
       s"delta fidelity: no metaData action found replaying $tableDir to $target"))
     Snapshot(target, m, minReader, files.values.toVector.sortBy(_.path), ts,
@@ -384,20 +410,25 @@ object DeltaLog {
     * the predicate provably matches no row of the file. String upper
     * bounds are truncation-widened at write, so the usual soundness
     * argument holds. */
-  private[graft] def statsMayMatch(f: SFilter, add: AddFile, schema: StructType): Boolean = {
+  private[graft] def statsMayMatch(f: SFilter, add: AddFile, schema: StructType,
+      phys: Map[String, String] = Map.empty): Boolean = {
     val parsed: Option[Map[String, J]] =
       add.stats.map(s => CanonicalJson.objFields(CanonicalJson.parse(s)))
     if (parsed.isEmpty) return true
     val st = parsed.get
     val numRecords = st.get("numRecords").map(jLong).getOrElse(-1L)
+    // column mapping: stats JSON is keyed by PHYSICAL names, filters by
+    // logical — translate at the lookup, types stay logical
     def boundOf(section: String, c: String): Option[Any] =
-      st.get(section).map(CanonicalJson.objFields).flatMap(_.get(c)).flatMap { j =>
-        schema.fields.find(_.name == c).flatMap(fl => statsBound(j, fl.dataType))
-      }
+      st.get(section).map(CanonicalJson.objFields)
+        .flatMap(_.get(phys.getOrElse(c, c))).flatMap { j =>
+          schema.fields.find(_.name == c).flatMap(fl => statsBound(j, fl.dataType))
+        }
     def lower(c: String) = boundOf("minValues", c)
     def upper(c: String) = boundOf("maxValues", c)
     def nullsOf(c: String): Option[Long] =
-      st.get("nullCount").map(CanonicalJson.objFields).flatMap(_.get(c)).map(jLong)
+      st.get("nullCount").map(CanonicalJson.objFields)
+        .flatMap(_.get(phys.getOrElse(c, c))).map(jLong)
     def allNull(c: String): Boolean =
       numRecords > 0 && nullsOf(c).contains(numRecords)
     import org.apache.spark.sql.{sources => sf}
@@ -419,8 +450,8 @@ object DeltaLog {
         lower(c).exists(lo => cmpValues(lo, lit).exists(_ > 0))))
       case sf.IsNull(c) => !nullsOf(c).contains(0L)
       case sf.IsNotNull(c) => !allNull(c)
-      case sf.And(l, r) => statsMayMatch(l, add, schema) && statsMayMatch(r, add, schema)
-      case sf.Or(l, r) => statsMayMatch(l, add, schema) || statsMayMatch(r, add, schema)
+      case sf.And(l, r) => statsMayMatch(l, add, schema, phys) && statsMayMatch(r, add, schema, phys)
+      case sf.Or(l, r) => statsMayMatch(l, add, schema, phys) || statsMayMatch(r, add, schema, phys)
       case sf.Not(sf.EqualTo(c, lit)) =>
         !(lit != null && lower(c).isDefined && lower(c) == upper(c) &&
           lower(c).exists(lo => cmpValues(lo, lit).contains(0)))
@@ -435,13 +466,14 @@ object DeltaLog {
       filters: Seq[SFilter] = Nil): (Snapshot, Seq[AddFile]) = {
     val snap = snapshot(spark, tableDir, version)
     val byName = snap.meta.schema.fields.map(f => f.name -> f.dataType).toMap
+    val phys = physicalNames(snap.meta)
     val surviving = snap.files.filter { add =>
       val part: Map[String, Any] = add.partitionValues.map { case (k, v) =>
         k -> byName.get(k).map(typedPartValue(v, _)).getOrElse(v.orNull)
       }
       filters.forall { f0 =>
         val f = IcebergSource.normalizeNot(f0)
-        IcebergSource.mayMatch(f, part) && statsMayMatch(f, add, snap.meta.schema)
+        IcebergSource.mayMatch(f, part) && statsMayMatch(f, add, snap.meta.schema, phys)
       }
     }
     (snap, surviving)
@@ -497,8 +529,15 @@ object DeltaLog {
     assemble(spark, tableDir, snap, adds.values.toVector.sortBy(_.path))
   }
 
-  private def dataSchemaOf(meta: Meta): StructType =
-    StructType(meta.schema.fields.filterNot(f => meta.partitionColumns.contains(f.name)))
+  /** The PHYSICAL parquet schema of the data files: partition columns
+    * out, logical names swapped for their column-mapping physical
+    * names (identity when mapping is off). */
+  private def dataSchemaOf(meta: Meta): StructType = {
+    val phys = physicalNames(meta)
+    StructType(meta.schema.fields
+      .filterNot(f => meta.partitionColumns.contains(f.name))
+      .map(f => f.copy(name = phys.getOrElse(f.name, f.name))))
+  }
 
   /** One multi-file parquet scan over `files` + broadcast injection of
     * the log's partition values, projected to the table schema's
@@ -542,8 +581,12 @@ object DeltaLog {
       spark.read.schema(dataSchema).parquet(abs: _*)
         .withColumn("__g_path",
           regexp_replace(col("_metadata.file_path"), "^file:/+", "/")))
+    val phys = physicalNames(meta)
+    def logicalCol(n: String): Column =
+      if (meta.partitionColumns.contains(n)) col(n)
+      else col(phys.getOrElse(n, n)).as(n)
     if (meta.partitionColumns.isEmpty)
-      return scan.select(meta.schema.fieldNames.map(col).toSeq: _*)
+      return scan.select(meta.schema.fieldNames.map(logicalCol).toSeq: _*)
     // (file_path, partition values...) — KB-scale, from the log
     val byName = meta.schema.fields.map(f => f.name -> f.dataType).toMap
     val partRows = files.map { f =>
@@ -560,7 +603,7 @@ object DeltaLog {
     val partDf = spark.createDataFrame(partRows.asJava, partSchema)
     scan
       .join(broadcast(partDf), "__g_path")
-      .select(meta.schema.fieldNames.map(col).toSeq: _*)
+      .select(meta.schema.fieldNames.map(logicalCol).toSeq: _*)
   }
 
   /** Undo Hive path escaping (%XX hex escapes ONLY — java's URLDecoder
@@ -655,10 +698,13 @@ object DeltaLog {
     * place — a failed write leaves no files the log could name. */
   private def writeFiles(spark: SparkSession, tableDir: String, df: DataFrame,
       partitionColumns: Seq[String], tsMs: Long, dataChange: Boolean,
-      dataSchema: StructType): Seq[AddFile] = {
+      dataSchema: StructType, phys: Map[String, String] = Map.empty): Seq[AddFile] = {
     val staging = Files.createTempDirectory(Paths.get(tableDir), ".stage-").toString
     try {
-      val w = df.write.mode("errorifexists")
+      // column mapping: parquet files carry PHYSICAL names (and so do
+      // the harvested stats — dataSchema is already physical)
+      val pdf = phys.foldLeft(df) { case (acc, (l, p)) => acc.withColumnRenamed(l, p) }
+      val w = pdf.write.mode("errorifexists")
       (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
         .parquet(s"$staging/out")
       val root = Paths.get(staging, "out")
@@ -696,30 +742,56 @@ object DeltaLog {
     * (protocol + metaData); later appends must match the table schema
     * exactly (appends never fork a schema — same rule as the Iceberg
     * writer). Returns the committed version. */
+  /** `columnMapping=true` creates the table with COLUMN MAPPING mode
+    * "name" (reader v2 / writer v5): every field gets a stable
+    * `delta.columnMapping.id` and a physical parquet name `col-<id>`,
+    * so logical RENAMES become metadata-only edits and the data files
+    * never couple to user-visible names. Unpartitioned tables only
+    * (partition values would key physically). */
   def commitAppend(spark: SparkSession, tableDir: String, df: DataFrame,
-      timestampMs: Long, partitionBy: Seq[String] = Nil): Long = {
+      timestampMs: Long, partitionBy: Seq[String] = Nil,
+      columnMapping: Boolean = false): Long = {
     Files.createDirectories(Paths.get(tableDir))
     val exists = Files.isDirectory(logDir(tableDir)) &&
       listCommitVersions(tableDir).nonEmpty
     if (!exists) {
       require(partitionBy.forall(df.columns.contains),
         s"partition columns $partitionBy missing from ${df.columns.toSeq}")
-      val meta = Meta(f"graft-delta-${tableDir.hashCode}%08x", df.schema,
-        partitionBy, timestampMs)
+      if (columnMapping && partitionBy.nonEmpty)
+        throw GraftError.Plan(
+          "delta fidelity: column mapping with partition columns is not implemented — " +
+            "partition values key by physical name; create unpartitioned")
+      val schema0 =
+        if (!columnMapping) df.schema
+        else StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", i + 1L)
+            .putString("delta.columnMapping.physicalName", s"col-${i + 1}")
+            .build())
+        })
+      val conf: Map[String, String] =
+        if (!columnMapping) Map.empty
+        else Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> df.schema.fields.length.toString)
+      val meta = Meta(f"graft-delta-${tableDir.hashCode}%08x", schema0,
+        partitionBy, timestampMs, conf)
       val dataSchema = dataSchemaOf(meta)
       val adds = writeFiles(spark, tableDir, df, partitionBy, timestampMs,
-        dataChange = true, dataSchema)
+        dataChange = true, dataSchema, physicalNames(meta))
+      val (minR, minW) = if (columnMapping) (2L, 5L) else (1L, 2L)
       val lines = Seq(
         JObj.of("protocol" -> (JObj.of(
-          "minReaderVersion" -> (JInt(1L): J),
-          "minWriterVersion" -> (JInt(2L): J)): J)),
+          "minReaderVersion" -> (JInt(minR): J),
+          "minWriterVersion" -> (JInt(minW): J)): J)),
         JObj.of("metaData" -> (JObj.of(
           "id" -> (JStr(meta.id): J),
           "format" -> (JObj.of("provider" -> (JStr("parquet"): J),
             "options" -> (JObj(Vector.empty): J)): J),
           "schemaString" -> (JStr(schemaJson(meta.schema)): J),
           "partitionColumns" -> (JArr(meta.partitionColumns.map(c => JStr(c): J)): J),
-          "configuration" -> (JObj(Vector.empty): J),
+          "configuration" -> (JObj(meta.configuration.toVector.sortBy(_._1)
+            .map { case (k, v) => k -> (JStr(v): J) }): J),
           "createdTime" -> (JInt(meta.createdTime): J)): J))) ++
         adds.map(addJson) :+ commitInfoJson(timestampMs, "WRITE")
       publishCommit(tableDir, 0L, lines.map(CanonicalJson.render))
@@ -734,13 +806,48 @@ object DeltaLog {
             "appends never fork the schema")
       val ordered = df.select(snap.meta.schema.fieldNames.map(col).toSeq: _*)
       val adds = writeFiles(spark, tableDir, ordered, snap.meta.partitionColumns,
-        timestampMs, dataChange = true, dataSchemaOf(snap.meta))
+        timestampMs, dataChange = true, dataSchemaOf(snap.meta),
+        physicalNames(snap.meta))
       val v = snap.version + 1
       publishCommit(tableDir, v,
         (adds.map(addJson) :+ commitInfoJson(timestampMs, "WRITE"))
           .map(CanonicalJson.render))
       v
     }
+  }
+
+  /** Metadata-only column RENAME — the operation column mapping
+    * exists for: the new logical name keeps the field's physical
+    * parquet name and stable id, so ZERO data files are touched; the
+    * commit is one metaData action. Refuses on unmapped tables (there
+    * a rename would have to rewrite every file). */
+  def renameColumn(spark: SparkSession, tableDir: String, from: String, to: String,
+      timestampMs: Long): Long = {
+    val snap = snapshot(spark, tableDir)
+    val meta = snap.meta
+    if (physicalNames(meta).isEmpty)
+      throw GraftError.Plan(
+        "delta fidelity: renameColumn requires column mapping (mode 'name') — " +
+          "on an unmapped table the parquet files carry the logical name")
+    if (!meta.schema.fieldNames.contains(from))
+      throw GraftError.Plan(s"delta fidelity: no column '$from' to rename")
+    if (meta.schema.fieldNames.contains(to))
+      throw GraftError.Plan(s"delta fidelity: column '$to' already exists")
+    val renamed = StructType(meta.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val v = snap.version + 1
+    publishCommit(tableDir, v, Seq(
+      JObj.of("metaData" -> (JObj.of(
+        "id" -> (JStr(meta.id): J),
+        "format" -> (JObj.of("provider" -> (JStr("parquet"): J),
+          "options" -> (JObj(Vector.empty): J)): J),
+        "schemaString" -> (JStr(schemaJson(renamed)): J),
+        "partitionColumns" -> (JArr(meta.partitionColumns.map(c => JStr(c): J)): J),
+        "configuration" -> (JObj(meta.configuration.toVector.sortBy(_._1)
+          .map { case (k, v2) => k -> (JStr(v2): J) }): J),
+        "createdTime" -> (JInt(meta.createdTime): J)): J)),
+      commitInfoJson(timestampMs, "RENAME COLUMN")).map(CanonicalJson.render))
+    v
   }
 
   /** Copy-on-write DELETE: files containing a matching row are removed
@@ -761,7 +868,8 @@ object DeltaLog {
     val survivors = assembleWithPath(spark, tableDir, snap, touched)
       .filter(not(coalesce(cond, lit(false)))).drop("__g_path")
     val adds = writeFiles(spark, tableDir, survivors, snap.meta.partitionColumns,
-      timestampMs, dataChange = true, dataSchemaOf(snap.meta))
+      timestampMs, dataChange = true, dataSchemaOf(snap.meta),
+      physicalNames(snap.meta))
     val removes = touched.map(f => RemoveFile(f.path, timestampMs, dataChange = true))
     val v = snap.version + 1
     publishCommit(tableDir, v,
@@ -846,8 +954,12 @@ object DeltaLog {
       spark.read.schema(dataSchema).parquet(abs: _*)
         .withColumn("__g_path",
           regexp_replace(col("_metadata.file_path"), "^file:/+", "/")))
+    val phys = physicalNames(meta)
+    def logicalCol(n: String): Column =
+      if (meta.partitionColumns.contains(n)) col(n)
+      else col(phys.getOrElse(n, n)).as(n)
     if (meta.partitionColumns.isEmpty)
-      scan.select((meta.schema.fieldNames.map(col) :+ col("__g_path")).toSeq: _*)
+      scan.select((meta.schema.fieldNames.map(logicalCol) :+ col("__g_path")).toSeq: _*)
     else {
       val byName = meta.schema.fields.map(f => f.name -> f.dataType).toMap
       val partRows = files.map { f =>
@@ -862,7 +974,7 @@ object DeltaLog {
         StructField("__g_path", StringType) +:
           meta.partitionColumns.map(c => StructField(c, byName(c))).toArray.toSeq)
       scan.join(broadcast(spark.createDataFrame(partRows.asJava, partSchema)), "__g_path")
-        .select((meta.schema.fieldNames.map(col) :+ col("__g_path")).toSeq: _*)
+        .select((meta.schema.fieldNames.map(logicalCol) :+ col("__g_path")).toSeq: _*)
     }
   }
 
@@ -881,7 +993,8 @@ object DeltaLog {
       if (zorderBy.nonEmpty) graft.operators.ZOrderLayout(live, zorderBy, targetFiles)
       else live.coalesce(targetFiles)
     val adds = writeFiles(spark, tableDir, data, snap.meta.partitionColumns,
-      timestampMs, dataChange = false, dataSchemaOf(snap.meta))
+      timestampMs, dataChange = false, dataSchemaOf(snap.meta),
+      physicalNames(snap.meta))
     val removes = snap.files.map(f => RemoveFile(f.path, timestampMs, dataChange = false))
     val v = snap.version + 1
     publishCommit(tableDir, v,
@@ -957,7 +1070,9 @@ object DeltaLog {
       Row(Row(snap.protocolMinReader,
         if (snap.protocolMinReader >= 3) 7 else 2, features), null, null, null) +:
       Row(null, Row(snap.meta.id, schemaJson(snap.meta.schema),
-        snap.meta.partitionColumns, snap.meta.createdTime), null, null) +:
+        snap.meta.partitionColumns, snap.meta.createdTime,
+        if (snap.meta.configuration.isEmpty) null else snap.meta.configuration),
+        null, null) +:
       snap.files.map(f => Row(null, null,
         Row(f.path, f.partitionValues.map { case (k, v) => k -> v.orNull },
           f.size, f.modificationTime, f.dataChange, f.stats.orNull,
@@ -973,7 +1088,8 @@ object DeltaLog {
         StructField("id", StringType),
         StructField("schemaString", StringType),
         StructField("partitionColumns", ArrayType(StringType)),
-        StructField("createdTime", LongType)))),
+        StructField("createdTime", LongType),
+        StructField("configuration", MapType(StringType, StringType))))),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("partitionValues", MapType(StringType, StringType)),

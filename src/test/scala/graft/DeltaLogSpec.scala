@@ -252,6 +252,47 @@ class DeltaLogSpec extends SparkSpec {
     assert(p.getMessage.contains("partitioned"))
   }
 
+  test("column mapping (name mode): physical parquet names, logical reads, metadata-only rename, stats pruning") {
+    import scala.jdk.CollectionConverters._
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir,
+      nums(0, 400).repartitionByRange(4, col("id")), timestampMs = 1000L,
+      columnMapping = true)
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.protocolMinReader == 2)
+    assert(snap.meta.configuration("delta.columnMapping.mode") == "name")
+    // the parquet files carry PHYSICAL names, not logical ones
+    val aFile = Paths.get(dir, snap.files.head.path).toString
+    val physCols = spark.read.parquet(aFile).columns.toSet
+    assert(physCols == Set("col-1", "col-2", "col-3"), s"physical: $physCols")
+    // reads translate back to logical names and exact values
+    val back = DeltaLog.read(spark, dir)
+    assert(back.columns.toSeq == Seq("id", "tag", "bucket"))
+    assert(back.count() == 400 &&
+      back.filter(col("tag") === "row7").select("id").head().getLong(0) == 7L)
+    // stats pruning fires with LOGICAL filter names (stats key physically)
+    val (_, all) = DeltaLog.planFiles(spark, dir)
+    val (_, pruned) = DeltaLog.planFiles(spark, dir,
+      filters = Seq(flt.LessThan("id", 50L)))
+    assert(pruned.nonEmpty && pruned.size < all.size)
+    // appends to the mapped table keep working (logical column names in)
+    DeltaLog.commitAppend(spark, dir, nums(400, 500), timestampMs = 2000L)
+    assert(DeltaLog.read(spark, dir).count() == 500)
+    // metadata-only rename: no data file changes, new logical name reads
+    val filesBefore = DeltaLog.snapshot(spark, dir).files.map(_.path).toSet
+    DeltaLog.renameColumn(spark, dir, "tag", "label", timestampMs = 3000L)
+    assert(DeltaLog.snapshot(spark, dir).files.map(_.path).toSet == filesBefore)
+    val renamed = DeltaLog.read(spark, dir)
+    assert(renamed.columns.toSeq == Seq("id", "label", "bucket"))
+    assert(renamed.filter(col("label") === "row7").count() == 1)
+    // rename refuses on unmapped tables
+    val plainDir = s"${tmpDir()}/plain"
+    DeltaLog.commitAppend(spark, plainDir, nums(0, 10), timestampMs = 1000L)
+    val e = intercept[GraftError.Plan](
+      DeltaLog.renameColumn(spark, plainDir, "tag", "label", 2000L))
+    assert(e.getMessage.contains("column mapping"))
+  }
+
   test("vacuum: retention-gated tombstone deletion, re-added paths survive, superseded DVs reclaimed") {
     val dir = s"${tmpDir()}/tbl"
     DeltaLog.commitAppend(spark, dir, nums(0, 200).repartition(2), timestampMs = 1000L)
