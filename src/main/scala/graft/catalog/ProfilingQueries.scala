@@ -107,7 +107,8 @@ object ProfilingQueries {
 
   /** Unary inclusion-dependency (foreign-key) discovery over a fixed
     * candidate list spanning all TPC-H key relationships plus a
-    * deliberately-false reverse pair. Each candidate is decided by
+    * structurally-false pair (order keys are not customer keys, at any
+    * scale). Each candidate is decided by
     * DISTINCT-then-anti-join: project the fk column, distinct it (the
     * only shuffle, and it collapses the fact table to its key
     * cardinality BEFORE any join), then left-anti against the distinct
@@ -124,6 +125,7 @@ object ProfilingQueries {
       ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
       ("nation", "n_regionkey", "region", "r_regionkey"),
       ("orders", "o_custkey", "customer", "c_custkey"),
+      ("orders", "o_orderkey", "customer", "c_custkey"),
       ("part", "p_partkey", "lineitem", "l_partkey"),
       ("supplier", "s_nationkey", "nation", "n_nationkey"))
     val sql = cands.map { case (ft, fc, pt, pc) =>

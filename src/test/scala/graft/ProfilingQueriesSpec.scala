@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Catalog, ProfilingQueries}
+
+/** Differential laws for the profiling/statistics operators: each
+  * exact-arithmetic formulation is re-derived against an independent
+  * formulation (Spark's own estimators, or brute-force recomputation)
+  * so the sufficient-statistics algebra can't silently drift from the
+  * statistic it claims to compute. */
+class ProfilingQueriesSpec extends SparkSpec {
+
+  private def run(name: String) =
+    Catalog.byName(name).run(spark, sf("sf0.001"))
+
+  test("corr matrix matches Spark's corr() on every pair (independent estimator)") {
+    val rows = run("q_corr_matrix").collect()
+    assert(rows.length == 6)
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    rows.foreach { r =>
+      val (x, y, ours) = (r.getString(0), r.getString(1), r.getDouble(3))
+      val ref = li.agg(corr(col(x), col(y))).head().getDouble(0)
+      assert(math.abs(ours - ref) < 1e-9,
+        s"corr($x,$y): exact-stats $ours vs Spark corr $ref")
+    }
+  }
+
+  test("welch t matches a direct mean/variance recomputation") {
+    val rows = run("q_ttest_welch").collect()
+    assert(rows.length == 3)
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val stats = li.groupBy("l_returnflag")
+      .agg(avg("l_quantity").as("m"), var_samp("l_quantity").as("v"),
+        count(lit(1)).cast("double").as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    rows.foreach { r =>
+      val (g1, g2, t) = (r.getString(0), r.getString(1), r.getDouble(6))
+      val (m1, v1, n1) = stats(g1); val (m2, v2, n2) = stats(g2)
+      val ref = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+      assert(math.abs(t - ref) < 1e-6, s"t($g1,$g2): $t vs $ref")
+    }
+  }
+
+  test("KMV estimate lands within the sketch's error envelope of the exact count") {
+    val r = run("q_kmv_distinct").head()
+    val exact = r.getAs[Long]("exact_distinct")
+    val est = r.getAs[Long]("est_distinct")
+    // k=256 → relative standard error ~1/√k ≈ 6.3%; 5σ envelope
+    assert(math.abs(est - exact).toDouble / exact < 0.32,
+      s"KMV est $est vs exact $exact")
+  }
+
+  test("benford shares: observed ppm sums to 1e6 within floor-div slack; expectation exactly 1e6") {
+    val rows = run("q_benford").collect()
+    assert(rows.map(_.getAs[Long]("benford_ppm")).sum == 1000000L)
+    val obs = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obs > 1000000L - 9 && obs <= 1000000L, s"obs ppm sum $obs")
+  }
+
+  test("integer z-score flags coincide with the double z-score formulation") {
+    val flagged = run("q_anomaly_zscore").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet
+    // recompute in doubles over the same trailing windows
+    import org.apache.spark.sql.expressions.Window
+    val b = graft.core.Tables.eventsUs(spark, sf("sf0.001"))
+      .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hour_bucket"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("hour_bucket").rowsBetween(-24, -1)
+    val z = b.select(col("event_type"), col("hour_bucket"),
+        col("cnt"), count("cnt").over(w).as("n"),
+        avg("cnt").over(w).as("mu"),
+        var_pop("cnt").over(w).as("s2"))
+      .filter(col("n") >= 12 &&
+        (col("cnt") - col("mu")) * (col("cnt") - col("mu")) > lit(9.0) * col("s2"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(flagged == z, s"integer-law flags $flagged vs double-law $z")
+  }
+
+  test("rolling median equals a brute-force sorted-window middle element") {
+    val rows = run("q_rolling_median").collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      // med7 must be one of the window's values and exactly its sorted middle;
+      // re-derive from the daily series
+      assert(r.getAs[Long]("win_n") == 7L)
+    }
+    // independent check on one series: recompute via collect
+    val daily = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("o_orderpriority") === rows.head.getString(0))
+      .orderBy("day").collect().map(_.getAs[Long]("cnt"))
+    val expect = daily.sliding(7).map(w => w.sorted.apply(3)).toSeq
+    val got = rows.filter(_.getString(0) == rows.head.getString(0))
+      .map(_.getAs[Long]("med7")).toSeq
+    assert(got == expect, s"series medians diverge: got ${got.take(5)}... want ${expect.take(5)}...")
+  }
+
+  test("inclusion deps: the structurally-false candidate fails, the TPC-H FKs hold") {
+    val rows = run("q_inclusion_deps").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3), r.getBoolean(6)))
+    val holds = rows.collect { case (t, c, _, true) => s"$t.$c" }.toSet
+    assert(Set("orders.o_custkey", "lineitem.l_partkey", "lineitem.l_suppkey",
+      "nation.n_regionkey", "customer.c_nationkey", "supplier.s_nationkey")
+      .subsetOf(holds))
+    val falseCand = rows.find(r => r._2 == "o_orderkey" && r._3 == "c_custkey").get
+    assert(!falseCand._4, "order keys are not customer keys at any scale")
+  }
+
+  test("registered in the catalog with oracles") {
+    ProfilingQueries.all.foreach { q =>
+      assert(q.oracle.nonEmpty, s"${q.name} must carry a DuckDB oracle")
+      assert(Catalog.byName.contains(q.name))
+    }
+  }
+}
