@@ -239,6 +239,30 @@ object ExtendedQueries {
     (df, dir) => df.write.mode("overwrite").orc(dir),
     _ => graft.sources.FileSource.Format.Orc)
 
+  val jsonArrayRoundtrip: QueryDef = roundtrip("q_jsonarray_decode",
+    (df, dir) => {
+      // stage the REST-dump shape: each part becomes ONE json array
+      // file (rows joined into `[...]`), built from the NDJSON writer's
+      // output so the row serialization is Spark's own
+      df.write.mode("overwrite").json(s"$dir/nd")
+      val root = java.nio.file.Paths.get(dir, "nd")
+      val parts = {
+        val s = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.toString.endsWith(".json")).toVector
+        } finally s.close()
+      }
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val lines = java.nio.file.Files.readAllLines(p)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"part-$i%05d.json"),
+          ("[" + String.join(",\n", lines) + "]")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    },
+    _ => graft.sources.FileSource.Format.JsonArray)
+
   val xmlRoundtrip: QueryDef = roundtrip("q_xml_decode",
     (df, dir) => df.write.mode("overwrite").format("xml")
       .option("rowTag", "row").save(dir),
@@ -903,5 +927,6 @@ object ExtendedQueries {
     windowRank, topK, partitionCompleteness, schemaNormalize, jsonExtract,
     brandJoinAgg, countDistinctQ, freshness, regionRollup,
     csvRoundtrip, ndjsonRoundtrip, orcRoundtrip, xmlRoundtrip, fixedWidthRoundtrip,
+    jsonArrayRoundtrip,
     arrowRoundtrip, pgcopyRoundtrip, avroRoundtrip, protobufRoundtrip, xzCsvRoundtrip)
 }

@@ -32,6 +32,11 @@ object FileSource {
       * spark-protobuf connector jars, absent from this container — the
       * Format seam is where they plug in. */
     case object Orc extends Format
+    /** One JSON ARRAY per file (`[{...},{...}]`) — the REST-dump shape.
+      * Decoded via Spark's multiLine JSON mode: each file is one unit
+      * of parallelism (arrays are not line-splittable — the inherent
+      * format trade, recorded; NDJSON is the splittable alternative). */
+    case object JsonArray extends Format
     /** XML rows under `rowTag` via Spark 4's built-in XML datasource
       * (spark-xml merged upstream); line-splittable like NDJSON when
       * each row element is self-contained. */
@@ -101,6 +106,12 @@ object FileSource {
           case None => spark.read.json(files: _*)
         }
       case Format.Orc => spark.read.orc(files: _*)
+      case Format.JsonArray =>
+        val r = spark.read.option("multiLine", "true")
+        declared match {
+          case Some(s) => r.schema(s).json(files: _*)
+          case None => r.json(files: _*)
+        }
       case Format.Xml(rowTag) =>
         val r = spark.read.format("xml").option("rowTag", rowTag)
         declared match {
