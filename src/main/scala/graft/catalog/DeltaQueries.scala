@@ -143,6 +143,58 @@ object DeltaQueries {
       .withColumn("pruned", lit(prunedProof))
   }
 
+  val deltaStream: QueryDef = QueryDef.sqlBacked(
+    "q_delta_stream",
+    """SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT 1, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |FROM lineitem WHERE l_orderkey % 3 = 1
+      |UNION ALL
+      |SELECT 2, CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+      |UNION ALL
+      |SELECT 3, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |FROM lineitem WHERE l_orderkey % 3 = 2
+      |ORDER BY version""".stripMargin,
+    doc = "Delta table as a STREAMING SOURCE (streaming/DeltaStreamRunner): one " +
+      "micro-batch per commit, resumed mid-stream from the version cursor across a " +
+      "simulated restart; the OPTIMIZE version (2) yields EXACTLY zero rows " +
+      "(dataChange=false invisibility) and appears in the result as its empty epoch. " +
+      "Each epoch is one distributed parquet scan of that version's added files.") {
+    (s, d) =>
+      import s.implicits._
+      val data = li(s, d)
+      val dir = tbl("graft_delta_stream")
+      DeltaLog.commitAppend(s, dir, data.filter(col("l_orderkey") % 3 === 0),
+        timestampMs = 1000L)                                           // v0
+      DeltaLog.commitAppend(s, dir, data.filter(col("l_orderkey") % 3 === 1),
+        timestampMs = 2000L)                                           // v1
+      def epochAgg(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).cast("long"),
+          coalesce(decSum(col("l_quantity")), lit(0.0))).head()
+      val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      // first run drains what exists, then "the process restarts": new
+      // commits land and a second drain resumes from the persisted cursor
+      var cursor = -1L
+      graft.streaming.DeltaStreamRunner.drain(s, dir, cursor) { (v, df) =>
+        val r = epochAgg(df)
+        results += ((v, r.getLong(0), r.getDouble(1))); cursor = v; r.getLong(0)
+      }
+      DeltaLog.compact(s, dir, timestampMs = 3000L, targetFiles = 1)   // v2 OPTIMIZE
+      DeltaLog.commitAppend(s, dir, data.filter(col("l_orderkey") % 3 === 2),
+        timestampMs = 4000L)                                           // v3
+      graft.streaming.DeltaStreamRunner.drain(s, dir, cursor) { (v, df) =>
+        val r = epochAgg(df)
+        results += ((v, r.getLong(0), r.getDouble(1))); cursor = v; r.getLong(0)
+      }
+      results.toSeq.toDF("version", "n", "sum_qty")
+        .select(col("version").cast("int").as("version"), col("n"), col("sum_qty"))
+        .orderBy("version")
+  }
+
   val deltaColumnMapping: QueryDef = QueryDef.sqlBacked(
     "q_delta_column_mapping",
     """SELECT l_returnflag AS flag,
@@ -292,5 +344,5 @@ object DeltaQueries {
   val all: Seq[QueryDef] = Seq(
     deltaSnapshot, deltaTimeTravel, deltaIncremental,
     deltaStatsPruned, deltaPartitioned, deltaZorder, deltaDv,
-    deltaColumnMapping, deltaCheckpoint)
+    deltaColumnMapping, deltaStream, deltaCheckpoint)
 }
