@@ -399,6 +399,59 @@ object ExtendedQueries {
         min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
   }
 
+  val icebergStream: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_stream",
+    """SELECT 1 AS snapshot_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT 2, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |FROM lineitem WHERE l_orderkey % 3 = 1
+      |UNION ALL
+      |SELECT 3, CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+      |UNION ALL
+      |SELECT 4, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |FROM lineitem WHERE l_orderkey % 3 = 2
+      |ORDER BY snapshot_id""".stripMargin,
+    doc = "Iceberg table as a STREAMING SOURCE (streaming/IcebergStreamRunner, the " +
+      "lakehouse twin of q_delta_stream): one micro-batch per snapshot along the parent " +
+      "chain, resumed across a simulated restart from the snapshot-id cursor; the " +
+      "compaction (replace) snapshot yields exactly zero rows and appears as its empty " +
+      "epoch in the hashed result.") { (s, d) =>
+    import s.implicits._
+    val li = t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), dec2(col("l_quantity")).as("l_quantity"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_stream").toString + "/tbl"
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 3 === 0), snapshotId = 1L, timestampMs = 1L)
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 3 === 1), snapshotId = 2L, timestampMs = 2L)
+    def epochAgg(df: DataFrame): (Long, Double) =
+      if (df.columns.isEmpty) (0L, 0.0)
+      else {
+        val r = df.agg(count(lit(1)).cast("long"),
+          coalesce(decSum(col("l_quantity")), lit(0.0))).head()
+        (r.getLong(0), r.getDouble(1))
+      }
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var cursor: Option[Long] = None
+    graft.streaming.IcebergStreamRunner.drain(s, dir, cursor) { (sid, df) =>
+      val (n, q) = epochAgg(df); results += ((sid, n, q)); cursor = Some(sid); n
+    }
+    graft.sources.IcebergSource.compact(s, dir, snapshotId = 3L, timestampMs = 3L,
+      smallFileBytes = Long.MaxValue)                       // replace snapshot
+    graft.sources.IcebergSource.commitAppend(s, dir,
+      li.filter(col("l_orderkey") % 3 === 2), snapshotId = 4L, timestampMs = 4L)
+    graft.streaming.IcebergStreamRunner.drain(s, dir, cursor) { (sid, df) =>
+      val (n, q) = epochAgg(df); results += ((sid, n, q)); cursor = Some(sid); n
+    }
+    results.toSeq.toDF("snapshot_id", "n", "sum_qty")
+      .select(col("snapshot_id").cast("int").as("snapshot_id"), col("n"), col("sum_qty"))
+      .orderBy("snapshot_id")
+  }
+
   val icebergDeletes: QueryDef = QueryDef.sqlBacked(
     "q_iceberg_deletes",
     """WITH net AS (
@@ -920,7 +973,7 @@ object ExtendedQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    icebergIncremental, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
+    icebergIncremental, icebergStream, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
     icebergDv, icebergStatsPruned, icebergDecimalPruned, icebergTsPruned, icebergEvolution,
     icebergSpecEvolution, icebergMerge, icebergMetaTables,
     glueScan, tier2Python,
