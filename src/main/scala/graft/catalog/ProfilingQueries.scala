@@ -535,7 +535,49 @@ object ProfilingQueries {
       .orderBy("g1", "g2")
   }
 
+  /** 2-D Pareto frontier (skyline): the (quantity, price) pairs no
+    * other pair dominates on both axes (minimizing both). The naive
+    * formulation is a quadratic NOT-EXISTS self-join; the 2-D skyline
+    * collapses to ONE sorted window pass — a point survives iff it has
+    * the minimum price within its quantity level AND beats the running
+    * price minimum over all strictly-smaller quantities
+    * (`RANGE ... 1 PRECEDING` keeps the bound strict under ties).
+    * Exact integer cents everywhere; at 100 TB the distinct-pair
+    * pre-aggregation is the only fact-table shuffle and the window
+    * runs over the collapsed pair set.
+    */
+  val paretoFrontier: QueryDef = QueryDef.sqlBacked(
+    "q_pareto_frontier",
+    """WITH pts AS (
+      |  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qty_c,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c
+      |  FROM lineitem),
+      |d AS (SELECT qty_c, CAST(MIN(price_c) AS BIGINT) AS price_c
+      |      FROM pts GROUP BY qty_c),
+      |w AS (
+      |  SELECT qty_c, price_c,
+      |    MIN(price_c) OVER (ORDER BY qty_c
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_smaller
+      |  FROM d)
+      |SELECT qty_c, price_c FROM w
+      |WHERE best_smaller IS NULL OR price_c < best_smaller
+      |ORDER BY qty_c""".stripMargin,
+    doc = "2-D Pareto frontier (skyline) of (quantity, price), minimizing both: one " +
+      "sorted window pass over the distinct-pair aggregate instead of the quadratic " +
+      "NOT-EXISTS self-join; exact integer cents.") { (s, d) =>
+    val pts = t(s, d, "lineitem").select(
+      (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long").as("qty_c"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long").as("price_c"))
+    val dd = pts.groupBy("qty_c").agg(min("price_c").as("price_c"))
+    val win = Window.orderBy("qty_c")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    dd.withColumn("best_smaller", min("price_c").over(win))
+      .filter(col("best_smaller").isNull || col("price_c") < col("best_smaller"))
+      .select("qty_c", "price_c")
+      .orderBy("qty_c")
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMatrix, inclusionDeps, benford, contingency, anomalyZscore,
-      rollingMedian, kmvDistinct, maxConcurrency, ttestWelch)
+      rollingMedian, kmvDistinct, maxConcurrency, ttestWelch, paretoFrontier)
 }

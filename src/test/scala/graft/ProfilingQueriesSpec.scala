@@ -109,6 +109,22 @@ class ProfilingQueriesSpec extends SparkSpec {
     assert(!falseCand._4, "order keys are not customer keys at any scale")
   }
 
+  test("pareto frontier (window form) equals the brute-force NOT-EXISTS skyline") {
+    val got = run("q_pareto_frontier").collect().map(r => (r.getLong(0), r.getLong(1)))
+    import spark.implicits._
+    val pts = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(((col("l_quantity").cast("decimal(12,2)")) * 100).cast("long").as("q"),
+        ((col("l_extendedprice").cast("decimal(12,2)")) * 100).cast("long").as("p"))
+      .distinct().as[(Long, Long)].collect()
+    val brute = pts.filter { case (q, p) =>
+      !pts.exists { case (q2, p2) =>
+        (q2 <= q && p2 <= p) && (q2 < q || p2 < p)
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == brute.toSeq,
+      s"window skyline ${got.take(5).toSeq} vs brute ${brute.take(5).toSeq}")
+  }
+
   test("registered in the catalog with oracles") {
     ProfilingQueries.all.foreach { q =>
       assert(q.oracle.nonEmpty, s"${q.name} must carry a DuckDB oracle")
