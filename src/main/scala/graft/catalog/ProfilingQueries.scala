@@ -577,7 +577,37 @@ object ProfilingQueries {
       .orderBy("qty_c")
   }
 
+  /** Weekday seasonality profile: each ISO weekday's share of orders as
+    * an exact integer seasonality index (day_count·7·10⁶ ÷ total — 10⁶
+    * ppm = a flat series). One 7-group aggregate; the total rides a
+    * broadcast 1-row cross join. The index is the multiplicative
+    * factor a forecast deseasonalizes by.
+    */
+  val seasonality: QueryDef = QueryDef.sqlBacked(
+    "q_seasonality",
+    """WITH d AS (
+      |  SELECT CAST(isodow(o_orderdate) AS INTEGER) AS dow,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1)
+      |SELECT dow, cnt,
+      |  CAST(cnt * 7 * 1000000 // (SELECT CAST(SUM(cnt) AS BIGINT) FROM d) AS BIGINT)
+      |    AS seasonal_index_ppm
+      |FROM d ORDER BY dow""".stripMargin,
+    doc = "ISO-weekday seasonality index in exact integer ppm (1e6 = flat): one 7-group " +
+      "aggregate + broadcast total; the deseasonalization factor for any daily series.") {
+    (s, d) =>
+      val dd = t(s, d, "orders")
+        .select((weekday(col("o_orderdate")) + 1).as("dow"))
+        .groupBy("dow").agg(count(lit(1)).as("cnt"))
+      val total = dd.agg(sum("cnt").cast("long").as("total"))
+      dd.crossJoin(broadcast(total))
+        .select(col("dow"), col("cnt"),
+          expr("cnt * 7 * 1000000 div total").as("seasonal_index_ppm"))
+        .orderBy("dow")
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMatrix, inclusionDeps, benford, contingency, anomalyZscore,
-      rollingMedian, kmvDistinct, maxConcurrency, ttestWelch, paretoFrontier)
+      rollingMedian, kmvDistinct, maxConcurrency, ttestWelch, paretoFrontier,
+      seasonality)
 }

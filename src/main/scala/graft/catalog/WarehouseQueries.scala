@@ -623,9 +623,51 @@ object WarehouseQueries {
       .orderBy("det", "dep")
   }
 
+  /** RFM customer segmentation — the classic warehouse scoring table:
+    * per-customer Recency (last order time), Frequency (order count)
+    * and Monetary (exact cents) collapse to deterministic quintiles
+    * (NTILE over a TOTAL order — metric then custkey — so both engines
+    * assign identical buckets under ties), then the 5×5×5 segment
+    * grid reports its population. The per-customer aggregate is the
+    * only fact-table shuffle; the quintile window here is global for
+    * the oracle's sake — the distributed form of the same ranking is
+    * `operators/GlobalRank` (q_ntile_bucket).
+    */
+  val rfm: QueryDef = QueryDef.sqlBacked(
+    "q_rfm_segments",
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS recency_us,
+      |    CAST(COUNT(*) AS BIGINT) AS frequency,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS monetary_c
+      |  FROM orders GROUP BY 1),
+      |scored AS (
+      |  SELECT
+      |    CAST(ntile(5) OVER (ORDER BY recency_us, o_custkey) AS INTEGER) AS r,
+      |    CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS INTEGER) AS f,
+      |    CAST(ntile(5) OVER (ORDER BY monetary_c, o_custkey) AS INTEGER) AS m
+      |  FROM cust)
+      |SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
+    doc = "RFM segmentation: per-customer recency/frequency/exact-cents monetary, " +
+      "tie-deterministic NTILE quintiles (metric, custkey total order), 5x5x5 segment " +
+      "populations. One fact shuffle; the distributed ranking twin is GlobalRank.") {
+    (s, d) =>
+      val cust = t(s, d, "orders").groupBy("o_custkey").agg(
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        sum(dec2(col("o_totalprice")) * 100).cast("long").as("monetary_c"))
+      def q(metric: String): Column =
+        ntile(5).over(Window.orderBy(col(metric), col("o_custkey"))).cast("int")
+      cust.select(q("recency_us").as("r"), q("frequency").as("f"),
+          q("monetary_c").as("m"))
+        .groupBy("r", "f", "m").agg(count(lit(1)).as("n_customers"))
+        .orderBy("r", "f", "m")
+  }
+
   val all: Seq[QueryDef] = Seq(
     groupingSets, pivotWide, unpivotLong, rangeFrame, percentRank,
     gapFill, retentionCohort, markovTransitions, tableChecksum, datasetDiff,
     bloomJoin, ewma, incrementalJoin, skewProfile, winsorize,
-    starJoin, shareOfTotal, fdDiscovery)
+    starJoin, shareOfTotal, fdDiscovery, rfm)
 }
