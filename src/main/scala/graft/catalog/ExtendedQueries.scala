@@ -452,6 +452,49 @@ object ExtendedQueries {
       .orderBy("snapshot_id")
   }
 
+  /** Branches as the oracle sees them: a `dev` branch commit must be
+    * INVISIBLE to `main` (write isolation), fully visible on its own
+    * ref, and the branch-minus-main diff must be exactly the branch
+    * commit's rows. The `heads_split` flag gates that the two refs
+    * really point at different snapshots (a regression where the
+    * branch commit advanced main would flip it inside the hash). */
+  val icebergBranchDiff: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_branch_diff",
+    """SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_orderkey % 4 <> 3)
+      |    AS n_main,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_dev,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_orderkey % 4 = 3)
+      |    AS n_diff,
+      |  CAST(1 AS BOOLEAN) AS heads_split""".stripMargin,
+    doc = "Iceberg BRANCHES oracle-gated: a dev-branch commit is invisible to main, " +
+      "fully visible on its ref, and the branch-minus-main anti-join equals exactly the " +
+      "branch commit's slice; heads_split gates ref isolation inside the hash.") {
+    (s, d) =>
+      val li = t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), dec2(col("l_quantity")).as("l_quantity"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_branch")
+        .toString + "/tbl"
+      graft.sources.IcebergSource.commitAppend(s, dir,
+        li.filter(col("l_orderkey") % 4 =!= 3), snapshotId = 1L, timestampMs = 1L)
+      graft.sources.IcebergSource.createBranch(dir, "dev", timestampMs = 2L)
+      graft.sources.IcebergSource.commitAppend(s, dir,
+        li.filter(col("l_orderkey") % 4 === 3), snapshotId = 2L, timestampMs = 3L,
+        toBranch = Some("dev"))
+      val meta = graft.sources.IcebergSource.readMeta(dir)
+      val headsSplit = meta.resolveRef("dev") != meta.resolveRef("main")
+      val mainDf = graft.sources.IcebergSource.readRef(s, dir, "main")
+      val devDf = graft.sources.IcebergSource.readRef(s, dir, "dev")
+      val nMain = mainDf.count()
+      val nDev = devDf.count()
+      val nDiff = devDf.select("l_orderkey", "l_linenumber")
+        .join(mainDf.select("l_orderkey", "l_linenumber"),
+          Seq("l_orderkey", "l_linenumber"), "left_anti").count()
+      import s.implicits._
+      Seq((nMain, nDev, nDiff, headsSplit))
+        .toDF("n_main", "n_dev", "n_diff", "heads_split")
+  }
+
   val icebergDeletes: QueryDef = QueryDef.sqlBacked(
     "q_iceberg_deletes",
     """WITH net AS (
@@ -973,7 +1016,7 @@ object ExtendedQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    icebergIncremental, icebergStream, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
+    icebergIncremental, icebergStream, icebergBranchDiff, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
     icebergDv, icebergStatsPruned, icebergDecimalPruned, icebergTsPruned, icebergEvolution,
     icebergSpecEvolution, icebergMerge, icebergMetaTables,
     glueScan, tier2Python,

@@ -199,12 +199,18 @@ object IcebergSource {
       * evolution support — their only spec IS the default). */
     def specFor(id: Long): Seq[PartField] = specsById.getOrElse(id, spec)
     /** Snapshot id a named ref points at — typed refusal on unknown
-      * names (a guessed head would silently read the wrong lineage). */
+      * names (a guessed head would silently read the wrong lineage).
+      * `main` is the IMPLICIT branch every table has (spec: the
+      * current-snapshot-id is main's head), resolvable even when the
+      * refs map never materialized it — the same rule metaTable("refs")
+      * renders. */
     def resolveRef(name: String): Long =
-      refs.get(name).map(_.snapshotId).getOrElse(
-        throw graft.core.GraftError.Plan(
-          s"iceberg fidelity: unknown ref '$name' — known refs: " +
-            (if (refs.isEmpty) "(none)" else refs.keys.toSeq.sorted.mkString(", "))))
+      refs.get(name).map(_.snapshotId)
+        .orElse(if (name == "main") currentSnapshotId else None)
+        .getOrElse(
+          throw graft.core.GraftError.Plan(
+            s"iceberg fidelity: unknown ref '$name' — known refs: " +
+              (if (refs.isEmpty) "(none)" else refs.keys.toSeq.sorted.mkString(", "))))
     /** true once more than one schema exists (any rename/add/drop). */
     def schemaEvolved: Boolean = schemasById.size > 1
     def sequenceOf(snapshotId: Long): Long =
