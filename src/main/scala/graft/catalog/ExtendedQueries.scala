@@ -495,6 +495,48 @@ object ExtendedQueries {
         .toDF("n_main", "n_dev", "n_diff", "heads_split")
   }
 
+  /** WRITE-AUDIT-PUBLISH: two staged commits land on a `wap` branch
+    * (main is pinned while auditors read the branch), then a
+    * metadata-only fast-forward publishes the branch head to main.
+    * `pinned_during_audit` and `published` both gate inside the hash —
+    * a regression where staging leaks to main, or publishing moves
+    * data files, flips them. */
+  val icebergWap: QueryDef = QueryDef.sqlBacked(
+    "q_iceberg_wap",
+    """SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_orderkey % 4 = 0)
+      |    AS n_before_publish,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_orderkey % 4 <= 2)
+      |    AS n_after_publish,
+      |  CAST(1 AS BOOLEAN) AS pinned_during_audit,
+      |  CAST(1 AS BOOLEAN) AS published""".stripMargin,
+    doc = "Iceberg WRITE-AUDIT-PUBLISH: staged commits on a wap branch leave main " +
+      "pinned (audited on the ref), then fastForward publishes the branch head in one " +
+      "metadata-only version; both invariants gate inside the hash.") { (s, d) =>
+    val src = graft.sources.IcebergSource
+    val li = t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), dec2(col("l_quantity")).as("l_quantity"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_wap")
+      .toString + "/tbl"
+    src.commitAppend(s, dir, li.filter(col("l_orderkey") % 4 === 0),
+      snapshotId = 1L, timestampMs = 1L)
+    src.createBranch(dir, "wap", timestampMs = 2L)
+    src.commitAppend(s, dir, li.filter(col("l_orderkey") % 4 === 1),
+      snapshotId = 2L, timestampMs = 3L, toBranch = Some("wap"))
+    src.commitAppend(s, dir, li.filter(col("l_orderkey") % 4 === 2),
+      snapshotId = 3L, timestampMs = 4L, toBranch = Some("wap"))
+    val nBefore = src.read(s, dir).count() // main, mid-audit
+    val pinned = src.readMeta(dir).currentSnapshotId.contains(1L)
+    src.fastForward(dir, "wap", timestampMs = 5L)
+    val after = src.readMeta(dir)
+    val published = after.currentSnapshotId.contains(3L) &&
+      after.resolveRef("main") == after.resolveRef("wap")
+    val nAfter = src.read(s, dir).count()
+    import s.implicits._
+    Seq((nBefore, nAfter, pinned, published))
+      .toDF("n_before_publish", "n_after_publish", "pinned_during_audit", "published")
+  }
+
   val icebergDeletes: QueryDef = QueryDef.sqlBacked(
     "q_iceberg_deletes",
     """WITH net AS (
@@ -1016,7 +1058,7 @@ object ExtendedQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    icebergIncremental, icebergStream, icebergBranchDiff, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
+    icebergIncremental, icebergStream, icebergBranchDiff, icebergWap, icebergPartitioned, icebergDeletes, icebergIncrementalDeletes,
     icebergDv, icebergStatsPruned, icebergDecimalPruned, icebergTsPruned, icebergEvolution,
     icebergSpecEvolution, icebergMerge, icebergMetaTables,
     glueScan, tier2Python,

@@ -3012,6 +3012,54 @@ object IcebergSource {
     readMeta(tableDir)
   }
 
+  /** WRITE-AUDIT-PUBLISH publish step: fast-forward `main` to a branch
+    * head. The audited branch becomes the table's current state in ONE
+    * metadata-only version (current-snapshot-id moves; a materialized
+    * main ref moves with it) — no data or manifest file is touched,
+    * which is the entire point of staging on a branch. Refuses typed
+    * unless main's head is an ANCESTOR of the branch head: a
+    * fast-forward never rewrites history, a diverged branch needs a
+    * merge commit instead. */
+  def fastForward(tableDir: String, branch: String, timestampMs: Long): TableMeta = {
+    val metaDir = s"$tableDir/metadata"
+    val meta = readMeta(tableDir)
+    val target = meta.resolveRef(branch)
+    meta.currentSnapshotId.foreach { mh =>
+      if (mh != target &&
+          !meta.lineage(None, target).map(_.id).contains(mh))
+        throw graft.core.GraftError.Plan(
+          s"iceberg fidelity: publishing '$branch' ($target) is not a fast-forward — " +
+            s"main's head $mh is not an ancestor of the branch head; the branches " +
+            "diverged, merge instead of publishing")
+    }
+    if (meta.currentSnapshotId.contains(target)) return meta // idempotent
+    val vOld = currentVersion(tableDir)
+    val oldJson = CanonicalJson.parse(new String(
+      Files.readAllBytes(Paths.get(metaDir, s"v$vOld.metadata.json")),
+      StandardCharsets.UTF_8))
+    val newJson = oldJson match {
+      case JObj(fields) => JObj(fields.map {
+        case ("current-snapshot-id", _) => "current-snapshot-id" -> (JInt(target): J)
+        case ("last-updated-ms", _) => "last-updated-ms" -> (JInt(timestampMs): J)
+        case ("refs", JObj(rs)) => "refs" -> (JObj(rs.map {
+          case ("main", JObj(mf)) => "main" -> (JObj(mf.map {
+            case ("snapshot-id", _) => "snapshot-id" -> (JInt(target): J)
+            case other => other
+          }): J)
+          case other => other
+        }): J)
+        case other => other
+      })
+      case other => other
+    }
+    val version = vOld + 1
+    Files.write(Paths.get(metaDir, s"v$version.metadata.json"),
+      CanonicalJson.render(newJson).getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(metaDir, "version-hint.text"),
+      version.toString.getBytes(StandardCharsets.UTF_8))
+    readMeta(tableDir)
+  }
+
   /** Snapshot EXPIRATION (maintenance): drop snapshots outside `keep`
     * from the metadata, without touching any data or manifest file.
     * The current snapshot must be kept. After expiry, time travel to

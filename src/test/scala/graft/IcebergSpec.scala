@@ -2325,4 +2325,41 @@ class IcebergSpec extends SparkSpec {
     assert(intercept[graft.core.GraftError.Plan](
       IcebergSource.metaTable(spark, dir, "entries")).getMessage.contains("unknown metadata table"))
   }
+
+  test("write-audit-publish: staged branch commits pin main, fast-forward publishes, divergence refuses") {
+    val dir = s"${tmpDir()}/tbl"
+    IcebergSource.commitAppend(spark, dir, nums(0, 40), snapshotId = 1L, timestampMs = 1L)
+    IcebergSource.createBranch(dir, "wap", timestampMs = 2L)
+    IcebergSource.commitAppend(spark, dir, nums(40, 70), snapshotId = 2L,
+      timestampMs = 3L, toBranch = Some("wap"))
+    // audit: main pinned, branch carries the staged rows
+    assert(IcebergSource.read(spark, dir).count() == 40)
+    assert(IcebergSource.readRef(spark, dir, "wap").count() == 70)
+    // publish: ONE metadata version, no data/manifest churn
+    val filesBefore = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "data"))
+      try { import scala.jdk.CollectionConverters._; st.iterator().asScala.size }
+      finally st.close()
+    }
+    IcebergSource.fastForward(dir, "wap", timestampMs = 4L)
+    assert(IcebergSource.read(spark, dir).count() == 70)
+    val filesAfter = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "data"))
+      try { import scala.jdk.CollectionConverters._; st.iterator().asScala.size }
+      finally st.close()
+    }
+    assert(filesBefore == filesAfter, "publish must be metadata-only")
+    // idempotent republish is a no-op version-wise
+    val v = IcebergSource.currentVersion(dir)
+    IcebergSource.fastForward(dir, "wap", timestampMs = 5L)
+    assert(IcebergSource.currentVersion(dir) == v)
+    // divergence: a main commit beside a branch commit refuses the publish
+    IcebergSource.createBranch(dir, "wap2", timestampMs = 6L)
+    IcebergSource.commitAppend(spark, dir, nums(70, 80), snapshotId = 3L,
+      timestampMs = 7L, toBranch = Some("wap2"))
+    IcebergSource.commitAppend(spark, dir, nums(80, 90), snapshotId = 4L, timestampMs = 8L)
+    val e = intercept[graft.core.GraftError.Plan](
+      IcebergSource.fastForward(dir, "wap2", timestampMs = 9L))
+    assert(e.getMessage.contains("not a fast-forward"))
+  }
 }
