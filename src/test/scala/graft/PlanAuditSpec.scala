@@ -291,6 +291,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("DSIR scoring: vocab tables broadcast into the doc side; top-k is TakeOrdered") {
+    val p = planOf("q_dsir_score")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "target and raw vocab tables must both broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "selection must be bounded top-k")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("RFM segmentation: one fact aggregation, no join, bounded output") {
+    val p = planOf("q_rfm_segments")
+    assert(!p.contains("Join"), "per-customer stats + windows — never a join")
+    assert("FileScan parquet".r.findAllIn(p).size == 1)
+  }
+
+  test("pareto frontier: one scan, one window, no self-join") {
+    val p = planOf("q_pareto_frontier")
+    assert(!p.contains("Join"), "the skyline must not be a NOT-EXISTS self-join")
+    assert("FileScan parquet".r.findAllIn(p).size == 1)
+  }
+
+  test("seasonality: the 1-row total broadcasts, single fact scan per side") {
+    val p = planOf("q_seasonality")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "total must ride a broadcast")
+    assert(!p.contains("SortMergeJoin"), "never a wide join for a scalar total")
+  }
+
   test("delivery guarantee derives from plan facts") {
     import Descriptor._
     assert(deriveGuarantee(sourceReplayable = true,
