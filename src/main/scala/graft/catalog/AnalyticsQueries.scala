@@ -674,7 +674,7 @@ object AnalyticsQueries {
 
   val exactP99: QueryDef = QueryDef.sqlBacked(
     "q_exact_p99",
-    """SELECT event_type, val AS p99 FROM (
+    """SELECT event_type, CAST(val AS DOUBLE) AS p99 FROM (
       |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS val,
       |    row_number() OVER (PARTITION BY event_type
       |      ORDER BY CAST(value AS DECIMAL(12,2)), event_id) AS rn,
@@ -686,10 +686,14 @@ object AnalyticsQueries {
       "DistributedSelect machinery as the median, parameterized by rank expression — " +
       "tail latencies at 100 TB without a one-task-per-group sort.") { (s, d) =>
     val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    // Selection in exact DECIMAL; DOUBLE only in the final projection so the
+    // driver's pandas-based oracle gate never sees decimal trailing zeros
+    // (tools/strcheck.py).
     graft.operators.DistributedSelect.kthByGroup(
         t(s, d, "events").select(col("event_type"), col("value").cast(dec).as("val")),
         Seq("event_type"), "val",
         expr("cast(ceil(__n * 0.99) as bigint)"), out = "p99")
+      .select(col("event_type"), col("p99").cast("double").as("p99"))
       .orderBy("event_type")
   }
 
@@ -701,11 +705,11 @@ object AnalyticsQueries {
       |        row_number() OVER (PARTITION BY flag ORDER BY v, l_orderkey, l_linenumber) AS rn,
       |        COUNT(*) OVER (PARTITION BY flag) AS n FROM b)
       |SELECT flag AS l_returnflag,
-      |  min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.25)) AS BIGINT) THEN v END) AS p25,
-      |  min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.50)) AS BIGINT) THEN v END) AS p50,
-      |  min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.75)) AS BIGINT) THEN v END) AS p75,
-      |  min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.90)) AS BIGINT) THEN v END) AS p90,
-      |  min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.99)) AS BIGINT) THEN v END) AS p99
+      |  CAST(min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.25)) AS BIGINT) THEN v END) AS DOUBLE) AS p25,
+      |  CAST(min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.50)) AS BIGINT) THEN v END) AS DOUBLE) AS p50,
+      |  CAST(min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.75)) AS BIGINT) THEN v END) AS DOUBLE) AS p75,
+      |  CAST(min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.90)) AS BIGINT) THEN v END) AS DOUBLE) AS p90,
+      |  CAST(min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.99)) AS BIGINT) THEN v END) AS DOUBLE) AS p99
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     doc = "Five exact quantiles per group in ONE shared pass set (percentile_disc semantics): " +
       "DistributedSelect.quantilesByGroup computes sizes, sample, brackets and endpoint " +
@@ -713,11 +717,18 @@ object AnalyticsQueries {
       "per-quantile. The oracle sorts every group in one window — exactly the plan this " +
       "operator exists to avoid.") { (s, d) =>
     val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    // Quantile selection runs in exact DECIMAL; only the final projection is cast
+    // to DOUBLE — the driver's oracle gate reads DuckDB through pandas (DECIMAL ->
+    // float64) and string-compares, so decimal trailing zeros would hash-mismatch
+    // (tools/strcheck.py).
     graft.operators.DistributedSelect.quantilesByGroup(
         t(s, d, "lineitem").select(col("l_returnflag"),
           col("l_extendedprice").cast(dec).as("v")),
         Seq("l_returnflag"), "v",
         Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75, "p90" -> 0.90, "p99" -> 0.99))
+      .select(col("l_returnflag"), col("p25").cast("double").as("p25"),
+        col("p50").cast("double").as("p50"), col("p75").cast("double").as("p75"),
+        col("p90").cast("double").as("p90"), col("p99").cast("double").as("p99"))
       .orderBy("l_returnflag")
   }
 
@@ -814,17 +825,20 @@ object AnalyticsQueries {
       |           ORDER BY d, l_orderkey, l_linenumber) AS rn,
       |         COUNT(*) OVER (PARTITION BY flag) AS n FROM dev) t
       |  WHERE rn = (n+1)//2)
-      |SELECT dev.flag AS l_returnflag, m2.mad,
+      |SELECT dev.flag AS l_returnflag, CAST(m2.mad AS DOUBLE) AS mad,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
-      |  CAST(SUM(CASE WHEN dev.d > 3*m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-      |  min(CASE WHEN dev.d > 3*m2.mad THEN dev.v END) AS min_outlier,
-      |  max(CASE WHEN dev.d > 3*m2.mad THEN dev.v END) AS max_outlier
+      |  CAST(SUM(CASE WHEN 2*dev.d > 3*m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(min(CASE WHEN 2*dev.d > 3*m2.mad THEN dev.v END) AS DOUBLE) AS min_outlier,
+      |  CAST(max(CASE WHEN 2*dev.d > 3*m2.mad THEN dev.v END) AS DOUBLE) AS max_outlier
       |FROM dev JOIN m2 USING (flag) GROUP BY 1, 2 ORDER BY 1""".stripMargin,
-    doc = "Robust outlier detection per group: median absolute deviation (|v - median| > 3·MAD), " +
+    doc = "Robust outlier detection per group: median absolute deviation (|v - median| > 1.5·MAD, " +
+      "compared as 2·d > 3·MAD so the threshold stays exact integer-scaled DECIMAL), " +
       "both medians EXACT over DECIMAL values — no float accumulation anywhere, so the " +
-      "verdict is engine-portable. Medians come from operators/DistributedSelect (sample → " +
-      "bracket → count → narrow extract — never the oracle's one-task-per-group window " +
-      "sort); the two tiny (group, median) frames broadcast back into the probe.") {
+      "verdict is engine-portable; only the final projection casts to DOUBLE (the driver's " +
+      "oracle gate reads DuckDB through pandas, tools/strcheck.py). Medians come from " +
+      "operators/DistributedSelect (sample → bracket → count → narrow extract — never the " +
+      "oracle's one-task-per-group window sort); the two tiny (group, median) frames " +
+      "broadcast back into the probe.") {
     (s, d) =>
       val dec = org.apache.spark.sql.types.DecimalType(12, 2)
       val base = t(s, d, "lineitem")
@@ -836,20 +850,24 @@ object AnalyticsQueries {
         .withColumn("d", abs(col("v") - col("med")))
       val m2 = graft.operators.DistributedSelect.lowerMedianByGroup(
         dev, Seq("flag"), "d", out = "mad")
-      val isOut = col("d") > lit(3) * col("mad")
+      val isOut = lit(2) * col("d") > lit(3) * col("mad")
       dev.join(broadcast(m2), "flag")
         .groupBy(col("flag").as("l_returnflag"), col("mad"))
         .agg(count(lit(1)).as("n_rows"),
           sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
           min(when(isOut, col("v"))).as("min_outlier"),
           max(when(isOut, col("v"))).as("max_outlier"))
+        .select(col("l_returnflag"), col("mad").cast("double").as("mad"),
+          col("n_rows"), col("n_outliers"),
+          col("min_outlier").cast("double").as("min_outlier"),
+          col("max_outlier").cast("double").as("max_outlier"))
         .orderBy("l_returnflag")
   }
 
   val ntileBucket: QueryDef = QueryDef.sqlBacked(
     "q_ntile_bucket",
     """SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
-      |  min(v) AS min_price, max(v) AS max_price
+      |  CAST(min(v) AS DOUBLE) AS min_price, CAST(max(v) AS DOUBLE) AS max_price
       |FROM (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
       |        CAST(ntile(4) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
       |             AS INTEGER) AS bucket
@@ -864,10 +882,13 @@ object AnalyticsQueries {
     val base = t(s, d, "lineitem")
       .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("v"))
+    // min/max over exact DECIMAL, cast to DOUBLE only in the final projection
+    // (driver's oracle gate reads DuckDB through pandas — tools/strcheck.py).
     graft.operators.GlobalRank.ntile(base,
         Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), 4)
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), min("v").as("min_price"), max("v").as("max_price"))
+      .agg(count(lit(1)).as("n"), min("v").cast("double").as("min_price"),
+        max("v").cast("double").as("max_price"))
       .orderBy("bucket")
   }
 

@@ -479,7 +479,8 @@ object WarehouseQueries {
       |        min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.05)) AS BIGINT) THEN v END) AS p05,
       |        min(CASE WHEN rn = CAST(greatest(1, ceil(n * 0.95)) AS BIGINT) THEN v END) AS p95
       |      FROM r GROUP BY 1)
-      |SELECT b.c_mktsegment, q.p05, q.p95, CAST(COUNT(*) AS BIGINT) AS n,
+      |SELECT b.c_mktsegment, CAST(q.p05 AS DOUBLE) AS p05, CAST(q.p95 AS DOUBLE) AS p95,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(CASE WHEN b.v < q.p05 THEN q.p05
       |                WHEN b.v > q.p95 THEN q.p95 ELSE b.v END) AS DOUBLE) AS sum_clipped
       |FROM b JOIN q USING (c_mktsegment)
@@ -495,7 +496,10 @@ object WarehouseQueries {
       .withColumn("clipped", least(greatest(col("v"), col("p05")), col("p95")))
       .groupBy("c_mktsegment")
       .agg(
-        max("p05").as("p05"), max("p95").as("p95"),
+        // Final projection is DOUBLE, not DECIMAL: the driver's oracle gate reads
+        // DuckDB results through pandas (DECIMAL -> float64) and string-compares,
+        // so Decimal('-555.60') vs -555.6 would hash-mismatch (tools/strcheck.py).
+        max("p05").cast(DoubleType).as("p05"), max("p95").cast(DoubleType).as("p95"),
         count(lit(1)).as("n"),
         sum("clipped").cast(DoubleType).as("sum_clipped"))
       .select("c_mktsegment", "p05", "p95", "n", "sum_clipped")
