@@ -126,9 +126,6 @@ object DeltaDv {
     * `pathOrInlineDv` (Z85 uuid, no prefix) and per-vector
     * offset/size/cardinality in input order. */
   def writeDvFile(tableDir: String, vectors: Seq[Array[Long]]): (String, Seq[StoredDv]) = {
-    val uuid = UUID.nameUUIDFromBytes(
-      vectors.flatMap(_.take(4)).mkString(",").getBytes("UTF-8")) // deterministic
-    val name = s"deletion_vector_$uuid.bin"
     val bos = new java.io.ByteArrayOutputStream()
     bos.write(FileFormatVersion.toInt)
     val stored = vectors.map { v =>
@@ -144,8 +141,18 @@ object DeltaDv {
       bos.write(tail.array())
       StoredDv(offset, data.length.toLong, sorted.length.toLong)
     }
+    // Content-address the file name over the FULL serialized payload: a
+    // superseding delete that keeps the same first positions (e.g. merged
+    // old ∪ new vectors) must land in a DIFFERENT file, or the atomic move
+    // would destroy the still-referenced previous DV before its commit is
+    // superseded (and before publishCommit even wins the race). With the
+    // full payload in the name, a collision implies identical bytes, so an
+    // ATOMIC_MOVE overwrite is harmless by construction.
+    val payload = bos.toByteArray
+    val uuid = UUID.nameUUIDFromBytes(payload) // deterministic, content-addressed
+    val name = s"deletion_vector_$uuid.bin"
     val tmp = Files.createTempFile(Paths.get(tableDir), ".dv-", ".bin.tmp")
-    Files.write(tmp, bos.toByteArray)
+    Files.write(tmp, payload)
     Files.move(tmp, Paths.get(tableDir, name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     (encodeUuid(uuid), stored)

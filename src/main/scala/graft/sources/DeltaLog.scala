@@ -115,7 +115,17 @@ object DeltaLog {
       protocolMinReader: Int,
       files: Seq[AddFile],
       timestampMs: Long,
-      readerFeatures: Set[String] = Set.empty)
+      readerFeatures: Set[String] = Set.empty,
+      // Writer-side protocol, carried verbatim through replay so a
+      // checkpoint can reproduce it: PROTOCOL.md requires the feature
+      // lists at versions 3/7, and once pre-checkpoint JSON commits are
+      // vacuumed the true protocol is otherwise unrecoverable.
+      protocolMinWriter: Int = 2,
+      writerFeatures: Set[String] = Set.empty,
+      // Unexpired remove tombstones (latest-action-wins vs adds), so
+      // checkpoints retain them and vacuum can reclaim files whose
+      // remove actions predate the last checkpoint.
+      tombstones: Seq[RemoveFile] = Vector.empty)
 
   private def logDir(tableDir: String): Path = Paths.get(tableDir, "_delta_log")
   private def commitPath(tableDir: String, v: Long): Path =
@@ -248,9 +258,12 @@ object DeltaLog {
       (lastCheckpointVersion(tableDir).toSeq ++ listed).filter(_ <= target).maxOption
     }
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val tombs = scala.collection.mutable.LinkedHashMap.empty[String, RemoveFile]
     var meta: Option[Meta] = None
     var minReader = 1
+    var minWriter = 2
     var readerFeatures = Set.empty[String]
+    var writerFeatures = Set.empty[String]
     var ts = 0L
     cpv.foreach { v =>
       val cp = spark.read.parquet(checkpointPath(tableDir, v).toString)
@@ -261,8 +274,14 @@ object DeltaLog {
           else Option(r.getAs[Row](name))
         struct("protocol").foreach { p =>
           minReader = p.getAs[Int]("minReaderVersion")
+          if (p.schema.fieldNames.contains("minWriterVersion"))
+            minWriter = Option(p.getAs[java.lang.Integer]("minWriterVersion"))
+              .map(_.intValue).getOrElse(2)
           if (p.schema.fieldNames.contains("readerFeatures"))
             readerFeatures = Option(p.getSeq[String](p.fieldIndex("readerFeatures")))
+              .map(_.toSet).getOrElse(Set.empty)
+          if (p.schema.fieldNames.contains("writerFeatures"))
+            writerFeatures = Option(p.getSeq[String](p.fieldIndex("writerFeatures")))
               .map(_.toSet).getOrElse(Set.empty)
         }
         struct("metaData").foreach { m =>
@@ -292,8 +311,18 @@ object DeltaLog {
             a.getAs[Long]("modificationTime"), a.getAs[Boolean]("dataChange"),
             Option(a.getAs[String]("stats")), dv)
           files -= af.path; files(af.path) = af
+          tombs -= af.path
         }
-        struct("remove").foreach(rm => files -= rm.getAs[String]("path"))
+        struct("remove").foreach { rm =>
+          val p = rm.getAs[String]("path")
+          files -= p
+          val dts = if (!rm.schema.fieldNames.contains("deletionTimestamp")) 0L
+            else Option(rm.getAs[java.lang.Long]("deletionTimestamp"))
+              .map(_.longValue).getOrElse(0L)
+          val dc = rm.schema.fieldNames.contains("dataChange") &&
+            Option(rm.getAs[java.lang.Boolean]("dataChange")).exists(_.booleanValue)
+          tombs(p) = RemoveFile(p, dts, dc)
+        }
       }
     }
     val from = cpv.map(_ + 1).getOrElse(0L)
@@ -305,7 +334,11 @@ object DeltaLog {
       parseActions(tableDir, v).foreach { action =>
         action.get("protocol").map(CanonicalJson.objFields).foreach { p =>
           minReader = p.get("minReaderVersion").map(jLong(_).toInt).getOrElse(1)
+          minWriter = p.get("minWriterVersion").map(jLong(_).toInt).getOrElse(2)
           readerFeatures = p.get("readerFeatures").collect {
+            case JArr(vs) => vs.map(jStr).toSet
+          }.getOrElse(Set.empty)
+          writerFeatures = p.get("writerFeatures").collect {
             case JArr(vs) => vs.map(jStr).toSet
           }.getOrElse(Set.empty)
         }
@@ -314,9 +347,15 @@ object DeltaLog {
         action.get("add").map(CanonicalJson.objFields).foreach { a =>
           val af = parseAdd(a)
           files -= af.path; files(af.path) = af
+          tombs -= af.path
         }
-        action.get("remove").map(CanonicalJson.objFields).foreach(rm =>
-          files -= jStr(rm("path")))
+        action.get("remove").map(CanonicalJson.objFields).foreach { rm =>
+          val p = jStr(rm("path"))
+          files -= p
+          tombs(p) = RemoveFile(p,
+            rm.get("deletionTimestamp").map(jLong).getOrElse(0L),
+            rm.get("dataChange").exists { case JBool(b) => b; case _ => false })
+        }
         action.get("commitInfo").map(CanonicalJson.objFields).foreach(ci =>
           ci.get("timestamp").foreach(t => ts = jLong(t)))
       }
@@ -329,7 +368,11 @@ object DeltaLog {
     // rather than misreading.
     val supportedFeatures = Set("deletionVectors", "columnMapping")
     val unsupported = readerFeatures -- supportedFeatures
+    // An explicit mode "none" is the protocol default that real writers
+    // commonly materialize in configuration — equivalent to the key being
+    // absent, so only refuse genuinely unimplemented modes (e.g. "id").
     val mappingMode = meta.flatMap(_.configuration.get("delta.columnMapping.mode"))
+      .filter(_ != "none")
     val v2Ok = mappingMode.forall(_ == "name") // "id" mode unimplemented
     if ((minReader == 2 && !v2Ok) || (minReader > 3) ||
         (minReader == 3 && (readerFeatures.isEmpty || unsupported.nonEmpty)) ||
@@ -343,7 +386,8 @@ object DeltaLog {
     val m = meta.getOrElse(throw GraftError.Plan(
       s"delta fidelity: no metaData action found replaying $tableDir to $target"))
     Snapshot(target, m, minReader, files.values.toVector.sortBy(_.path), ts,
-      readerFeatures)
+      readerFeatures, minWriter, writerFeatures,
+      tombs.values.toVector.sortBy(_.path))
   }
 
   /** Commit timestamps (version → commitInfo.timestamp), for
@@ -1025,8 +1069,11 @@ object DeltaLog {
       .filter(_.storageType == "u")
       .map(d => Paths.get(tableDir).relativize(
         DeltaDv.dvFilePath(tableDir, d.pathOrInlineDv)).toString).toSet
-    // tombstones from every retained commit
+    // tombstones: seed from the snapshot (which replays the checkpoint's
+    // retained remove rows — covering commits whose JSON was already
+    // cleaned up), then overlay every retained JSON commit in order
     val removed = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    snap.tombstones.foreach(t => removed(t.path) = t.deletionTimestamp)
     listCommitVersions(tableDir).sorted.foreach { v =>
       parseActions(tableDir, v).foreach { action =>
         action.get("remove").map(CanonicalJson.objFields).foreach { rm =>
@@ -1064,11 +1111,20 @@ object DeltaLog {
     * the tail. */
   def checkpoint(spark: SparkSession, tableDir: String): Long = {
     val snap = snapshot(spark, tableDir)
-    val features: Seq[String] =
+    // Protocol is carried VERBATIM from replay (minWriterVersion and the
+    // feature lists included): PROTOCOL.md requires readerFeatures AND
+    // writerFeatures at v3/v7, and once the pre-checkpoint JSON commits
+    // are vacuumed this checkpoint is the only record of the protocol.
+    val rFeatures: Seq[String] =
       if (snap.readerFeatures.nonEmpty) snap.readerFeatures.toSeq.sorted else null
+    val wFeatures: Seq[String] =
+      if (snap.writerFeatures.nonEmpty) snap.writerFeatures.toSeq.sorted
+      else if (snap.protocolMinWriter >= 7 && snap.readerFeatures.nonEmpty)
+        snap.readerFeatures.toSeq.sorted // legacy logs that omitted the list
+      else null
     val rows: Seq[Row] =
-      Row(Row(snap.protocolMinReader,
-        if (snap.protocolMinReader >= 3) 7 else 2, features), null, null, null) +:
+      (Row(Row(snap.protocolMinReader, snap.protocolMinWriter,
+        rFeatures, wFeatures), null, null, null) +:
       Row(null, Row(snap.meta.id, schemaJson(snap.meta.schema),
         snap.meta.partitionColumns, snap.meta.createdTime,
         if (snap.meta.configuration.isEmpty) null else snap.meta.configuration),
@@ -1078,12 +1134,18 @@ object DeltaLog {
           f.size, f.modificationTime, f.dataChange, f.stats.orNull,
           f.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
             d.offset.map(Long.box).orNull, d.sizeInBytes, d.cardinality)).orNull),
-        null))
+        null))) ++
+      // Unexpired remove tombstones: without them, files removed before a
+      // checkpoint could never be vacuumed once the pre-checkpoint JSON
+      // commits are cleaned up (permanent storage leak).
+      snap.tombstones.map(t => Row(null, null, null,
+        Row(t.path, t.deletionTimestamp, t.dataChange)))
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),
-        StructField("readerFeatures", ArrayType(StringType))))),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("schemaString", StringType),

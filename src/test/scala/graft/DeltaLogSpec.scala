@@ -380,4 +380,101 @@ class DeltaLogSpec extends SparkSpec {
       filters = Seq(flt.IsNull("region")))
     assert(nullFiles.forall(_.partitionValues("region").isEmpty))
   }
+
+  test("DV file names are content-addressed over the full payload — a superseding vector sharing the old prefix lands in a NEW file") {
+    import graft.sources.DeltaDv
+    val d = s"${tmpDir()}/dvnames"
+    Files.createDirectories(Paths.get(d))
+    // Same first 4 positions; the superseding (merged old ∪ new) vector only
+    // appends AFTER them. A name derived from the first-4 prefix would collide
+    // and the atomic move would destroy the still-referenced first file.
+    val (ref1, s1) = DeltaDv.writeDvFile(d, Seq(Array(1L, 2L, 3L, 4L, 5L)))
+    val (ref2, s2) = DeltaDv.writeDvFile(d, Seq(Array(1L, 2L, 3L, 4L, 5L, 100L)))
+    assert(ref1 != ref2, "superseding vector must get its own file")
+    // both payloads remain intact and readable
+    assert(DeltaDv.readDv(d, "u", ref1, s1.head.offset, s1.head.sizeInBytes).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    assert(DeltaDv.readDv(d, "u", ref2, s2.head.offset, s2.head.sizeInBytes).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L, 100L))
+    // identical payload → identical name, overwrite harmless by construction
+    val (ref3, _) = DeltaDv.writeDvFile(d, Seq(Array(1L, 2L, 3L, 4L, 5L)))
+    assert(ref3 == ref1)
+    // end-to-end: time travel to the superseded DV version still reads the OLD vector
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 1000).repartition(1), timestampMs = 1000L)
+    DeltaLog.deleteWhereDv(spark, dir, col("id") < 10, timestampMs = 2000L)   // v1
+    DeltaLog.deleteWhereDv(spark, dir, col("id") >= 990, timestampMs = 3000L) // v2
+    assert(DeltaLog.read(spark, dir, version = Some(1L)).count() == 990)
+    assert(DeltaLog.read(spark, dir).count() == 980)
+  }
+
+  test("checkpoint writes the writer protocol verbatim: column-mapping v5 and v7 feature lists survive log cleanup") {
+    // column-mapping table: protocol (reader 2, writer 5), no feature lists
+    val dir = s"${tmpDir()}/cmtbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 50), timestampMs = 1000L,
+      columnMapping = true)
+    DeltaLog.commitAppend(spark, dir, nums(50, 80), timestampMs = 2000L)
+    DeltaLog.checkpoint(spark, dir)
+    Files.delete(Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    Files.delete(Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.protocolMinReader == 2 && snap.protocolMinWriter == 5,
+      "a column-mapping table must not checkpoint as writer version 2")
+    assert(DeltaLog.read(spark, dir).count() == 80)
+    // DV table: protocol (3, 7) with BOTH feature lists (required at v3/v7)
+    val dvt = s"${tmpDir()}/dvtbl"
+    DeltaLog.commitAppend(spark, dvt, nums(0, 100), timestampMs = 1000L)
+    DeltaLog.deleteWhereDv(spark, dvt, col("id") === 1L, timestampMs = 2000L)
+    DeltaLog.checkpoint(spark, dvt)
+    val cp = spark.read.parquet(
+      s"$dvt/_delta_log/${f"${1L}%020d"}.checkpoint.parquet")
+    val prot = cp.filter(col("protocol").isNotNull).select("protocol.*").head()
+    assert(prot.getAs[Int]("minReaderVersion") == 3 &&
+      prot.getAs[Int]("minWriterVersion") == 7)
+    assert(prot.getSeq[String](prot.fieldIndex("readerFeatures")).toSeq ==
+      Seq("deletionVectors"))
+    assert(prot.getSeq[String](prot.fieldIndex("writerFeatures")).toSeq ==
+      Seq("deletionVectors"),
+      "v7 checkpoints without writerFeatures are malformed per PROTOCOL.md")
+    Files.delete(Paths.get(dvt, "_delta_log", f"${0L}%020d.json"))
+    Files.delete(Paths.get(dvt, "_delta_log", f"${1L}%020d.json"))
+    val s2 = DeltaLog.snapshot(spark, dvt)
+    assert(s2.protocolMinWriter == 7 && s2.writerFeatures == Set("deletionVectors"))
+    assert(DeltaLog.read(spark, dvt).count() == 99)
+  }
+
+  test("explicit columnMapping.mode = 'none' reads as v1/v2 (protocol default, not a refusal)") {
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 20), timestampMs = 1000L)
+    // materialize the protocol-default mode explicitly, as real writers do
+    val p = Paths.get(dir, "_delta_log", f"${0L}%020d.json")
+    val patched = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .replace("\"configuration\":{}",
+        "\"configuration\":{\"delta.columnMapping.mode\":\"none\"}")
+    Files.write(p, patched.getBytes(StandardCharsets.UTF_8))
+    assert(DeltaLog.read(spark, dir).count() == 20)
+    // genuinely unimplemented modes still refuse typed
+    val patched2 = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .replace("\"none\"", "\"id\"")
+    Files.write(p, patched2.getBytes(StandardCharsets.UTF_8))
+    val e = intercept[GraftError.Plan](DeltaLog.read(spark, dir).count())
+    assert(e.getMessage.contains("column mapping mode id"))
+  }
+
+  test("vacuum reclaims files whose remove actions predate the checkpoint (tombstones ride the checkpoint)") {
+    val dir = s"${tmpDir()}/tbl"
+    DeltaLog.commitAppend(spark, dir, nums(0, 200).repartition(2), timestampMs = 1000L)
+    val v0Files = DeltaLog.snapshot(spark, dir).files.map(_.path)
+    DeltaLog.deleteWhere(spark, dir, col("id") < 50, timestampMs = 2000L) // v1
+    DeltaLog.checkpoint(spark, dir)
+    // log cleanup removes the pre-checkpoint JSON commits — the checkpoint's
+    // retained remove rows are now the only record of the tombstones
+    Files.delete(Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    Files.delete(Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    val gone = DeltaLog.vacuum(spark, dir, asOfMs = 10000L, retentionMs = 1000L)
+    assert(gone.nonEmpty && gone.forall(v0Files.contains),
+      "pre-checkpoint removes must remain reclaimable (no permanent storage leak)")
+    assert(v0Files.forall(p => !Files.exists(Paths.get(dir, p))))
+    assert(DeltaLog.read(spark, dir).count() == 150)
+  }
 }

@@ -313,8 +313,9 @@ class PlanAuditSpec extends SparkSpec {
 
   test("seasonality: the 1-row total broadcasts, single fact scan per side") {
     val p = planOf("q_seasonality")
-    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastExchange"), "total must ride a broadcast")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "total must ride a broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian product for the scalar total")
     assert(!p.contains("SortMergeJoin"), "never a wide join for a scalar total")
   }
 
