@@ -575,9 +575,9 @@ object AnalyticsQueries {
       "bracket → count → narrow extract, every pass a parallel aggregate) — the window " +
       "rank-selection the oracle runs sorts each whole group in ONE task, which is the " +
       "per-group skew killer at 100 TB.") { (s, d) =>
-    graft.operators.DistributedSelect.lowerMedianByGroup(
+    graft.operators.DistributedSelect.quantilesByGroup(
         t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity")),
-        Seq("l_returnflag"), "l_quantity", out = "median_qty")
+        Seq("l_returnflag"), "l_quantity", Seq("median_qty" -> 0.5))
       .orderBy("l_returnflag")
   }
 
@@ -689,10 +689,9 @@ object AnalyticsQueries {
     // Selection in exact DECIMAL; DOUBLE only in the final projection so the
     // driver's pandas-based oracle gate never sees decimal trailing zeros
     // (tools/strcheck.py).
-    graft.operators.DistributedSelect.kthByGroup(
+    graft.operators.DistributedSelect.quantilesByGroup(
         t(s, d, "events").select(col("event_type"), col("value").cast(dec).as("val")),
-        Seq("event_type"), "val",
-        expr("cast(ceil(__n * 0.99) as bigint)"), out = "p99")
+        Seq("event_type"), "val", Seq("p99" -> 0.99))
       .select(col("event_type"), col("p99").cast("double").as("p99"))
       .orderBy("event_type")
   }
@@ -844,12 +843,16 @@ object AnalyticsQueries {
       val base = t(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"),
           col("l_extendedprice").cast(dec).as("v"))
-      val m1 = graft.operators.DistributedSelect.lowerMedianByGroup(
-        base, Seq("flag"), "v", out = "med")
+      // each median is the 2-pass fused quantile path (sizes+sketch, then
+      // histogram) — 4 data passes for the chained pair plus the final agg
+      val m1 = graft.operators.DistributedSelect.quantilesByGroup(
+        base, Seq("flag"), "v", Seq("med" -> 0.5))
+      // persist: dev embeds m1's whole plan, and m2's two passes plus the
+      // final aggregate would otherwise re-execute it per pass
       val dev = base.join(broadcast(m1), "flag")
-        .withColumn("d", abs(col("v") - col("med")))
-      val m2 = graft.operators.DistributedSelect.lowerMedianByGroup(
-        dev, Seq("flag"), "d", out = "mad")
+        .withColumn("d", abs(col("v") - col("med"))).persist()
+      val m2 = graft.operators.DistributedSelect.quantilesByGroup(
+        dev, Seq("flag"), "d", Seq("mad" -> 0.5))
       val isOut = lit(2) * col("d") > lit(3) * col("mad")
       dev.join(broadcast(m2), "flag")
         .groupBy(col("flag").as("l_returnflag"), col("mad"))

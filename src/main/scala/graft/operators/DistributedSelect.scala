@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Exact k-th-smallest (order statistic) per group WITHOUT sorting the
   * group — the scale-true replacement for
@@ -14,15 +14,22 @@ import org.apache.spark.sql.DataFrame
   * value-level counts alone: it is the smallest v with count(≤v) ≥ k.
   * So selection needs no total order, only value counts:
   *
-  *  1. one aggregate for group sizes (k = rank target per group);
+  *  1. one aggregate for group sizes (k = rank target per group) —
+  *     shareable across chained selections over the same rows via
+  *     `sizesOf` (e.g. MAD's two medians, multi-column profiles);
   *  2. one deterministic hash-sample pass (≈`sampleTarget` rows per
-  *     group, rate adapted per group — never a driver collect of data);
+  *     group, rate adapted per group), collected into ONE sorted
+  *     executor-side array per group — never a driver collect, and the
+  *     array is ≈`sampleTarget` elements by the same bound the margin
+  *     math assumes (a few hundred KB at the default), so the bracket
+  *     needs no window shuffle;
   *  3. bracket [a, b] around the target rank from sample quantiles,
   *     then ONE counting pass per group:
   *     count(v < a), count(≤ a), count(≤ b);
   *     if the sample nailed the value (count(<a) < k ≤ count(≤a)) the
   *     answer is a, extraction skipped — the common case for discrete
-  *     or repeated values;
+  *     or repeated values (AQE then collapses the extract join against
+  *     the empty miss set, so no extra scan runs);
   *  4. otherwise rank only the rows INSIDE the bracket (w.h.p. a few
   *     percent of the group; widened to the whole group only when the
   *     bracket is provably wrong, never silently).
@@ -34,53 +41,43 @@ import org.apache.spark.sql.DataFrame
   */
 object DistributedSelect {
 
+  /** Group sizes (groupCols..., __n) for `df`'s non-null `valueCol`
+    * rows — precompute once and pass to several `kthByGroup`/
+    * `lowerMedianByGroup` calls over the same rows (chained medians,
+    * multi-column stats) to share the sizing pass. */
+  def sizesOf(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+
   /** Per-group LOWER MEDIAN (k = (n+1) div 2) of `valueCol`.
     * Returns one row per group: (groupCols..., out). */
   def lowerMedianByGroup(df: DataFrame, groupCols: Seq[String],
       valueCol: String, out: String = "median",
-      sampleTarget: Int = 4096): DataFrame =
+      sampleTarget: Int = 4096, sizes: Option[DataFrame] = None): DataFrame =
     kthByGroup(df, groupCols, valueCol, expr("(cast(__n as bigint) + 1) div 2"),
-      out, sampleTarget)
+      out, sampleTarget, sizes)
 
   /** Per-group k-th smallest of `valueCol`, where `kExpr` may reference
     * `__n` (the group size) — e.g. `(__n + 1) div 2` for the lower
-    * median, `ceil(__n * 0.99)` for P99. */
+    * median, `ceil(__n * 0.99)` for P99. Pass `sizes` (from `sizesOf`)
+    * to reuse a sizing pass shared with other selections. */
   def kthByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      kExpr: org.apache.spark.sql.Column, out: String,
-      sampleTarget: Int = 4096): DataFrame = {
+      kExpr: Column, out: String,
+      sampleTarget: Int = 4096, sizes: Option[DataFrame] = None): DataFrame = {
     val g = groupCols.map(col)
-    val v = col(valueCol)
-    val base = df.select(g :+ v.as("__v"): _*).filter(col("__v").isNotNull).persist()
+    val base = df.select(g :+ col(valueCol).as("__v"): _*)
+      .filter(col("__v").isNotNull).persist()
 
-    // pass 1: group sizes → rank targets
-    val sizes = base.groupBy(g: _*)
-      .agg(count(lit(1)).as("__n"))
+    // pass 1: group sizes → rank targets (shared when the caller provides them)
+    val sized = sizes.getOrElse(sizesOf(base, groupCols, "__v"))
       .withColumn("__k", kExpr)
 
     // pass 2: deterministic hash sample, rate adapted per group so each
-    // group lands ≈ sampleTarget rows regardless of size
-    val withRate = base.join(sizes, groupCols)
-      .withColumn("__f", greatest(lit(1L), (col("__n") / sampleTarget).cast("long")))
-    val sample = withRate.filter(
-      pmod(xxhash64((col("__v") +: g): _*), col("__f")) === 0)
-
-    // bracket per group from the sample's rank neighborhood around k:
-    // rank fraction k/n mapped into the sample, ± a safety margin
-    val sw = Window.partitionBy(g: _*).orderBy(col("__v"))
-    val sampled = sample
-      .withColumn("__sr", row_number().over(sw))
-      .withColumn("__sn", count(lit(1)).over(Window.partitionBy(g: _*)))
-    val target = (col("__k").cast("double") / col("__n")) * col("__sn")
-    val margin = greatest(lit(64.0), col("__sn") / 32)
-    val lowRank = greatest(lit(1L), floor(target - margin).cast("long"))
-    val highRank = least(col("__sn"), ceil(target + margin).cast("long"))
-    val brackets = sampled
-      .withColumn("__isLow", col("__sr") === lowRank)
-      .withColumn("__isHigh", col("__sr") === highRank)
-      .filter(col("__isLow") || col("__isHigh"))
-      .groupBy(g: _*)
-      .agg(min(when(col("__isLow"), col("__v"))).as("__a"),
-        max(when(col("__isHigh"), col("__v"))).as("__b"))
+    // group lands ≈ sampleTarget rows regardless of size; the per-group
+    // sample sorts in ONE executor-side array (no window shuffle)
+    val brackets = bracketsFromSample(base, groupCols, sized, sampleTarget,
+      Seq("__k")).select(g ++ Seq(col("__a0").as("__a"), col("__b0").as("__b")): _*)
 
     // pass 3: exact counts at the bracket endpoints. LEFT join: a group
     // whose sample came up empty (possible only under adversarial hash
@@ -93,7 +90,7 @@ object DistributedSelect {
         sum(when(col("__v") <= col("__b"), 1L).otherwise(0L)).as("__nle_b"),
         min("__v").as("__min"), max("__v").as("__max"),
         first("__a").as("__a"), first("__b").as("__b"))
-      .join(sizes, groupCols)
+      .join(sized, groupCols)
 
     // direct hits: the k-th value IS an endpoint (ties make this common)
     val hitA = col("__nlt_a") < col("__k") && col("__k") <= col("__nle_a")
@@ -127,87 +124,138 @@ object DistributedSelect {
     hits.unionByName(extracted)
   }
 
-  /** Several exact quantiles per group in ONE shared pass set (sizes,
-    * sample, brackets, endpoint counts are all computed once for every
-    * quantile; only the tiny in-bracket extracts are per-quantile).
-    * `qs` maps output column name → quantile fraction; semantics are
-    * percentile_disc: the smallest v with count(≤v) ≥ ⌈q·n⌉.
-    * Returns one row per group: (groupCols..., q1, q2, ...). */
-  def quantilesByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      qs: Seq[(String, Double)], sampleTarget: Int = 4096): DataFrame = {
-    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0 && q <= 1 })
+  /** One aggregation producing per-group bracket endpoints
+    * (__a$i, __b$i) for each rank-target column `kCols(i)` in `sized`:
+    * hash-sample the group at a rate adapted to land ≈sampleTarget
+    * rows, sort the sample in one executor-side array, and read the
+    * endpoints at the target's sample-rank neighborhood ± margin.
+    * Null endpoints (empty sample) mean "widen to the whole group". */
+  private def bracketsFromSample(base: DataFrame, groupCols: Seq[String],
+      sized: DataFrame, sampleTarget: Int, kCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
-    val base = df.select(g :+ col(valueCol).as("__v"): _*)
-      .filter(col("__v").isNotNull).persist()
-
-    val sizes0 = base.groupBy(g: _*).agg(count(lit(1)).as("__n"))
-    val sizes = qs.zipWithIndex.foldLeft(sizes0) { case (acc, ((_, q), i)) =>
-      acc.withColumn(s"__k$i",
-        greatest(lit(1L), ceil(col("__n") * q).cast("long")))
-    }
-
-    val withRate = base.join(sizes, groupCols)
+    val withRate = base.join(sized, groupCols)
       .withColumn("__f", greatest(lit(1L), (col("__n") / sampleTarget).cast("long")))
     val sample = withRate.filter(
       pmod(xxhash64((col("__v") +: g): _*), col("__f")) === 0)
-
-    val sw = Window.partitionBy(g: _*).orderBy(col("__v"))
-    val sampled0 = sample
-      .withColumn("__sr", row_number().over(sw))
-      .withColumn("__sn", count(lit(1)).over(Window.partitionBy(g: _*)))
-    val margin = greatest(lit(64.0), col("__sn") / 32)
-    val sampled = qs.zipWithIndex.foldLeft(sampled0) { case (acc, (_, i)) =>
-      val target = (col(s"__k$i").cast("double") / col("__n")) * col("__sn")
+    val tailAggs = first(col("__n")).as("__nn") +:
+      kCols.zipWithIndex.map { case (k, i) => first(col(k)).as(s"__kk$i") }
+    val agged = sample.groupBy(g: _*)
+      .agg(sort_array(collect_list(col("__v"))).as("__arr"), tailAggs: _*)
+      .withColumn("__sn", size(col("__arr")).cast("long"))
+    val withEnds = kCols.indices.foldLeft(agged) { case (acc, i) =>
+      val target = (col(s"__kk$i").cast("double") / col("__nn")) * col("__sn")
+      val margin = greatest(lit(64.0), col("__sn") / 32)
+      // `get` is 0-based and null-safe out of bounds (empty sample → null
+      // endpoints → the caller's widened fallback), unlike ANSI element_at
+      val lowIdx = greatest(lit(1L), floor(target - margin).cast("long")) - 1
+      val highIdx = least(col("__sn"), ceil(target + margin).cast("long")) - 1
       acc
-        .withColumn(s"__isLow$i",
-          col("__sr") === greatest(lit(1L), floor(target - margin).cast("long")))
-        .withColumn(s"__isHigh$i",
-          col("__sr") === least(col("__sn"), ceil(target + margin).cast("long")))
+        .withColumn(s"__a$i", get(col("__arr"), lowIdx.cast("int")))
+        .withColumn(s"__b$i", get(col("__arr"), highIdx.cast("int")))
     }
-    val anyMark = qs.indices.map(i => col(s"__isLow$i") || col(s"__isHigh$i")).reduce(_ || _)
-    val bracketAggs = qs.indices.flatMap(i => Seq(
-      min(when(col(s"__isLow$i"), col("__v"))).as(s"__a$i"),
-      max(when(col(s"__isHigh$i"), col("__v"))).as(s"__b$i")))
-    val brackets = sampled.filter(anyMark)
-      .groupBy(g: _*)
-      .agg(bracketAggs.head, bracketAggs.tail: _*)
+    withEnds.drop("__arr", "__sn", "__nn").drop(kCols.indices.map(i => s"__kk$i"): _*)
+  }
 
-    val counted = base.join(brackets, groupCols, "left")
-      .groupBy(g: _*)
-      .agg(
-        min("__v").as("__min"),
-        (Seq(max("__v").as("__max")) ++ qs.indices.flatMap(i => Seq(
-          sum(when(col("__v") < col(s"__a$i"), 1L).otherwise(0L)).as(s"__nlt_a$i"),
-          sum(when(col("__v") <= col(s"__a$i"), 1L).otherwise(0L)).as(s"__nle_a$i"),
-          sum(when(col("__v") <= col(s"__b$i"), 1L).otherwise(0L)).as(s"__nle_b$i"),
-          first(s"__a$i").as(s"__a$i"), first(s"__b$i").as(s"__b$i")))): _*)
-      .join(sizes, groupCols)
-      .persist()
+  /** Several exact quantiles per group in TWO passes over the data —
+    * the production path for the whole quantile family (the kExpr-based
+    * `kthByGroup` above remains as the general-rank machinery and as an
+    * independent cross-check in the specs).
+    *
+    * `qs` maps output column name → quantile fraction; semantics are
+    * percentile_disc: the smallest v with count(≤v) ≥ ⌈q·n⌉.
+    *
+    * Pass 1 (one aggregation): exact group sizes FUSED with a
+    * Greenwald–Khanna sketch (`percentile_approx`) evaluated at
+    * q ± 4/accuracy per fraction — the bracket endpoints. GK's rank
+    * error bound is DETERMINISTIC (±n/accuracy), so for groups with
+    * n > accuracy/12 the bracket provably contains the target rank;
+    * smaller groups take the whole group as their bracket.
+    *
+    * Pass 2 (one aggregation): group by (g, v-if-in-any-bracket) —
+    * an exact VALUE HISTOGRAM of the bracket slice (≤ ~10·|qs|/accuracy
+    * of each group's rows, ties collapsed) carrying per-endpoint strict
+    * counts. Everything after runs on that tiny histogram: a running
+    * sum reconstructs exact global ranks (count(≤v) = count(<lo) +
+    * cum(v) − cum(<lo)), and each answer is the smallest histogram
+    * value whose global rank reaches ⌈q·n⌉.
+    *
+    * The sketch endpoints may vary with partitioning (merge order), but
+    * the ANSWER cannot: it is determined by exact counts alone, so
+    * results stay partition-count invariant. A bracket miss (impossible
+    * unless the GK bound is violated) raises loudly rather than
+    * emitting a silent null.
+    *
+    * Returns one row per group: (groupCols..., q1, q2, ...). */
+  def quantilesByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      qs: Seq[(String, Double)], accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0 && q <= 1 })
+    require(accuracy >= 100, "accuracy under 100 makes brackets wider than the data")
+    val g = groupCols.map(col)
+    val eps = 4.0 / accuracy
+    val smallN = math.max(64L, (accuracy / 12).toLong)
+    val base = df.select(g :+ col(valueCol).as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      // double is a monotone proxy for bracketing/counting; exact values
+      // only ever come from __v itself
+      .withColumn("__vd", col("__v").cast("double"))
 
-    // per-quantile: endpoint hit, or rank inside the verified bracket
-    val perQ = qs.zipWithIndex.map { case ((out, _), i) =>
-      val k = col(s"__k$i")
-      val hitA = col(s"__nlt_a$i") < k && k <= col(s"__nle_a$i")
-      val bracketOk = col(s"__nle_a$i") < k && k <= col(s"__nle_b$i")
-      val resolved = counted
-        .withColumn("__hit", when(hitA, col(s"__a$i")).otherwise(lit(null)))
-        .withColumn("__lo", when(bracketOk, col(s"__a$i")).otherwise(lit(null)))
-        .withColumn("__hi", when(bracketOk, col(s"__b$i")).otherwise(col("__max")))
-        .withColumn("__base", when(bracketOk, col(s"__nle_a$i")).otherwise(lit(0L)))
-      val hits = resolved.filter(col("__hit").isNotNull)
-        .select(g :+ col("__hit").as(out): _*)
-      val misses = resolved.filter(col("__hit").isNull)
-        .select(g ++ Seq(col("__lo"), col("__hi"), col("__base"), k.as("__k")): _*)
-      val inBracket = base.join(misses, groupCols)
-        .filter((col("__lo").isNull || col("__v") > col("__lo")) &&
-          col("__v") <= col("__hi"))
-      val bw = Window.partitionBy(g: _*).orderBy(col("__v"))
-      val extracted = inBracket
-        .withColumn("__r", row_number().over(bw) + col("__base"))
-        .filter(col("__r") === col("__k"))
-        .select(g :+ col("__v").as(out): _*)
-      hits.unionByName(extracted)
+    // pass 1: sizes + sketch brackets in ONE aggregation
+    val fracs: Seq[Double] = qs.flatMap { case (_, q) =>
+      Seq(math.max(0.0, q - eps), math.min(1.0, q + eps)) }
+    val p1 = base.groupBy(g: _*).agg(
+      count(lit(1)).as("__n"),
+      percentile_approx(col("__vd"), array(fracs.map(lit): _*),
+        lit(accuracy)).as("__c"))
+    val p1k = qs.zipWithIndex.foldLeft(p1) { case (acc, ((_, q), i)) =>
+      acc
+        .withColumn(s"__k$i", greatest(lit(1L), ceil(col("__n") * q).cast("long")))
+        .withColumn(s"__lo$i", when(col("__n") <= smallN,
+          lit(Double.NegativeInfinity)).otherwise(col("__c").getItem(2 * i)))
+        .withColumn(s"__hi$i", when(col("__n") <= smallN,
+          lit(Double.PositiveInfinity)).otherwise(col("__c").getItem(2 * i + 1)))
+    }.drop("__c", "__n")
+    val bc = broadcast(p1k)
+
+    // pass 2: slice value-histogram + strict below-bracket counts, exact
+    val inSlice = qs.indices.map(i =>
+      col("__vd") >= col(s"__lo$i") && col("__vd") <= col(s"__hi$i"))
+      .reduce(_ || _)
+    val p2 = base.join(bc, groupCols)
+      .groupBy(g :+ when(inSlice, col("__v")).as("__sv"): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        qs.indices.map(i =>
+          sum(when(col("__vd") < col(s"__lo$i"), 1L).otherwise(0L))
+            .as(s"__plt$i")): _*)
+
+    // finishing runs on the tiny histogram only
+    val totals = p2.groupBy(g: _*).agg(
+      sum(col("__plt0")).as("__nlt0"),
+      qs.indices.drop(1).map(i => sum(col(s"__plt$i")).as(s"__nlt$i")): _*)
+    val w = Window.partitionBy(g: _*).orderBy(col("__sv"))
+    val wAll = Window.partitionBy(g: _*).orderBy(col("__sv"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val hist = p2.filter(col("__sv").isNotNull)
+      .select(g ++ Seq(col("__sv"), col("__cnt")): _*)
+      .join(bc, groupCols)
+      .join(broadcast(totals), groupCols)
+      .withColumn("__svd", col("__sv").cast("double"))
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+    val withLt = qs.indices.foldLeft(hist) { case (acc, i) =>
+      acc.withColumn(s"__cumlt$i", coalesce(
+        max(when(col("__svd") < col(s"__lo$i"), col("__cum"))).over(wAll),
+        lit(0L)))
     }
-    perQ.reduce((a, b) => a.join(b, groupCols))
+    val selAggs = qs.zipWithIndex.map { case ((out, _), i) =>
+      min(when(col("__svd") >= col(s"__lo$i") &&
+        col(s"__nlt$i") + col("__cum") - col(s"__cumlt$i") >= col(s"__k$i"),
+        col("__sv"))).as(out)
+    }
+    val sel = withLt.groupBy(g: _*).agg(selAggs.head, selAggs.tail: _*)
+    val checked = qs.map { case (out, _) =>
+      when(col(out).isNotNull, col(out)).otherwise(raise_error(
+        lit(s"distributed-select: bracket miss for $out — GK bound violated")))
+        .as(out)
+    }
+    sel.select(g ++ checked: _*)
   }
 }

@@ -77,4 +77,31 @@ class DistributedSelectSpec extends SparkSpec {
     val b = DistributedSelect.lowerMedianByGroup(base.repartition(17), Seq("flag"), "v")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("quantilesByGroup: partition-count invariant even though sketch brackets may move") {
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val base = lineitem.select(col("l_returnflag").as("flag"),
+      col("l_extendedprice").cast(dec).as("v"))
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.50, "p99" -> 0.99)
+    // GK summaries merge in partition order, so the bracket ENDPOINTS can
+    // differ between these runs — the answers cannot (exact-count determined)
+    val a = DistributedSelect.quantilesByGroup(base.repartition(3), Seq("flag"), "v", qs)
+    val b = DistributedSelect.quantilesByGroup(base.repartition(17), Seq("flag"), "v", qs)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("quantilesByGroup: small groups (whole-group bracket) and all-ties groups") {
+    import spark.implicits._
+    val ties = Seq.fill(1000)(("g1", BigDecimal(5))) ++
+      (1 to 100).map(i => ("g2", BigDecimal(i))) ++
+      Seq(("g3", BigDecimal(42))) // n = 1
+    val df = ties.toDF("flag", "v")
+    val got = DistributedSelect.quantilesByGroup(df, Seq("flag"), "v",
+      Seq("med" -> 0.5, "p90" -> 0.9))
+      .as[(String, BigDecimal, BigDecimal)].collect()
+      .map { case (f, m, p) => f -> ((m, p)) }.toMap
+    assert(got("g1") == ((BigDecimal(5), BigDecimal(5))))
+    assert(got("g2") == ((BigDecimal(50), BigDecimal(90))))
+    assert(got("g3") == ((BigDecimal(42), BigDecimal(42))))
+  }
 }
