@@ -5,183 +5,335 @@ import java.util.Arrays;
 /**
  * Primitive-array validation kernels that need NO incubator module:
  * direct loops over the decoded backing arrays of an
- * {@code OnHeapColumnVector} (obtained reflectively by the caller),
- * replacing per-element virtual {@code ColumnVector} getters. These are
- * (a) the fallback lane when {@code jdk.incubator.vector} is absent and
- * (b) the null-aware and string lanes the Vector API path delegates to.
+ * {@code OnHeapColumnVector} (obtained reflectively by the caller).
+ * These are (a) the fallback lane when {@code jdk.incubator.vector} is
+ * absent and (b) the numeric/string lanes of the BITSET evaluation.
  *
- * BRANCHLESS discipline: validation predicates over real data are
- * branch-prediction hostile (a domain rule failing 30% of rows at
- * random costs ~10ns/row in mispredicts alone — measured via
- * tools/SimdProbe, where the compare itself is ~1ns). Every loop here
- * therefore accumulates {@code passN += ok ? 1 : 0} and stores the rank
- * unconditionally through conditional moves:
- * {@code rank[i] = ok ? cur : max(cur, failRank)} — no data-dependent
- * branch anywhere on the row path.
+ * BITSET contract (round 13 — replaces the per-row byte-rank merge):
+ * each kernel writes one PASS BIT per row into {@code bits}
+ * (64 rows/word, row {@code i} → bit {@code i&63} of word {@code i>>6}),
+ * zeroing the unused tail bits of the last word, and returns the pass
+ * count. Verdict assignment happens AFTER all rules ran, by word-wise
+ * boolean algebra + popcount in the caller — so no kernel ever touches
+ * a byte rank array, and the data→mask→rank bridge that made the rank
+ * formulation 3-6 ns/row (tools/BitProbe, this host) disappears. The
+ * branchless bit-assembly loops below auto-vectorize under C2's
+ * SuperWord (geLong 6.4 → 0.9 ns/row measured).
  *
- * Contract (same as {@code ColumnarValidation.VecTest.run}): count
- * passing rows; for each failing row {@code i}, store {@code failRank}
- * into {@code rank[i]} when it exceeds the current value. {@code nulls}
- * may be null (meaning: no null in the batch); a null row fails every
- * rule here (NotNull has its own kernel).
+ * Null semantics (same as before): {@code nulls} may be null (no null
+ * in the batch); a null row fails every rule here (NotNull has its own
+ * kernel).
  */
 public final class ByteKernels {
 
   private ByteKernels() {}
 
-  /** rank[i] = ok ? cur : max(cur, failRank), as straight-line code. */
-  private static byte merge(byte cur, boolean ok, byte failRank) {
-    byte failed = failRank > cur ? failRank : cur;
-    return ok ? cur : failed;
-  }
-
   // ------------------------------------------------------- numeric lanes
 
-  public static long rangeLong(long[] data, byte[] nulls, int n,
-      double lo, double hi, byte[] rank, byte failRank) {
+  public static long geLongBits(long[] data, byte[] nulls, int n, long min,
+      long[] bits) {
     long passN = 0L;
+    int full = n & ~63;
+    int i = 0;
     if (nulls == null) {
-      for (int i = 0; i < n; i++) {
-        double x = (double) data[i];
-        boolean ok = x >= lo & x <= hi;
-        passN += ok ? 1L : 0L;
-        rank[i] = merge(rank[i], ok, failRank);
+      for (; i < full; i += 64) {
+        long word = 0L;
+        for (int j = 0; j < 64; j++) {
+          word |= (data[i + j] >= min ? 1L : 0L) << j;
+        }
+        bits[i >> 6] = word;
+        passN += Long.bitCount(word);
       }
     } else {
-      for (int i = 0; i < n; i++) {
-        double x = (double) data[i];
-        boolean ok = nulls[i] == 0 & x >= lo & x <= hi;
-        passN += ok ? 1L : 0L;
-        rank[i] = merge(rank[i], ok, failRank);
+      for (; i < full; i += 64) {
+        long word = 0L;
+        for (int j = 0; j < 64; j++) {
+          word |= ((nulls[i + j] == 0) & (data[i + j] >= min) ? 1L : 0L) << j;
+        }
+        bits[i >> 6] = word;
+        passN += Long.bitCount(word);
       }
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        boolean ok = (nulls == null || nulls[k] == 0) & data[k] >= min;
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
     }
     return passN;
   }
 
-  public static long rangeInt(int[] data, byte[] nulls, int n,
-      double lo, double hi, byte[] rank, byte failRank) {
+  public static long rangeLongBits(long[] data, byte[] nulls, int n,
+      long lo, long hi, long[] bits) {
     long passN = 0L;
+    int full = n & ~63;
+    int i = 0;
     if (nulls == null) {
-      for (int i = 0; i < n; i++) {
-        double x = data[i];
-        boolean ok = x >= lo & x <= hi;
-        passN += ok ? 1L : 0L;
-        rank[i] = merge(rank[i], ok, failRank);
+      for (; i < full; i += 64) {
+        long word = 0L;
+        for (int j = 0; j < 64; j++) {
+          long x = data[i + j];
+          word |= ((x >= lo) & (x <= hi) ? 1L : 0L) << j;
+        }
+        bits[i >> 6] = word;
+        passN += Long.bitCount(word);
       }
     } else {
-      for (int i = 0; i < n; i++) {
-        double x = data[i];
-        boolean ok = nulls[i] == 0 & x >= lo & x <= hi;
-        passN += ok ? 1L : 0L;
-        rank[i] = merge(rank[i], ok, failRank);
+      for (; i < full; i += 64) {
+        long word = 0L;
+        for (int j = 0; j < 64; j++) {
+          long x = data[i + j];
+          word |= ((nulls[i + j] == 0) & (x >= lo) & (x <= hi) ? 1L : 0L) << j;
+        }
+        bits[i >> 6] = word;
+        passN += Long.bitCount(word);
       }
     }
-    return passN;
-  }
-
-  public static long rangeShort(short[] data, byte[] nulls, int n,
-      double lo, double hi, byte[] rank, byte failRank) {
-    long passN = 0L;
-    for (int i = 0; i < n; i++) {
-      double x = data[i];
-      boolean ok = (nulls == null || nulls[i] == 0) & x >= lo & x <= hi;
-      passN += ok ? 1L : 0L;
-      rank[i] = merge(rank[i], ok, failRank);
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        long x = data[k];
+        boolean ok = (nulls == null || nulls[k] == 0) & x >= lo & x <= hi;
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
     }
     return passN;
   }
 
-  public static long rangeByte(byte[] data, byte[] nulls, int n,
-      double lo, double hi, byte[] rank, byte failRank) {
+  public static long geIntBits(int[] data, byte[] nulls, int n, int min,
+      long[] bits) {
     long passN = 0L;
-    for (int i = 0; i < n; i++) {
-      double x = data[i];
-      boolean ok = (nulls == null || nulls[i] == 0) & x >= lo & x <= hi;
-      passN += ok ? 1L : 0L;
-      rank[i] = merge(rank[i], ok, failRank);
-    }
-    return passN;
-  }
-
-  public static long rangeDouble(double[] data, byte[] nulls, int n,
-      double lo, double hi, byte[] rank, byte failRank) {
-    long passN = 0L;
+    int full = n & ~63;
+    int i = 0;
     if (nulls == null) {
-      for (int i = 0; i < n; i++) {
-        double x = data[i];
-        boolean ok = x >= lo & x <= hi;
-        passN += ok ? 1L : 0L;
-        rank[i] = merge(rank[i], ok, failRank);
+      for (; i < full; i += 64) {
+        long word = 0L;
+        for (int j = 0; j < 64; j++) {
+          word |= (data[i + j] >= min ? 1L : 0L) << j;
+        }
+        bits[i >> 6] = word;
+        passN += Long.bitCount(word);
       }
     } else {
-      for (int i = 0; i < n; i++) {
-        double x = data[i];
-        boolean ok = nulls[i] == 0 & x >= lo & x <= hi;
-        passN += ok ? 1L : 0L;
-        rank[i] = merge(rank[i], ok, failRank);
+      for (; i < full; i += 64) {
+        long word = 0L;
+        for (int j = 0; j < 64; j++) {
+          word |= ((nulls[i + j] == 0) & (data[i + j] >= min) ? 1L : 0L) << j;
+        }
+        bits[i >> 6] = word;
+        passN += Long.bitCount(word);
       }
     }
-    return passN;
-  }
-
-  public static long rangeFloat(float[] data, byte[] nulls, int n,
-      double lo, double hi, byte[] rank, byte failRank) {
-    long passN = 0L;
-    for (int i = 0; i < n; i++) {
-      double x = data[i];
-      boolean ok = (nulls == null || nulls[i] == 0) & x >= lo & x <= hi;
-      passN += ok ? 1L : 0L;
-      rank[i] = merge(rank[i], ok, failRank);
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        boolean ok = (nulls == null || nulls[k] == 0) & data[k] >= min;
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
     }
     return passN;
   }
 
-  public static long geLong(long[] data, byte[] nulls, int n, long min,
-      byte[] rank, byte failRank) {
+  public static long rangeIntBits(int[] data, byte[] nulls, int n,
+      int lo, int hi, long[] bits) {
     long passN = 0L;
+    int full = n & ~63;
+    int i = 0;
     if (nulls == null) {
-      for (int i = 0; i < n; i++) {
-        boolean ok = data[i] >= min;
-        passN += ok ? 1L : 0L;
-        rank[i] = merge(rank[i], ok, failRank);
+      for (; i < full; i += 64) {
+        long word = 0L;
+        for (int j = 0; j < 64; j++) {
+          int x = data[i + j];
+          word |= ((x >= lo) & (x <= hi) ? 1L : 0L) << j;
+        }
+        bits[i >> 6] = word;
+        passN += Long.bitCount(word);
       }
     } else {
-      for (int i = 0; i < n; i++) {
-        boolean ok = nulls[i] == 0 & data[i] >= min;
-        passN += ok ? 1L : 0L;
-        rank[i] = merge(rank[i], ok, failRank);
+      for (; i < full; i += 64) {
+        long word = 0L;
+        for (int j = 0; j < 64; j++) {
+          int x = data[i + j];
+          word |= ((nulls[i + j] == 0) & (x >= lo) & (x <= hi) ? 1L : 0L) << j;
+        }
+        bits[i >> 6] = word;
+        passN += Long.bitCount(word);
       }
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        int x = data[k];
+        boolean ok = (nulls == null || nulls[k] == 0) & x >= lo & x <= hi;
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
     }
     return passN;
   }
 
-  public static long geInt(int[] data, byte[] nulls, int n, int min,
-      byte[] rank, byte failRank) {
+  public static long rangeShortBits(short[] data, byte[] nulls, int n,
+      int lo, int hi, long[] bits) {
     long passN = 0L;
+    int full = n & ~63;
+    int i = 0;
+    for (; i < full; i += 64) {
+      long word = 0L;
+      for (int j = 0; j < 64; j++) {
+        int x = data[i + j];
+        boolean ok = (nulls == null || nulls[i + j] == 0) & x >= lo & x <= hi;
+        word |= (ok ? 1L : 0L) << j;
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        int x = data[k];
+        boolean ok = (nulls == null || nulls[k] == 0) & x >= lo & x <= hi;
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    return passN;
+  }
+
+  public static long rangeByteBits(byte[] data, byte[] nulls, int n,
+      int lo, int hi, long[] bits) {
+    long passN = 0L;
+    int full = n & ~63;
+    int i = 0;
+    for (; i < full; i += 64) {
+      long word = 0L;
+      for (int j = 0; j < 64; j++) {
+        int x = data[i + j];
+        boolean ok = (nulls == null || nulls[i + j] == 0) & x >= lo & x <= hi;
+        word |= (ok ? 1L : 0L) << j;
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        int x = data[k];
+        boolean ok = (nulls == null || nulls[k] == 0) & x >= lo & x <= hi;
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    return passN;
+  }
+
+  /** IEEE semantics: NaN fails both compares. */
+  public static long rangeDoubleBits(double[] data, byte[] nulls, int n,
+      double lo, double hi, long[] bits) {
+    long passN = 0L;
+    int full = n & ~63;
+    int i = 0;
     if (nulls == null) {
-      for (int i = 0; i < n; i++) {
-        boolean ok = data[i] >= min;
-        passN += ok ? 1L : 0L;
-        rank[i] = merge(rank[i], ok, failRank);
+      for (; i < full; i += 64) {
+        long word = 0L;
+        for (int j = 0; j < 64; j++) {
+          double x = data[i + j];
+          word |= ((x >= lo) & (x <= hi) ? 1L : 0L) << j;
+        }
+        bits[i >> 6] = word;
+        passN += Long.bitCount(word);
       }
     } else {
-      for (int i = 0; i < n; i++) {
-        boolean ok = nulls[i] == 0 & data[i] >= min;
-        passN += ok ? 1L : 0L;
-        rank[i] = merge(rank[i], ok, failRank);
+      for (; i < full; i += 64) {
+        long word = 0L;
+        for (int j = 0; j < 64; j++) {
+          double x = data[i + j];
+          word |= ((nulls[i + j] == 0) & (x >= lo) & (x <= hi) ? 1L : 0L) << j;
+        }
+        bits[i >> 6] = word;
+        passN += Long.bitCount(word);
       }
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        double x = data[k];
+        boolean ok = (nulls == null || nulls[k] == 0) & x >= lo & x <= hi;
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
     }
     return passN;
   }
 
-  public static long notNull(byte[] nulls, int n, byte[] rank, byte failRank) {
+  public static long rangeFloatBits(float[] data, byte[] nulls, int n,
+      double lo, double hi, long[] bits) {
     long passN = 0L;
-    for (int i = 0; i < n; i++) {
-      boolean ok = nulls[i] == 0;
-      passN += ok ? 1L : 0L;
-      rank[i] = merge(rank[i], ok, failRank);
+    int full = n & ~63;
+    int i = 0;
+    for (; i < full; i += 64) {
+      long word = 0L;
+      for (int j = 0; j < 64; j++) {
+        double x = data[i + j];
+        boolean ok = (nulls == null || nulls[i + j] == 0) & x >= lo & x <= hi;
+        word |= (ok ? 1L : 0L) << j;
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        double x = data[k];
+        boolean ok = (nulls == null || nulls[k] == 0) & x >= lo & x <= hi;
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
     }
     return passN;
+  }
+
+  public static long notNullBits(byte[] nulls, int n, long[] bits) {
+    long passN = 0L;
+    int full = n & ~63;
+    int i = 0;
+    for (; i < full; i += 64) {
+      long word = 0L;
+      for (int j = 0; j < 64; j++) {
+        word |= (nulls[i + j] == 0 ? 1L : 0L) << j;
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        word |= (nulls[k] == 0 ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    return passN;
+  }
+
+  /** All rows pass: words of ones with a masked tail. Returns n. */
+  public static long allPassBits(int n, long[] bits) {
+    int words = (n + 63) >> 6;
+    Arrays.fill(bits, 0, words, -1L);
+    int rem = n & 63;
+    if (rem != 0) bits[words - 1] = (1L << rem) - 1;
+    return n;
   }
 
   // -------------------------------------------------------- string lanes
@@ -203,122 +355,203 @@ public final class ByteKernels {
     return diff == 0;
   }
 
-  public static long equalsLit(int[] offs, int[] lens, byte[] child,
-      byte[] nulls, int n, byte[] pat, byte[] rank, byte failRank) {
+  public static long equalsLitBits(int[] offs, int[] lens, byte[] child,
+      byte[] nulls, int n, byte[] pat, long[] bits) {
     long passN = 0L;
     int pl = pat.length;
-    if (pl == 1) {
-      // 1-byte literal (the classic flag column): fully branch-free row
-      byte p0 = pat[0];
-      for (int i = 0; i < n; i++) {
-        // && gates the child read: an empty row's offset may sit one
-        // past the child store; the length test is prediction-friendly
-        boolean ok = (nulls == null || nulls[i] == 0) & lens[i] == 1
-            && child[offs[i]] == p0;
-        passN += ok ? 1L : 0L;
-        rank[i] = merge(rank[i], ok, failRank);
-      }
-      return passN;
-    }
-    for (int i = 0; i < n; i++) {
-      // length gates the region read (safe: equal length implies the
-      // row's own bytes), the boolean algebra stays branch-free
-      boolean ok = (nulls == null || nulls[i] == 0) & lens[i] == pl
-          && eq(child, offs[i], pat);
-      passN += ok ? 1L : 0L;
-      rank[i] = merge(rank[i], ok, failRank);
-    }
-    return passN;
-  }
-
-  public static long startsWith(int[] offs, int[] lens, byte[] child,
-      byte[] nulls, int n, byte[] pat, byte[] rank, byte failRank) {
-    long passN = 0L;
-    int pl = pat.length;
+    int full = n & ~63;
+    int i = 0;
     if (pl == 1) {
       byte p0 = pat[0];
-      for (int i = 0; i < n; i++) {
-        boolean ok = (nulls == null || nulls[i] == 0) & lens[i] >= 1
-            && child[offs[i]] == p0;
-        passN += ok ? 1L : 0L;
-        rank[i] = merge(rank[i], ok, failRank);
-      }
-      return passN;
-    }
-    for (int i = 0; i < n; i++) {
-      boolean ok = (nulls == null || nulls[i] == 0) & lens[i] >= pl
-          && eq(child, offs[i], pat);
-      passN += ok ? 1L : 0L;
-      rank[i] = merge(rank[i], ok, failRank);
-    }
-    return passN;
-  }
-
-  public static long endsWith(int[] offs, int[] lens, byte[] child,
-      byte[] nulls, int n, byte[] pat, byte[] rank, byte failRank) {
-    long passN = 0L;
-    int pl = pat.length;
-    if (pl == 1) {
-      byte p0 = pat[0];
-      for (int i = 0; i < n; i++) {
-        int len = lens[i];
-        boolean ok = (nulls == null || nulls[i] == 0) & len >= 1
-            && child[offs[i] + len - 1] == p0;
-        passN += ok ? 1L : 0L;
-        rank[i] = merge(rank[i], ok, failRank);
-      }
-      return passN;
-    }
-    for (int i = 0; i < n; i++) {
-      boolean ok = (nulls == null || nulls[i] == 0) & lens[i] >= pl
-          && eq(child, offs[i] + lens[i] - pl, pat);
-      passN += ok ? 1L : 0L;
-      rank[i] = merge(rank[i], ok, failRank);
-    }
-    return passN;
-  }
-
-  public static long containsLit(int[] offs, int[] lens, byte[] child,
-      byte[] nulls, int n, byte[] pat, byte[] rank, byte failRank) {
-    long passN = 0L;
-    int pl = pat.length;
-    for (int i = 0; i < n; i++) {
-      boolean ok = nulls == null || nulls[i] == 0;
-      if (ok && pl > 0) {
-        ok = false;
-        int start = offs[i];
-        int last = offs[i] + lens[i] - pl;
-        byte first = pat[0];
-        for (int s = start; s <= last; s++) {
-          if (child[s] == first && eq(child, s, pat)) {
-            ok = true;
-            break;
-          }
+      for (; i < full; i += 64) {
+        long word = 0L;
+        for (int j = 0; j < 64; j++) {
+          int k = i + j;
+          // && gates the child read: an empty row's offset may sit one
+          // past the child store; the length test is prediction-friendly
+          boolean ok = (nulls == null || nulls[k] == 0) & lens[k] == 1
+              && child[offs[k]] == p0;
+          word |= (ok ? 1L : 0L) << j;
         }
+        bits[i >> 6] = word;
+        passN += Long.bitCount(word);
       }
-      passN += ok ? 1L : 0L;
-      rank[i] = merge(rank[i], ok, failRank);
+      if (i < n) {
+        long word = 0L;
+        for (int k = i; k < n; k++) {
+          boolean ok = (nulls == null || nulls[k] == 0) & lens[k] == 1
+              && child[offs[k]] == p0;
+          word |= (ok ? 1L : 0L) << (k - i);
+        }
+        bits[i >> 6] = word;
+        passN += Long.bitCount(word);
+      }
+      return passN;
+    }
+    for (; i < full; i += 64) {
+      long word = 0L;
+      for (int j = 0; j < 64; j++) {
+        int k = i + j;
+        boolean ok = (nulls == null || nulls[k] == 0) & lens[k] == pl
+            && eq(child, offs[k], pat);
+        word |= (ok ? 1L : 0L) << j;
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        boolean ok = (nulls == null || nulls[k] == 0) & lens[k] == pl
+            && eq(child, offs[k], pat);
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    return passN;
+  }
+
+  public static long startsWithBits(int[] offs, int[] lens, byte[] child,
+      byte[] nulls, int n, byte[] pat, long[] bits) {
+    long passN = 0L;
+    int pl = pat.length;
+    int full = n & ~63;
+    int i = 0;
+    for (; i < full; i += 64) {
+      long word = 0L;
+      for (int j = 0; j < 64; j++) {
+        int k = i + j;
+        boolean ok = (nulls == null || nulls[k] == 0) & lens[k] >= pl
+            && eq(child, offs[k], pat);
+        word |= (ok ? 1L : 0L) << j;
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        boolean ok = (nulls == null || nulls[k] == 0) & lens[k] >= pl
+            && eq(child, offs[k], pat);
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    return passN;
+  }
+
+  public static long endsWithBits(int[] offs, int[] lens, byte[] child,
+      byte[] nulls, int n, byte[] pat, long[] bits) {
+    long passN = 0L;
+    int pl = pat.length;
+    int full = n & ~63;
+    int i = 0;
+    for (; i < full; i += 64) {
+      long word = 0L;
+      for (int j = 0; j < 64; j++) {
+        int k = i + j;
+        boolean ok = (nulls == null || nulls[k] == 0) & lens[k] >= pl
+            && eq(child, offs[k] + lens[k] - pl, pat);
+        word |= (ok ? 1L : 0L) << j;
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        boolean ok = (nulls == null || nulls[k] == 0) & lens[k] >= pl
+            && eq(child, offs[k] + lens[k] - pl, pat);
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    return passN;
+  }
+
+  private static boolean containsAt(byte[] child, int off, int len, byte[] pat) {
+    int pl = pat.length;
+    if (pl == 0) return true;
+    int last = off + len - pl;
+    byte first = pat[0];
+    for (int s = off; s <= last; s++) {
+      if (child[s] == first && eq(child, s, pat)) return true;
+    }
+    return false;
+  }
+
+  public static long containsLitBits(int[] offs, int[] lens, byte[] child,
+      byte[] nulls, int n, byte[] pat, long[] bits) {
+    long passN = 0L;
+    int full = n & ~63;
+    int i = 0;
+    for (; i < full; i += 64) {
+      long word = 0L;
+      for (int j = 0; j < 64; j++) {
+        int k = i + j;
+        boolean ok = (nulls == null || nulls[k] == 0)
+            && containsAt(child, offs[k], lens[k], pat);
+        word |= (ok ? 1L : 0L) << j;
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        boolean ok = (nulls == null || nulls[k] == 0)
+            && containsAt(child, offs[k], lens[k], pat);
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
     }
     return passN;
   }
 
   /** Allowed-set membership (tiny domains): OR-accumulated over the
    *  candidates — no early exit, no per-candidate mispredict. */
-  public static long domain(int[] offs, int[] lens, byte[] child,
-      byte[] nulls, int n, byte[][] candidates, byte[] rank, byte failRank) {
+  public static long domainBits(int[] offs, int[] lens, byte[] child,
+      byte[] nulls, int n, byte[][] candidates, long[] bits) {
     long passN = 0L;
     int nc = candidates.length;
-    for (int i = 0; i < n; i++) {
-      int len = lens[i];
-      int off = offs[i];
-      boolean match = false;
-      for (int c = 0; c < nc; c++) {
-        byte[] cand = candidates[c];
-        match |= cand.length == len && eq(child, off, cand);
+    int full = n & ~63;
+    int i = 0;
+    for (; i < full; i += 64) {
+      long word = 0L;
+      for (int j = 0; j < 64; j++) {
+        int k = i + j;
+        int len = lens[k];
+        int off = offs[k];
+        boolean match = false;
+        for (int c = 0; c < nc; c++) {
+          byte[] cand = candidates[c];
+          match |= cand.length == len && eq(child, off, cand);
+        }
+        boolean ok = (nulls == null || nulls[k] == 0) & match;
+        word |= (ok ? 1L : 0L) << j;
       }
-      boolean ok = (nulls == null || nulls[i] == 0) & match;
-      passN += ok ? 1L : 0L;
-      rank[i] = merge(rank[i], ok, failRank);
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        int len = lens[k];
+        int off = offs[k];
+        boolean match = false;
+        for (int c = 0; c < nc; c++) {
+          byte[] cand = candidates[c];
+          match |= cand.length == len && eq(child, off, cand);
+        }
+        boolean ok = (nulls == null || nulls[k] == 0) & match;
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
     }
     return passN;
   }

@@ -80,69 +80,48 @@ public final class SimdKernels {
   }
 
   /** Set membership over the contiguous 1-byte rows:
-   *  child[base+i] ∈ {c0,c1,c2,c3} (callers pad unused slots with c0).
+   *  child[base+i] ∈ {c0,c1,c2,c3} (callers pad unused slots with c0),
+   *  one PASS BIT per row into bits (64 rows/word, tail zeroed).
    *  Covers Domain rules with ≤4 single-byte members AND the 1-byte
    *  Equals/StartsWith/EndsWith/Contains rewrites (on length-1 rows
-   *  they all reduce to byte equality). Mask and rank share the byte
-   *  species — native blend, 64 rows per 512-bit op. */
-  public static long byteSetContig(byte[] child, int base, int n,
-      byte c0, byte c1, byte c2, byte c3,
-      byte[] nulls, byte[] rank, byte failRank) {
+   *  they all reduce to byte equality). One 512-bit compare block per
+   *  64 rows; the mask leaves the vector domain through toLong — the
+   *  only bridge the bitset design needs (~1.7 ns/row measured,
+   *  tools/BitProbe). */
+  public static long byteSetContigBits(byte[] child, int base, int n,
+      byte c0, byte c1, byte c2, byte c3, byte[] nulls, long[] bits) {
     VectorSpecies<Byte> sp = ByteVector.SPECIES_PREFERRED;
     int lanes = sp.length();
     long passN = 0L;
     int i = 0;
-    int upper = sp.loopBound(n);
-    for (; i < upper; i += lanes) {
-      ByteVector b = ByteVector.fromArray(sp, child, base + i);
-      VectorMask<Byte> pass = b.compare(VectorOperators.EQ, c0)
-          .or(b.compare(VectorOperators.EQ, c1))
-          .or(b.compare(VectorOperators.EQ, c2))
-          .or(b.compare(VectorOperators.EQ, c3));
-      if (nulls != null) {
-        pass = pass.and(
-            ByteVector.fromArray(sp, nulls, i).compare(VectorOperators.EQ, (byte) 0));
+    int upper = n & ~63;
+    for (; i < upper; i += 64) {
+      long word = 0L;
+      for (int j = 0; j < 64; j += lanes) {
+        ByteVector b = ByteVector.fromArray(sp, child, base + i + j);
+        VectorMask<Byte> pass = b.compare(VectorOperators.EQ, c0)
+            .or(b.compare(VectorOperators.EQ, c1))
+            .or(b.compare(VectorOperators.EQ, c2))
+            .or(b.compare(VectorOperators.EQ, c3));
+        if (nulls != null) {
+          pass = pass.and(ByteVector.fromArray(sp, nulls, i + j)
+              .compare(VectorOperators.EQ, (byte) 0));
+        }
+        word |= pass.toLong() << j;
       }
-      passN += pass.trueCount();
-      ByteVector rv = ByteVector.fromArray(sp, rank, i);
-      rv.lanewise(VectorOperators.MAX, failRank, pass.not()).intoArray(rank, i);
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
     }
-    for (; i < n; i++) {
-      byte b = child[base + i];
-      boolean ok = (nulls == null || nulls[i] == 0)
-          & (b == c0 | b == c1 | b == c2 | b == c3);
-      passN += ok ? 1L : 0L;
-      byte cur = rank[i];
-      byte failed = failRank > cur ? failRank : cur;
-      rank[i] = ok ? cur : failed;
-    }
-    return passN;
-  }
-
-  /** NotNull over the nulls byte array (0 = present): count the zeros
-   *  and rank-merge the null rows. Mask and rank share the byte
-   *  species, so the merge is one native blend-MAX per block —
-   *  64 rows per 512-bit op. The vector's own hasNull()==false
-   *  all-pass shortcut never reaches here. */
-  public static long notNull(byte[] nulls, int n, byte[] rank, byte failRank) {
-    VectorSpecies<Byte> sp = ByteVector.SPECIES_PREFERRED;
-    int lanes = sp.length();
-    long passN = 0L;
-    int i = 0;
-    int upper = sp.loopBound(n);
-    for (; i < upper; i += lanes) {
-      ByteVector bv = ByteVector.fromArray(sp, nulls, i);
-      VectorMask<Byte> pass = bv.compare(VectorOperators.EQ, (byte) 0);
-      passN += pass.trueCount();
-      ByteVector rv = ByteVector.fromArray(sp, rank, i);
-      rv.lanewise(VectorOperators.MAX, failRank, pass.not()).intoArray(rank, i);
-    }
-    for (; i < n; i++) {
-      boolean ok = nulls[i] == 0;
-      passN += ok ? 1L : 0L;
-      byte cur = rank[i];
-      byte failed = failRank > cur ? failRank : cur;
-      rank[i] = ok ? cur : failed;
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        byte b = child[base + k];
+        boolean ok = (nulls == null || nulls[k] == 0)
+            & (b == c0 | b == c1 | b == c2 | b == c3);
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
     }
     return passN;
   }

@@ -60,205 +60,204 @@ object ColumnarValidation {
   // ---------------------------------------------------------- kernels
 
   /** One rule's pass-test over a column vector. Each concrete class
-    * OWNS its batch loop ([[VecTest.run]]): the per-row calls inside
-    * are then monomorphic receivers the JIT inlines — a single shared
-    * loop calling `pass(v, i)` through the trait was measured
+    * OWNS its batch loop ([[VecTest.runBits]]): the per-row calls
+    * inside are then monomorphic receivers the JIT inlines — a single
+    * shared loop calling `pass(v, i)` through the trait was measured
     * megamorphic (tools/KernelProbe: the same work ran slower than the
     * sum of its single-rule cells). `pass` remains the semantic spec
-    * and the slow-path; `run` must agree with a pass()-loop exactly.
+    * and the slow-path; `runBits` must agree with a pass()-loop
+    * exactly.
     *
-    * Contract of run: count passes; for each failing row i with
-    * failRank > rankArr(i), store failRank. Nulls fail every rule
-    * except NotNull (Kleene null→fail, as the Column pipeline). */
+    * Contract of runBits (round 13 — the BITSET evaluation): write one
+    * PASS BIT per row into `bits` (64 rows/word, row i → bit i&63 of
+    * word i>>6), zero the unused tail bits of the last word, return
+    * the pass count. Verdict ranks are reconstructed afterwards by
+    * word algebra + popcount in [[evalBatches]] — no kernel touches a
+    * rank array, which removed the data-mask→byte-rank bridge that
+    * dominated the rank formulation (tools/BitProbe: geLong
+    * 6.4 → 0.9 ns/row). Nulls fail every rule except NotNull (Kleene
+    * null→fail, as the Column pipeline). */
   sealed trait VecTest extends Serializable {
     def pass(v: ColumnVector, i: Int): Boolean
-    def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+    def runBits(v: ColumnVector, n: Int, bits: Array[Long]): Long =
+      genericBits(v, n, bits)
+    /** The universally-correct slow path: per-row pass() into bits. */
+    protected final def genericBits(v: ColumnVector, n: Int,
+        bits: Array[Long]): Long = {
+      java.util.Arrays.fill(bits, 0, (n + 63) >> 6, 0L)
       var passN = 0L; var i = 0
       while (i < n) {
-        if (pass(v, i)) passN += 1L
-        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        if (pass(v, i)) { bits(i >> 6) |= 1L << (i & 63); passN += 1L }
         i += 1
       }
       passN
     }
   }
+
+  /** Smallest long x with monotone p(x), or None. Construction-time
+    * only — BigInt midpoints sidestep midpoint-overflow entirely. */
+  private def smallestLongWith(p: Long => Boolean): Option[Long] =
+    if (!p(Long.MaxValue)) None
+    else if (p(Long.MinValue)) Some(Long.MinValue)
+    else {
+      var lo = BigInt(Long.MinValue); var hi = BigInt(Long.MaxValue)
+      while (hi - lo > 1) {
+        val mid = (lo + hi) / 2
+        if (p(mid.toLong)) hi = mid else lo = mid
+      }
+      Some(hi.toLong)
+    }
+
+  private def largestLongWith(p: Long => Boolean): Option[Long] =
+    if (!p(Long.MinValue)) None
+    else if (p(Long.MaxValue)) Some(Long.MaxValue)
+    else {
+      var lo = BigInt(Long.MinValue); var hi = BigInt(Long.MaxValue)
+      while (hi - lo > 1) {
+        val mid = (lo + hi) / 2
+        if (p(mid.toLong)) lo = mid else hi = mid
+      }
+      Some(lo.toLong)
+    }
+
+  /** [xmin, xmax] of longs whose DOUBLE image lands in [lo, hi] — the
+    * row pipeline promotes integral columns to double against double
+    * literals, so the kernel's integer compare must reproduce exactly
+    * the set {x : (double)x >= lo && (double)x <= hi} (2^53 rounding
+    * included; pinned by ColumnarValidationSpec). Empty range → None. */
+  private def longBoundsFor(lo: Double, hi: Double): Option[(Long, Long)] = {
+    if (lo.isNaN || hi.isNaN) return None
+    for {
+      mn <- smallestLongWith(x => x.toDouble >= lo)
+      mx <- largestLongWith(x => x.toDouble <= hi)
+      if mn <= mx
+    } yield (mn, mx)
+  }
+
+  private def intBoundsFor(lo: Double, hi: Double): Option[(Int, Int)] =
+    longBoundsFor(lo, hi).flatMap { case (mn, mx) =>
+      val a = math.max(mn, Int.MinValue.toLong)
+      val b = math.min(mx, Int.MaxValue.toLong)
+      if (a <= b) Some((a.toInt, b.toInt)) else None
+    }
+
   private final class NotNull extends VecTest {
     def pass(v: ColumnVector, i: Int): Boolean = !v.isNullAt(i)
-    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
-      if (!v.hasNull) return n.toLong // null-free vector: every row passes
-      val fast = FastLanes.notNull(v, n, rankArr, failRank)
-      if (fast >= 0) return fast
-      var passN = 0L; var i = 0
-      while (i < n) {
-        if (!v.isNullAt(i)) passN += 1L
-        else if (failRank > rankArr(i)) rankArr(i) = failRank
-        i += 1
-      }
-      passN
+    override def runBits(v: ColumnVector, n: Int, bits: Array[Long]): Long = {
+      if (!v.hasNull) // null-free vector: every row passes
+        return graft.simd.ByteKernels.allPassBits(n, bits)
+      val fast = FastLanes.notNullBits(v, n, bits)
+      if (fast >= 0) fast else genericBits(v, n, bits)
     }
   }
+
   private final class RangeLong(lo: Double, hi: Double) extends VecTest {
+    // exact long image of the double range, precomputed once
+    private val b = longBoundsFor(lo, hi)
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getLong(i); x >= lo && x <= hi }
-    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
-      val fast = FastLanes.rangeLong(v, n, lo, hi, rankArr, failRank)
-      if (fast >= 0) return fast
-      if (!v.hasNull) {
-        var passN = 0L; var i = 0
-        while (i < n) {
-          if ({ val x = v.getLong(i); x >= lo && x <= hi }) passN += 1L
-          else if (failRank > rankArr(i)) rankArr(i) = failRank
-          i += 1
-        }
-        return passN
+    override def runBits(v: ColumnVector, n: Int, bits: Array[Long]): Long =
+      b match {
+        case None =>
+          java.util.Arrays.fill(bits, 0, (n + 63) >> 6, 0L); 0L
+        case Some((mn, mx)) =>
+          val fast = FastLanes.rangeLongBits(v, n, mn, mx, bits)
+          if (fast >= 0) fast else genericBits(v, n, bits)
       }
-      var passN = 0L; var i = 0
-      while (i < n) {
-        if (!v.isNullAt(i) && { val x = v.getLong(i); x >= lo && x <= hi }) passN += 1L
-        else if (failRank > rankArr(i)) rankArr(i) = failRank
-        i += 1
-      }
-      passN
-    }
   }
   private final class RangeInt(lo: Double, hi: Double) extends VecTest {
+    private val b = intBoundsFor(lo, hi)
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getInt(i); x >= lo && x <= hi }
-    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
-      val fast = FastLanes.rangeInt(v, n, lo, hi, rankArr, failRank)
-      if (fast >= 0) return fast
-      if (!v.hasNull) {
-        var passN = 0L; var i = 0
-        while (i < n) {
-          if ({ val x = v.getInt(i); x >= lo && x <= hi }) passN += 1L
-          else if (failRank > rankArr(i)) rankArr(i) = failRank
-          i += 1
-        }
-        return passN
+    override def runBits(v: ColumnVector, n: Int, bits: Array[Long]): Long =
+      b match {
+        case None =>
+          java.util.Arrays.fill(bits, 0, (n + 63) >> 6, 0L); 0L
+        case Some((mn, mx)) =>
+          val fast = FastLanes.rangeIntBits(v, n, mn, mx, bits)
+          if (fast >= 0) fast else genericBits(v, n, bits)
       }
-      var passN = 0L; var i = 0
-      while (i < n) {
-        if (!v.isNullAt(i) && { val x = v.getInt(i); x >= lo && x <= hi }) passN += 1L
-        else if (failRank > rankArr(i)) rankArr(i) = failRank
-        i += 1
-      }
-      passN
-    }
   }
-  /** ShortType/ByteType vectors store values in their own typed arrays
-    * (On/OffHeapColumnVector.shortData/byteData) — getInt on them NPEs,
+  /** SHORT/BYTE decode to their own backing arrays (not intData),
     * so each width gets its own accessor kernel. */
   private final class RangeShort(lo: Double, hi: Double) extends VecTest {
+    private val b = intBoundsFor(lo, hi)
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getShort(i); x >= lo && x <= hi }
-    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
-      val fast = FastLanes.rangeShort(v, n, lo, hi, rankArr, failRank)
-      if (fast >= 0) return fast
-      if (!v.hasNull) {
-        var passN = 0L; var i = 0
-        while (i < n) {
-          if ({ val x = v.getShort(i); x >= lo && x <= hi }) passN += 1L
-          else if (failRank > rankArr(i)) rankArr(i) = failRank
-          i += 1
-        }
-        return passN
+    override def runBits(v: ColumnVector, n: Int, bits: Array[Long]): Long =
+      b match {
+        case None =>
+          java.util.Arrays.fill(bits, 0, (n + 63) >> 6, 0L); 0L
+        case Some((mn, mx)) =>
+          val fast = FastLanes.rangeShortBits(v, n, mn, mx, bits)
+          if (fast >= 0) fast else genericBits(v, n, bits)
       }
-      var passN = 0L; var i = 0
-      while (i < n) {
-        if (!v.isNullAt(i) && { val x = v.getShort(i); x >= lo && x <= hi }) passN += 1L
-        else if (failRank > rankArr(i)) rankArr(i) = failRank
-        i += 1
-      }
-      passN
-    }
   }
   private final class RangeByte(lo: Double, hi: Double) extends VecTest {
+    private val b = intBoundsFor(lo, hi)
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getByte(i); x >= lo && x <= hi }
-    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
-      val fast = FastLanes.rangeByte(v, n, lo, hi, rankArr, failRank)
-      if (fast >= 0) return fast
-      if (!v.hasNull) {
-        var passN = 0L; var i = 0
-        while (i < n) {
-          if ({ val x = v.getByte(i); x >= lo && x <= hi }) passN += 1L
-          else if (failRank > rankArr(i)) rankArr(i) = failRank
-          i += 1
-        }
-        return passN
+    override def runBits(v: ColumnVector, n: Int, bits: Array[Long]): Long =
+      b match {
+        case None =>
+          java.util.Arrays.fill(bits, 0, (n + 63) >> 6, 0L); 0L
+        case Some((mn, mx)) =>
+          val fast = FastLanes.rangeByteBits(v, n, mn, mx, bits)
+          if (fast >= 0) fast else genericBits(v, n, bits)
       }
-      var passN = 0L; var i = 0
-      while (i < n) {
-        if (!v.isNullAt(i) && { val x = v.getByte(i); x >= lo && x <= hi }) passN += 1L
-        else if (failRank > rankArr(i)) rankArr(i) = failRank
-        i += 1
-      }
-      passN
-    }
   }
   /** DECIMAL range: the row pipeline's `col.between(lo, hi)` coerces a
     * decimal column against double literals by promoting BOTH to
-    * double, so the kernel compares `getDecimal(..).toDouble` — the
-    * identical-semantics contract, not a tighter decimal compare. */
+    * double, so the semantic test compares `getDecimal(..).toDouble` —
+    * identical-semantics contract, not a tighter decimal compare. The
+    * FAST LANE (r13, prescribed): precision ≤ 18 decimals decode to
+    * raw unscaled int/long arrays, and `u ↦ (double)(u·10^-s)` is
+    * monotone, so the exact unscaled image [uMin, uMax] of the double
+    * range is found once by binary search over toDouble and the batch
+    * loop is a pure integer compare. */
   private final class RangeDecimal(lo: Double, hi: Double, p: Int, s: Int) extends VecTest {
+    private def toD(u: Long): Double =
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(u), s).doubleValue()
+    private val b: Option[(Long, Long)] =
+      if (lo.isNaN || hi.isNaN) None
+      else for {
+        mn <- smallestLongWith(u => toD(u) >= lo)
+        mx <- largestLongWith(u => toD(u) <= hi)
+        if mn <= mx
+      } yield (mn, mx)
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getDecimal(i, p, s).toDouble; x >= lo && x <= hi }
-    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
-      if (!v.hasNull) {
-        var passN = 0L; var i = 0
-        while (i < n) {
-          if ({ val x = v.getDecimal(i, p, s).toDouble; x >= lo && x <= hi }) passN += 1L
-          else if (failRank > rankArr(i)) rankArr(i) = failRank
-          i += 1
-        }
-        return passN
+    override def runBits(v: ColumnVector, n: Int, bits: Array[Long]): Long =
+      b match {
+        case None =>
+          java.util.Arrays.fill(bits, 0, (n + 63) >> 6, 0L); 0L
+        case Some((mn, mx)) =>
+          val fast =
+            if (p <= org.apache.spark.sql.types.Decimal.MAX_INT_DIGITS) {
+              val a = math.max(mn, Int.MinValue.toLong)
+              val z = math.min(mx, Int.MaxValue.toLong)
+              if (a > z) { java.util.Arrays.fill(bits, 0, (n + 63) >> 6, 0L); return 0L }
+              FastLanes.rangeIntBits(v, n, a.toInt, z.toInt, bits)
+            } else if (p <= org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS)
+              FastLanes.rangeLongBits(v, n, mn, mx, bits)
+            else -1L
+          if (fast >= 0) fast else genericBits(v, n, bits)
       }
-      var passN = 0L; var i = 0
-      while (i < n) {
-        if (!v.isNullAt(i) && { val x = v.getDecimal(i, p, s).toDouble; x >= lo && x <= hi }) passN += 1L
-        else if (failRank > rankArr(i)) rankArr(i) = failRank
-        i += 1
-      }
-      passN
-    }
   }
   private final class RangeDouble(lo: Double, hi: Double) extends VecTest {
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getDouble(i); x >= lo && x <= hi }
-    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
-      val fast = FastLanes.rangeDouble(v, n, lo, hi, rankArr, failRank)
-      if (fast >= 0) return fast
-      if (!v.hasNull) {
-        var passN = 0L; var i = 0
-        while (i < n) {
-          if ({ val x = v.getDouble(i); x >= lo && x <= hi }) passN += 1L
-          else if (failRank > rankArr(i)) rankArr(i) = failRank
-          i += 1
-        }
-        return passN
-      }
-      var passN = 0L; var i = 0
-      while (i < n) {
-        if (!v.isNullAt(i) && { val x = v.getDouble(i); x >= lo && x <= hi }) passN += 1L
-        else if (failRank > rankArr(i)) rankArr(i) = failRank
-        i += 1
-      }
-      passN
+    override def runBits(v: ColumnVector, n: Int, bits: Array[Long]): Long = {
+      val fast = FastLanes.rangeDoubleBits(v, n, lo, hi, bits)
+      if (fast >= 0) fast else genericBits(v, n, bits)
     }
   }
   private final class RangeFloat(lo: Double, hi: Double) extends VecTest {
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && { val x = v.getFloat(i).toDouble; x >= lo && x <= hi }
-    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
-      val fast = FastLanes.rangeFloat(v, n, lo, hi, rankArr, failRank)
-      if (fast >= 0) return fast
-      var passN = 0L; var i = 0
-      while (i < n) {
-        if (!v.isNullAt(i) && { val x = v.getFloat(i).toDouble; x >= lo && x <= hi }) passN += 1L
-        else if (failRank > rankArr(i)) rankArr(i) = failRank
-        i += 1
-      }
-      passN
+    override def runBits(v: ColumnVector, n: Int, bits: Array[Long]): Long = {
+      val fast = FastLanes.rangeFloatBits(v, n, lo, hi, bits)
+      if (fast >= 0) fast else genericBits(v, n, bits)
     }
   }
   /** ts ≥ threshold, micros domain (TIMESTAMP/TIMESTAMP_NTZ vectors
@@ -267,25 +266,9 @@ object ColumnarValidation {
   private final class FreshMicros(minMicros: Long) extends VecTest {
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && v.getLong(i) >= minMicros
-    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
-      val fast = FastLanes.geLong(v, n, minMicros, rankArr, failRank)
-      if (fast >= 0) return fast
-      if (!v.hasNull) {
-        var passN = 0L; var i = 0
-        while (i < n) {
-          if (v.getLong(i) >= minMicros) passN += 1L
-          else if (failRank > rankArr(i)) rankArr(i) = failRank
-          i += 1
-        }
-        return passN
-      }
-      var passN = 0L; var i = 0
-      while (i < n) {
-        if (!v.isNullAt(i) && v.getLong(i) >= minMicros) passN += 1L
-        else if (failRank > rankArr(i)) rankArr(i) = failRank
-        i += 1
-      }
-      passN
+    override def runBits(v: ColumnVector, n: Int, bits: Array[Long]): Long = {
+      val fast = FastLanes.geLongBits(v, n, minMicros, bits)
+      if (fast >= 0) fast else genericBits(v, n, bits)
     }
   }
   /** DATE column under a UTC session: cast(date as timestamp) =
@@ -293,30 +276,14 @@ object ColumnarValidation {
   private final class FreshDays(minDays: Int) extends VecTest {
     def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && v.getInt(i) >= minDays
-    override def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
-      val fast = FastLanes.geInt(v, n, minDays, rankArr, failRank)
-      if (fast >= 0) return fast
-      if (!v.hasNull) {
-        var passN = 0L; var i = 0
-        while (i < n) {
-          if (v.getInt(i) >= minDays) passN += 1L
-          else if (failRank > rankArr(i)) rankArr(i) = failRank
-          i += 1
-        }
-        return passN
-      }
-      var passN = 0L; var i = 0
-      while (i < n) {
-        if (!v.isNullAt(i) && v.getInt(i) >= minDays) passN += 1L
-        else if (failRank > rankArr(i)) rankArr(i) = failRank
-        i += 1
-      }
-      passN
+    override def runBits(v: ColumnVector, n: Int, bits: Array[Long]): Long = {
+      val fast = FastLanes.geIntBits(v, n, minDays, bits)
+      if (fast >= 0) fast else genericBits(v, n, bits)
     }
   }
 
   /** String kernels: the semantic test is `testU` over a UTF8String,
-    * but `run` picks a zero-allocation strategy per BATCH:
+    * but `runBits` picks a zero-allocation strategy per BATCH:
     *
     *  - plain `WritableColumnVector` (the vectorized parquet reader's
     *    non-dictionary pages, and [[graft.tools.KernelFixture]]): read
@@ -339,32 +306,33 @@ object ColumnarValidation {
     def byteable: Boolean = true
     /** same test over the RAW backing arrays (plain on-heap vectors) —
       * one intrinsified-memcmp loop, no virtual getter per byte. -1 =
-      * no fast kernel for this test; caller keeps [[runBytes]]. */
-    def runFast(sa: FastLanes.StringArrays, n: Int,
-        rankArr: Array[Byte], failRank: Byte): Long = -1L
+      * no fast kernel for this test; caller keeps [[bytesBits]]. */
+    def runFastBits(sa: FastLanes.StringArrays, n: Int, bits: Array[Long]): Long = -1L
 
     final def pass(v: ColumnVector, i: Int): Boolean =
       !v.isNullAt(i) && testU(v.getUTF8String(i))
 
-    override final def run(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long =
+    override final def runBits(v: ColumnVector, n: Int, bits: Array[Long]): Long =
       v match {
-        case w: WritableColumnVector if w.hasDictionary => runDict(w, n, rankArr, failRank)
+        case w: WritableColumnVector if w.hasDictionary => dictBits(w, n, bits)
         case w: WritableColumnVector if byteable =>
           val sa = FastLanes.strings(w, n)
           if (sa != null) {
-            val fast = runFast(sa, n, rankArr, failRank)
+            val fast = runFastBits(sa, n, bits)
             if (fast >= 0) return fast
           }
-          runBytes(w, n, rankArr, failRank)
-        case _ => runGeneric(v, n, rankArr, failRank)
+          bytesBits(w, n, bits)
+        case _ => genericBits(v, n, bits)
       }
 
-    private def runBytes(w: WritableColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+    private def bytesBits(w: WritableColumnVector, n: Int, bits: Array[Long]): Long = {
+      java.util.Arrays.fill(bits, 0, (n + 63) >> 6, 0L)
       val child = w.arrayData()
       var passN = 0L; var i = 0
       while (i < n) {
-        if (!w.isNullAt(i) && testBytes(child, w.getArrayOffset(i), w.getArrayLength(i))) passN += 1L
-        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        if (!w.isNullAt(i) && testBytes(child, w.getArrayOffset(i), w.getArrayLength(i))) {
+          bits(i >> 6) |= 1L << (i & 63); passN += 1L
+        }
         i += 1
       }
       passN
@@ -373,10 +341,11 @@ object ColumnarValidation {
     /** memo value: 0 unseen, 1 pass, 2 fail. Dict ids are dense
       * smallish ints (bounded by the page dictionary's size); the memo
       * grows to the largest id seen. */
-    private def runDict(w: WritableColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
+    private def dictBits(w: WritableColumnVector, n: Int, bits: Array[Long]): Long = {
       // dict ids live in the companion ids vector, not the data vector
       val ids = w.getDictionaryIds
-      if (ids == null) return runGeneric(w, n, rankArr, failRank)
+      if (ids == null) return genericBits(w, n, bits)
+      java.util.Arrays.fill(bits, 0, (n + 63) >> 6, 0L)
       var memo = new Array[Byte](256)
       var passN = 0L; var i = 0
       while (i < n) {
@@ -392,18 +361,7 @@ object ColumnarValidation {
           }
           ok = m == 1
         }
-        if (ok) passN += 1L
-        else if (failRank > rankArr(i)) rankArr(i) = failRank
-        i += 1
-      }
-      passN
-    }
-
-    private def runGeneric(v: ColumnVector, n: Int, rankArr: Array[Byte], failRank: Byte): Long = {
-      var passN = 0L; var i = 0
-      while (i < n) {
-        if (!v.isNullAt(i) && testU(v.getUTF8String(i))) passN += 1L
-        else if (failRank > rankArr(i)) rankArr(i) = failRank
+        if (ok) { bits(i >> 6) |= 1L << (i & 63); passN += 1L }
         i += 1
       }
       passN
@@ -442,36 +400,32 @@ object ColumnarValidation {
       }
       false
     }
-    override def runFast(sa: FastLanes.StringArrays, n: Int,
-        rankArr: Array[Byte], failRank: Byte): Long =
-      FastLanes.stringDomain(sa, n, allowedBytes, rankArr, failRank)
+    override def runFastBits(sa: FastLanes.StringArrays, n: Int, bits: Array[Long]): Long =
+      FastLanes.stringDomainBits(sa, n, allowedBytes, bits)
   }
   private final class StartsWithUtf8(prefixBytes: Array[Byte]) extends StringTest {
     @transient private lazy val p = UTF8String.fromBytes(prefixBytes)
     def testU(s: UTF8String): Boolean = s.startsWith(p)
     def testBytes(child: WritableColumnVector, off: Int, len: Int): Boolean =
       len >= prefixBytes.length && bytesEq(child, off, prefixBytes)
-    override def runFast(sa: FastLanes.StringArrays, n: Int,
-        rankArr: Array[Byte], failRank: Byte): Long =
-      FastLanes.stringStartsWith(sa, n, prefixBytes, rankArr, failRank)
+    override def runFastBits(sa: FastLanes.StringArrays, n: Int, bits: Array[Long]): Long =
+      FastLanes.stringStartsWithBits(sa, n, prefixBytes, bits)
   }
   private final class EndsWithUtf8(suffixBytes: Array[Byte]) extends StringTest {
     @transient private lazy val p = UTF8String.fromBytes(suffixBytes)
     def testU(s: UTF8String): Boolean = s.endsWith(p)
     def testBytes(child: WritableColumnVector, off: Int, len: Int): Boolean =
       len >= suffixBytes.length && bytesEq(child, off + len - suffixBytes.length, suffixBytes)
-    override def runFast(sa: FastLanes.StringArrays, n: Int,
-        rankArr: Array[Byte], failRank: Byte): Long =
-      FastLanes.stringEndsWith(sa, n, suffixBytes, rankArr, failRank)
+    override def runFastBits(sa: FastLanes.StringArrays, n: Int, bits: Array[Long]): Long =
+      FastLanes.stringEndsWithBits(sa, n, suffixBytes, bits)
   }
   private final class EqualsUtf8(bytes: Array[Byte]) extends StringTest {
     @transient private lazy val p = UTF8String.fromBytes(bytes)
     def testU(s: UTF8String): Boolean = s.equals(p)
     def testBytes(child: WritableColumnVector, off: Int, len: Int): Boolean =
       len == bytes.length && bytesEq(child, off, bytes)
-    override def runFast(sa: FastLanes.StringArrays, n: Int,
-        rankArr: Array[Byte], failRank: Byte): Long =
-      FastLanes.stringEquals(sa, n, bytes, rankArr, failRank)
+    override def runFastBits(sa: FastLanes.StringArrays, n: Int, bits: Array[Long]): Long =
+      FastLanes.stringEqualsBits(sa, n, bytes, bits)
   }
   private final class ContainsUtf8(bytes: Array[Byte]) extends StringTest {
     @transient private lazy val p = UTF8String.fromBytes(bytes)
@@ -486,9 +440,8 @@ object ColumnarValidation {
       }
       false
     }
-    override def runFast(sa: FastLanes.StringArrays, n: Int,
-        rankArr: Array[Byte], failRank: Byte): Long =
-      FastLanes.stringContains(sa, n, bytes, rankArr, failRank)
+    override def runFastBits(sa: FastLanes.StringArrays, n: Int, bits: Array[Long]): Long =
+      FastLanes.stringContainsBits(sa, n, bytes, bits)
   }
   /** general regex, FIND semantics (= Catalyst RLike). Decodes the
     * value to String per row — the slow lane, but the dictionary memo
@@ -624,31 +577,61 @@ object ColumnarValidation {
   }
 
   /** The kernel loop itself, over any stream of batches — column-at-a-
-    * time (one monomorphic inner loop per rule), a byte rank array
-    * joined into rows-per-verdict at the end of each batch. Shared by
-    * the distributed path above and kernel-only microbenchmarks. */
+    * time (one monomorphic inner loop per rule) into per-rule PASS
+    * BITSETS, then rows-per-verdict by word algebra: a row's rank is
+    * the MAX failRank over its failing rules, so ranks are assigned
+    * descending (fail word = OR of the rank's rules' complemented
+    * bits, minus rows already claimed by a higher rank) and counted
+    * with popcount — ~0.1 ns/row for the whole verdict join
+    * (tools/BitProbe), where the byte-rank formulation paid a
+    * per-rule read-modify-write lane plus a scalar histogram pass.
+    * Shared by the distributed path above and kernel-only
+    * microbenchmarks. */
   private[graft] def evalBatches(
       batches: Iterator[org.apache.spark.sql.vectorized.ColumnarBatch],
       idxs: Array[Int], kernels: Array[VecTest], ranks: Array[Int]): Counts = {
     val nRules = kernels.length
     val acc = Counts.zero(nRules)
-    // rank scratch, reused across batches (capacity grows to the
-    // largest batch; vectorized reader default is 4096)
-    var rankArr = new Array[Byte](4096)
+    val ranksDesc = ranks.distinct.sortBy(-_)
+    // per-rule bit scratch, reused across batches (capacity grows to
+    // the largest batch; vectorized reader default is 4096 rows)
+    val bitsBuf = Array.fill(nRules)(new Array[Long](64))
     batches.foreach { batch =>
       val n = batch.numRows()
       if (n > 0) {
-        if (rankArr.length < n) rankArr = new Array[Byte](n)
-        else java.util.Arrays.fill(rankArr, 0, n, 0.toByte)
+        val words = (n + 63) >> 6
         var r = 0
         while (r < nRules) {
-          val passN = kernels(r).run(batch.column(idxs(r)), n, rankArr, ranks(r).toByte)
+          if (bitsBuf(r).length < words) bitsBuf(r) = new Array[Long](words)
+          val passN = kernels(r).runBits(batch.column(idxs(r)), n, bitsBuf(r))
           acc.rulePass(r) += passN
           acc.ruleViolation(r) += n - passN
           r += 1
         }
-        var i = 0
-        while (i < n) { acc.rowsByRank(rankArr(i)) += 1L; i += 1 }
+        var failTotal = 0L
+        var w = 0
+        while (w < words) {
+          val tailMask =
+            if (w == words - 1 && (n & 63) != 0) (1L << (n & 63)) - 1 else -1L
+          var assigned = 0L
+          var di = 0
+          while (di < ranksDesc.length) {
+            val rk = ranksDesc(di)
+            var fail = 0L
+            var r2 = 0
+            while (r2 < nRules) {
+              if (ranks(r2) == rk) fail |= ~bitsBuf(r2)(w)
+              r2 += 1
+            }
+            val newly = fail & tailMask & ~assigned
+            acc.rowsByRank(rk) += java.lang.Long.bitCount(newly)
+            assigned |= newly
+            di += 1
+          }
+          failTotal += java.lang.Long.bitCount(assigned)
+          w += 1
+        }
+        acc.rowsByRank(Verdict.Pass.rank) += n - failTotal
       }
     }
     acc

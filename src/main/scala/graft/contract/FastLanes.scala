@@ -8,28 +8,27 @@ import org.apache.spark.sql.vectorized.ColumnVector
   * [[ColumnarValidation]] and the primitive/SIMD loops in
   * `graft.simd.{SimdKernels, ByteKernels}`.
   *
-  * Dispatch is MEASUREMENT-driven (tools/SimdProbe), not
-  * architecture-romantic:
+  * Round-13 shape: every lane fills a PASS BITSET (one bit per row,
+  * 64 rows per long word) and returns the pass count; verdict ranks are
+  * reconstructed by word algebra + popcount in
+  * `ColumnarValidation.evalBatches`. The previous per-rule byte-rank
+  * merge is gone: measurement (tools/BitProbe) showed the branchless
+  * bit-assembly loops auto-vectorize (geLong 6.4 → 0.9 ns/row) while
+  * every rank formulation paid a data-mask→byte bridge.
   *
-  *  1. Numeric range/threshold rules and all string rules route to the
-  *     BRANCHLESS primitive loops in `ByteKernels` — C2's SuperWord
-  *     pass auto-vectorizes them end to end (compare + cmov rank merge
-  *     ≈ 1.1-1.7 ns/row on this host), and they beat the explicit
-  *     Vector API formulation 3-5x on mixed pass/fail blocks, where
-  *     every data-mask→byte-rank bridge (fromLong, cross-size mask
-  *     cast, masked byte store) is un-intrinsified on JDK 17.
+  * Dispatch remains MEASUREMENT-driven:
+  *  1. Numeric range/threshold rules and general string rules route to
+  *     the branchless bit loops in `ByteKernels` (SuperWord-vectorized).
   *  2. The explicit Vector API (`SimdKernels`, needs `--add-modules
-  *     jdk.incubator.vector` — wired in build.sbt/.jvmopts) is used
-  *     where the mask and the rank share the byte species, so the
-  *     blend is native: the NotNull kernel (64 rows per 512-bit op).
-  *     Module absence is RECORDED ([[FastLanes.simdStatus]]), not an
-  *     error.
+  *     jdk.incubator.vector` — wired in build.sbt/.jvmopts) covers the
+  *     contiguous 1-byte string rows (`byteSetContigBits`, 64 rows per
+  *     512-bit compare block). Module absence is RECORDED
+  *     ([[FastLanes.simdStatus]]), not an error.
   *  3. Anything that doesn't expose plain on-heap arrays — off-heap
   *     vectors, dictionary pages (memoized upstream), reflection
-  *     unavailable — keeps the caller's original `ColumnVector` loop
-  *     (every entry point returns -1; semantics identical on all
-  *     rungs, pinned by the seeded differential tests on both
-  *     `forceOff` settings).
+  *     unavailable — keeps the caller's generic per-row loop (every
+  *     entry point returns -1; semantics identical on all rungs, pinned
+  *     by the seeded differential tests on both `forceOff` settings).
   *
   * The backing arrays are private fields; this is deliberate use of
   * reflection against a classpath (unnamed-module) Spark, cached as
@@ -51,8 +50,8 @@ private[graft] object FastLanes {
     }
 
   /** Test hook: `-Dgraft.simd.disabled=true` (or setting this var)
-    * forces the scalar lanes so differential tests can pin
-    * SIMD ≡ scalar ≡ row pipeline. */
+    * forces the generic per-row loops so differential tests can pin
+    * fast lanes ≡ generic ≡ row pipeline. */
   @volatile private[graft] var forceOff: Boolean =
     java.lang.Boolean.getBoolean("graft.simd.disabled")
 
@@ -60,9 +59,9 @@ private[graft] object FastLanes {
 
   /** One-line status for bench artifacts / logs. */
   def describe: String = simdStatus match {
-    case Right(lanes) if !forceOff => s"vector-api on ($lanes)"
+    case Right(lanes) if !forceOff => s"vector-api on ($lanes), bitset lanes"
     case Right(_) => "vector-api available but disabled (graft.simd.disabled)"
-    case Left(reason) => s"vector-api absent, scalar fallback ($reason)"
+    case Left(reason) => s"vector-api absent, scalar bitset lanes ($reason)"
   }
 
   private val fields: Option[Map[String, java.lang.reflect.Field]] =
@@ -83,9 +82,10 @@ private[graft] object FastLanes {
 
   /** The usable on-heap shape: plain decoded vector, no dictionary
     * (dictionary pages are memoized upstream and their data arrays are
-    * ids, not values). */
+    * ids, not values). The forceOff hook gates EVERY lane here. */
   private def usable(v: ColumnVector): OnHeapColumnVector = v match {
-    case oh: OnHeapColumnVector if fields.isDefined && !oh.hasDictionary => oh
+    case oh: OnHeapColumnVector if fields.isDefined && !forceOff &&
+      !oh.hasDictionary => oh
     case _ => null
   }
 
@@ -94,87 +94,84 @@ private[graft] object FastLanes {
 
   // ------------------------------------------------------ numeric lanes
 
-  def rangeLong(v: ColumnVector, n: Int, lo: Double, hi: Double,
-      rank: Array[Byte], failRank: Byte): Long = {
+  def geLongBits(v: ColumnVector, n: Int, min: Long, bits: Array[Long]): Long = {
     val oh = usable(v)
     if (oh == null) return -1L
     val data = arr[Array[Long]](oh, "longData")
     if (data == null || data.length < n) return -1L
-    graft.simd.ByteKernels.rangeLong(data, nullsOf(oh), n, lo, hi, rank, failRank)
+    graft.simd.ByteKernels.geLongBits(data, nullsOf(oh), n, min, bits)
   }
 
-  def rangeInt(v: ColumnVector, n: Int, lo: Double, hi: Double,
-      rank: Array[Byte], failRank: Byte): Long = {
+  def rangeLongBits(v: ColumnVector, n: Int, lo: Long, hi: Long,
+      bits: Array[Long]): Long = {
+    val oh = usable(v)
+    if (oh == null) return -1L
+    val data = arr[Array[Long]](oh, "longData")
+    if (data == null || data.length < n) return -1L
+    graft.simd.ByteKernels.rangeLongBits(data, nullsOf(oh), n, lo, hi, bits)
+  }
+
+  def geIntBits(v: ColumnVector, n: Int, min: Int, bits: Array[Long]): Long = {
     val oh = usable(v)
     if (oh == null) return -1L
     val data = arr[Array[Int]](oh, "intData")
     if (data == null || data.length < n) return -1L
-    graft.simd.ByteKernels.rangeInt(data, nullsOf(oh), n, lo, hi, rank, failRank)
+    graft.simd.ByteKernels.geIntBits(data, nullsOf(oh), n, min, bits)
   }
 
-  def rangeShort(v: ColumnVector, n: Int, lo: Double, hi: Double,
-      rank: Array[Byte], failRank: Byte): Long = {
+  def rangeIntBits(v: ColumnVector, n: Int, lo: Int, hi: Int,
+      bits: Array[Long]): Long = {
+    val oh = usable(v)
+    if (oh == null) return -1L
+    val data = arr[Array[Int]](oh, "intData")
+    if (data == null || data.length < n) return -1L
+    graft.simd.ByteKernels.rangeIntBits(data, nullsOf(oh), n, lo, hi, bits)
+  }
+
+  def rangeShortBits(v: ColumnVector, n: Int, lo: Int, hi: Int,
+      bits: Array[Long]): Long = {
     val oh = usable(v)
     if (oh == null) return -1L
     val data = arr[Array[Short]](oh, "shortData")
     if (data == null || data.length < n) return -1L
-    graft.simd.ByteKernels.rangeShort(data, nullsOf(oh), n, lo, hi, rank, failRank)
+    graft.simd.ByteKernels.rangeShortBits(data, nullsOf(oh), n, lo, hi, bits)
   }
 
-  def rangeByte(v: ColumnVector, n: Int, lo: Double, hi: Double,
-      rank: Array[Byte], failRank: Byte): Long = {
+  def rangeByteBits(v: ColumnVector, n: Int, lo: Int, hi: Int,
+      bits: Array[Long]): Long = {
     val oh = usable(v)
     if (oh == null) return -1L
     val data = arr[Array[Byte]](oh, "byteData")
     if (data == null || data.length < n) return -1L
-    graft.simd.ByteKernels.rangeByte(data, nullsOf(oh), n, lo, hi, rank, failRank)
+    graft.simd.ByteKernels.rangeByteBits(data, nullsOf(oh), n, lo, hi, bits)
   }
 
-  def rangeDouble(v: ColumnVector, n: Int, lo: Double, hi: Double,
-      rank: Array[Byte], failRank: Byte): Long = {
+  def rangeDoubleBits(v: ColumnVector, n: Int, lo: Double, hi: Double,
+      bits: Array[Long]): Long = {
     val oh = usable(v)
     if (oh == null) return -1L
     val data = arr[Array[Double]](oh, "doubleData")
     if (data == null || data.length < n) return -1L
-    graft.simd.ByteKernels.rangeDouble(data, nullsOf(oh), n, lo, hi, rank, failRank)
+    graft.simd.ByteKernels.rangeDoubleBits(data, nullsOf(oh), n, lo, hi, bits)
   }
 
-  def rangeFloat(v: ColumnVector, n: Int, lo: Double, hi: Double,
-      rank: Array[Byte], failRank: Byte): Long = {
+  def rangeFloatBits(v: ColumnVector, n: Int, lo: Double, hi: Double,
+      bits: Array[Long]): Long = {
     val oh = usable(v)
     if (oh == null) return -1L
     val data = arr[Array[Float]](oh, "floatData")
     if (data == null || data.length < n) return -1L
-    graft.simd.ByteKernels.rangeFloat(data, nullsOf(oh), n, lo, hi, rank, failRank)
-  }
-
-  def geLong(v: ColumnVector, n: Int, min: Long,
-      rank: Array[Byte], failRank: Byte): Long = {
-    val oh = usable(v)
-    if (oh == null) return -1L
-    val data = arr[Array[Long]](oh, "longData")
-    if (data == null || data.length < n) return -1L
-    graft.simd.ByteKernels.geLong(data, nullsOf(oh), n, min, rank, failRank)
-  }
-
-  def geInt(v: ColumnVector, n: Int, min: Int,
-      rank: Array[Byte], failRank: Byte): Long = {
-    val oh = usable(v)
-    if (oh == null) return -1L
-    val data = arr[Array[Int]](oh, "intData")
-    if (data == null || data.length < n) return -1L
-    graft.simd.ByteKernels.geInt(data, nullsOf(oh), n, min, rank, failRank)
+    graft.simd.ByteKernels.rangeFloatBits(data, nullsOf(oh), n, lo, hi, bits)
   }
 
   /** NotNull over a vector KNOWN to contain nulls (the hasNull()==false
     * all-pass shortcut lives in the caller). */
-  def notNull(v: ColumnVector, n: Int, rank: Array[Byte], failRank: Byte): Long = {
+  def notNullBits(v: ColumnVector, n: Int, bits: Array[Long]): Long = {
     val oh = usable(v)
     if (oh == null) return -1L
     val nulls = arr[Array[Byte]](oh, "nulls")
     if (nulls == null || nulls.length < n) return -1L
-    if (simdOn) graft.simd.SimdKernels.notNull(nulls, n, rank, failRank)
-    else graft.simd.ByteKernels.notNull(nulls, n, rank, failRank)
+    graft.simd.ByteKernels.notNullBits(nulls, n, bits)
   }
 
   // ------------------------------------------------------- string lanes
@@ -194,51 +191,51 @@ private[graft] object FastLanes {
       sa.offs(0) >= 0 && sa.offs(0).toLong + n <= sa.child.length
 
   private def set4(sa: StringArrays, n: Int, c0: Byte, c1: Byte, c2: Byte,
-      c3: Byte, rank: Array[Byte], failRank: Byte): Long =
-    graft.simd.SimdKernels.byteSetContig(sa.child, sa.offs(0), n,
-      c0, c1, c2, c3, sa.nulls, rank, failRank)
+      c3: Byte, bits: Array[Long]): Long =
+    graft.simd.SimdKernels.byteSetContigBits(sa.child, sa.offs(0), n,
+      c0, c1, c2, c3, sa.nulls, bits)
 
-  def stringDomain(sa: StringArrays, n: Int, cands: Array[Array[Byte]],
-      rank: Array[Byte], failRank: Byte): Long =
+  def stringDomainBits(sa: StringArrays, n: Int, cands: Array[Array[Byte]],
+      bits: Array[Long]): Long =
     if (cands.nonEmpty && cands.length <= 4 && cands.forall(_.length == 1)
         && unitLayout(sa, n)) {
       val c0 = cands(0)(0)
       val c1 = if (cands.length > 1) cands(1)(0) else c0
       val c2 = if (cands.length > 2) cands(2)(0) else c0
       val c3 = if (cands.length > 3) cands(3)(0) else c0
-      set4(sa, n, c0, c1, c2, c3, rank, failRank)
-    } else graft.simd.ByteKernels.domain(
-      sa.offs, sa.lens, sa.child, sa.nulls, n, cands, rank, failRank)
+      set4(sa, n, c0, c1, c2, c3, bits)
+    } else graft.simd.ByteKernels.domainBits(
+      sa.offs, sa.lens, sa.child, sa.nulls, n, cands, bits)
 
   // On length-1 rows, a 1-byte Equals/StartsWith/EndsWith/Contains all
   // reduce to byte equality — the same native set kernel.
-  def stringEquals(sa: StringArrays, n: Int, pat: Array[Byte],
-      rank: Array[Byte], failRank: Byte): Long =
+  def stringEqualsBits(sa: StringArrays, n: Int, pat: Array[Byte],
+      bits: Array[Long]): Long =
     if (pat.length == 1 && unitLayout(sa, n))
-      set4(sa, n, pat(0), pat(0), pat(0), pat(0), rank, failRank)
-    else graft.simd.ByteKernels.equalsLit(
-      sa.offs, sa.lens, sa.child, sa.nulls, n, pat, rank, failRank)
+      set4(sa, n, pat(0), pat(0), pat(0), pat(0), bits)
+    else graft.simd.ByteKernels.equalsLitBits(
+      sa.offs, sa.lens, sa.child, sa.nulls, n, pat, bits)
 
-  def stringStartsWith(sa: StringArrays, n: Int, pat: Array[Byte],
-      rank: Array[Byte], failRank: Byte): Long =
+  def stringStartsWithBits(sa: StringArrays, n: Int, pat: Array[Byte],
+      bits: Array[Long]): Long =
     if (pat.length == 1 && unitLayout(sa, n))
-      set4(sa, n, pat(0), pat(0), pat(0), pat(0), rank, failRank)
-    else graft.simd.ByteKernels.startsWith(
-      sa.offs, sa.lens, sa.child, sa.nulls, n, pat, rank, failRank)
+      set4(sa, n, pat(0), pat(0), pat(0), pat(0), bits)
+    else graft.simd.ByteKernels.startsWithBits(
+      sa.offs, sa.lens, sa.child, sa.nulls, n, pat, bits)
 
-  def stringEndsWith(sa: StringArrays, n: Int, pat: Array[Byte],
-      rank: Array[Byte], failRank: Byte): Long =
+  def stringEndsWithBits(sa: StringArrays, n: Int, pat: Array[Byte],
+      bits: Array[Long]): Long =
     if (pat.length == 1 && unitLayout(sa, n))
-      set4(sa, n, pat(0), pat(0), pat(0), pat(0), rank, failRank)
-    else graft.simd.ByteKernels.endsWith(
-      sa.offs, sa.lens, sa.child, sa.nulls, n, pat, rank, failRank)
+      set4(sa, n, pat(0), pat(0), pat(0), pat(0), bits)
+    else graft.simd.ByteKernels.endsWithBits(
+      sa.offs, sa.lens, sa.child, sa.nulls, n, pat, bits)
 
-  def stringContains(sa: StringArrays, n: Int, pat: Array[Byte],
-      rank: Array[Byte], failRank: Byte): Long =
+  def stringContainsBits(sa: StringArrays, n: Int, pat: Array[Byte],
+      bits: Array[Long]): Long =
     if (pat.length == 1 && unitLayout(sa, n))
-      set4(sa, n, pat(0), pat(0), pat(0), pat(0), rank, failRank)
-    else graft.simd.ByteKernels.containsLit(
-      sa.offs, sa.lens, sa.child, sa.nulls, n, pat, rank, failRank)
+      set4(sa, n, pat(0), pat(0), pat(0), pat(0), bits)
+    else graft.simd.ByteKernels.containsLitBits(
+      sa.offs, sa.lens, sa.child, sa.nulls, n, pat, bits)
 
   def strings(v: ColumnVector, n: Int): StringArrays = {
     val oh = usable(v)

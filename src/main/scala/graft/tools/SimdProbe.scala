@@ -2,13 +2,14 @@ package graft.tools
 
 import java.util.Locale
 
-/** Micro-attribution for the fast kernel lanes: times the raw kernels
-  * over synthetic primitive arrays (the ceiling), then the same shapes
-  * through FastLanes over a real on-heap fixture vector (the integrated
-  * cost), printing ns/row per cell. Pure driver-side diagnostics —
-  * this probe is what demoted the explicit Vector API range kernels in
-  * favor of the C2-auto-vectorized branchless loops (see the
-  * SimdKernels scaladoc for the numbers). */
+/** Micro-attribution for the fast kernel lanes: times the raw BITSET
+  * kernels over synthetic primitive arrays (the ceiling), then the same
+  * shapes through FastLanes over a real on-heap fixture vector (the
+  * integrated cost), printing ns/row per cell. Pure driver-side
+  * diagnostics — the probe lineage that first demoted the explicit
+  * Vector API range kernels for C2's branchless loops (r12), then
+  * demoted the byte-rank formulation itself for pass-bit words (r13:
+  * geLong 6.4 → 0.9 ns/row; the verdict join is popcount algebra). */
 object SimdProbe {
   def main(args: Array[String]): Unit = {
     val n = 4 << 20
@@ -26,44 +27,52 @@ object SimdProbe {
     val longs = Array.fill(n)(rnd.nextLong() % 1000)
     val doubles = Array.fill(n)(rnd.nextDouble() * 60)
     val nulls = Array.fill(n)(if (rnd.nextInt(10) == 0) 1.toByte else 0.toByte)
-    val rank = new Array[Byte](n)
+    val bits = new Array[Long]((n + 63) >> 6)
     var sink = 0L
 
-    time("geLong branchless (50% fail)") {
-      sink += graft.simd.ByteKernels.geLong(longs, null, n, 0L, rank, 2)
+    time("geLongBits (50% fail)") {
+      sink += graft.simd.ByteKernels.geLongBits(longs, null, n, 0L, bits)
     }
-    time("geLong branchless (all fail)") {
-      sink += graft.simd.ByteKernels.geLong(longs, null, n, Long.MaxValue, rank, 2)
+    time("geLongBits (all fail)") {
+      sink += graft.simd.ByteKernels.geLongBits(longs, null, n, Long.MaxValue, bits)
     }
-    time("rangeDouble branchless (75% pass)") {
-      sink += graft.simd.ByteKernels.rangeDouble(doubles, null, n, 1.0, 45.0, rank, 2)
+    time("rangeDoubleBits (75% pass)") {
+      sink += graft.simd.ByteKernels.rangeDoubleBits(doubles, null, n, 1.0, 45.0, bits)
     }
-    time("rangeDouble branchless + nulls") {
-      sink += graft.simd.ByteKernels.rangeDouble(doubles, nulls, n, 1.0, 45.0, rank, 2)
+    time("rangeDoubleBits + nulls") {
+      sink += graft.simd.ByteKernels.rangeDoubleBits(doubles, nulls, n, 1.0, 45.0, bits)
     }
-    time("notNull vector-api (10% null)") {
-      sink += graft.simd.SimdKernels.notNull(nulls, n, rank, 2)
-    }
-    time("notNull branchless (10% null)") {
-      sink += graft.simd.ByteKernels.notNull(nulls, n, rank, 2)
+    time("notNullBits (10% null)") {
+      sink += graft.simd.ByteKernels.notNullBits(nulls, n, bits)
     }
     // string domain: 1-char strings like l_returnflag
     val offs = Array.tabulate(n)(identity)
     val lens = Array.fill(n)(1)
-    val child = Array.tabulate(n)(i => "ANR".charAt(rnd.nextInt(3)).toByte)
+    val child = Array.tabulate(n)(_ => "ANR".charAt(rnd.nextInt(3)).toByte)
     val cands = Array(Array('A'.toByte), Array('N'.toByte))
-    time("domain bytes (2 cands, 1B)") {
-      sink += graft.simd.ByteKernels.domain(offs, lens, child, null, n, cands, rank, 2)
+    time("domainBits (2 cands, 1B)") {
+      sink += graft.simd.ByteKernels.domainBits(offs, lens, child, null, n, cands, bits)
     }
-    time("startsWith bytes (1B prefix)") {
-      sink += graft.simd.ByteKernels.startsWith(offs, lens, child, null, n,
-        Array('A'.toByte), rank, 2)
+    time("byteSetContigBits vector-api") {
+      sink += graft.simd.SimdKernels.byteSetContigBits(child, 0, n,
+        'A'.toByte, 'N'.toByte, 'A'.toByte, 'A'.toByte, null, bits)
     }
-    // rank fold (the per-batch epilogue in evalBatches)
+    time("startsWithBits (1B prefix)") {
+      sink += graft.simd.ByteKernels.startsWithBits(offs, lens, child, null, n,
+        Array('A'.toByte), bits)
+    }
+    // verdict join (the per-batch epilogue in evalBatches): word algebra
+    val bits2 = new Array[Long](bits.length)
+    graft.simd.ByteKernels.geLongBits(longs, null, n, 0L, bits2)
     val rowsByRank = new Array[Long](5)
-    time("rank fold") {
-      var i = 0
-      while (i < n) { rowsByRank(rank(i)) += 1L; i += 1 }
+    time("verdict join (2 rules, popcnt)") {
+      var w = 0
+      val full = n >> 6
+      while (w < full) {
+        val fail = ~(bits(w) & bits2(w))
+        rowsByRank(3) += java.lang.Long.bitCount(fail)
+        w += 1
+      }
     }
 
     // integrated: a real on-heap vector through FastLanes
@@ -73,14 +82,14 @@ object SimdProbe {
     val (batch, _) = KernelFixture.onHeapBatch(df, Seq("l", "d"))
     val lVec = batch.column(0)
     val dVec = batch.column(1)
-    time("FastLanes.geLong over fixture vector") {
-      val got = graft.contract.FastLanes.geLong(lVec, n, 0L, rank, 2)
-      require(got >= 0, "geLong lane did not engage")
+    time("FastLanes.geLongBits over fixture vector") {
+      val got = graft.contract.FastLanes.geLongBits(lVec, n, 0L, bits)
+      require(got >= 0, "geLongBits lane did not engage")
       sink += got
     }
-    time("FastLanes.rangeDouble over fixture vector") {
-      val got = graft.contract.FastLanes.rangeDouble(dVec, n, 1.0, 45.0, rank, 2)
-      require(got >= 0, "rangeDouble lane did not engage")
+    time("FastLanes.rangeDoubleBits over fixture vector") {
+      val got = graft.contract.FastLanes.rangeDoubleBits(dVec, n, 1.0, 45.0, bits)
+      require(got >= 0, "rangeDoubleBits lane did not engage")
       sink += got
     }
     println(s"[simd-probe] sink=$sink")
