@@ -840,9 +840,19 @@ object AnalyticsQueries {
       "broadcast back into the probe.") {
     (s, d) =>
       val dec = org.apache.spark.sql.types.DecimalType(12, 2)
-      val base = t(s, d, "lineitem")
+      // ONE decode of the fact columns feeds everything downstream: m1's
+      // two passes (the operator's spread-gate sees it already wide and
+      // caches nothing twice), dev's build, m2's two passes, and the
+      // final aggregate. Spread it when the source exposes fewer splits
+      // than cores (the single-row-group testdata shape; at real scale
+      // splits >> cores and the gate stays cold).
+      val par = s.sparkContext.defaultParallelism
+      val base0 = t(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"),
           col("l_extendedprice").cast(dec).as("v"))
+      val base =
+        (if (base0.rdd.getNumPartitions < par) base0.repartition(par) else base0)
+          .persist()
       // each median is the 2-pass fused quantile path (sizes+sketch, then
       // histogram) — 4 data passes for the chained pair plus the final agg
       val m1 = graft.operators.DistributedSelect.quantilesByGroup(

@@ -17,8 +17,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Footer-inferred schema per (dir, table), cached for the JVM: a
+    * bare `spark.read.parquet` re-runs a one-task schema-inference job
+    * on EVERY call, which at 185 catalog queries × reps is pure
+    * scheduling overhead (the files are driver-generated and immutable
+    * for a run). Declaring the schema is also the 100 TB discipline —
+    * production scans never infer. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate(path,
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Register every table as a temp view so `spark.sql` works over the
     * same names DuckDB sees (the `cdf sql` surface, SURVEY §3.2). */

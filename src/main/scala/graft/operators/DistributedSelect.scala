@@ -193,11 +193,22 @@ object DistributedSelect {
     val g = groupCols.map(col)
     val eps = 4.0 / accuracy
     val smallN = math.max(64L, (accuracy / 12).toLong)
-    val base = df.select(g :+ col(valueCol).as("__v"): _*)
+    val base0 = df.select(g :+ col(valueCol).as("__v"): _*)
       .filter(col("__v").isNotNull)
       // double is a monotone proxy for bracketing/counting; exact values
       // only ever come from __v itself
       .withColumn("__vd", col("__v").cast("double"))
+    // Both passes re-read this narrow projection, and pass 1's sketch
+    // build is CPU-bound — if the source exposes fewer splits than the
+    // cluster has cores (a single-row-group file; never true of real
+    // 100 TB inputs, where splits >> cores and this gate stays cold),
+    // spread it once and cache the projection across the two passes.
+    // Partitioning cannot change the answer: the sketch is only a
+    // bracket, the exact counts decide (partition-count invariance law).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base =
+      if (base0.rdd.getNumPartitions < par) base0.repartition(par).persist()
+      else base0
 
     // pass 1: sizes + sketch brackets in ONE aggregation
     val fracs: Seq[Double] = qs.flatMap { case (_, q) =>
@@ -227,35 +238,44 @@ object DistributedSelect {
           sum(when(col("__vd") < col(s"__lo$i"), 1L).otherwise(0L))
             .as(s"__plt$i")): _*)
 
-    // finishing runs on the tiny histogram only
-    val totals = p2.groupBy(g: _*).agg(
-      sum(col("__plt0")).as("__nlt0"),
-      qs.indices.drop(1).map(i => sum(col(s"__plt$i")).as(s"__nlt$i")): _*)
-    val w = Window.partitionBy(g: _*).orderBy(col("__sv"))
-    val wAll = Window.partitionBy(g: _*).orderBy(col("__sv"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val hist = p2.filter(col("__sv").isNotNull)
-      .select(g ++ Seq(col("__sv"), col("__cnt")): _*)
-      .join(bc, groupCols)
-      .join(broadcast(totals), groupCols)
-      .withColumn("__svd", col("__sv").cast("double"))
-      .withColumn("__cum", sum(col("__cnt")).over(w))
-    val withLt = qs.indices.foldLeft(hist) { case (acc, i) =>
-      acc.withColumn(s"__cumlt$i", coalesce(
-        max(when(col("__svd") < col(s"__lo$i"), col("__cum"))).over(wAll),
-        lit(0L)))
+    // finishing: ONE aggregation folds each group's histogram into its
+    // answers. The per-group histogram is bounded by the same GK bound
+    // the bracket math rests on (≤ ~10·|qs|·n/accuracy rows, ties
+    // collapsed), so collecting it into one sorted array per group is
+    // safe at any n — and it replaces the previous window+broadcast
+    // finishing chain (2 windows, 2 joins, 1 extra groupBy ⇒ ~10 tiny
+    // jobs of pure scheduling overhead per call) with a single shuffle.
+    val vType = df.schema(valueCol).dataType
+    val folded = p2.groupBy(g: _*).agg(
+      sort_array(collect_list(when(col("__sv").isNotNull,
+        struct(col("__sv").cast("double").as("d"), col("__sv").as("v"),
+          col("__cnt").as("c"))))).as("__hist"),
+      qs.indices.map(i => sum(col(s"__plt$i")).as(s"__nlt$i")): _*)
+    val withAns = qs.zipWithIndex.foldLeft(folded.join(bc, groupCols)) {
+      case (acc, ((out, _), i)) =>
+        // running fold over the ascending histogram: cum counts all
+        // slice rows ≤ v; cumlt freezes at the last value below lo, so
+        // global rank(v) = nlt + cum − cumlt exactly as the windowed
+        // formulation computed it
+        val init = struct(lit(0L).as("cum"), lit(0L).as("cumlt"),
+          lit(null).cast(vType).as("ans"))
+        acc.withColumn(out, aggregate(col("__hist"), init,
+          (st, x) => {
+            val cum = st.getField("cum") + x.getField("c")
+            val below = x.getField("d") < col(s"__lo$i")
+            val cumlt = when(below, cum).otherwise(st.getField("cumlt"))
+            val hit = st.getField("ans").isNull && !below &&
+              col(s"__nlt$i") + cum - cumlt >= col(s"__k$i")
+            struct(cum.as("cum"), cumlt.as("cumlt"),
+              when(hit, x.getField("v")).otherwise(st.getField("ans")).as("ans"))
+          },
+          st => st.getField("ans")))
     }
-    val selAggs = qs.zipWithIndex.map { case ((out, _), i) =>
-      min(when(col("__svd") >= col(s"__lo$i") &&
-        col(s"__nlt$i") + col("__cum") - col(s"__cumlt$i") >= col(s"__k$i"),
-        col("__sv"))).as(out)
-    }
-    val sel = withLt.groupBy(g: _*).agg(selAggs.head, selAggs.tail: _*)
     val checked = qs.map { case (out, _) =>
       when(col(out).isNotNull, col(out)).otherwise(raise_error(
         lit(s"distributed-select: bracket miss for $out — GK bound violated")))
         .as(out)
     }
-    sel.select(g ++ checked: _*)
+    withAns.select(g ++ checked: _*)
   }
 }
