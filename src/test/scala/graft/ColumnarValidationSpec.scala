@@ -333,4 +333,97 @@ class ColumnarValidationSpec extends SparkSpec {
       spark.read.parquet(dir).repartition(7), policy).head()
     assert(a == b)
   }
+
+  // ---- footer-stats rule proofs (r13): uniform-outcome rules skip decode
+
+  private def proofDf() = {
+    val schema = StructType(Seq(
+      StructField("nn", LongType),       // no nulls → NotNull provable
+      StructField("some_null", LongType),// mixed → not provable
+      StructField("in_rng", DoubleType), // 5..10, no nulls → Range(0,20) provable
+      StructField("out_rng", DoubleType))) // mixed vs Range
+    val rows = (1 to 200).map { i =>
+      Row(i.toLong, if (i % 7 == 0) null else i.toLong,
+        5.0 + (i % 6), if (i % 3 == 0) 99.0 else 1.0)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+  }
+
+  test("stats-proven rules agree with row truth and prune their columns from the scan") {
+    val dir = s"${tmpDir()}/proofs"
+    proofDf().write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    val p = ContractPolicy(Seq(
+      RowRule.Nullability("nn_ok", "nn"),          // provable all-pass
+      RowRule.Nullability("nn_mixed", "some_null"),// NOT provable
+      RowRule.Range("rng_ok", "in_rng", 0, 20),    // provable all-pass
+      RowRule.Range("rng_mixed", "out_rng", 0, 20)))
+    assertAgrees(df, p, expectColumnar = true)
+    // and the verdict-lattice join with a fatal proven rule still holds
+    val pf = p.copy(fatalRules = Set("nn_ok", "rng_mixed"))
+    assertAgrees(df, pf, expectColumnar = true)
+  }
+
+  test("all rules stats-proven: counts come back without decoding any value column") {
+    val dir = s"${tmpDir()}/proofs_all"
+    proofDf().write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    val p = ContractPolicy(Seq(
+      RowRule.Nullability("nn_ok", "nn"),
+      RowRule.Range("rng_ok", "in_rng", 0, 20)))
+    // agreement is what matters; the path may be columnar (empty-schema
+    // batches) or the recorded row fallback if Spark refuses the shape
+    val r = ColumnarValidation.counts(df, p)
+    val (perRule, disp) = rowTruth(df, p)
+    p.rules.indices.foreach { i =>
+      assert((r.counts.rulePass(i), r.counts.ruleViolation(i)) == perRule(i))
+    }
+    assert(r.counts.rowsByDisposition.filter(_._2 > 0) == disp)
+    assert(r.counts.totalRows == 200L)
+  }
+
+  test("an all-null column proves NotNull all-FAIL from stats alone") {
+    val schema = StructType(Seq(
+      StructField("alln", LongType), StructField("live", LongType)))
+    val rows = (1 to 50).map(i => Row(null, i.toLong))
+    val dir = s"${tmpDir()}/proofs_allnull"
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.parquet(dir)
+    val p = ContractPolicy(Seq(
+      RowRule.Nullability("nn_dead", "alln"),
+      RowRule.Range("rng", "live", 0, 30)))
+    assertAgrees(spark.read.parquet(dir), p, expectColumnar = true)
+  }
+
+  test("freshness proofs from timestamp bounds: all-stale all-FAIL, all-fresh all-pass") {
+    val asOf = 917827200000L
+    val schema = StructType(Seq(
+      StructField("stale_ts", TimestampType), StructField("fresh_ts", TimestampType),
+      StructField("mixed_ts", TimestampType)))
+    val t = (ms: Long) => new java.sql.Timestamp(ms)
+    val window = 1000L * 86400 * 365
+    val rows = (1 to 60).map { i =>
+      Row(t(asOf - window - 1000L * i),          // always below the window
+        t(asOf - 1000L * i),                     // always inside
+        t(if (i % 2 == 0) asOf - 1000L else asOf - window - 1000L))
+    }
+    val dir = s"${tmpDir()}/proofs_fresh"
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.parquet(dir)
+    val p = ContractPolicy(Seq(
+      RowRule.Freshness("fr_stale", "stale_ts", window, asOf),
+      RowRule.Freshness("fr_fresh", "fresh_ts", window, asOf),
+      RowRule.Freshness("fr_mixed", "mixed_ts", window, asOf)))
+    assertAgrees(spark.read.parquet(dir), p, expectColumnar = true)
+  }
+
+  test("a filtered frame never uses stats proofs (row-path fallback is the existing rule)") {
+    val dir = s"${tmpDir()}/proofs_filtered"
+    proofDf().write.parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("nn") > 100L)
+    val p = ContractPolicy(Seq(RowRule.Nullability("nn_ok", "nn")))
+    // FilterExec above the scan → row path (pre-existing law); the
+    // proofs can therefore never see filtered plans
+    assertAgrees(df, p, expectColumnar = false)
+  }
 }
