@@ -9,7 +9,7 @@ object Catalog {
   def all: Seq[QueryDef] =
     CoreQueries.all ++ ExtendedQueries.all ++ DeltaQueries.all ++
       AnalyticsQueries.all ++ WarehouseQueries.all ++ GraphQueries.all ++
-      ProfilingQueries.all ++
+      ProfilingQueries.all ++ RankStatsQueries.all ++
       TokenizerQueries.all ++ LlmQueries.all
 
   def byName: Map[String, QueryDef] = {

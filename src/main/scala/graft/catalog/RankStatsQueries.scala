@@ -1,0 +1,234 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{QueryDef, Tables}
+
+/** Rank statistics and similarity joins at scale: inequality measures,
+  * rank-sum tests, autocorrelation, information measures, and the
+  * edit-distance self-join — the second tier of the profiling surface.
+  *
+  * Shapes that matter at 100 TB:
+  *  - global/grouped running totals come from
+  *    [[graft.operators.RunningTotals]] (range-exchange + boundary
+  *    prefix-sum), never `SUM() OVER (PARTITION BY g ORDER BY v)`
+  *    whose one-task-per-group window is the skew killer;
+  *  - the edit-distance join shuffles 8-byte deletion-variant hashes
+  *    ([[graft.operators.EditDistanceJoin]]), never an all-pairs cross
+  *    join — the oracle IS the cross-join formulation, which this gate
+  *    proves result-identical;
+  *  - every aggregate accumulates in BIGINT/DECIMAL(38,0) and doubles
+  *    appear only in per-row epilogues whose IEEE op sequence is
+  *    written identically in Spark and DuckDB (catalog discipline).
+  */
+object RankStatsQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+  private val dec38 = DecimalType(38, 0)
+
+  /** Exact integer cents of a 2-dp double price — the catalog's
+    * standard double→exact bridge (round-half-up matches DuckDB's
+    * round() for the positive prices both sides see). */
+  private def cents(c: String) = round(col(c) * 100).cast("long")
+
+  val giniByPriority: QueryDef = QueryDef.sqlBacked(
+    "q_gini",
+    """WITH x AS (
+      |  SELECT o_orderpriority AS pri,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT pri,
+      |  round(CAST(2*SUM(CAST(rn AS HUGEINT)*cents)
+      |             - (COUNT(*)+1)*SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+      |      / CAST(COUNT(*)*SUM(CAST(cents AS HUGEINT)) AS DOUBLE), 6) AS gini
+      |FROM x GROUP BY pri ORDER BY pri""".stripMargin,
+    doc = "Gini coefficient of order value per priority class — the inequality measure a " +
+      "revenue-concentration dashboard runs. G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ) over " +
+      "ascending xᵢ needs a per-group GLOBAL rank: the oracle's row_number window sorts " +
+      "each whole group in one task; operators/RunningTotals keeps it distributed " +
+      "(range exchange + per-(partition,group) boundary prefix-sum). Rank-weighted sums " +
+      "accumulate in DECIMAL(38,0)/HUGEINT, one correctly-rounded double cast each at " +
+      "the end — tie order cannot change Σi·xᵢ, so the result is partition invariant.") {
+    (s, d) =>
+      val base = t(s, d, "orders").select(
+        col("o_orderpriority").as("pri"),
+        cents("o_totalprice").as("cents"), col("o_orderkey"))
+      val ranked = graft.operators.RunningTotals.perGroup(
+        base, Seq("pri"), Seq(col("cents"), col("o_orderkey")), "cents",
+        outCol = "__cum", rankOut = "__rn")
+      ranked.groupBy("pri")
+        .agg(
+          sum(col("__rn").cast(dec38) * col("cents").cast(dec38)).as("__s1"),
+          sum(col("cents").cast(dec38)).as("__s0"),
+          count(lit(1)).as("__n"))
+        .select(col("pri"),
+          round((lit(2) * col("__s1") - (col("__n") + 1) * col("__s0")).cast("double")
+            / (col("__n") * col("__s0")).cast("double"), 6).as("gini"))
+        .orderBy("pri")
+  }
+
+  val mannWhitney: QueryDef = QueryDef.sqlBacked(
+    "q_mann_whitney",
+    """WITH v AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |r AS (
+      |  SELECT g1,
+      |    2*(rank() OVER (ORDER BY cents)) + (COUNT(*) OVER (PARTITION BY cents)) - 1 AS mid2
+      |  FROM v)
+      |SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+      |  CAST(SUM(1 - g1) AS BIGINT) AS n2,
+      |  round(CAST(SUM(CASE WHEN g1 = 1 THEN CAST(mid2 AS HUGEINT) ELSE 0 END)
+      |             - CAST(SUM(g1) AS HUGEINT)*(SUM(g1) + 1) AS DOUBLE) / 2, 6) AS u1,
+      |  round(CAST(SUM(CASE WHEN g1 = 0 THEN CAST(mid2 AS HUGEINT) ELSE 0 END)
+      |             - CAST(SUM(1 - g1) AS HUGEINT)*(SUM(1 - g1) + 1) AS DOUBLE) / 2, 6) AS u2
+      |FROM r""".stripMargin,
+    doc = "Mann–Whitney U (rank-sum test) comparing URGENT vs LOW order values — the " +
+      "nonparametric two-sample test, exact with midranks for ties. The oracle's global " +
+      "rank() window is one task; here ranks come from an exact VALUE HISTOGRAM " +
+      "(groupBy cents — parallel, tie-collapsing) + RunningTotals' distributed prefix " +
+      "sum, so no row-level global sort exists at any scale. 2·midrank stays integer " +
+      "(2·cum_lt + c + 1); U halves to .5 precision in one exact-operand double divide.") {
+    (s, d) =>
+      val v = t(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(cents("o_totalprice").as("cents"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g1"))
+      val hist = v.groupBy("cents").agg(
+        sum(col("g1")).as("n1c"), sum(lit(1L) - col("g1")).as("n2c"),
+        count(lit(1)).as("c"))
+      val cum = graft.operators.RunningTotals.perGroup(
+        hist, Seq.empty, Seq(col("cents")), "c", outCol = "__cum", rankOut = "__rn")
+      // 2·midrank = 2·cum_lt + c + 1 = 2·(cum_le − c) + c + 1
+      val mid2 = lit(2) * (col("__cum") - col("c")) + col("c") + 1
+      cum.agg(
+          sum(col("n1c")).as("__n1"), sum(col("n2c")).as("__n2"),
+          sum(col("n1c").cast(dec38) * mid2.cast(dec38)).as("__r1x2"),
+          sum(col("n2c").cast(dec38) * mid2.cast(dec38)).as("__r2x2"))
+        .select(
+          col("__n1").cast("long").as("n1"), col("__n2").cast("long").as("n2"),
+          round((col("__r1x2") - col("__n1").cast(dec38) * (col("__n1") + 1).cast(dec38))
+            .cast("double") / 2, 6).as("u1"),
+          round((col("__r2x2") - col("__n2").cast(dec38) * (col("__n2") + 1).cast(dec38))
+            .cast("double") / 2, 6).as("u2"))
+  }
+
+  val autocorrelation: QueryDef = QueryDef.sqlBacked(
+    "q_acf",
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+      |  FROM orders GROUP BY 1),
+      |l(lag) AS (VALUES (1), (2), (3)),
+      |p AS (
+      |  SELECT l.lag AS lag, a.x AS xa, b.x AS xb
+      |  FROM l CROSS JOIN daily a JOIN daily b ON b.day = a.day + l.lag)
+      |SELECT lag,
+      |  round(CAST(COUNT(*)*SUM(CAST(xa AS HUGEINT)*xb)
+      |             - SUM(CAST(xa AS HUGEINT))*SUM(CAST(xb AS HUGEINT)) AS DOUBLE)
+      |    / (sqrt(CAST(COUNT(*)*SUM(CAST(xa AS HUGEINT)*xa)
+      |             - SUM(CAST(xa AS HUGEINT))*SUM(CAST(xa AS HUGEINT)) AS DOUBLE))
+      |     * sqrt(CAST(COUNT(*)*SUM(CAST(xb AS HUGEINT)*xb)
+      |             - SUM(CAST(xb AS HUGEINT))*SUM(CAST(xb AS HUGEINT)) AS DOUBLE))), 6) AS acf
+      |FROM p GROUP BY lag ORDER BY lag""".stripMargin,
+    doc = "Autocorrelation of the daily revenue series at lags 1–3 (the seasonality " +
+      "screen). Lag pairing is a broadcast self-EQUI-join on day+lag — never a " +
+      "sequential window over the raw facts; the daily aggregation is the only " +
+      "full-data pass and it map-combines. Pearson terms accumulate exactly " +
+      "(DECIMAL(38,0)/HUGEINT), doubles appear once per term; sqrt is correctly " +
+      "rounded IEEE in both engines, so equal operands give equal bits.") { (s, d) =>
+    val ord = t(s, d, "orders")
+    val daily = ord
+      .select(Tables.tsUs(ord, "o_orderdate").as("us"),
+        cents("o_totalprice").as("c"))
+      // exact integer day grain — `div`, matching the oracle's `//`
+      .select(expr("us div 86400000000").as("day"), col("c"))
+      .groupBy("day").agg(sum(col("c")).as("x"))
+    val lags = (1 to 3).map { lag =>
+      daily.as("a")
+        .join(broadcast(daily.as("b")),
+          col("b.day") === col("a.day") + lag)
+        .select(lit(lag).as("lag"), col("a.x").as("xa"), col("b.x").as("xb"))
+    }.reduce(_ unionByName _)
+    val g = lags.groupBy("lag").agg(
+      count(lit(1)).as("k"),
+      sum(col("xa").cast(dec38)).as("sx"), sum(col("xb").cast(dec38)).as("sy"),
+      sum(col("xa").cast(dec38) * col("xa").cast(dec38)).as("sxx"),
+      sum(col("xb").cast(dec38) * col("xb").cast(dec38)).as("syy"),
+      sum(col("xa").cast(dec38) * col("xb").cast(dec38)).as("sxy"))
+    g.select(col("lag"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("k") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("acf"))
+      .orderBy("lag")
+  }
+
+  val entropyMi: QueryDef = QueryDef.sqlBacked(
+    "q_entropy_mi",
+    """WITH j AS (
+      |  SELECT l_returnflag AS flag, l_linestatus AS status,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM j),
+      |mf AS (SELECT flag, CAST(SUM(n) AS BIGINT) AS nf FROM j GROUP BY 1),
+      |ms AS (SELECT status, CAST(SUM(n) AS BIGINT) AS ns FROM j GROUP BY 1)
+      |SELECT j.flag, j.status, j.n,
+      |  round((CAST(j.n AS DOUBLE) / CAST(tot.total AS DOUBLE))
+      |    * log2((CAST(j.n AS DOUBLE) / CAST(tot.total AS DOUBLE))
+      |      / ((CAST(mf.nf AS DOUBLE) / CAST(tot.total AS DOUBLE))
+      |        * (CAST(ms.ns AS DOUBLE) / CAST(tot.total AS DOUBLE)))), 6) AS mi_term,
+      |  round(-(CAST(j.n AS DOUBLE) / CAST(tot.total AS DOUBLE))
+      |    * log2(CAST(j.n AS DOUBLE) / CAST(tot.total AS DOUBLE)), 6) AS h_term
+      |FROM j CROSS JOIN tot
+      |  JOIN mf ON mf.flag = j.flag
+      |  JOIN ms ON ms.status = j.status
+      |ORDER BY j.flag, j.status""".stripMargin,
+    doc = "Joint-entropy and mutual-information CONTRIBUTIONS per (returnflag, linestatus) " +
+      "cell — the dependence profile between two categorical columns. Emitted per cell " +
+      "(no cross-row double summation: each term is computed from exact counts with an " +
+      "identical IEEE op sequence in both engines, then rounded — the catalog's " +
+      "hash-gate-safe way to ship logarithms). Counts and marginals are one aggregation " +
+      "each; the scalar total broadcasts.") { (s, d) =>
+    val j = t(s, d, "lineitem").groupBy(
+      col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+    val tot = j.agg(sum(col("n")).cast("long").as("total"))
+    val mf = j.groupBy("flag").agg(sum(col("n")).cast("long").as("nf"))
+    val ms = j.groupBy("status").agg(sum(col("n")).cast("long").as("ns"))
+    val p = col("n").cast("double") / col("total").cast("double")
+    val pf = col("nf").cast("double") / col("total").cast("double")
+    val ps = col("ns").cast("double") / col("total").cast("double")
+    j.crossJoin(broadcast(tot))
+      .join(broadcast(mf), "flag")
+      .join(broadcast(ms), "status")
+      .select(col("flag"), col("status"), col("n"),
+        round(p * log2(p / (pf * ps)), 6).as("mi_term"),
+        round(-p * log2(p), 6).as("h_term"))
+      .orderBy("flag", "status")
+  }
+
+  val editDistanceJoin: QueryDef = QueryDef.sqlBacked(
+    "q_editdist_join",
+    """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+      |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+      |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |WHERE levenshtein(a.s_name, b.s_name) <= 1
+      |ORDER BY id1, id2""".stripMargin,
+    doc = "Edit-distance self-join (all supplier-name pairs within Levenshtein 1) via " +
+      "SYMMETRIC-DELETE candidates (FastSS deletion neighborhoods): candidates share a " +
+      "≤k-deletion variant — the shuffle carries 8-byte variant hashes, candidates are " +
+      "generated per shared variant, and the exact distance verifies. The oracle IS the " +
+      "all-pairs cross join this operator refuses to run; this hash gate proves the " +
+      "filter loses nothing.") { (s, d) =>
+    graft.operators.EditDistanceJoin.pairs(
+        t(s, d, "supplier"), "s_suppkey", "s_name", k = 1)
+      .orderBy("id1", "id2")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    giniByPriority, mannWhitney, autocorrelation, entropyMi, editDistanceJoin)
+}

@@ -319,6 +319,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "never a wide join for a scalar total")
   }
 
+  test("edit-distance join: hash-keyed candidates, never a cross join") {
+    val p = planOf("q_editdist_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the all-pairs formulation belongs to the oracle only")
+    assert(p.contains("hashUnsafeBytes") || p.contains("xxhash64") || p.contains("Join"),
+      "candidates must join on variant hashes")
+  }
+
+  test("gini / mann-whitney: no single-task global window over raw rows") {
+    for (q <- Seq("q_gini", "q_mann_whitney")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"),
+        s"$q must use RunningTotals' range exchange, not a window sort")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("acf: lag pairing is a broadcast equi-join on the tiny daily series") {
+    val p = planOf("q_acf")
+    assert(p.contains("BroadcastHashJoin"), "daily series must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("entropy/mi: marginals broadcast back into the cell table") {
+    val p = planOf("q_entropy_mi")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "total and both marginals must ride broadcasts")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("delivery guarantee derives from plan facts") {
     import Descriptor._
     assert(deriveGuarantee(sourceReplayable = true,

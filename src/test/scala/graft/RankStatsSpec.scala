@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{EditDistanceJoin, RunningTotals}
+
+/** Laws for the rank-statistics machinery: RunningTotals must equal
+  * the windowed formulation on any data and any partitioning, and the
+  * symmetric-delete edit-distance join must equal the brute-force
+  * cross join. */
+class RankStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RunningTotals.perGroup == SUM/ROW_NUMBER OVER, partition-count invariant") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 2000).map { i =>
+      (s"g${rnd.nextInt(5)}", rnd.nextInt(200).toLong, i.toLong)
+    }
+    for (parts <- Seq(1, 3, 13)) {
+      val df = rows.toDF("g", "v", "id").repartition(parts)
+      val got = RunningTotals.perGroup(df, Seq("g"), Seq(col("v"), col("id")), "v")
+        .select("g", "id", "run_sum", "run_rn")
+      val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+      val want = rows.toDF("g", "v", "id")
+        .withColumn("run_sum", sum(col("v")).over(w))
+        .withColumn("run_rn", row_number().over(w).cast("long"))
+        .select("g", "id", "run_sum", "run_rn")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"parts=$parts mismatch")
+    }
+  }
+
+  test("RunningTotals with no group columns is a global prefix sum") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 17).toLong)).toDF("id", "v")
+      .repartition(7)
+    val got = RunningTotals.perGroup(df, Seq.empty, Seq(col("id")), "v")
+    val w = Window.orderBy("id")
+    val want = (1 to 500).map(i => (i.toLong, (i % 17).toLong)).toDF("id", "v")
+      .withColumn("run_sum", sum(col("v")).over(w))
+      .withColumn("run_rn", row_number().over(w).cast("long"))
+    assert(got.select("id", "run_sum", "run_rn")
+      .except(want.select("id", "run_sum", "run_rn")).isEmpty)
+    assert(got.count() == 500L)
+  }
+
+  test("EditDistanceJoin == brute force on random mutated strings, k=1 and k=2") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdef"
+    def mutate(s: String): String = {
+      val i = rnd.nextInt(s.length)
+      rnd.nextInt(3) match {
+        case 0 => s.substring(0, i) + alphabet(rnd.nextInt(6)) + s.substring(i + 1)
+        case 1 => s.substring(0, i) + s.substring(i + 1) // delete
+        case _ => s.substring(0, i) + alphabet(rnd.nextInt(6)) + s.substring(i)
+      }
+    }
+    val seeds = (1 to 40).map(_ => (1 to 10).map(_ => alphabet(rnd.nextInt(6))).mkString)
+    val strs = seeds.flatMap(s => Seq(s, mutate(s), mutate(mutate(s))))
+      .distinct.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = strs.toDF("id", "s").repartition(5)
+    for (k <- Seq(1, 2)) {
+      val got = EditDistanceJoin.pairs(df, "id", "s", k)
+        .select("id1", "id2", "dist").as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (i1, s1) <- strs; (i2, s2) <- strs if i1 < i2
+        d = levenshteinRef(s1, s2) if d <= k
+      } yield (i1, i2, d.toLong)).toSet
+      assert(got == want, s"k=$k: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("deletion variants: counts and the FastSS sharing law on a known pair") {
+    val vs = EditDistanceJoin.deletionVariants("abcd", 1).toSet
+    assert(vs == Set("abcd", "bcd", "acd", "abd", "abc"))
+    // ED("abcd","abed")=1 — they share a 1-deletion variant
+    val other = EditDistanceJoin.deletionVariants("abed", 1).toSet
+    assert(vs.intersect(other).nonEmpty)
+  }
+}
