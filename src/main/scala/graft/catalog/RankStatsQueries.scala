@@ -229,6 +229,176 @@ object RankStatsQueries {
       .orderBy("id1", "id2")
   }
 
+  val assocRules: QueryDef = QueryDef.sqlBacked(
+    "q_assoc_rules",
+    """WITH bk AS (
+      |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+      |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS nb FROM bk),
+      |s AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n1 FROM bk GROUP BY 1),
+      |p AS (
+      |  SELECT a.b AS ba, c.b AS bb, CAST(COUNT(*) AS BIGINT) AS nab
+      |  FROM bk a JOIN bk c ON a.o = c.o AND a.b < c.b GROUP BY 1, 2)
+      |SELECT ba, bb, nab,
+      |  round(CAST(nab AS DOUBLE) / CAST(n.nb AS DOUBLE), 6) AS support,
+      |  round(CAST(nab AS DOUBLE) / CAST(sa.n1 AS DOUBLE), 6) AS confidence,
+      |  round((CAST(nab AS DOUBLE) * CAST(n.nb AS DOUBLE))
+      |    / (CAST(sa.n1 AS DOUBLE) * CAST(sb.n1 AS DOUBLE)), 6) AS lift
+      |FROM p CROSS JOIN n
+      |  JOIN s sa ON sa.b = ba
+      |  JOIN s sb ON sb.b = bb
+      |WHERE nab >= 5
+      |ORDER BY ba, bb""".stripMargin,
+    doc = "Association rules over order baskets (brand co-occurrence): support, " +
+      "confidence, lift — the A-Priori first two passes. Scale shape: the part " +
+      "dimension BROADCASTS into the fact scan, baskets dedupe on (order, brand) with " +
+      "partial aggregation, and the pair join co-partitions on the order key — " +
+      "per-basket pair fan-out is bounded by basket size, never all-pairs across " +
+      "baskets. Singleton counts broadcast back into the pair table; measures are " +
+      "identical-IEEE epilogues over exact counts.") { (s, d) =>
+    val bk = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+    val n = bk.agg(countDistinct(col("o")).as("nb"))
+    val singles = bk.groupBy("b").agg(count(lit(1)).as("n1"))
+    val pairs = bk.as("a").join(bk.as("c"),
+        col("a.o") === col("c.o") && col("a.b") < col("c.b"))
+      .groupBy(col("a.b").as("ba"), col("c.b").as("bb"))
+      .agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= 5)
+    pairs.crossJoin(broadcast(n))
+      .join(broadcast(singles.select(col("b").as("ba"), col("n1").as("n1a"))), "ba")
+      .join(broadcast(singles.select(col("b").as("bb"), col("n1").as("n1b"))), "bb")
+      .select(col("ba"), col("bb"), col("nab"),
+        round(col("nab").cast("double") / col("nb").cast("double"), 6).as("support"),
+        round(col("nab").cast("double") / col("n1a").cast("double"), 6).as("confidence"),
+        round((col("nab").cast("double") * col("nb").cast("double"))
+          / (col("n1a").cast("double") * col("n1b").cast("double")), 6).as("lift"))
+      .orderBy("ba", "bb")
+  }
+
+  val weightedSample: QueryDef = QueryDef.sqlBacked(
+    "q_weighted_sample",
+    """WITH u AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    (CAST((o_orderkey * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+      |      / 4294967296 AS uh
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  round(-ln(uh) / o_totalprice, 12) AS es_key
+      |FROM u
+      |ORDER BY es_key, o_orderkey
+      |LIMIT 20""".stripMargin,
+    doc = "Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): each row gets " +
+      "key u^(1/w) — equivalently smallest −ln(u)/w wins — and the top-k by key is an " +
+      "exact weighted sample. u comes from a deterministic multiplicative hash of the " +
+      "key (any 64-bit mixer works; deterministic so the sample is REPRODUCIBLE and " +
+      "oracle-checkable — the reproducibility a 100 TB pipeline needs to re-derive its " +
+      "own sample). Spark plans TakeOrderedAndProject: a per-partition top-k + one " +
+      "k-row merge, never a global sort.") { (s, d) =>
+    val u = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+      ((pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L))
+        .cast("double") + 0.5) / 4294967296L).as("uh"))
+    u.select(col("o_orderkey"),
+        round(-log(col("uh")) / col("o_totalprice"), 12).as("es_key"))
+      .orderBy(col("es_key"), col("o_orderkey"))
+      .limit(20)
+  }
+
+  val editDistClusters: QueryDef = QueryDef.sqlBacked(
+    "q_editdist_clusters",
+    """WITH RECURSIVE pair AS (
+      |  SELECT a.s_suppkey AS id1, b.s_suppkey AS id2
+      |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+      |e AS (SELECT id1 AS src, id2 AS dst FROM pair
+      |      UNION ALL SELECT id2, id1 FROM pair),
+      |cc(id, lbl) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id),
+      |lab AS (SELECT id, MIN(lbl) AS comp FROM cc GROUP BY id)
+      |SELECT comp AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+      |FROM lab GROUP BY comp ORDER BY cluster""".stripMargin,
+    doc = "Near-duplicate ENTITY CLUSTERS: the edit-distance join's pairs closed under " +
+      "transitivity — EditDistanceJoin (symmetric-delete candidates) composed with " +
+      "llm/TextDedup.connectedComponents (hash-to-min label propagation, O(diameter) " +
+      "rounds, (long,long) shuffles only). The oracle recomputes the same closure with " +
+      "a recursive CTE over the brute-force pair list; the gate proves the composed " +
+      "distributed pipeline loses no edge and merges no extra cluster.") { (s, d) =>
+    val pairs = graft.operators.EditDistanceJoin.pairs(
+      t(s, d, "supplier"), "s_suppkey", "s_name", k = 1)
+    graft.llm.TextDedup.connectedComponents(pairs, "id1", "id2")
+      .groupBy(col("component").as("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("cluster")
+  }
+
+  val ols2: QueryDef = QueryDef.sqlBacked(
+    "q_ols2",
+    """WITH pts AS (
+      |  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x1,
+      |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS x2,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+      |    CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+      |    CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y
+      |  FROM pts),
+      |d AS (
+      |  SELECT n, s1, s2, sy, s11, s12, s22, s1y, s2y,
+      |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det
+      |  FROM s)
+      |SELECT
+      |  round((sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det, 6) AS b0,
+      |  round((n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / det, 6) AS b1,
+      |  round((n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / det, 6) AS b2
+      |FROM d""".stripMargin,
+    doc = "Two-regressor OLS (extendedprice ~ quantity + discount) solved in closed form: " +
+      "ONE aggregation collects the nine normal-equation sufficient statistics as exact " +
+      "integers (HUGEINT/DECIMAL(38,0) over cents), Cramer's rule runs as a scalar " +
+      "epilogue on one row — map-combined sums are the only shuffle at any scale, and " +
+      "the determinant arithmetic is the identical IEEE sequence in both engines " +
+      "because its operands are exact integers cast once.") { (s, d) =>
+    val pts = t(s, d, "lineitem").select(
+      (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long").as("x1"),
+      (col("l_discount").cast(DecimalType(12, 2)) * 100).cast("long").as("x2"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long").as("y"))
+    val s9 = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x1").cast(dec38)).cast("double").as("s1"),
+      sum(col("x2").cast(dec38)).cast("double").as("s2"),
+      sum(col("y").cast(dec38)).cast("double").as("sy"),
+      sum(col("x1").cast(dec38) * col("x1").cast(dec38)).cast("double").as("s11"),
+      sum(col("x1").cast(dec38) * col("x2").cast(dec38)).cast("double").as("s12"),
+      sum(col("x2").cast(dec38) * col("x2").cast(dec38)).cast("double").as("s22"),
+      sum(col("x1").cast(dec38) * col("y").cast(dec38)).cast("double").as("s1y"),
+      sum(col("x2").cast(dec38) * col("y").cast(dec38)).cast("double").as("s2y"))
+    val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    s9.select(
+      round((col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+        col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))) / det, 6).as("b0"),
+      round((col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+        col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+        col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))) / det, 6).as("b1"),
+      round((col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+        col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+        col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))) / det, 6).as("b2"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    giniByPriority, mannWhitney, autocorrelation, entropyMi, editDistanceJoin)
+    giniByPriority, mannWhitney, autocorrelation, entropyMi, editDistanceJoin,
+    assocRules, weightedSample, editDistClusters, ols2)
 }

@@ -349,6 +349,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("assoc rules: dimension broadcasts, pair join co-partitions on the basket key") {
+    val p = planOf("q_assoc_rules")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "part dim + scalar total + both singleton tables must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("weighted sample: top-k is TakeOrdered, never a global sort") {
+    val p = planOf("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), "E-S selection must be bounded top-k")
+    assert(!p.contains("Exchange rangepartitioning"), "no global sort for a LIMIT 20")
+  }
+
+  test("ols2: one aggregation pass, no join, single fact scan") {
+    val p = planOf("q_ols2")
+    assert(!p.contains("Join"), "closed-form fit needs no join")
+    assert("FileScan parquet".r.findAllIn(p).size == 1)
+  }
+
   test("delivery guarantee derives from plan facts") {
     import Descriptor._
     assert(deriveGuarantee(sourceReplayable = true,
