@@ -409,6 +409,44 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  val ppjoin: QueryDef = QueryDef.sqlBacked(
+    "q_ppjoin",
+    s"""WITH corpus AS ($nearCorpusSql),
+       |toks AS (SELECT doc_id, $wsSplitSql AS w FROM corpus),
+       |ngr AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' ')))) AS ng
+       |  FROM toks WHERE len(w) >= 5),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS sz FROM ngr GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM ngr a JOIN ngr b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin,
+    doc = "PPJoin PREFIX-FILTERED set-similarity join (operators/SetSimJoin): same exact " +
+      "5-gram Jaccard ≥ 0.5 pairs as q_ngram_jaccard, but candidates come only from " +
+      "each set's rare-token PREFIX (s − ⌈t·s⌉ + 1 tokens under global df order) with a " +
+      "size-compatibility filter — the candidate fan-out a stop-gram causes in the " +
+      "share-any-gram scheme disappears. The oracle (and q_ngram_jaccard) IS the " +
+      "share-any-gram formulation: this gate proves prefix filtering loses no pair.") {
+    (s, d) =>
+      val corpus = corpusWithNearDups(s, d)
+      graft.functions.TextHashFunctions.register(s)
+      val withGrams = corpus
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), call_function("graft_ngrams5", col("text")).as("ngrams"))
+        .filter(size(col("ngrams")) > 0)
+      graft.operators.SetSimJoin.jaccardPairs(withGrams, "doc_id", "ngrams", 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+  }
+
   val minhashLsh: QueryDef = QueryDef.sqlBacked(
     "q_minhash_lsh",
     s"""WITH corpus AS ($corpusSql),
@@ -1692,7 +1730,7 @@ object LlmQueries {
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
     repetitionSignals, prefixDedup, decontaminate, seqPack, docChunks,
     paragraphDedup, incrementalDedup, temperatureMix,
-    ngramJaccard, minhashLsh, dupClusters, winnow, simhash,
+    ngramJaccard, ppjoin, minhashLsh, dupClusters, winnow, simhash,
     cosineTopK, annLsh, annIvf, annIvfPq, semDedup, embedDecontaminate, embedNearDup,
     embedQuantize, pqQuantize,
     multimodalMeta, multimodalFeatures, imageFeaturesQ, audioFeaturesQ,

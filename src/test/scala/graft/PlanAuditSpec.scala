@@ -368,6 +368,16 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 1)
   }
 
+  test("ppjoin: candidates join on hashes, no cartesian, exact-verify arrays never explode twice") {
+    val p = planOf("q_ppjoin")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("ReusedExchange") || p.contains("InMemoryTableScan"),
+      "the prefix self-join must reuse one exchange / the cached gram table, " +
+        "not recompute both sides")
+    assert(p.contains("array_intersect"),
+      "the verify must intersect stored arrays, not re-join exploded grams")
+  }
+
   test("delivery guarantee derives from plan facts") {
     import Descriptor._
     assert(deriveGuarantee(sourceReplayable = true,

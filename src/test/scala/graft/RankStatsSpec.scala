@@ -80,6 +80,31 @@ class RankStatsSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("SetSimJoin prefix filter == brute-force Jaccard pairs on random token sets") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 60).map(i => s"w$i")
+    val base = (1 to 50).map { i =>
+      (i.toLong, rnd.shuffle(vocab).take(8 + rnd.nextInt(8)))
+    }
+    // inject guaranteed near-dups: copies with small perturbations
+    val docs = base ++ base.filter(_._1 % 5 == 0).map { case (id, ts) =>
+      (id + 1000L, ts.drop(1) :+ "wX")
+    }
+    val df = docs.toDF("id", "toks").repartition(5)
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val got = graft.operators.SetSimJoin.jaccardPairs(df, "id", "toks", t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (i1, t1) <- docs; (i2, t2) <- docs if i1 < i2
+        inter = t1.toSet.intersect(t2.toSet).size
+        jac = inter.toDouble / (t1.toSet.size + t2.toSet.size - inter)
+        if jac >= t
+      } yield (i1, i2)).toSet
+      assert(got == want,
+        s"t=$t missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("deletion variants: counts and the FastSS sharing law on a known pair") {
     val vs = EditDistanceJoin.deletionVariants("abcd", 1).toSet
     assert(vs == Set("abcd", "bcd", "acd", "abd", "abc"))
