@@ -398,7 +398,91 @@ object RankStatsQueries {
         col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))) / det, 6).as("b2"))
   }
 
+  val skyline3: QueryDef = QueryDef.sqlBacked(
+    "q_skyline3",
+    """WITH rfm AS (
+      |  SELECT o_custkey,
+      |    CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+      |    CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS last_us
+      |  FROM orders GROUP BY 1)
+      |SELECT o_custkey, freq, spend_cents, last_us FROM rfm a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM rfm b
+      |  WHERE b.freq >= a.freq AND b.spend_cents >= a.spend_cents
+      |    AND b.last_us >= a.last_us
+      |    AND (b.freq > a.freq OR b.spend_cents > a.spend_cents
+      |         OR b.last_us > a.last_us))
+      |ORDER BY o_custkey""".stripMargin,
+    doc = "3-D skyline (Pareto frontier) of customers on (frequency, monetary, recency) — " +
+      "the customers no one else beats on all three axes. At d ≥ 3 the 2-D " +
+      "sorted-window trick (q_pareto_frontier) no longer applies; operators/Skyline " +
+      "runs the classic two-phase scheme: per-partition local skylines (a safe filter " +
+      "— a global survivor survives locally), then one merge over the tiny union. The " +
+      "oracle is the O(n²) NOT-EXISTS dominance query this operator exists to avoid.") {
+    (s, d) =>
+      val ord = t(s, d, "orders")
+      val rfm = ord
+        .select(col("o_custkey"), Tables.tsUs(ord, "o_orderdate").as("us"),
+          cents("o_totalprice").as("c"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("freq"), sum(col("c")).as("spend_cents"),
+          max(col("us")).as("last_us"))
+      graft.operators.Skyline.skyline(rfm, Seq("freq", "spend_cents", "last_us"))
+        .orderBy("o_custkey")
+  }
+
+  val gkBound: QueryDef = QueryDef.sqlBacked(
+    "q_gk_bound",
+    """WITH v AS (
+      |  SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS x,
+      |    l_orderkey, l_linenumber FROM lineitem),
+      |r AS (
+      |  SELECT x, row_number() OVER (ORDER BY x, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER () AS n FROM v)
+      |SELECT
+      |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN x END) AS DOUBLE) AS exact_p50,
+      |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN x END) AS DOUBLE) AS exact_p99,
+      |  TRUE AS p50_bound_ok, TRUE AS p99_bound_ok
+      |FROM r""".stripMargin,
+    doc = "Quantile-sketch ERROR-BOUND gate (the q_approx_distinct pattern for GK): the " +
+      "exact P50/P99 are oracle-hashed, and the query additionally asserts its own " +
+      "percentile_approx sketch landed within 2× the configured deterministic rank " +
+      "bound (±n/accuracy, tie-robust: count(<a) and count(≤a) bracket the target " +
+      "rank) — a broken sketch merge now fails the gate instead of hiding behind an " +
+      "unauditable approximation. Exact side runs on DistributedSelect (no one-task " +
+      "window).") { (s, d) =>
+    val base = t(s, d, "lineitem")
+      .select(col("l_extendedprice").cast(DecimalType(12, 2)).as("x"))
+      .withColumn("g", lit(1))
+    val exact = graft.operators.DistributedSelect.quantilesByGroup(
+      base, Seq("g"), "x", Seq("p50" -> 0.5, "p99" -> 0.99))
+    val appr = base.agg(
+      percentile_approx(col("x").cast("double"), array(lit(0.5), lit(0.99)),
+        lit(10000)).as("a"),
+      count(lit(1)).as("n"))
+      .select(col("a").getItem(0).as("a50"), col("a").getItem(1).as("a99"), col("n"))
+    val ranks = base.crossJoin(broadcast(appr))
+      .agg(
+        sum(when(col("x").cast("double") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("x").cast("double") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("x").cast("double") < col("a99"), 1L).otherwise(0L)).as("lt99"),
+        sum(when(col("x").cast("double") <= col("a99"), 1L).otherwise(0L)).as("le99"),
+        first(col("n")).as("n"))
+    val err = greatest(lit(1L), (col("n") * 2 / 10000).cast("long"))
+    def ok(lt: String, le: String, q: Double) = {
+      val k = ceil(col("n") * q).cast("long")
+      (col(lt) <= k - 1 + err) && (col(le) >= k - err)
+    }
+    ranks.crossJoin(broadcast(exact))
+      .select(
+        col("p50").cast("double").as("exact_p50"),
+        col("p99").cast("double").as("exact_p99"),
+        ok("lt50", "le50", 0.5).as("p50_bound_ok"),
+        ok("lt99", "le99", 0.99).as("p99_bound_ok"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     giniByPriority, mannWhitney, autocorrelation, entropyMi, editDistanceJoin,
-    assocRules, weightedSample, editDistClusters, ols2)
+    assocRules, weightedSample, editDistClusters, ols2, skyline3, gkBound)
 }

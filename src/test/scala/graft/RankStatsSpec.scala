@@ -105,6 +105,26 @@ class RankStatsSpec extends SparkSpec {
     }
   }
 
+  test("Skyline == brute-force dominance filter, partition-count invariant, ties survive") {
+    val rnd = new scala.util.Random(3)
+    val pts = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(30).toLong, rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    // duplicate a likely-frontier point exactly: both copies must survive
+    val dup = pts :+ (9001L, 29L, 29L, 29L) :+ (9002L, 29L, 29L, 29L)
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      a._1 >= b._1 && a._2 >= b._2 && a._3 >= b._3 &&
+        (a._1 > b._1 || a._2 > b._2 || a._3 > b._3)
+    val want = dup.filterNot { p =>
+      dup.exists(q => dominates((q._2, q._3, q._4), (p._2, p._3, p._4)))
+    }.map(_._1).toSet
+    for (parts <- Seq(1, 4, 11)) {
+      val df = dup.toDF("id", "a", "b", "c").repartition(parts)
+      val got = graft.operators.Skyline.skyline(df, Seq("a", "b", "c"))
+        .select("id").as[Long].collect().toSet
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("deletion variants: counts and the FastSS sharing law on a known pair") {
     val vs = EditDistanceJoin.deletionVariants("abcd", 1).toSet
     assert(vs == Set("abcd", "bcd", "acd", "abd", "abc"))
