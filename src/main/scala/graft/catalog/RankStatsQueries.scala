@@ -482,7 +482,80 @@ object RankStatsQueries {
         ok("lt99", "le99", 0.99).as("p99_bound_ok"))
   }
 
+  val hhi: QueryDef = QueryDef.sqlBacked(
+    "q_hhi",
+    """WITH b AS (
+      |  SELECT p_brand,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1),
+      |tot AS (SELECT SUM(CAST(cents AS HUGEINT)) AS t,
+      |               SUM(CAST(cents AS HUGEINT) * cents) AS sq FROM b)
+      |SELECT CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_brands,
+      |  round(CAST(sq AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 9) AS hhi
+      |FROM tot""".stripMargin,
+    doc = "Herfindahl–Hirschman concentration index of revenue across brands: " +
+      "HHI = Σ shareᵢ² computed EXACTLY as Σcentsᵢ² / (Σcents)² — both sums are exact " +
+      "integers (HUGEINT/DECIMAL(38,0)) from one aggregation over the broadcast-joined " +
+      "fact table, so no per-share double ever sums across rows; the single division " +
+      "runs on two identical exact operands. 1/25 = 0.04 is perfect competition here, " +
+      "1.0 a monopoly.") { (s, d) =>
+    val b = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("cents"))
+    b.agg(
+        count(lit(1)).as("n_brands"),
+        sum(col("cents").cast(dec38)).as("t"),
+        sum(col("cents").cast(dec38) * col("cents").cast(dec38)).as("sq"))
+      .select(col("n_brands"),
+        round(col("sq").cast("double")
+          / (col("t").cast("double") * col("t").cast("double")), 9).as("hhi"))
+  }
+
+  val abcAnalysis: QueryDef = QueryDef.sqlBacked(
+    "q_abc",
+    """WITH b AS (
+      |  SELECT p_brand,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1),
+      |r AS (
+      |  SELECT p_brand, cents,
+      |    SUM(CAST(cents AS HUGEINT)) OVER
+      |      (ORDER BY cents DESC, p_brand) AS cum,
+      |    SUM(CAST(cents AS HUGEINT)) OVER () AS tot
+      |  FROM b)
+      |SELECT p_brand, cents,
+      |  CASE WHEN cum * 10 <= tot * 8 THEN 'A'
+      |       WHEN cum * 100 <= tot * 95 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM r ORDER BY cents DESC, p_brand""".stripMargin,
+    doc = "ABC (Pareto) classification of brands by cumulative revenue share — class A " +
+      "carries the first 80%, B to 95%, C the tail. Classification thresholds compare " +
+      "in pure INTEGERS (cum·10 ≤ tot·8), so there is no floating point anywhere. The " +
+      "brand dimension is bounded (dictionary-sized), so the cumulative window runs " +
+      "over a tiny aggregate; the only full-data pass is the map-combined revenue " +
+      "aggregation with the part dim broadcast.") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("p_brand"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    b.withColumn("cum", sum(col("cents").cast(dec38)).over(w))
+      .withColumn("tot", sum(col("cents").cast(dec38)).over(wAll))
+      .select(col("p_brand"), col("cents"),
+        when(col("cum") * 10 <= col("tot") * 8, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("cents").desc, col("p_brand"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     giniByPriority, mannWhitney, autocorrelation, entropyMi, editDistanceJoin,
-    assocRules, weightedSample, editDistClusters, ols2, skyline3, gkBound)
+    assocRules, weightedSample, editDistClusters, ols2, skyline3, gkBound,
+    hhi, abcAnalysis)
 }
