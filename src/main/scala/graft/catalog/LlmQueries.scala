@@ -1200,6 +1200,81 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  val imagePhashQ: QueryDef = QueryDef.sqlBacked(
+    "q_image_phash",
+    """WITH ids AS (
+      |  SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id, TRUE FROM documents WHERE doc_id % 50 = 0),
+      |px AS (
+      |  SELECT i.media_id, x.x AS x, y.y AS y,
+      |    CASE WHEN i.pert AND x.x = 0 AND y.y = 0
+      |      THEN ((i.base*11 + x.x + 2*y.y) % 256 + 1) % 256
+      |      ELSE (i.base*11 + x.x + 2*y.y) % 256 END AS g
+      |  FROM ids i, generate_series(0, 7) x(x), generate_series(0, 7) y(y)),
+      |dh AS (
+      |  SELECT a.media_id,
+      |    CAST(SUM(CASE WHEN b.g > a.g
+      |      THEN (CAST(1 AS BIGINT) << (a.y*7 + a.x)) ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM px a JOIN px b
+      |    ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 7
+      |  GROUP BY 1)
+      |SELECT a.media_id AS id1, b.media_id AS id2,
+      |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+      |FROM dh a JOIN dh b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 1
+      |ORDER BY id1, id2""".stripMargin,
+    doc = "Perceptual-hash image near-dup pairs over REAL decoded pixels: each id becomes " +
+      "an 8x8 PNG (clones get one green pixel bumped), Multimodal.imageDHash DECODES " +
+      "the PNG and fingerprints row-gradient signs (classic dHash, 56 bits), and pairs " +
+      "within hamming 1 come from 2-band pigeonhole candidates + exact bit_count " +
+      "verify — never an all-pairs join; payloads never shuffle (only 8-byte hashes). " +
+      "The oracle replays the closed-form pixel rule and brute-forces all pairs, so a " +
+      "match proves encode->decode->dhash->band-join end to end.") { (s, d) =>
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val base = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("media_id"), col("doc_id").as("base"),
+        lit(false).as("pert"))
+    val clones = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000).as("media_id"), col("doc_id").as("base"),
+        lit(true).as("pert"))
+    val ids = base.unionByName(clones)
+    val hashRdd = ids.rdd.mapPartitions(_.map { r =>
+      val png =
+        if (r.getBoolean(2)) Multimodal.syntheticPngPerturbed(r.getLong(1), 8, 8)
+        else Multimodal.syntheticPng(r.getLong(1), 8, 8)
+      org.apache.spark.sql.Row(r.getLong(0),
+        Multimodal.imageDHash(png).getOrElse(
+          sys.error(s"dhash: undecodable fixture for id ${r.getLong(0)}")))
+    })
+    val dh = s.createDataFrame(hashRdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dhash",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+    // hamming ≤ 1 ⇒ the differing bit lives in ONE 28-bit band, so the
+    // other band matches exactly (pigeonhole — same family as q_simhash)
+    val bands = dh.select(col("media_id"), col("dhash"),
+        explode(array(
+          struct(lit(0).as("bi"), shiftright(col("dhash"), 28).as("bv")),
+          struct(lit(1).as("bi"),
+            (col("dhash").bitwiseAND(lit((1L << 28) - 1))).as("bv")))).as("b"))
+      .select(col("media_id"), col("dhash"), col("b.bi"), col("b.bv"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        col("a.dhash").as("h1"), col("b.dhash").as("h2"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .filter(col("hamming") <= 1)
+      .select("id1", "id2", "hamming")
+      .orderBy("id1", "id2")
+  }
+
   val urlDedupQ: QueryDef = QueryDef.sqlBacked(
     "q_url_dedup",
     """WITH u AS (SELECT doc_id,
@@ -1733,7 +1808,7 @@ object LlmQueries {
     ngramJaccard, ppjoin, minhashLsh, dupClusters, winnow, simhash,
     cosineTopK, annLsh, annIvf, annIvfPq, semDedup, embedDecontaminate, embedNearDup,
     embedQuantize, pqQuantize,
-    multimodalMeta, multimodalFeatures, imageFeaturesQ, audioFeaturesQ,
+    multimodalMeta, multimodalFeatures, imageFeaturesQ, audioFeaturesQ, imagePhashQ,
     urlDedupQ, hashClassifierQ, knnClassifyQ, streamNearDup,
     substringDedup, bm25, stratifiedSample, heavyHitters, invertedIndex)
 }

@@ -133,6 +133,58 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** [[syntheticPng]] with the GREEN value at pixel (0,0) bumped by
+    * +1 (mod 256) — a one-pixel perturbation that leaves the dHash
+    * within hamming distance 1 of the base image's, so near-duplicate
+    * image pairs exist by construction and the SQL oracle can replay
+    * the same closed form. */
+  def syntheticPngPerturbed(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g0, b) = syntheticRgb(id, x, y)
+        val g = if (x == 0 && y == 0) (g0 + 1) % 256 else g0
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Difference hash (dHash) of a decoded image's GREEN channel over
+    * the top-left w×h grid: bit (y·(w−1)+x) is set iff
+    * g(x+1,y) > g(x,y) — the classic perceptual fingerprint
+    * (row-gradient signs), pure integer arithmetic on REAL decoded
+    * pixels so near-duplicate detection is exact and replayable by a
+    * closed-form SQL oracle. 8×8 grid → 56 bits, safely inside a
+    * signed long. None when the payload does not decode. */
+  def imageDHash(payload: Array[Byte], w: Int = 8, h: Int = 8): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < w || img.getHeight < h) None
+      else {
+        var hash = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w - 1) {
+            val gl = (img.getRGB(x, y) >> 8) & 0xff
+            val gr = (img.getRGB(x + 1, y) >> 8) & 0xff
+            if (gr > gl) hash |= 1L << (y * (w - 1) + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   val imageStatsSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = true),
