@@ -54,9 +54,14 @@ object RunningTotals {
     val sorted = df.repartitionByRange(parts, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
       .persist()
-    // one pass collecting per-(pid, group) subtotal + row count; the
-    // same RDD instance is reused for stamping so range boundaries
-    // cannot shift between the two jobs (GlobalRank's law)
+    // one pass collecting boundary subtotals; the same RDD instance is
+    // reused for stamping so range boundaries cannot shift between the
+    // two jobs (GlobalRank's law). Only a partition's FIRST and LAST
+    // group can span a partition edge — interior groups start at offset
+    // zero by construction — so the driver sees at most 2 rows per
+    // partition, O(partitions), never O(groups): the difference between
+    // a metadata-sized collect and a driver bottleneck when the group
+    // key is high-cardinality (e.g. the Mann-Whitney value histogram).
     val sortedRdd = sorted.rdd
     val subtotals = sortedRdd.mapPartitionsWithIndex { case (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Long, Long)]
@@ -66,7 +71,12 @@ object RunningTotals {
         val (s, c) = m.getOrElse(k, (0L, 0L))
         m(k) = (s + v, c + 1L)
       }
-      m.iterator.map { case (k, (s, c)) => (pid, k, s, c) }
+      if (m.isEmpty) Iterator.empty
+      else {
+        val ks = m.keysIterator.toVector
+        val edge = Set(ks.head, ks.last)
+        edge.iterator.map { k => val (s, c) = m(k); (pid, k, s, c) }
+      }
     }.collect()
     // per-group prefix over ascending pid → starting (sum, count)
     // offsets for each (pid, group)
