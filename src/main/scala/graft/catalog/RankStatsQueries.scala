@@ -554,8 +554,62 @@ object RankStatsQueries {
       .orderBy(col("cents").desc, col("p_brand"))
   }
 
+  val spearman: QueryDef = QueryDef.sqlBacked(
+    "q_spearman",
+    """WITH pts AS (
+      |  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT 2*(rank() OVER (ORDER BY x)) + (COUNT(*) OVER (PARTITION BY x)) - 1 AS rx,
+      |    2*(rank() OVER (ORDER BY y)) + (COUNT(*) OVER (PARTITION BY y)) - 1 AS ry
+      |  FROM pts),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+      |    SUM(CAST(rx AS HUGEINT) * rx) AS sxx, SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+      |    SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+      |  FROM r)
+      |SELECT round(CAST(n*sxy - sx*sy AS DOUBLE)
+      |  / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+      |  AS spearman_rho
+      |FROM s""".stripMargin,
+    doc = "Spearman rank correlation (quantity vs extendedprice), EXACT with midranks for " +
+      "ties: ρ = Pearson over the integer 2·midranks, which come from one VALUE " +
+      "HISTOGRAM per variable + RunningTotals' distributed prefix sum — the oracle's " +
+      "two global rank() windows are each one task at scale; here no row-level global " +
+      "sort exists. Per-row ranks rejoin the fact rows by VALUE (two co-keyed joins " +
+      "against tie-collapsed histograms), and all six Pearson terms accumulate in " +
+      "DECIMAL(38,0)/HUGEINT with one double cast each.") { (s, d) =>
+    val pts = t(s, d, "lineitem").select(
+      (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long").as("x"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long").as("y"))
+    def midranks(vCol: String, out: String): DataFrame = {
+      val hist = pts.groupBy(vCol).agg(count(lit(1)).as("c"))
+      graft.operators.RunningTotals
+        .perGroup(hist, Seq.empty, Seq(col(vCol)), "c",
+          outCol = "__cum", rankOut = "__rn")
+        // 2·midrank = 2·cum_lt + c + 1
+        .select(col(vCol), (lit(2) * (col("__cum") - col("c")) + col("c") + 1).as(out))
+    }
+    val ranked = pts
+      .join(midranks("x", "rx"), "x")
+      .join(midranks("y", "ry"), "y")
+    val s6 = ranked.agg(
+      count(lit(1)).cast(dec38).as("n"),
+      sum(col("rx").cast(dec38)).as("sx"), sum(col("ry").cast(dec38)).as("sy"),
+      sum(col("rx").cast(dec38) * col("rx").cast(dec38)).as("sxx"),
+      sum(col("ry").cast(dec38) * col("ry").cast(dec38)).as("syy"),
+      sum(col("rx").cast(dec38) * col("ry").cast(dec38)).as("sxy"))
+    s6.select(
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+        .as("spearman_rho"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     giniByPriority, mannWhitney, autocorrelation, entropyMi, editDistanceJoin,
     assocRules, weightedSample, editDistClusters, ols2, skyline3, gkBound,
-    hhi, abcAnalysis)
+    hhi, abcAnalysis, spearman)
 }
