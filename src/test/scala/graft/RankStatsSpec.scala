@@ -31,6 +31,26 @@ class RankStatsSpec extends SparkSpec {
     }
   }
 
+  test("RunningTotals at high group cardinality (groups >> partitions, interior + spanning)") {
+    val rnd = new scala.util.Random(99)
+    // 500 groups over 7 partitions: most groups are interior to one
+    // partition (offset 0), some span edges — the O(partitions)
+    // boundary-collect must stamp both kinds correctly
+    val rows = (1 to 5000).map { i =>
+      (s"g${"%03d".format(rnd.nextInt(500))}", rnd.nextInt(50).toLong, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id").repartition(7)
+    val got = RunningTotals.perGroup(df, Seq("g"), Seq(col("v"), col("id")), "v",
+      numPartitions = 7)
+      .select("g", "id", "run_sum", "run_rn")
+    val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+    val want = rows.toDF("g", "v", "id")
+      .withColumn("run_sum", sum(col("v")).over(w))
+      .withColumn("run_rn", row_number().over(w).cast("long"))
+      .select("g", "id", "run_sum", "run_rn")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("RunningTotals with no group columns is a global prefix sum") {
     val df = (1 to 500).map(i => (i.toLong, (i % 17).toLong)).toDF("id", "v")
       .repartition(7)
