@@ -608,8 +608,33 @@ object RankStatsQueries {
         .as("spearman_rho"))
   }
 
+  val topkPerGroup: QueryDef = QueryDef.sqlBacked(
+    "q_topk_group",
+    """SELECT pri, rn AS rank, o_orderkey, cents
+      |FROM (
+      |  SELECT o_orderpriority AS pri, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey)
+      |      AS BIGINT) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY pri, rank""".stripMargin,
+    doc = "Top-3 orders per priority WITHOUT a rank window: operators/TopKByGroup is a " +
+      "mergeable Aggregator holding a k-bounded sorted buffer, so Spark runs it with " +
+      "partial aggregation — each map task ships at most k pairs per group, where the " +
+      "oracle's row_number window sorts every row of every group in one task per " +
+      "group. Deterministic total order (value desc, id asc) under ties.") { (s, d) =>
+    val base = t(s, d, "orders").select(
+      col("o_orderpriority").as("pri"),
+      cents("o_totalprice").as("cents"), col("o_orderkey"))
+    graft.operators.TopKByGroup.topK(base, Seq("pri"), "cents", "o_orderkey", 3)
+      .select(col("pri"), col("rank"), col("o_orderkey"), col("cents"))
+      .orderBy("pri", "rank")
+  }
+
   val all: Seq[QueryDef] = Seq(
     giniByPriority, mannWhitney, autocorrelation, entropyMi, editDistanceJoin,
     assocRules, weightedSample, editDistClusters, ols2, skyline3, gkBound,
-    hhi, abcAnalysis, spearman)
+    hhi, abcAnalysis, spearman, topkPerGroup)
 }

@@ -378,6 +378,14 @@ class PlanAuditSpec extends SparkSpec {
       "the verify must intersect stored arrays, not re-join exploded grams")
   }
 
+  test("topk per group: mergeable aggregate with a partial stage, no rank window") {
+    val p = planOf("q_topk_group")
+    assert(!p.contains("Window"), "top-k must not rank-sort whole groups")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "the bounded-buffer aggregator must plan as an aggregate")
+    assert(p.contains("partial_"), "partial aggregation (map-side combine) must run")
+  }
+
   test("delivery guarantee derives from plan facts") {
     import Descriptor._
     assert(deriveGuarantee(sourceReplayable = true,

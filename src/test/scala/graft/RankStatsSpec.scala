@@ -145,6 +145,23 @@ class RankStatsSpec extends SparkSpec {
     }
   }
 
+  test("TopKByGroup == rank-window formulation, partition-count invariant, tie-exact") {
+    val rnd = new scala.util.Random(21)
+    // coarse values force ties across the k boundary
+    val rows = (1 to 3000).map(i => (s"g${i % 7}", rnd.nextInt(12).toLong, i.toLong))
+    for (parts <- Seq(1, 4, 16)) {
+      val df = rows.toDF("g", "v", "id").repartition(parts)
+      val got = graft.operators.TopKByGroup.topK(df, Seq("g"), "v", "id", 5)
+        .select("g", "rank", "id", "v")
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      val want = rows.toDF("g", "v", "id")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("g", "rank", "id", "v")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, s"parts=$parts")
+    }
+  }
+
   test("deletion variants: counts and the FastSS sharing law on a known pair") {
     val vs = EditDistanceJoin.deletionVariants("abcd", 1).toSet
     assert(vs == Set("abcd", "bcd", "acd", "abd", "abc"))
