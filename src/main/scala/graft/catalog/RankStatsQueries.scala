@@ -633,8 +633,62 @@ object RankStatsQueries {
       .orderBy("pri", "rank")
   }
 
+  val kendall: QueryDef = QueryDef.sqlBacked(
+    "q_kendall",
+    """WITH j AS (
+      |  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+      |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS y,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (
+      |  SELECT
+      |    SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS nc,
+      |    SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS nd
+      |  FROM j a JOIN j b ON b.x > a.x),
+      |t AS (
+      |  SELECT CAST(SUM(c) AS HUGEINT) AS n,
+      |    SUM(CAST(c AS HUGEINT) * c) AS scc
+      |  FROM j),
+      |tx AS (SELECT SUM(CAST(cx AS HUGEINT) * cx) AS sxx FROM
+      |  (SELECT SUM(c) AS cx FROM j GROUP BY x) gx),
+      |ty AS (SELECT SUM(CAST(cy AS HUGEINT) * cy) AS syy FROM
+      |  (SELECT SUM(c) AS cy FROM j GROUP BY y) gy)
+      |SELECT round(CAST(2*nc - 2*nd AS DOUBLE)
+      |  / (sqrt(CAST(n*n - sxx AS DOUBLE)) * sqrt(CAST(n*n - syy AS DOUBLE))), 6)
+      |  AS kendall_tau_b
+      |FROM p CROSS JOIN t CROSS JOIN tx CROSS JOIN ty""".stripMargin,
+    doc = "Kendall's τ-b (quantity vs discount), EXACT at any scale via the joint " +
+      "contingency table: both columns are dictionary-sized, so one aggregation " +
+      "collapses 100 TB of rows into a few hundred (x, y, count) cells and the " +
+      "concordant/discordant sums run as a cell-level join over that tiny table (the " +
+      "only non-equi join in the plan touches ≤ |domain|² cells, never rows). Using " +
+      "2(nc−nd)/√(n²−Σtx²)/√(n²−Σty²) — the tie-corrected denominator expressed in " +
+      "pure integers (n² − Σt² = 2·(n0 − n1)) — every term is an exact " +
+      "HUGEINT/DECIMAL(38,0) until one final double epilogue.") { (s, d) =>
+    val j = t(s, d, "lineitem").groupBy(
+        (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long").as("x"),
+        (col("l_discount").cast(DecimalType(12, 2)) * 100).cast("long").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val p = j.as("a").join(broadcast(j.as("b")), col("b.x") > col("a.x"))
+      .agg(
+        sum(when(col("b.y") > col("a.y"),
+          col("a.c").cast(dec38) * col("b.c").cast(dec38)).otherwise(lit(0).cast(dec38))).as("nc"),
+        sum(when(col("b.y") < col("a.y"),
+          col("a.c").cast(dec38) * col("b.c").cast(dec38)).otherwise(lit(0).cast(dec38))).as("nd"))
+    val tot = j.agg(sum(col("c")).cast(dec38).as("n"))
+    val sxx = j.groupBy("x").agg(sum(col("c")).as("cx"))
+      .agg(sum(col("cx").cast(dec38) * col("cx").cast(dec38)).as("sxx"))
+    val syy = j.groupBy("y").agg(sum(col("c")).as("cy"))
+      .agg(sum(col("cy").cast(dec38) * col("cy").cast(dec38)).as("syy"))
+    p.crossJoin(broadcast(tot)).crossJoin(broadcast(sxx)).crossJoin(broadcast(syy))
+      .select(round((lit(2) * col("nc") - lit(2) * col("nd")).cast("double")
+        / (sqrt((col("n") * col("n") - col("sxx")).cast("double"))
+          * sqrt((col("n") * col("n") - col("syy")).cast("double"))), 6)
+        .as("kendall_tau_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     giniByPriority, mannWhitney, autocorrelation, entropyMi, editDistanceJoin,
     assocRules, weightedSample, editDistClusters, ols2, skyline3, gkBound,
-    hhi, abcAnalysis, spearman, topkPerGroup)
+    hhi, abcAnalysis, spearman, topkPerGroup, kendall)
 }
