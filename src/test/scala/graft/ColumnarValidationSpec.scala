@@ -417,6 +417,25 @@ class ColumnarValidationSpec extends SparkSpec {
     assertAgrees(spark.read.parquet(dir), p, expectColumnar = true)
   }
 
+  test("stats proofs stay sound when FILES disagree (per-file uniform, cross-file mixed)") {
+    // file A: col all-null; file B: col non-null. Neither all-pass nor
+    // all-fail holds across the scan, so no proof may fire — and the
+    // counts must still be exactly right either way.
+    val schema = StructType(Seq(
+      StructField("c", LongType), StructField("r", DoubleType)))
+    val dir = s"${tmpDir()}/proofs_crossfile"
+    val fa = (1 to 30).map(_ => Row(null, 5.0))          // all-null c, in-range r
+    val fb = (1 to 20).map(i => Row(i.toLong, 50.0))     // non-null c, out-of-range r
+    spark.createDataFrame(spark.sparkContext.parallelize(fa, 1), schema)
+      .write.parquet(dir)
+    spark.createDataFrame(spark.sparkContext.parallelize(fb, 1), schema)
+      .write.mode("append").parquet(dir)
+    val p = ContractPolicy(Seq(
+      RowRule.Nullability("nn_c", "c"),     // mixed across files: no proof
+      RowRule.Range("rng_r", "r", 0, 20)))  // file A passes, file B fails: no proof
+    assertAgrees(spark.read.parquet(dir), p, expectColumnar = true)
+  }
+
   test("a filtered frame never uses stats proofs (row-path fallback is the existing rule)") {
     val dir = s"${tmpDir()}/proofs_filtered"
     proofDf().write.parquet(dir)

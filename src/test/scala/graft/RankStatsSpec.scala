@@ -162,6 +162,21 @@ class RankStatsSpec extends SparkSpec {
     }
   }
 
+  test("EditDistanceJoin on very short strings (k >= length, empty variants) stays exact") {
+    val strs = Seq("a", "b", "ab", "ba", "abc", "", "c", "ac")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = strs.toDF("id", "s").repartition(3)
+    for (k <- Seq(1, 2)) {
+      val got = graft.operators.EditDistanceJoin.pairs(df, "id", "s", k)
+        .select("id1", "id2", "dist").as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (i1, s1) <- strs; (i2, s2) <- strs if i1 < i2
+        d = levenshteinRef(s1, s2) if d <= k
+      } yield (i1, i2, d.toLong)).toSet
+      assert(got == want, s"k=$k")
+    }
+  }
+
   test("deletion variants: counts and the FastSS sharing law on a known pair") {
     val vs = EditDistanceJoin.deletionVariants("abcd", 1).toSet
     assert(vs == Set("abcd", "bcd", "acd", "abd", "abc"))
