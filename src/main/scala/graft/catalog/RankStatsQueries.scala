@@ -525,7 +525,7 @@ object RankStatsQueries {
       |      (ORDER BY cents DESC, p_brand) AS cum,
       |    SUM(CAST(cents AS HUGEINT)) OVER () AS tot
       |  FROM b)
-      |SELECT p_brand, cents,
+      |SELECT p_brand, CAST(cents AS BIGINT) AS cents,
       |  CASE WHEN cum * 10 <= tot * 8 THEN 'A'
       |       WHEN cum * 100 <= tot * 95 THEN 'B'
       |       ELSE 'C' END AS abc_class

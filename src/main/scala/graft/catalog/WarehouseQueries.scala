@@ -262,13 +262,15 @@ object WarehouseQueries {
         floor(col("o_totalprice") * 100).cast(LongType),
         unix_micros(col("o_orderdate").cast(org.apache.spark.sql.types.TimestampType)),
         col("o_orderpriority"))
-      val hexDigest = md5(canonical)
-      // digest bytes 8..15, little-endian, as DECIMAL(20,0) — exactly
-      // DuckDB's md5_number_lower. byte j lives at hex chars 2j+1..2j+2.
-      val low64 = (0 until 8).map { j =>
-        conv(substring(hexDigest, 2 * (8 + j) + 1, 2), 16, 10)
-          .cast(DecimalType(20, 0)) * lit(BigDecimal(2).pow(8 * j).bigDecimal)
-      }.reduce(_ + _)
+      // digest bytes 8..15 little-endian mod 2^61−1, one codegen'd
+      // Expression per row (exactly DuckDB's md5_number_lower reduced
+      // early — mod is sum-homomorphic, so SUM of the per-row residues
+      // then one final pmod equals the oracle's SUM-then-mod). The
+      // residues are < 2^61, so the exactness carrier is a cheap
+      // DECIMAL(20,0) sum of longs, not an 8-term decimal polynomial.
+      graft.functions.TextHashFunctions.register(s)
+      val low64 = call_function("graft_md5low64_mod61", canonical)
+        .cast(DecimalType(20, 0))
       o.agg(
         count(lit(1)).as("n_rows"),
         pmod(sum(low64), lit(BigDecimal(2305843009213693951L).bigDecimal))

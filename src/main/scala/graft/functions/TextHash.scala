@@ -20,6 +20,28 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHashImpl {
   final val Seed = 42L
 
+  /** 2^61 − 1, the Mersenne modulus of the table-checksum fold. */
+  final val Mersenne61 = 2305843009213693951L
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5(bytes) digest bytes 8..15 little-endian (= DuckDB
+    * `md5_number_lower`'s uint64) mod 2^61−1. One digest, one 8-byte
+    * read, one unsigned remainder per row; the ThreadLocal digest is
+    * reused across the whole codegen'd partition loop. */
+  def md5Low64Mod61(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var u = 0L
+    var j = 15
+    while (j >= 8) { u = (u << 8) | (d(j) & 0xffL); j -= 1 }
+    java.lang.Long.remainderUnsigned(u, Mersenne61)
+  }
+
   /** xxhash64 of a token's UTF-8 bytes. */
   def hashToken(s: UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
@@ -138,6 +160,24 @@ object TextHashImpl {
   }
 }
 
+/** `graft_md5low64_mod61(text)` — md5 of the UTF-8 bytes, digest bytes
+  * 8..15 read little-endian as an unsigned 64-bit integer (exactly
+  * DuckDB's `md5_number_lower`), reduced mod 2^61−1. Because the
+  * Mersenne modulus is applied PER ROW and mod is sum-homomorphic
+  * ((Σxᵢ) mod p = (Σ(xᵢ mod p)) mod p), a decimal SUM of these values
+  * followed by one final pmod reproduces `SUM(md5_number_lower(..))
+  * % p` bit-exactly — without the 8× `conv(substring(hex))` decimal
+  * chain the first formulation paid per row. */
+case class Md5Low64Mod61Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5low64_mod61"
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashImpl.md5Low64Mod61(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.md5Low64Mod61($c)")
+  override protected def withNewChildInternal(c: Expression): Md5Low64Mod61Expr = copy(child = c)
+}
+
 /** `simhash64_native(text)` — codegen'd one-pass SimHash. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -199,5 +239,7 @@ object TextHashFunctions {
       "graft_minhash16", exprs => MinHashSigExpr(exprs.head, 16), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngrams5", exprs => WordNgramsExpr(exprs.head, 5), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5low64_mod61", exprs => Md5Low64Mod61Expr(exprs.head), "scala_udf")
   }
 }
