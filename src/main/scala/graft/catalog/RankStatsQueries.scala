@@ -687,8 +687,94 @@ object RankStatsQueries {
         .as("kendall_tau_b"))
   }
 
+  val ksTest: QueryDef = QueryDef.sqlBacked(
+    "q_ks_test",
+    """WITH v AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |h AS (SELECT cents, SUM(g1) AS n1c, SUM(1 - g1) AS n2c FROM v GROUP BY 1),
+      |c AS (
+      |  SELECT SUM(CAST(n1c AS HUGEINT)) OVER (ORDER BY cents) AS c1,
+      |         SUM(CAST(n2c AS HUGEINT)) OVER (ORDER BY cents) AS c2
+      |  FROM h),
+      |t AS (SELECT SUM(CAST(n1c AS HUGEINT)) AS n1,
+      |             SUM(CAST(n2c AS HUGEINT)) AS n2 FROM h)
+      |SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+      |  round(CAST(MAX(abs(c1 * t.n2 - c2 * t.n1)) AS DOUBLE)
+      |    / CAST(t.n1 * t.n2 AS DOUBLE), 6) AS ks_d
+      |FROM c CROSS JOIN t GROUP BY t.n1, t.n2""".stripMargin,
+    doc = "Two-sample Kolmogorov–Smirnov statistic comparing URGENT vs LOW order-value " +
+      "distributions: D = max|ECDF₁−ECDF₂|, exact. The ECDF numerators are TWO prefix " +
+      "sums over the same merged value histogram — one RunningTotals pass stamps both " +
+      "(range exchange + O(partitions) boundary collect; the oracle's two global windows " +
+      "are each one task). The max runs over the INTEGER cross-difference " +
+      "|c1·n2 − c2·n1| (DECIMAL(38,0)/HUGEINT — tie-proof, scale-proof), and D is one " +
+      "double divide of two exact operands at the very end.") { (s, d) =>
+    val v = t(s, d, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(cents("o_totalprice").as("cents"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g1"))
+    val hist = v.groupBy("cents").agg(
+      sum(col("g1")).as("n1c"), sum(lit(1L) - col("g1")).as("n2c"))
+    val cum = graft.operators.RunningTotals.perGroupMulti(
+      hist, Seq.empty, Seq(col("cents")), Seq("n1c", "n2c"), Seq("__c1", "__c2"))
+    val tot = hist.agg(sum(col("n1c")).as("n1"), sum(col("n2c")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(
+        abs(col("__c1").cast(dec38) * col("n2").cast(dec38)
+          - col("__c2").cast(dec38) * col("n1").cast(dec38)).as("__num"),
+        col("n1"), col("n2"))
+      .groupBy("n1", "n2").agg(max(col("__num")).as("__dn"))
+      .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        round(col("__dn").cast("double")
+          / (col("n1").cast(dec38) * col("n2").cast(dec38)).cast("double"), 6)
+          .as("ks_d"))
+  }
+
+  val chi2: QueryDef = QueryDef.sqlBacked(
+    "q_chi2",
+    """WITH j AS (
+      |  SELECT l_returnflag AS flag, l_linestatus AS status,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS total FROM j),
+      |mf AS (SELECT flag, CAST(SUM(n) AS HUGEINT) AS nf FROM j GROUP BY 1),
+      |ms AS (SELECT status, CAST(SUM(n) AS HUGEINT) AS ns FROM j GROUP BY 1)
+      |SELECT j.flag, j.status, j.n,
+      |  round(CAST(j.n * tot.total - mf.nf * ms.ns AS DOUBLE)
+      |      * CAST(j.n * tot.total - mf.nf * ms.ns AS DOUBLE)
+      |      / CAST(tot.total * mf.nf * ms.ns AS DOUBLE), 6) AS chi2_term
+      |FROM j CROSS JOIN tot
+      |  JOIN mf ON mf.flag = j.flag
+      |  JOIN ms ON ms.status = j.status
+      |ORDER BY j.flag, j.status""".stripMargin,
+    doc = "Chi-squared independence test between returnflag and linestatus, emitted as " +
+      "per-cell contributions (n·total − nf·ns)²/(total·nf·ns) ≡ (n−E)²/E — the " +
+      "q_entropy_mi contingency aggregation with a different epilogue. The delta " +
+      "n·total − nf·ns is EXACT (DECIMAL(38,0)/HUGEINT), cast to double once, squared " +
+      "and divided in an IEEE op sequence written identically in both engines; no " +
+      "cross-row double summation ever happens (χ² itself is the oracle-side sum a " +
+      "reader can fold). Counts and marginals are one map-combined aggregation each; " +
+      "the scalar total and dictionary-sized marginals broadcast.") { (s, d) =>
+    val j = t(s, d, "lineitem").groupBy(
+      col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+    val tot = j.agg(sum(col("n")).cast(dec38).as("total"))
+    val mf = j.groupBy("flag").agg(sum(col("n")).cast(dec38).as("nf"))
+    val ms = j.groupBy("status").agg(sum(col("n")).cast(dec38).as("ns"))
+    val delta = (col("n").cast(dec38) * col("total") - col("nf") * col("ns"))
+      .cast("double")
+    j.crossJoin(broadcast(tot))
+      .join(broadcast(mf), "flag")
+      .join(broadcast(ms), "status")
+      .select(col("flag"), col("status"), col("n"),
+        round(delta * delta
+          / (col("total") * col("nf") * col("ns")).cast("double"), 6).as("chi2_term"))
+      .orderBy("flag", "status")
+  }
+
   val all: Seq[QueryDef] = Seq(
     giniByPriority, mannWhitney, autocorrelation, entropyMi, editDistanceJoin,
     assocRules, weightedSample, editDistClusters, ols2, skyline3, gkBound,
-    hhi, abcAnalysis, spearman, topkPerGroup, kendall)
+    hhi, abcAnalysis, spearman, topkPerGroup, kendall, ksTest, chi2)
 }

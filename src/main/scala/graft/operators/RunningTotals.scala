@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** Distributed per-group running totals — the prefix-sum shape behind
   * rank statistics (Gini, Mann-Whitney midranks, Lorenz curves,
-  * empirical CDFs).
+  * empirical CDFs, Kolmogorov–Smirnov).
   *
   * `sum(x) OVER (PARTITION BY g ORDER BY v)` runs ONE task per group:
   * at 100 TB a handful of groups means a handful of executors sorting
@@ -32,24 +32,45 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
   * order yields the same running total at equal keys only if the
   * caller aggregates per distinct key first; pass tie-breakers when
   * per-row totals must be unique).
+  *
+  * Cache lifecycle: the range-sorted input is persisted so the
+  * boundary-collect job and the stamping job see IDENTICAL partition
+  * contents (re-sampling the range exchange between jobs could shift
+  * boundaries). The persist is scoped to the enclosing query: every
+  * harness main (Verify, Bench, QueryProbe) calls
+  * `spark.catalog.clearCache()` after each query, so these plans never
+  * accumulate across the catalog sweep — any NEW entry point running
+  * many queries in one session must do the same.
   */
 object RunningTotals {
 
   /** Append `outCol` = running sum of `valueCol` (LongType) within
     * `groupCols`, ordered by `order`, and `rankOut` = running 1-based
-    * row number within the group. Output is persisted by the caller's
-    * next action lifecycle (unpersist responsibility is the caller's,
-    * mirroring GlobalRank). */
+    * row number within the group. */
   def perGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
       valueCol: String, outCol: String = "run_sum",
+      rankOut: String = "run_rn", numPartitions: Int = 0): DataFrame =
+    perGroupMulti(df, groupCols, order, Seq(valueCol), Seq(outCol), rankOut, numPartitions)
+
+  /** Multi-column variant: one range exchange + one boundary collect +
+    * one stamping pass appends a running sum PER entry of `valueCols`
+    * (all LongType) — the Kolmogorov–Smirnov shape, where both samples'
+    * ECDF numerators advance over the same merged value histogram. */
+  def perGroupMulti(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+      valueCols: Seq[String], outCols: Seq[String],
       rankOut: String = "run_rn", numPartitions: Int = 0): DataFrame = {
+    require(valueCols.nonEmpty && valueCols.length == outCols.length,
+      "valueCols and outCols must align")
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val gIdx = groupCols.map(c => df.schema.fieldIndex(c))
-    val vIdx = df.schema.fieldIndex(valueCol)
-    require(df.schema(vIdx).dataType == LongType,
-      s"$valueCol must be LongType (pre-scale decimals to exact longs)")
+    val vIdx = valueCols.map(c => df.schema.fieldIndex(c)).toArray
+    val nv = vIdx.length
+    vIdx.foreach { i =>
+      require(df.schema(i).dataType == LongType,
+        s"${df.schema(i).name} must be LongType (pre-scale decimals to exact longs)")
+    }
     val keyCols = groupCols.map(org.apache.spark.sql.functions.col) ++ order
     val sorted = df.repartitionByRange(parts, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
@@ -64,12 +85,16 @@ object RunningTotals {
     // key is high-cardinality (e.g. the Mann-Whitney value histogram).
     val sortedRdd = sorted.rdd
     val subtotals = sortedRdd.mapPartitionsWithIndex { case (pid, it) =>
-      val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Long, Long)]
+      val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Array[Long], Long)]
       it.foreach { r =>
         val k = gIdx.map(r.get)
-        val v = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
-        val (s, c) = m.getOrElse(k, (0L, 0L))
-        m(k) = (s + v, c + 1L)
+        val (s, c) = m.getOrElse(k, (new Array[Long](nv), 0L))
+        var i = 0
+        while (i < nv) {
+          if (!r.isNullAt(vIdx(i))) s(i) += r.getLong(vIdx(i))
+          i += 1
+        }
+        m(k) = (s, c + 1L)
       }
       if (m.isEmpty) Iterator.empty
       else {
@@ -78,38 +103,45 @@ object RunningTotals {
         edge.iterator.map { k => val (s, c) = m(k); (pid, k, s, c) }
       }
     }.collect()
-    // per-group prefix over ascending pid → starting (sum, count)
+    // per-group prefix over ascending pid → starting (sums, count)
     // offsets for each (pid, group)
-    val offsets: Map[(Int, Seq[Any]), (Long, Long)] = {
+    val offsets: Map[(Int, Seq[Any]), (Array[Long], Long)] = {
       val byGroup = subtotals.groupBy(_._2)
       byGroup.iterator.flatMap { case (k, arr) =>
         val sortedArr = arr.sortBy(_._1)
-        var runS = 0L; var runC = 0L
+        val runS = new Array[Long](nv); var runC = 0L
         sortedArr.map { case (pid, _, s, c) =>
-          val off = ((pid, k), (runS, runC))
-          runS += s; runC += c
+          val off = ((pid, k), (runS.clone(), runC))
+          var i = 0
+          while (i < nv) { runS(i) += s(i); i += 1 }
+          runC += c
           off
         }
       }.toMap
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    val schema = StructType(sorted.schema.fields ++ Seq(
-      StructField(outCol, LongType, nullable = false),
-      StructField(rankOut, LongType, nullable = false)))
+    val schema = StructType(sorted.schema.fields ++
+      outCols.map(c => StructField(c, LongType, nullable = false)) :+
+      StructField(rankOut, LongType, nullable = false))
     val stamped = sortedRdd.mapPartitionsWithIndex { case (pid, it) =>
       val offs = bc.value
       var curKey: Seq[Any] = null
-      var runS = 0L; var runC = 0L
+      var runS: Array[Long] = new Array[Long](nv)
+      var runC = 0L
       it.map { r =>
         val k = gIdx.map(r.get)
         if (k != curKey) {
           curKey = k
-          val (s0, c0) = offs.getOrElse((pid, k), (0L, 0L))
-          runS = s0; runC = c0
+          val (s0, c0) = offs.getOrElse((pid, k), (new Array[Long](nv), 0L))
+          runS = s0.clone(); runC = c0
         }
-        val v = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
-        runS += v; runC += 1L
-        Row.fromSeq(r.toSeq ++ Seq(runS, runC))
+        var i = 0
+        while (i < nv) {
+          if (!r.isNullAt(vIdx(i))) runS(i) += r.getLong(vIdx(i))
+          i += 1
+        }
+        runC += 1L
+        Row.fromSeq(r.toSeq ++ runS.toSeq :+ runC)
       }
     }
     spark.createDataFrame(stamped, schema)

@@ -336,6 +336,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ks test: both ECDFs from one RunningTotals pass, no window, totals broadcast") {
+    val p = planOf("q_ks_test")
+    assert(!p.contains("Window"),
+      "ECDF numerators must come from RunningTotals' range exchange, not global windows")
+    assert(!p.contains("CartesianProduct"), "the 1-row totals must ride a broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("chi2: contingency marginals broadcast, no wide join, no window") {
+    val p = planOf("q_chi2")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "total and both marginals must ride broadcasts")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("acf: lag pairing is a broadcast equi-join on the tiny daily series") {
     val p = planOf("q_acf")
     assert(p.contains("BroadcastHashJoin"), "daily series must broadcast")

@@ -64,6 +64,31 @@ class RankStatsSpec extends SparkSpec {
     assert(got.count() == 500L)
   }
 
+  test("RunningTotals.perGroupMulti stamps N prefix sums == N windows, with nulls") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 3000).map { i =>
+      (s"g${rnd.nextInt(4)}",
+        rnd.nextInt(100).toLong,
+        if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(9)),
+        i.toLong)
+    }
+    for (parts <- Seq(1, 5, 11)) {
+      val df = rows.toDF("g", "a", "b", "id").repartition(parts)
+      val got = RunningTotals.perGroupMulti(
+        df, Seq("g"), Seq(col("a"), col("id")), Seq("a", "b"), Seq("ca", "cb"))
+        .select("g", "id", "ca", "cb", "run_rn")
+      val w = Window.partitionBy("g").orderBy(col("a"), col("id"))
+      val want = rows.toDF("g", "a", "b", "id")
+        .withColumn("ca", sum(col("a")).over(w))
+        // null values contribute 0 but still advance the row counter
+        .withColumn("cb", coalesce(sum(col("b")).over(w), lit(0L)))
+        .withColumn("run_rn", row_number().over(w).cast("long"))
+        .select("g", "id", "ca", "cb", "run_rn")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"parts=$parts mismatch")
+    }
+  }
+
   test("EditDistanceJoin == brute force on random mutated strings, k=1 and k=2") {
     val rnd = new scala.util.Random(7)
     val alphabet = "abcdef"
