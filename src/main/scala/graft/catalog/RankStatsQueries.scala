@@ -281,11 +281,15 @@ object RankStatsQueries {
 
   val weightedSample: QueryDef = QueryDef.sqlBacked(
     "q_weighted_sample",
-    """WITH u AS (
+    """WITH h AS (
       |  SELECT o_orderkey, o_totalprice,
-      |    (CAST((o_orderkey * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
-      |      / 4294967296 AS uh
-      |  FROM orders)
+      |    xor(o_orderkey % 4294967296, o_orderkey // 4294967296) AS h32
+      |  FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    (CAST((xor(h32 % 2147483648, h32 // 2147483648) * 2654435761)
+      |          % 4294967296 AS DOUBLE) + 0.5) / 4294967296 AS uh
+      |  FROM h)
       |SELECT o_orderkey,
       |  round(-ln(uh) / o_totalprice, 12) AS es_key
       |FROM u
@@ -293,13 +297,18 @@ object RankStatsQueries {
       |LIMIT 20""".stripMargin,
     doc = "Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): each row gets " +
       "key u^(1/w) — equivalently smallest −ln(u)/w wins — and the top-k by key is an " +
-      "exact weighted sample. u comes from a deterministic multiplicative hash of the " +
-      "key (any 64-bit mixer works; deterministic so the sample is REPRODUCIBLE and " +
-      "oracle-checkable — the reproducibility a 100 TB pipeline needs to re-derive its " +
-      "own sample). Spark plans TakeOrderedAndProject: a per-partition top-k + one " +
-      "k-row merge, never a global sort.") { (s, d) =>
+      "exact weighted sample. u comes from a deterministic WRAP-SAFE multiplicative " +
+      "hash: the key folds 64→32→31 bits by XOR (exact in both engines), so the " +
+      "Knuth-constant product is provably < 2^62 and never overflows int64 at ANY key " +
+      "scale — DuckDB raises on BIGINT overflow while Spark wraps, so an overflowing " +
+      "mixer would silently diverge at 100 TB keys. Deterministic ⇒ the sample is " +
+      "REPRODUCIBLE and oracle-checkable — the reproducibility a 100 TB pipeline needs " +
+      "to re-derive its own sample. Spark plans TakeOrderedAndProject: a per-partition " +
+      "top-k + one k-row merge, never a global sort.") { (s, d) =>
+    val h32 = "((o_orderkey % 4294967296L) ^ (o_orderkey div 4294967296L))"
+    val h31 = expr(s"(($h32 % 2147483648L) ^ ($h32 div 2147483648L))")
     val u = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
-      ((pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L))
+      ((pmod(h31 * lit(2654435761L), lit(4294967296L))
         .cast("double") + 0.5) / 4294967296L).as("uh"))
     u.select(col("o_orderkey"),
         round(-log(col("uh")) / col("o_totalprice"), 12).as("es_key"))

@@ -23,12 +23,25 @@ object Tables {
     * scheduling overhead (the files are driver-generated and immutable
     * for a run). Declaring the schema is also the 100 TB discipline —
     * production scans never infer. */
-  private val schemaCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), org.apache.spark.sql.types.StructType]
+
+  /** Cache key = (path, total length, max mtime) — same law as
+    * ParquetFooters' footerCache, so a test or bench that REGENERATES a
+    * file at the same path in the same JVM re-infers instead of
+    * silently decoding with a stale schema. */
+  private def cacheKey(path: String): (String, Long, Long) = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      (path, kids.map(_.length).sum,
+        kids.foldLeft(f.lastModified)((m, k) => math.max(m, k.lastModified)))
+    } else (path, f.length, f.lastModified)
+  }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val schema = schemaCache.getOrElseUpdate(path,
+    val schema = schemaCache.getOrElseUpdate(cacheKey(path),
       spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }

@@ -133,25 +133,48 @@ object DistributedSelect {
   private def bracketsFromSample(base: DataFrame, groupCols: Seq[String],
       sized: DataFrame, sampleTarget: Int, kCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
+    val vType = base.schema("__v").dataType
     val withRate = base.join(sized, groupCols)
       .withColumn("__f", greatest(lit(1L), (col("__n") / sampleTarget).cast("long")))
     val sample = withRate.filter(
       pmod(xxhash64((col("__v") +: g): _*), col("__f")) === 0)
-    val tailAggs = first(col("__n")).as("__nn") +:
+    // The ticket hash keys on (value, group) — deterministic and
+    // partition-independent, but every DUPLICATE of a kept value shares
+    // the ticket, so a heavy-hitter column could pull a large fraction
+    // of the group into one executor-side array. Aggregate the sample
+    // to a per-(group, value) COUNT first: the collected array is
+    // bounded by DISTINCT kept values (≈ sampleTarget) while the counts
+    // still carry duplicate mass, so sample ranks stay rank-faithful.
+    val histAggs = Seq(count(lit(1)).as("__c"), first(col("__n")).as("__nn")) ++
       kCols.zipWithIndex.map { case (k, i) => first(col(k)).as(s"__kk$i") }
-    val agged = sample.groupBy(g: _*)
-      .agg(sort_array(collect_list(col("__v"))).as("__arr"), tailAggs: _*)
-      .withColumn("__sn", size(col("__arr")).cast("long"))
+    val hist = sample.groupBy(g :+ col("__v"): _*)
+      .agg(histAggs.head, histAggs.tail: _*)
+    val tailAggs = first(col("__nn")).as("__nn") +:
+      kCols.indices.map(i => first(col(s"__kk$i")).as(s"__kk$i"))
+    val agged = hist.groupBy(g: _*)
+      .agg(sort_array(collect_list(
+        struct(col("__v").as("v"), col("__c").as("c")))).as("__arr"), tailAggs: _*)
+      .withColumn("__sn",
+        aggregate(col("__arr"), lit(0L), (acc, x) => acc + x.getField("c")))
     val withEnds = kCols.indices.foldLeft(agged) { case (acc, i) =>
       val target = (col(s"__kk$i").cast("double") / col("__nn")) * col("__sn")
       val margin = greatest(lit(64.0), col("__sn") / 32)
-      // `get` is 0-based and null-safe out of bounds (empty sample → null
-      // endpoints → the caller's widened fallback), unlike ANSI element_at
-      val lowIdx = greatest(lit(1L), floor(target - margin).cast("long")) - 1
-      val highIdx = least(col("__sn"), ceil(target + margin).cast("long")) - 1
+      val lowRank = greatest(lit(1L), floor(target - margin).cast("long"))
+      val highRank = least(col("__sn"), ceil(target + margin).cast("long"))
+      // value at 1-based sample rank r = first v whose cumulative count
+      // reaches r (empty sample → null endpoints → widened fallback)
+      def pick(rank: Column): Column = aggregate(col("__arr"),
+        struct(lit(0L).as("cum"), lit(null).cast(vType).as("ans")),
+        (st, x) => {
+          val cum2 = st.getField("cum") + x.getField("c")
+          struct(cum2.as("cum"),
+            when(st.getField("ans").isNull && cum2 >= rank, x.getField("v"))
+              .otherwise(st.getField("ans")).as("ans"))
+        },
+        st => st.getField("ans"))
       acc
-        .withColumn(s"__a$i", get(col("__arr"), lowIdx.cast("int")))
-        .withColumn(s"__b$i", get(col("__arr"), highIdx.cast("int")))
+        .withColumn(s"__a$i", pick(lowRank))
+        .withColumn(s"__b$i", pick(highRank))
     }
     withEnds.drop("__arr", "__sn", "__nn").drop(kCols.indices.map(i => s"__kk$i"): _*)
   }
@@ -271,9 +294,16 @@ object DistributedSelect {
           },
           st => st.getField("ans")))
     }
-    val checked = qs.map { case (out, _) =>
-      when(col(out).isNotNull, col(out)).otherwise(raise_error(
-        lit(s"distributed-select: bracket miss for $out — GK bound violated")))
+    // Loud failure must be TWO-sided: a high-side miss leaves ans null,
+    // but a LOW-side miss (true answer below __lo) makes __nlt already
+    // ≥ k, so the first in-slice value would "hit" and return a silently
+    // too-large quantile. Under a correct GK bound, lo ≤ answer implies
+    // nlt = count(< lo) ≤ count(< answer) < k — so nlt ≥ k is exactly
+    // the low-side violation signal, checkable from counts already paid.
+    val checked = qs.zipWithIndex.map { case ((out, _), i) =>
+      when(col(s"__nlt$i") < col(s"__k$i") && col(out).isNotNull, col(out))
+        .otherwise(raise_error(
+          lit(s"distributed-select: bracket miss for $out — GK bound violated")))
         .as(out)
     }
     withAns.select(g ++ checked: _*)

@@ -37,6 +37,26 @@ class DistributedSelectSpec extends SparkSpec {
     assert(tiny.exceptAll(full).isEmpty && full.exceptAll(tiny).isEmpty)
   }
 
+  test("heavy-hitter column: sampled bracket array is bounded by distinct values") {
+    import spark.implicits._
+    // one value carries 95% of the group: the (value, group) ticket hash
+    // keeps EVERY duplicate of a kept value, so before the histogram
+    // aggregation the collected array could hold ~0.95·n rows; after it,
+    // at most the distinct-value count (102 here) regardless of n
+    val rows = Seq.fill(20000)(("g1", 50L)) ++
+      (1 to 500).map(i => ("g1", (i % 100).toLong + 100L)) ++
+      (1 to 300).map(i => ("g2", i.toLong))
+    val df = rows.toDF("flag", "v").repartition(8)
+    val w = Window.partitionBy("flag").orderBy(col("v"))
+    val ref = df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("flag"), col("v").as("median"))
+    val got = DistributedSelect.lowerMedianByGroup(df, Seq("flag"), "v",
+      sampleTarget = 64)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
   test("all-ties groups and k-th percentiles resolve without a group sort") {
     import spark.implicits._
     val ties = Seq.fill(1000)(("g1", BigDecimal(5))) ++
