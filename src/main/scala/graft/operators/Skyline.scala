@@ -13,9 +13,15 @@ import org.apache.spark.sql.{DataFrame, Row}
   *     that typically discards almost everything);
   *  2. global MERGE over the union of local skylines — a single task
   *     over Σ|local skylines|, which is bounded by d·(global skyline
-  *     size) in expectation; for anti-correlated worst cases the
-  *     caller picks dimensions that keep frontiers small (the same
-  *     contract every skyline system documents).
+  *     size) in expectation. The merge contract is ENFORCED, not
+  *     assumed: the local-survivor union is counted first; above
+  *     `mergeBound` an automatic intermediate pass re-runs the local
+  *     skyline on √partitions coalesced groups (anti-correlated data
+  *     shrinks superlinearly when partitions merge), and if the union
+  *     STILL exceeds the bound the operator fails loudly with
+  *     [[graft.core.GraftError.Plan]] instead of letting one task sort
+  *     an unbounded spill — the typed version of the contract every
+  *     skyline system documents.
   *
   * Dominance: a dominates b when a ≥ b on every dimension and > on at
   * least one (all dimensions maximize; callers negate to minimize).
@@ -26,8 +32,12 @@ import org.apache.spark.sql.{DataFrame, Row}
 object Skyline {
 
   /** Rows of `df` not strictly dominated on `dimCols` (LongType, all
-    * maximize). Keeps every column of `df`. */
-  def skyline(df: DataFrame, dimCols: Seq[String]): DataFrame = {
+    * maximize). Keeps every column of `df`. `mergeBound` caps the row
+    * count the single-task merge may see (after one automatic
+    * intermediate local pass); beyond it the operator raises
+    * [[graft.core.GraftError.Plan]]. */
+  def skyline(df: DataFrame, dimCols: Seq[String],
+      mergeBound: Long = 2000000L): DataFrame = {
     require(dimCols.nonEmpty)
     val idxs = dimCols.map(df.schema.fieldIndex).toArray
     val schema = df.schema
@@ -66,9 +76,35 @@ object Skyline {
     }
 
     val sp = df.sparkSession
-    val local = sp.createDataFrame(
-      df.rdd.mapPartitions(localSkyline), schema)
-    // the merge phase sees only local survivors; one task is the point
+    val local0 = sp.createDataFrame(
+      df.rdd.mapPartitions(localSkyline), schema).persist()
+    // merge-contract gate: the single merge task must see a BOUNDED
+    // union. One count job over the (persisted, tiny) survivor set —
+    // metadata-priced next to the full-data local pass. The persists
+    // are scoped per query by the harness mains' clearCache.
+    val n0 = local0.count()
+    val local =
+      if (n0 <= mergeBound) local0
+      else {
+        // anti-correlated data: merging partitions lets survivors
+        // dominate each other — one intermediate pass on √P groups,
+        // RANGE-partitioned by the first dimension so a candidate and
+        // its same-first-dim dominators collocate deterministically
+        // (any partitioning is a safe filter; this one actually shrinks)
+        val parts = math.max(1, math.sqrt(local0.rdd.getNumPartitions.toDouble).toInt)
+        val second = sp.createDataFrame(
+          local0.repartitionByRange(parts, col(dimCols.head).desc, col(dimCols.last))
+            .rdd.mapPartitions(localSkyline), schema).persist()
+        val n1 = second.count()
+        if (n1 > mergeBound)
+          throw graft.core.GraftError.Plan(
+            s"skyline merge contract violated: $n1 local survivors after two " +
+              s"local passes exceed mergeBound=$mergeBound — the frontier over " +
+              s"(${dimCols.mkString(", ")}) is too anti-correlated for a " +
+              "single-task merge; reduce dimensions or raise the bound")
+        second
+      }
+    // the merge phase sees only bounded local survivors; one task is the point
     sp.createDataFrame(
       local.repartition(1).rdd.mapPartitions(localSkyline), schema)
   }

@@ -170,6 +170,32 @@ class RankStatsSpec extends SparkSpec {
     }
   }
 
+  test("Skyline merge gate: layered anti-chains rescue via the range second pass") {
+    // 8 layers × 500 points: layer p holds (i, (500−i)·1000 − p) — an
+    // anti-chain WITHIN each layer, and (i, layer 0) dominates (i, layer
+    // p>0). With one layer per partition, the first local pass keeps all
+    // 4000 rows (> mergeBound); the automatic second pass range-
+    // partitions on x, collocating same-x candidates with their layer-0
+    // dominators, so the merge sees exactly the 500 true frontier rows.
+    val rows = for (p <- 0 until 8; i <- 0 until 500)
+      yield (p.toLong, i.toLong, (500L - i) * 1000L - p)
+    val df = rows.toDF("p", "x", "y").repartitionByRange(8, col("p"))
+    val got = graft.operators.Skyline.skyline(df, Seq("x", "y"), mergeBound = 600L)
+      .select("p", "x").as[(Long, Long)].collect().toSet
+    assert(got == (0 until 500).map(i => (0L, i.toLong)).toSet)
+  }
+
+  test("Skyline merge gate: a true anti-correlated frontier fails typed, not silently") {
+    // every point is on the frontier: no partitioning can shrink it, so
+    // the single-task merge contract is unsatisfiable at this bound
+    val rows = (0 until 5000).map(i => (i.toLong, (5000 - i).toLong))
+    val df = rows.toDF("x", "y").repartition(8)
+    val e = intercept[graft.core.GraftError.Plan] {
+      graft.operators.Skyline.skyline(df, Seq("x", "y"), mergeBound = 100L).count()
+    }
+    assert(e.getMessage.contains("merge contract"))
+  }
+
   test("TopKByGroup == rank-window formulation, partition-count invariant, tie-exact") {
     val rnd = new scala.util.Random(21)
     // coarse values force ties across the k boundary
