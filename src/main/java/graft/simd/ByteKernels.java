@@ -236,7 +236,16 @@ public final class ByteKernels {
     return passN;
   }
 
-  /** IEEE semantics: NaN fails both compares. */
+  // Measurement note (tools/SimdProbe, round 14): the IEEE total-order
+  // trick (raw-bits XOR sign-flip → long compares) was tried here and
+  // LOST — 2.07 vs 1.83 ns/row clean — because C2 does not vectorize
+  // the MoveD2L in the loop body; the explicit Vector API variant
+  // (viewAsIntegralLanes + mask.toLong) lost harder (2.89-3.4), and an
+  // Unsafe long-view of the double[] (Platform.getLong) tied within
+  // noise (1.7-1.9) without vectorizing — all on the software mask /
+  // scalar-load bridges. The plain double-compare branchless loop
+  // below stays the fastest formulation on this JDK; IEEE semantics
+  // (NaN fails both compares) come for free.
   public static long rangeDoubleBits(double[] data, byte[] nulls, int n,
       double lo, double hi, long[] bits) {
     long passN = 0L;
@@ -304,14 +313,168 @@ public final class ByteKernels {
     return passN;
   }
 
+  
+  // ------------------------------------------------- SWAR 1-byte lanes
+  //
+  // The contiguous 1-byte string rows (flag columns) previously ran on
+  // Vector API compare blocks whose mask left the vector domain through
+  // VectorMask.toLong — measured at a flat ~1.4 ns/row regardless of
+  // candidate count (tools/SimdProbe r14), i.e. the BRIDGE is the cost,
+  // not the compares. These SWAR kernels stay in scalar registers the
+  // whole way: 8 rows load as ONE little-endian long (VarHandle view,
+  // intrinsified), byte-equality becomes the classic zero-byte trick
+  // ((w−0x0101…)&~w&0x8080…), and the 8 high bits compact to 8
+  // consecutive pass bits with one multiply-gather
+  // (((z>>>7)·0x0102040810204080)>>>56 — collision-free: positions
+  // 8k+7j+7 are distinct for k+j=7 and only those land in the top
+  // byte). ~6 ops per 8 rows per candidate; no incubator module needed.
+
+  private static final java.lang.invoke.VarHandle LE_LONG =
+      java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
+          long[].class, java.nio.ByteOrder.LITTLE_ENDIAN);
+
+  /** 0x80 in every byte of {@code w} that is zero — the EXACT per-byte
+   *  formulation ((b&0x7F)+0x7F never carries across bytes; the high
+   *  bit of y|w is 0 only for b == 0). The shorter classic
+   *  (w−0x0101…)&~w&0x8080… is only reliable for "is there any zero":
+   *  its borrow chain false-positives a 0x01 byte sitting above a 0x00
+   *  byte — caught by the seeded randomized differential in
+   *  ColumnarValidationSpec when this lane first shipped with it. */
+  private static long zerosHigh(long w) {
+    long y = (w & 0x7F7F7F7F7F7F7F7FL) + 0x7F7F7F7F7F7F7F7FL;
+    return ~(y | w | 0x7F7F7F7F7F7F7F7FL);
+  }
+
+  /** Compacts the 8 per-byte high bits of {@code z} to bits 0..7. */
+  private static long gather8(long z) {
+    return ((z >>> 7) * 0x0102040810204080L) >>> 56;
+  }
+
+  private static long broadcast(byte c) {
+    return (c & 0xFFL) * 0x0101010101010101L;
+  }
+
+  /** Scalar fallback of {@code SimdKernels.unitStrings} (the verified
+   *  contiguous 1-byte-row layout): lets the SWAR lanes above engage
+   *  even when the incubator module is absent. */
+  public static boolean unitStringsScalar(int[] offs, int[] lens, int n) {
+    if (n <= 0) return false;
+    int off0 = offs[0];
+    int bad = 0;
+    for (int i = 0; i < n; i++) {
+      bad |= (lens[i] ^ 1) | (offs[i] - off0 - i);
+    }
+    return bad == 0;
+  }
+
+  /** child[base+i] == c0 over contiguous 1-byte rows, SWAR. */
+  public static long byteEqContigSwar(byte[] child, int base, int n,
+      byte c0, byte[] nulls, long[] bits) {
+    final long bc0 = broadcast(c0);
+    long passN = 0L;
+    int full = n & ~63;
+    int i = 0;
+    for (; i < full; i += 64) {
+      long word = 0L;
+      for (int j = 0; j < 64; j += 8) {
+        long w = (long) LE_LONG.get(child, base + i + j);
+        long z = zerosHigh(w ^ bc0);
+        if (nulls != null) z &= zerosHigh((long) LE_LONG.get(nulls, i + j));
+        word |= gather8(z) << j;
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        boolean ok = (nulls == null || nulls[k] == 0) & child[base + k] == c0;
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    return passN;
+  }
+
+  /** child[base+i] ∈ {c0, c1} over contiguous 1-byte rows, SWAR. */
+  public static long byteSet2ContigSwar(byte[] child, int base, int n,
+      byte c0, byte c1, byte[] nulls, long[] bits) {
+    final long bc0 = broadcast(c0);
+    final long bc1 = broadcast(c1);
+    long passN = 0L;
+    int full = n & ~63;
+    int i = 0;
+    for (; i < full; i += 64) {
+      long word = 0L;
+      for (int j = 0; j < 64; j += 8) {
+        long w = (long) LE_LONG.get(child, base + i + j);
+        long z = zerosHigh(w ^ bc0) | zerosHigh(w ^ bc1);
+        if (nulls != null) z &= zerosHigh((long) LE_LONG.get(nulls, i + j));
+        word |= gather8(z) << j;
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        byte b = child[base + k];
+        boolean ok = (nulls == null || nulls[k] == 0) & (b == c0 | b == c1);
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    return passN;
+  }
+
+  /** child[base+i] ∈ {c0, c1, c2, c3} over contiguous 1-byte rows, SWAR
+   *  (callers pad unused slots with c0). */
+  public static long byteSet4ContigSwar(byte[] child, int base, int n,
+      byte c0, byte c1, byte c2, byte c3, byte[] nulls, long[] bits) {
+    final long bc0 = broadcast(c0);
+    final long bc1 = broadcast(c1);
+    final long bc2 = broadcast(c2);
+    final long bc3 = broadcast(c3);
+    long passN = 0L;
+    int full = n & ~63;
+    int i = 0;
+    for (; i < full; i += 64) {
+      long word = 0L;
+      for (int j = 0; j < 64; j += 8) {
+        long w = (long) LE_LONG.get(child, base + i + j);
+        long z = zerosHigh(w ^ bc0) | zerosHigh(w ^ bc1)
+            | zerosHigh(w ^ bc2) | zerosHigh(w ^ bc3);
+        if (nulls != null) z &= zerosHigh((long) LE_LONG.get(nulls, i + j));
+        word |= gather8(z) << j;
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    if (i < n) {
+      long word = 0L;
+      for (int k = i; k < n; k++) {
+        byte b = child[base + k];
+        boolean ok = (nulls == null || nulls[k] == 0)
+            & (b == c0 | b == c1 | b == c2 | b == c3);
+        word |= (ok ? 1L : 0L) << (k - i);
+      }
+      bits[i >> 6] = word;
+      passN += Long.bitCount(word);
+    }
+    return passN;
+  }
+
   public static long notNullBits(byte[] nulls, int n, long[] bits) {
     long passN = 0L;
     int full = n & ~63;
     int i = 0;
     for (; i < full; i += 64) {
       long word = 0L;
-      for (int j = 0; j < 64; j++) {
-        word |= (nulls[i + j] == 0 ? 1L : 0L) << j;
+      for (int j = 0; j < 64; j += 8) {
+        // SWAR: pass bit per ZERO byte of the null-flag word
+        word |= gather8(zerosHigh((long) LE_LONG.get(nulls, i + j))) << j;
       }
       bits[i >> 6] = word;
       passN += Long.bitCount(word);

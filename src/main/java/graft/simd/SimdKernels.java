@@ -82,12 +82,15 @@ public final class SimdKernels {
   /** Set membership over the contiguous 1-byte rows:
    *  child[base+i] ∈ {c0,c1,c2,c3} (callers pad unused slots with c0),
    *  one PASS BIT per row into bits (64 rows/word, tail zeroed).
-   *  Covers Domain rules with ≤4 single-byte members AND the 1-byte
-   *  Equals/StartsWith/EndsWith/Contains rewrites (on length-1 rows
-   *  they all reduce to byte equality). One 512-bit compare block per
-   *  64 rows; the mask leaves the vector domain through toLong — the
-   *  only bridge the bitset design needs (~1.7 ns/row measured,
-   *  tools/BitProbe). */
+   *  One 512-bit compare block per 64 rows; the mask leaves the vector
+   *  domain through VectorMask.toLong.
+   *
+   *  Round-14 status: DEMOTED from the dispatch — the toLong bridge
+   *  costs a flat ~1.48 ns/row regardless of candidate count
+   *  (candidate-count-specialized variants measured identical), while
+   *  the SWAR formulation in {@link ByteKernels#byteSet4ContigSwar}
+   *  runs 0.28-0.38 ns/row with no module dependency. Kept as the
+   *  vector-api reference point for tools/SimdProbe regressions. */
   public static long byteSetContigBits(byte[] child, int base, int n,
       byte c0, byte c1, byte c2, byte c3, byte[] nulls, long[] bits) {
     VectorSpecies<Byte> sp = ByteVector.SPECIES_PREFERRED;

@@ -808,6 +808,10 @@ object ColumnarValidation {
     val nRules = kernels.length
     val acc = Counts.zero(nRules)
     val ranksDesc = ranks.distinct.sortBy(-_)
+    // rank → member rule indexes, precomputed once so the per-word loop
+    // walks a dense array instead of re-scanning ranks with a branch
+    val rankRules: Array[Array[Int]] =
+      ranksDesc.map(rk => (0 until nRules).filter(ranks(_) == rk).toArray).toArray
     // per-rule bit scratch, reused across batches (capacity grows to
     // the largest batch; vectorized reader default is 4096 rows)
     val bitsBuf = Array.fill(nRules)(new Array[Long](64))
@@ -833,15 +837,15 @@ object ColumnarValidation {
           var assigned = 0L
           var di = 0
           while (di < ranksDesc.length) {
-            val rk = ranksDesc(di)
+            val members = rankRules(di)
             var fail = 0L
-            var r2 = 0
-            while (r2 < nRules) {
-              if (ranks(r2) == rk) fail |= ~bitsBuf(r2)(w)
-              r2 += 1
+            var m = 0
+            while (m < members.length) {
+              fail |= ~bitsBuf(members(m))(w)
+              m += 1
             }
             val newly = fail & tailMask & ~assigned
-            acc.rowsByRank(rk) += java.lang.Long.bitCount(newly)
+            acc.rowsByRank(ranksDesc(di)) += java.lang.Long.bitCount(newly)
             assigned |= newly
             di += 1
           }

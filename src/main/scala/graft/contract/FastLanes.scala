@@ -184,26 +184,45 @@ private[graft] object FastLanes {
       val child: Array[Byte], val nulls: Array[Byte])
 
   /** Verified contiguous 1-byte-row layout (flag columns): unlocks the
-    * native byte-set kernel — checked, never assumed. */
+    * SWAR byte kernels — checked, never assumed. The check itself uses
+    * the Vector API when present, a scalar loop otherwise (the SWAR
+    * kernels need no module; forceOff still disables everything
+    * upstream in `usable`). */
   private def unitLayout(sa: StringArrays, n: Int): Boolean =
-    simdOn && n > 0 &&
-      graft.simd.SimdKernels.unitStrings(sa.offs, sa.lens, n) &&
-      sa.offs(0) >= 0 && sa.offs(0).toLong + n <= sa.child.length
+    n > 0 && {
+      if (simdStatus.isRight) graft.simd.SimdKernels.unitStrings(sa.offs, sa.lens, n)
+      else graft.simd.ByteKernels.unitStringsScalar(sa.offs, sa.lens, n)
+    } && sa.offs(0) >= 0 && sa.offs(0).toLong + n <= sa.child.length
 
+  // Candidate-count-specialized SWAR dispatch (round 14): the Vector
+  // API compare blocks measured a flat ~1.48 ns/row regardless of
+  // candidate count — the VectorMask.toLong bridge, not the compares,
+  // was the cost. The SWAR kernels (8 rows per scalar long, zero-byte
+  // trick + multiply-gather) run 0.28–0.38 ns/row (tools/SimdProbe)
+  // and need no incubator module.
   private def set4(sa: StringArrays, n: Int, c0: Byte, c1: Byte, c2: Byte,
       c3: Byte, bits: Array[Long]): Long =
-    graft.simd.SimdKernels.byteSetContigBits(sa.child, sa.offs(0), n,
+    graft.simd.ByteKernels.byteSet4ContigSwar(sa.child, sa.offs(0), n,
       c0, c1, c2, c3, sa.nulls, bits)
+
+  private def set1(sa: StringArrays, n: Int, c0: Byte, bits: Array[Long]): Long =
+    graft.simd.ByteKernels.byteEqContigSwar(sa.child, sa.offs(0), n,
+      c0, sa.nulls, bits)
 
   def stringDomainBits(sa: StringArrays, n: Int, cands: Array[Array[Byte]],
       bits: Array[Long]): Long =
     if (cands.nonEmpty && cands.length <= 4 && cands.forall(_.length == 1)
         && unitLayout(sa, n)) {
-      val c0 = cands(0)(0)
-      val c1 = if (cands.length > 1) cands(1)(0) else c0
-      val c2 = if (cands.length > 2) cands(2)(0) else c0
-      val c3 = if (cands.length > 3) cands(3)(0) else c0
-      set4(sa, n, c0, c1, c2, c3, bits)
+      cands.length match {
+        case 1 => set1(sa, n, cands(0)(0), bits)
+        case 2 => graft.simd.ByteKernels.byteSet2ContigSwar(
+          sa.child, sa.offs(0), n, cands(0)(0), cands(1)(0), sa.nulls, bits)
+        case _ =>
+          val c0 = cands(0)(0)
+          val c2 = if (cands.length > 2) cands(2)(0) else c0
+          val c3 = if (cands.length > 3) cands(3)(0) else c0
+          set4(sa, n, c0, cands(1)(0), c2, c3, bits)
+      }
     } else graft.simd.ByteKernels.domainBits(
       sa.offs, sa.lens, sa.child, sa.nulls, n, cands, bits)
 
@@ -212,28 +231,28 @@ private[graft] object FastLanes {
   def stringEqualsBits(sa: StringArrays, n: Int, pat: Array[Byte],
       bits: Array[Long]): Long =
     if (pat.length == 1 && unitLayout(sa, n))
-      set4(sa, n, pat(0), pat(0), pat(0), pat(0), bits)
+      set1(sa, n, pat(0), bits)
     else graft.simd.ByteKernels.equalsLitBits(
       sa.offs, sa.lens, sa.child, sa.nulls, n, pat, bits)
 
   def stringStartsWithBits(sa: StringArrays, n: Int, pat: Array[Byte],
       bits: Array[Long]): Long =
     if (pat.length == 1 && unitLayout(sa, n))
-      set4(sa, n, pat(0), pat(0), pat(0), pat(0), bits)
+      set1(sa, n, pat(0), bits)
     else graft.simd.ByteKernels.startsWithBits(
       sa.offs, sa.lens, sa.child, sa.nulls, n, pat, bits)
 
   def stringEndsWithBits(sa: StringArrays, n: Int, pat: Array[Byte],
       bits: Array[Long]): Long =
     if (pat.length == 1 && unitLayout(sa, n))
-      set4(sa, n, pat(0), pat(0), pat(0), pat(0), bits)
+      set1(sa, n, pat(0), bits)
     else graft.simd.ByteKernels.endsWithBits(
       sa.offs, sa.lens, sa.child, sa.nulls, n, pat, bits)
 
   def stringContainsBits(sa: StringArrays, n: Int, pat: Array[Byte],
       bits: Array[Long]): Long =
     if (pat.length == 1 && unitLayout(sa, n))
-      set4(sa, n, pat(0), pat(0), pat(0), pat(0), bits)
+      set1(sa, n, pat(0), bits)
     else graft.simd.ByteKernels.containsLitBits(
       sa.offs, sa.lens, sa.child, sa.nulls, n, pat, bits)
 

@@ -57,6 +57,22 @@ object SimdProbe {
       sink += graft.simd.SimdKernels.byteSetContigBits(child, 0, n,
         'A'.toByte, 'N'.toByte, 'A'.toByte, 'A'.toByte, null, bits)
     }
+    time("byteEqContigSwar") {
+      sink += graft.simd.ByteKernels.byteEqContigSwar(child, 0, n,
+        'A'.toByte, null, bits)
+    }
+    time("byteSet2ContigSwar") {
+      sink += graft.simd.ByteKernels.byteSet2ContigSwar(child, 0, n,
+        'A'.toByte, 'N'.toByte, null, bits)
+    }
+    time("byteSet4ContigSwar") {
+      sink += graft.simd.ByteKernels.byteSet4ContigSwar(child, 0, n,
+        'A'.toByte, 'N'.toByte, 'A'.toByte, 'A'.toByte, null, bits)
+    }
+    time("byteSet2ContigSwar + nulls") {
+      sink += graft.simd.ByteKernels.byteSet2ContigSwar(child, 0, n,
+        'A'.toByte, 'N'.toByte, nulls, bits)
+    }
     time("startsWithBits (1B prefix)") {
       sink += graft.simd.ByteKernels.startsWithBits(offs, lens, child, null, n,
         Array('A'.toByte), bits)
