@@ -352,6 +352,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("robust-stats tier: no single-task window, totals broadcast, no cartesian") {
+    for (q <- Seq("q_wilcoxon", "q_kruskal_wallis", "q_km_survival", "q_psi",
+        "q_cusum", "q_lorenz", "q_weighted_median", "q_trimmed_mean")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"),
+        s"$q must use RunningTotals' range exchange, not a window sort")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+    }
+  }
+
+  test("cusum: argmax day is a bounded top-1, never a global sort to the driver") {
+    val p = planOf("q_cusum")
+    assert(p.contains("TakeOrderedAndProject"), "LIMIT 1 must plan as top-k")
+  }
+
+  test("lorenz: decile boundary rows come from a broadcast equi-join on ranks") {
+    val p = planOf("q_lorenz")
+    assert(p.contains("BroadcastHashJoin"), "the 10-row decile table must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("acf: lag pairing is a broadcast equi-join on the tiny daily series") {
     val p = planOf("q_acf")
     assert(p.contains("BroadcastHashJoin"), "daily series must broadcast")
