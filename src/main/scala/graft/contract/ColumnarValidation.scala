@@ -107,6 +107,13 @@ object ColumnarValidation {
         w: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
         n: Int, bits: Array[Long]): Long = {
       java.util.Arrays.fill(bits, 0, (n + 63) >> 6, 0L)
+      // r14: the memo loop runs over the RAW ids int array + raw null
+      // flags when reflection reaches them — an array load + byte
+      // lookup per row instead of two virtual calls (the prescription's
+      // "memo lane into the bitset lanes"); the virtual-accessor loop
+      // below stays as the universally-correct fallback.
+      val rawIds = FastLanes.rawDictIds(w, n)
+      if (rawIds != null) return memoBitsRaw(w, n, bits, rawIds)
       val ids = w.getDictionaryIds
       // 0 unseen, 1 pass, 2 fail; ids are dense page-dictionary indexes
       var memo = new Array[Byte](256)
@@ -116,6 +123,30 @@ object ColumnarValidation {
         if (w.isNullAt(i)) ok = pass(w, i) // null semantics stay the rule's own
         else {
           val id = ids.getDictId(i)
+          if (id >= memo.length)
+            memo = java.util.Arrays.copyOf(memo, Integer.highestOneBit(id) << 1)
+          var m = memo(id)
+          if (m == 0) { m = if (pass(w, i)) 1 else 2; memo(id) = m }
+          ok = m == 1
+        }
+        if (ok) { bits(i >> 6) |= 1L << (i & 63); passN += 1L }
+        i += 1
+      }
+      passN
+    }
+
+    private def memoBitsRaw(
+        w: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+        n: Int, bits: Array[Long], rawIds: Array[Int]): Long = {
+      val rawNulls = FastLanes.rawNullFlags(w)
+      var memo = new Array[Byte](256)
+      var passN = 0L; var i = 0
+      while (i < n) {
+        var ok = false
+        if (rawNulls != null && rawNulls(i) != 0) {
+          ok = pass(w, i) // null semantics stay the rule's own
+        } else {
+          val id = rawIds(i)
           if (id >= memo.length)
             memo = java.util.Arrays.copyOf(memo, Integer.highestOneBit(id) << 1)
           var m = memo(id)

@@ -164,6 +164,33 @@ private[graft] object FastLanes {
     graft.simd.ByteKernels.rangeFloatBits(data, nullsOf(oh), n, lo, hi, bits)
   }
 
+  /** Raw dictionary-id int array of a dictionary-encoded on-heap
+    * vector (round-14 extension of the memo lane into the bitset
+    * loops): the generic memo path previously paid a virtual
+    * `getDictId(i)` + `isNullAt(i)` per row; with the ids' backing
+    * array in hand the memo loop is an array load + byte lookup. Null
+    * when reflection is off, the vector isn't on-heap, or there is no
+    * dictionary. NOTE: deliberately not gated on `usable` — dictionary
+    * vectors are exactly what `usable` rejects for the typed lanes. */
+  def rawDictIds(v: ColumnVector, n: Int): Array[Int] = v match {
+    case oh: OnHeapColumnVector if fields.isDefined && !forceOff && oh.hasDictionary =>
+      oh.getDictionaryIds match {
+        case ids: OnHeapColumnVector =>
+          val a = arr[Array[Int]](ids, "intData")
+          if (a != null && a.length >= n) a else null
+        case _ => null
+      }
+    case _ => null
+  }
+
+  /** Raw null-flag byte array (1 = null) of an on-heap vector, or null
+    * when absent / not accessible / the vector has no nulls. */
+  def rawNullFlags(v: ColumnVector): Array[Byte] = v match {
+    case oh: OnHeapColumnVector if fields.isDefined && !forceOff && oh.hasNull =>
+      arr[Array[Byte]](oh, "nulls")
+    case _ => null
+  }
+
   /** NotNull over a vector KNOWN to contain nulls (the hasNull()==false
     * all-pass shortcut lives in the caller). */
   def notNullBits(v: ColumnVector, n: Int, bits: Array[Long]): Long = {
