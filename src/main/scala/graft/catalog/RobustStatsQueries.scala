@@ -374,7 +374,125 @@ object RobustStatsQueries {
       .orderBy("flag")
   }
 
+  val grubbs: QueryDef = QueryDef.sqlBacked(
+    "q_grubbs",
+    """WITH v AS (SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      |t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(CAST(c AS HUGEINT)) AS s,
+      |        SUM(CAST(c AS HUGEINT) * c) AS q FROM v),
+      |e AS (SELECT o_orderkey, abs(c * t.n - t.s) AS dev, t.n, t.s, t.q
+      |      FROM v CROSS JOIN t)
+      |SELECT o_orderkey AS outlier_key,
+      |  round(CAST(dev AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+      |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 6) AS g_stat
+      |FROM e ORDER BY dev DESC, o_orderkey LIMIT 1""".stripMargin,
+    doc = "Grubbs' test for the single most extreme order value: G = max|x−mean|/sd. " +
+      "The argmax runs on the EXACT integer deviation |x·n − Σx| (no mean double ever " +
+      "ranks rows — mean-centering without division, same trick as q_cusum), selected " +
+      "by TakeOrdered top-1; n, Σx, Σx² accumulate exactly and G is one IEEE chain at " +
+      "the end. The outlier screen a billing pipeline runs before posting.") { (s, d) =>
+    val v = t(s, d, "orders").select(col("o_orderkey"), cents("o_totalprice").as("c"))
+    val tot = v.agg(count(lit(1)).cast(dec38).as("n"),
+      sum(col("c").cast(dec38)).as("s"),
+      sum(col("c").cast(dec38) * col("c").cast(dec38)).as("q"))
+    val nD = col("n").cast("double")
+    v.crossJoin(broadcast(tot))
+      .select(col("o_orderkey"),
+        abs(col("c").cast(dec38) * col("n") - col("s")).as("dev"),
+        col("n"), col("s"), col("q"))
+      .orderBy(col("dev").desc, col("o_orderkey"))
+      .limit(1)
+      .select(col("o_orderkey").as("outlier_key"),
+        round(col("dev").cast("double")
+          / (nD * sqrt((nD * col("q").cast("double")
+              - col("s").cast("double") * col("s").cast("double"))
+            / (nD * (nD - 1.0)))), 6).as("g_stat"))
+  }
+
+  val qqDeciles: QueryDef = QueryDef.sqlBacked(
+    "q_qq_deciles",
+    """WITH v AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'A'
+      |                  ELSE 'B' END AS g,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+      |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |r AS (SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+      |        COUNT(*) OVER (PARTITION BY g) AS n FROM v),
+      |d(k) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)),
+      |q AS (SELECT d.k, r.g, r.c FROM d JOIN r ON r.rn = (r.n * d.k + 9) // 10)
+      |SELECT CAST(k AS BIGINT) AS decile,
+      |  MAX(CASE WHEN g = 'A' THEN c END) AS urgent_cents,
+      |  MAX(CASE WHEN g = 'B' THEN c END) AS low_cents
+      |FROM q GROUP BY k ORDER BY decile""".stripMargin,
+    doc = "Q–Q comparison of URGENT vs LOW order-value distributions at the 9 interior " +
+      "deciles — the distribution-shift companion of q_ks_test: equal distributions " +
+      "put the points on the diagonal. Decile values are EXACT order statistics " +
+      "(smallest value whose cumulative count reaches ⌈n·k/10⌉ — integer rank " +
+      "arithmetic only) from one per-group value histogram + RunningTotals; the " +
+      "oracle's per-group row_number sorts are one task each.") { (s, d) =>
+    val v = t(s, d, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(when(col("o_orderpriority") === "1-URGENT", "A").otherwise("B").as("g"),
+        cents("o_totalprice").as("c"))
+    val hist = v.groupBy("g", "c").agg(count(lit(1)).as("cnt"))
+    val cum = graft.operators.RunningTotals.perGroup(
+      hist, Seq("g"), Seq(col("c")), "cnt", outCol = "__cum")
+    val sized = hist.groupBy("g").agg(sum("cnt").as("n"))
+    val deciles = {
+      import s.implicits._
+      (1 to 9).map(_.toLong).toDF("k")
+    }
+    val targets = sized.crossJoin(deciles)
+      .select(col("g"), col("k"), expr("(n * k + 9) div 10").as("t"))
+    val picked = cum.join(broadcast(targets), Seq("g"))
+      .filter(col("__cum") >= col("t"))
+      .groupBy("g", "k").agg(min(col("c")).as("v"))
+    picked.groupBy("k")
+      .agg(max(when(col("g") === "A", col("v"))).as("urgent_cents"),
+        max(when(col("g") === "B", col("v"))).as("low_cents"))
+      .select(col("k").as("decile"), col("urgent_cents"), col("low_cents"))
+      .orderBy("decile")
+  }
+
+  val mkTrend: QueryDef = QueryDef.sqlBacked(
+    "q_mk_trend",
+    """WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+      |  FROM orders GROUP BY 1),
+      |p AS (SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+      |             ELSE 0 END AS sg
+      |      FROM daily a JOIN daily b ON b.day > a.day),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM daily)
+      |SELECT t.k AS n_days, CAST(SUM(CAST(sg AS BIGINT)) AS BIGINT) AS s_stat,
+      |  round(CAST(SUM(CAST(sg AS BIGINT)) AS DOUBLE) * 2
+      |    / (CAST(t.k AS DOUBLE) * (CAST(t.k AS DOUBLE) - 1.0)), 6) AS mk_tau
+      |FROM p CROSS JOIN t GROUP BY t.k""".stripMargin,
+    doc = "Mann–Kendall trend test on the daily revenue series: S = Σ_{i<j} " +
+      "sign(x_j − x_i), exact integers, normalized to τ by the pair count. The pair " +
+      "enumeration is a broadcast non-equi self-join over the DATE-GRAIN aggregate — " +
+      "bounded by the calendar at any fact scale (the q_kendall precedent: the only " +
+      "non-equi join rides a broadcast over a contingency-table-sized input); the one " +
+      "full-data pass is the map-combined daily aggregation.") { (s, d) =>
+    val ord = t(s, d, "orders")
+    val daily = ord
+      .select(Tables.tsUs(ord, "o_orderdate").as("us"), cents("o_totalprice").as("c"))
+      .select(expr("us div 86400000000").as("day"), col("c"))
+      .groupBy("day").agg(sum(col("c")).as("x"))
+    val p = daily.as("a").join(broadcast(daily.as("b")), col("b.day") > col("a.day"))
+      .select(when(col("b.x") > col("a.x"), 1L)
+        .when(col("b.x") < col("a.x"), -1L).otherwise(0L).as("sg"))
+    val tot = daily.agg(count(lit(1)).cast("long").as("k"))
+    val kD = col("k").cast("double")
+    p.crossJoin(broadcast(tot))
+      .groupBy("k")
+      .agg(sum(col("sg")).as("__s"))
+      .select(col("k").as("n_days"),
+        col("__s").cast("long").as("s_stat"),
+        round(col("__s").cast("double") * 2 / (kD * (kD - 1.0)), 6).as("mk_tau"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     wilcoxon, kruskalWallis, kmSurvival, psi, cusum, lorenz,
-    weightedMedian, trimmedMean)
+    weightedMedian, trimmedMean, grubbs, qqDeciles, mkTrend)
 }

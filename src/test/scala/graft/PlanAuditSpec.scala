@@ -362,6 +362,38 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bucketed join: neither join side shuffles — bucketing satisfies distribution") {
+    val p = planOf("q_bucketed_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+    assert(p.contains("Bucketed: true"), "both scans must consume the buckets")
+    // the ONLY exchanges allowed are the 3-row final aggregation + its
+    // ordering; the fact-fact join itself must consume the buckets —
+    // no hashpartitioning exchange on either join key
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey")
+      && !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not shuffle its inputs:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected exchanges\n$p")
+  }
+
+  test("grubbs: exact-integer deviation argmax plans as TakeOrdered top-1") {
+    val p = planOf("q_grubbs")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("qq deciles: per-group order statistics without a window sort") {
+    val p = planOf("q_qq_deciles")
+    assert(!p.contains("Window"))
+    assert(p.contains("BroadcastHashJoin"), "the 18-row target table must broadcast")
+  }
+
+  test("mk trend: pair enumeration broadcasts the bounded daily aggregate") {
+    val p = planOf("q_mk_trend")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the non-equi self-join must ride a broadcast of the date-grain table")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("cusum: argmax day is a bounded top-1, never a global sort to the driver") {
     val p = planOf("q_cusum")
     assert(p.contains("TakeOrderedAndProject"), "LIMIT 1 must plan as top-k")
