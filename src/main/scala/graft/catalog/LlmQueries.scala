@@ -447,6 +447,42 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
   }
 
+  val containmentJoin: QueryDef = QueryDef.sqlBacked(
+    "q_containment_join",
+    s"""WITH corpus AS ($nearCorpusSql),
+       |toks AS (SELECT doc_id, $wsSplitSql AS w FROM corpus),
+       |ngr AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' ')))) AS ng
+       |  FROM toks WHERE len(w) >= 5),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS sz FROM ngr GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM ngr a JOIN ngr b ON a.ng = b.ng AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_inter,
+       |  CAST(n_inter AS DOUBLE) / sa.sz AS containment
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+       |WHERE CAST(n_inter AS DOUBLE) / sa.sz >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin,
+    doc = "DIRECTED containment join C(A→B) = |A∩B|/|A| ≥ 0.8 over word-5-gram sets — " +
+      "'document a is mostly contained in b' (quotes, boilerplate, sub-document " +
+      "duplication), which symmetric Jaccard misses whenever |B| ≫ |A|. Asymmetric " +
+      "prefix filter (operators/SetSimJoin.containmentPairs): C ≥ t pigeonholes one of " +
+      "A's (1−t)·|A|+1 rarest grams into B, so candidates join A's rare-gram prefix " +
+      "against B's full 8-byte hash stream with the |B| ≥ t·|A| gate; exact verify on " +
+      "raw arrays. The oracle is the share-any-gram formulation — the gate proves the " +
+      "asymmetric filter loses no directed pair.") { (s, d) =>
+    val corpus = corpusWithNearDups(s, d)
+    graft.functions.TextHashFunctions.register(s)
+    val withGrams = corpus
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), call_function("graft_ngrams5", col("text")).as("ngrams"))
+      .filter(size(col("ngrams")) > 0)
+    graft.operators.SetSimJoin.containmentPairs(withGrams, "doc_id", "ngrams", 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val minhashLsh: QueryDef = QueryDef.sqlBacked(
     "q_minhash_lsh",
     s"""WITH corpus AS ($corpusSql),
@@ -1805,7 +1841,7 @@ object LlmQueries {
     wordFreq, tfidf, textClean, piiRedact, datasetMix, shardPlan,
     repetitionSignals, prefixDedup, decontaminate, seqPack, docChunks,
     paragraphDedup, incrementalDedup, temperatureMix,
-    ngramJaccard, ppjoin, minhashLsh, dupClusters, winnow, simhash,
+    ngramJaccard, ppjoin, containmentJoin, minhashLsh, dupClusters, winnow, simhash,
     cosineTopK, annLsh, annIvf, annIvfPq, semDedup, embedDecontaminate, embedNearDup,
     embedQuantize, pqQuantize,
     multimodalMeta, multimodalFeatures, imageFeaturesQ, audioFeaturesQ, imagePhashQ,

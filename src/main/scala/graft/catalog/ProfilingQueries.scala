@@ -606,8 +606,77 @@ object ProfilingQueries {
         .orderBy("dow")
   }
 
+  val kmvSetOps: QueryDef = {
+    val k = 256
+    val m = 2147483647L // 2^31 - 1 (Lehmer modulus)
+    QueryDef.sqlBacked(
+      "q_kmv_setops",
+      s"""WITH a AS (SELECT DISTINCT (o_custkey * 48271) % $m AS h
+         |          FROM orders WHERE o_orderpriority = '1-URGENT'),
+         |b AS (SELECT DISTINCT (o_custkey * 48271) % $m AS h
+         |      FROM orders WHERE o_orderpriority = '5-LOW'),
+         |u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+         |      ORDER BY h LIMIT $k),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_held,
+         |        CAST(MAX(h) AS BIGINT) AS kth,
+         |        CAST(SUM(CASE WHEN h IN (SELECT h FROM a)
+         |                       AND h IN (SELECT h FROM b)
+         |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |      FROM u),
+         |x AS (SELECT
+         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_union,
+         |  CAST(COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+         |                      THEN o_custkey END)
+         |     + CAST(COUNT(DISTINCT CASE WHEN o_orderpriority = '5-LOW'
+         |                      THEN o_custkey END) AS BIGINT)
+         |     - COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_inter
+         |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+         |SELECT k_held, kth, n_both, exact_union, exact_inter,
+         |  CASE WHEN k_held < $k THEN k_held
+         |       ELSE (k_held - 1) * $m // kth END AS est_union,
+         |  CASE WHEN k_held < $k THEN n_both
+         |       ELSE n_both * ((k_held - 1) * $m // kth) // $k END AS est_inter
+         |FROM s CROSS JOIN x""".stripMargin,
+      doc = s"KMV sketch SET OPERATIONS (k=$k, Lehmer hash — both engines replay the " +
+        "sketch bit-exactly, so even the estimates hash-gate): union sketch = k " +
+        "smallest of the merged per-set sketches (mergeable — the cross-cluster " +
+        "shape), distinct-union estimate (k−1)·M div h_k, and the intersection via " +
+        "the fraction of union-sketch members present in BOTH sets, all in exact " +
+        "integer division. Exact union/intersection computed beside them — the " +
+        "estimator's error is part of the recorded result.") { (s, d) =>
+      val o = t(s, d, "orders")
+      def hs(pri: String) = o.filter(col("o_orderpriority") === pri)
+        .select(((col("o_custkey") * 48271L) % m).as("h")).distinct()
+      val aH = hs("1-URGENT")
+      val bH = hs("5-LOW")
+      val u = aH.unionByName(bH).distinct().orderBy("h").limit(k)
+      val sketch = u
+        .join(aH.select(col("h").as("ha")), col("h") === col("ha"), "left")
+        .join(bH.select(col("h").as("hb")), col("h") === col("hb"), "left")
+        .agg(count(lit(1)).as("k_held"), max("h").as("kth"),
+          sum(when(col("ha").isNotNull && col("hb").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"))
+      val exact = o.filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .agg(
+          countDistinct("o_custkey").as("exact_union"),
+          (countDistinct(when(col("o_orderpriority") === "1-URGENT",
+              col("o_custkey"))) +
+            countDistinct(when(col("o_orderpriority") === "5-LOW",
+              col("o_custkey"))) -
+            countDistinct("o_custkey")).as("exact_inter"))
+      sketch.crossJoin(broadcast(exact))
+        .select(col("k_held"), col("kth").cast("long").as("kth"), col("n_both"),
+          col("exact_union"), col("exact_inter"),
+          when(col("k_held") < k, col("k_held"))
+            .otherwise(expr(s"(k_held - 1) * ${m}L div kth")).as("est_union"),
+          when(col("k_held") < k, col("n_both"))
+            .otherwise(expr(s"n_both * ((k_held - 1) * ${m}L div kth) div $k"))
+            .as("est_inter"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMatrix, inclusionDeps, benford, contingency, anomalyZscore,
-      rollingMedian, kmvDistinct, maxConcurrency, ttestWelch, paretoFrontier,
-      seasonality)
+      rollingMedian, kmvDistinct, kmvSetOps, maxConcurrency, ttestWelch,
+      paretoFrontier, seasonality)
 }

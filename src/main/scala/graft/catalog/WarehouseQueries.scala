@@ -717,9 +717,44 @@ object WarehouseQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Gaps-and-islands: maximal runs of consecutive order-weeks per
+    * customer via the rank-difference trick (wk − row_number is
+    * constant exactly along a consecutive run). The window partitions
+    * by CUSTOMER — bounded rows per key, millions of keys: the
+    * partition-parallel window shape that scales (contrast the global
+    * windows the rank-stats oracles use). */
+  val orderIslands: QueryDef = QueryDef.sqlBacked(
+    "q_order_islands",
+    """WITH w AS (SELECT DISTINCT o_custkey AS ck,
+      |    epoch_us(o_orderdate) // 604800000000 AS wk FROM orders),
+      |i AS (SELECT ck,
+      |        wk - row_number() OVER (PARTITION BY ck ORDER BY wk) AS isl
+      |      FROM w),
+      |st AS (SELECT ck, isl, CAST(COUNT(*) AS BIGINT) AS len FROM i GROUP BY 1, 2),
+      |mx AS (SELECT ck, MAX(len) AS max_streak FROM st GROUP BY 1)
+      |SELECT max_streak, CAST(COUNT(*) AS BIGINT) AS n_customers
+      |FROM mx GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "Gaps-and-islands: distribution of each customer's LONGEST consecutive-week " +
+      "ordering streak (wk − row_number constant along an island). Per-customer " +
+      "windows — bounded per key, partition-parallel at any scale.") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ord = t(s, d, "orders")
+    val w = ord
+      .select(col("o_custkey").as("ck"),
+        Tables.tsUs(ord, "o_orderdate").as("us"))
+      .select(col("ck"), expr("us div 604800000000").as("wk"))
+      .distinct()
+    val byCk = Window.partitionBy("ck").orderBy("wk")
+    w.withColumn("isl", col("wk") - row_number().over(byCk))
+      .groupBy("ck", "isl").agg(count(lit(1)).as("len"))
+      .groupBy("ck").agg(max("len").as("max_streak"))
+      .groupBy("max_streak").agg(count(lit(1)).as("n_customers"))
+      .orderBy("max_streak")
+  }
+
   val all: Seq[QueryDef] = Seq(
     groupingSets, pivotWide, unpivotLong, rangeFrame, percentRank,
     gapFill, retentionCohort, markovTransitions, tableChecksum, datasetDiff,
     bloomJoin, ewma, incrementalJoin, skewProfile, winsorize,
-    starJoin, shareOfTotal, fdDiscovery, rfm, bucketedJoin)
+    starJoin, shareOfTotal, fdDiscovery, rfm, bucketedJoin, orderIslands)
 }

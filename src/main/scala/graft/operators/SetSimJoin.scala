@@ -66,4 +66,47 @@ object SetSimJoin {
         (col("n_inter").cast("double") /
           (col("__sa") + col("__sb") - col("n_inter"))).as("jaccard"))
   }
+
+  /** DIRECTED containment join: pairs (a, b), a ≠ b, with
+    * C(A→B) = |A∩B|/|A| ≥ t — "document a is mostly contained in b"
+    * (quotes, boilerplate, sub-document duplication), which Jaccard
+    * misses whenever |B| ≫ |A|. Asymmetric prefix filter: C ≥ t means
+    * |A\B| ≤ (1−t)·|A|, so at least one of A's (|A| − ⌈t·|A|⌉ + 1)
+    * RAREST tokens is in B (pigeonhole) — candidates join A's prefix
+    * against ALL of B's token hashes (B has no prefix bound here; the
+    * only size gate is |B| ≥ t·|A|, from |A∩B| ≤ |B|). Exact verify on
+    * the raw arrays keeps the result identical to the cross join. */
+  def containmentPairs(df: DataFrame, idCol: String, tokensCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val toks = df
+      .select(col(idCol).as("__id"), array_distinct(col(tokensCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .persist()
+    val exploded = toks
+      .select(col("__id"), size(col("__tk")).as("__sz"),
+        explode(col("__tk")).as("__t0"))
+      .select(col("__id"), col("__sz"), xxhash64(col("__t0")).as("__h"))
+    val dfreq = exploded.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val byDoc = Window.partitionBy("__id").orderBy(col("__df"), col("__h"))
+    val prefixA = exploded.join(dfreq, "__h")
+      .withColumn("__rn", row_number().over(byDoc))
+      .filter(col("__rn") <= col("__sz") - ceil(col("__sz") * threshold) + 1)
+      .select(col("__id").as("__ida"), col("__sz").as("__sza"), col("__h"))
+    val allB = exploded
+      .select(col("__id").as("__idb"), col("__sz").as("__szb"), col("__h"))
+    val cands = prefixA.join(allB,
+        prefixA("__h") === allB("__h") && col("__ida") =!= col("__idb") &&
+          col("__szb") >= col("__sza") * threshold)
+      .select(col("__ida").as("doc_a"), col("__idb").as("doc_b"))
+      .distinct()
+    cands
+      .join(toks.select(col("__id").as("doc_a"), col("__tk").as("__ta")), "doc_a")
+      .join(toks.select(col("__id").as("doc_b"), col("__tk").as("__tb")), "doc_b")
+      .withColumn("__inter", size(array_intersect(col("__ta"), col("__tb"))))
+      .filter(col("__inter").cast("double") / size(col("__ta")) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        col("__inter").cast("long").as("n_inter"),
+        (col("__inter").cast("double") / size(col("__ta"))).as("containment"))
+  }
 }

@@ -375,6 +375,28 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected exchanges\n$p")
   }
 
+  test("containment join: A-prefix vs B-stream candidates on hashes, no cartesian") {
+    val p = planOf("q_containment_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the all-pairs formulation belongs to the oracle only")
+    assert(p.contains("array_intersect"),
+      "the verify must intersect stored arrays, not re-join exploded grams")
+  }
+
+  test("kmv setops: sketches merge via bounded top-k, never a global sort") {
+    val p = planOf("q_kmv_setops")
+    assert(p.contains("TakeOrderedAndProject"), "k smallest hashes must be a top-k")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("order islands: windows partition by CUSTOMER (bounded per key), no global window") {
+    val p = planOf("q_order_islands")
+    assert(p.contains("Window"), "the rank-difference trick is a per-customer window")
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition(wk"),
+      "window must be partitioned, not global")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("grubbs: exact-integer deviation argmax plans as TakeOrdered top-1") {
     val p = planOf("q_grubbs")
     assert(p.contains("TakeOrderedAndProject"))

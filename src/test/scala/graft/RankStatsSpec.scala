@@ -150,6 +150,30 @@ class RankStatsSpec extends SparkSpec {
     }
   }
 
+  test("SetSimJoin.containmentPairs == brute-force directed containment, incl. subset docs") {
+    val rnd = new scala.util.Random(17)
+    val vocab = (1 to 60).map(i => s"w$i")
+    val base = (1 to 40).map { i =>
+      (i.toLong, rnd.shuffle(vocab).take(10 + rnd.nextInt(10)))
+    }
+    // strict SUBSET docs: high containment A→B with low Jaccard when |B|≫|A|
+    val docs = base ++ base.filter(_._1 % 4 == 0).map { case (id, ts) =>
+      (id + 1000L, ts.take(4))
+    }
+    val df = docs.toDF("id", "toks").repartition(5)
+    for (t <- Seq(0.6, 0.8, 1.0)) {
+      val got = graft.operators.SetSimJoin.containmentPairs(df, "id", "toks", t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (i1, t1) <- docs; (i2, t2) <- docs if i1 != i2
+        c = t1.toSet.intersect(t2.toSet).size.toDouble / t1.toSet.size
+        if c >= t
+      } yield (i1, i2)).toSet
+      assert(got == want,
+        s"t=$t missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("Skyline == brute-force dominance filter, partition-count invariant, ties survive") {
     val rnd = new scala.util.Random(3)
     val pts = (1 to 400).map(i =>
