@@ -752,9 +752,79 @@ object WarehouseQueries {
       .orderBy("max_streak")
   }
 
+  /** New-vs-returning split per month: a customer's first-ever order
+    * month marks them NEW that month, returning afterwards. The
+    * first-month table is one map-combined aggregation joined back on
+    * the customer key (co-keyed shuffle, no window); the classic
+    * growth-accounting metric. */
+  val newVsReturning: QueryDef = QueryDef.sqlBacked(
+    "q_new_vs_returning",
+    """WITH o AS (SELECT o_custkey AS ck,
+      |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym
+      |  FROM orders),
+      |fm AS (SELECT ck, MIN(ym) AS first_ym FROM o GROUP BY 1),
+      |j AS (SELECT o.ym, CASE WHEN o.ym = fm.first_ym THEN 1 ELSE 0 END AS is_new
+      |      FROM o JOIN fm ON fm.ck = o.ck)
+      |SELECT ym, CAST(SUM(is_new) AS BIGINT) AS new_orders,
+      |  CAST(SUM(1 - is_new) AS BIGINT) AS returning_orders
+      |FROM j GROUP BY ym ORDER BY ym""".stripMargin,
+    doc = "New-vs-returning orders per month: first-ever order month marks a customer " +
+      "NEW, every later order is returning. First-month table = one aggregation; the " +
+      "classification join co-keys on the customer — no window, two shuffles total.") {
+    (s, d) =>
+      val o = t(s, d, "orders").select(col("o_custkey").as("ck"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+      val fm = o.groupBy("ck").agg(min("ym").as("first_ym"))
+      o.join(fm, "ck")
+        .select(col("ym"),
+          when(col("ym") === col("first_ym"), 1L).otherwise(0L).as("is_new"))
+        .groupBy("ym")
+        .agg(sum(col("is_new")).as("new_orders"),
+          sum(lit(1L) - col("is_new")).as("returning_orders"))
+        .orderBy("ym")
+  }
+
+  /** Day-of-week revenue profile in exact integers: revenue cents and
+    * order counts per weekday plus parts-per-million share (integer
+    * division — no float ratio crosses the engine boundary). Weekday
+    * from epoch days ((d + 4) mod 7: 1970-01-01 was a Thursday), so no
+    * locale/timezone-dependent date function is involved. */
+  val dowProfile: QueryDef = QueryDef.sqlBacked(
+    "q_dow_profile",
+    """WITH o AS (SELECT
+      |    (epoch_us(o_orderdate) // 86400000000 + 4) % 7 AS dow,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |g AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+      |        SUM(CAST(cents AS HUGEINT)) AS c FROM o GROUP BY 1),
+      |t AS (SELECT SUM(c) AS tot FROM g)
+      |SELECT CAST(dow AS BIGINT) AS dow, n, CAST(c AS BIGINT) AS cents,
+      |  CAST(c * 1000000 // t.tot AS BIGINT) AS share_ppm
+      |FROM g CROSS JOIN t ORDER BY dow""".stripMargin,
+    doc = "Day-of-week seasonality profile: orders and exact revenue cents per weekday " +
+      "(0 = Monday via (epochday+4) mod 7 — no locale-dependent date function), share " +
+      "as integer parts-per-million. One map-combined aggregation; the scalar total " +
+      "broadcasts.") { (s, d) =>
+    val dec38 = DecimalType(38, 0)
+    val ord = t(s, d, "orders")
+    val o = ord
+      .select(Tables.tsUs(ord, "o_orderdate").as("us"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(expr("(us div 86400000000 + 4) % 7").as("dow"), col("cents"))
+    val g = o.groupBy("dow").agg(count(lit(1)).as("n"),
+      sum(col("cents").cast(dec38)).as("c"))
+    val tot = g.agg(sum(col("c")).as("tot"))
+    g.crossJoin(broadcast(tot))
+      .select(col("dow").cast("long").as("dow"), col("n"),
+        col("c").cast("long").as("cents"),
+        expr("(c * 1000000) div tot").cast("long").as("share_ppm"))
+      .orderBy("dow")
+  }
+
   val all: Seq[QueryDef] = Seq(
     groupingSets, pivotWide, unpivotLong, rangeFrame, percentRank,
     gapFill, retentionCohort, markovTransitions, tableChecksum, datasetDiff,
     bloomJoin, ewma, incrementalJoin, skewProfile, winsorize,
-    starJoin, shareOfTotal, fdDiscovery, rfm, bucketedJoin, orderIslands)
+    starJoin, shareOfTotal, fdDiscovery, rfm, bucketedJoin, orderIslands,
+    newVsReturning, dowProfile)
 }

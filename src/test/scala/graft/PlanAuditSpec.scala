@@ -375,6 +375,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected exchanges\n$p")
   }
 
+  test("new-vs-returning: co-keyed classification join, no window, no cartesian") {
+    val p = planOf("q_new_vs_returning")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "first-month aggregation must map-combine")
+  }
+
+  test("dow profile: one map-combined aggregation, scalar total broadcasts") {
+    val p = planOf("q_dow_profile")
+    assert(p.contains("partial_"), "weekday aggregation must map-combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("containment join: A-prefix vs B-stream candidates on hashes, no cartesian") {
     val p = planOf("q_containment_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
