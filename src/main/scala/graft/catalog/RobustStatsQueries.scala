@@ -113,7 +113,9 @@ object RobustStatsQueries {
       val g = j.groupBy("pri").agg(
         sum(col("cg")).as("__ng"),
         sum(col("cg").cast(dec38) * col("mid2").cast(dec38)).as("__r2"))
-      val tot = g.agg(sum(col("__ng")).cast("long").as("n"))
+      // N = max running count over the persisted histogram frame —
+      // summing g would replay byPri's fact pass as a second subtree
+      val tot = cum.agg(max("__cum").cast("long").as("n"))
       val nD = col("n").cast("double")
       g.crossJoin(broadcast(tot))
         .select(col("pri"),
@@ -161,7 +163,9 @@ object RobustStatsQueries {
       count(lit(1)).as("c"), sum(lit(1L) - col("cens")).as("d"))
     val cum = graft.operators.RunningTotals.perGroup(
       h, Seq.empty, Seq(col("dur")), "c", outCol = "__cum")
-    val tot = h.agg(sum("c").cast("long").as("n"))
+    // N = the last running count (max cum) over the PERSISTED frame —
+    // re-aggregating h would replay the per-customer fact pass
+    val tot = cum.agg(max("__cum").cast("long").as("n"))
     val nRisk = col("n") - (col("__cum") - col("c"))
     cum.crossJoin(broadcast(tot))
       .filter(col("d") > 0)
@@ -277,10 +281,12 @@ object RobustStatsQueries {
       "rank arithmetic, one divide per output row.") { (s, d) =>
     val c = t(s, d, "orders").groupBy(col("o_custkey").as("ck"))
       .agg(sum(cents("o_totalprice")).as("cents"))
-    val tot = c.agg(count(lit(1)).as("n"), sum(col("cents").cast(dec38)).as("tot"))
     val r = graft.operators.RunningTotals.perGroup(
       c, Seq.empty, Seq(col("cents"), col("ck")), "cents",
       outCol = "__cum", rankOut = "__rn")
+    // (n, total) = the final (rank, running sum) over the persisted
+    // frame — aggregating c again would replay the per-customer pass
+    val tot = r.agg(max(col("__rn")).as("n"), max(col("__cum")).cast(dec38).as("tot"))
     val deciles = {
       import s.implicits._
       (1 to 10).map(_.toLong).toDF("k")
@@ -312,7 +318,9 @@ object RobustStatsQueries {
       .agg(sum(round(col("l_quantity")).cast("long")).as("w"))
     val cum = graft.operators.RunningTotals.perGroup(
       h, Seq.empty, Seq(col("cents")), "w", outCol = "__cum")
-    val tot = h.agg(sum("w").cast("long").as("tw"))
+    // total weight = max running sum over the persisted frame (no
+    // second lineitem pass through h)
+    val tot = cum.agg(max("__cum").as("tw"))
     cum.crossJoin(broadcast(tot))
       .filter(col("__cum") * 2 >= col("tw"))
       .groupBy("tw")
@@ -345,16 +353,21 @@ object RobustStatsQueries {
     val hist = x.groupBy("flag", "cents").agg(count(lit(1)).as("c"))
     val cum = graft.operators.RunningTotals.perGroup(
       hist, Seq("flag"), Seq(col("cents")), "c", outCol = "__cum")
-    val sized = hist.groupBy("flag").agg(sum("c").as("n"))
+    // group sizes from the PERSISTED running-total frame (n = the last
+    // running count = max cum), not from `hist` — re-deriving the
+    // histogram would scan the fact table a second time
+    val sized = cum.groupBy("flag").agg(max("__cum").as("n"))
       .withColumn("g", expr("n div 10"))
       .withColumn("kLo", col("g") + 1)
       .withColumn("kHi", col("n") - col("g"))
     val j = cum.join(broadcast(sized), "flag")
-    val lo = j.filter(col("__cum") >= col("kLo"))
-      .groupBy("flag").agg(min("cents").as("lo"))
-    val hi = j.filter(col("__cum") >= col("kHi"))
-      .groupBy("flag").agg(min("cents").as("hi"))
-    val withB = j.join(broadcast(lo), "flag").join(broadcast(hi), "flag")
+    // Both trim boundaries from ONE conditional aggregation over the
+    // joined frame (they were two separate filter+groupBy subtrees):
+    // lo = min cents with cum ≥ kLo, hi = min cents with cum ≥ kHi.
+    val bounds = j.groupBy("flag").agg(
+      min(when(col("__cum") >= col("kLo"), col("cents"))).as("lo"),
+      min(when(col("__cum") >= col("kHi"), col("cents"))).as("hi"))
+    val withB = j.join(broadcast(bounds), "flag")
     val agg = withB.groupBy("flag").agg(
       sum(when(col("cents") > col("lo") && col("cents") < col("hi"),
         col("cents").cast(dec38) * col("c"))).as("__mid"),
@@ -438,7 +451,9 @@ object RobustStatsQueries {
     val hist = v.groupBy("g", "c").agg(count(lit(1)).as("cnt"))
     val cum = graft.operators.RunningTotals.perGroup(
       hist, Seq("g"), Seq(col("c")), "cnt", outCol = "__cum")
-    val sized = hist.groupBy("g").agg(sum("cnt").as("n"))
+    // per-group n = max running count over the persisted frame (no
+    // second orders pass through hist)
+    val sized = cum.groupBy("g").agg(max("__cum").as("n"))
     val deciles = {
       import s.implicits._
       (1 to 9).map(_.toLong).toDF("k")

@@ -713,7 +713,10 @@ object WarehouseQueries {
       .join(s.table("graft_b_orders").hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("cents"))
+      // DECIMAL(38,0) accumulation matching the tier convention (and the
+      // oracle's HUGEINT): a plain long sum would silently wrap at scale
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast(DecimalType(38, 0))).cast("long").as("cents"))
       .orderBy("o_orderstatus")
   }
 
@@ -793,7 +796,7 @@ object WarehouseQueries {
   val dowProfile: QueryDef = QueryDef.sqlBacked(
     "q_dow_profile",
     """WITH o AS (SELECT
-      |    (epoch_us(o_orderdate) // 86400000000 + 4) % 7 AS dow,
+      |    (epoch_us(o_orderdate) // 86400000000 + 3) % 7 AS dow,
       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
       |g AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
       |        SUM(CAST(cents AS HUGEINT)) AS c FROM o GROUP BY 1),
@@ -802,7 +805,8 @@ object WarehouseQueries {
       |  CAST(c * 1000000 // t.tot AS BIGINT) AS share_ppm
       |FROM g CROSS JOIN t ORDER BY dow""".stripMargin,
     doc = "Day-of-week seasonality profile: orders and exact revenue cents per weekday " +
-      "(0 = Monday via (epochday+4) mod 7 — no locale-dependent date function), share " +
+      "(0 = Monday via (epochday+3) mod 7: epoch day 0 = 1970-01-01 was a THURSDAY, " +
+      "so +3 lands Monday on 0 — no locale-dependent date function), share " +
       "as integer parts-per-million. One map-combined aggregation; the scalar total " +
       "broadcasts.") { (s, d) =>
     val dec38 = DecimalType(38, 0)
@@ -810,7 +814,7 @@ object WarehouseQueries {
     val o = ord
       .select(Tables.tsUs(ord, "o_orderdate").as("us"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .select(expr("(us div 86400000000 + 4) % 7").as("dow"), col("cents"))
+      .select(expr("(us div 86400000000 + 3) % 7").as("dow"), col("cents"))
     val g = o.groupBy("dow").agg(count(lit(1)).as("n"),
       sum(col("cents").cast(dec38)).as("c"))
     val tot = g.agg(sum(col("c")).as("tot"))

@@ -293,8 +293,14 @@ private[graft] object FastLanes {
     oh.arrayData() match {
       case child: OnHeapColumnVector =>
         val bytes = arr[Array[Byte]](child, "byteData")
-        if (bytes == null) null
-        else new StringArrays(offs, lens, bytes, nullsOf(oh))
+        if (bytes == null) return null
+        // Mirror the notNullBits guard: the SWAR kernels read the
+        // null-flag array 8 bytes at a stride up to index n-1, so a
+        // shorter-than-n flags array must fall back to the generic lane
+        // (passing null here would claim "no nulls" — wrong, not slow).
+        val nulls = nullsOf(oh)
+        if (nulls != null && nulls.length < n) null
+        else new StringArrays(offs, lens, bytes, nulls)
       case _ => null
     }
   }

@@ -104,5 +104,24 @@ if BEGIN not in readme or END not in readme:
     raise SystemExit(f"markers {BEGIN} / {END} not found in {README}")
 new = re.sub(re.escape(BEGIN) + r".*?" + re.escape(END),
              BEGIN + "\n" + block + "\n" + END, readme, flags=re.S)
+
+# Derive the catalog count EVERYWHERE it appears in prose (r14 judge
+# finding: the results table was regenerated but three prose mentions
+# kept the previous round's count). Every known phrasing is rewritten
+# from the artifact's cell count so prose cannot go stale again.
+count_patterns = [
+    (r"the \d+ oracle-gated q_\* queries",
+     f"the {nq} oracle-gated q_* queries"),
+    (r"(Round \d+: )\d+( catalog)", rf"\g<1>{nq}\g<2>"),
+    (r"- \d+ catalog queries, ALL hash-checked",
+     f"- {nq} catalog queries, ALL hash-checked"),
+]
+for pat, rep in count_patterns:
+    new, n_sub = re.subn(pat, rep, new)
+    if n_sub == 0:
+        print(f"WARNING: count pattern matched nothing: {pat}",
+              file=sys.stderr)
+
 open(README, "w").write(new)
-print(f"README results block regenerated from {ART} ({nq} query cells).")
+print(f"README results block regenerated from {ART} ({nq} query cells; "
+      "catalog-count prose derived).")
