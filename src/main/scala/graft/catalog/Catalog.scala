@@ -10,7 +10,7 @@ object Catalog {
     CoreQueries.all ++ ExtendedQueries.all ++ DeltaQueries.all ++
       AnalyticsQueries.all ++ WarehouseQueries.all ++ GraphQueries.all ++
       ProfilingQueries.all ++ RankStatsQueries.all ++
-      RobustStatsQueries.all ++
+      RobustStatsQueries.all ++ TimeSeriesQueries.all ++
       TokenizerQueries.all ++ LlmQueries.all
 
   def byName: Map[String, QueryDef] = {

@@ -428,6 +428,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("time-series tier: map-combined daily pass, no fact window, no cartesian") {
+    for (q <- Seq("q_holt_linear", "q_stl_median", "q_paired_sign_test")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"),
+        s"$q: recurrences run as one bounded task / RunningTotals, never a window")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+    }
+    // holt's daily aggregation sits behind the recurrence RDD boundary
+    // (invisible to explain); the other two must map-combine in-plan
+    for (q <- Seq("q_stl_median", "q_paired_sign_test"))
+      assert(planOf(q).contains("partial_"),
+        s"$q: the daily/pair aggregation must map-combine")
+    assert(planOf("q_stl_median").contains("BroadcastHashJoin"),
+      "per-dow sizes must broadcast into the seasonal-median pick")
+  }
+
   test("cusum: argmax day is a bounded top-1, never a global sort to the driver") {
     val p = planOf("q_cusum")
     assert(p.contains("TakeOrderedAndProject"), "LIMIT 1 must plan as top-k")
