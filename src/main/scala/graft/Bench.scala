@@ -199,6 +199,30 @@ object Bench {
         .write.parquet(s"$sinkDir/e2e_$i")
       liRows
     })
+    // BPE tokenizer APPLY throughput — the cell an LLM-pipeline owner
+    // actually benchmarks (tokens/s over raw documents). Learning (3
+    // induction rounds) happens OUTSIDE the timed region; the timed
+    // pass is the corpus-scale map: codegen'd BpeCountExpr per
+    // document, one map-combined global sum, no shuffle of text. The
+    // 8×-replicated staged corpus mirrors the lineitem cells' layout
+    // so the map runs at full parallelism. work() returns TOKENS, so
+    // the cell's rate unit is tokens/s.
+    val bpeRate = {
+      val docs1 = graft.core.Tables(spark, sfDir, "documents").select("text")
+      val docsStaged = s"$sinkDir/staged_docs"
+      (1 to 8).map(_ => docs1).reduce(_ unionAll _)
+        .repartition(32).write.parquet(docsStaged)
+      val docsRep = spark.read.parquet(docsStaged)
+      val bpeTable = graft.catalog.TokenizerQueries.learnedTable(spark, sfDir)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bpe_count",
+        exprs => graft.functions.BpeCountExpr(exprs.head, bpeTable), "scala_udf")
+      import org.apache.spark.sql.functions.{call_function, col, sum => fsum}
+      marked("bpe_encode_tokens_per_sec")(timed(6) { _ =>
+        docsRep.select(fsum(call_function("graft_bpe_count", col("text"))).as("t"))
+          .head().getLong(0)
+      })
+    }
     // Per-CORE validation cell, DIRECT-pair methodology (no more
     // scan-minus-scan delta — subtracting two noisy full runs gave a
     // sub-noise difference whose spread confessed it wasn't a
@@ -369,7 +393,8 @@ object Bench {
       ("validate_noop_row_gb_per_sec_core", noopRowGbCore, fGb),
       ("scan_row_gb_per_sec_core", scanRowGbCore, fGb),
       ("parquet_sink_rows_per_sec", sinkRps, fRate),
-      ("e2e_pipeline_rows_per_sec", e2eRps, fRate))
+      ("e2e_pipeline_rows_per_sec", e2eRps, fRate),
+      ("bpe_encode_tokens_per_sec", bpeRate, fRate))
     // headline = BEST rate (= min wall): steady-state cost is one-sided
     // under co-tenant noise, so min-time is the reproducible estimator
     // (the r7 driver-vs-local 5-100x collapse was medians eating noise)
@@ -384,6 +409,7 @@ object Bench {
       "\"sink_stability\":" + f(sinkRps.stability),
       "\"e2e_stability\":" + f(e2eRps.stability),
       "\"columnar_stability\":" + f(columnarRps.stability),
+      "\"bpe_stability\":" + f(bpeRate.stability),
       "\"columnar_core_pair_stability\":" + f(columnarGbCore.stability),
       "\"kernel_core_pair_stability\":" + f(kernelGbCore.stability),
       "\"validate_core_pair_stability\":" + f(validateGbCore.stability),

@@ -72,42 +72,134 @@ object TokenizerQueries {
       "table — corpus exploded ONCE, each round is a pair-count aggregate over O(vocab) " +
       "rows + a 1-row argmax; merges applied via the engines' agreeing L2R replace.") {
     (s, d) =>
-      val words = Tables(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) >= 2)
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .persist() // the ONLY corpus-wide pass; every round below is O(vocab)
-      try {
-        var w = words.select(
-          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("sym"),
+      val merges = learnMerges(s, d)
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        merges.map(m => org.apache.spark.sql.Row(m._1, m._2, m._3, m._4)).asJava,
+        StructType(Seq(
+          StructField("it", IntegerType), StructField("pair", StringType),
+          StructField("merged", StringType), StructField("cnt", LongType))))
+        .orderBy("it")
+  }
+
+  /** The 3-round induction loop (shared by q_bpe_merges and the encode
+    * side): one corpus-wide word count, then per round a pair-count
+    * aggregate over O(vocab) rows + a 1-row argmax to the driver. */
+  private def learnMerges(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
+    val words = Tables(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist() // the ONLY corpus-wide pass; every round below is O(vocab)
+    try {
+      var w = words.select(
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("sym"),
+        col("freq"))
+      val merges = mutable.Buffer.empty[(Int, String, String, Long)]
+      for (it <- 1 to 3) {
+        val top = w
+          .withColumn("a", split(trim(col("sym")), " "))
+          .filter(size(col("a")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))"))
+            .as("pair"), col("freq"))
+          .groupBy("pair").agg(sum("freq").as("cnt"))
+          .orderBy(desc("cnt"), asc("pair"))
+          .limit(1).head() // 1 row to the driver per round, by construction
+        val (pair, cnt) = (top.getString(0), top.getLong(1))
+        val merged = pair.replace(" ", "")
+        merges += ((it, pair, merged, cnt))
+        w = w.select(
+          call_function("replace", col("sym"),
+            lit(s" $pair "), lit(s" $merged ")).as("sym"),
           col("freq"))
-        val merges = mutable.Buffer.empty[(Int, String, String, Long)]
-        for (it <- 1 to 3) {
-          val top = w
-            .withColumn("a", split(trim(col("sym")), " "))
-            .filter(size(col("a")) >= 2)
-            .select(explode(expr(
-              "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))"))
-              .as("pair"), col("freq"))
-            .groupBy("pair").agg(sum("freq").as("cnt"))
-            .orderBy(desc("cnt"), asc("pair"))
-            .limit(1).head() // 1 row to the driver per round, by construction
-          val (pair, cnt) = (top.getString(0), top.getLong(1))
-          val merged = pair.replace(" ", "")
-          merges += ((it, pair, merged, cnt))
-          w = w.select(
-            call_function("replace", col("sym"),
-              lit(s" $pair "), lit(s" $merged ")).as("sym"),
-            col("freq"))
-        }
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(
-          merges.map(m => org.apache.spark.sql.Row(m._1, m._2, m._3, m._4)).asJava,
-          StructType(Seq(
-            StructField("it", IntegerType), StructField("pair", StringType),
-            StructField("merged", StringType), StructField("cnt", LongType))))
-          .orderBy("it")
-      } finally words.unpersist()
+      }
+      merges.toSeq
+    } finally words.unpersist()
+  }
+
+  /** The learned tokenizer as an executor-shippable merge table —
+    * Bench's tokens/s cell learns once outside its timed region. */
+  def learnedTable(s: SparkSession, d: String): graft.functions.BpeTable =
+    graft.functions.BpeTable.fromPairs(learnMerges(s, d).map(m => (m._2, m._3)))
+
+  /** BPE APPLY at corpus scale: tokenize the corpus under the learned
+    * 3-merge vocabulary and emit the exact token-frequency table.
+    *
+    * Scale shape (the induction's own trick, run in reverse): the
+    * tokenizer is applied to the WORD-FREQUENCY table — O(vocab)
+    * encode calls weighted by freq — never once per corpus word
+    * occurrence. 100 TB of text and 100 MB of text pay the same
+    * encode cost after the one corpus-wide word count. The encode is
+    * a native Expression ([[graft.functions.BpeTokensExpr]]) whose
+    * merge pass reproduces the engines' sentinel-space replace
+    * semantics bit-for-bit, so the DuckDB oracle replays the FULL
+    * pipeline (induction + application) as 3 sequential `replace`
+    * calls. */
+  val bpeEncode: QueryDef = QueryDef.sqlBacked(
+    "q_bpe_encode",
+    """WITH wordsAll AS (
+      |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1),
+      |words AS (SELECT word, freq FROM wordsAll WHERE length(word) >= 2),
+      |w0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sym, freq FROM words),
+      |p1 AS (
+      |  SELECT a[i] || ' ' || a[i+1] AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT string_split(trim(sym), ' ') AS a, freq FROM w0),
+      |       UNNEST(generate_series(1, len(a) - 1)) AS g(i)
+      |  GROUP BY 1),
+      |m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+      |w1 AS (SELECT replace(sym, ' ' || (SELECT pair FROM m1) || ' ',
+      |                      ' ' || replace((SELECT pair FROM m1), ' ', '') || ' ') AS sym,
+      |              freq FROM w0),
+      |p2 AS (
+      |  SELECT a[i] || ' ' || a[i+1] AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT string_split(trim(sym), ' ') AS a, freq FROM w1),
+      |       UNNEST(generate_series(1, len(a) - 1)) AS g(i)
+      |  GROUP BY 1),
+      |m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+      |w2 AS (SELECT replace(sym, ' ' || (SELECT pair FROM m2) || ' ',
+      |                      ' ' || replace((SELECT pair FROM m2), ' ', '') || ' ') AS sym,
+      |              freq FROM w1),
+      |p3 AS (
+      |  SELECT a[i] || ' ' || a[i+1] AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT string_split(trim(sym), ' ') AS a, freq FROM w2),
+      |       UNNEST(generate_series(1, len(a) - 1)) AS g(i)
+      |  GROUP BY 1),
+      |m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+      |e0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sym, freq FROM wordsAll),
+      |e1 AS (SELECT replace(sym, ' ' || (SELECT pair FROM m1) || ' ',
+      |                      ' ' || replace((SELECT pair FROM m1), ' ', '') || ' ') AS sym,
+      |              freq FROM e0),
+      |e2 AS (SELECT replace(sym, ' ' || (SELECT pair FROM m2) || ' ',
+      |                      ' ' || replace((SELECT pair FROM m2), ' ', '') || ' ') AS sym,
+      |              freq FROM e1),
+      |e3 AS (SELECT replace(sym, ' ' || (SELECT pair FROM m3) || ' ',
+      |                      ' ' || replace((SELECT pair FROM m3), ' ', '') || ' ') AS sym,
+      |              freq FROM e2),
+      |tk AS (SELECT unnest(string_split(trim(sym), ' ')) AS token, freq FROM e3)
+      |SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt
+      |FROM tk GROUP BY 1 ORDER BY token""".stripMargin,
+    doc = "BPE tokenizer APPLICATION: encode the corpus under the learned 3-merge " +
+      "vocabulary (q_bpe_merges' induction re-run end-to-end) and emit the exact " +
+      "token-frequency table. The encode is a native Expression applied to the " +
+      "O(vocab) word-frequency table — weighted by freq, never once per occurrence — " +
+      "with the induction's own sentinel-space L2R merge semantics, so the oracle " +
+      "replays it as 3 sequential replaces. The vocabulary-coverage readout every " +
+      "tokenizer owner checks before a training run.") { (s, d) =>
+    val table = learnedTable(s, d)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_tokens",
+      exprs => graft.functions.BpeTokensExpr(exprs.head, table), "scala_udf")
+    Tables(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(explode(call_function("graft_bpe_tokens", col("word"))).as("token"),
+        col("freq"))
+      .groupBy("token").agg(sum("freq").cast("long").as("cnt"))
+      .orderBy("token")
   }
 
   private val shhSink = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -175,5 +267,5 @@ object TokenizerQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(bpeMerges, streamHeavyHitters)
+  val all: Seq[QueryDef] = Seq(bpeMerges, bpeEncode, streamHeavyHitters)
 }
