@@ -81,6 +81,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = graft.catalog.Catalog.all.filter(q => only.forall(_.contains(q.name)))
     def once(q: graft.core.QueryDef): Double = {
+      spark.sparkContext.setJobDescription(q.name) // guide §1.5: label cells
       val t0 = System.nanoTime()
       val ok =
         try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -91,6 +92,7 @@ object Bench {
       // otherwise accumulate across the suite and steal executor memory
       // from every later cell
       spark.catalog.clearCache()
+      spark.sparkContext.setJobDescription(null)
       if (ok) sec else -1.0
     }
     // Three timed runs per cell, headline = min (the engine's steady-state

@@ -28,10 +28,17 @@ object AnalyticsQueries {
     (s, d) =>
       val o = t(s, d, "orders")
       val l = t(s, d, "lineitem").select(col("l_orderkey"))
-      val semi = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi").count()
-      val anti = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti").count()
+      // two independent actions submitted concurrently (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fSemi = Future(
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi").count())
+      val fAnti = Future(
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti").count())
       import s.implicits._
-      Seq((semi, anti)).toDF("n_semi", "n_anti")
+      Seq((Await.result(fSemi, Duration.Inf), Await.result(fAnti, Duration.Inf)))
+        .toDF("n_semi", "n_anti")
   }
 
   val setOps: QueryDef = QueryDef.sqlBacked(
@@ -51,7 +58,17 @@ object AnalyticsQueries {
     val a = keys.filter(col("o_orderkey") % 3 === 0)
     val b = keys.filter(col("o_orderkey") % 2 === 0)
     import s.implicits._
-    Seq((a.union(b).distinct().count(), a.intersect(b).count(), a.except(b).count()))
+    // three independent actions submitted concurrently (guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially) — each job's tail back-fills the others' idle cores
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fu = Future(a.union(b).distinct().count())
+    val fi = Future(a.intersect(b).count())
+    val fe = Future(a.except(b).count())
+    Seq((Await.result(fu, Duration.Inf), Await.result(fi, Duration.Inf),
+        Await.result(fe, Duration.Inf)))
       .toDF("union_n", "intersect_n", "except_n")
   }
 
@@ -274,7 +291,7 @@ object AnalyticsQueries {
     val sessions = graft.streaming.StreamingSessionize.sessions(
       stream, Seq("user_id"), "ts", gap = "3600 seconds")
     val sink = s"stream_sessionize_${streamSessionizeSink.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_sessionize").toString
+    val ckpt = graft.core.Scratch.dir("graft_stream_sessionize").toString
     val q = sessions.writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val collected =
@@ -376,7 +393,7 @@ object AnalyticsQueries {
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         (col("rts_us") - col("lts_us")).as("delta_us"))
     val sink = s"stream_interval_join_${streamIntervalSink.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ij").toString
+    val ckpt = graft.core.Scratch.dir("graft_stream_ij").toString
     val q = joined.writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val collected =
@@ -464,7 +481,7 @@ object AnalyticsQueries {
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         (col("rts_us") - col("lts_us")).as("delta_us"))
     val sink = s"stream_outer_join_${streamOuterSink.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_oj").toString
+    val ckpt = graft.core.Scratch.dir("graft_stream_oj").toString
     val q = joined.writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val collected =
@@ -958,7 +975,7 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_events"))
       .select(unix_micros(col("w.start")).as("window_start_us"), col("n_events"))
     val sink = s"stream_sliding_${streamSlidingSink.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_sliding").toString
+    val ckpt = graft.core.Scratch.dir("graft_stream_sliding").toString
     val q = agg.writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val collected =
@@ -1023,7 +1040,7 @@ object AnalyticsQueries {
     val enriched = input.toDF().toDF("user_id", "event_type", "ts_us")
       .join(broadcast(profile), Seq("user_id"), "left")
     val sink = s"stream_enrich_${streamEnrichSink.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_enrich").toString
+    val ckpt = graft.core.Scratch.dir("graft_stream_enrich").toString
     val q = enriched.writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val collected =
@@ -1091,7 +1108,7 @@ object AnalyticsQueries {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
     val sink = s"stream_dedup_${streamDedupSink.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    val ckpt = graft.core.Scratch.dir("graft_stream_dedup").toString
     val q = deduped.writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val collected =

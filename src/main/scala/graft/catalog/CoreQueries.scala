@@ -320,7 +320,7 @@ object CoreQueries {
           .when(col("event_type") === "signup", "insert")
           .otherwise("update"))
       .select("tx_id", "user_id", "event_id", "ts_us", "value", "op")
-    val outDir = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString
+    val outDir = graft.core.Scratch.dir("graft_cdc_stream").toString
     val ledger = graft.core.Ledger.at(outDir)
     val txns = CdcLogRunner.txnSummaries(log, "tx_id")
     val policy = CdcLogRunner.policyForTargetUnits(txns.map(_.ops.toLong).sum, targetUnits = 6)

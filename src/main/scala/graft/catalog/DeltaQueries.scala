@@ -26,7 +26,7 @@ object DeltaQueries {
       dec2(col("l_quantity")).as("l_quantity"))
 
   private def tbl(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString + "/tbl"
+    graft.core.Scratch.dir(prefix) + "/tbl"
 
   private def netAgg(d: DataFrame): DataFrame =
     d.agg(count(lit(1)).cast("long").as("n"),

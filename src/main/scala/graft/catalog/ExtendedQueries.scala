@@ -23,7 +23,15 @@ object ExtendedQueries {
   private def freshDir(dir: String): String = {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     new java.io.File(dir).mkdirs()
-    dir
+    graft.core.Scratch.register(dir)
+  }
+
+  /** Repartition up to the session's core count when the source scan
+    * exposes fewer splits (local single-row-group fixture shape); a
+    * no-op whenever splits >= cores, i.e. at any real scale. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
   private def fac2(c: Column): Column = c.cast(DecimalType(4, 2))
@@ -86,11 +94,17 @@ object ExtendedQueries {
     val parts = (0 until 4).map(i => li.filter(col("l_orderkey") % 4 === i))
     val u = parts.reduce(_ unionAll _)
     val key = Seq("l_orderkey", "l_linenumber")
-    val fullCount = li.count()
-    val unionCount = u.count()
-    val missing = li.select(key.map(col): _*).except(u.select(key.map(col): _*)).count()
+    // three independent actions submitted concurrently (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fFull = Future(li.count())
+    val fUnion = Future(u.count())
+    val fMissing = Future(
+      li.select(key.map(col): _*).except(u.select(key.map(col): _*)).count())
     import s.implicits._
-    Seq((fullCount, unionCount, missing))
+    Seq((Await.result(fFull, Duration.Inf), Await.result(fUnion, Duration.Inf),
+        Await.result(fMissing, Duration.Inf)))
       .toDF("full_count", "union_count", "missing_count")
   }
 
@@ -214,9 +228,14 @@ object ExtendedQueries {
       |  min(l_returnflag) AS min_flag
       |FROM lineitem""".stripMargin,
     doc = s"$name: decode-path losslessness proven against the parquet-side oracle.") { (s, d) =>
-    val slice = t(s, d, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-    val dir = freshDir(s"/tmp/graft_roundtrip/${name}_${Integer.toHexString(d.hashCode)}")
+    // spread the encode across all cores when the source exposes fewer
+    // splits than cores (the single-row-group testdata shape): the
+    // format ENCODE is the expensive leg of these cells and otherwise
+    // runs at the scan's split count; at real scale splits >> cores and
+    // the gate stays cold (same pattern as q_mad_outliers' spread gate)
+    val slice = spread(s, t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+    val dir = freshDir(s"${graft.core.Scratch.root}/graft_roundtrip/${name}_${Integer.toHexString(d.hashCode)}")
     writer(slice, dir)
     val files = graft.sources.FileSource.discover(dir, "part-*").files.map(_.path)
     val back = graft.sources.FileSource.read(s, fmt(dir), files, Some(slice.schema))
@@ -301,9 +320,9 @@ object ExtendedQueries {
       "(cdf-format-arrow-ipc: the reference's package segments; SURVEY §2.1): " +
       "per-partition IPC file write with footer (seekable/mmap-able), per-file " +
       "distributed read.") { (s, d) =>
-    val slice = t(s, d, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-    val dir = freshDir(s"/tmp/graft_roundtrip/arrow_${Integer.toHexString(d.hashCode)}")
+    val slice = spread(s, t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+    val dir = freshDir(s"${graft.core.Scratch.root}/graft_roundtrip/arrow_${Integer.toHexString(d.hashCode)}")
     graft.sources.ArrowIpcSource.write(slice, dir)
     roundtripAgg(graft.sources.ArrowIpcSource.read(s, s"$dir/part-*.arrow"))
   }
@@ -314,10 +333,10 @@ object ExtendedQueries {
       "(cdf-dest-postgres commit.rs:678-943 staged binary COPY; envelope bar " +
       "'binary COPY >= 2x CSV COPY'): per-partition COPY streams, l_quantity travels " +
       "as base-10000 NUMERIC digit groups — digit-exact.") { (s, d) =>
-    val slice = t(s, d, "lineitem")
+    val slice = spread(s, t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
-        dec2(col("l_quantity")).as("l_quantity"), col("l_returnflag"))
-    val dir = freshDir(s"/tmp/graft_roundtrip/pgcopy_${Integer.toHexString(d.hashCode)}")
+        dec2(col("l_quantity")).as("l_quantity"), col("l_returnflag")))
+    val dir = freshDir(s"${graft.core.Scratch.root}/graft_roundtrip/pgcopy_${Integer.toHexString(d.hashCode)}")
     graft.sources.PgCopyBinary.write(slice, dir)
     roundtripAgg(graft.sources.PgCopyBinary.read(s, s"$dir/part-*.pgcopy", slice.schema))
   }
@@ -327,9 +346,9 @@ object ExtendedQueries {
     doc = "Avro OCF encode→decode losslessness vs the parquet-side oracle " +
       "(cdf-format-avro, SURVEY §2.1): per-partition container write, per-file " +
       "distributed read, typed lattice incl. nullable unions.") { (s, d) =>
-    val slice = t(s, d, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-    val dir = freshDir(s"/tmp/graft_roundtrip/avro_${Integer.toHexString(d.hashCode)}")
+    val slice = spread(s, t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+    val dir = freshDir(s"${graft.core.Scratch.root}/graft_roundtrip/avro_${Integer.toHexString(d.hashCode)}")
     graft.sources.AvroSource.write(slice, dir)
     roundtripAgg(graft.sources.AvroSource.read(s, s"$dir/part-*.avro"))
   }
@@ -345,10 +364,10 @@ object ExtendedQueries {
       FieldSpec(2, "l_linenumber", PType.VarintLong),
       FieldSpec(3, "l_quantity", PType.Fixed64Double),
       FieldSpec(4, "l_returnflag", PType.Str)))
-    val slice = t(s, d, "lineitem").select(
+    val slice = spread(s, t(s, d, "lineitem").select(
       col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
-      col("l_quantity").cast("double"), col("l_returnflag"))
-    val dir = freshDir(s"/tmp/graft_roundtrip/pb_${Integer.toHexString(d.hashCode)}")
+      col("l_quantity").cast("double"), col("l_returnflag")))
+    val dir = freshDir(s"${graft.core.Scratch.root}/graft_roundtrip/pb_${Integer.toHexString(d.hashCode)}")
     write(slice, spec, dir)
     roundtripAgg(read(s, s"$dir/part-*.pb", spec))
   }
@@ -366,7 +385,7 @@ object ExtendedQueries {
       col("l_linenumber").cast("int").as("l_linenumber"),
       col("l_quantity").cast(DecimalType(12, 2)).as("l_quantity"),
       col("l_returnflag"))
-    val dir = freshDir(s"/tmp/graft_roundtrip/xz_${Integer.toHexString(d.hashCode)}")
+    val dir = freshDir(s"${graft.core.Scratch.root}/graft_roundtrip/xz_${Integer.toHexString(d.hashCode)}")
     // 32 archives: xz is not splittable, so archive count IS the read
     // parallelism (at scale: many medium archives, never one giant one).
     // Repartition BEFORE formatting so format+compress fan out together.
@@ -388,7 +407,7 @@ object ExtendedQueries {
       "because the aggregate matches the second slice exactly.") { (s, d) =>
     val li = t(s, d, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"), dec2(col("l_quantity")).as("l_quantity"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg").toString + "/tbl"
+    val dir = graft.core.Scratch.dir("graft_iceberg").toString + "/tbl"
     graft.sources.IcebergSource.commitAppend(s, dir,
       li.filter(col("l_orderkey") % 10 === 0), snapshotId = 1L, timestampMs = 1L)
     graft.sources.IcebergSource.commitAppend(s, dir,
@@ -423,7 +442,7 @@ object ExtendedQueries {
     import s.implicits._
     val li = t(s, d, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"), dec2(col("l_quantity")).as("l_quantity"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_stream").toString + "/tbl"
+    val dir = graft.core.Scratch.dir("graft_iceberg_stream").toString + "/tbl"
     graft.sources.IcebergSource.commitAppend(s, dir,
       li.filter(col("l_orderkey") % 3 === 0), snapshotId = 1L, timestampMs = 1L)
     graft.sources.IcebergSource.commitAppend(s, dir,
@@ -473,7 +492,7 @@ object ExtendedQueries {
     (s, d) =>
       val li = t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"), dec2(col("l_quantity")).as("l_quantity"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_branch")
+      val dir = graft.core.Scratch.dir("graft_iceberg_branch")
         .toString + "/tbl"
       graft.sources.IcebergSource.commitAppend(s, dir,
         li.filter(col("l_orderkey") % 4 =!= 3), snapshotId = 1L, timestampMs = 1L)
@@ -485,13 +504,19 @@ object ExtendedQueries {
       val headsSplit = meta.resolveRef("dev") != meta.resolveRef("main")
       val mainDf = graft.sources.IcebergSource.readRef(s, dir, "main")
       val devDf = graft.sources.IcebergSource.readRef(s, dir, "dev")
-      val nMain = mainDf.count()
-      val nDev = devDf.count()
-      val nDiff = devDf.select("l_orderkey", "l_linenumber")
+      // three independent read-only actions over the committed fixture,
+      // submitted concurrently (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fMain = Future(mainDf.count())
+      val fDev = Future(devDf.count())
+      val fDiff = Future(devDf.select("l_orderkey", "l_linenumber")
         .join(mainDf.select("l_orderkey", "l_linenumber"),
-          Seq("l_orderkey", "l_linenumber"), "left_anti").count()
+          Seq("l_orderkey", "l_linenumber"), "left_anti").count())
       import s.implicits._
-      Seq((nMain, nDev, nDiff, headsSplit))
+      Seq((Await.result(fMain, Duration.Inf), Await.result(fDev, Duration.Inf),
+          Await.result(fDiff, Duration.Inf), headsSplit))
         .toDF("n_main", "n_dev", "n_diff", "heads_split")
   }
 
@@ -516,7 +541,7 @@ object ExtendedQueries {
     val src = graft.sources.IcebergSource
     val li = t(s, d, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"), dec2(col("l_quantity")).as("l_quantity"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_wap")
+    val dir = graft.core.Scratch.dir("graft_iceberg_wap")
       .toString + "/tbl"
     src.commitAppend(s, dir, li.filter(col("l_orderkey") % 4 === 0),
       snapshotId = 1L, timestampMs = 1L)
@@ -562,7 +587,7 @@ object ExtendedQueries {
     val li = t(s, d, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
       dec2(col("l_quantity")).as("l_quantity"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_del").toString + "/tbl"
+    val dir = graft.core.Scratch.dir("graft_iceberg_del").toString + "/tbl"
     graft.sources.IcebergSource.commitAppend(s, dir,
       li.filter(col("l_orderkey") % 2 === 0), snapshotId = 1L, timestampMs = 1L)
     val paths = graft.sources.IcebergSource.dataFiles(dir).map(_.path)
@@ -609,7 +634,7 @@ object ExtendedQueries {
     import org.apache.spark.sql.functions.expr
     val li = t(s, d, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"), dec2(col("l_quantity")).as("l_quantity"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_dv").toString + "/tbl"
+    val dir = graft.core.Scratch.dir("graft_iceberg_dv").toString + "/tbl"
     graft.sources.IcebergSource.commitAppend(s, dir,
       li.filter(col("l_orderkey") % 2 === 0), snapshotId = 1L, timestampMs = 1L)
     val paths = graft.sources.IcebergSource.dataFiles(dir).map(_.path)
@@ -655,7 +680,7 @@ object ExtendedQueries {
       "oracle recomputes the union relationally.") { (s, d) =>
     val li = t(s, d, "lineitem").select(
       col("l_orderkey"), dec2(col("l_quantity")).as("l_quantity"), col("l_tax"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_evo").toString + "/tbl"
+    val dir = graft.core.Scratch.dir("graft_iceberg_evo").toString + "/tbl"
     graft.sources.IcebergSource.commitAppend(s, dir,
       li.filter(col("l_orderkey") % 2 === 0).select("l_orderkey", "l_quantity"),
       snapshotId = 1L, timestampMs = 1L)
@@ -699,7 +724,7 @@ object ExtendedQueries {
     val li = t(s, d, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
       dec2(col("l_quantity")).as("l_quantity"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_incdel").toString + "/tbl"
+    val dir = graft.core.Scratch.dir("graft_iceberg_incdel").toString + "/tbl"
     graft.sources.IcebergSource.commitAppend(s, dir,
       li.filter(col("l_orderkey") % 2 === 0), snapshotId = 1L, timestampMs = 1L)
     graft.sources.IcebergSource.commitAppend(s, dir,
@@ -743,7 +768,7 @@ object ExtendedQueries {
     val li = t(s, d, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
       dec2(col("l_quantity")).as("l_quantity"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_part").toString + "/tbl"
+    val dir = graft.core.Scratch.dir("graft_iceberg_part").toString + "/tbl"
     graft.sources.IcebergSource.commitAppend(s, dir, li,
       snapshotId = 1L, timestampMs = 1L, partitionBy = Seq("l_returnflag"))
     val filters = Seq(sqs.EqualTo("l_returnflag", "R"): sqs.Filter)
@@ -779,7 +804,7 @@ object ExtendedQueries {
       col("l_orderkey"), col("l_linenumber"),
       dec2(col("l_quantity")).as("l_quantity"))
       .repartitionByRange(8, col("l_orderkey"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_stats").toString + "/tbl"
+    val dir = graft.core.Scratch.dir("graft_iceberg_stats").toString + "/tbl"
     graft.sources.IcebergSource.commitAppend(s, dir, li,
       snapshotId = 1L, timestampMs = 1L)
     // scale-relative cutoff (max/5): a fixed literal stops pruning at
@@ -818,7 +843,7 @@ object ExtendedQueries {
     val li = t(s, d, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
       dec2(col("l_quantity")).as("l_quantity"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_specevo").toString + "/tbl"
+    val dir = graft.core.Scratch.dir("graft_iceberg_specevo").toString + "/tbl"
     graft.sources.IcebergSource.commitAppend(s, dir,
       li.filter(col("l_orderkey") % 2 === 0), snapshotId = 1L, timestampMs = 1L,
       partitionBy = Seq("l_returnflag"))
@@ -861,7 +886,7 @@ object ExtendedQueries {
     val li = t(s, d, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
       dec2(col("l_quantity")).as("l_quantity"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_merge").toString + "/tbl"
+    val dir = graft.core.Scratch.dir("graft_iceberg_merge").toString + "/tbl"
     graft.sources.IcebergSource.commitAppend(s, dir, li, snapshotId = 1L, timestampMs = 1L)
     val up = li.filter(col("l_orderkey") % 10 === 6)
       .withColumn("l_quantity", dec2(col("l_quantity") + lit(100)))
@@ -895,7 +920,7 @@ object ExtendedQueries {
       col("l_orderkey"), col("l_linenumber"),
       dec2(col("l_extendedprice")).as("l_extendedprice"))
       .repartitionByRange(8, col("l_extendedprice"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_dec").toString + "/tbl"
+    val dir = graft.core.Scratch.dir("graft_iceberg_dec").toString + "/tbl"
     graft.sources.IcebergSource.commitAppend(s, dir, li,
       snapshotId = 1L, timestampMs = 1L)
     val lim = new java.math.BigDecimal("5000.00")
@@ -932,7 +957,7 @@ object ExtendedQueries {
     val ev = evUs.select(col("event_id"),
       expr("CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ)").as("ts"))
       .repartitionByRange(8, col("ts"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_ts").toString + "/tbl"
+    val dir = graft.core.Scratch.dir("graft_iceberg_ts").toString + "/tbl"
     graft.sources.IcebergSource.commitAppend(s, dir, ev,
       snapshotId = 1L, timestampMs = 1L)
     // scale-relative cutoff at 1/5 of the time range (the same window
@@ -966,7 +991,7 @@ object ExtendedQueries {
       "surviving slices proves the pruned partition was never read.") { (s, d) =>
     val li = t(s, d, "lineitem").select(
       col("l_orderkey"), dec2(col("l_quantity")).as("l_quantity"))
-    val base = java.nio.file.Files.createTempDirectory("graft_glue").toString
+    val base = graft.core.Scratch.dir("graft_glue").toString
     val locs = (0 until 3).map { m =>
       val loc = s"$base/ds=2024-01-0${m + 1}"
       li.filter(col("l_orderkey") % 3 === m).write.parquet(loc)
@@ -1037,7 +1062,7 @@ object ExtendedQueries {
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         dec2(col("l_quantity")).as("l_quantity"))
       .repartition(8, col("l_returnflag")) // each flag → exactly one task file
-    val dir = java.nio.file.Files.createTempDirectory("graft_iceberg_meta").toString + "/tbl"
+    val dir = graft.core.Scratch.dir("graft_iceberg_meta").toString + "/tbl"
     graft.sources.IcebergSource.commitAppend(s, dir,
       li.filter(col("l_orderkey") % 2 === 0), snapshotId = 1L, timestampMs = 1L,
       partitionBy = Seq("l_returnflag"))

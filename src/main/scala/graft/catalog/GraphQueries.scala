@@ -299,10 +299,14 @@ object GraphQueries {
     var hop = 0
     while (hop < 8 && !frontier.isEmpty) {
       hop += 1
-      frontier = frontier
+      // frontier and settled are O(V) (the doc's broadcastable sides);
+      // without the hints the checkpointed RDD-backed frames have
+      // unknown size and both joins fall back to shuffling the
+      // data-derived adjacency every round (guide §3.1)
+      frontier = broadcast(frontier)
         .join(adj, col("node") === col("a"))
         .select(col("b").as("node")).distinct()
-        .join(settled, Seq("node"), "left_anti")
+        .join(broadcast(settled), Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint() // truncate the per-round lineage, like CC
       settled = settled.union(frontier)

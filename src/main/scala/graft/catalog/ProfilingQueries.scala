@@ -146,15 +146,25 @@ object ProfilingQueries {
         "dimension side broadcasts); violation counts make it a referential audit.") {
       (s, d) =>
         import s.implicits._
-        val rows = cands.map { case (ft, fc, pt, pc) =>
-          val fk = t(s, d, ft).filter(col(fc).isNotNull)
-            .select(col(fc).as("v")).distinct()
-          val pk = t(s, d, pt).filter(col(pc).isNotNull)
-            .select(col(pc).as("v")).distinct()
-          val nFk = fk.count()
-          val nMissing = fk.join(pk, Seq("v"), "left_anti").count()
-          (ft, fc, pt, pc, nFk, nMissing, nMissing == 0L)
+        // the 9 candidate pairs are independent (18 actions): submit
+        // them concurrently so each job's task tail back-fills the
+        // others' idle cores (guide §2.6) — was 18 strictly sequential
+        // jobs of mostly scheduling wait
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val futures = cands.map { case (ft, fc, pt, pc) =>
+          Future {
+            val fk = t(s, d, ft).filter(col(fc).isNotNull)
+              .select(col(fc).as("v")).distinct()
+            val pk = t(s, d, pt).filter(col(pc).isNotNull)
+              .select(col(pc).as("v")).distinct()
+            val nFk = fk.count()
+            val nMissing = fk.join(pk, Seq("v"), "left_anti").count()
+            (ft, fc, pt, pc, nFk, nMissing, nMissing == 0L)
+          }
         }
+        val rows = futures.map(Await.result(_, Duration.Inf))
         rows.toDF("fk_table", "fk_col", "pk_table", "pk_col",
           "n_fk_distinct", "n_missing", "holds")
           .orderBy("fk_table", "fk_col", "pk_table")

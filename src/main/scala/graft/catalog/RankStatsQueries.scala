@@ -590,9 +590,13 @@ object RankStatsQueries {
       "sort exists. Per-row ranks rejoin the fact rows by VALUE (two co-keyed joins " +
       "against tie-collapsed histograms), and all six Pearson terms accumulate in " +
       "DECIMAL(38,0)/HUGEINT with one double cast each.") { (s, d) =>
-    val pts = t(s, d, "lineitem").select(
+    // spread: the fact pass (two histogram builds + the six-term
+    // decimal Pearson aggregate) is CPU-bound and the one-row-group
+    // testdata scan would otherwise run it on one core (core/Par)
+    val pts = graft.core.Par.spread(t(s, d, "lineitem").select(
       (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long").as("x"),
-      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long").as("y"))
+      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long").as("y")))
+      .persist()
     def midranks(vCol: String, out: String): DataFrame = {
       val hist = pts.groupBy(vCol).agg(count(lit(1)).as("c"))
       graft.operators.RunningTotals
@@ -601,9 +605,15 @@ object RankStatsQueries {
         // 2·midrank = 2·cum_lt + c + 1
         .select(col(vCol), (lit(2) * (col("__cum") - col("c")) + col("c") + 1).as(out))
     }
+    // broadcast the tie-collapsed value histograms (value-bounded,
+    // independent of row count — the scale-safe side): without the hint
+    // Catalyst sees the ExistingRDD side as unknown-size and either
+    // broadcasts the FACT side (plan-audited r15: BuildLeft over the
+    // whole lineitem projection — an OOM at real scale) or falls back
+    // to two SortMergeJoins that shuffle every fact row by value
     val ranked = pts
-      .join(midranks("x", "rx"), "x")
-      .join(midranks("y", "ry"), "y")
+      .join(broadcast(midranks("x", "rx")), "x")
+      .join(broadcast(midranks("y", "ry")), "y")
     val s6 = ranked.agg(
       count(lit(1)).cast(dec38).as("n"),
       sum(col("rx").cast(dec38)).as("sx"), sum(col("ry").cast(dec38)).as("sy"),

@@ -1,0 +1,24 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Scan-parallelism spread gate (guide §2.2/§6). The driver-generated
+  * testdata ships every table as ONE parquet row group, and a row group
+  * is the vectorized reader's unit of work — so every scan is a 1-task
+  * stage and the map-side of the first aggregate/projection runs on one
+  * core of 32. Queries whose first pass is CPU-bound (cents casts, JSON
+  * extraction, tokenization, decimal accumulation) repartition up to
+  * the core count first; the round-robin exchange of a narrow
+  * projection costs far less than serializing the pass.
+  *
+  * At any real scale splits >> cores and the gate is COLD (a no-op) —
+  * this is the same gate q_mad_outliers and DistributedSelect have
+  * carried since r13, lifted to core so the rest of the catalog can
+  * share it.
+  */
+object Par {
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+}

@@ -20,6 +20,13 @@ object JobProbe {
         lines.add(f"  stage ${i.stageId}%3d ${i.numTasks}%4d tasks ${ms / 1000.0}%6.2fs  ${i.name.takeWhile(_ != '\n').take(60)}")
       }
     })
+    // one untimed warmup so codegen/JIT/broadcast-build cold costs do
+    // not masquerade as plan costs; probed jobs are the WARM run's
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    Thread.sleep(300)
+    lines.clear()
     val t0 = System.nanoTime()
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     val n = df.collect().length
