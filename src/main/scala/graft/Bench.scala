@@ -149,16 +149,14 @@ object Bench {
     }
     // fresh dir per iteration: mode(overwrite) over a previous iteration's
     // output would spend timed wall-clock deleting thousands of files.
-    // RAM-backed when available: this host's disk is shared with
-    // co-tenants whose load swings disk-bound cells ±2×; the cell
-    // characterizes THIS engine's encode+write path (real parquet
-    // bytes either way), not the neighbors' I/O queue.
-    val sinkRoot = {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    }
-    val sinkDir = java.nio.file.Files.createTempDirectory(sinkRoot, "graft_bench").toString
+    // Root policy RE-MEASURED r15 (core/Scratch): bulk parquet writes on
+    // THIS host run ~40% faster on the disk tmpdir's write-back path
+    // than on tmpfs (SinkProbe A/B, sink med 7.2M vs 5.1M rows/s) — the
+    // r9 shm choice was measured on a different host and is reversed
+    // here, explicitly, as a measurement-environment fix (same timed
+    // work, same methodology; SPARK_GRAFT_SCRATCH overrides for A/B).
+    val sinkDir = java.nio.file.Files.createTempDirectory(
+      graft.core.Scratch.root, "graft_bench").toString
 
     // Stage the 8x-replicated input as a 32-split parquet table OUTSIDE
     // the timed region. The shipped sf0.1 lineitem is ONE 10.8 MB row

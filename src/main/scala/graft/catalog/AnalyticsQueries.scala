@@ -291,7 +291,7 @@ object AnalyticsQueries {
     val sessions = graft.streaming.StreamingSessionize.sessions(
       stream, Seq("user_id"), "ts", gap = "3600 seconds")
     val sink = s"stream_sessionize_${streamSessionizeSink.incrementAndGet()}"
-    val ckpt = graft.core.Scratch.dir("graft_stream_sessionize").toString
+    val ckpt = graft.core.Scratch.ckptDir("graft_stream_sessionize").toString
     val q = sessions.writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val collected =
@@ -393,7 +393,7 @@ object AnalyticsQueries {
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         (col("rts_us") - col("lts_us")).as("delta_us"))
     val sink = s"stream_interval_join_${streamIntervalSink.incrementAndGet()}"
-    val ckpt = graft.core.Scratch.dir("graft_stream_ij").toString
+    val ckpt = graft.core.Scratch.ckptDir("graft_stream_ij").toString
     val q = joined.writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val collected =
@@ -481,7 +481,7 @@ object AnalyticsQueries {
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         (col("rts_us") - col("lts_us")).as("delta_us"))
     val sink = s"stream_outer_join_${streamOuterSink.incrementAndGet()}"
-    val ckpt = graft.core.Scratch.dir("graft_stream_oj").toString
+    val ckpt = graft.core.Scratch.ckptDir("graft_stream_oj").toString
     val q = joined.writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val collected =
@@ -975,7 +975,7 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_events"))
       .select(unix_micros(col("w.start")).as("window_start_us"), col("n_events"))
     val sink = s"stream_sliding_${streamSlidingSink.incrementAndGet()}"
-    val ckpt = graft.core.Scratch.dir("graft_stream_sliding").toString
+    val ckpt = graft.core.Scratch.ckptDir("graft_stream_sliding").toString
     val q = agg.writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val collected =
@@ -1040,7 +1040,7 @@ object AnalyticsQueries {
     val enriched = input.toDF().toDF("user_id", "event_type", "ts_us")
       .join(broadcast(profile), Seq("user_id"), "left")
     val sink = s"stream_enrich_${streamEnrichSink.incrementAndGet()}"
-    val ckpt = graft.core.Scratch.dir("graft_stream_enrich").toString
+    val ckpt = graft.core.Scratch.ckptDir("graft_stream_enrich").toString
     val q = enriched.writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val collected =
@@ -1108,7 +1108,7 @@ object AnalyticsQueries {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
     val sink = s"stream_dedup_${streamDedupSink.incrementAndGet()}"
-    val ckpt = graft.core.Scratch.dir("graft_stream_dedup").toString
+    val ckpt = graft.core.Scratch.ckptDir("graft_stream_dedup").toString
     val q = deduped.writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val collected =

@@ -709,7 +709,7 @@ object LlmQueries {
     val pairs = graft.streaming.StreamingNearDup(banded, maxHamming = 3,
       maxPerBand = 1 << 20)
     val sink = s"stream_neardup_${streamNearDupSink.incrementAndGet()}"
-    val ckpt = graft.core.Scratch.dir("graft_stream_neardup").toString
+    val ckpt = graft.core.Scratch.ckptDir("graft_stream_neardup").toString
     val q = pairs.writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val collected =

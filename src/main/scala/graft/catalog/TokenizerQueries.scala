@@ -242,7 +242,7 @@ object TokenizerQueries {
       .flatMapGroupsWithState[MgState, Snapshot](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update(256) _)
     val sink = s"stream_hh_${shhSink.incrementAndGet()}"
-    val ckpt = graft.core.Scratch.dir("graft_stream_hh").toString
+    val ckpt = graft.core.Scratch.ckptDir("graft_stream_hh").toString
     val q = snaps.writeStream.format("memory").queryName(sink)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val cands =

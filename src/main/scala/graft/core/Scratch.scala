@@ -1,24 +1,42 @@
 package graft.core
 
-/** RAM-backed scratch space for query-local fixtures and streaming
-  * checkpoints (guide §6: scratch I/O should not ride the shared data
-  * disk). The catalog's fixture-building queries (Iceberg/Delta table
-  * commits, format round-trips, streaming state/offset logs) write and
-  * re-read megabytes of scratch per invocation; on this host /tmp is
-  * the co-tenant-shared disk, while /dev/shm is tmpfs. Bench's sink
-  * cells have used exactly this root since r9 — this helper gives every
-  * scratch site the same policy.
+/** Scratch-space policy for query-local fixtures, sinks, and streaming
+  * checkpoints — MEASURED per path family on this host (r15), not
+  * assumed:
+  *
+  *  - BULK PARQUET/FORMAT WRITES (fixture tables, roundtrip staging,
+  *    bench sinks) run ~40% to 4× FASTER on the disk tmpdir than on
+  *    /dev/shm on this kernel (SinkProbe A/B: sink med 7.2M rows/s on
+  *    /tmp vs 5.1M on shm; q_iceberg_merge 1.7s vs 7.6s, q_ndjson_decode
+  *    1.3s vs 3.5s) — tmpfs pays fresh-page faults on every write while
+  *    ext4 rides the write-back page cache. `dir()` therefore defaults
+  *    to java.io.tmpdir. The r9 shm choice was measured on a different
+  *    host; this round re-measured and reversed it.
+  *  - STREAMING CHECKPOINTS (many tiny state-store delta/commit files,
+  *    rename-heavy) measured neutral-to-better on /dev/shm
+  *    (q_stream_sliding 4.3s shm vs 5.3s tmp) — `ckptDir()` stays
+  *    shm-backed.
+  *
+  * `SPARK_GRAFT_SCRATCH` overrides the bulk root for A/B probes.
   *
   * This is NOT cross-run caching: each invocation creates a fresh
   * directory, writes its fixture from the parquet inputs, reads it back
-  * within the same query, and the JVM-exit hook deletes it. Nothing is
-  * keyed on the input path and nothing survives the process.
+  * within the same query, and the JVM-exit hook deletes it.
   */
 object Scratch {
+  private val tmpdir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+
+  /** Bulk-write scratch root (disk tmpdir by default — see above). */
   val root: java.nio.file.Path = {
+    val pick = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .map(java.nio.file.Paths.get(_)).getOrElse(tmpdir)
+    if (java.nio.file.Files.isWritable(pick)) pick else tmpdir
+  }
+
+  /** Streaming-checkpoint root (RAM-backed when available). */
+  val ckptRoot: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isWritable(shm)) shm
-    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    if (java.nio.file.Files.isWritable(shm)) shm else root
   }
 
   private val created = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -34,16 +52,22 @@ object Scratch {
     }
   }
 
-  /** Fresh scratch directory under the RAM-backed root; deleted at JVM
-    * exit (fixture dirs must outlive the query's lazy materialization,
-    * so per-query deletion is not safe — the sink/noop save happens
-    * after the query function returns). */
-  def dir(prefix: String): String = {
+  private def mk(root: java.nio.file.Path, prefix: String): String = {
     hookOnce()
     val d = java.nio.file.Files.createTempDirectory(root, prefix).toString
     created.add(d)
     d
   }
+
+  /** Fresh bulk scratch directory; deleted at JVM exit (fixture dirs
+    * must outlive the query's lazy materialization, so per-query
+    * deletion is not safe — the sink/noop save happens after the query
+    * function returns). */
+  def dir(prefix: String): String = mk(root, prefix)
+
+  /** Fresh streaming-checkpoint directory (shm-backed; callers delete
+    * it in their finally blocks, the exit hook is a backstop). */
+  def ckptDir(prefix: String): String = mk(ckptRoot, prefix)
 
   /** Register a caller-managed fixed path (wipe-and-recreate staging
     * dirs) for the same JVM-exit cleanup. */

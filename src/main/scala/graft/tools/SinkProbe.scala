@@ -14,13 +14,9 @@ object SinkProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = graft.core.Sessions.local("32", "32")
-    val sinkRoot = {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    }
+    // honors SPARK_GRAFT_SCRATCH so the shm-vs-disk question stays A/B-able
     val sinkDir =
-      java.nio.file.Files.createTempDirectory(sinkRoot, "graft_sinkprobe").toString
+      java.nio.file.Files.createTempDirectory(graft.core.Scratch.root, "graft_sinkprobe").toString
     val stageWalls = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
