@@ -40,3 +40,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // that motivated trying 24g turned out to be co-tenant load).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// r16 bench-contract fix (VERDICT r15 item 1): the driver parses the
+// bench's stdout JSON line, and for 15 rounds it never could — sbt's
+// logger decorated every forked-process line with "[info] " and closed
+// the run with a "[success] Total time ..." epilogue AFTER the line.
+// StdoutOutput passes the forked JVM's stdout/stderr through verbatim
+// (Spark's log noise rides stderr, leaving stdout clean for the one
+// JSON line); showSuccess drops the epilogue so the JSON line is the
+// last stdout line of the run.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

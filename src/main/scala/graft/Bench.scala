@@ -92,6 +92,10 @@ object Bench {
       // otherwise accumulate across the suite and steal executor memory
       // from every later cell
       spark.catalog.clearCache()
+      // reclaim the cell's scratch fixtures NOW (outside the timed
+      // region): a full sweep otherwise accumulates every fixture dir
+      // in the tmpdir, competing for the page cache later cells run on
+      graft.core.Scratch.reclaim()
       spark.sparkContext.setJobDescription(null)
       if (ok) sec else -1.0
     }
@@ -428,22 +432,56 @@ object Bench {
       "\"" + k + s"""":[${l100(a)},${l100(b)},${l100(c2)},${l100(d)}]"""
     }.mkString("{", ",", "}")
 
-    // the stdout line is the driver contract and its capture
-    // tail-truncated THREE rounds running ("parsed": null) — r10's
-    // slimming kept the 88-entry queries map and the line still blew
-    // the capture window. r11: stdout carries ONLY total + derived +
-    // sf (~400 bytes); the per-query map, spreads, and host-load live
-    // in the BENCH_LOCAL.json sidecar, which carries the full artifact
-    // regardless of what the capture does to stdout.
+    // testdata fingerprint (per-file name:size:mtime, hashed): lets the
+    // driver flag cross-round totals as comparable or not — the r15
+    // 177.55→248.19 "regression" was regenerated testdata, and nothing
+    // in the artifact said so.
+    val fingerprint = {
+      val dir = java.nio.file.Paths.get(sfDir)
+      val files =
+        try {
+          val st = java.nio.file.Files.list(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.filter(p =>
+              java.nio.file.Files.isRegularFile(p)).toVector.sortBy(_.toString)
+          } finally st.close()
+        } catch { case _: Throwable => Vector.empty }
+      val desc = files.map { p =>
+        val sz = try java.nio.file.Files.size(p) catch { case _: Throwable => -1L }
+        val mt = try java.nio.file.Files.getLastModifiedTime(p).toMillis
+                 catch { case _: Throwable => -1L }
+        s"${p.getFileName}:$sz:$mt"
+      }.mkString(",")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(desc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (md.map("%02x".format(_)).mkString.take(16),
+        files.map(p => try java.nio.file.Files.size(p) catch { case _: Throwable => 0L }).sum)
+    }
+    val fpJson = s""""testdata_fingerprint":"${fingerprint._1}","testdata_bytes":${fingerprint._2}"""
+
     // kernel-lane provenance: which fast lanes ran (vector api on, or
     // the recorded fallback reason) — GB/s cells are only comparable
     // across rounds at the same lane configuration
     val laneJson = "\"" + graft.contract.FastLanes.describe.replace("\"", "'") + "\""
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","derived":$derived,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","order":"sweep_then_derived","queries":$qs,"queries_spread":$qSpread,"derived":$derived,"derived_spread":$derivedSpread,"host_load":$loadJson,"kernel_lanes":$laneJson,"sf":"$sfDir"}"""
+    // THE DRIVER CONTRACT LINE (r16 fix for 15 rounds of "parsed":
+    // null / PERF per_query empty — VERDICT r15 item 1): stdout carries
+    // the full per-query map + spreads on the one line, exactly the
+    // maps BENCH_LOCAL.json ships. The two historical parse killers are
+    // both removed at the source: (a) sbt's logger decorated every
+    // forked-stdout line with "[info] " — build.sbt now sets
+    // run/outputStrategy := StdoutOutput so this line reaches stdout
+    // verbatim; (b) trailing output after the line ([success], Spark
+    // shutdown noise) — the line is printed AFTER spark.stop() with the
+    // log level forced off, and build.sbt suppresses sbt's [success]
+    // epilogue, so this is the LAST stdout line of the run.
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"queries_spread":$qSpread,"derived":$derived,$fpJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","order":"sweep_then_derived","queries":$qs,"queries_spread":$qSpread,"derived":$derived,"derived_spread":$derivedSpread,"host_load":$loadJson,"kernel_lanes":$laneJson,$fpJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(line)
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -28,17 +28,13 @@ object AnalyticsQueries {
     (s, d) =>
       val o = t(s, d, "orders")
       val l = t(s, d, "lineitem").select(col("l_orderkey"))
-      // two independent actions submitted concurrently (guide §2.6)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val fSemi = Future(
-        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi").count())
-      val fAnti = Future(
-        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti").count())
+      // two independent actions submitted concurrently (guide §2.6;
+      // fresh labeled pool — core/Par.awaitAll)
+      val Seq(nSemi, nAnti) = graft.core.Par.awaitAll(Seq(
+        () => o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi").count(),
+        () => o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti").count()))
       import s.implicits._
-      Seq((Await.result(fSemi, Duration.Inf), Await.result(fAnti, Duration.Inf)))
-        .toDF("n_semi", "n_anti")
+      Seq((nSemi, nAnti)).toDF("n_semi", "n_anti")
   }
 
   val setOps: QueryDef = QueryDef.sqlBacked(
@@ -61,15 +57,11 @@ object AnalyticsQueries {
     // three independent actions submitted concurrently (guide §2.6:
     // actions are only sequential because the driver calls them
     // sequentially) — each job's tail back-fills the others' idle cores
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fu = Future(a.union(b).distinct().count())
-    val fi = Future(a.intersect(b).count())
-    val fe = Future(a.except(b).count())
-    Seq((Await.result(fu, Duration.Inf), Await.result(fi, Duration.Inf),
-        Await.result(fe, Duration.Inf)))
-      .toDF("union_n", "intersect_n", "except_n")
+    val Seq(nu, ni, ne) = graft.core.Par.awaitAll(Seq(
+      () => a.union(b).distinct().count(),
+      () => a.intersect(b).count(),
+      () => a.except(b).count()))
+    Seq((nu, ni, ne)).toDF("union_n", "intersect_n", "except_n")
   }
 
   val dateTruncAgg: QueryDef = QueryDef.sqlBacked(

@@ -149,12 +149,9 @@ object ProfilingQueries {
         // the 9 candidate pairs are independent (18 actions): submit
         // them concurrently so each job's task tail back-fills the
         // others' idle cores (guide §2.6) — was 18 strictly sequential
-        // jobs of mostly scheduling wait
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val futures = cands.map { case (ft, fc, pt, pc) =>
-          Future {
+        // jobs of mostly scheduling wait. Fresh labeled pool: Par.awaitAll.
+        val rows = graft.core.Par.awaitAll(cands.map { case (ft, fc, pt, pc) =>
+          () => {
             val fk = t(s, d, ft).filter(col(fc).isNotNull)
               .select(col(fc).as("v")).distinct()
             val pk = t(s, d, pt).filter(col(pc).isNotNull)
@@ -163,8 +160,7 @@ object ProfilingQueries {
             val nMissing = fk.join(pk, Seq("v"), "left_anti").count()
             (ft, fc, pt, pc, nFk, nMissing, nMissing == 0L)
           }
-        }
-        val rows = futures.map(Await.result(_, Duration.Inf))
+        })
         rows.toDF("fk_table", "fk_col", "pk_table", "pk_col",
           "n_fk_distinct", "n_missing", "holds")
           .orderBy("fk_table", "fk_col", "pk_table")

@@ -21,4 +21,27 @@ object Par {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
+
+  /** Run independent driver actions concurrently (guide §2.6: actions
+    * are only sequential because the driver calls them sequentially)
+    * so each job's task tail back-fills the others' idle cores.
+    *
+    * A FRESH per-call pool rather than ExecutionContext.global (r15
+    * ADVICE): Spark's job-local properties — setJobDescription labels,
+    * job groups and their cancellation — ride InheritableThreadLocals,
+    * which copy at THREAD CREATION. Global-pool threads are created
+    * once and reused, so they carry whatever properties the thread
+    * that first grew the pool had (stale labels, broken cancellation).
+    * Here the workers are created at submit time from the calling
+    * (correctly labeled) thread and the pool dies with the call. */
+  def awaitAll[T](work: Seq[() => T]): Seq[T] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(work.size, 1))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = work.map(w => Future(w()))
+      fs.map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+  }
 }

@@ -39,15 +39,13 @@ object Scratch {
     if (java.nio.file.Files.isWritable(shm)) shm else root
   }
 
-  private val created = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  // Set-backed registry (r15 ADVICE: the queue's contains() was O(n)
+  // per register call, and a full sweep registers hundreds of dirs)
+  private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   @volatile private var hooked = false
   private def hookOnce(): Unit = if (!hooked) synchronized {
     if (!hooked) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        created.forEach { d =>
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
-        }
-      }))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => reclaim()))
       hooked = true
     }
   }
@@ -57,6 +55,20 @@ object Scratch {
     val d = java.nio.file.Files.createTempDirectory(root, prefix).toString
     created.add(d)
     d
+  }
+
+  /** Delete every registered scratch dir NOW and clear the registry.
+    * Safe whenever no query is mid-materialization — Bench calls it
+    * after each cell's noop save returns (r15 ADVICE: a 226-cell × 3-rep
+    * sweep otherwise accumulates every fixture in the tmpdir for the
+    * whole run, leaning on the page cache the later cells measure
+    * under). The JVM-exit hook calls the same thing as a backstop. */
+  def reclaim(): Unit = {
+    val it = created.iterator()
+    while (it.hasNext) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(it.next()))
+      it.remove()
+    }
   }
 
   /** Fresh bulk scratch directory; deleted at JVM exit (fixture dirs
@@ -73,7 +85,7 @@ object Scratch {
     * dirs) for the same JVM-exit cleanup. */
   def register(path: String): String = {
     hookOnce()
-    if (!created.contains(path)) created.add(path)
+    created.add(path) // Set semantics: duplicate adds are no-ops
     path
   }
 }

@@ -28,6 +28,7 @@ object QueryProbe {
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         val w = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        graft.core.Scratch.reclaim() // mirror Bench's per-cell reclaim
         w
       }.sorted
       println(s"[probe] $n min=${f(walls.head)} med=${f(walls(walls.length / 2))} " +
