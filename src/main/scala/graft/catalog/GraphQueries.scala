@@ -298,31 +298,29 @@ object GraphQueries {
     var frontier = settled
     var hop = 0
     var frontierRows = 1L
-    var settledRows = 1L
-    // SIZE-GATED broadcast hints (guide §3.1; r15 VERDICT item 5 /
-    // ADVICE): the checkpointed RDD-backed frames have unknown size, so
-    // without a hint the planner shuffles the data-derived adjacency
-    // every hop — but a FORCED hint bypasses the autoBroadcast guard,
-    // and `settled` accumulates every visited vertex (O(V)): forcing it
-    // per hop collects an unbounded, growing frame to the driver.
-    // The per-hop row counts are already materialized (the loop needs
-    // frontier's emptiness anyway), so the hint applies only while the
-    // frame is provably small and the join falls back to the safe
-    // shuffle form past the gate. 4M narrow rows ≈ 64 MB built — well
-    // inside any executor/driver budget.
+    // FRONTIER-ONLY broadcast behind a row-count gate (guide §3.1; r15
+    // VERDICT item 5 / ADVICE): the checkpointed RDD-backed frontier has
+    // unknown size, so without a hint the planner shuffles the
+    // data-derived adjacency every hop — but a FORCED hint bypasses the
+    // autoBroadcast guard, so it applies only while the frontier is
+    // provably small (the per-hop count is materialized anyway to drive
+    // the loop). `settled` accumulates every visited vertex (O(V)) and
+    // is NEVER hinted: r15 forced it per hop — an unbounded, growing
+    // driver collect that bought nothing locally (3.89→4.06 flat) and
+    // OOMs at a 100 TB graph. The anti-join side is two narrow node
+    // lists; the shuffle form is safe at any scale. 4M narrow rows
+    // ≈ 64 MB built — well inside any executor/driver budget.
     val bcastMaxRows = 4L << 20
     while (hop < 8 && frontierRows > 0) {
       hop += 1
       val fr = if (frontierRows <= bcastMaxRows) broadcast(frontier) else frontier
-      val st = if (settledRows <= bcastMaxRows) broadcast(settled) else settled
       frontier = fr
         .join(adj, col("node") === col("a"))
         .select(col("b").as("node")).distinct()
-        .join(st, Seq("node"), "left_anti")
+        .join(settled, Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint() // truncate the per-round lineage, like CC
       frontierRows = frontier.count() // materialized by the checkpoint
-      settledRows += frontierRows
       settled = settled.union(frontier)
     }
     val out = settled.groupBy("dist")
